@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` entry receives `(spark, sfDir)` and loads
+  * exactly the tables it needs — projections/filters are left to the
+  * query so Catalyst pushes them into the parquet scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
+    // default; read nanos as long and truncate to micros (identical to
+    // DuckDB's nanos→micros truncation, so oracle timestamps agree).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

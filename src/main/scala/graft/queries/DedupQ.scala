@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{TextFns, VectorOps}
+
+/** Deduplication suite for the training-data-pipeline extension:
+  * exact (hash-groupBy), n-gram Jaccard with an inverted-index join,
+  * MinHash+LSH banding, SimHash signatures, and embedding-cosine
+  * near-dup with label blocking. Each has a DuckDB oracle built from
+  * the same deterministic md5-derived hash family
+  * ([[graft.ops.TextFns.hash60]]).
+  *
+  * Scale notes: every pairwise step goes through an inverted-index or
+  * bucket join (shingle / band / label) — never a full cross join —
+  * so candidate generation is O(collisions), not O(n²). The
+  * document-frequency cap on shingles (> [[MaxShingleDf]] docs →
+  * dropped) bounds the hot-key blowup the same way stopword removal
+  * does for text search; at 100 TB the band/bucket keys are the
+  * shuffle keys and skew is bounded by the cap.
+  */
+object DedupQ {
+
+  /** Shingle width (words) for Jaccard/MinHash. */
+  val ShingleN = 3
+  /** Shingles appearing in more than this many docs are dropped
+    * (hot-key cap for the inverted-index join). */
+  val MaxShingleDf = 25
+  /** MinHash signature length and LSH band width. */
+  val NumHashes = 16
+  val BandWidth = 4
+  /** SimHash bit width. */
+  val SimHashBits = 32
+  /** Jaccard / cosine thresholds. */
+  val JaccardMin = 0.3
+  val CosineMin = 0.35
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+
+  /** doc_id + distinct word-ShingleN shingles, one row per shingle. */
+  private def shingles(df: DataFrame): DataFrame = {
+    val w = TextFns.tokens(col("text"))
+    df.withColumn("_w", w)
+      .withColumn("_n", size(col("_w")))
+      .filter(col("_n") >= ShingleN)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), col("_n") - (ShingleN - 1)),
+            i => array_join(slice(col("_w"), i, lit(ShingleN)), " ")))).as("shingle"))
+  }
+
+  /** Shared oracle CTE: distinct shingles per doc. */
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(generate_series(1, n - ${ShingleN - 1}),
+       |      i -> array_to_string(list_slice(w, i, i + ${ShingleN - 1}), ' ')))) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+       |          len(string_split_regex(trim(text), '\\s+')) AS n
+       |        FROM documents) t
+       |  WHERE n >= $ShingleN)""".stripMargin
+
+  /** DuckDB twin of TextFns.hash60(c, seed). */
+  private def hash60Sql(expr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5('$seed|' || $expr), 1, 15)) AS BIGINT)"
+
+  val defs: Map[String, Q] = Map(
+    // d1 — exact dedup: hash-groupBy on full text; representative =
+    // min doc_id. One shuffle on the md5 key.
+    "d1_dedup_exact" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_doc_id"))
+    }),
+
+    // d2 — n-gram Jaccard near-dup via inverted-index self-join on
+    // shingles (df-capped), then |∩|/|∪| per candidate pair.
+    "d2_dedup_jaccard" -> ((s, d) => {
+      val sh = shingles(docs(s, d))
+      val kept = sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDf)
+          .select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = kept.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
+      a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), Seq("b_id"))
+        .withColumn("jaccard", col("inter") / (col("sa") + col("sb") - col("inter")))
+        .filter(col("jaccard") >= JaccardMin)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // d3 — MinHash + LSH: 16-hash signature over shingles, 4 bands of
+    // 4; candidate pairs = docs sharing any band hash. The band join
+    // is the scale path: signatures are fixed-width, pairs only form
+    // inside buckets.
+    "d3_dedup_minhash" -> ((s, d) => {
+      val sh = shingles(docs(s, d))
+      val sigCols = (0 until NumHashes).map(j =>
+        min(TextFns.hash60(col("shingle"), j)).as(s"s$j"))
+      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until NumHashes / BandWidth).map { b =>
+        val parts = (0 until BandWidth).map(k => col(s"s${b * BandWidth + k}").cast("string"))
+        md5(concat_ws(",", parts: _*))
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
+      x.join(y, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // d4 — SimHash: 32-bit signature; bit b is the sign of the sum of
+    // ±1 votes from every token occurrence's hash bit b. One shuffle
+    // (groupBy doc), constant-width aggregation state.
+    "d4_dedup_simhash" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .withColumn("th", TextFns.hash60(col("token")))
+      val bitSums = (0 until SimHashBits).map(b =>
+        sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until SimHashBits)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), simhash.as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // d5 — embedding-cosine near-dup, label-blocked (the IVF-bucket
+    // analogue: pairs only form inside a label bucket, never n²).
+    "d5_dedup_embedding" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"))
+      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        .withColumn("raw", VectorOps.dot(col("ea"), col("eb")) /
+          (VectorOps.l2norm(col("ea")) * VectorOps.l2norm(col("eb"))))
+        .filter(col("raw") >= CosineMin)
+        .select(col("a_id"), col("b_id"), col("label"),
+          round(col("raw"), 4).as("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    val sigExprs = (0 until NumHashes)
+      .map(j => s"min(${hash60Sql("shingle", j)}) AS s$j").mkString(",\n    ")
+    val bandExprs = (0 until NumHashes / BandWidth).map { b =>
+      val parts = (0 until BandWidth).map(k => s"s${b * BandWidth + k}::VARCHAR")
+      s"md5(${parts.mkString(" || ',' || ")})"
+    }
+    val bandUnion = bandExprs.zipWithIndex.map { case (e, i) =>
+      s"SELECT doc_id, $i AS band, $e AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val bitSumExprs = (0 until SimHashBits)
+      .map(b => s"SUM(CASE WHEN ((th >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val simhashExpr = (0 until SimHashBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+      .mkString(" + ")
+
+    Map(
+      "d1_dedup_exact" ->
+        """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+          |  COUNT(*) AS n_copies
+          |FROM documents
+          |GROUP BY md5(text)
+          |ORDER BY keep_doc_id""".stripMargin,
+
+      "d2_dedup_jaccard" ->
+        s"""WITH $shingleCte,
+           |kept AS (
+           |  SELECT doc_id, shingle FROM sh
+           |  WHERE shingle IN (
+           |    SELECT shingle FROM sh GROUP BY shingle
+           |    HAVING COUNT(*) <= $MaxShingleDf)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+           |cand AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+           |  FROM kept a JOIN kept b
+           |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT a_id, b_id, inter,
+           |  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+           |FROM cand
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |WHERE inter / (sa.sz + sb.sz - inter) >= $JaccardMin
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d3_dedup_minhash" ->
+        s"""WITH $shingleCte,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandUnion)
+           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d4_dedup_simhash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS th
+           |  FROM toks),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSumExprs
+           |  FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+           |FROM bits
+           |ORDER BY doc_id""".stripMargin,
+
+      "d5_dedup_embedding" ->
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+           |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= $CosineMin
+           |ORDER BY a_id, b_id""".stripMargin
+    )
+  }
+}

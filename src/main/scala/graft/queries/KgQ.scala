@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Chunker, Entities, TextFns, VectorOps}
+import graft.pipeline.Ingest
+
+/** Reference-parity pipeline queries (SURVEY.md §2.10, §3.3): the
+  * chunker, entity map, node registry, co-occurrence edges, the 2-hop
+  * graph query, and the flagship chunk search — each with a DuckDB
+  * oracle that re-derives the identical pipeline in SQL CTEs.
+  *
+  * Chunk params here are (size=20, overlap=5, min=5) — smaller than
+  * the reference's (200, 30, 30) so the synthetic ~54-word documents
+  * actually produce multi-chunk sliding windows and exercise the
+  * stride/last-partial-window logic. The reference params are covered
+  * by unit tests (ChunkerSpec).
+  *
+  * Scale note: the only global construct is the audit `chunk_index`
+  * (reference keeps a global counter, data/ingestion.py:188); the
+  * oracle queries reproduce it with a global row_number at small SF,
+  * while the pipeline (graft.pipeline.Ingest) uses the per-paper
+  * variant that scales.
+  */
+object KgQ {
+
+  val Size = 20
+  val Overlap = 5
+  val MinWords = 5
+  val Stride: Int = Size - Overlap
+
+  /** Seed entity names for the 2-hop graph query (J2/J3/U1/T2,
+    * reference tools.py:186-203). */
+  val SeedNames = Seq("spark", "data", "query")
+
+  /** Reference-shaped chunk table with the GLOBAL chunk_index. */
+  def chunksDf(s: SparkSession, d: String): DataFrame = {
+    val p = Ingest.papers(Tables.load(s, d, "documents"))
+    val sectioned = p.withColumn("section_name", lit("body"))
+    Chunker.chunk(sectioned, "paper_id", "section_name", "body", Size, Overlap, MinWords)
+      .withColumn("chunk_index",
+        (row_number().over(Window.orderBy(col("paper_id"), col("chunk_ord"))) - 1))
+  }
+
+  /** Entity occurrences over [[chunksDf]] (V5 + G3). */
+  def entsDf(s: SparkSession, d: String): DataFrame =
+    Entities.occurrences(chunksDf(s, d),
+      Seq("chunk_id", "paper_id", "chunk_index"), "text_content")
+
+  /** Distinct (chunk, paper, node) — input to edge pairing (A5). */
+  private def dpcDf(s: SparkSession, d: String): DataFrame =
+    entsDf(s, d).select(col("chunk_id"), col("paper_id"), col("node_id")).distinct()
+
+  /** CO_OCCURS edges grouped to (src, tgt, paper) with count weight. */
+  def edgesDf(s: SparkSession, d: String): DataFrame = {
+    val dpc = dpcDf(s, d)
+    val a = dpc.select(col("chunk_id"), col("paper_id"), col("node_id").as("src"))
+    val b = dpc.select(col("chunk_id").as("chunk_id_b"), col("node_id").as("tgt"))
+    a.join(b, col("chunk_id") === col("chunk_id_b") && col("src") < col("tgt"))
+      .groupBy(col("src"), col("tgt"), col("paper_id"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+  }
+
+  // ── DuckDB CTE prefix ──────────────────────────────────────────────
+  // Plain (non-interpolated) string: `$` appears in regexes. Params are
+  // patched in via @TOKENS@.
+
+  private val ctePrefixTemplate =
+    """WITH papers AS (
+      |  SELECT printf('doc_%06d', doc_id) AS paper_id, doc_id,
+      |    'Document ' || doc_id::VARCHAR AS title,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      text, '(?s)\$\$.*?\$\$', ' ', 'g'), '\$.*?\$', ' ', 'g'),
+      |      '\\[a-zA-Z]+\{.*?\}', ' ', 'g'), '\\[a-zA-Z]+', ' ', 'g'),
+      |      'http\S+', ' ', 'g'), '\s+', ' ', 'g')) AS body
+      |  FROM documents),
+      |secs AS (
+      |  SELECT paper_id, doc_id, title,
+      |    string_split_regex(trim(body), '\s+') AS w,
+      |    len(string_split_regex(trim(body), '\s+')) AS n
+      |  FROM papers
+      |  WHERE (CASE WHEN length(trim(body)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(body), '\s+')) END) >= 30),
+      |starts AS (
+      |  SELECT paper_id, doc_id, title, w, n,
+      |    unnest(list_filter(generate_series(0, greatest(n - 1, 0), @STRIDE@),
+      |      s -> s = 0 OR s + @OVR@ < n)) AS s
+      |  FROM secs),
+      |chunks0 AS (
+      |  SELECT paper_id, doc_id, title,
+      |    CAST(s // @STRIDE@ AS INT) AS chunk_ord,
+      |    CAST(least(n - s, @SIZE@) AS INT) AS word_count,
+      |    array_to_string(list_slice(w, s + 1, s + @SIZE@), ' ') AS text_content
+      |  FROM starts),
+      |chunksf AS (
+      |  SELECT *, printf('%s_body_c%03d', paper_id, chunk_ord) AS chunk_id
+      |  FROM chunks0 WHERE word_count >= @MIN@),
+      |chunks AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY paper_id, chunk_ord) - 1 AS INT) AS chunk_index
+      |  FROM chunksf),
+      |toks AS (
+      |  SELECT chunk_id, paper_id, chunk_index,
+      |    generate_subscripts(string_split_regex(trim(text_content), '\s+'), 1) AS ord,
+      |    unnest(string_split_regex(trim(text_content), '\s+')) AS token
+      |  FROM chunks),
+      |ents0 AS (
+      |  SELECT chunk_id, paper_id, chunk_index, ord,
+      |    regexp_replace(token, '^[^A-Za-z0-9]+|[^A-Za-z0-9]+$', '', 'g') AS name
+      |  FROM toks),
+      |ents1 AS (
+      |  SELECT *, trim(regexp_replace(regexp_replace(lower(name), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS name_normalized
+      |  FROM ents0 WHERE length(name) >= 3),
+      |ents AS (
+      |  SELECT *, 'node_' || substr(regexp_replace(name_normalized, '\s+', '_', 'g'), 1, 60) AS node_id
+      |  FROM ents1
+      |  WHERE name_normalized <> ''
+      |    AND regexp_matches(name_normalized, '[a-z]')
+      |    AND name_normalized NOT IN (@STOP@)),
+      |dpc AS (SELECT DISTINCT chunk_id, paper_id, node_id FROM ents),
+      |edges AS (
+      |  SELECT a.node_id AS src, b.node_id AS tgt, a.paper_id,
+      |    CAST(COUNT(*) AS DOUBLE) AS weight
+      |  FROM dpc a JOIN dpc b
+      |    ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+      |  GROUP BY a.node_id, b.node_id, a.paper_id)""".stripMargin
+
+  val ctePrefix: String = ctePrefixTemplate
+    .replace("@STRIDE@", Stride.toString)
+    .replace("@SIZE@", Size.toString)
+    .replace("@OVR@", Overlap.toString)
+    .replace("@MIN@", MinWords.toString)
+    .replace("@STOP@", Entities.stopwords.map(w => s"'$w'").mkString(", "))
+
+  val defs: Map[String, Q] = Map(
+    // k1 — G1/G2: the sliding-window chunk table itself.
+    "k1_chunks" -> ((s, d) => {
+      chunksDf(s, d)
+        .select(col("chunk_id"), col("paper_id"), col("chunk_index"),
+          col("chunk_ord"), col("word_count"), col("text_content"))
+        .orderBy(col("chunk_id"))
+    }),
+
+    // k2 — A7: chunks-per-paper statistics.
+    "k2_chunk_stats" -> ((s, d) => {
+      chunksDf(s, d)
+        .groupBy(col("paper_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("word_count")).as("sum_wc"),
+          min(col("word_count")).as("min_wc"),
+          max(col("word_count")).as("max_wc"))
+        .orderBy(col("paper_id"))
+    }),
+
+    // k3 — A2/A4: the node registry. First-surface-form-wins made
+    // deterministic via min_by over the (chunk_id, ord) occurrence key.
+    "k3_kg_nodes" -> ((s, d) => {
+      entsDf(s, d)
+        .withColumn("okey", format_string("%s_%06d", col("chunk_id"), col("ord")))
+        .groupBy(col("name_normalized"))
+        .agg(min(col("node_id")).as("node_id"),
+          min_by(col("name"), col("okey")).as("name"),
+          countDistinct(col("paper_id")).as("paper_count"))
+        .select(col("node_id"), col("name"), col("name_normalized"), col("paper_count"))
+        .orderBy(col("name_normalized"))
+    }),
+
+    // k4 — G4/A3: CO_OCCURS edge table.
+    "k4_kg_edges" -> ((s, d) => {
+      edgesDf(s, d)
+        .select(col("src").as("source_node_id"), col("tgt").as("target_node_id"),
+          col("paper_id"), col("weight"))
+        .orderBy(col("source_node_id"), col("target_node_id"), col("paper_id"))
+    }),
+
+    // k5 — G3: chunk-entity map statistics per node.
+    "k5_entity_map" -> ((s, d) => {
+      entsDf(s, d)
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("chunk_id")).as("n_chunks"))
+        .orderBy(col("node_id"))
+    }),
+
+    // k6 — J2/J3/U1/T2: seed by entity name, follow outgoing and
+    // incoming CO_OCCURS edges, merge, rank by total weight. Seeds are
+    // tiny → broadcast hash joins on both directions.
+    "k6_graph_2hop" -> ((s, d) => {
+      val ents = entsDf(s, d)
+      val edges = edgesDf(s, d)
+      val seeds = ents.filter(col("name_normalized").isin(SeedNames: _*))
+        .select(col("node_id"), col("name_normalized")).distinct()
+      val fwd = broadcast(seeds).join(edges, col("node_id") === col("src"))
+        .select(col("name_normalized").as("seed"), col("tgt").as("neighbor_id"), col("weight"))
+      val rev = broadcast(seeds).join(edges, col("node_id") === col("tgt"))
+        .select(col("name_normalized").as("seed"), col("src").as("neighbor_id"), col("weight"))
+      fwd.union(rev)
+        .groupBy(col("seed"), col("neighbor_id"))
+        .agg(sum(col("weight")).as("total_weight"))
+        .orderBy(col("total_weight").desc, col("seed"), col("neighbor_id"))
+        .limit(20)
+    }),
+
+    // k7 — the flagship search_papers query (V2+V3+T1+J1, reference
+    // tools.py:45-92): score chunks against a query vector, top-5,
+    // project chunk + paper metadata.
+    "k7_search_chunks" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val emb = Tables.load(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val ce = chunksDf(s, d)
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("vec_id") === col("doc_id"))
+      ce.crossJoin(broadcast(q))
+        .withColumn("raw", VectorOps.dot(col("embedding"), col("qe")) /
+          (VectorOps.l2norm(col("embedding")) * VectorOps.l2norm(col("qe"))))
+        .orderBy(col("raw").desc, col("chunk_id"))
+        .limit(5)
+        .select(col("chunk_id"), col("paper_id"), col("title"),
+          round(col("raw"), 4).as("score"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "k1_chunks" ->
+      s"""$ctePrefix
+         |SELECT chunk_id, paper_id, chunk_index, chunk_ord, word_count, text_content
+         |FROM chunks
+         |ORDER BY chunk_id""".stripMargin,
+
+    "k2_chunk_stats" ->
+      s"""$ctePrefix
+         |SELECT paper_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(word_count) AS BIGINT) AS sum_wc,
+         |  min(word_count) AS min_wc, max(word_count) AS max_wc
+         |FROM chunks
+         |GROUP BY paper_id
+         |ORDER BY paper_id""".stripMargin,
+
+    "k3_kg_nodes" ->
+      s"""$ctePrefix
+         |SELECT min(node_id) AS node_id,
+         |  arg_min(name, chunk_id || printf('_%06d', ord)) AS name,
+         |  name_normalized,
+         |  COUNT(DISTINCT paper_id) AS paper_count
+         |FROM ents
+         |GROUP BY name_normalized
+         |ORDER BY name_normalized""".stripMargin,
+
+    "k4_kg_edges" ->
+      s"""$ctePrefix
+         |SELECT src AS source_node_id, tgt AS target_node_id, paper_id, weight
+         |FROM edges
+         |ORDER BY source_node_id, target_node_id, paper_id""".stripMargin,
+
+    "k5_entity_map" ->
+      s"""$ctePrefix
+         |SELECT node_id, COUNT(*) AS n_mentions,
+         |  COUNT(DISTINCT chunk_id) AS n_chunks
+         |FROM ents
+         |GROUP BY node_id
+         |ORDER BY node_id""".stripMargin,
+
+    "k6_graph_2hop" -> {
+      val seedList = SeedNames.map(n => s"'$n'").mkString(", ")
+      s"""$ctePrefix,
+         |seeds AS (
+         |  SELECT DISTINCT node_id, name_normalized FROM ents
+         |  WHERE name_normalized IN ($seedList)),
+         |rel AS (
+         |  SELECT s.name_normalized AS seed, e.tgt AS neighbor_id, e.weight
+         |  FROM seeds s JOIN edges e ON e.src = s.node_id
+         |  UNION ALL
+         |  SELECT s.name_normalized AS seed, e.src AS neighbor_id, e.weight
+         |  FROM seeds s JOIN edges e ON e.tgt = s.node_id)
+         |SELECT seed, neighbor_id, SUM(weight) AS total_weight
+         |FROM rel
+         |GROUP BY seed, neighbor_id
+         |ORDER BY total_weight DESC, seed, neighbor_id
+         |LIMIT 20""".stripMargin
+    },
+
+    "k7_search_chunks" ->
+      s"""$ctePrefix,
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |ce AS (
+         |  SELECT c.chunk_id, c.paper_id, c.title, e.embedding::DOUBLE[] AS emb
+         |  FROM chunks c JOIN embeddings e ON e.vec_id = c.doc_id)
+         |SELECT chunk_id, paper_id, title,
+         |  round(list_dot_product(emb, qe) /
+         |    (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 4) AS score
+         |FROM ce, q
+         |ORDER BY list_dot_product(emb, qe) /
+         |    (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))) DESC,
+         |  chunk_id
+         |LIMIT 5""".stripMargin
+  )
+}

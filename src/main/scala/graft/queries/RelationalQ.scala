@@ -1,0 +1,426 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.1–2.8): scans,
+  * predicates, joins, aggregations, windows, top-k, set ops, scalar
+  * functions — each as a named query with a DuckDB oracle twin.
+  *
+  * Conventions:
+  *  - every output has a deterministic total ORDER BY;
+  *  - money sums go through decimal (see [[graft.queries.dsum2]]);
+  *  - aliases match the oracle SQL exactly (driver hashes by
+  *    column-name-sorted values).
+  */
+object RelationalQ {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val defs: Map[String, Q] = Map(
+    // q1 — A1/A3/A7: grouped aggregation over the fact table (TPC-H
+    // Q1 shape). Partial (map-side) agg + one shuffle on the tiny
+    // group key; scales linearly with input.
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // q2 — P2: parameterized point lookup (reference tools.py:116-124).
+    "q2_point_lookup" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderkey") === 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
+
+    // q3 — J1+T1: dimension-filtered join + grouped revenue + top-k.
+    // customer is the small side → broadcast; top-k plans to
+    // TakeOrderedAndProject (no global sort).
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-03-15").cast("timestamp"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // q4 — P3: IN-list predicate via broadcast join on the dim table
+    // (reference tools.py:185-191).
+    "q4_in_list" -> ((s, d) => {
+      val nat = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_5", "NATION_12"))
+      t(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum2(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // q5 — J1×5: star-schema multi-join (TPC-H Q5 shape). Dims
+    // broadcast; the only big-big join is lineitem⋈orders.
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // q6 — P4-style range predicates + scalar aggregate (TPC-H Q6
+    // shape); all predicates push to the parquet scan.
+    "q6_revenue_forecast" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // q7 — J4: left-semi join (EXISTS).
+    "q7_semi_join" -> ((s, d) => {
+      val ord96 = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, d, "customer")
+        .join(ord96, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // q8 — anti join (NOT EXISTS).
+    "q8_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // q9 — outer join preserving zero-order customers + null-safe count.
+    "q9_outer_join_agg" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // q10 — §2.5 window: latest order per customer via row_number.
+    "q10_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // q11 — §2.5 window: per-user running sum over event time. Frame
+    // order is total (ts, event_id) so the double accumulation is
+    // sequential and engine-identical.
+    "q11_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // q12 — A2: exact distinct count per group.
+    "q12_distinct_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // q13 — HAVING: groups filtered post-aggregation.
+    "q13_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 5)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // q14 — conditional aggregation (CASE WHEN inside agg).
+    "q14_case_agg" -> ((s, d) => {
+      t(s, d, "events")
+        .agg(
+          dsum2(when(col("event_type") === "purchase", col("value"))).as("purchase_value"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // q15 — F4/F11-style scalar string functions over part.
+    "q15_scalar_funcs" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          graft.ops.TextFns.slug(col("p_name")).as("name_slug"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_type"), 1, 4).as("type_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // q16 — F9-adjacent: JSON field extraction from the events props.
+    "q16_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k") > 50)
+        .select(col("event_id"), col("event_type"), col("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // q17 — F13-adjacent: calendar truncation + grouped agg.
+    "q17_date_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    // q18 — U1: UNION ALL of two filtered subsets (reference
+    // tools.py:196 merges outgoing/incoming edge sets the same way).
+    "q18_union_all" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), lit("err").as("tag"))
+      val b = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id"), col("user_id"), lit("buy").as("tag"))
+      a.union(b).orderBy(col("event_id"), col("tag"))
+    }),
+
+    // q19 — T1: global top-k with unique tiebreak →
+    // TakeOrderedAndProject (per-partition partial top-k).
+    "q19_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)
+    }),
+
+    // q20 — S9/A1: per-table row-count verification report.
+    "q20_row_counts" -> ((s, d) => {
+      import s.implicits._
+      Seq("customer", "lineitem", "nation", "orders", "region")
+        .map(n => (n, t(s, d, n).count()))
+        .toDF("table_name", "row_count")
+        .orderBy(col("table_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  AVG(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 500""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-03-15'
+        |  AND l_shipdate > TIMESTAMP '1999-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_in_list" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_12')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q6_revenue_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q9_outer_join_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) x
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q11_running_total" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q12_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 5
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q14_case_agg" ->
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  COUNT(*) AS n_events
+        |FROM events""".stripMargin,
+
+    "q15_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_replace(lower(p_name), '[^a-z0-9]', '_', 'g') AS name_slug,
+        |  upper(p_brand) AS brand_upper,
+        |  substr(p_type, 1, 4) AS type_prefix,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q17_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
+
+    "q18_union_all" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, 'err' AS tag FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT event_id, user_id, 'buy' AS tag FROM events
+        |  WHERE event_type = 'purchase' AND value > 150) x
+        |ORDER BY event_id, tag""".stripMargin,
+
+    "q19_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q20_row_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
+        |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'region', COUNT(*) FROM region) x
+        |ORDER BY table_name""".stripMargin
+  )
+}

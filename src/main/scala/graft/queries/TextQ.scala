@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextFns
+
+/** Text-analysis + multimodal-plumbing + windowed-event queries for
+  * the training-data-pipeline extension: language ID (marker-word
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish
+  * regex), document fingerprinting (md5 + polynomial rolling hash),
+  * binary-column metadata, and tumbling-window event aggregation
+  * (the batch twin of the Structured Streaming path in
+  * graft.streaming).
+  */
+object TextQ {
+
+  /** Marker-word lists for the language-ID heuristic. Tiny by design:
+    * deterministic, SQL-expressible, and editable. */
+  val EnMarkers = Seq("the", "and", "of", "is", "a", "to", "in")
+  val DeMarkers = Seq("der", "die", "das", "und", "ist", "nicht")
+  val FrMarkers = Seq("le", "la", "les", "et", "est", "une")
+  val EsMarkers = Seq("el", "los", "las", "es", "una", "y")
+
+  /** Rolling-hash mask: 56 bits so `h*31 + token_hash` stays in
+    * signed-64 range. */
+  val RollMask = (1L << 56) - 1
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  private def hits(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => w.isin(markers.map(lit): _*)))
+
+  private def hitsSql(markers: Seq[String]): String =
+    s"CAST(len(list_filter(w, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
+
+  val defs: Map[String, Q] = Map(
+    // t1 — language ID: count marker-word hits per language, pick by
+    // deterministic cascade. Narrow map over the corpus, no shuffle.
+    "t1_lang_id" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      docs(s, d)
+        .withColumn("w", w)
+        .withColumn("en_hits", hits(col("w"), EnMarkers))
+        .withColumn("de_hits", hits(col("w"), DeMarkers))
+        .withColumn("fr_hits", hits(col("w"), FrMarkers))
+        .withColumn("es_hits", hits(col("w"), EsMarkers))
+        .withColumn("zh_chars", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("int"))
+        .withColumn("pred_lang",
+          when(col("zh_chars") > 0, "zh")
+            .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits") &&
+              col("es_hits") > col("fr_hits"), "es")
+            .when(col("fr_hits") > col("en_hits") && col("fr_hits") > col("de_hits"), "fr")
+            .when(col("de_hits") > col("en_hits"), "de")
+            .otherwise("en"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t2 — quality scoring: length / punctuation / stopword ratios +
+    // a composite keep flag. Narrow map, predicates codegen'd.
+    "t2_text_quality" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      docs(s, d)
+        .withColumn("w", w)
+        .withColumn("wc", TextFns.wordCount(col("text")))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("punct", regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("int"))
+        .withColumn("stop_hits", hits(col("w"), EnMarkers))
+        .withColumn("avg_word_len", round(col("n_chars") / col("wc"), 4))
+        .withColumn("punct_ratio", round(col("punct") / col("n_chars"), 4))
+        .withColumn("stopword_ratio", round(col("stop_hits") / col("wc"), 4))
+        .withColumn("quality_ok",
+          (col("wc") >= 30 && col("punct_ratio") < 0.2).cast("int"))
+        .select(col("doc_id"), col("wc"), col("n_chars"), col("avg_word_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t3 — token counting: whitespace words vs a BPE-ish regex
+    // tokenizer (letter runs / digit runs / single symbols).
+    "t3_token_count" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          TextFns.wordCount(col("text")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
+            .as("bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t4 — fingerprinting: md5 of normalized text + a 56-bit
+    // polynomial rolling hash folded over token hashes (fold order is
+    // the token order, identical in both engines).
+    "t4_fingerprint" -> ((s, d) => {
+      val norm = TextFns.normalizeEntity(col("text"))
+      val th = transform(TextFns.tokens(col("text")), w => TextFns.hash60(w))
+      val rolling = aggregate(th, lit(0L),
+        (h, x) => (h * 31 + x).bitwiseAND(lit(RollMask)))
+      docs(s, d)
+        .select(col("doc_id"), md5(norm).as("norm_md5"), rolling.as("rolling_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // m1 — multimodal plumbing: treat text as an opaque binary column
+    // and extract typed metadata (the schema/partitioning pattern for
+    // image/audio payloads; the decode itself is stubbed in
+    // graft.ops.Multimodal because codec libs aren't in scope).
+    "m1_binary_meta" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).as("byte_len"),
+          hex(substring(col("text"), 1, 8)).as("head_hex"),
+          sha2(col("text"), 256).as("sha256"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // s1 — §2.11: tumbling-window event aggregation, the batch twin
+    // of graft.streaming.Events (same 5-minute windows + decimal-exact
+    // sums). Partial agg + one shuffle on (window, type).
+    "s1_event_window" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${hitsSql(EnMarkers)} AS en_hits,
+         |  ${hitsSql(DeMarkers)} AS de_hits,
+         |  ${hitsSql(FrMarkers)} AS fr_hits,
+         |  ${hitsSql(EsMarkers)} AS es_hits,
+         |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS zh_chars
+         |FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN zh_chars > 0 THEN 'zh'
+         |       WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+         |       WHEN fr_hits > en_hits AND fr_hits > de_hits THEN 'fr'
+         |       WHEN de_hits > en_hits THEN 'de'
+         |       ELSE 'en' END AS pred_lang,
+         |  en_hits, de_hits, fr_hits, es_hits
+         |FROM h
+         |ORDER BY doc_id""".stripMargin,
+
+    "t2_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(text), '\\s+') AS w,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS punct
+         |  FROM documents)
+         |SELECT doc_id, CAST(wc AS INT) AS wc, n_chars,
+         |  round(n_chars / wc, 4) AS avg_word_len,
+         |  round(punct / n_chars, 4) AS punct_ratio,
+         |  round(${hitsSql(EnMarkers)} / wc, 4) AS stopword_ratio,
+         |  CAST(wc >= 30 AND round(punct / n_chars, 4) < 0.2 AS INT) AS quality_ok
+         |FROM t
+         |ORDER BY doc_id""".stripMargin,
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_md5,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(string_split_regex(trim(text), '\\s+'),
+         |        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+         |    (h, x) -> (h * 31 + x) & ${RollMask}) AS rolling_hash
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  hex(substr(text, 1, 8)) AS head_hex,
+        |  sha256(text) AS sha256
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "s1_event_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY wstart, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.VectorOps
+
+/** Vector / similarity-search operators (SURVEY.md §2.9 V2–V4 + the
+  * ANN extensions): cosine top-k, norms, JSON round-trip parity,
+  * brute-force k-NN, and an IVF-style (centroid-bucketed) k-NN.
+  *
+  * All dot products fold left-to-right (graft.functions.DotProduct),
+  * matching DuckDB's `list_dot_product`, so raw double scores are
+  * bitwise identical across engines — rankings agree exactly and the
+  * rounded scores hash-match.
+  */
+object VectorQ {
+
+  private def emb(s: SparkSession, d: String) =
+    Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+
+  /** The cosine expression shared by v1/d5: dot/(|a||b|). */
+  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    VectorOps.dot(a, b) / (VectorOps.l2norm(a) * VectorOps.l2norm(b))
+
+  /** DuckDB twin of [[cos]]. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val defs: Map[String, Q] = Map(
+    // v1 — V2+V3+T1: flagship vector top-k. Query vector = embedding
+    // of vec_id 0 (broadcast, one row); corpus scan scored by the
+    // codegen'd dot product; TakeOrderedAndProject for the top-k.
+    "v1_cosine_topk" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("raw", cos(col("embedding"), col("qe")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("raw"), 4).as("score"))
+    }),
+
+    // v2 — V4: L2 norm + dimension audit of every vector.
+    "v2_vector_norms" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      emb(s, d)
+        .select(col("vec_id"),
+          round(VectorOps.l2norm(col("embedding")), 4).as("l2_norm"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // v3 — F9: embeddings-as-JSON round trip (the reference stores
+    // vectors as JSON-in-VARCHAR, data/ingestion.py:471-473). Parse
+    // back as float and prove dot(parsed, orig) == dot(orig, orig).
+    "v3_json_roundtrip" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      emb(s, d)
+        .withColumn("parsed",
+          from_json(to_json(col("embedding")), "array<float>",
+            Map.empty[String, String]))
+        .select(col("vec_id"),
+          size(col("parsed")).cast("long").as("dim"),
+          round(VectorOps.dot(col("parsed"), col("embedding")), 4).as("self_dot"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // v4 — ANN baseline: brute-force k-NN for a small query set.
+    // Broadcast the queries; one scored pass over the corpus; ranked
+    // per query by a partitioned window (shuffle on qid only).
+    "v4_knn_bruteforce" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+      scored.withColumn("nb_rank", row_number().over(w))
+        .filter(col("nb_rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
+          round(col("raw"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v5 — ANN scale path: IVF-style search. Centroids = per-label
+    // element-wise mean (decimal-exact, so both engines agree
+    // bitwise); each query probes only its nearest centroid's bucket.
+    // At scale this is the coarse-quantizer pattern: candidate set
+    // shrinks by ~n_labels×, the buckets are co-partitioned by label.
+    "v5_knn_ivf" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val dims = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cent = dims.groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast("double").cast("decimal(25,10)")).cast("double") /
+          count(lit(1))).as("cv"))
+      val cvecs = cent.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dc"))
+        .select(col("label").as("clabel"),
+          transform(col("dc"), x => x.getField("cv")).as("cvec"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wAssign = Window.partitionBy(col("qid"))
+        .orderBy(col("craw").desc, col("clabel"))
+      val assigned = q.crossJoin(broadcast(cvecs))
+        .withColumn("craw", VectorOps.dot(col("qe").cast("array<double>"), col("cvec")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("qid"), col("qe"), col("clabel"))
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+      assigned.join(e, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+        .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+        .withColumn("nb_rank", row_number().over(wRank))
+        .filter(col("nb_rank") <= 3)
+        .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
+          col("nb_rank"), round(col("raw"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, round(${cosSql("emb", "qe")}, 4) AS score
+         |FROM e, q
+         |ORDER BY ${cosSql("emb", "qe")} DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "v2_vector_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
+        |  len(embedding) AS dim
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "v3_json_roundtrip" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS self_dot
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "v4_knn_bruteforce" ->
+      """SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(raw, 4) AS score
+        |FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nb_id,
+        |    list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
+        |WHERE rn <= 3
+        |ORDER BY qid, nb_rank""".stripMargin,
+
+    "v5_knn_ivf" ->
+      """WITH dims AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM dims GROUP BY label, dim),
+        |cvecs AS (
+        |  SELECT label AS clabel, array_agg(cv ORDER BY dim) AS cvec
+        |  FROM cent GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |      FROM embeddings WHERE vec_id < 5),
+        |assigned AS (
+        |  SELECT qid, qe, clabel FROM (
+        |    SELECT qid, qe, clabel,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY list_dot_product(qe, cvec) DESC, clabel) AS crn
+        |    FROM q, cvecs) x
+        |  WHERE crn = 1),
+        |ranked AS (
+        |  SELECT a.qid, a.clabel AS probe_label, e.vec_id AS nb_id,
+        |    list_dot_product(a.qe, e.embedding::DOUBLE[]) AS raw,
+        |    row_number() OVER (PARTITION BY a.qid
+        |      ORDER BY list_dot_product(a.qe, e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM assigned a JOIN embeddings e
+        |    ON e.label = a.clabel AND e.vec_id <> a.qid)
+        |SELECT qid, probe_label, nb_id, CAST(rn AS INT) AS nb_rank,
+        |  round(raw, 4) AS score
+        |FROM ranked
+        |WHERE rn <= 3
+        |ORDER BY qid, nb_rank""".stripMargin
+  )
+}
