@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, and run decode /
+  * feature-extract / frame-sample as partition-local batch
+  * transformations.
+  *
+  * The reference declares but never populates RAW.FIGURES
+  * ("future multimodal support", sql/01_create_schema.sql:33-40);
+  * this module supplies the Spark-side contract a 100 TB media
+  * pipeline needs: the schema, the partitioning (payloads stay with
+  * their metadata row — no driver collection), and the batch shape
+  * (mapPartitions so a real codec would amortize init per partition,
+  * exactly like an Arrow-batched UDF would).
+  *
+  * STUB NOTE: the actual codecs (JPEG/PNG decode, audio resample,
+  * video frame extraction) are NOT in this container. `decodeStub`
+  * below is a clearly-marked deterministic fake that yields plausible
+  * dimensions/features from the payload bytes; swap `decodeBytes` for
+  * a real codec call at deployment. Everything around it — schema,
+  * nullability, batching, partition behavior — is real and tested.
+  */
+object Multimodal {
+
+  /** figures-table contract (sql/01_create_schema.sql:34-40) extended
+    * with the payload + decoded metadata. */
+  val figureSchema: StructType = StructType(Seq(
+    StructField("figure_id", StringType, nullable = false),
+    StructField("paper_id", StringType),
+    StructField("page_number", IntegerType),
+    StructField("caption", StringType),
+    StructField("payload", BinaryType),
+    StructField("media_type", StringType)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("figure_id", StringType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Build a figures table from any (id, text) source by treating the
+    * UTF-8 bytes as the opaque payload (fixture stand-in for real
+    * media bytes).
+    */
+  def figuresFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      format_string("fig_%06d", col("doc_id")).as("figure_id"),
+      graft.ops.TextFns.paperId(col("doc_id")).as("paper_id"),
+      lit(1).as("page_number"),
+      substring(col("text"), 1, 64).as("caption"),
+      col("text").cast("binary").as("payload"),
+      lit("image/png").as("media_type"))
+
+  /** ??? — real codec goes here. Deterministic fake: derives
+    * dimensions from the byte length and an 8-dim "feature" from a
+    * rolling byte histogram, so tests are stable and the pipeline
+    * shape is exercised end to end.
+    */
+  private[graft] def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val width = 64 + (n % 64)
+    val height = 64 + ((n / 64) % 64)
+    val channels = 3
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < n) {
+      hist((payload(i) & 0xff) >> 5) += 1f
+      i += 1
+    }
+    val total = math.max(n, 1).toFloat
+    (width, height, channels, hist.map(_ / total))
+  }
+
+  /** Decode a figures table: partition-local, codec state initialized
+    * once per partition (the `mapPartitions` seam a real decoder
+    * library plugs into).
+    */
+  def decode(figures: DataFrame): DataFrame = {
+    val spark = figures.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    figures
+      .select("figure_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        // per-partition codec init would happen here (amortized)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, c, feat) = decodeBytes(payload)
+          Row(r.getString(0), r.getString(1), payload.length, w, h, c, feat)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: every `stride`-th unit of a payload → one row
+    * (the video analogue of the text chunker's Generator shape).
+    */
+  def sampleFrames(figures: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(stride > 0 && frameBytes > 0)
+    figures
+      .withColumn("n_frames",
+        greatest((octet_length(col("payload")) / lit(frameBytes * stride)).cast("int"), lit(1)))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .withColumn("frame",
+        col("payload").substr(col("frame_idx") * frameBytes * stride + 1, lit(frameBytes)))
+      .select(col("figure_id"), col("frame_idx"), col("frame"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic replacement for the reference's LLM agent loop
+  * (SURVEY.md §3.1, agent.py:127-228). The LLM chose tools from a
+  * registry under a hard-coded plan (search → summarize) with
+  * compensating rules; here the planner IS those rules, executed
+  * deterministically:
+  *
+  *  - KG-looking queries (reference: tool choice) run the graph tool,
+  *    then ALWAYS run a compensating vector search (agent.py:185-188);
+  *  - summarize is force-invoked with the top citations if no
+  *    summarize happened (agent.py:204-211);
+  *  - citations capped at 5 (agent.py:210,223);
+  *  - empty context → apology answer (agent.py:213-214);
+  *  - every run appends an eval_metrics row
+  *    (sql/01_create_schema.sql:97-108), confidence = top citation
+  *    score (backend/app.py:96).
+  */
+object Agent {
+
+  case class AgentResult(
+      answer: String,
+      citations: DataFrame,
+      toolsUsed: Seq[String],
+      steps: Int,
+      latencyMs: Long)
+
+  /** Tables the agent operates over (pre-built by the ingest pipeline). */
+  case class Corpus(chunksV: DataFrame, papers: DataFrame,
+                    nodes: DataFrame, edges: DataFrame)
+
+  private val GraphCue = Seq("related", "relationship", "connected", "graph")
+
+  def isGraphQuery(question: String): Boolean = {
+    val q = question.toLowerCase
+    GraphCue.exists(q.contains)
+  }
+
+  /** Run one question. `queryVec` stands in for the external encoder
+    * (the engine contract is "a vector column", SURVEY.md §2.9 V1).
+    */
+  def run(corpus: Corpus, question: String,
+          queryVec: org.apache.spark.sql.Column, topK: Int = 5): AgentResult = {
+    val t0 = System.nanoTime()
+    var tools = Vector.empty[String]
+
+    val graphHits: Option[DataFrame] =
+      if (isGraphQuery(question)) {
+        tools :+= "search_knowledge_graph"
+        Some(Tools.searchKnowledgeGraph(corpus.nodes, corpus.edges, question, topK))
+      } else None
+
+    // KG-only queries trigger a compensating vector search
+    // (agent.py:185-188); plain queries search directly.
+    tools :+= "search_papers"
+    val hits = Tools.searchPapers(corpus.chunksV, queryVec, topK)
+
+    val citations = hits.limit(5).cache()
+    val nCitations = citations.count()
+
+    tools :+= "summarize_context" // force-invoked (agent.py:204-211)
+    val answer =
+      if (nCitations == 0)
+        "I'm sorry, I could not find relevant context to answer that."
+      else
+        Tools.summarizeContext(citations).head.getString(0)
+
+    // materialize graph hits (if any) so the tool actually executed
+    graphHits.foreach(_.count())
+
+    val latencyMs = (System.nanoTime() - t0) / 1000000
+    AgentResult(answer, citations, tools, steps = tools.size, latencyMs = latencyMs)
+  }
+
+  /** Append-only eval-metrics row for a finished run
+    * (APP.EVAL_METRICS shape, sql/01_create_schema.sql:97-108). */
+  def evalMetricsRow(spark: SparkSession, question: String,
+                     result: AgentResult, retrievalMode: String = "agentic"): DataFrame = {
+    import spark.implicits._
+    val confidence = result.citations
+      .agg(max(col("score"))).head match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    Seq((question, result.answer, result.toolsUsed.mkString(","), retrievalMode,
+      confidence, result.latencyMs))
+      .toDF("question", "generated_response", "context_used", "retrieval_mode",
+        "confidence", "latency_ms")
+      .withColumn("log_id",
+        sha2(concat_ws("|", col("question"), col("latency_ms")), 256))
+      .withColumn("faithfulness_score", lit(null).cast("double"))
+      .withColumn("answer_relevance_score", lit(null).cast("double"))
+      .withColumn("timestamp", current_timestamp())
+      .select("log_id", "question", "generated_response", "context_used",
+        "retrieval_mode", "faithfulness_score", "answer_relevance_score",
+        "confidence", "latency_ms", "timestamp")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming over the events table (SURVEY.md §2.11, §7.2
+  * scale extension).
+  *
+  * The reference has no streaming engine — its closest analogues are
+  * the append-only metrics log (backend/app.py:42-71) and stage
+  * checkpointing. This module is the Spark-native upgrade path: the
+  * same tumbling-window aggregation as the batch query
+  * `s1_event_window` (TextQ), expressed over a stream with a
+  * watermark so state is bounded and late events beyond the watermark
+  * are dropped — the property that makes it runnable indefinitely on
+  * an unbounded 100 TB/day feed.
+  */
+object EventStream {
+
+  /** Schema of the events fixture after timestamp normalization. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Windowed aggregation shared by the batch and streaming paths:
+    * 5-minute tumbling windows per event_type, decimal-exact sums.
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLength: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Read a directory of event parquet files as a stream. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** S7 — append-only JSON log sink (reference backend/app.py:42-71):
+    * every micro-batch appended as JSON lines.
+    */
+  def appendJsonSink(agg: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Synchronous local run into an in-memory table (test/dev path):
+    * processes everything currently in `dir`, returns the query. In
+    * append mode only windows older than the watermark emit — the
+    * caller decides whether to inspect partial state via `Complete`.
+    */
+  def runToMemory(spark: SparkSession, dir: String, queryName: String,
+                  mode: OutputMode = OutputMode.Complete): StreamingQuery = {
+    val q = windowedCounts(readStream(spark, dir))
+      .writeStream.outputMode(mode)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{Agent, Tools}
+import graft.queries.KgQ
+import graft.pipeline.Ingest
+
+/** Orchestration-layer behavior: tool composition + the reference's
+  * fallback rules (agent.py:179-214).
+  */
+class AgentSpec extends SparkSpec {
+
+  private lazy val corpus: Agent.Corpus = {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val embs = Tables.load(spark, Sf0001, "embeddings")
+    val papers = Ingest.papers(docs).cache()
+    val chunks = Ingest.chunks(papers, size = 20, overlap = 5, minWords = 5)
+    val chunksV = Ingest.withEmbeddings(chunks, embs)
+      .join(papers.select("paper_id", "title"), "paper_id").cache()
+    val emap = Ingest.entityMap(chunks).cache()
+    Agent.Corpus(chunksV, papers, Ingest.nodes(emap), Ingest.edges(emap))
+  }
+
+  private lazy val queryVec = {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding").head
+    val arr = e.getSeq[Float](0)
+    array(arr.map(v => lit(v)): _*)
+  }
+
+  test("searchPapers returns k scored chunks, scores descending") {
+    val hits = Tools.searchPapers(corpus.chunksV, queryVec, topK = 5).collect()
+    assert(hits.length == 5)
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("paperDetails point lookup returns 0/1 row") {
+    assert(Tools.paperDetails(corpus.papers, "doc_000001").count() <= 1)
+    assert(Tools.paperDetails(corpus.papers, "no_such_id").count() == 0)
+  }
+
+  test("searchKnowledgeGraph seeds from query entities and ranks by weight") {
+    val out = Tools.searchKnowledgeGraph(corpus.nodes, corpus.edges,
+      "how is spark related to query data", topK = 5).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    val ws = out.map(_.getAs[Double]("total_weight"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("agent run: summarize forced, citations capped at 5, metrics row valid") {
+    val res = Agent.run(corpus, "what is a spark query", queryVec)
+    assert(res.toolsUsed == Seq("search_papers", "summarize_context"))
+    assert(res.citations.count() <= 5)
+    assert(res.answer.startsWith("[1] "))
+    val m = Agent.evalMetricsRow(spark, "what is a spark query", res)
+    assert(m.count() == 1)
+    assert(m.head.getAs[Double]("confidence") > 0.0)
+  }
+
+  test("graph-cue questions invoke the KG tool plus compensating search") {
+    val res = Agent.run(corpus, "what is related to spark", queryVec)
+    assert(res.toolsUsed ==
+      Seq("search_knowledge_graph", "search_papers", "summarize_context"))
+  }
+
+  test("empty corpus -> apology answer (agent.py:213-214)") {
+    val empty = corpus.chunksV.filter(lit(false))
+    val res = Agent.run(corpus.copy(chunksV = empty), "anything", queryVec)
+    assert(res.answer.startsWith("I'm sorry"))
+  }
+
+  test("summarizeContext formats blocks exactly as the reference") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("c1", "T1", "body", "text one", 0.9),
+      ("c2", "T2", "body", "text two", 0.8))
+      .toDF("chunk_id", "title", "section_name", "text_content", "score")
+    val ctx = Tools.summarizeContext(chunks).head.getString(0)
+    assert(ctx == "[1] T1 | body\ntext one\n\n[2] T2 | body\ntext two")
+  }
+}

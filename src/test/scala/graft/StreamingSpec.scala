@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+/** Streaming/batch parity: the streaming tumbling-window aggregation
+  * must produce exactly the batch query's result once the stream is
+  * drained (SURVEY.md §2.11).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streamed windowed counts equal the batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    val events = Tables.load(spark, Sf0001, "events")
+    events.write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.runToMemory(spark, dir, "stream_out", OutputMode.Complete)
+    try {
+      val streamed = spark.table("stream_out")
+        .orderBy("wstart", "event_type").collect()
+      val batch = EventStream.windowedCounts(spark.read.parquet(dir))
+        .orderBy("wstart", "event_type").collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    } finally q.stop()
+  }
+
+  test("watermark bounds state: late data beyond watermark is dropped in append mode") {
+    // Two files arriving in order: recent batch first, then an event
+    // 1h older than the max seen ts -> beyond the 10min watermark.
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    Seq((1L, t0, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+
+    val agg = EventStream.windowedCounts(EventStream.readStream(spark, dir))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      Seq((2L, late, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // the late event's 09:00 window must never emit with its row
+      val lateRows = spark.table("late_out")
+        .filter(col("wstart") === lit("2024-01-01 09:00:00").cast("timestamp"))
+        .collect()
+      assert(lateRows.isEmpty)
+    } finally q.stop()
+  }
+}
