@@ -9,15 +9,24 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    // Untimed warmup: absorb scheduler/codegen/JIT startup so the
+    // first timed query isn't charged for session bring-up.
+    SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+    spark.catalog.clearCache()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Some queries persist() shared intermediates; drop them so
+      // storage memory from query N can't evict execution memory and
+      // skew query N+1's timing.
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

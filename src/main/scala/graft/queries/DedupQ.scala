@@ -37,7 +37,10 @@ object DedupQ {
   val CosineMin = 0.35
 
   private def docs(s: SparkSession, d: String) =
+    // single-row-group parquet → 1 partition; spread the shingle /
+    // hash work across cores with one cheap shuffle of the raw docs.
     Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** doc_id + distinct word-ShingleN shingles, one row per shingle. */
   private def shingles(df: DataFrame): DataFrame = {
@@ -80,12 +83,14 @@ object DedupQ {
     // d2 — n-gram Jaccard near-dup via inverted-index self-join on
     // shingles (df-capped), then |∩|/|∪| per candidate pair.
     "d2_dedup_jaccard" -> ((s, d) => {
-      val sh = shingles(docs(s, d))
+      // shingles feed the df-filter, sizes, and both join sides —
+      // persist once instead of re-deriving the explode 5×.
+      val sh = shingles(docs(s, d)).persist()
       val kept = sh.join(
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDf)
           .select(col("shingle")),
-        Seq("shingle"), "left_semi")
+        Seq("shingle"), "left_semi").persist()
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = kept.select(col("doc_id").as("a_id"), col("shingle"))
       val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
@@ -114,8 +119,9 @@ object DedupQ {
         val parts = (0 until BandWidth).map(k => col(s"s${b * BandWidth + k}").cast("string"))
         md5(concat_ws(",", parts: _*))
       }
+      // both sides of the bucket self-join read bands — persist.
       val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh"))).persist()
       val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
       x.join(y, Seq("band", "bh")).filter(col("a_id") < col("b_id"))

@@ -35,33 +35,54 @@ object KgQ {
     * reference tools.py:186-203). */
   val SeedNames = Seq("spark", "data", "query")
 
-  /** Reference-shaped chunk table with the GLOBAL chunk_index. */
-  def chunksDf(s: SparkSession, d: String): DataFrame = {
-    val p = Ingest.papers(Tables.load(s, d, "documents"))
+  /** Chunk table without the audit index: pure narrow explode, no
+    * shuffle — the shape every downstream KG query uses.
+    */
+  def chunksNoIndex(s: SparkSession, d: String): DataFrame = {
+    // documents.parquet is one row group → one input partition; the
+    // chunk+extract pipeline would run single-threaded. One cheap
+    // shuffle of the raw docs spreads the expensive narrow work
+    // across all cores (and, on a cluster, all executors).
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val p = Ingest.papers(docs)
     val sectioned = p.withColumn("section_name", lit("body"))
     Chunker.chunk(sectioned, "paper_id", "section_name", "body", Size, Overlap, MinWords)
-      .withColumn("chunk_index",
-        (row_number().over(Window.orderBy(col("paper_id"), col("chunk_ord"))) - 1))
   }
 
-  /** Entity occurrences over [[chunksDf]] (V5 + G3). */
+  /** Reference-shaped chunk table with the GLOBAL chunk_index — only
+    * k1 materializes this (a global window is a single-reducer
+    * bottleneck; SURVEY.md §7.4.1 keeps it out of the scale path).
+    */
+  def chunksDf(s: SparkSession, d: String): DataFrame =
+    chunksNoIndex(s, d)
+      .withColumn("chunk_index",
+        (row_number().over(Window.orderBy(col("paper_id"), col("chunk_ord"))) - 1))
+
+  /** Entity occurrences (V5 + G3). Keyed by chunk_id (+ord) only —
+    * the occurrence key for first-wins naming doesn't need the global
+    * chunk index.
+    */
   def entsDf(s: SparkSession, d: String): DataFrame =
-    Entities.occurrences(chunksDf(s, d),
-      Seq("chunk_id", "paper_id", "chunk_index"), "text_content")
+    Entities.occurrences(chunksNoIndex(s, d),
+      Seq("chunk_id", "paper_id"), "text_content")
 
-  /** Distinct (chunk, paper, node) — input to edge pairing (A5). */
-  private def dpcDf(s: SparkSession, d: String): DataFrame =
-    entsDf(s, d).select(col("chunk_id"), col("paper_id"), col("node_id")).distinct()
-
-  /** CO_OCCURS edges grouped to (src, tgt, paper) with count weight. */
-  def edgesDf(s: SparkSession, d: String): DataFrame = {
-    val dpc = dpcDf(s, d)
+  /** CO_OCCURS edges from an occurrence table. The distinct per-chunk
+    * entity set feeds BOTH sides of the pair self-join, so it is
+    * persisted — otherwise the whole chunk+extract pipeline runs
+    * twice (measured 2× on the sf0.1 bench).
+    */
+  def edgesFrom(ents: DataFrame): DataFrame = {
+    val dpc = ents.select(col("chunk_id"), col("paper_id"), col("node_id"))
+      .distinct().persist()
     val a = dpc.select(col("chunk_id"), col("paper_id"), col("node_id").as("src"))
     val b = dpc.select(col("chunk_id").as("chunk_id_b"), col("node_id").as("tgt"))
     a.join(b, col("chunk_id") === col("chunk_id_b") && col("src") < col("tgt"))
       .groupBy(col("src"), col("tgt"), col("paper_id"))
       .agg(count(lit(1)).cast("double").as("weight"))
   }
+
+  def edgesDf(s: SparkSession, d: String): DataFrame = edgesFrom(entsDf(s, d))
 
   // ── DuckDB CTE prefix ──────────────────────────────────────────────
   // Plain (non-interpolated) string: `$` appears in regexes. Params are
@@ -187,8 +208,11 @@ object KgQ {
     // incoming CO_OCCURS edges, merge, rank by total weight. Seeds are
     // tiny → broadcast hash joins on both directions.
     "k6_graph_2hop" -> ((s, d) => {
-      val ents = entsDf(s, d)
-      val edges = edgesDf(s, d)
+      // ents feeds seeds AND the edge derivation — persist once; the
+      // edge aggregation feeds BOTH the fwd and rev branches — persist
+      // it too, or the 2.3M-pair groupBy runs twice.
+      val ents = entsDf(s, d).persist()
+      val edges = edgesFrom(ents).persist()
       val seeds = ents.filter(col("name_normalized").isin(SeedNames: _*))
         .select(col("node_id"), col("name_normalized")).distinct()
       val fwd = broadcast(seeds).join(edges, col("node_id") === col("src"))
@@ -210,7 +234,7 @@ object KgQ {
       val emb = Tables.load(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
-      val ce = chunksDf(s, d)
+      val ce = chunksNoIndex(s, d)
         .join(emb.select(col("vec_id"), col("embedding")),
           col("vec_id") === col("doc_id"))
       ce.crossJoin(broadcast(q))
