@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorAgg
+import graft.ops.VectorOps
+
+/** Coverage-completing + scale-extension queries:
+  *  - j5: zip-join of parallel arrays (SURVEY.md §2.3 J5,
+  *    reference data/ingestion.py:195)
+  *  - p6: error-row skip via PERMISSIVE JSON parsing (§2.2 P6,
+  *    reference agent.py:107-119 try/except-continue)
+  *  - x1: approx_count_distinct — the §7.2 scale path for A2 (no
+  *    oracle: approximation algorithms differ across engines; the
+  *    driver records a rows-only check)
+  *  - v6: IVF k-NN with single-pass VectorSumAgg centroids (no
+  *    oracle: float-sum centroids are partition-order dependent;
+  *    correctness vs the exact v5 path is covered by VectorAggSpec)
+  */
+object ExtQ {
+
+  val defs: Map[String, Q] = Map(
+    // j5 — arrays_zip + posexplode: pair parallel arrays positionally.
+    "j5_zip_arrays" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("words", graft.ops.TextFns.tokens(col("text")))
+        .withColumn("lens", transform(col("words"), w => length(w)))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("words"), col("lens"))).as(Seq("pos", "z")))
+        .select(col("doc_id"), (col("pos") + 1).as("ord"),
+          col("z.words").as("word"), col("z.lens").as("wlen"))
+        .orderBy(col("doc_id"), col("ord"))
+    }),
+
+    // p6 — PERMISSIVE parse: malformed rows yield null and are
+    // skipped, valid rows aggregate (the reference's per-row
+    // try/except continue made declarative).
+    "p6_error_skip" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .withColumn("j",
+          when(col("event_id") % 7 === 0, substring(col("props"), 2, 1000))
+            .otherwise(col("props")))
+        .withColumn("parsed", from_json(col("j"), "map<string,int>",
+          Map.empty[String, String]))
+      ev.agg(
+        sum(when(col("parsed").isNull, 1).otherwise(0)).cast("long").as("n_bad"),
+        sum(when(col("parsed").isNotNull, 1).otherwise(0)).cast("long").as("n_ok"),
+        sum(col("parsed").getItem("k")).cast("long").as("sum_k"))
+    }),
+
+    // x1 — HLL++ distinct estimate next to the exact count (scale
+    // path for A2: one pass, constant memory, mergeable sketches).
+    "x1_approx_distinct" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // v6 — IVF with single-pass centroid aggregation: one shuffle of
+    // d-length buffers instead of exploding n×d rows (v5's
+    // oracle-exact path). Same probe/rank shape as v5.
+    "v6_knn_ivf_fast" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      VectorAgg.register(s)
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val cvecs = e.groupBy(col("label"))
+        .agg(VectorAgg.vectorSum(col("embedding")).as("vs"), count(lit(1)).as("n"))
+        .select(col("label").as("clabel"),
+          transform(col("vs"), x => x / col("n")).as("cvec"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wAssign = Window.partitionBy(col("qid")).orderBy(col("craw").desc, col("clabel"))
+      val assigned = q.crossJoin(broadcast(cvecs))
+        .withColumn("craw", VectorOps.dot(col("qe").cast("array<double>"), col("cvec")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("qid"), col("qe"), col("clabel"))
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+      assigned.join(e, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+        .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+        .withColumn("nb_rank", row_number().over(wRank))
+        .filter(col("nb_rank") <= 3)
+        .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
+          col("nb_rank"), round(col("raw"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j5_zip_arrays" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(w, 1) AS INT) AS ord,
+        |  unnest(w) AS word,
+        |  unnest(list_transform(w, x -> CAST(length(x) AS INT))) AS wlen
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |      FROM documents) t
+        |ORDER BY doc_id, ord""".stripMargin,
+
+    "p6_error_skip" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+        |  CAST(SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(SUM(CASE WHEN json_valid(j)
+        |       THEN CAST(json_extract_string(j, '$.k') AS INT) END) AS BIGINT) AS sum_k
+        |FROM (SELECT CASE WHEN event_id % 7 = 0 THEN substr(props, 2, 1000)
+        |                  ELSE props END AS j
+        |      FROM events) t""".stripMargin
+    // x1 / v6: intentionally no oracle (approximate / float-order
+    // dependent) — driver records rows-only checks.
+  )
+}

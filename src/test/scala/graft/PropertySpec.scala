@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import graft.ops.{Chunker, TextFns, VectorOps}
+
+/** Property-style invariants (SURVEY.md §5.3) — seeded ScalaCheck
+  * generators drive a single Spark job per property (one job per
+  * sample would be pathologically slow on a local session).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    Iterator.iterate((rng.Seed(seed), Option.empty[T])) { case (s, _) =>
+      (s.next, g.apply(Gen.Parameters.default, s))
+    }.drop(1).map(_._2).flatten.take(n).toSeq
+
+  test("chunker invariants hold for arbitrary section lengths") {
+    val ns = samples(Gen.choose(1, 2000), 60, seed = 42L).distinct
+    val df = ns.map(n => (s"p$n", "body", (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("paper_id", "section_name", "text")
+    val chunks = Chunker.chunk(df, "paper_id", "section_name", "text",
+      size = 200, overlap = 30, minWords = 30).cache()
+
+    // word_count ∈ [min, size]
+    assert(chunks.filter(col("word_count") < 30 || col("word_count") > 200).count() == 0)
+    // windows start at stride multiples: chunk_ord == start/170 and
+    // the reconstructed distinct word set covers the section exactly
+    val cover = chunks
+      .select(col("paper_id"), explode(split(col("text_content"), " ")).as("w"))
+      .groupBy("paper_id").agg(countDistinct("w").as("n_words"))
+    val expected = df.filter(TextFns.wordCount(col("text")) >= 30)
+      .select(col("paper_id"), TextFns.wordCount(col("text")).as("n"))
+    assert(cover.join(expected, "paper_id")
+      .filter(col("n_words") =!= col("n")).count() == 0)
+    // sections under minWords produce nothing
+    val shortIds = ns.filter(_ < 30).map(n => s"p$n")
+    if (shortIds.nonEmpty)
+      assert(chunks.filter(col("paper_id").isin(shortIds: _*)).count() == 0)
+  }
+
+  test("cosine(v, v) == 1 for arbitrary non-zero vectors") {
+    VectorOps.ensureRegistered(spark)
+    val gen = Gen.listOfN(16, Gen.choose(-100.0f, 100.0f))
+      .suchThat(_.exists(v => math.abs(v) > 1e-3))
+    val vs = samples(gen, 50, seed = 7L).map(_.toArray)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    val bad = df.select(VectorOps.cosine(col("v"), col("v")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("hash60 stays within [0, 2^60) for arbitrary strings") {
+    val strs = samples(Gen.asciiPrintableStr, 200, seed = 13L)
+    val df = strs.toDF("s")
+    val out = df.select(TextFns.hash60(col("s")).as("h"))
+      .filter(col("h") < 0 || col("h") >= lit(1L << 60))
+    assert(out.count() == 0)
+  }
+
+  test("co-occurrence pair count equals sum of C(k,2) over chunks") {
+    // random entity lists per chunk -> edge weights must satisfy the
+    // combinatorial identity regardless of duplicates
+    val gen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
+    val rows = samples(gen, 40, seed = 99L).zipWithIndex
+      .map { case (ents, i) => (s"c$i", s"p${i % 5}", ents.mkString(" ")) }
+    val df = rows.toDF("chunk_id", "paper_id", "text_content")
+    val emap = graft.pipeline.Ingest.entityMap(
+      df.withColumn("chunk_index", lit(0)))
+    val edges = graft.pipeline.Ingest.edges(emap)
+    val expected = emap.groupBy("chunk_id").agg(countDistinct("node_id").as("k"))
+      .select(sum(col("k") * (col("k") - 1) / 2)).head.getDouble(0)
+    val got = edges.agg(sum("weight")).head.getDouble(0)
+    assert(got == expected)
+  }
+}
