@@ -1,0 +1,16 @@
+package graft
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions","4")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q1_pricing_summary","q3_shipping_priority","q6_revenue_forecast",
+                  "q19_topk_orders","v1_cosine_topk","k7_search_chunks")) {
+      println(s"==== $q ====")
+      SparkEntry.queries(q)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, L2Norm, VectorSumAgg}
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst expressions available to ANY session — including pure
+  * `spark.sql` users — via
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * The per-session `VectorOps.ensureRegistered` path registers the
+  * same functions imperatively; this class is the deployment-grade
+  * variant (survives session cloning, applies to every session built
+  * from the config).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two numeric arrays"),
+      (exprs: Seq[Expression]) => { val e = arity("graft_dot", 2)(exprs); DotProduct(e(0), e(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      info("graft_l2norm", "graft_l2norm(a) - L2 norm of a numeric array"),
+      (exprs: Seq[Expression]) => L2Norm(arity("graft_l2norm", 1)(exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vector_sum"),
+      info("graft_vector_sum", "graft_vector_sum(v) - element-wise vector sum aggregate"),
+      (exprs: Seq[Expression]) =>
+        VectorSumAgg(arity("graft_vector_sum", 1)(exprs).head).toAggregateExpression()))
+  }
+}

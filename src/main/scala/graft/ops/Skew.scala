@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY.md §7.4.2: the co-occurrence
+  * generator's hot entities are the engine's main skew hazard — a
+  * stopword-like entity appearing in most chunks lands every pair on
+  * one reducer).
+  *
+  * Two standard remedies, both deterministic:
+  *  - [[saltedCount]]: two-phase aggregation — salt the group key
+  *    with a deterministic per-row shard, aggregate partials on
+  *    (key, salt), then aggregate the partials on (key). The first
+  *    shuffle spreads a hot key over `shards` reducers; the second
+  *    handles only #keys × shards rows.
+  *  - [[withDfCap]]: drop keys whose document frequency exceeds a
+  *    cap before a pairwise join (the DedupQ.MaxShingleDf pattern).
+  *
+  * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) covers
+  * sort-merge joins at runtime; these utilities cover aggregations
+  * and generator-side blowups, which AQE does not rebalance.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, shards): hash of tie-break columns —
+    * NOT random, so results are reproducible and retries are safe.
+    */
+  def salt(shards: Int, tieBreak: Column*): Column =
+    pmod(hash(tieBreak: _*), lit(shards))
+
+  /** Two-phase salted count per key. Equivalent to
+    * `df.groupBy(key).count()` but a hot key spreads across `shards`
+    * partial aggregations before the final combine.
+    */
+  def saltedCount(df: DataFrame, key: String, shards: Int, tieBreak: String): DataFrame =
+    df.withColumn("_salt", salt(shards, col(tieBreak)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("n"))
+
+  /** Keep only rows whose `key` appears in at most `maxDf` distinct
+    * `docCol` values — the pre-join hot-key cap.
+    */
+  def withDfCap(df: DataFrame, key: String, docCol: String, maxDf: Int): DataFrame = {
+    val keep = df.groupBy(col(key))
+      .agg(countDistinct(col(docCol)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col(key))
+    df.join(keep, Seq(key), "left_semi")
+  }
+}

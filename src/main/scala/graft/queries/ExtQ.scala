@@ -62,6 +62,15 @@ object ExtQ {
         .orderBy(col("l_returnflag"))
     }),
 
+    // s2 — gap-based sessionization, batch form (streaming twin with
+    // flatMapGroupsWithState state+timeout lives in
+    // graft.streaming.Sessionize; parity covered by SessionizeSpec).
+    "s2_sessionize" -> ((s, d) => {
+      graft.streaming.Sessionize.sessionsBatch(
+        Tables.load(s, d, "events"), gapSeconds = 900)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // v6 — IVF with single-pass centroid aggregation: one shuffle of
     // d-length buffers instead of exploding n×d rows (v5's
     // oracle-exact path). Same probe/rank shape as v5.
@@ -111,7 +120,27 @@ object ExtQ {
         |       THEN CAST(json_extract_string(j, '$.k') AS INT) END) AS BIGINT) AS sum_k
         |FROM (SELECT CASE WHEN event_id % 7 = 0 THEN substr(props, 2, 1000)
         |                  ELSE props END AS j
-        |      FROM events) t""".stripMargin
+        |      FROM events) t""".stripMargin,
+
+    "s2_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT user_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin
     // x1 / v6: intentionally no oracle (approximate / float-order
     // dependent) — driver records rows-only checks.
   )
