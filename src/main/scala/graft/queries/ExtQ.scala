@@ -71,6 +71,41 @@ object ExtQ {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // q21 — exact interpolated percentiles per group (sort-based, so
+    // engine-order independent; matches DuckDB quantile_cont).
+    "q21_percentiles" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // q22 — ROLLUP hierarchy totals (absent from the reference;
+    // SURVEY.md §2.4 lists grouping sets as an engine extension).
+    "q22_rollup" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(coalesce(col("o_year"), lit(9999)),
+          coalesce(col("o_orderpriority"), lit("~")))
+    }),
+
+    // q23 — scalar subquery: decimal-exact global average as the
+    // broadcast threshold.
+    "q23_scalar_subquery" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val t = o.agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avgp"))
+      o.crossJoin(broadcast(t))
+        .filter(col("o_totalprice") > col("avgp") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // v6 — IVF with single-pass centroid aggregation: one shuffle of
     // d-length buffers instead of exploding n×d rows (v5's
     // oracle-exact path). Same probe/rank shape as v5.
@@ -140,7 +175,32 @@ object ExtQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q22_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
+        |ORDER BY coalesce(o_year, 9999), coalesce(o_orderpriority, '~')""".stripMargin,
+
+    "q23_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
     // x1 / v6: intentionally no oracle (approximate / float-order
     // dependent) — driver records rows-only checks.
   )
