@@ -70,6 +70,23 @@ class AgentSpec extends SparkSpec {
     assert(res.answer.startsWith("I'm sorry"))
   }
 
+  test("F3 divergence regression: uppercase-normalized lookups return empty") {
+    // The reference backend normalizes query entities to UPPERCASE
+    // (backend/retrieval.py:42-44) while ingestion stores lowercase
+    // (data/ingestion.py:329-330) — a silent-empty-result bug
+    // (docs/AGENT_ARCHITECTURE_ANALYSIS.md:38). We standardize on
+    // lowercase; this pins the failure mode the divergence causes.
+    import org.apache.spark.sql.functions.upper
+    val upperSeeds = corpus.nodes
+      .filter(col("name_normalized") === upper(col("name_normalized")) &&
+        col("name_normalized").rlike("[a-z]"))
+    assert(upperSeeds.count() == 0) // stored names are never uppercase
+    val hits = corpus.nodes
+      .filter(col("name_normalized") === "SPARK") // F3-style lookup
+    assert(hits.count() == 0)
+    assert(corpus.nodes.filter(col("name_normalized") === "spark").count() == 1)
+  }
+
   test("summarizeContext formats blocks exactly as the reference") {
     import spark.implicits._
     val chunks = Seq(

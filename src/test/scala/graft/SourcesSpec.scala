@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private val df = Seq((1L, "a", 1.5), (2L, "b,with,commas", 2.5), (3L, null, 3.5))
+    .toDF("id", "name", "score")
+
+  test("csv round trip preserves rows incl. quoting and nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    Sources.writeCsv(df, s"$dir/csv")
+    val back = Sources.readCsv(spark, s"$dir/csv", schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("jsonl round trip + append grows the log (S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    Sources.appendJsonl(df, s"$dir/log")
+    Sources.appendJsonl(df.filter(col("id") === 1), s"$dir/log")
+    val back = Sources.readJsonl(spark, s"$dir/log", schema)
+    assert(back.count() == 4)
+    assert(back.filter(col("id") === 1).count() == 2)
+  }
+
+  test("malformed csv rows yield nulls under PERMISSIVE (P6)") {
+    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "id,name,score\n1,a,1.5\nnot_a_long,b,xyz\n")
+    val back = Sources.readCsv(spark, s"$dir/bad.csv", schema)
+    assert(back.count() == 2)
+    assert(back.filter(col("id").isNull).count() == 1)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    val ev = Tables.load(spark, Sf0001, "events")
+      .withColumn("etype", col("event_type"))
+    Sources.writeParquet(ev, s"$dir/part", partitionBy = Seq("etype"))
+    val one = spark.read.parquet(s"$dir/part").filter(col("etype") === "error")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+    // partition filter must reach the scan, not a post-scan filter
+    assert(plan.contains("PartitionFilters: [isnotnull(etype"))
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, Sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = Tables.load(spark, Sf0001, "orders")
+        .select("o_orderkey", "o_totalprice")
+      Sources.writeBucketed(li, "li_b", "l_orderkey", 4)
+      Sources.writeBucketed(o, "o_b", "o_orderkey", 4)
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
