@@ -226,6 +226,29 @@ object KgQ {
         .limit(20)
     }),
 
+    // k8 — the APP.CHUNKS_V view contract (sql/01_create_schema.sql:
+    // 78-93): chunks ⋈ papers projecting the 12 view columns.
+    // Reference-ingest defaults for the fields our corpus lacks:
+    // authors='' (data/ingestion.py:129), publication_year=null,
+    // categories='', source_url=''. The embedding column is exposed
+    // as its dimension (array payloads aren't hash-comparable).
+    "k8_chunks_v" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      chunksDf(s, d)
+        .join(emb, col("vec_id") === col("doc_id"), "left")
+        .select(
+          col("chunk_id"), col("paper_id"), col("chunk_index"),
+          col("section_name"), col("text_content"), col("word_count"),
+          col("title"),
+          lit("").as("authors"),
+          lit(null).cast("int").as("publication_year"),
+          lit("").as("categories"),
+          lit("").as("source_url"),
+          size(col("embedding")).cast("long").as("emb_dim"))
+        .orderBy(col("chunk_id"))
+    }),
+
     // k7 — the flagship search_papers query (V2+V3+T1+J1, reference
     // tools.py:45-92): score chunks against a query vector, top-5,
     // project chunk + paper metadata.
@@ -305,6 +328,16 @@ object KgQ {
          |ORDER BY total_weight DESC, seed, neighbor_id
          |LIMIT 20""".stripMargin
     },
+
+    "k8_chunks_v" ->
+      s"""$ctePrefix
+         |SELECT c.chunk_id, c.paper_id, c.chunk_index,
+         |  'body' AS section_name, c.text_content, c.word_count,
+         |  c.title, '' AS authors, CAST(NULL AS INT) AS publication_year,
+         |  '' AS categories, '' AS source_url,
+         |  len(e.embedding) AS emb_dim
+         |FROM chunks c LEFT JOIN embeddings e ON e.vec_id = c.doc_id
+         |ORDER BY c.chunk_id""".stripMargin,
 
     "k7_search_chunks" ->
       s"""$ctePrefix,
