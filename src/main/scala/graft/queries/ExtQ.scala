@@ -106,6 +106,23 @@ object ExtQ {
         .orderBy(col("o_orderkey"))
     }),
 
+    // q24 — correlated EXISTS over a date window (TPC-H Q4 shape):
+    // order-priority distribution of orders with any line shipped
+    // after the order date. Left-semi join, dims grouped after.
+    "q24_order_priority_check" -> ((s, d) => {
+      val ord = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val late = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // v6 — IVF with single-pass centroid aggregation: one shuffle of
     // d-length buffers instead of exploding n×d rows (v5's
     // oracle-exact path). Same probe/rank shape as v5.
@@ -176,6 +193,16 @@ object ExtQ {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q24_order_priority_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q21_percentiles" ->
       """SELECT l_returnflag,

@@ -249,6 +249,23 @@ object KgQ {
         .orderBy(col("chunk_id"))
     }),
 
+    // k9 — triangle motifs in the co-occurrence graph: three-way
+    // self-join over the distinct undirected edge set with a<b<c
+    // canonical ordering (each triangle counted once). The classic
+    // multi-join the optimizer must order well; edge set is the
+    // deduplicated (src,tgt) projection, not the per-paper rows.
+    "k9_triangles" -> ((s, d) => {
+      val e = edgesDf(s, d)
+        .select(col("src"), col("tgt")).distinct().persist()
+      val e1 = e.select(col("src").as("a"), col("tgt").as("b"))
+      val e2 = e.select(col("src").as("b2"), col("tgt").as("c"))
+      val e3 = e.select(col("src").as("a3"), col("tgt").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+
     // k7 — the flagship search_papers query (V2+V3+T1+J1, reference
     // tools.py:45-92): score chunks against a query vector, top-5,
     // project chunk + paper metadata.
@@ -328,6 +345,15 @@ object KgQ {
          |ORDER BY total_weight DESC, seed, neighbor_id
          |LIMIT 20""".stripMargin
     },
+
+    "k9_triangles" ->
+      s"""$ctePrefix,
+         |ue AS (SELECT DISTINCT src, tgt FROM edges)
+         |SELECT e1.src AS a, e1.tgt AS b, e2.tgt AS c
+         |FROM ue e1
+         |JOIN ue e2 ON e2.src = e1.tgt
+         |JOIN ue e3 ON e3.src = e1.src AND e3.tgt = e2.tgt
+         |ORDER BY a, b, c""".stripMargin,
 
     "k8_chunks_v" ->
       s"""$ctePrefix
