@@ -54,6 +54,10 @@ object DedupQ {
             i => array_join(slice(col("_w"), i, lit(ShingleN)), " ")))).as("shingle"))
   }
 
+  /** Session-memoized persisted shingle table (d2 and d3 share it). */
+  private def shinglesOf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "shingles")(shingles(docs(s, d)))
+
   /** Shared oracle CTE: distinct shingles per doc. */
   private val shingleCte =
     s"""sh AS (
@@ -84,8 +88,8 @@ object DedupQ {
     // shingles (df-capped), then |∩|/|∪| per candidate pair.
     "d2_dedup_jaccard" -> ((s, d) => {
       // shingles feed the df-filter, sizes, and both join sides —
-      // persist once instead of re-deriving the explode 5×.
-      val sh = shingles(docs(s, d)).persist()
+      // session-memoized persisted table instead of 5 re-derivations.
+      val sh = shinglesOf(s, d)
       val kept = sh.join(
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDf)
@@ -111,7 +115,7 @@ object DedupQ {
     // is the scale path: signatures are fixed-width, pairs only form
     // inside buckets.
     "d3_dedup_minhash" -> ((s, d) => {
-      val sh = shingles(docs(s, d))
+      val sh = shinglesOf(s, d)
       val sigCols = (0 until NumHashes).map(j =>
         min(TextFns.hash60(col("shingle"), j)).as(s"s$j"))
       val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)

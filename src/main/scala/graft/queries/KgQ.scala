@@ -38,17 +38,18 @@ object KgQ {
   /** Chunk table without the audit index: pure narrow explode, no
     * shuffle — the shape every downstream KG query uses.
     */
-  def chunksNoIndex(s: SparkSession, d: String): DataFrame = {
-    // documents.parquet is one row group → one input partition; the
-    // chunk+extract pipeline would run single-threaded. One cheap
-    // shuffle of the raw docs spreads the expensive narrow work
-    // across all cores (and, on a cluster, all executors).
-    val docs = Tables.load(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val p = Ingest.papers(docs)
-    val sectioned = p.withColumn("section_name", lit("body"))
-    Chunker.chunk(sectioned, "paper_id", "section_name", "body", Size, Overlap, MinWords)
-  }
+  def chunksNoIndex(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "chunks") {
+      // documents.parquet is one row group → one input partition; the
+      // chunk+extract pipeline would run single-threaded. One cheap
+      // shuffle of the raw docs spreads the expensive narrow work
+      // across all cores (and, on a cluster, all executors).
+      val docs = Tables.load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val p = Ingest.papers(docs)
+      val sectioned = p.withColumn("section_name", lit("body"))
+      Chunker.chunk(sectioned, "paper_id", "section_name", "body", Size, Overlap, MinWords)
+    }
 
   /** Reference-shaped chunk table with the GLOBAL chunk_index — only
     * k1 materializes this (a global window is a single-reducer
@@ -61,11 +62,14 @@ object KgQ {
 
   /** Entity occurrences (V5 + G3). Keyed by chunk_id (+ord) only —
     * the occurrence key for first-wins naming doesn't need the global
-    * chunk index.
+    * chunk index. Memoized per session (the reference materializes
+    * this table once at ingest; k3–k9 all read it).
     */
   def entsDf(s: SparkSession, d: String): DataFrame =
-    Entities.occurrences(chunksNoIndex(s, d),
-      Seq("chunk_id", "paper_id"), "text_content")
+    Derived.of(s, d, "ents") {
+      Entities.occurrences(chunksNoIndex(s, d),
+        Seq("chunk_id", "paper_id"), "text_content")
+    }
 
   /** CO_OCCURS edges from an occurrence table. The distinct per-chunk
     * entity set feeds BOTH sides of the pair self-join, so it is
@@ -82,7 +86,8 @@ object KgQ {
       .agg(count(lit(1)).cast("double").as("weight"))
   }
 
-  def edgesDf(s: SparkSession, d: String): DataFrame = edgesFrom(entsDf(s, d))
+  def edgesDf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "edges")(edgesFrom(entsDf(s, d)))
 
   // ── DuckDB CTE prefix ──────────────────────────────────────────────
   // Plain (non-interpolated) string: `$` appears in regexes. Params are
@@ -208,11 +213,10 @@ object KgQ {
     // incoming CO_OCCURS edges, merge, rank by total weight. Seeds are
     // tiny → broadcast hash joins on both directions.
     "k6_graph_2hop" -> ((s, d) => {
-      // ents feeds seeds AND the edge derivation — persist once; the
-      // edge aggregation feeds BOTH the fwd and rev branches — persist
-      // it too, or the 2.3M-pair groupBy runs twice.
-      val ents = entsDf(s, d).persist()
-      val edges = edgesFrom(ents).persist()
+      // ents and edges are session-memoized persisted tables (Derived):
+      // seeds + both edge directions read them without recompute.
+      val ents = entsDf(s, d)
+      val edges = edgesDf(s, d)
       val seeds = ents.filter(col("name_normalized").isin(SeedNames: _*))
         .select(col("node_id"), col("name_normalized")).distinct()
       val fwd = broadcast(seeds).join(edges, col("node_id") === col("src"))
