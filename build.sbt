@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: the driver parses the one
+// JSON metric line from Bench/Verify, and sbt's default logger prefixes
+// every forwarded line with "[info] ", which breaks its JSON parser.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one class per plan; a small code cache
+  // degrades long sessions (54 queries in one JVM) to interpreter mode.
+  "-XX:ReservedCodeCacheSize=512m",
 )

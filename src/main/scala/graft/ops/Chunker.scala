@@ -18,47 +18,33 @@ import org.apache.spark.sql.functions._
   *  - chunks shorter than `minWords` are dropped after id assignment;
   *  - `chunk_id = {paper_id}_{section_slug}_c{i:03d}`.
   *
-  * Implemented as `explode` over a computed array of window starts —
-  * a pure narrow transformation: no shuffle, parallel over input rows,
-  * and the per-row work is O(words). This is the Generator shape
-  * (one text row → many chunk rows) without a custom Catalyst
-  * Generator; `explode` + higher-order functions stay codegen-friendly.
+  * Implemented on the native [[graft.functions.ChunkGenerator]]
+  * Catalyst Generator (one text row → many chunk rows, a pure narrow
+  * transformation: no shuffle, parallel over input rows, per-row work
+  * O(words)). An earlier composed form (`explode` over a computed
+  * array of window starts + slice/when column pipeline) produced the
+  * same rows but a multiplicatively larger expression tree after
+  * CollapseProject inlining — ~30s of driver planning at sf0.1 and
+  * heavy per-task deserialization — so the single opaque Generator is
+  * also the FASTER plan, not just the tidier one. Equivalence of the
+  * two forms is pinned by ChunkGeneratorSpec.
   */
 object Chunker {
 
   /** Explode `(idCol, sectionCol, textCol)` rows into chunk rows.
-    * Output columns: idCol, sectionCol, `chunk_ord` (per-section, incl.
-    * dropped windows), `chunk_id`, `text_content`, `word_count`.
+    * Keeps every input column and appends `chunk_ord` (per-section,
+    * incl. dropped windows), `word_count`, `text_content`, `chunk_id`.
     */
   def chunk(df: DataFrame, idCol: String, sectionCol: String, textCol: String,
             size: Int = 200, overlap: Int = 30, minWords: Int = 30): DataFrame = {
     require(overlap < size, "overlap must be < size")
-    val stride = size - overlap
-
-    val isAbstract = col(sectionCol) === "abstract"
-    val starts =
-      when(isAbstract, array(lit(0)))
-        .otherwise(
-          filter(
-            sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(stride)),
-            s => s === 0 || s + lit(overlap) < col("_n")))
-
-    df.withColumn("_words", TextFns.tokens(col(textCol)))
-      .withColumn("_n", TextFns.wordCount(col(textCol)))
-      .filter(col("_n") >= minWords)
-      .withColumn("_start", explode(starts))
-      .withColumn("chunk_ord",
-        when(isAbstract, lit(0)).otherwise((col("_start") / stride).cast("int")))
-      .withColumn("word_count",
-        when(isAbstract, col("_n"))
-          .otherwise(least(col("_n") - col("_start"), lit(size))).cast("int"))
-      .filter(col("word_count") >= minWords)
-      .withColumn("text_content",
-        array_join(
-          slice(col("_words"), col("_start") + 1,
-            when(isAbstract, col("_n")).otherwise(lit(size))), " "))
+    graft.functions.ChunkGenerator.register(df.sparkSession)
+    df.select(col("*"),
+        call_function("chunk_windows", col(textCol), col(sectionCol),
+          lit(size), lit(overlap), lit(minWords))
+          .as(Seq("chunk_ord", "start", "word_count", "text_content")))
       .withColumn("chunk_id",
         TextFns.chunkId(col(idCol), TextFns.slug(col(sectionCol)), col("chunk_ord")))
-      .drop("_words", "_n", "_start")
+      .drop("start")
   }
 }

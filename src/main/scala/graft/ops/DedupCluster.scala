@@ -22,8 +22,16 @@ object DedupCluster {
   /** pairs: (a_id, b_id) undirected candidate edges.
     * Returns (doc_id, rep_id) for every doc appearing in a pair;
     * `rep_id` = min doc_id of its connected component.
+    *
+    * Iterates to FIXPOINT by default (`maxIters <= 0`), so the
+    * documented contract always holds: min-label propagation is
+    * monotone (labels only decrease, bounded below by the component
+    * min), hence guaranteed to converge in O(diameter) rounds. A
+    * positive `maxIters` bounds rounds for callers that prefer a
+    * budget; the contract is then only guaranteed for components with
+    * diameter ≤ maxIters.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 0): DataFrame = {
     val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
       .union(pairs.select(col("b_id").cast("long"), col("a_id").cast("long")))
       .toDF("src", "dst")
@@ -34,7 +42,7 @@ object DedupCluster {
       .persist()
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged && (maxIters <= 0 || i < maxIters)) {
       // propagate: my new label = min(my label, labels of my neighbors)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("rep_id", "nb_rep"), "dst")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    shuffle spreads a hot key over `shards` reducers; the second
   *    handles only #keys × shards rows.
   *  - [[withDfCap]]: drop keys whose document frequency exceeds a
-  *    cap before a pairwise join (the DedupQ.MaxShingleDf pattern).
+  *    cap before a pairwise join (the DedupQ relative df-cap pattern).
   *
   * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) covers
   * sort-merge joins at runtime; these utilities cover aggregations

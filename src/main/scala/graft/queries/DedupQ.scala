@@ -9,24 +9,30 @@ import graft.ops.{TextFns, VectorOps}
   * exact (hash-groupBy), n-gram Jaccard with an inverted-index join,
   * MinHash+LSH banding, SimHash signatures, and embedding-cosine
   * near-dup with label blocking. Each has a DuckDB oracle built from
-  * the same deterministic md5-derived hash family
-  * ([[graft.ops.TextFns.hash60]]).
+  * the same deterministic md5-derived hash family.
   *
   * Scale notes: every pairwise step goes through an inverted-index or
   * bucket join (shingle / band / label) — never a full cross join —
   * so candidate generation is O(collisions), not O(n²). The
-  * document-frequency cap on shingles (> [[MaxShingleDf]] docs →
-  * dropped) bounds the hot-key blowup the same way stopword removal
-  * does for text search; at 100 TB the band/bucket keys are the
-  * shuffle keys and skew is bounded by the cap.
+  * document-frequency cap on shingles is RELATIVE to corpus size
+  * (`max(MinShingleDfCap, ceil(ShingleDfFrac·n_docs))` docs → kept),
+  * so the hot-key bound tracks the corpus the way a stopword model
+  * does: at 100 TB a boilerplate shingle shared by 1% of documents is
+  * dropped, not shuffled. MinHash uses the standard double-hashing
+  * family h_j = h1 + j·h2 from ONE md5 per shingle (h1 = 60-bit,
+  * h2 = 48-bit slices of the same digest; max value < 2^61, so the
+  * arithmetic is exact in both Spark LONG and DuckDB BIGINT) — 16
+  * independent-enough permutations at 1/16th the hash cost.
   */
 object DedupQ {
 
   /** Shingle width (words) for Jaccard/MinHash. */
   val ShingleN = 3
-  /** Shingles appearing in more than this many docs are dropped
-    * (hot-key cap for the inverted-index join). */
-  val MaxShingleDf = 25
+  /** Relative document-frequency cap: shingles present in more than
+    * `max(MinShingleDfCap, ceil(ShingleDfFrac * n_docs))` documents
+    * are dropped before the inverted-index join (hot-key cap). */
+  val ShingleDfFrac = 0.005
+  val MinShingleDfCap = 15
   /** MinHash signature length and LSH band width. */
   val NumHashes = 16
   val BandWidth = 4
@@ -42,9 +48,12 @@ object DedupQ {
     Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** doc_id + distinct word-ShingleN shingles, one row per shingle. */
+  /** doc_id + distinct word-ShingleN shingles, one row per shingle,
+    * with the double-hash family bases (h1, h2) cut from a single md5
+    * of the shingle. */
   private def shingles(df: DataFrame): DataFrame = {
     val w = TextFns.tokens(col("text"))
+    val digest = md5(col("shingle"))
     df.withColumn("_w", w)
       .withColumn("_n", size(col("_w")))
       .filter(col("_n") >= ShingleN)
@@ -52,26 +61,53 @@ object DedupQ {
         explode(array_distinct(
           transform(sequence(lit(1), col("_n") - (ShingleN - 1)),
             i => array_join(slice(col("_w"), i, lit(ShingleN)), " ")))).as("shingle"))
+      .withColumn("_d", digest)
+      .withColumn("h1", conv(substring(col("_d"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("_d"), 17, 12), 16, 10).cast("long"))
+      .drop("_d")
   }
 
   /** Session-memoized persisted shingle table (d2 and d3 share it). */
   private def shinglesOf(s: SparkSession, d: String): DataFrame =
     Derived.of(s, d, "shingles")(shingles(docs(s, d)))
 
-  /** Shared oracle CTE: distinct shingles per doc. */
+  /** Shingles surviving the relative df-cap — the inverted index both
+    * d2 sides read. Managed (and eventually unpersisted) by Derived. */
+  private def keptShinglesOf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "shingles_kept") {
+      val sh = shinglesOf(s, d)
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <= greatest(lit(MinShingleDfCap),
+          ceil(col("n_docs") * ShingleDfFrac)).cast("long"))
+        .select(col("shingle"))
+      sh.join(keep, Seq("shingle"), "left_semi")
+    }
+
+  /** Shared oracle CTE: distinct shingles per doc + hash bases. */
   private val shingleCte =
     s"""sh AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(generate_series(1, n - ${ShingleN - 1}),
-       |      i -> array_to_string(list_slice(w, i, i + ${ShingleN - 1}), ' ')))) AS shingle
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
-       |          len(string_split_regex(trim(text), '\\s+')) AS n
-       |        FROM documents) t
-       |  WHERE n >= $ShingleN)""".stripMargin
+       |  SELECT doc_id, shingle,
+       |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(shingle), 17, 12)) AS BIGINT) AS h2
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      list_transform(generate_series(1, n - ${ShingleN - 1}),
+       |        i -> array_to_string(list_slice(w, i, i + ${ShingleN - 1}), ' ')))) AS shingle
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+       |            len(string_split_regex(trim(text), '\\s+')) AS n
+       |          FROM documents) t
+       |    WHERE n >= $ShingleN) u)""".stripMargin
 
-  /** DuckDB twin of TextFns.hash60(c, seed). */
-  private def hash60Sql(expr: String, seed: Int): String =
-    s"CAST(('0x' || substr(md5('$seed|' || $expr), 1, 15)) AS BIGINT)"
+  /** Oracle twin of the relative df-cap filter. */
+  private val keptCte =
+    s"""kept AS (
+       |  SELECT doc_id, shingle FROM sh
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM sh GROUP BY shingle
+       |    HAVING COUNT(*) <= greatest($MinShingleDfCap,
+       |      CAST(ceil($ShingleDfFrac * (SELECT COUNT(*) FROM documents)) AS BIGINT))))""".stripMargin
 
   val defs: Map[String, Q] = Map(
     // d1 — exact dedup: hash-groupBy on full text; representative =
@@ -85,16 +121,9 @@ object DedupQ {
     }),
 
     // d2 — n-gram Jaccard near-dup via inverted-index self-join on
-    // shingles (df-capped), then |∩|/|∪| per candidate pair.
+    // shingles (relative df-cap), then |∩|/|∪| per candidate pair.
     "d2_dedup_jaccard" -> ((s, d) => {
-      // shingles feed the df-filter, sizes, and both join sides —
-      // session-memoized persisted table instead of 5 re-derivations.
-      val sh = shinglesOf(s, d)
-      val kept = sh.join(
-        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxShingleDf)
-          .select(col("shingle")),
-        Seq("shingle"), "left_semi").persist()
+      val kept = keptShinglesOf(s, d)
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = kept.select(col("doc_id").as("a_id"), col("shingle"))
       val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
@@ -110,22 +139,25 @@ object DedupQ {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // d3 — MinHash + LSH: 16-hash signature over shingles, 4 bands of
-    // 4; candidate pairs = docs sharing any band hash. The band join
-    // is the scale path: signatures are fixed-width, pairs only form
-    // inside buckets.
+    // d3 — MinHash + LSH: 16-hash double-hashing signature over
+    // shingles, 4 bands of 4; candidate pairs = docs sharing any band
+    // hash. The band join is the scale path: signatures are
+    // fixed-width, pairs only form inside buckets.
     "d3_dedup_minhash" -> ((s, d) => {
       val sh = shinglesOf(s, d)
       val sigCols = (0 until NumHashes).map(j =>
-        min(TextFns.hash60(col("shingle"), j)).as(s"s$j"))
+        min(col("h1") + lit(j.toLong) * col("h2")).as(s"s$j"))
       val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       val bandCols = (0 until NumHashes / BandWidth).map { b =>
         val parts = (0 until BandWidth).map(k => col(s"s${b * BandWidth + k}").cast("string"))
         md5(concat_ws(",", parts: _*))
       }
-      // both sides of the bucket self-join read bands — persist.
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh"))).persist()
+      // both sides of the bucket self-join read bands — Derived-managed
+      // persist (freed by invalidate/clearCache, not leaked).
+      val bands = Derived.of(s, d, "minhash_bands") {
+        sig.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      }
       val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
       x.join(y, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
@@ -135,18 +167,16 @@ object DedupQ {
 
     // d4 — SimHash: 32-bit signature; bit b is the sign of the sum of
     // ±1 votes from every token occurrence's hash bit b. One shuffle
-    // (groupBy doc), constant-width aggregation state.
+    // (groupBy doc) with a single long[32]-buffer aggregate
+    // ([[graft.functions.SimHashAgg]]) — constant-width state,
+    // map-side partials, order-independent integer merge.
     "d4_dedup_simhash" -> ((s, d) => {
-      val toks = docs(s, d)
+      graft.functions.SimHashAgg.register(s)
+      docs(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
         .withColumn("th", TextFns.hash60(col("token")))
-      val bitSums = (0 until SimHashBits).map(b =>
-        sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until SimHashBits)
-        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      agg.select(col("doc_id"), simhash.as("simhash"))
+        .groupBy(col("doc_id"))
+        .agg(call_function("graft_simhash", col("th"), lit(SimHashBits)).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -171,7 +201,7 @@ object DedupQ {
 
   val oracles: Map[String, String] = {
     val sigExprs = (0 until NumHashes)
-      .map(j => s"min(${hash60Sql("shingle", j)}) AS s$j").mkString(",\n    ")
+      .map(j => s"min(h1 + $j * h2) AS s$j").mkString(",\n    ")
     val bandExprs = (0 until NumHashes / BandWidth).map { b =>
       val parts = (0 until BandWidth).map(k => s"s${b * BandWidth + k}::VARCHAR")
       s"md5(${parts.mkString(" || ',' || ")})"
@@ -196,11 +226,7 @@ object DedupQ {
 
       "d2_dedup_jaccard" ->
         s"""WITH $shingleCte,
-           |kept AS (
-           |  SELECT doc_id, shingle FROM sh
-           |  WHERE shingle IN (
-           |    SELECT shingle FROM sh GROUP BY shingle
-           |    HAVING COUNT(*) <= $MaxShingleDf)),
+           |$keptCte,
            |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
            |cand AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter

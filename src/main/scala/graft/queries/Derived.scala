@@ -12,17 +12,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session each pay the full chunk→extract pipeline. This cache
   * gives the production shape back: the first query materializes a
   * derivation (persisted), later queries in the same session reuse
-  * it. Keyed by (session, sfDir, name); entries are just persisted
-  * DataFrames — if something unpersists them (Bench/Verify hygiene,
-  * memory pressure) the plans transparently recompute, so
-  * correctness never depends on the cache.
+  * it. Entries are just persisted DataFrames — if something
+  * unpersists them (Bench/Verify hygiene, memory pressure) the plans
+  * transparently recompute, so correctness never depends on the cache.
+  *
+  * Keyed by the session OBJECT via a weak-key map: two live sessions
+  * can never collide (identity, not hashCode), and a closed session's
+  * entries become unreachable and are GC-purged, so plans aren't
+  * pinned for the JVM lifetime. [[invalidate]] gives explicit
+  * eviction for callers that tear sessions down deterministically.
   */
 object Derived {
 
-  private val cache = new ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[(String, String), DataFrame]]()
 
-  def of(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => build.persist())
+  def of(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = new java.util.HashMap[(String, String), DataFrame](); cache.put(spark, m) }
+      m
+    }
+    // Derivations nest (edges → ents → chunks), so `build` re-enters
+    // this method for the same session. computeIfAbsent would throw
+    // "Recursive update" on a bin collision; a reentrant monitor with
+    // explicit get/put handles nesting. The lock only covers lazy
+    // plan CONSTRUCTION (no Spark jobs), so it is cheap and
+    // deadlock-free.
+    perSession.synchronized {
+      val existing = perSession.get((dir, name))
+      if (existing != null) existing
+      else {
+        val df = build.persist()
+        perSession.put((dir, name), df)
+        df
+      }
+    }
+  }
+
+  /** Unpersist and drop everything cached for one session. */
+  def invalidate(spark: SparkSession): Unit = {
+    val m = cache.synchronized(cache.remove(spark))
+    if (m != null) m.synchronized {
+      m.values.forEach { df =>
+        try df.unpersist() catch { case _: Throwable => }
+      }
+    }
+  }
 }

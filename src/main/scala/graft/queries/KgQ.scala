@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Chunker, Entities, TextFns, VectorOps}
+import graft.ops.{Chunker, Entities, GlobalIndex, TextFns, VectorOps}
 import graft.pipeline.Ingest
 
 /** Reference-parity pipeline queries (SURVEY.md §2.10, §3.3): the
@@ -51,14 +51,20 @@ object KgQ {
       Chunker.chunk(sectioned, "paper_id", "section_name", "body", Size, Overlap, MinWords)
     }
 
-  /** Reference-shaped chunk table with the GLOBAL chunk_index — only
-    * k1 materializes this (a global window is a single-reducer
-    * bottleneck; SURVEY.md §7.4.1 keeps it out of the scale path).
+  /** Reference-shaped chunk table with the GLOBAL chunk_index,
+    * computed scale-safely: range-partition + per-partition counts +
+    * cumulative offsets ([[graft.ops.GlobalIndex]]) instead of the
+    * single-reducer `row_number().over(Window.orderBy(...))`. Same
+    * values (rank in the (paper_id, chunk_ord) total order), no
+    * global window anywhere in the plan.
     */
   def chunksDf(s: SparkSession, d: String): DataFrame =
-    chunksNoIndex(s, d)
-      .withColumn("chunk_index",
-        (row_number().over(Window.orderBy(col("paper_id"), col("chunk_ord"))) - 1))
+    Derived.of(s, d, "chunks_indexed") {
+      GlobalIndex.withGlobalIndex(chunksNoIndex(s, d),
+          Seq(col("paper_id"), col("chunk_ord")), "_gidx")
+        .withColumn("chunk_index", col("_gidx").cast("int"))
+        .drop("_gidx")
+    }
 
   /** Entity occurrences (V5 + G3). Keyed by chunk_id (+ord) only —
     * the occurrence key for first-wins naming doesn't need the global
@@ -253,20 +259,38 @@ object KgQ {
         .orderBy(col("chunk_id"))
     }),
 
-    // k9 — triangle motifs in the co-occurrence graph: three-way
-    // self-join over the distinct undirected edge set with a<b<c
-    // canonical ordering (each triangle counted once). The classic
-    // multi-join the optimizer must order well; edge set is the
-    // deduplicated (src,tgt) projection, not the per-paper rows.
+    // k9 — triangle motifs in the co-occurrence graph, via DEGREE
+    // ORIENTATION: each undirected edge points from its lower-degree
+    // endpoint to the higher-degree one (ties broken by id), wedges
+    // are enumerated only at the orientation-minimum vertex, and the
+    // closing edge is probed in the undirected set. Out-degree under
+    // this orientation is O(√m), so hub entities in a co-occurrence
+    // graph no longer explode the wedge join as Σdeg² — the standard
+    // scalable triangle-listing shape. Output is identical to the
+    // naive a<b<c three-way join (each triangle listed once, sorted).
     "k9_triangles" -> ((s, d) => {
-      val e = edgesDf(s, d)
-        .select(col("src"), col("tgt")).distinct().persist()
-      val e1 = e.select(col("src").as("a"), col("tgt").as("b"))
-      val e2 = e.select(col("src").as("b2"), col("tgt").as("c"))
-      val e3 = e.select(col("src").as("a3"), col("tgt").as("c3"))
-      e1.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-        .select(col("a"), col("b"), col("c"))
+      val e = Derived.of(s, d, "tri_edges")(
+        edgesDf(s, d).select(col("src"), col("tgt")).distinct())
+      val deg = e.select(col("src").as("n"))
+        .unionAll(e.select(col("tgt").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // src < tgt by construction, so on a degree tie the id-order
+      // tie-break keeps the edge as-is.
+      val oriented = Derived.of(s, d, "tri_oriented") {
+        e.join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "ds"), Seq("src"))
+          .join(deg.withColumnRenamed("n", "tgt").withColumnRenamed("deg", "dt"), Seq("tgt"))
+          .select(
+            when(col("ds") <= col("dt"), col("src")).otherwise(col("tgt")).as("u"),
+            when(col("ds") <= col("dt"), col("tgt")).otherwise(col("src")).as("v"))
+      }
+      val x = oriented.select(col("u"), col("v").as("p"))
+      val y = oriented.select(col("u").as("u2"), col("v").as("q"))
+      x.join(y, col("u") === col("u2") && col("p") < col("q"))
+        .join(e, col("p") === col("src") && col("q") === col("tgt"))
+        .withColumn("t", array_sort(array(col("u"), col("p"), col("q"))))
+        .select(element_at(col("t"), 1).as("a"),
+          element_at(col("t"), 2).as("b"),
+          element_at(col("t"), 3).as("c"))
         .orderBy(col("a"), col("b"), col("c"))
     }),
 

@@ -41,9 +41,18 @@ object Agent {
 
   /** Run one question. `queryVec` stands in for the external encoder
     * (the engine contract is "a vector column", SURVEY.md §2.9 V1).
+    *
+    * When `historyDir` is set, every run appends — exactly like the
+    * reference backend does per query (backend/app.py:42-71 +
+    * sql/01_create_schema.sql:97-108) —
+    *  - `$historyDir/history`: one `{timestamp, query, answer,
+    *    chunks}` JSONL record ([[historyRecord]]);
+    *  - `$historyDir/eval_metrics`: one APP.EVAL_METRICS row
+    *    ([[evalMetricsRow]]).
     */
   def run(corpus: Corpus, question: String,
-          queryVec: org.apache.spark.sql.Column, topK: Int = 5): AgentResult = {
+          queryVec: org.apache.spark.sql.Column, topK: Int = 5,
+          historyDir: Option[String] = None): AgentResult = {
     val t0 = System.nanoTime()
     var tools = Vector.empty[String]
 
@@ -72,7 +81,30 @@ object Agent {
     graphHits.foreach(_.count())
 
     val latencyMs = (System.nanoTime() - t0) / 1000000
-    AgentResult(answer, citations, tools, steps = tools.size, latencyMs = latencyMs)
+    val result = AgentResult(answer, citations, tools, steps = tools.size, latencyMs = latencyMs)
+
+    historyDir.foreach { dir =>
+      val spark = corpus.chunksV.sparkSession
+      graft.sources.Sources.appendJsonl(historyRecord(spark, question, result), s"$dir/history")
+      graft.sources.Sources.appendJsonl(evalMetricsRow(spark, question, result), s"$dir/eval_metrics")
+    }
+    result
+  }
+
+  /** The reference's history entry (backend/app.py:51-56): timestamp
+    * (ISO-8601), query, answer, and the citation chunk metadata as an
+    * array of structs ordered by score descending.
+    */
+  def historyRecord(spark: SparkSession, question: String,
+                    result: AgentResult): DataFrame = {
+    result.citations
+      .agg(reverse(array_sort(collect_list(struct(
+        col("score"), col("chunk_id"), col("paper_id"), col("title"))))).as("chunks"))
+      .withColumn("timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+      .withColumn("query", lit(question))
+      .withColumn("answer", lit(result.answer))
+      .select("timestamp", "query", "answer", "chunks")
   }
 
   /** Append-only eval-metrics row for a finished run

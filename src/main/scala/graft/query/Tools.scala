@@ -65,6 +65,41 @@ object Tools {
       .limit(topK)
   }
 
+  /** Tool names in the registry, in the reference's declaration order
+    * (tool_schemas.py). */
+  val toolNames: Seq[String] = Seq("search_papers", "get_paper_details",
+    "search_knowledge_graph", "summarize_context")
+
+  /** Dynamic name→tool dispatch — the reference's extensibility
+    * surface (agent.py:65-92): tools are looked up by NAME at call
+    * time, unknown names return an error record instead of throwing
+    * (agent.py:68-69), and argument names are tolerated per the
+    * reference's aliases (agent.py:79-86): `question|q`,
+    * `query|question|q`, `top_k|k`, `paper_id|id`. summarize_context
+    * falls back to `lastCitations` when no chunks argument is given
+    * (agent.py:85-86's `_last_citations` compensation).
+    */
+  def callTool(corpus: Agent.Corpus, queryVec: Column,
+               name: String, args: Map[String, String] = Map.empty,
+               lastCitations: Option[DataFrame] = None): Either[String, DataFrame] = {
+    def arg(keys: String*): Option[String] = keys.flatMap(args.get).headOption
+    def topK: Int = arg("top_k", "k").map(_.toInt).getOrElse(5)
+    name match {
+      case "search_papers" =>
+        Right(searchPapers(corpus.chunksV, queryVec, topK))
+      case "get_paper_details" =>
+        Right(paperDetails(corpus.papers, arg("paper_id", "id").getOrElse("")))
+      case "search_knowledge_graph" =>
+        Right(searchKnowledgeGraph(corpus.nodes, corpus.edges,
+          arg("query", "question", "q").getOrElse(""), topK))
+      case "summarize_context" =>
+        lastCitations.map(c => Right(summarizeContext(c)))
+          .getOrElse(Left("summarize_context: no chunks argument and no prior citations"))
+      case other =>
+        Left(s"Unknown tool: $other")
+    }
+  }
+
   /** summarize_context (tools.py:239-258): the LLM call is external;
     * the deterministic engine work is the context assembly — exactly
     * the reference's `[i] Title | Section\ntext` block format.

@@ -77,7 +77,10 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapSeconds * 1000 =>
-                  cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                  // late events can extend a session backwards too:
+                  // keep min for start, max for end.
+                  cur = Some(SessState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
                   cur = Some(SessState(t, t, 1, e.value))
@@ -87,8 +90,14 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              // close the session once the watermark passes end + gap
-              state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+              // Close the session once the watermark passes end + gap.
+              // flatMapGroupsWithState does NOT drop late rows itself:
+              // a late event merged into an old session can put
+              // end + gap at or below the current watermark, and
+              // setTimeoutTimestamp(≤ watermark) throws and kills the
+              // query — clamp to strictly-after-watermark.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.end + gapSeconds * 1000, wm + 1))
             }
             out.result().iterator
           }
