@@ -45,7 +45,15 @@ object Ingest {
       .select(
         col("paper_id"), col("doc_id"),
         concat(lit("Document "), col("doc_id")).as("title"),
-        col("lang"), col("source"), col("body"))
+        col("lang"), col("source"), col("body"),
+        // RAW.PAPERS audit/metadata parity (sql/01_create_schema.sql:
+        // 8-17): reference-ingest defaults for fields the corpus lacks
+        // (data/ingestion.py:129) + the INGESTED_AT audit column.
+        lit("").as("authors"),
+        lit(null).cast("int").as("publication_year"),
+        lit("").as("categories"),
+        lit("").as("source_url"),
+        current_timestamp().as("ingested_at"))
 
   /** Stage 2 — sliding-window chunks. One section ("body") per paper. */
   def chunks(papers: DataFrame,
@@ -61,8 +69,10 @@ object Ingest {
     val w = Window.partitionBy(col("paper_id")).orderBy(col("chunk_ord"))
     chunked
       .withColumn("chunk_index", row_number().over(w) - 1)
+      // RAW.CHUNKS.INGESTED_AT audit parity (sql/01_create_schema.sql:29)
+      .withColumn("ingested_at", current_timestamp())
       .select("chunk_id", "paper_id", "chunk_index", "section_name",
-        "text_content", "word_count")
+        "text_content", "word_count", "ingested_at")
   }
 
   /** Stage 3 — attach vectors from the precomputed embeddings fixture
@@ -100,11 +110,17 @@ object Ingest {
         format_string("%s_%06d", col("chunk_id"), col("ord")))
       .groupBy(col("name_normalized"))
       .agg(
-        first(col("node_id")).as("node_id"),
+        // node_id is functionally determined by the group key
+        // (nodeId(name_normalized)); min makes that intent explicit.
+        min(col("node_id")).as("node_id"),
         min_by(col("name"), col("_okey")).as("name"),
         countDistinct(col("paper_id")).as("paper_count"))
       .withColumn("label", lit("Entity"))
-      .select("node_id", "label", "name", "name_normalized", "paper_count")
+      // GRAPH.KNOWLEDGE_NODES.EMBEDDING (sql/01_create_schema.sql:50)
+      // is written always-null by the reference ingest — schema parity.
+      .withColumn("embedding", lit(null).cast("string"))
+      .select("node_id", "label", "name", "name_normalized", "paper_count",
+        "embedding")
 
   /** Stage 4c — CO_OCCURS edges (G4 + A3): per chunk, the ordered-
     * distinct entity list yields all unordered pairs; weight = pair
@@ -142,8 +158,10 @@ object Ingest {
         sha2(concat_ws("|", col("source_node_id"), col("target_node_id"),
           col("paper_id")), 256))
       .withColumn("relation_type", lit("CO_OCCURS"))
+      // GRAPH.KNOWLEDGE_EDGES.INGESTED_AT (sql/01_create_schema.sql:62)
+      .withColumn("ingested_at", current_timestamp())
       .select("edge_id", "source_node_id", "target_node_id", "relation_type",
-        "paper_id", "weight")
+        "paper_id", "weight", "ingested_at")
   }
 
   /** Stage 6 — S9/A1 verification: one (table, row_count) row per
@@ -157,24 +175,40 @@ object Ingest {
   }
 
   /** Run the full pipeline from the fixture dir, materializing each
-    * stage to parquet (the reference's checkpoint-per-stage shape).
+    * stage to parquet (the reference's checkpoint-per-stage shape,
+    * data/config.py:13-17).
+    *
+    * With `resume = true`, a stage whose checkpoint already exists
+    * (judged by Spark's `_SUCCESS` commit marker, so partial writes
+    * are never trusted) is NOT recomputed — it is read back from
+    * parquet and downstream stages build on it, mirroring the
+    * reference's `--resume` stage-skip (data/ingestion.py:92-95,
+    * 568-569). Every completed stage is read back from its checkpoint
+    * before feeding the next one, which also truncates lineage: a
+    * restart after stage k re-plans from k's files, not from raw
+    * documents.
     */
-  def runAll(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+  def runAll(spark: SparkSession, sfDir: String, outDir: String,
+             resume: Boolean = false): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$name/_SUCCESS"))
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      if (!(resume && complete(name)))
+        build.write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
     val embs = Tables.load(spark, sfDir, "embeddings")
-    val p = papers(docs)
-    val c = chunks(p)
-    val ce = withEmbeddings(c, embs)
-    val m = entityMap(c)
-    val n = nodes(m)
-    val e = edges(m)
+    val p  = stage("papers")(papers(docs))
+    val ce = stage("chunks")(withEmbeddings(chunks(p), embs))
+    val m  = stage("chunk_entity_map")(entityMap(ce))
+    val n  = stage("knowledge_nodes")(nodes(m))
+    val e  = stage("knowledge_edges")(edges(m))
     val outputs = Map("papers" -> p, "chunks" -> ce, "chunk_entity_map" -> m,
       "knowledge_nodes" -> n, "knowledge_edges" -> e)
-    outputs.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-    }
-    outputs.map { case (name, _) =>
-      name -> spark.read.parquet(s"$outDir/$name").count()
-    }
+    outputs.map { case (name, df) => name -> df.count() }
   }
 }

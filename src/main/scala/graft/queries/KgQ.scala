@@ -294,6 +294,43 @@ object KgQ {
         .orderBy(col("a"), col("b"), col("c"))
     }),
 
+    // k10 — the MULTI-SECTION ingest path (G2, reference
+    // data/ingestion.py:190-205): per paper, parallel arrays of
+    // section names and section texts are zipped positionally
+    // (arrays_zip + posexplode — the reference's zip(section_names,
+    // sections)) and each section is chunked, with the `abstract`
+    // special case (always exactly one whole-section chunk, :176-178)
+    // exercised end-to-end. Sections are cut deterministically at
+    // word-count quartiles so the DuckDB oracle can derive the
+    // identical corpus.
+    "k10_sections" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("paper_id", TextFns.paperId(col("doc_id")))
+        .withColumn("w", TextFns.tokens(col("text")))
+        .withColumn("n", size(col("w")))
+        .withColumn("ae", ceil(col("n") / 4.0).cast("int"))
+        .withColumn("be", ceil(col("n") * 3.0 / 4.0).cast("int"))
+      val sectioned = docs
+        .withColumn("section_names",
+          array(lit("abstract"), lit("body"), lit("conclusion")))
+        .withColumn("section_texts", array(
+          array_join(slice(col("w"), lit(1), col("ae")), " "),
+          array_join(slice(col("w"), col("ae") + 1, col("be") - col("ae")), " "),
+          array_join(slice(col("w"), col("be") + 1, col("n") - col("be")), " ")))
+        .select(col("paper_id"),
+          posexplode(arrays_zip(col("section_names"), col("section_texts")))
+            .as(Seq("spos", "z")))
+        .select(col("paper_id"),
+          col("z.section_names").as("section_name"),
+          col("z.section_texts").as("section_text"))
+      Chunker.chunk(sectioned, "paper_id", "section_name", "section_text",
+          Size, Overlap, MinWords)
+        .select(col("chunk_id"), col("paper_id"), col("section_name"),
+          col("chunk_ord"), col("word_count"), col("text_content"))
+        .orderBy(col("chunk_id"))
+    }),
+
     // k7 — the flagship search_papers query (V2+V3+T1+J1, reference
     // tools.py:45-92): score chunks against a query vector, top-5,
     // project chunk + paper metadata.
@@ -392,6 +429,52 @@ object KgQ {
          |  len(e.embedding) AS emb_dim
          |FROM chunks c LEFT JOIN embeddings e ON e.vec_id = c.doc_id
          |ORDER BY c.chunk_id""".stripMargin,
+
+    "k10_sections" ->
+      s"""WITH docs AS (
+         |  SELECT printf('doc_%06d', doc_id) AS paper_id,
+         |    string_split_regex(trim(text), '\\s+') AS w,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n
+         |  FROM documents),
+         |cut AS (
+         |  SELECT *, CAST(ceil(n / 4.0) AS INT) AS ae,
+         |    CAST(ceil(n * 3.0 / 4.0) AS INT) AS be
+         |  FROM docs),
+         |zipped AS (
+         |  SELECT paper_id,
+         |    unnest(['abstract', 'body', 'conclusion']) AS section_name,
+         |    unnest([array_to_string(list_slice(w, 1, ae), ' '),
+         |            array_to_string(list_slice(w, ae + 1, be), ' '),
+         |            array_to_string(list_slice(w, be + 1, n), ' ')]) AS stext
+         |  FROM cut),
+         |secs AS (
+         |  SELECT paper_id, section_name,
+         |    string_split_regex(trim(stext), '\\s+') AS sw,
+         |    len(string_split_regex(trim(stext), '\\s+')) AS sn
+         |  FROM zipped
+         |  WHERE (CASE WHEN length(trim(stext)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(stext), '\\s+')) END) >= $MinWords),
+         |starts AS (
+         |  SELECT paper_id, section_name, sw, sn,
+         |    unnest(CASE WHEN section_name = 'abstract' THEN [0]
+         |      ELSE list_filter(generate_series(0, greatest(sn - 1, 0), $Stride),
+         |             s -> s = 0 OR s + $Overlap < sn) END) AS s
+         |  FROM secs),
+         |chunks0 AS (
+         |  SELECT paper_id, section_name,
+         |    CAST(CASE WHEN section_name = 'abstract' THEN 0
+         |              ELSE s // $Stride END AS INT) AS chunk_ord,
+         |    CAST(CASE WHEN section_name = 'abstract' THEN sn
+         |              ELSE least(sn - s, $Size) END AS INT) AS word_count,
+         |    CASE WHEN section_name = 'abstract' THEN array_to_string(sw, ' ')
+         |         ELSE array_to_string(list_slice(sw, s + 1, s + $Size), ' ') END
+         |      AS text_content
+         |  FROM starts)
+         |SELECT printf('%s_%s_c%03d', paper_id, section_name, chunk_ord) AS chunk_id,
+         |  paper_id, section_name, chunk_ord, word_count, text_content
+         |FROM chunks0
+         |WHERE word_count >= $MinWords
+         |ORDER BY chunk_id""".stripMargin,
 
     "k7_search_chunks" ->
       s"""$ctePrefix,

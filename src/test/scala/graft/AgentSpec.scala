@@ -58,6 +58,50 @@ class AgentSpec extends SparkSpec {
     assert(m.head.getAs[Double]("confidence") > 0.0)
   }
 
+  test("every run appends the reference history record + eval metrics row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    Agent.run(corpus, "what is a spark query", queryVec, historyDir = Some(dir))
+    Agent.run(corpus, "another question", queryVec, historyDir = Some(dir))
+    // history: the reference's {timestamp, query, answer, chunks}
+    // record (backend/app.py:51-56), one per run, append-only
+    val hist = spark.read.json(s"$dir/history")
+    assert(hist.count() == 2)
+    assert(Seq("timestamp", "query", "answer", "chunks")
+      .forall(hist.columns.contains))
+    val row = hist.filter(col("query") === "what is a spark query").head
+    assert(row.getAs[String]("answer").startsWith("[1] "))
+    assert(row.getSeq[Any](row.fieldIndex("chunks")).nonEmpty)
+    // eval_metrics: APP.EVAL_METRICS shape, one row per run
+    val m = spark.read.json(s"$dir/eval_metrics")
+    assert(m.count() == 2)
+    assert(Seq("log_id", "question", "generated_response", "context_used",
+      "retrieval_mode", "confidence", "latency_ms", "timestamp")
+      .forall(m.columns.contains))
+  }
+
+  test("callTool dispatches by name with argument-name tolerance") {
+    val hits = Tools.callTool(corpus, queryVec, "search_papers",
+      Map("top_k" -> "3")).toOption.get
+    assert(hits.count() == 3)
+    val hitsK = Tools.callTool(corpus, queryVec, "search_papers",
+      Map("k" -> "2")).toOption.get
+    assert(hitsK.count() == 2)
+    val det = Tools.callTool(corpus, queryVec, "get_paper_details",
+      Map("id" -> "doc_000001")).toOption.get
+    assert(det.count() <= 1)
+    val kg = Tools.callTool(corpus, queryVec, "search_knowledge_graph",
+      Map("question" -> "how is spark related to data")).toOption.get
+    assert(kg.count() > 0)
+    // summarize falls back to prior citations (agent.py:85-86)
+    val sum = Tools.callTool(corpus, queryVec, "summarize_context",
+      lastCitations = Some(hits.limit(2)))
+    assert(sum.isRight)
+    assert(Tools.callTool(corpus, queryVec, "summarize_context").isLeft)
+    // unknown tool -> error record, not an exception (agent.py:68-69)
+    assert(Tools.callTool(corpus, queryVec, "no_such_tool") ==
+      Left("Unknown tool: no_such_tool"))
+  }
+
   test("graph-cue questions invoke the KG tool plus compensating search") {
     val res = Agent.run(corpus, "what is related to spark", queryVec)
     assert(res.toolsUsed ==

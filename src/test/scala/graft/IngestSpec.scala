@@ -52,6 +52,45 @@ class IngestSpec extends SparkSpec {
     assert(wsum == perChunk)
   }
 
+  test("stage outputs carry the reference DDL columns (schema parity)") {
+    // RAW.PAPERS (sql/01_create_schema.sql:8-17)
+    assert(Seq("paper_id", "title", "authors", "publication_year", "source",
+      "source_url", "categories", "ingested_at").forall(papers.columns.contains))
+    // RAW.CHUNKS (:22-31)
+    assert(Seq("chunk_id", "paper_id", "chunk_index", "section_name",
+      "text_content", "word_count", "ingested_at").forall(chunks.columns.contains))
+    // GRAPH.KNOWLEDGE_NODES (:44-51) — embedding present and always null
+    val nodes = Ingest.nodes(emap)
+    assert(Seq("node_id", "label", "name", "name_normalized", "paper_count",
+      "embedding") == nodes.columns.toSeq)
+    assert(nodes.filter(col("embedding").isNotNull).count() == 0)
+    // GRAPH.KNOWLEDGE_EDGES (:55-63)
+    assert(Seq("edge_id", "source_node_id", "target_node_id", "relation_type",
+      "paper_id", "weight", "ingested_at") == Ingest.edges(emap).columns.toSeq)
+    // GRAPH.CHUNK_ENTITY_MAP (:68-73)
+    assert(Seq("map_id", "chunk_id", "node_id", "confidence")
+      .forall(emap.columns.contains))
+  }
+
+  test("runAll --resume skips completed stages (checkpoint reuse)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val first = Ingest.runAll(spark, Sf0001, out)
+    assert(first("papers") > 0 && first("knowledge_edges") > 0)
+    // Sabotage the papers checkpoint with a 1-row version: if resume
+    // really skips stage 1 and reads the checkpoint, the returned
+    // papers count must be 1; a recompute would restore the full count.
+    val one = spark.read.parquet(s"$out/papers").limit(1)
+    one.write.mode("overwrite").parquet(s"$out/papers.tmp")
+    spark.read.parquet(s"$out/papers.tmp").write.mode("overwrite").parquet(s"$out/papers")
+    val resumed = Ingest.runAll(spark, Sf0001, out, resume = true)
+    assert(resumed("papers") == 1)
+    // downstream stages were also checkpoint-complete -> reused as-is
+    assert(resumed("knowledge_edges") == first("knowledge_edges"))
+    // without resume, everything recomputes
+    val fresh = Ingest.runAll(spark, Sf0001, out)
+    assert(fresh("papers") == first("papers"))
+  }
+
   test("maxEntitiesPerChunk caps the quadratic blowup") {
     val capped = Ingest.edges(emap, maxEntitiesPerChunk = 3)
     val maxPairsPerChunkPaper = 3L * 2 / 2

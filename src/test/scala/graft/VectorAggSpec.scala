@@ -49,11 +49,13 @@ class VectorAggSpec extends SparkSpec {
   }
 
   test("v6_knn_ivf_fast returns the same neighbors as oracle-exact v5") {
-    val d = Sf0001
-    val v5 = graft.queries.VectorQ.defs("v5_knn_ivf")(spark, d)
-      .select("qid", "nb_id", "nb_rank").collect().toSeq
-    val v6 = graft.queries.ExtQ.defs("v6_knn_ivf_fast")(spark, d)
-      .select("qid", "nb_id", "nb_rank").collect().toSeq
-    assert(v5 == v6)
+    // full-row parity (probe label, neighbor ids, ranks, rounded
+    // scores) at BOTH fixture scales — the correctness anchor for the
+    // rows-only v6 bench entry.
+    for (d <- Seq(Sf0001, Sf001)) {
+      val v5 = graft.queries.VectorQ.defs("v5_knn_ivf")(spark, d).collect().toSeq
+      val v6 = graft.queries.ExtQ.defs("v6_knn_ivf_fast")(spark, d).collect().toSeq
+      assert(v5 == v6, s"v5/v6 divergence at $d")
+    }
   }
 }
