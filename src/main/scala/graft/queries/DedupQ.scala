@@ -180,6 +180,37 @@ object DedupQ {
         .orderBy(col("doc_id"))
     }),
 
+    // d6 — near-dup CLUSTERING: candidate pairs (the d3 MinHash/LSH
+    // bands) → connected components via iterative min-label
+    // propagation (graft.ops.DedupCluster) — the final step of a real
+    // dedup pipeline (chained dups a~b, b~c collapse to one keeper).
+    // One shuffle per round, O(diameter) rounds, no driver graph
+    // state. Note the propagation loop runs jobs when the DataFrame
+    // is BUILT (it iterates to fixpoint), unlike the other lazily-
+    // declared entries.
+    "d6_dedup_clusters" -> ((s, d) => {
+      val pairs = defs("d3_dedup_minhash")(s, d)
+      graft.ops.DedupCluster.clusters(pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // d7 — edit-distance near-dup: exact Levenshtein over the
+    // LSH-blocked candidate pairs only (never all-pairs — the O(len²)
+    // DP is affordable precisely because banding already cut the
+    // candidate set), with a length-normalized similarity.
+    "d7_dedup_editdist" -> ((s, d) => {
+      val txt = docs(s, d)
+      val cand = defs("d3_dedup_minhash")(s, d)
+      cand
+        .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), Seq("a_id"))
+        .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), Seq("b_id"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("sim",
+          round(lit(1.0) - col("dist") / greatest(length(col("ta")), length(col("tb"))), 4))
+        .select(col("a_id"), col("b_id"), col("dist"), col("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // d5 — embedding-cosine near-dup, label-blocked (the IVF-bucket
     // analogue: pairs only form inside a label bucket, never n²).
     "d5_dedup_embedding" -> ((s, d) => {
@@ -252,6 +283,51 @@ object DedupQ {
            |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d6_dedup_clusters" ->
+        s"""WITH RECURSIVE $shingleCte,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandUnion),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT a_id AS s, b_id AS t FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach(doc_id, r) AS (
+           |  SELECT s, t FROM (SELECT s, t FROM edges
+           |                    UNION SELECT s, s FROM edges) base
+           |  UNION
+           |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.doc_id = e.t)
+           |SELECT doc_id, min(r) AS rep_id
+           |FROM reach GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin,
+
+      "d7_dedup_editdist" ->
+        s"""WITH $shingleCte,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandUnion),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT c.a_id, c.b_id,
+           |  levenshtein(da.text, db.text) AS dist,
+           |  round(1.0 - levenshtein(da.text, db.text) /
+           |    greatest(length(da.text), length(db.text)), 4) AS sim
+           |FROM cand c
+           |JOIN documents da ON da.doc_id = c.a_id
+           |JOIN documents db ON db.doc_id = c.b_id
            |ORDER BY a_id, b_id""".stripMargin,
 
       "d4_dedup_simhash" ->

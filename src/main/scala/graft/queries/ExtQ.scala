@@ -123,6 +123,31 @@ object ExtQ {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // x2 — backward AS-OF join (graft.ops.AsofJoin): attribute every
+    // purchase event to the user's most recent view event at or
+    // before it — the classic time-series attribution join. Views are
+    // pre-deduped per (user, ts) with max_by so "latest" is unique
+    // (the same determinism contract DuckDB's ASOF has). One shuffle
+    // per side + one window sweep; no range-join blowup.
+    "x2_asof_attrib" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max(col("event_id")).as("v_event_id"),
+          max_by(col("value"), col("event_id")).as("v_value"))
+      graft.ops.AsofJoin.backward(purchases, views,
+          "user_id", "v_user", "ts", "v_ts",
+          Seq("v_event_id", "v_ts", "v_value"), "m")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("m.v_event_id").as("view_event_id"),
+          col("m.v_ts").as("view_ts"),
+          col("m.v_value").as("view_value"),
+          (unix_micros(col("ts")) - unix_micros(col("m.v_ts"))).as("lag_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // v6 — IVF with single-pass centroid aggregation: one shuffle of
     // d-length buffers instead of exploding n×d rows (v5's
     // oracle-exact path). Same probe/rank shape as v5.
@@ -193,6 +218,22 @@ object ExtQ {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "x2_asof_attrib" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, max(event_id) AS v_event_id,
+        |    arg_max(value, event_id) AS v_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  v.v_event_id AS view_event_id, v.v_ts AS view_ts,
+        |  v.v_value AS view_value,
+        |  epoch_us(p.ts) - epoch_us(v.v_ts) AS lag_us
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.v_user AND v.v_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q24_order_priority_check" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
