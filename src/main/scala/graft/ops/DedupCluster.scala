@@ -9,59 +9,78 @@ import org.apache.spark.sql.functions._
   * representative — the final step of a dedup pipeline (pairs alone
   * don't say which copies to drop when dup groups chain: a~b, b~c).
   *
-  * Implemented as iterative min-label propagation (the standard
-  * large-graph connected-components pattern): each round joins the
-  * current labels across edges and keeps the elementwise min;
-  * converges in O(diameter) rounds. Dedup components are
-  * near-cliques, so 2–3 rounds close them; `maxIters` bounds
-  * pathological chains. Each round is one shuffle on doc_id — no
-  * driver-side graph state, works at any component count.
+  * Algorithm: iterative min-label propagation WITH pointer jumping
+  * (path halving): each round a node takes the min of its own label,
+  * its neighbors' labels, and its representative's label. The jump
+  * term contracts paths geometrically, so convergence is
+  * O(log diameter) rounds instead of O(diameter) — the difference
+  * between 8 rounds and hundreds on chain-shaped components. Each
+  * round is a constant number of shuffles on doc_id; no driver-side
+  * graph state, works at any component count.
+  *
+  * Every round's result is cut from its lineage with an EAGER
+  * localCheckpoint: without that, round k's logical plan embeds all
+  * k−1 previous rounds plus the candidate-pair derivation, and
+  * analysis/optimization cost grows superlinearly with rounds
+  * (measured: 227s for a job whose actual data work is seconds).
+  * On a production cluster prefer `spark.sparkContext.setCheckpointDir`
+  * + reliable `checkpoint()` for fault tolerance; executor-local
+  * checkpoints trade re-computability for speed, which is the right
+  * trade in a bounded iterative refinement.
+  *
+  * Iterates to FIXPOINT by default (`maxIters <= 0`); min-label
+  * propagation is monotone (labels only decrease, bounded below by
+  * the component min), hence guaranteed to converge. A positive
+  * `maxIters` bounds rounds for callers that prefer a budget; the
+  * min-of-component contract is then only guaranteed for components
+  * whose contracted diameter fits the budget.
   */
 object DedupCluster {
 
   /** pairs: (a_id, b_id) undirected candidate edges.
     * Returns (doc_id, rep_id) for every doc appearing in a pair;
     * `rep_id` = min doc_id of its connected component.
-    *
-    * Iterates to FIXPOINT by default (`maxIters <= 0`), so the
-    * documented contract always holds: min-label propagation is
-    * monotone (labels only decrease, bounded below by the component
-    * min), hence guaranteed to converge in O(diameter) rounds. A
-    * positive `maxIters` bounds rounds for callers that prefer a
-    * budget; the contract is then only guaranteed for components with
-    * diameter ≤ maxIters.
+    * NOTE: runs Spark jobs eagerly (iterative refinement), unlike a
+    * lazily-declared transformation.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 0): DataFrame = {
     val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
       .union(pairs.select(col("b_id").cast("long"), col("a_id").cast("long")))
       .toDF("src", "dst")
-      .persist()
+      .localCheckpoint() // also cuts the (possibly huge) pair-derivation plan
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("mn"))
       .select(col("doc_id"), least(col("mn"), col("doc_id")).as("rep_id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && (maxIters <= 0 || i < maxIters)) {
-      // propagate: my new label = min(my label, labels of my neighbors)
+      // neighbor term: min label over my neighbors
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("rep_id", "nb_rep"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nb_rep")).as("nb_min"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      // jump term: my representative's representative (path halving)
+      val jump = labels
+        .join(labels.select(col("doc_id").as("rep_id"), col("rep_id").as("rep2")),
+          Seq("rep_id"))
+        .select(col("doc_id"), col("rep2"))
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"), "left")
+        .join(jump, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("rep_id"), coalesce(col("nb_min"), col("rep_id"))).as("rep_id"))
-        .persist()
+          least(col("rep_id"),
+            coalesce(col("nb_min"), col("rep_id")),
+            coalesce(col("rep2"), col("rep_id"))).as("rep_id"))
+        .localCheckpoint()
       val changed = next.withColumnRenamed("rep_id", "new_rep")
         .join(labels, "doc_id")
         .filter(col("new_rep") =!= col("rep_id"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     labels
   }
 
