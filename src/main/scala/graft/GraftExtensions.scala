@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, L2Norm, VectorSumAgg}
+import graft.functions.{DotProduct, L2Norm, SimHashAgg, VectorSumAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions available to ANY session — including pure
@@ -44,5 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_vector_sum", "graft_vector_sum(v) - element-wise vector sum aggregate"),
       (exprs: Seq[Expression]) =>
         VectorSumAgg(arity("graft_vector_sum", 1)(exprs).head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(token_hash[, bits]) - SimHash aggregate over 64-bit token hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          "graft_simhash expects 1 or 2 arguments")
+        val bits = if (exprs.length == 2) {
+          require(exprs(1).foldable, "graft_simhash: bits must be a literal integer")
+          exprs(1).eval(null).asInstanceOf[Number].intValue()
+        } else 32
+        SimHashAgg(exprs.head, bits).toAggregateExpression()
+      }))
+    // Optimizer rule: users writing the portable HOF dot product get
+    // the fused codegen'd expression automatically.
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
 }
