@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, L2Norm, SimHashAgg, VectorSumAgg}
+import graft.functions.{DotProduct, Hash60, L2Norm, SimHashAgg, VectorSumAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions available to ANY session — including pure
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         } else 32
         SimHashAgg(exprs.head, bits).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      info("graft_hash60", "graft_hash60(s) - first 60 bits of md5(s) as a non-negative BIGINT"),
+      (exprs: Seq[Expression]) => Hash60(arity("graft_hash60", 1)(exprs).head)))
     // Optimizer rule: users writing the portable HOF dot product get
     // the fused codegen'd expression automatically.
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)

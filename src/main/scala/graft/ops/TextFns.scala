@@ -59,8 +59,16 @@ object TextFns {
     * DuckDB twin: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
     * Used wherever the reference used uuid4 (data/ingestion.py:349,381)
     * or where dedup/sketch operators need a shared hash function.
+    * Implemented by the fused [[graft.functions.Hash60]] expression
+    * (digest → long, no hex-string round-trip); [[hash60Composed]] is
+    * the built-ins-only semantic twin, equality pinned by TextFnsSpec.
     */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.Hash60(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** Built-ins-only form of [[hash60]] (same values, slower path). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: independent hash families for MinHash etc. */
