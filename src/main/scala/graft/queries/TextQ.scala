@@ -104,6 +104,52 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // t5 — repetition-based quality signals (the Gopher-rule family):
+    // fraction of duplicate tokens and duplicate word-3-grams per
+    // document, plus the keep/drop flag a pretraining filter would
+    // apply. Pure narrow higher-order functions — no shuffle, no UDF.
+    "t5_repetition" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      docs(s, d)
+        .withColumn("w", w)
+        .withColumn("n", size(col("w")))
+        .withColumn("grams",
+          when(col("n") >= 3,
+            transform(sequence(lit(1), col("n") - 2),
+              i => array_join(slice(col("w"), i, lit(3)), " ")))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("tok_dup_ratio",
+          when(col("n") > 0,
+            round(lit(1.0) - size(array_distinct(col("w"))) / col("n").cast("double"), 4))
+            .otherwise(lit(0.0)))
+        .withColumn("gram3_dup_ratio",
+          when(size(col("grams")) > 0,
+            round(lit(1.0) - size(array_distinct(col("grams"))) /
+              size(col("grams")).cast("double"), 4))
+            .otherwise(lit(0.0)))
+        .withColumn("keep",
+          col("tok_dup_ratio") <= 0.3 && col("gram3_dup_ratio") <= 0.2)
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("tok_dup_ratio"), col("gram3_dup_ratio"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t6 — deterministic train/val/test split: hash-bucket every doc
+    // (salted md5, bucket = h % 100 → 80/10/10). The split is a pure
+    // function of doc_id — stable across runs, partitions, and
+    // cluster sizes, and any engine can recompute membership.
+    "t6_split" -> ((s, d) => {
+      val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
+      docs(s, d)
+        .withColumn("bucket", (h % 100).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // m1 — multimodal plumbing: treat text as an opaque binary column
     // and extract typed metadata (the schema/partitioning pattern for
     // image/audio payloads; the decode itself is stubbed in
@@ -186,6 +232,47 @@ object TextQ {
          |    (h, x) -> (h * 31 + x) & ${RollMask}) AS rolling_hash
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    "t5_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, n,
+        |    CASE WHEN n >= 3 THEN
+        |      list_transform(generate_series(1, n - 2),
+        |        i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |    ELSE [] END AS grams
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CASE WHEN n > 0
+        |    THEN round(1.0 - len(list_distinct(w)) / CAST(n AS DOUBLE), 4)
+        |    ELSE 0.0 END AS tok_dup_ratio,
+        |  CASE WHEN len(grams) > 0
+        |    THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4)
+        |    ELSE 0.0 END AS gram3_dup_ratio,
+        |  (CASE WHEN n > 0
+        |     THEN round(1.0 - len(list_distinct(w)) / CAST(n AS DOUBLE), 4)
+        |     ELSE 0.0 END) <= 0.3
+        |  AND (CASE WHEN len(grams) > 0
+        |     THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4)
+        |     ELSE 0.0 END) <= 0.2 AS keep
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    "t6_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |    % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |         % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id,
