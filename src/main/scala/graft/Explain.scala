@@ -7,7 +7,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     for (q <- Seq("q1_pricing_summary","q3_shipping_priority","q6_revenue_forecast",
-                  "q19_topk_orders","v1_cosine_topk","k7_search_chunks")) {
+                  "q19_topk_orders","v1_cosine_topk","k7_search_chunks",
+                  "k1_chunks","k9_triangles","d2_dedup_jaccard","d3_dedup_minhash",
+                  "x2_asof_attrib","k10_sections")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -94,6 +94,20 @@ object ExtQ {
           coalesce(col("o_orderpriority"), lit("~")))
     }),
 
+    // q25 — CUBE: all grouping-set combinations over (year, priority)
+    // with grouping_id disambiguating total rows from genuine nulls.
+    // Same partial-agg + single-shuffle shape as a plain groupBy; the
+    // 2^k set expansion happens map-side.
+    "q25_cube" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .cube(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum2(col("o_totalprice")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), coalesce(col("o_year"), lit(9999)),
+          coalesce(col("o_orderpriority"), lit("~")))
+    }),
+
     // q23 — scalar subquery: decimal-exact global average as the
     // broadcast threshold.
     "q23_scalar_subquery" -> ((s, d) => {
@@ -261,6 +275,16 @@ object ExtQ {
         |FROM orders
         |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
         |ORDER BY coalesce(o_year, 9999), coalesce(o_orderpriority, '~')""".stripMargin,
+
+    "q25_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(CAST(year(o_orderdate) AS INT)) * 2
+        |     + GROUPING(o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (CAST(year(o_orderdate) AS INT), o_orderpriority)
+        |ORDER BY gid, coalesce(o_year, 9999), coalesce(o_orderpriority, '~')""".stripMargin,
 
     "q23_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,61 @@
+package graft
+
+/** Regression tests on PHYSICAL PLAN SHAPES — the properties that
+  * make these queries scale, pinned so a refactor can't silently
+  * reintroduce a single-reducer window, a cartesian product, or a
+  * lost broadcast. These assert on `explain("formatted")` output of
+  * the actual SparkEntry queries at sf0.001.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, Sf0001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("no unpartitioned window anywhere in the declared queries") {
+    // A Window with an empty PARTITION BY is a single-reducer
+    // bottleneck. k1/k8 (global chunk_index) formerly had one; the
+    // GlobalIndex two-pass scheme must keep every declared query free
+    // of them.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if q != "d6_dedup_clusters") { // d6 runs jobs eagerly; its loop is window-free by construction
+      val global = fn(spark, Sf0001).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$q plans an unpartitioned (single-reducer) Window")
+    }
+  }
+
+  test("dimension joins broadcast; no cartesian or nested-loop joins") {
+    for (q <- Seq("q3_shipping_priority", "q5_local_supplier_volume", "k6_graph_2hop")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast its dimension side")
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
+    }
+    // dedup candidate generation must never fall back to cartesian
+    for (q <- Seq("d2_dedup_jaccard", "d3_dedup_minhash", "d5_dedup_embedding")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q must not plan a cartesian product")
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
+    for (q <- Seq("q19_topk_orders", "v1_cosine_topk", "k7_search_chunks"))
+      assert(plan(q).contains("TakeOrderedAndProject"), q)
+  }
+
+  test("filters reach the parquet scan (pushdown visible)") {
+    val p = plan("q6_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), "expected PushedFilters on the lineitem scan")
+    assert(!p.replaceAll("(?s).*PushedFilters: (\\[[^\\]]*\\]).*", "$1").equals("[]"),
+      "q6 range predicates should push into the scan")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+}
