@@ -60,6 +60,23 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming EXACT DEDUP — the streaming twin of the batch d1
+    * operator: drop every re-delivery of an event id while keeping
+    * dedup state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): an id is remembered only
+    * until the watermark passes its event time, so state is
+    * O(events per watermark horizon), not O(stream history) — the
+    * only shape that survives an unbounded at-least-once feed.
+    * Batch inputs fall back to plain dropDuplicates (same contract
+    * for a finite input).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else
+      events.dropDuplicates("event_id")
+
   /** Synchronous local run into an in-memory table (test/dev path):
     * processes everything currently in `dir`, returns the query. In
     * append mode only windows older than the watermark emit — the

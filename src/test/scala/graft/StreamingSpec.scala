@@ -26,6 +26,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streaming dedup drops re-delivered event ids, state bounded by watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // duplicate deliveries of event 1 within the watermark horizon
+    Seq((1L, t, 1L, "click", 1.0, "{}"),
+        (1L, t, 1L, "click", 1.0, "{}"),
+        (2L, t, 1L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    val q = EventStream.dedupedEvents(EventStream.readStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+    // batch fallback: same contract on a finite input
+    val batch = EventStream.dedupedEvents(spark.read.parquet(dir))
+    assert(batch.count() == 2)
+  }
+
   test("watermark bounds state: late data beyond watermark is dropped in append mode") {
     // Two files arriving in order: recent batch first, then an event
     // 1h older than the max seen ts -> beyond the 10min watermark.
