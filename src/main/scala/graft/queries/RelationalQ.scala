@@ -233,6 +233,30 @@ object RelationalQ {
       a.union(b).orderBy(col("event_id"), col("tag"))
     }),
 
+    // q26 — U2: INTERSECT — nations that have BOTH customers with
+    // open orders AND suppliers with in-stock parts. Plans to a
+    // distinct + left-semi join pair (no row explosion).
+    "q26_intersect" -> ((s, d) => {
+      val custNations = t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nationkey"))
+      val suppNations = t(s, d, "supplier")
+        .select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations)
+        .join(broadcast(t(s, d, "nation")), col("nationkey") === col("n_nationkey"))
+        .select(col("nationkey"), col("n_name"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // q27 — U3: EXCEPT — customers who placed orders but never
+    // emitted an event. Plans to a distinct + left-anti join.
+    "q27_except" -> ((s, d) => {
+      val ordered = t(s, d, "orders").select(col("o_custkey").as("custkey"))
+      val active = t(s, d, "events").select(col("user_id").as("custkey"))
+      ordered.except(active)
+        .orderBy(col("custkey"))
+    }),
+
     // q19 — T1: global top-k with unique tiebreak →
     // TakeOrderedAndProject (per-partition partial top-k).
     "q19_topk_orders" -> ((s, d) => {
@@ -253,6 +277,22 @@ object RelationalQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_intersect" ->
+      """SELECT nationkey, n_name
+        |FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier) t
+        |JOIN nation ON n_nationkey = nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q27_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT user_id AS custkey FROM events
+        |ORDER BY custkey""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -150,6 +150,52 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // t7 — TF-IDF top terms per document. Classic two-pass shape:
+    // term frequencies are one groupBy (doc, term); document
+    // frequencies one groupBy (term) broadcast back; top-3 terms per
+    // doc via a PARTITIONED window. The idf is the rational variant
+    // (N+1)/(df+1) rather than log-scaled so scores are bit-exact
+    // across engines (single IEEE division; ln differs in the last
+    // ulp between libm implementations and would make rank ties and
+    // round() boundaries engine-dependent).
+    "t7_tfidf" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * (col("n_docs") + 1)) / (col("df") + 1).cast("double"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // t8 — corpus-wide top-20 bigrams: narrow per-doc bigram explode,
+    // one count shuffle, top-k via TakeOrderedAndProject. The
+    // n-gram-statistics staple of corpus analysis.
+    "t8_top_ngrams" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      docs(s, d)
+        .withColumn("w", w)
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 2)
+        .select(explode(
+          transform(sequence(lit(1), col("n") - 1),
+            i => array_join(slice(col("w"), i, lit(2)), " "))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("gram"))
+        .limit(20)
+    }),
+
     // m1 — multimodal plumbing: treat text as an opaque binary column
     // and extract typed metadata (the schema/partitioning pattern for
     // image/audio payloads; the decode itself is stubbed in
@@ -273,6 +319,40 @@ object TextQ {
         |       ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "t7_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * (n.n_docs + 1)) / CAST(df.df + 1 AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df,
+        |  round(score, 4) AS tfidf
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "t8_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(generate_series(1, n - 1),
+        |    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS w,
+        |          len(string_split_regex(trim(text), '\s+')) AS n
+        |        FROM documents) t
+        |  WHERE n >= 2)
+        |SELECT gram, COUNT(*) AS n_occ
+        |FROM g GROUP BY gram
+        |ORDER BY n_occ DESC, gram
+        |LIMIT 20""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id,
