@@ -57,4 +57,28 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-files compaction — the table-maintenance operator every
+    * long-running ingest needs: streaming/micro-batch sinks and
+    * per-stage checkpoints accumulate thousands of KB-sized files,
+    * and at 100 TB the resulting task-per-file scheduling + NameNode
+    * pressure dominate scan cost. Rewrites `inDir` to `outDir` as
+    * ⌈totalBytes / targetBytes⌉ files via `coalesce` (no shuffle —
+    * partition merge only; use `repartition` instead when output
+    * skew matters more than the shuffle). Returns the output file
+    * count.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
 }

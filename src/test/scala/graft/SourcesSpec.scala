@@ -52,6 +52,27 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(etype"))
   }
 
+  test("compactParquet merges small files to the byte-target count") {
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    // scatter the orders table across 16 small files
+    val orders = Tables.load(spark, Sf0001, "orders")
+    orders.repartition(16).write.mode("overwrite").parquet(in)
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(dir: String) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(files(in) == 16)
+    // generous byte target -> everything folds into very few files
+    val n = graft.sources.Sources.compactParquet(spark, in, out,
+      targetBytes = 64L * 1024 * 1024)
+    assert(n < 16 && n >= 1 && files(out) == n)
+    // content preserved exactly
+    val a = orders.orderBy("o_orderkey").collect()
+    val b = spark.read.parquet(out).orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
