@@ -63,5 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: users writing the portable HOF dot product get
     // the fused codegen'd expression automatically.
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+    // Physical strategy for the TopKPerKey logical operator (bounded
+    // per-key heaps instead of a per-group sort).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

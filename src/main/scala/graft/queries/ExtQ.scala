@@ -137,6 +137,18 @@ object ExtQ {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // x3 — top-k per key via the CUSTOM OPERATOR (graft.plans.TopK:
+    // LogicalPlan + Strategy + SparkPlan with bounded per-key heaps,
+    // O(n log k) and k-row state instead of the window form's full
+    // per-group sort). Oracle = the row_number window definition.
+    "x3_topk_per_key" -> ((s, d) => {
+      graft.plans.TopK.perKey(
+          Tables.load(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("value")),
+          Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
+    }),
+
     // x2 — backward AS-OF join (graft.ops.AsofJoin): attribute every
     // purchase event to the user's most recent view event at or
     // before it — the classic time-series attribution join. Views are
@@ -232,6 +244,15 @@ object ExtQ {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "x3_topk_per_key" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
 
     "x2_asof_attrib" ->
       """WITH purchases AS (
