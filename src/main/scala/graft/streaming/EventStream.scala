@@ -77,6 +77,30 @@ object EventStream {
     else
       events.dropDuplicates("event_id")
 
+  /** STREAM-STREAM INTERVAL JOIN — purchase events joined to the
+    * same user's view events from the preceding hour. Both sides
+    * carry watermarks and the join condition bounds the event-time
+    * range, so each side's buffered state is evictable once the
+    * watermark passes `purchase.ts - 1h` — the only join shape that
+    * runs indefinitely on two unbounded streams. Works identically
+    * on batch inputs (no watermark needed) — the batch twin used for
+    * parity testing.
+    */
+  def purchaseViewJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val wm = (df: DataFrame, tsCol: String) =>
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts")), "ts")
+    val views = wm(events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts")), "v_ts")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("ts"))
+      .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
+  }
+
   /** Synchronous local run into an in-memory table (test/dev path):
     * processes everything currently in `dir`, returns the query. In
     * append mode only windows older than the watermark emit — the

@@ -50,6 +50,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == 2)
   }
 
+  test("stream-stream interval join equals the batch join once drained") {
+    val dir = java.nio.file.Files.createTempDirectory("ssjoin").toString
+    Tables.load(spark, Sf0001, "events").write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.purchaseViewJoin(EventStream.readStream(spark, dir))
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out")
+        .orderBy("p_id", "v_id").collect()
+      val batch = EventStream.purchaseViewJoin(spark.read.parquet(dir))
+        .orderBy("p_id", "v_id").collect()
+      assert(got.length == batch.length && got.length > 0)
+      assert(got.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("watermark bounds state: late data beyond watermark is dropped in append mode") {
     // Two files arriving in order: recent batch first, then an event
     // 1h older than the max seen ts -> beyond the 10min watermark.
