@@ -194,11 +194,15 @@ object ExtQ {
         .withColumn("crn", row_number().over(wAssign))
         .filter(col("crn") === 1)
         .select(col("qid"), col("qe"), col("clabel"))
-      val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
-      assigned.join(e, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      // heap-select the 3 best neighbors per query (graft.plans.TopK,
+      // no per-query sort), then rank the ≤3 survivors with a window.
+      val probed = assigned.join(e,
+          col("label") === col("clabel") && col("vec_id") =!= col("qid"))
         .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
-        .withColumn("nb_rank", row_number().over(wRank))
-        .filter(col("nb_rank") <= 3)
+      val top = graft.plans.TopK.perKey(probed, Seq("qid"),
+        Seq(col("raw").desc, col("vec_id")), 3)
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+      top.withColumn("nb_rank", row_number().over(wRank))
         .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
           col("nb_rank"), round(col("raw"), 4).as("score"))
         .orderBy(col("qid"), col("nb_rank"))

@@ -70,8 +70,13 @@ object VectorQ {
     }),
 
     // v4 — ANN baseline: brute-force k-NN for a small query set.
-    // Broadcast the queries; one scored pass over the corpus; ranked
-    // per query by a partitioned window (shuffle on qid only).
+    // Broadcast the queries; one scored pass over the corpus; the
+    // top-3 per query via the HEAP operator (graft.plans.TopK —
+    // O(n log k) with k-row state, no per-query sort of all n
+    // scores), then rank numbers assigned by a window over only the
+    // ≤3 surviving rows per query. Select-then-rank is the scalable
+    // decomposition: the expensive reduction never sorts, the cheap
+    // window touches k rows per group.
     "v4_knn_bruteforce" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
       val e = emb(s, d)
@@ -79,9 +84,10 @@ object VectorQ {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+      val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(col("raw").desc, col("vec_id")), 3)
       val w = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
-      scored.withColumn("nb_rank", row_number().over(w))
-        .filter(col("nb_rank") <= 3)
+      top.withColumn("nb_rank", row_number().over(w))
         .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
           round(col("raw"), 4).as("score"))
         .orderBy(col("qid"), col("nb_rank"))
