@@ -196,6 +196,40 @@ object TextQ {
         .limit(20)
     }),
 
+    // t9 — PII redaction: emails, URLs, long digit runs → typed
+    // placeholder tokens, with per-doc redaction counts — the scrub
+    // pass every training-data pipeline runs before publication.
+    // Narrow map, no shuffle; patterns deliberately simple and shared
+    // verbatim with the oracle.
+    "t9_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "http\\S+"
+      val digits = "\\d{6,}"
+      docs(s, d)
+        .withColumn("n_emails", regexp_count(col("text"), lit(email)).cast("int"))
+        .withColumn("n_urls", regexp_count(col("text"), lit(url)).cast("int"))
+        .withColumn("n_digit_runs", regexp_count(col("text"), lit(digits)).cast("int"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), url, "<URL>"), digits, "<NUM>"))
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          col("n_digit_runs"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q28 — PIVOT: per-source document counts spread across language
+    // columns (explicit value list → deterministic schema; Spark
+    // compiles it to the same partial-agg shape as CASE-sums, which
+    // is also exactly how the oracle expresses it).
+    "q28_pivot" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source"))
+    }),
+
     // m1 — multimodal plumbing: treat text as an opaque binary column
     // and extract typed metadata (the schema/partitioning pattern for
     // image/audio payloads; the decode itself is stubbed in
@@ -353,6 +387,29 @@ object TextQ {
         |FROM g GROUP BY gram
         |ORDER BY n_occ DESC, gram
         |LIMIT 20""".stripMargin,
+
+    "t9_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'http\S+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS INT) AS n_digit_runs,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'http\S+', '<URL>', 'g'),
+        |    '\d{6,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id,
