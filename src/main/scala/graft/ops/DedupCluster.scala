@@ -65,6 +65,9 @@ object DedupCluster {
         .join(labels.select(col("doc_id").as("rep_id"), col("rep_id").as("rep2")),
           Seq("rep_id"))
         .select(col("doc_id"), col("rep2"))
+      // LAZY checkpoint: the changed-count below is the round's single
+      // action — it materializes the checkpoint and answers
+      // convergence in one pass instead of two.
       val next = labels
         .join(viaNeighbors, Seq("doc_id"), "left")
         .join(jump, Seq("doc_id"), "left")
@@ -72,7 +75,7 @@ object DedupCluster {
           least(col("rep_id"),
             coalesce(col("nb_min"), col("rep_id")),
             coalesce(col("rep2"), col("rep_id"))).as("rep_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = next.withColumnRenamed("rep_id", "new_rep")
         .join(labels, "doc_id")
         .filter(col("new_rep") =!= col("rep_id"))
