@@ -62,6 +62,22 @@ object ExtQ {
         .orderBy(col("l_returnflag"))
     }),
 
+    // x4 — approximate quantiles: the mergeable-sketch scale path for
+    // q21's exact percentiles (same trade as x1's HLL for exact
+    // distinct): one pass, bounded memory per group, partials merge
+    // associatively. No oracle (sketch implementations differ across
+    // engines — rows-only check); the error bound vs the exact path
+    // is pinned by ApproxQuantileSpec.
+    "x4_approx_quantiles" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("approx_p90"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // s2 — gap-based sessionization, batch form (streaming twin with
     // flatMapGroupsWithState state+timeout lives in
     // graft.streaming.Sessionize; parity covered by SessionizeSpec).
