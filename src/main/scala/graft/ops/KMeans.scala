@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorAgg
+
+/** Deterministic Lloyd's k-means over an `Array[Float]` embedding
+  * column — the coarse-quantizer trainer behind a real IVF index
+  * (v5/v6 use the fixture's labels as a stand-in; this builds
+  * centroids from the vectors themselves).
+  *
+  * Deterministic by construction, no RNG:
+  *  - init: the vectors of the k smallest ids (k-smallest-ids seeding
+  *    — reproducible on any engine, unlike random or kmeans||);
+  *  - assignment: nearest centroid by squared L2, ties to the
+  *    smaller centroid id, selected with the bounded-heap
+  *    [[graft.plans.TopK]] operator (k=1) — no per-point sort;
+  *  - update: element-wise mean via [[graft.functions.VectorSumAgg]]
+  *    (one d-length buffer per centroid × partition through the
+  *    shuffle).
+  *
+  * Scale shape per iteration: one broadcast of k·d doubles, one
+  * narrow scored pass over the vectors, one clustered shuffle for the
+  * k-row centroid update. Centroids are collected to the driver
+  * between iterations — k·d model state, bounded by the MODEL size,
+  * not the data (the same footprint any iterative ML trainer keeps);
+  * the data-sized work never leaves executors.
+  */
+object KMeans {
+
+  /** squared L2 via dot products: |a|² + |c|² − 2·a·c (codegen'd). */
+  private def sqDist(selfDot: org.apache.spark.sql.Column,
+                     cDot: org.apache.spark.sql.Column,
+                     cross: org.apache.spark.sql.Column) =
+    selfDot + cDot - lit(2.0) * cross
+
+  /** Fit k centroids; returns (centroids, assignments):
+    * centroids = (cluster_id int, cvec array<double>);
+    * assignments = (idCol, cluster_id, sq_dist).
+    */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+          k: Int, maxIters: Int = 10): (DataFrame, DataFrame) = {
+    require(k >= 1 && maxIters >= 1)
+    val spark = vectors.sparkSession
+    VectorOps.ensureRegistered(spark)
+    VectorAgg.register(spark)
+    import spark.implicits._
+
+    val base = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_vv", VectorOps.dot(col("_v"), col("_v")))
+
+    // deterministic seeding: vectors of the k smallest ids
+    var centroids: Seq[(Int, Seq[Double])] = base
+      .orderBy(col(idCol)).limit(k)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Double](0)).zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val cdf = broadcast(
+        cents.toDF("cluster_id", "cvec")
+          .withColumn("_cc", VectorOps.dot(col("cvec"), col("cvec"))))
+      val scored = base.crossJoin(cdf)
+        .withColumn("sq_dist",
+          sqDist(col("_vv"), col("_cc"), VectorOps.dot(col("_v"), col("cvec"))))
+      graft.plans.TopK.perKey(scored, Seq(idCol),
+        Seq(col("sq_dist"), col("cluster_id")), 1)
+    }
+
+    var iter = 0
+    while (iter < maxIters) {
+      val next = assign(centroids)
+        .groupBy(col("cluster_id"))
+        .agg(VectorAgg.vectorSum(col("_v")).as("vs"), count(lit(1)).as("n"))
+        .select(col("cluster_id"),
+          transform(col("vs"), x => x / col("n")).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      // empty clusters keep their previous centroid
+      val byId = next.toMap
+      centroids = centroids.map { case (i, old) => (i, byId.getOrElse(i, old)) }
+      iter += 1
+    }
+
+    val centDf = centroids.toDF("cluster_id", "cvec")
+    val assignments = assign(centroids)
+      .select(col(idCol), col("cluster_id"), col("sq_dist"))
+    (centDf, assignments)
+  }
+
+  /** Sum of squared distances of every point to its centroid. */
+  def inertia(assignments: DataFrame): Double =
+    assignments.agg(sum(col("sq_dist"))).head.getDouble(0)
+}

@@ -78,6 +78,23 @@ object ExtQ {
         .orderBy(col("l_returnflag"))
     }),
 
+    // x5 — k-means clustering of the embedding corpus (ops.KMeans:
+    // deterministic Lloyd's, k-smallest-ids seeding, TopK-heap
+    // assignment, VectorSumAgg centroid updates). No oracle: float
+    // centroid iterations aren't cross-engine reproducible — rows-only
+    // check; assignment optimality/determinism pinned by KMeansSpec.
+    // Runs its training jobs at DataFrame construction (iterative),
+    // like d6.
+    "x5_kmeans" -> ((s, d) => {
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val (_, assign) = graft.ops.KMeans.fit(vecs, "vec_id", "embedding",
+        k = 4, maxIters = 3)
+      assign.select(col("vec_id"), col("cluster_id"),
+          round(col("sq_dist"), 4).as("sq_dist"))
+        .orderBy(col("vec_id"))
+    }),
+
     // s2 — gap-based sessionization, batch form (streaming twin with
     // flatMapGroupsWithState state+timeout lives in
     // graft.streaming.Sessionize; parity covered by SessionizeSpec).
