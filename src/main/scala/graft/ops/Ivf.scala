@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Self-contained IVF (inverted-file) ANN index over an
+  * `Array[Float]` embedding column: [[KMeans]] trains the coarse
+  * quantizer, every vector is assigned to its nearest centroid's
+  * bucket, and a query probes only its `nprobe` closest buckets —
+  * the candidate set shrinks by ~k/nprobe versus a full scan.
+  *
+  * Scale shape: the index is data-partitioned by `cluster_id` (the
+  * probe join key), centroids are model-sized broadcasts, and both
+  * ranking steps go through the bounded-heap [[graft.plans.TopK]]
+  * operator rather than per-group sorts. `nprobe = k` degenerates to
+  * an EXACT full scan — the correctness anchor IvfSpec pins against
+  * the brute-force baseline.
+  */
+object Ivf {
+
+  /** `vectors` column layout: (id, cluster_id, vec array<double>,
+    * plus the trained centroids). */
+  case class Index(centroids: DataFrame, assigned: DataFrame,
+                   idCol: String)
+
+  /** Train the quantizer and bucket every vector. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int = 5): Index = {
+    val (cents, assign) = KMeans.fit(vectors, idCol, vecCol, k, iters)
+    val v = vectors.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_vec"))
+    val assigned = v.join(assign.select(col(idCol), col("cluster_id")), idCol)
+      // co-partition the index by bucket: the probe join shuffles the
+      // (small) query side only
+      .repartition(col("cluster_id"))
+    Index(cents, assigned, idCol)
+  }
+
+  /** k-NN by dot-product score: each query probes its `nprobe`
+    * nearest centroids' buckets. Output: (qid, nb_id, nb_rank,
+    * score). Queries: (qid, qvec). `nprobe >= k` ⇒ exact.
+    */
+  def probe(index: Index, queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
+    // rank buckets per query by centroid distance (model-sized cross)
+    val scoredBuckets = q.crossJoin(broadcast(index.centroids))
+      .withColumn("_cd",
+        VectorOps.dot(col("_q"), col("_q")) +
+          VectorOps.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * VectorOps.dot(col("_q"), col("cvec")))
+    val probed = graft.plans.TopK.perKey(scoredBuckets, Seq("qid"),
+        Seq(col("_cd"), col("cluster_id")), nprobe)
+      .select(col("qid"), col("_q"), col("cluster_id"))
+    // scan only the probed buckets
+    val cands = probed.join(index.assigned, Seq("cluster_id"))
+      .filter(col(index.idCol) =!= col("qid"))
+      .withColumn("score", VectorOps.dot(col("_q"), col("_vec")))
+    val top = graft.plans.TopK.perKey(cands, Seq("qid"),
+      Seq(col("score").desc, col(index.idCol)), topK)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(index.idCol))
+    top.withColumn("nb_rank", row_number().over(w))
+      .select(col("qid"), col(index.idCol).as("nb_id"), col("nb_rank"),
+        col("score"))
+  }
+}

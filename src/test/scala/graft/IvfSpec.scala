@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, VectorOps}
+
+/** The self-contained IVF index: probing every bucket must equal the
+  * brute-force scan exactly; narrow probes trade recall for candidate
+  * reduction but keep high recall on clustered fixture data.
+  */
+class IvfSpec extends SparkSpec {
+
+  private lazy val vecs = Tables.load(spark, Sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val queries = Tables.load(spark, Sf0001, "embeddings")
+    .filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val index = Ivf.build(vecs, "vec_id", "embedding", k = 4, iters = 3)
+
+  private def bruteForce(topK: Int) = {
+    VectorOps.ensureRegistered(spark)
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("score", VectorOps.dot(
+        col("qvec").cast("array<double>"), col("embedding").cast("array<double>")))
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(col("score").desc, col("vec_id")), topK)
+      .select(col("qid"), col("vec_id").as("nb_id"), col("score"))
+  }
+
+  test("nprobe = k probes every bucket and equals brute force exactly") {
+    val exact = Ivf.probe(index, queries, nprobe = 4, topK = 3)
+      .select("qid", "nb_id").orderBy("qid", "nb_id").collect()
+    val brute = bruteForce(3)
+      .select("qid", "nb_id").orderBy("qid", "nb_id").collect()
+    assert(exact.nonEmpty && exact.sameElements(brute))
+  }
+
+  test("narrow probe keeps most neighbors (recall) with fewer candidates") {
+    val approx = Ivf.probe(index, queries, nprobe = 2, topK = 3)
+      .select("qid", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteForce(3)
+      .select("qid", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // every query still answered
+    assert(approx.map(_._1) == brute.map(_._1))
+  }
+
+  test("ranks are dense from 1 and scores non-increasing per query") {
+    val out = Ivf.probe(index, queries, nprobe = 2, topK = 3)
+      .orderBy("qid", "nb_rank").collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("nb_rank")).toSeq == (1 to rows.length))
+      val scores = rows.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
