@@ -39,10 +39,9 @@ object Bench {
     // StdoutOutput, so no sbt "[info] " prefix) + a file copy so the
     // driver can recover the metrics even if its stdout parse fails.
     println(line)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-      catch { case _: Throwable => }
-    }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -59,10 +59,7 @@ case class ChunkGenerator(child: Expression, section: Expression,
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
-    val words = v.asInstanceOf[UTF8String].toString.trim match {
-      case "" => Array.empty[String]
-      case t => t.split("\\s+")
-    }
+    val words = ChunkGenerator.tokenize(v.asInstanceOf[UTF8String].toString)
     val n = words.length
     if (n < minWords) return Iterator.empty
     if (abstractUtf8.equals(section.eval(input))) {
@@ -92,6 +89,26 @@ case class ChunkGenerator(child: Expression, section: Expression,
 object ChunkGenerator {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** EXACTLY Spark's `split(trim(c), "\\s+")` / DuckDB's
+    * `string_split_regex(trim(text), '\s+')`: trim strips U+0020
+    * ONLY (Java's String.trim strips all control chars and would
+    * change word counts for text ending in e.g. a newline), and
+    * split keeps trailing empty tokens (Pattern.split with limit
+    * -1), unlike Java's default split. Shared by eval and pinned by
+    * ChunkGeneratorSpec against an independent composed-form
+    * implementation.
+    */
+  def tokenize(s: String): Array[String] = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    val t = s.substring(i, j)
+    if (t.isEmpty) Array.empty[String] else ws.split(t, -1)
+  }
 
   /** Register `chunk_windows(text[, section], size, overlap, min_words)`.
     * The 4-arg form treats every row as a non-abstract section; the

@@ -45,11 +45,11 @@ object Ivf {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
     val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
-    // rank buckets per query by centroid distance (model-sized cross)
+    // rank buckets per query by centroid distance; the |q|² term is
+    // constant within a query's group, hence rank-neutral — dropped
     val scoredBuckets = q.crossJoin(broadcast(index.centroids))
       .withColumn("_cd",
-        VectorOps.dot(col("_q"), col("_q")) +
-          VectorOps.dot(col("cvec"), col("cvec")) -
+        VectorOps.dot(col("cvec"), col("cvec")) -
           lit(2.0) * VectorOps.dot(col("_q"), col("cvec")))
     val probed = graft.plans.TopK.perKey(scoredBuckets, Seq("qid"),
         Seq(col("_cd"), col("cluster_id")), nprobe)

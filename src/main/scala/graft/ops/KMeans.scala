@@ -9,7 +9,7 @@ import graft.functions.VectorAgg
   * (v5/v6 use the fixture's labels as a stand-in; this builds
   * centroids from the vectors themselves).
   *
-  * Deterministic by construction, no RNG:
+  * No RNG anywhere — seeding and all tie-breaks are reproducible:
   *  - init: the vectors of the k smallest ids (k-smallest-ids seeding
   *    — reproducible on any engine, unlike random or kmeans||);
   *  - assignment: nearest centroid by squared L2, ties to the
@@ -25,6 +25,15 @@ import graft.functions.VectorAgg
   * between iterations — k·d model state, bounded by the MODEL size,
   * not the data (the same footprint any iterative ML trainer keeps);
   * the data-sized work never leaves executors.
+  *
+  * Caveat (inherent to any distributed float trainer): centroid
+  * coordinates are double sums whose partial-merge order follows the
+  * shuffle, so two runs can differ in the last ulp and, for a point
+  * near-equidistant to two centroids, flip an assignment. In-session
+  * re-execution with a fixed partitioning is stable in practice
+  * (pinned by KMeansSpec); bit-exact cross-engine parity would need
+  * the decimal-explode update (v5's centroid path) at ~d× the
+  * shuffle volume.
   */
 object KMeans {
 

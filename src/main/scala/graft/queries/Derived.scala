@@ -16,19 +16,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unpersists them (Bench/Verify hygiene, memory pressure) the plans
   * transparently recompute, so correctness never depends on the cache.
   *
-  * Keyed by the session OBJECT via a weak-key map: two live sessions
-  * can never collide (identity, not hashCode), and a closed session's
-  * entries become unreachable and are GC-purged, so plans aren't
-  * pinned for the JVM lifetime. [[invalidate]] gives explicit
-  * eviction for callers that tear sessions down deterministically.
+  * Keyed by the session OBJECT (identity, not hashCode — two live
+  * sessions can never collide). Note a weak-key map would NOT give
+  * automatic cleanup here: the cached DataFrames strongly reference
+  * their SparkSession, which would pin the weak key forever. Instead
+  * every access purges entries whose underlying SparkContext has
+  * stopped, and [[invalidate]] gives explicit eviction for callers
+  * that tear sessions down deterministically.
   */
 object Derived {
 
   private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[(String, String), DataFrame]]()
+    new java.util.IdentityHashMap[SparkSession, java.util.HashMap[(String, String), DataFrame]]()
+
+  private def purgeStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val stopped = try e.getKey.sparkContext.isStopped catch { case _: Throwable => true }
+      if (stopped) it.remove()
+    }
+  }
 
   def of(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {
+      purgeStopped()
       var m = cache.get(spark)
       if (m == null) { m = new java.util.HashMap[(String, String), DataFrame](); cache.put(spark, m) }
       m

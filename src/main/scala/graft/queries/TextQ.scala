@@ -112,7 +112,9 @@ object TextQ {
       val w = TextFns.tokens(col("text"))
       docs(s, d)
         .withColumn("w", w)
-        .withColumn("n", size(col("w")))
+        // guarded count: size(split("")) is 1, not 0 — the oracle's
+        // CASE WHEN length(trim(text))=0 THEN 0 twin is wordCount
+        .withColumn("n", TextFns.wordCount(col("text")))
         .withColumn("grams",
           when(col("n") >= 3,
             transform(sequence(lit(1), col("n") - 2),

@@ -83,15 +83,20 @@ object Tools {
                name: String, args: Map[String, String] = Map.empty,
                lastCitations: Option[DataFrame] = None): Either[String, DataFrame] = {
     def arg(keys: String*): Option[String] = keys.flatMap(args.get).headOption
-    def topK: Int = arg("top_k", "k").map(_.toInt).getOrElse(5)
+    // tolerant like the rest of the dispatch contract: a malformed
+    // top_k becomes an error record, never an exception
+    def topK: Either[String, Int] = arg("top_k", "k") match {
+      case None => Right(5)
+      case Some(v) => v.toIntOption.toRight(s"invalid top_k: '$v'")
+    }
     name match {
       case "search_papers" =>
-        Right(searchPapers(corpus.chunksV, queryVec, topK))
+        topK.map(k => searchPapers(corpus.chunksV, queryVec, k))
       case "get_paper_details" =>
         Right(paperDetails(corpus.papers, arg("paper_id", "id").getOrElse("")))
       case "search_knowledge_graph" =>
-        Right(searchKnowledgeGraph(corpus.nodes, corpus.edges,
-          arg("query", "question", "q").getOrElse(""), topK))
+        topK.map(k => searchKnowledgeGraph(corpus.nodes, corpus.edges,
+          arg("query", "question", "q").getOrElse(""), k))
       case "summarize_context" =>
         lastCitations.map(c => Right(summarizeContext(c)))
           .getOrElse(Left("summarize_context: no chunks argument and no prior citations"))

@@ -73,14 +73,21 @@ object Sessionize {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val out = Seq.newBuilder[Session]
+            val gapMs = gapSeconds * 1000
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapSeconds * 1000 =>
-                  // late events can extend a session backwards too:
-                  // keep min for start, max for end.
+                case Some(s) if t - s.end <= gapMs && t >= s.start - gapMs =>
+                  // within one gap of the live session (either side):
+                  // merge; late events can extend the start backwards.
                   cur = Some(SessState(math.min(s.start, t), math.max(s.end, t),
                     s.n + 1, s.total + e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  // a late event more than one gap BEFORE the live
+                  // session is its own (historical) session — merging
+                  // it would stretch the session across a gap larger
+                  // than gapSeconds, which the batch twin never does.
+                  out += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case Some(s) =>
                   out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
                   cur = Some(SessState(t, t, 1, e.value))

@@ -44,6 +44,32 @@ class FuseDotProductSpec extends SparkSpec {
     assert(both.filter(col("hof") =!= col("native")).count() == 0)
   }
 
+  test("rewrite preserves NULL semantics: unequal lengths and null elements") {
+    assert(ruleInstalled)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tag", IntegerType),
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(0, Seq(1.0, 2.0), Seq(3.0, 4.0)),        // clean -> 11.0
+      Row(1, Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)),   // unequal length -> null
+      Row(2, Seq(1.0, null), Seq(3.0, 4.0)),        // null element -> null
+      Row(3, null, Seq(3.0, 4.0)))                  // null array -> null
+    // via parquet: ConvertToLocalRelation would otherwise fold the
+    // whole projection before extra optimizer rules run
+    val dir = java.nio.file.Files.createTempDirectory("fusenull").toString
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("tag"), VectorOps.dotHof(col("a"), col("b")).as("s"))
+    assert(hasDotProduct(df), "rule should fire with runtime guards")
+    val out = df.orderBy("tag").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+    assert(out(0) == 11.0)
+    assert(out(1) == null && out(2) == null && out(3) == null)
+  }
+
   test("non-matching aggregates are left untouched") {
     assert(ruleInstalled)
     val e = Tables.load(spark, Sf0001, "embeddings")

@@ -30,6 +30,45 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("late event far before the live session forms its own session") {
+    val dir = java.nio.file.Files.createTempDirectory("sess_late").toString
+    // batch 1: a session at 10:00 for user 7
+    Seq(
+      Sessionize.Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      Sessionize.Event(2, ts("2024-01-01 10:00:10"), 7L, "click", 2.0))
+      .toDF().write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Sessionize.Event]].schema)
+      .parquet(dir).as[Sessionize.Event]
+    // large watermark so the 09:00 event is NOT dropped upstream
+    val q = Sessionize.sessionsStream(src, gapSeconds = 30, watermark = "3 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event an hour EARLIER than the live session start;
+      // merging it would stretch one session across a >gap hole
+      Seq(Sessionize.Event(3, ts("2024-01-01 09:00:00"), 7L, "view", 5.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // advance watermark far past everything to flush the live session
+      Seq(Sessionize.Event(4, ts("2024-01-02 00:00:00"), 8L, "click", 0.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq(Sessionize.Event(5, ts("2024-01-03 00:00:00"), 8L, "click", 0.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val u7 = spark.table("sess_late")
+        .filter(col("user_id") === 7L).collect()
+      // two sessions: the historical single-event one and the 10:00 pair
+      assert(u7.length == 2, u7.mkString(";"))
+      assert(u7.exists(r => r.getAs[Long]("n_events") == 1L &&
+        r.getAs[Double]("sum_value") == 5.0))
+      assert(u7.exists(r => r.getAs[Long]("n_events") == 2L &&
+        r.getAs[Double]("sum_value") == 3.0))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions as watermark advances") {
     val dir = java.nio.file.Files.createTempDirectory("sess").toString
     events.take(2).toDF().write.mode("append").parquet(dir)
