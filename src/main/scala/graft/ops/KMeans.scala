@@ -101,5 +101,5 @@ object KMeans {
 
   /** Sum of squared distances of every point to its centroid. */
   def inertia(assignments: DataFrame): Double =
-    assignments.agg(sum(col("sq_dist"))).head.getDouble(0)
+    assignments.agg(sum(col("sq_dist"))).head().getDouble(0)
 }

@@ -75,7 +75,7 @@ object Agent {
       if (nCitations == 0)
         "I'm sorry, I could not find relevant context to answer that."
       else
-        Tools.summarizeContext(citations).head.getString(0)
+        Tools.summarizeContext(citations).head().getString(0)
 
     // materialize graph hits (if any) so the tool actually executed
     graphHits.foreach(_.count())
@@ -113,7 +113,7 @@ object Agent {
                      result: AgentResult, retrievalMode: String = "agentic"): DataFrame = {
     import spark.implicits._
     val confidence = result.citations
-      .agg(max(col("score"))).head match {
+      .agg(max(col("score"))).head() match {
         case r if r.isNullAt(0) => 0.0
         case r => r.getDouble(0)
       }
