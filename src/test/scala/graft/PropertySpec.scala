@@ -59,6 +59,60 @@ class PropertySpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("generator tokenize equals Spark split(trim) on arbitrary whitespace soup") {
+    val wsChar = Gen.oneOf(' ', '\t', '\n', '\r', 'a', 'b', 'Z', '9', '.')
+    val gen = Gen.listOfN(30, wsChar).map(_.mkString)
+    val strs = samples(gen, 150, seed = 21L)
+    val df = strs.toDF("s")
+    val viaSpark = df.select(col("s"),
+        when(length(trim(col("s"))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col("s")), "\\s+")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    strs.foreach { s =>
+      val mine = graft.functions.ChunkGenerator.tokenize(s).toList
+      assert(mine == viaSpark(s), s"tokenize mismatch on ${s.map(_.toInt)}")
+    }
+  }
+
+  test("TopK.perKey equals sort-and-take per key on random data") {
+    val gen = Gen.zip(Gen.choose(0, 6), Gen.choose(-1000, 1000))
+    val rows = samples(gen, 300, seed = 33L).zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, k, v) }
+    val df = rows.toDF("id", "k", "v")
+    for (topk <- Seq(1, 4)) {
+      val fast = graft.plans.TopK.perKey(df, Seq("k"),
+          Seq(col("v").desc, col("id")), topk)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = rows.groupBy(_._2).values.flatMap(g =>
+        g.sortBy(r => (-r._3, r._1)).take(topk).map(_._1)).toSet
+      assert(fast == expected, s"topk=$topk")
+    }
+  }
+
+  test("AsofJoin matches per-row brute-force max on random timelines") {
+    val gen = Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 100L))
+    val leftRows = samples(gen, 80, seed = 55L).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k.toLong, new java.sql.Timestamp(t * 1000)) }
+    val rightRows = samples(gen, 80, seed = 56L).zipWithIndex
+      // dedupe per (key, time): keep max synthetic id (the operator contract)
+      .map { case ((k, t), i) => (k.toLong, t, 1000L + i) }
+      .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toSeq
+      .map { case (k, t, rid) => (rid, k, new java.sql.Timestamp(t * 1000)) }
+    val left = leftRows.toDF("lid", "k", "t")
+    val right = rightRows.toDF("rid", "rk", "rt")
+    val got = graft.ops.AsofJoin.backward(left, right, "k", "rk", "t", "rt",
+        Seq("rid"), "m")
+      .select(col("lid"), col("m.rid").as("rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val rightByKey = rightRows.groupBy(_._2)
+    leftRows.foreach { case (lid, k, t) =>
+      val expect = rightByKey.getOrElse(k, Seq.empty)
+        .filter(!_._3.after(t))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._1)
+      assert(got(lid) == expect, s"lid=$lid")
+    }
+  }
+
   test("co-occurrence pair count equals sum of C(k,2) over chunks") {
     // random entity lists per chunk -> edge weights must satisfy the
     // combinatorial identity regardless of duplicates
