@@ -101,6 +101,22 @@ object EventStream {
       .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
   }
 
+  /** IDEMPOTENT micro-batch file sink via foreachBatch: every batch
+    * writes to an epoch-keyed partition directory with overwrite
+    * mode, so a replayed batch (failure recovery re-executes the
+    * last uncommitted epoch) overwrites its own previous output
+    * instead of appending duplicates — the exactly-once file-sink
+    * pattern for sinks without transactional commit.
+    */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+                            checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Synchronous local run into an in-memory table (test/dev path):
     * processes everything currently in `dir`, returns the query. In
     * append mode only windows older than the watermark emit — the

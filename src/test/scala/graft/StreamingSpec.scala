@@ -67,6 +67,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
+    val src = java.nio.file.Files.createTempDirectory("idem_src").toString
+    val out = java.nio.file.Files.createTempDirectory("idem_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idem_ckpt").toString
+    val events = Tables.load(spark, Sf0001, "events").limit(100)
+    events.write.mode("overwrite").parquet(src)
+    val q = EventStream.idempotentParquetSink(
+      EventStream.readStream(spark, src), out, ckpt).start()
+    try q.awaitTermination() finally q.stop()
+    val firstCount = spark.read.parquet(out).count()
+    assert(firstCount == 100)
+    // simulate a replay of epoch 0 (failure re-execution): same batch,
+    // same epoch id -> overwrite, not append
+    spark.read.parquet(src).write.mode("overwrite").parquet(s"$out/epoch=0")
+    assert(spark.read.parquet(out).count() == firstCount)
+  }
+
   test("watermark bounds state: late data beyond watermark is dropped in append mode") {
     // Two files arriving in order: recent batch first, then an event
     // 1h older than the max seen ts -> beyond the 10min watermark.
