@@ -66,5 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Physical strategy for the TopKPerKey logical operator (bounded
     // per-key heaps instead of a per-group sort).
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // Physical strategy for the GlobalIndexPlan operator (Tungsten-
+    // native dense global row numbering).
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalIndexStrategy)
   }
 }

@@ -42,16 +42,32 @@ object DedupCluster {
     * `rep_id` = min doc_id of its connected component.
     * NOTE: runs Spark jobs eagerly (iterative refinement), unlike a
     * lazily-declared transformation.
+    *
+    * `reliable = true` switches the per-round lineage cuts from
+    * executor-local checkpoints to RELIABLE `checkpoint()` files
+    * under `spark.sparkContext.setCheckpointDir` — on a real cluster
+    * an executor loss mid-iteration then recovers from the
+    * checkpoint store instead of failing the job (local checkpoint
+    * blocks die with their executor). Default stays local: for a
+    * bounded iterative refinement, re-running the job beats paying a
+    * distributed-FS round trip per round.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 0): DataFrame = {
-    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+  def clusters(pairs: DataFrame, maxIters: Int = 0,
+               reliable: Boolean = false): DataFrame = {
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "DedupCluster.clusters(reliable = true) needs " +
+          "spark.sparkContext.setCheckpointDir(...) to be set first")
+    def cut(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    val edges = cut(pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
       .union(pairs.select(col("b_id").cast("long"), col("a_id").cast("long")))
-      .toDF("src", "dst")
-      .localCheckpoint() // also cuts the (possibly huge) pair-derivation plan
-    var labels = edges.groupBy(col("src").as("doc_id"))
+      .toDF("src", "dst"),
+      eager = true) // also cuts the (possibly huge) pair-derivation plan
+    var labels = cut(edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("rep_id"))
-      .localCheckpoint()
+      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("rep_id")),
+      eager = true)
     var converged = false
     var i = 0
     while (!converged && (maxIters <= 0 || i < maxIters)) {
@@ -68,14 +84,14 @@ object DedupCluster {
       // LAZY checkpoint: the changed-count below is the round's single
       // action — it materializes the checkpoint and answers
       // convergence in one pass instead of two.
-      val next = labels
+      val next = cut(labels
         .join(viaNeighbors, Seq("doc_id"), "left")
         .join(jump, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep_id"),
             coalesce(col("nb_min"), col("rep_id")),
-            coalesce(col("rep2"), col("rep_id"))).as("rep_id"))
-        .localCheckpoint(eager = false)
+            coalesce(col("rep2"), col("rep_id"))).as("rep_id")),
+        eager = false)
       val changed = next.withColumnRenamed("rep_id", "new_rep")
         .join(labels, "doc_id")
         .filter(col("new_rep") =!= col("rep_id"))

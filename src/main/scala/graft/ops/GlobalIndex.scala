@@ -1,20 +1,22 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.LongType
+import graft.plans.{GlobalIndexPlan, GlobalIndexStrategy}
 
 /** Scale-safe dense global row index (0-based) in the total order of
   * the given key columns — the replacement for the single-reducer
   * `row_number().over(Window.orderBy(...))` anti-pattern.
   *
-  * Two-pass shape (the classic distributed global-numbering scheme,
-  * and exactly what RDD.zipWithIndex implements):
-  *   1. range-repartition on the ordering key and sort within each
-  *      partition → a total order across partition boundaries;
-  *   2. count rows per partition (one tiny job: #partitions values,
-  *      bounded by cluster size, not data size), turn the counts into
-  *      cumulative start offsets shipped to every partition, and add
-  *      the within-partition position.
+  * Implemented by the custom [[graft.plans.GlobalIndexPlan]] operator
+  * (LogicalPlan + Strategy + SparkPlan): the physical node declares
+  * an ordered distribution, so the planner inserts the range shuffle
+  * + per-partition sorts, and the numbering runs over `InternalRow`
+  * in Tungsten format (no `df.rdd` hop, no `Scan ExistingRDD`
+  * re-entry). See the plan node's scaladoc for the two-job scheme.
   *
   * No global shuffle to one reducer anywhere: the data-sized work is
   * a range shuffle + local sorts, both fully parallel. The index is
@@ -31,16 +33,17 @@ object GlobalIndex {
   /** Append `out` (LONG, 0-based) numbering `df`'s rows by `ordering`.
     * `ordering` must be a unique key of `df`.
     */
-  def withGlobalIndex(df: DataFrame, ordering: Seq[Column], out: String,
-                      numPartitions: Int = 0): DataFrame = {
+  def withGlobalIndex(df: DataFrame, ordering: Seq[Column], out: String): DataFrame = {
     val spark = df.sparkSession
-    val p = if (numPartitions > 0) numPartitions
-            else spark.sparkContext.defaultParallelism
-    val sorted = df.repartitionByRange(p, ordering: _*)
-      .sortWithinPartitions(ordering: _*)
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(indexed, schema)
+    if (!spark.experimental.extraStrategies.contains(GlobalIndexStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GlobalIndexStrategy
+    // Resolve the ordering Columns to catalyst SortOrders the same way
+    // TopK.perKey does: analyze a throwaway sortWithinPartitions plan
+    // and lift its resolved Sort node.
+    val sorted = df.sortWithinPartitions(ordering: _*)
+      .queryExecution.analyzed.asInstanceOf[Sort]
+    val outAttr = AttributeReference(out, LongType, nullable = false)()
+    Bridge.ofRows(spark, GlobalIndexPlan(sorted.order, outAttr, sorted.child))
   }
 }

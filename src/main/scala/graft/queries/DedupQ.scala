@@ -41,6 +41,20 @@ object DedupQ {
   /** Jaccard / cosine thresholds. */
   val JaccardMin = 0.3
   val CosineMin = 0.35
+  /** d7 edit-distance near-dup bounds. The Levenshtein DP is
+    * O(|a|·|b|) time AND memory per candidate pair — LSH banding
+    * bounds the pair COUNT, not the per-pair cost, and a single pair
+    * of 1 MB documents would be ~10¹² matrix cells. Two admissible
+    * bounds make the per-pair cost constant at any corpus scale:
+    *  - texts are compared on their first [[MaxEditChars]] chars (the
+    *    documented contract: prefix similarity — near-dup documents
+    *    have near-dup prefixes);
+    *  - pairs whose LENGTH difference already caps similarity below
+    *    [[EditSimMin]] are pruned BEFORE the DP runs, using the
+    *    standard lower bound dist ≥ |len_a − len_b|.
+    */
+  val MaxEditChars = 4000
+  val EditSimMin = 0.35
 
   private def docs(s: SparkSession, d: String) =
     // single-row-group parquet → 1 partition; spread the shingle /
@@ -195,19 +209,29 @@ object DedupQ {
     }),
 
     // d7 — edit-distance near-dup: exact Levenshtein over the
-    // LSH-blocked candidate pairs only (never all-pairs — the O(len²)
-    // DP is affordable precisely because banding already cut the
-    // candidate set), with a length-normalized similarity.
+    // LSH-blocked candidate pairs only (never all-pairs), with BOTH
+    // per-pair cost bounds (see MaxEditChars/EditSimMin above): texts
+    // capped to a fixed prefix, and the admissible length-band prune
+    // dist ≥ |len_a − len_b| applied before the O(len²) DP so pairs
+    // that cannot reach EditSimMin never run it. The similarity
+    // filter compares the RAW double (rounding only for output), so
+    // both engines cut at exactly the same boundary.
     "d7_dedup_editdist" -> ((s, d) => {
       val txt = docs(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, MaxEditChars).as("t"))
       val cand = defs("d3_dedup_minhash")(s, d)
       cand
-        .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), Seq("a_id"))
-        .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), Seq("b_id"))
+        .join(txt.select(col("doc_id").as("a_id"), col("t").as("ta")), Seq("a_id"))
+        .join(txt.select(col("doc_id").as("b_id"), col("t").as("tb")), Seq("b_id"))
+        .withColumn("la", length(col("ta")))
+        .withColumn("lb", length(col("tb")))
+        .filter(abs(col("la") - col("lb")) <=
+          (lit(1.0) - EditSimMin) * greatest(col("la"), col("lb")))
         .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-        .withColumn("sim",
-          round(lit(1.0) - col("dist") / greatest(length(col("ta")), length(col("tb"))), 4))
-        .select(col("a_id"), col("b_id"), col("dist"), col("sim"))
+        .withColumn("sim_raw", lit(1.0) - col("dist") / greatest(col("la"), col("lb")))
+        .filter(col("sim_raw") >= EditSimMin)
+        .select(col("a_id"), col("b_id"), col("dist"),
+          round(col("sim_raw"), 4).as("sim"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -320,14 +344,23 @@ object DedupQ {
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-           |SELECT c.a_id, c.b_id,
-           |  levenshtein(da.text, db.text) AS dist,
-           |  round(1.0 - levenshtein(da.text, db.text) /
-           |    greatest(length(da.text), length(db.text)), 4) AS sim
-           |FROM cand c
-           |JOIN documents da ON da.doc_id = c.a_id
-           |JOIN documents db ON db.doc_id = c.b_id
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |-- texts capped to the first $MaxEditChars chars (d7 contract);
+           |-- the Spark-side length-band prune is admissible (it only
+           |-- drops pairs that fail the sim filter below), so the oracle
+           |-- needs just the final raw-similarity cut.
+           |scored AS (
+           |  SELECT c.a_id, c.b_id,
+           |    levenshtein(substr(da.text, 1, $MaxEditChars),
+           |                substr(db.text, 1, $MaxEditChars)) AS dist,
+           |    greatest(length(substr(da.text, 1, $MaxEditChars)),
+           |             length(substr(db.text, 1, $MaxEditChars))) AS mx
+           |  FROM cand c
+           |  JOIN documents da ON da.doc_id = c.a_id
+           |  JOIN documents db ON db.doc_id = c.b_id)
+           |SELECT a_id, b_id, dist, round(1.0 - dist / mx, 4) AS sim
+           |FROM scored
+           |WHERE 1.0 - dist / mx >= $EditSimMin
            |ORDER BY a_id, b_id""".stripMargin,
 
       "d4_dedup_simhash" ->

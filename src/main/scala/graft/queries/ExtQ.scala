@@ -207,6 +207,32 @@ object ExtQ {
         .orderBy(col("event_id"))
     }),
 
+    // q29 — the S8 SQL SURFACE end to end: fixture tables registered
+    // as views, a multi-statement SQL script (comment line, temp-view
+    // statement, final select) run through SqlRunner, and the
+    // custom codegen'd graft_dot expression invoked from PURE SQL
+    // text — proving the extension functions exist on the SQL
+    // surface, not just the Column API. Decimal-exact energy sum
+    // (order-independent, see dsum2's rationale).
+    "q29_sql_script" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      graft.Tables.registerAll(s, d)
+      val script =
+        """-- S8: statements split on ';', '--' comment lines stripped,
+          |-- one DataFrame per statement, last result returned.
+          |CREATE OR REPLACE TEMPORARY VIEW q29_energy AS
+          |SELECT label,
+          |  count(*) AS n_vectors,
+          |  CAST(sum(CAST(round(graft_dot(embedding, reverse(embedding)), 4)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS energy
+          |FROM embeddings
+          |GROUP BY label;
+          |SELECT label, n_vectors, energy
+          |FROM q29_energy
+          |ORDER BY label""".stripMargin
+      graft.util.SqlRunner.runScript(s, script).last
+    }),
+
     // v6 — IVF with single-pass centroid aggregation: one shuffle of
     // d-length buffers instead of exploding n×d rows (v5's
     // oracle-exact path). Same probe/rank shape as v5.
@@ -350,7 +376,15 @@ object ExtQ {
         |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q29_sql_script" ->
+      """SELECT label, COUNT(*) AS n_vectors,
+        |  CAST(SUM(CAST(round(list_dot_product(embedding::DOUBLE[], list_reverse(embedding)::DOUBLE[]), 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS energy
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
     // x1 / v6: intentionally no oracle (approximate / float-order
     // dependent) — driver records rows-only checks.
   )

@@ -77,14 +77,23 @@ object KgQ {
         Seq("chunk_id", "paper_id"), "text_content")
     }
 
-  /** CO_OCCURS edges from an occurrence table. The distinct per-chunk
-    * entity set feeds BOTH sides of the pair self-join, so it is
-    * persisted — otherwise the whole chunk+extract pipeline runs
-    * twice (measured 2× on the sf0.1 bench).
+  /** Distinct per-chunk entity set. Feeds BOTH sides of the pair
+    * self-join in [[edgesFrom]], so it is persisted — otherwise the
+    * whole chunk+extract pipeline runs twice (measured 2× on the
+    * sf0.1 bench). Derived-managed so the persist shares the same
+    * lifecycle (invalidate/clearCache) as every other cached
+    * intermediate — no bare `.persist()` outside Derived.
     */
-  def edgesFrom(ents: DataFrame): DataFrame = {
-    val dpc = ents.select(col("chunk_id"), col("paper_id"), col("node_id"))
-      .distinct().persist()
+  private def distinctEntsDf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "ents_distinct") {
+      entsDf(s, d).select(col("chunk_id"), col("paper_id"), col("node_id"))
+        .distinct()
+    }
+
+  /** CO_OCCURS edges from a distinct (chunk_id, paper_id, node_id)
+    * per-chunk entity set (see [[distinctEntsDf]]).
+    */
+  def edgesFrom(dpc: DataFrame): DataFrame = {
     val a = dpc.select(col("chunk_id"), col("paper_id"), col("node_id").as("src"))
     val b = dpc.select(col("chunk_id").as("chunk_id_b"), col("node_id").as("tgt"))
     a.join(b, col("chunk_id") === col("chunk_id_b") && col("src") < col("tgt"))
@@ -93,7 +102,7 @@ object KgQ {
   }
 
   def edgesDf(s: SparkSession, d: String): DataFrame =
-    Derived.of(s, d, "edges")(edgesFrom(entsDf(s, d)))
+    Derived.of(s, d, "edges")(edgesFrom(distinctEntsDf(s, d)))
 
   // ── DuckDB CTE prefix ──────────────────────────────────────────────
   // Plain (non-interpolated) string: `$` appears in regexes. Params are

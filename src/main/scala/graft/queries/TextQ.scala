@@ -245,6 +245,35 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // m2 — multimodal DECODE + frame sampling end to end: the figures
+    // table (payload = the document's bytes), the mapPartitions codec
+    // seam (graft.ops.Multimodal.decode — deterministic fake codec),
+    // and the frame-sampling generator, joined per figure. The fake
+    // codec is pure byte math, so the whole path is HASHABLE: the
+    // oracle recomputes dimensions from byte length and the 8-bin
+    // byte histogram from char classes (fixture text is ASCII ⇒
+    // chars == bytes; bin = byte >> 5 ⇒ bins 1–3 are the printable
+    // ranges, the rest 0). Histogram counts are recovered exactly
+    // from the normalized float feature as round(f_i · byte_len)
+    // (count ≤ byte_len ≪ 2^24 ⇒ float error < 0.5).
+    "m2_decode_frames" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val figs = Multimodal.figuresFromDocuments(docs(s, d))
+      val dec = Multimodal.decode(figs)
+      val frames = Multimodal.sampleFrames(figs, frameBytes = 64, stride = 4)
+        .groupBy(col("figure_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame")).cast("long")).as("frame_bytes"))
+      val hb = (0 until 8).map(i =>
+        round(element_at(col("feature"), i + 1) * col("byte_len"))
+          .cast("long").as(s"hb$i"))
+      dec.join(frames, Seq("figure_id"))
+        .select(Seq(col("figure_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"), col("n_channels"),
+          col("n_frames"), col("frame_bytes")) ++ hb: _*)
+        .orderBy(col("figure_id"))
+    }),
+
     // s1 — §2.11: tumbling-window event aggregation, the batch twin
     // of graft.streaming.Events (same 5-minute windows + decimal-exact
     // sums). Partial agg + one shuffle on (window, type).
@@ -420,6 +449,39 @@ object TextQ {
         |  sha256(text) AS sha256
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // m2: the fake codec's byte math re-derived in SQL — width/height
+    // from byte length, frame-byte totals from the sampling geometry
+    // (frame i covers bytes [i·256+1, i·256+64]), histogram bins from
+    // printable-ASCII char classes (bin = byte >> 5).
+    "m2_decode_frames" ->
+      """WITH figs AS (
+        |  SELECT printf('fig_%06d', doc_id) AS figure_id, text,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |fr AS (
+        |  SELECT figure_id, greatest(CAST(floor(n / 256.0) AS INT), 1) AS nf, n
+        |  FROM figs),
+        |fsum AS (
+        |  SELECT figure_id, CAST(nf AS BIGINT) AS n_frames,
+        |    CAST(SUM(least(64, greatest(n - 256 * CAST(u.i AS INT), 0))) AS BIGINT)
+        |      AS frame_bytes
+        |  FROM fr, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) u
+        |  GROUP BY figure_id, nf)
+        |SELECT f.figure_id, 'image/png' AS media_type,
+        |  CAST(f.n AS INT) AS byte_len,
+        |  CAST(64 + f.n % 64 AS INT) AS width,
+        |  CAST(64 + (f.n // 64) % 64 AS INT) AS height,
+        |  CAST(3 AS INT) AS n_channels,
+        |  s.n_frames, s.frame_bytes,
+        |  CAST(0 AS BIGINT) AS hb0,
+        |  CAST(length(f.text) - length(regexp_replace(f.text, '[\x20-\x3f]', '', 'g')) AS BIGINT) AS hb1,
+        |  CAST(length(f.text) - length(regexp_replace(f.text, '[\x40-\x5f]', '', 'g')) AS BIGINT) AS hb2,
+        |  CAST(length(f.text) - length(regexp_replace(f.text, '[\x60-\x7e]', '', 'g')) AS BIGINT) AS hb3,
+        |  CAST(0 AS BIGINT) AS hb4, CAST(0 AS BIGINT) AS hb5,
+        |  CAST(0 AS BIGINT) AS hb6, CAST(0 AS BIGINT) AS hb7
+        |FROM figs f JOIN fsum s USING (figure_id)
+        |ORDER BY figure_id""".stripMargin,
 
     "s1_event_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type,

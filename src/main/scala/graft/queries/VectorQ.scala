@@ -17,8 +17,31 @@ import graft.ops.VectorOps
   */
 object VectorQ {
 
+  /** Learned-centroid IVF (v7/v8) parameters: coarse-quantizer size
+    * and Lloyd's iterations for [[graft.ops.Ivf.build]]. */
+  val IvfClusters = 8
+  val IvfIters = 3
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+
+  /** Session-memoized learned IVF index: v7 and v8 probe the SAME
+    * trained index (one KMeans run per session, Derived-managed
+    * persists for both index tables — the production shape, where the
+    * index is built once and every query probes it).
+    */
+  private def learnedIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
+    var built: Option[graft.ops.Ivf.Index] = None
+    def b: graft.ops.Ivf.Index = {
+      if (built.isEmpty)
+        built = Some(graft.ops.Ivf.build(emb(s, d), "vec_id", "embedding",
+          k = IvfClusters, iters = IvfIters))
+      built.get
+    }
+    val cents = Derived.of(s, d, "ivf_centroids")(b.centroids)
+    val assigned = Derived.of(s, d, "ivf_assigned")(b.assigned)
+    graft.ops.Ivf.Index(cents, assigned, "vec_id")
+  }
 
   /** The cosine expression shared by v1/d5: dot/(|a||b|). */
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -128,6 +151,44 @@ object VectorQ {
         .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
           col("nb_rank"), round(col("raw"), 4).as("score"))
         .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v7 — the SELF-CONTAINED learned-centroid IVF index
+    // (graft.ops.Ivf: KMeans-trained coarse quantizer, bucketed
+    // assignment, nprobe probing) driven end to end, probed with
+    // nprobe = IvfClusters. Probing EVERY bucket makes the result
+    // exact by construction — the answer is independent of where the
+    // (float-sum-order-sensitive) trained centroids landed — so the
+    // full brute-force DuckDB oracle applies while the query still
+    // exercises the real index path: train → assign → per-query
+    // bucket ranking → candidate scan → bounded-heap top-k. Runs its
+    // training jobs at DataFrame construction (iterative), like x5.
+    "v7_knn_ivf_learned" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = learnedIndex(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(idx, q, nprobe = IvfClusters, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v8 — the same learned index in its production configuration:
+    // nprobe = 2 of IvfClusters buckets, candidate set ~2/k of the
+    // corpus. Approximate by design (bucket choice follows the
+    // trained centroids), so no SQL oracle — rows-only check; the
+    // recall-vs-nprobe contract (nprobe = k ⇒ exact; candidates only
+    // shrink as nprobe drops) is pinned by IvfSpec.
+    "v8_knn_ivf_probe2" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = learnedIndex(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(idx, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
     })
   )
 
@@ -198,6 +259,24 @@ object VectorQ {
         |SELECT qid, probe_label, nb_id, CAST(rn AS INT) AS nb_rank,
         |  round(raw, 4) AS score
         |FROM ranked
+        |WHERE rn <= 3
+        |ORDER BY qid, nb_rank""".stripMargin,
+
+    // v7: nprobe = k probes every bucket, so the learned index must
+    // return EXACTLY the brute-force k-NN — the oracle is the same
+    // window query as v4's, grading the whole train/assign/probe path
+    // by the hard hash signal. (v8, nprobe = 2, is approximate by
+    // design: rows-only.)
+    "v7_knn_ivf_learned" ->
+      """SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(raw, 4) AS score
+        |FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nb_id,
+        |    list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
         |WHERE rn <= 3
         |ORDER BY qid, nb_rank""".stripMargin
   )

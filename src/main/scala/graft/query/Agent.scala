@@ -32,6 +32,13 @@ object Agent {
   case class Corpus(chunksV: DataFrame, papers: DataFrame,
                     nodes: DataFrame, edges: DataFrame)
 
+  /** Hard cap on planner steps — the reference's loop bound
+    * (agent.py:32 `MAX_ITERATIONS = 6`; the for-loop at agent.py:142).
+    * Our deterministic plan uses at most 3 tools, so the cap is an
+    * invariant (checked in [[run]]), not a truncation.
+    */
+  val MaxIterations = 6
+
   private val GraphCue = Seq("related", "relationship", "connected", "graph")
 
   def isGraphQuery(question: String): Boolean = {
@@ -70,7 +77,9 @@ object Agent {
     val citations = hits.limit(5).cache()
     val nCitations = citations.count()
 
-    tools :+= "summarize_context" // force-invoked (agent.py:204-211)
+    // force-invoked, appended to tools_used only when absent
+    // (agent.py:204-211) — with this planner that is always
+    if (!tools.contains("summarize_context")) tools :+= "summarize_context"
     val answer =
       if (nCitations == 0)
         "I'm sorry, I could not find relevant context to answer that."
@@ -81,6 +90,11 @@ object Agent {
     graphHits.foreach(_.count())
 
     val latencyMs = (System.nanoTime() - t0) / 1000000
+    // steps ≡ tool invocations (one tool per planner step here; the
+    // reference counts loop iterations, agent.py:141-143) and can
+    // never exceed the reference's MAX_ITERATIONS bound.
+    assert(tools.size <= MaxIterations,
+      s"planner exceeded MAX_ITERATIONS=$MaxIterations: $tools")
     val result = AgentResult(answer, citations, tools, steps = tools.size, latencyMs = latencyMs)
 
     historyDir.foreach { dir =>

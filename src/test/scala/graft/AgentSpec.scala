@@ -108,6 +108,33 @@ class AgentSpec extends SparkSpec {
       Seq("search_knowledge_graph", "search_papers", "summarize_context"))
   }
 
+  test("loop accounting: steps == tools_used length, bounded by MAX_ITERATIONS (agent.py:32,142,219-228)") {
+    assert(Agent.MaxIterations == 6) // agent.py:32
+    val plain = Agent.run(corpus, "what is a spark query", queryVec)
+    // the reference returns steps (loop iterations) alongside
+    // tools_used (agent.py:219-228); our planner runs one tool per
+    // step, so the two agree and sit inside the loop bound
+    assert(plain.steps == plain.toolsUsed.size)
+    val graph = Agent.run(corpus, "what is related to spark", queryVec)
+    assert(graph.steps == graph.toolsUsed.size)
+    assert(graph.steps <= Agent.MaxIterations)
+    // summarize_context is appended only when absent (agent.py:204-211)
+    assert(graph.toolsUsed.count(_ == "summarize_context") == 1)
+  }
+
+  test("graph-cue question with ZERO graph hits: compensating search still cites (agent.py:185-188)") {
+    // 'relationship' trips the KG cue, but no entity in the corpus
+    // matches — the reference would get an empty KG result and, with
+    // no citations yet, fall back to _fast_search (agent.py:185-188)
+    val res = Agent.run(corpus,
+      "relationship between zzzqqqzzz and xxyyzzxx", queryVec)
+    assert(res.toolsUsed ==
+      Seq("search_knowledge_graph", "search_papers", "summarize_context"))
+    assert(res.citations.count() > 0) // compensating vector search cited
+    assert(res.answer.startsWith("[1] ")) // summarize ran over them
+    assert(res.steps <= Agent.MaxIterations)
+  }
+
   test("empty corpus -> apology answer (agent.py:213-214)") {
     val empty = corpus.chunksV.filter(lit(false))
     val res = Agent.run(corpus.copy(chunksV = empty), "anything", queryVec)

@@ -23,6 +23,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.filter(col("rep_id") =!= 1L).count() == 0)
   }
 
+  test("reliable checkpoint mode matches local mode and requires a checkpoint dir") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    // without a checkpoint dir the reliable mode must fail fast
+    val prior = spark.sparkContext.getCheckpointDir
+    if (prior.isEmpty)
+      intercept[IllegalArgumentException] {
+        DedupCluster.clusters(pairs, reliable = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("dc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = DedupCluster.clusters(pairs, reliable = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = DedupCluster.clusters(pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reliable == local)
+    // the reliable run actually wrote checkpoint files
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("end-to-end: minhash pairs -> clusters -> representative set") {
     val dir = java.nio.file.Files.createTempDirectory("dc").toString
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")

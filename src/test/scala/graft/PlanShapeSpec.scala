@@ -29,6 +29,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("global chunk index is the custom Tungsten operator, no RDD re-entry (k1/k8)") {
+    // the numbering must come from GlobalIndexExec (InternalRow,
+    // planner-inserted range exchange), not a df.rdd.zipWithIndex hop
+    // re-entering the plan as Scan ExistingRDD
+    for (q <- Seq("k1_chunks", "k8_chunks_v")) {
+      val p = plan(q)
+      assert(p.contains("GlobalIndex"), s"$q should plan GlobalIndexExec")
+      assert(!p.contains("ExistingRDD"), s"$q must not re-enter via Scan ExistingRDD")
+    }
+  }
+
   test("dimension joins broadcast; no cartesian or nested-loop joins") {
     for (q <- Seq("q3_shipping_priority", "q5_local_supplier_volume", "k6_graph_2hop")) {
       val p = plan(q)
