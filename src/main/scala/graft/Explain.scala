@@ -9,7 +9,8 @@ object Explain {
     for (q <- Seq("q1_pricing_summary","q3_shipping_priority","q6_revenue_forecast",
                   "q19_topk_orders","v1_cosine_topk","k7_search_chunks",
                   "k1_chunks","k9_triangles","d2_dedup_jaccard","d3_dedup_minhash",
-                  "x2_asof_attrib","k10_sections")) {
+                  "x2_asof_attrib","k10_sections","v7_knn_ivf_learned",
+                  "d7_dedup_editdist","m2_decode_frames")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

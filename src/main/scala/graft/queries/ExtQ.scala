@@ -207,6 +207,41 @@ object ExtQ {
         .orderBy(col("event_id"))
     }),
 
+    // x6 — the training-data CLEANING PIPELINE as ONE declarative
+    // plan: quality gate (token count + max word length) → exact
+    // dedup (first-wins per md5) → deterministic train/val/test split
+    // (t6's salted hash buckets) → per-(split, lang) corpus summary.
+    // This is the composition story: each stage is an operator the
+    // suite already checks in isolation (t2/d1/t6); composed, Catalyst
+    // still plans it as scans + two shuffles (dedup key, summary key)
+    // with every filter pushed below the joins — no materialization
+    // between stages, which at 100 TB is the difference between one
+    // pass and four.
+    "x6_clean_pipeline" -> ((s, d) => {
+      import graft.ops.TextFns
+      val toks = TextFns.tokens(col("text"))
+      val filtered = Tables.load(s, d, "documents")
+        .withColumn("n_words", size(toks))
+        .withColumn("max_wlen", array_max(transform(toks, t => length(t))))
+        .filter(col("n_words").between(30, 5000) && col("max_wlen") <= 50)
+        .withColumn("k", md5(col("text")))
+      // keepers = the min doc_id of every md5 group; a doc survives
+      // dedup iff its own id is a keeper id (ids are unique), so the
+      // semi join needs only doc_id — no ambiguous self-join on k.
+      val keepers = filtered.groupBy(col("k"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = filtered.join(keepers, Seq("doc_id"), "left_semi")
+      val bucket = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string"))) % 100
+      deduped
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -377,6 +412,34 @@ object ExtQ {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "x6_clean_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, lang, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    list_max(list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> CAST(length(t) AS INT))) AS max_wlen
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT * FROM toks
+        |  WHERE n_words BETWEEN 30 AND 5000 AND max_wlen <= 50),
+        |deduped AS (
+        |  SELECT * FROM filtered f
+        |  WHERE doc_id = (SELECT min(doc_id) FROM filtered g
+        |                  WHERE md5(g.text) = md5(f.text))),
+        |labeled AS (
+        |  SELECT *,
+        |    CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      % 100 AS b
+        |  FROM deduped)
+        |SELECT CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM labeled
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
 
     "q29_sql_script" ->
       """SELECT label, COUNT(*) AS n_vectors,

@@ -119,10 +119,16 @@ object RelationalQ {
         .orderBy(col("c_custkey"))
     }),
 
-    // q8 — anti join (NOT EXISTS).
+    // q8 — anti join (NOT EXISTS): customers with no 1996 order — the
+    // exact complement of q7's semi join, so the result is non-empty
+    // and the oracle check is meaningful (an unconstrained NOT EXISTS
+    // matches nobody in this fixture: every customer has some order).
     "q8_anti_join" -> ((s, d) => {
+      val ord96 = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(ord96, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -365,7 +371,10 @@ object RelationalQ {
 
     "q8_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q9_outer_join_agg" ->

@@ -26,6 +26,10 @@ object TextQ {
     * signed-64 range. */
   val RollMask = (1L << 56) - 1
 
+  /** Fixed query for the BM25 retrieval demo (t10); shared verbatim
+    * with the oracle. */
+  val BmQueryTerms = Seq("spark", "join", "vector")
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -196,6 +200,65 @@ object TextQ {
         .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
         .orderBy(col("n_occ").desc, col("gram"))
         .limit(20)
+    }),
+
+    // t10 — BM25 lexical retrieval (k1=1.2, b=0.75): the classic
+    // inverted-index ranking twin of the vector search in k7/v1 — a
+    // RAG engine needs both. Plan shape is the 100 TB one: the term
+    // filter lands BEFORE the tf shuffle (only the query terms'
+    // postings are ever aggregated), df is a 3-row broadcast,
+    // (n_docs, avgdl) a 1-row broadcast, and the only full-corpus
+    // shuffle is the doc-length join on doc_id. Top-10 via
+    // TakeOrderedAndProject, never a global sort.
+    "t10_bm25" -> ((s, d) => {
+      val qterms = BmQueryTerms
+      val (k1, b) = (1.2, 0.75)
+      val base = docs(s, d)
+        .select(col("doc_id"), TextFns.wordCount(col("text")).as("dl"),
+          TextFns.tokens(col("text")).as("w"))
+      val toks = base
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("term"))
+        .filter(col("term").isin(qterms.map(lit): _*))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = base.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val contrib = tf
+        .join(broadcast(df), Seq("term"))
+        .join(base.select(col("doc_id"), col("dl")), Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .withColumn("c",
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      contrib.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          sum(col("tf")).as("total_tf"),
+          round(sum(col("c")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // t11 — quality-weighted mixture sampling: per-source keep rates
+    // (the data-mixture knob every pretraining corpus tunes), decided
+    // by a salted hash of doc_id against the source's rate in basis
+    // points. Pure narrow map + one summary shuffle; membership is a
+    // deterministic function of (doc_id, source) — any engine, any
+    // partitioning, any cluster size reproduces the same sample.
+    "t11_mixture_sample" -> ((s, d) => {
+      val tier = regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4
+      val rateBps = element_at(array(lit(10000), lit(5000), lit(2500), lit(1000)),
+        tier + 1)
+      val h = TextFns.hash60(concat(lit("mix|"), col("doc_id").cast("string"))) % 10000
+      docs(s, d)
+        .withColumn("rate_bps", rateBps)
+        .withColumn("kept", (h < col("rate_bps")).cast("int"))
+        .groupBy(col("source"), col("rate_bps"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .orderBy(col("source"))
     }),
 
     // t9 — PII redaction: emails, URLs, long digit runs → typed
@@ -418,6 +481,57 @@ object TextQ {
         |FROM g GROUP BY gram
         |ORDER BY n_occ DESC, gram
         |LIMIT 20""".stripMargin,
+
+    // t10: same BM25 math; ln() may differ from the JVM's Math.log in
+    // the final ulp, and the 3-term sum order differs between engines
+    // — both are ~1e-15 relative against a 1e-4 rounding grid, so the
+    // round(4) hash is stable (same argument as the cosine queries).
+    "t10_bm25" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, lower(unnest(w)) AS term FROM base),
+         |qt AS (
+         |  SELECT doc_id, term FROM toks
+         |  WHERE term IN (${BmQueryTerms.map(t => s"'$t'").mkString(", ")})),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * base.dl / st.avgdl)) AS c
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN base USING (doc_id)
+         |  CROSS JOIN st)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+         |  CAST(SUM(tf) AS BIGINT) AS total_tf, round(SUM(c), 4) AS bm25
+         |FROM contrib
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    "t11_mixture_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    [10000, 5000, 2500, 1000]
+        |      [CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 + 1] AS rate_bps,
+        |    CAST(('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      % 10000 AS h
+        |  FROM documents)
+        |SELECT source, CAST(rate_bps AS INT) AS rate_bps,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN h < rate_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM r
+        |GROUP BY source, rate_bps
+        |ORDER BY source""".stripMargin,
 
     "t9_redact" ->
       """SELECT doc_id,

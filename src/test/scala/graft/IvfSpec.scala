@@ -45,6 +45,21 @@ class IvfSpec extends SparkSpec {
     assert(approx.map(_._1) == brute.map(_._1))
   }
 
+  test("probe monotonicity: narrow-probe scores never beat the exact probe rank-wise") {
+    // a narrower probe only SHRINKS the candidate set, so at every
+    // rank its score is <= the exact (nprobe = k) score — the
+    // approximation contract v8_knn_ivf_probe2 relies on
+    def byRank(nprobe: Int) = Ivf.probe(index, queries, nprobe, topK = 3)
+      .select("qid", "nb_rank", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exact = byRank(4)
+    val narrow = byRank(2)
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (key, s) =>
+      assert(s <= exact(key) + 1e-12, s"$key: narrow $s > exact ${exact(key)}")
+    }
+  }
+
   test("ranks are dense from 1 and scores non-increasing per query") {
     val out = Ivf.probe(index, queries, nprobe = 2, topK = 3)
       .orderBy("qid", "nb_rank").collect()

@@ -20,6 +20,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # optional third arg: comma-separated name prefixes to check
+    if len(sys.argv) > 3:
+        prefixes = sys.argv[3].split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in prefixes)}
     ok = fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
