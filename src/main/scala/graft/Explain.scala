@@ -10,7 +10,9 @@ object Explain {
                   "q19_topk_orders","v1_cosine_topk","k7_search_chunks",
                   "k1_chunks","k9_triangles","d2_dedup_jaccard","d3_dedup_minhash",
                   "x2_asof_attrib","k10_sections","v7_knn_ivf_learned",
-                  "d7_dedup_editdist","m2_decode_frames")) {
+                  "d7_dedup_editdist","m2_decode_frames","t10_bm25",
+                  "x6_clean_pipeline","x7_pack_sequences","x8_merge_upsert",
+                  "v9_knn_pq")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -242,6 +242,65 @@ object ExtQ {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // x7 — sequence PACKING: assign documents to fixed token-budget
+    // packs (the batch-assembly step before pretraining). Docs are
+    // concatenated in deterministic order and a doc belongs to the
+    // pack where its first token lands. Packing runs within
+    // (lang, shard) where shard is a salted hash of doc_id — real
+    // pipelines pack per shard precisely so that NO global (or even
+    // per-language) ordered cumsum exists: every window partition is
+    // bounded by corpus_size / n_shards, and n_shards scales with the
+    // data (8 here; ~1 shard per executor-sized slice at 100 TB).
+    // Output is still a pure function of the data, independent of
+    // cluster partitioning.
+    "x7_pack_sequences" -> ((s, d) => {
+      import graft.ops.TextFns
+      val budget = 2048
+      val shard = (TextFns.hash60(concat(lit("pack|"), col("doc_id").cast("string"))) % 8)
+        .cast("int")
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFns.wordCount(col("text")).as("n_tokens"), shard.as("shard"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / budget).cast("int"))
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
+    // x8 — SCD-1 MERGE (ops.Merge): apply a latest-wins changeset to
+    // the customer snapshot in one shuffle (union + max_by per key —
+    // no window over the 100 TB side, no sort). The changeset is
+    // CDC-shaped from orders: each customer's latest 1997+ order
+    // updates their balance; cheap latest orders (< 30k) are account
+    // closures (deletes).
+    "x8_merge_upsert" -> ((s, d) => {
+      import graft.ops.Merge
+      val snapshot = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val wl = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val changes = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1)
+        .join(snapshot.select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("o_totalprice").as("c_acctbal"),
+          when(col("o_totalprice") < 30000, "D").otherwise("U").as("op"))
+      Merge.upsert(snapshot, changes, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -440,6 +499,44 @@ object ExtQ {
         |FROM labeled
         |GROUP BY 1, 2
         |ORDER BY split, lang""".stripMargin,
+
+    "x7_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(CAST(('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      % 8 AS INT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, shard,
+        |  CAST(floor((cum - n_tokens) / 2048) AS INT) AS pack_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang, shard, pack_id""".stripMargin,
+
+    "x8_merge_upsert" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |chg AS (
+        |  SELECT o_custkey AS c_custkey, o_totalprice,
+        |    CASE WHEN o_totalprice < 30000 THEN 'D' ELSE 'U' END AS op
+        |  FROM latest WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_name,
+        |  round(COALESCE(g.o_totalprice, c.c_acctbal), 2) AS c_acctbal
+        |FROM customer c LEFT JOIN chg g USING (c_custkey)
+        |WHERE g.op IS NULL OR g.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q29_sql_script" ->
       """SELECT label, COUNT(*) AS n_vectors,

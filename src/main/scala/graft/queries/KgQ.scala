@@ -358,10 +358,92 @@ object KgQ {
         .limit(5)
         .select(col("chunk_id"), col("paper_id"), col("title"),
           round(col("raw"), 4).as("score"))
+    }),
+
+    // k11 — PageRank (10 fixed power iterations, damping 0.85) over
+    // the symmetrized customer–supplier graph from orders⋈lineitem.
+    // The iterative-graph-analytics staple on top of the same
+    // machinery as d6's connected components: per round ONE edge⋈rank
+    // join + ONE sum shuffle, ranks localCheckpoint'ed so lineage
+    // stays flat; the driver holds only the node-count scalar. The
+    // per-edge math is rank/od (not rank·(1/od)) so every IEEE
+    // operation matches the oracle's unrolled 10-step CTE chain
+    // bit-for-bit before the final round(4).
+    "k11_pagerank" -> ((s, d) => {
+      val damp = PrDamping
+      val ed = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+      // symmetrize, then bake the out-degree onto each edge ONCE —
+      // the per-round loop touches only (src, dst, od) + the rank.
+      val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+        .union(ed.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val ew = edges.join(deg, "src").localCheckpoint(true)
+      val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
+      val n = nodes.count()
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to PrIters) {
+        val inflow = ew
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") / col("od")).as("inflow"))
+        ranks = nodes.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            (lit((1 - damp) / n) +
+              lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      // normalized rank (mean 1.0) so round(4) carries real precision
+      ranks.select(col("node"), round(col("rank") * n, 4).as("rank_norm"))
+        .orderBy(col("node"))
     })
   )
 
+  /** PageRank constants, shared with the oracle builder. */
+  val PrDamping = 0.85
+  val PrIters = 10
+
+  /** The k11 oracle: the same 10 power iterations UNROLLED as a CTE
+    * chain (standard SQL forbids aggregates in a recursive term, so
+    * the fixed-depth chain is the portable form). Built by a loop so
+    * the per-iteration SQL is written once. All literals are cast to
+    * DOUBLE — DuckDB would otherwise read 0.85 as DECIMAL(3,2) and
+    * diverge from the engine's double math.
+    */
+  private def pagerankOracle: String = {
+    val d = PrDamping
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT g.src AS node,
+         |    (1 - $d::DOUBLE) / n.n + $d::DOUBLE * COALESCE(s.inflow, 0::DOUBLE) AS rank
+         |  FROM deg g CROSS JOIN n
+         |  LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank / e.od) AS inflow
+         |    FROM ew e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) s ON g.src = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b AS src, a AS dst FROM ed),
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, deg.od FROM e JOIN deg ON e.src = deg.src),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1::DOUBLE / n.n AS rank FROM deg CROSS JOIN n),
+       |$steps
+       |SELECT node, round(rank * n.n, 4) AS rank_norm
+       |FROM r$PrIters CROSS JOIN n
+       |ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "k11_pagerank" -> pagerankOracle,
+
     "k1_chunks" ->
       s"""$ctePrefix
          |SELECT chunk_id, paper_id, chunk_index, chunk_ord, word_count, text_content

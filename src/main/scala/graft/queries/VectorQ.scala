@@ -22,6 +22,12 @@ object VectorQ {
   val IvfClusters = 8
   val IvfIters = 3
 
+  /** Fixture embedding dimensionality (TESTDATA.md). */
+  val EmbDim = 64
+  val PqM = 4
+  val PqK = 16
+  val PqIters = 3
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
@@ -41,6 +47,21 @@ object VectorQ {
     val cents = Derived.of(s, d, "ivf_centroids")(b.centroids)
     val assigned = Derived.of(s, d, "ivf_assigned")(b.assigned)
     graft.ops.Ivf.Index(cents, assigned, "vec_id")
+  }
+
+  /** Session-memoized PQ index (same pattern as [[learnedIndex]]):
+    * codebooks + codes trained once, every query ADC-scans them. */
+  private def pqIndex(s: SparkSession, d: String): graft.ops.Pq.Index = {
+    var built: Option[graft.ops.Pq.Index] = None
+    def b: graft.ops.Pq.Index = {
+      if (built.isEmpty)
+        built = Some(graft.ops.Pq.build(emb(s, d), "vec_id", "embedding",
+          dim = EmbDim, m = PqM, k = PqK, iters = PqIters))
+      built.get
+    }
+    val cb = Derived.of(s, d, "pq_codebooks")(b.codebooks)
+    val enc = Derived.of(s, d, "pq_encoded")(b.encoded)
+    graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
   }
 
   /** The cosine expression shared by v1/d5: dot/(|a||b|). */
@@ -186,6 +207,25 @@ object VectorQ {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       graft.ops.Ivf.probe(idx, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v9 — ANN over PRODUCT-QUANTIZED codes (ops.Pq): 64-dim float
+    // vectors compressed to 4 codes of 4 bits; queries score
+    // candidates via a broadcast (m × k) lookup table — m array
+    // lookups + adds per row, no decompression, no join on the data
+    // path. Scores are quantized (that is the point), and the trained
+    // codebooks are float-sum-order dependent, so no SQL oracle —
+    // rows-only check; the recall / reconstruction / ADC-identity
+    // contracts are pinned by PqSpec.
+    "v9_knn_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = pqIndex(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Pq.search(idx, q, topK = 3)
         .select(col("qid"), col("nb_id"), col("nb_rank"),
           round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("nb_rank"))
