@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashAgg(exprs.head, bits).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(value, filter_bytes) - Bloom-filter membership probe over a BIGINT hash"),
+      graft.functions.BloomContains.build _))
+    ext.injectFunction((
       FunctionIdentifier("graft_hash60"),
       info("graft_hash60", "graft_hash60(s) - first 60 bits of md5(s) as a non-negative BIGINT"),
       (exprs: Seq[Expression]) => Hash60(arity("graft_hash60", 1)(exprs).head)))

@@ -55,6 +55,22 @@ object DedupQ {
     */
   val MaxEditChars = 4000
   val EditSimMin = 0.35
+  /** d8 SimHash near-dup: pairs at Hamming distance ≤ [[HammingMax]].
+    * The signature is banded into [[SimBands]] equal bit-slices; with
+    * 4 bands of 8 bits and a threshold of 3, banding is LOSSLESS by
+    * pigeonhole (3 differing bits can touch at most 3 of 4 bands, so
+    * every qualifying pair shares at least one full band) — the
+    * banded plan computes exactly the all-pairs answer. */
+  val HammingMax = 3
+  val SimBands = 4
+  /** d9 decontamination: word-n-gram width for benchmark overlap and
+    * the Bloom prefilter's false-positive rate. The benchmark (test
+    * split) n-gram set is MODEL-sized — bounded by the benchmark
+    * suite, not the corpus — so its Bloom sketch rides the plan to
+    * every task and prunes the corpus n-gram stream narrowly before
+    * the exact semi-join shuffle. */
+  val DecontamN = 8
+  val BloomFpp = 0.01
 
   private def docs(s: SparkSession, d: String) =
     // single-row-group parquet → 1 partition; spread the shingle /
@@ -84,6 +100,38 @@ object DedupQ {
   /** Session-memoized persisted shingle table (d2 and d3 share it). */
   private def shinglesOf(s: SparkSession, d: String): DataFrame =
     Derived.of(s, d, "shingles")(shingles(docs(s, d)))
+
+  /** Session-memoized SimHash signatures (d4 and d8 share it). */
+  private def simhashOf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "simhash") {
+      graft.functions.SimHashAgg.register(s)
+      docs(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .withColumn("th", TextFns.hash60(col("token")))
+        .groupBy(col("doc_id"))
+        .agg(call_function("graft_simhash", col("th"), lit(SimHashBits)).as("simhash"))
+    }
+
+  /** Distinct word-[[DecontamN]]-grams per document plus the t6 split
+    * label (same salted hash-bucket formula), memoized: the d9 test
+    * and train sides both read it. */
+  private def splitNgramsOf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "split_ngrams") {
+      val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
+      val w = TextFns.tokens(col("text"))
+      docs(s, d)
+        .withColumn("split",
+          when((h % 100).cast("int") < 80, "train")
+            .when((h % 100).cast("int") < 90, "val")
+            .otherwise("test"))
+        .withColumn("_w", w)
+        .withColumn("_n", size(col("_w")))
+        .filter(col("_n") >= DecontamN)
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(
+            transform(sequence(lit(1), col("_n") - (DecontamN - 1)),
+              i => array_join(slice(col("_w"), i, lit(DecontamN)), " ")))).as("ngram"))
+    }
 
   /** Shingles surviving the relative df-cap — the inverted index both
     * d2 sides read. Managed (and eventually unpersisted) by Derived. */
@@ -185,12 +233,67 @@ object DedupQ {
     // ([[graft.functions.SimHashAgg]]) — constant-width state,
     // map-side partials, order-independent integer merge.
     "d4_dedup_simhash" -> ((s, d) => {
-      graft.functions.SimHashAgg.register(s)
-      docs(s, d)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
-        .withColumn("th", TextFns.hash60(col("token")))
-        .groupBy(col("doc_id"))
-        .agg(call_function("graft_simhash", col("th"), lit(SimHashBits)).as("simhash"))
+      simhashOf(s, d).orderBy(col("doc_id"))
+    }),
+
+    // d8 — SimHash near-dup PAIRS: band the 32-bit signature into 4
+    // byte-slices, bucket-join on (band, value), then the exact
+    // Hamming cut bit_count(xor) ≤ HammingMax. Banding is lossless at
+    // this threshold (see HammingMax above), so the oracle is the
+    // straightforward all-pairs join while the plan stays
+    // O(collisions): pairs only form inside byte buckets — the
+    // signature-level LSH that scales where d3's shingle-level LSH
+    // pays per-shingle cost.
+    "d8_dedup_hamming" -> ((s, d) => {
+      val bandBits = SimHashBits / SimBands
+      val sig = simhashOf(s, d)
+      val bandArr = array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        posexplode(bandArr).as(Seq("band", "bv")))
+      val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+        col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+        col("band"), col("bv"))
+      a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= HammingMax)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // d9 — benchmark DECONTAMINATION: a train document is contaminated
+    // if it shares any word-8-gram with a test-split document. The
+    // test n-gram set is collapsed into a Bloom sketch (one
+    // model-sized aggregation) that prunes the train n-gram stream
+    // inside WholeStageCodegen BEFORE the exchange; the exact
+    // semi-join over the few survivors keeps the answer exact (the
+    // sketch admits false positives, never false negatives). Output
+    // is the per-train-doc verdict. NOTE: building the sketch runs a
+    // job when the DataFrame is BUILT (like d6's fixpoint loop).
+    "d9_decontaminate" -> ((s, d) => {
+      graft.functions.BloomContains.register(s)
+      val ng = splitNgramsOf(s, d)
+      val testNg = ng.filter(col("split") === "test")
+        .select(col("ngram")).distinct()
+      val nTest = testNg.count()
+      val bf = testNg.select(xxhash64(col("ngram")).as("h"))
+        .stat.bloomFilter("h", math.max(1000L, nTest), BloomFpp)
+      val cand = ng.filter(col("split") === "train")
+        .filter(graft.functions.BloomContains.contains(xxhash64(col("ngram")), bf))
+      val hits = cand.join(testNg, Seq("ngram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bad"))
+      val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
+      val trainDocs = docs(s, d)
+        .filter((h % 100).cast("int") < 80)
+        .select(col("doc_id"))
+      trainDocs.join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+        .withColumn("keep", col("n_bad") === 0)
         .orderBy(col("doc_id"))
     }),
 
@@ -376,6 +479,62 @@ object DedupQ {
            |  FROM hashed GROUP BY doc_id)
            |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
            |FROM bits
+           |ORDER BY doc_id""".stripMargin,
+
+      // Banding is lossless at HammingMax ≤ SimBands-1 (pigeonhole),
+      // so the oracle states the SEMANTICS — the all-pairs Hamming
+      // cut — while the Spark plan earns the same answer through the
+      // byte-band bucket join.
+      "d8_dedup_hamming" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS th
+           |  FROM toks),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSumExprs
+           |  FROM hashed GROUP BY doc_id),
+           |sig AS (
+           |  SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+           |  FROM bits)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      // The Bloom prefilter is an admissible prune (false positives
+      // are removed by the exact semi-join; false negatives are
+      // impossible), so the oracle needs only the exact semantics:
+      // train docs sharing any word-8-gram with a test doc.
+      "d9_decontaminate" ->
+        s"""WITH lab AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           |           % 100 < 80 THEN 'train'
+           |         WHEN CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           |           % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |ng AS (
+           |  SELECT doc_id, split, unnest(list_distinct(
+           |    list_transform(
+           |      generate_series(1, len(string_split_regex(trim(text), '\\s+')) - ${DecontamN - 1}),
+           |      i -> array_to_string(
+           |        list_slice(string_split_regex(trim(text), '\\s+'), i, i + ${DecontamN - 1}), ' ')))) AS ngram
+           |  FROM lab
+           |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $DecontamN),
+           |test_ng AS (SELECT DISTINCT ngram FROM ng WHERE split = 'test'),
+           |hits AS (
+           |  SELECT doc_id, COUNT(*) AS n_bad FROM ng
+           |  WHERE split = 'train' AND ngram IN (SELECT ngram FROM test_ng)
+           |  GROUP BY doc_id)
+           |SELECT l.doc_id, COALESCE(h.n_bad, 0) AS n_bad,
+           |  COALESCE(h.n_bad, 0) = 0 AS keep
+           |FROM lab l LEFT JOIN hits h USING (doc_id)
+           |WHERE l.split = 'train'
            |ORDER BY doc_id""".stripMargin,
 
       "d5_dedup_embedding" ->

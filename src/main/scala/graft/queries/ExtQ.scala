@@ -21,6 +21,12 @@ import graft.ops.VectorOps
   */
 object ExtQ {
 
+  /** x9 range join: attribution-window length (seconds; also the
+    * time-bucket width, so every interval spans ≤ 2 buckets) and the
+    * purchase-value floor that opens a window. */
+  val RangeWindowSec = 900
+  val RangeValueMin = 100.0
+
   val defs: Map[String, Q] = Map(
     // j5 — arrays_zip + posexplode: pair parallel arrays positionally.
     "j5_zip_arrays" -> ((s, d) => {
@@ -301,6 +307,37 @@ object ExtQ {
         .orderBy(col("c_custkey"))
     }),
 
+    // x9 — POINT-IN-INTERVAL RANGE JOIN (no equi key): attribute
+    // click events to the 15-minute windows opened by high-value
+    // purchases. The naive plan is a cross join with a BETWEEN
+    // filter — O(n·m) and a BroadcastNestedLoopJoin at any scale.
+    // Bucketizing time into window-length buckets turns it into an
+    // EQUI join: each interval covers at most 2 buckets (exploded),
+    // each event has exactly 1, so candidates are only co-bucketed
+    // pairs and the exact BETWEEN cut runs on those. Pair volume is
+    // O(events_per_bucket · windows_per_bucket) per bucket — the
+    // standard range-join binning that survives 100 TB, with the
+    // bucket width tied to the interval length so the expansion
+    // factor stays ≤ 2.
+    "x9_range_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val iv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= RangeValueMin)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr(s"INTERVAL $RangeWindowSec SECONDS")).as("w_end"))
+      val ivB = iv.withColumn("bucket",
+        explode(sequence(
+          floor(unix_timestamp(col("w_start")) / RangeWindowSec),
+          floor(unix_timestamp(col("w_end")) / RangeWindowSec))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("bucket", floor(unix_timestamp(col("ts")) / RangeWindowSec))
+      clicks.join(ivB, Seq("bucket"))
+        .filter(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .select(col("window_id"), col("event_id"), col("user_id"))
+        .orderBy(col("window_id"), col("event_id"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -520,6 +557,22 @@ object ExtQ {
         |FROM c
         |GROUP BY 1, 2, 3
         |ORDER BY lang, shard, pack_id""".stripMargin,
+
+    // The time-bucket expansion is an admissible candidate generator
+    // (co-bucketing is implied by containment), so the oracle states
+    // the plain BETWEEN-join semantics.
+    "x9_range_join" ->
+      s"""WITH iv AS (
+         |  SELECT event_id AS window_id, ts AS w_start,
+         |    ts + INTERVAL $RangeWindowSec SECOND AS w_end
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value >= $RangeValueMin),
+         |c AS (
+         |  SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'click')
+         |SELECT iv.window_id, c.event_id, c.user_id
+         |FROM iv JOIN c ON c.ts >= iv.w_start AND c.ts <= iv.w_end
+         |ORDER BY window_id, event_id""".stripMargin,
 
     "x8_merge_upsert" ->
       """WITH latest AS (

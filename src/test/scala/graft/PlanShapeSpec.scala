@@ -52,6 +52,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("range join buckets to an equi join — no nested-loop or cartesian (x9)") {
+    // the BETWEEN predicate alone would plan BroadcastNestedLoopJoin;
+    // the time-bucket expansion must turn it into a hash equi-join
+    val p = plan("x9_range_join")
+    assert(!p.contains("CartesianProduct"), "x9 must not plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "x9 must not fall back to a nested-loop join — the bucket key should drive a hash join")
+  }
+
+  test("simhash near-dup pairs form only inside byte-band buckets (d8)") {
+    val p = plan("d8_dedup_hamming")
+    assert(!p.contains("CartesianProduct"), "d8 must not plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "d8 band join must be an equi join")
+  }
+
+  test("decontamination probes the Bloom sketch before any exchange (d9)") {
+    // the narrow graft_bloom_contains prune must sit in the plan (the
+    // corpus n-gram stream is filtered inside codegen, not shuffled
+    // wholesale into the semi-join)
+    val p = plan("d9_decontaminate")
+    assert(p.contains("graft_bloom_contains"),
+      "d9 should keep the Bloom prefilter in the physical plan")
+    assert(!p.contains("CartesianProduct"), "d9 must not plan a cartesian product")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     for (q <- Seq("q19_topk_orders", "v1_cosine_topk", "k7_search_chunks"))
       assert(plan(q).contains("TakeOrderedAndProject"), q)
