@@ -325,15 +325,10 @@ object ExtQ {
           col("value") >= RangeValueMin)
         .select(col("event_id").as("window_id"), col("ts").as("w_start"),
           (col("ts") + expr(s"INTERVAL $RangeWindowSec SECONDS")).as("w_end"))
-      val ivB = iv.withColumn("bucket",
-        explode(sequence(
-          floor(unix_timestamp(col("w_start")) / RangeWindowSec),
-          floor(unix_timestamp(col("w_end")) / RangeWindowSec))))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
-        .withColumn("bucket", floor(unix_timestamp(col("ts")) / RangeWindowSec))
-      clicks.join(ivB, Seq("bucket"))
-        .filter(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      graft.ops.RangeJoin.pointInInterval(clicks, iv,
+          "ts", "w_start", "w_end", RangeWindowSec)
         .select(col("window_id"), col("event_id"), col("user_id"))
         .orderBy(col("window_id"), col("event_id"))
     }),
