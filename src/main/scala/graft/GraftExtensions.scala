@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashAgg(exprs.head, bits).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(term, k) - Misra-Gries heavy-hitter candidate aggregate (array<string>)"),
+      graft.functions.HeavyHittersAgg.build _))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains",
         "graft_bloom_contains(value, filter_bytes) - Bloom-filter membership probe over a BIGINT hash"),

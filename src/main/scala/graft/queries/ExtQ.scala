@@ -27,6 +27,13 @@ object ExtQ {
   val RangeWindowSec = 900
   val RangeValueMin = 100.0
 
+  /** x10 heavy hitters: report terms with frequency > n/[[HhDen]]
+    * (exact), found via a Misra–Gries sketch of capacity [[HhK]].
+    * The guarantee needs HhK ≥ HhDen (summary error ≤ n/(HhK+1) <
+    * threshold n/HhDen, so no true heavy hitter can be evicted). */
+  val HhK = 400
+  val HhDen = 200
+
   val defs: Map[String, Q] = Map(
     // j5 — arrays_zip + posexplode: pair parallel arrays positionally.
     "j5_zip_arrays" -> ((s, d) => {
@@ -333,6 +340,34 @@ object ExtQ {
         .orderBy(col("window_id"), col("event_id"))
     }),
 
+    // x10 — EXACT heavy hitters via the two-pass sketch plan: pass 1
+    // collapses the term stream into one k-counter Misra–Gries
+    // summary per partition (constant memory, map-side combine,
+    // k-sized shuffle rows — functions/HeavyHittersAgg); pass 2
+    // recounts ONLY the ≤ k candidates (broadcast semi-join keeps the
+    // filter narrow; the groupBy then aggregates a few dozen terms,
+    // not the raw stream) and thresholds on the exact count. The
+    // sketch's no-false-negative guarantee (freq > n/(k+1) ⇒ in
+    // summary) makes the final answer exact — unlike x1/x4 this
+    // sketch query carries a full DuckDB oracle.
+    "x10_heavy_hitters" -> ((s, d) => {
+      graft.functions.HeavyHittersAgg.register(s)
+      val toks = Tables.load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(graft.ops.TextFns.tokens(col("text"))).as("tok"))
+        .select(lower(col("tok")).as("term"))
+      val cand = toks
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("term"), HhK).as("cands"))
+        .select(explode(col("cands")).as("term"))
+      val tot = toks.agg(count(lit(1)).as("n_toks"))
+      toks.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * HhDen > col("n_toks"))
+        .select(col("term"), col("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -552,6 +587,19 @@ object ExtQ {
         |FROM c
         |GROUP BY 1, 2, 3
         |ORDER BY lang, shard, pack_id""".stripMargin,
+
+    // The sketch pass is an admissible candidate generator (no false
+    // negatives above the threshold), so the oracle states the exact
+    // semantics: plain GROUP BY + HAVING on integer math.
+    "x10_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+         |  FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_toks FROM toks)
+         |SELECT term, COUNT(*) AS cnt
+         |FROM toks GROUP BY term
+         |HAVING COUNT(*) * $HhDen > (SELECT n_toks FROM tot)
+         |ORDER BY cnt DESC, term""".stripMargin,
 
     // The time-bucket expansion is an admissible candidate generator
     // (co-bucketing is implied by containment), so the oracle states
