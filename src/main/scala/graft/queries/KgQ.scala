@@ -387,14 +387,16 @@ object KgQ {
       val n = nodes.count()
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
       for (_ <- 1 to PrIters) {
-        val inflow = ew
+        // The graph is SYMMETRIZED, so every ranked node (= every node
+        // with an out-edge) also has an in-edge: inflow covers the full
+        // node set and the dangling-node outer join the general
+        // algorithm needs is provably a no-op here — one join per
+        // round, not two.
+        ranks = ew
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
-          .agg(sum(col("rank") / col("od")).as("inflow"))
-        ranks = nodes.join(inflow, Seq("node"), "left")
-          .select(col("node"),
-            (lit((1 - damp) / n) +
-              lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          .agg((lit((1 - damp) / n) +
+            lit(damp) * sum(col("rank") / col("od"))).as("rank"))
           .localCheckpoint(true)
       }
       // normalized rank (mean 1.0) so round(4) carries real precision
