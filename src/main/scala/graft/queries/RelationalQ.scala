@@ -279,6 +279,30 @@ object RelationalQ {
         .map(n => (n, t(s, d, n).count()))
         .toDF("table_name", "row_count")
         .orderBy(col("table_name"))
+    }),
+
+    // q30 — §2.5 window completion: lag (previous-order delta),
+    // lead (next order date), ntile spend-quartile per customer, and
+    // first_value over an explicit rows frame — all on ONE window
+    // partitioning (o_custkey), so the plan is a single shuffle +
+    // one sort feeding every function.
+    "q30_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("prev_delta",
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("spend_quartile", ntile(4).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+        .withColumn("first_price", first(col("o_totalprice")).over(wf))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("prev_delta"), col("next_date"), col("spend_quartile"),
+          col("first_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -470,6 +494,20 @@ object RelationalQ {
         |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
         |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
         |  UNION ALL SELECT 'region', COUNT(*) FROM region) x
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+
+    "q30_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS prev_delta,
+        |  lead(o_orderdate, 1) OVER w AS next_date,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS spend_quartile,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -41,6 +41,35 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("aggregate is streaming-safe: complete-mode summary matches batch candidates") {
+    // mergeability is exactly what Structured Streaming needs — the
+    // state store keeps the serialized MG buffer and merges each
+    // micro-batch's partials into it
+    import org.apache.spark.sql.streaming.OutputMode
+    HeavyHittersAgg.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("hhstream").toString
+    val (b1, b2) = stream.splitAt(stream.size / 2)
+    b1.toDF("term").write.mode("append").parquet(dir)
+    val q = spark.readStream.schema("term string").parquet(dir)
+      .agg(HeavyHittersAgg.heavyHitters(col("term"), 100).as("c"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      b2.toDF("term").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("hh_out")
+        .select(explode(col("c")).as("t")).as[String].collect().toSet
+      val n = stream.size
+      val mustHave = stream.groupBy(identity).collect {
+        case (t, occ) if occ.size > n / 101 => t
+      }.toSet
+      assert(mustHave.subsetOf(got),
+        s"streaming summary lost heavy hitters: ${mustHave -- got}")
+      assert(got.size <= 100)
+    } finally q.stop()
+  }
+
   test("two-pass exact answer is partition-invariant") {
     // the x10 shape in miniature: candidates -> exact recount ->
     // threshold; must be identical however the input is partitioned
