@@ -12,7 +12,9 @@ object Explain {
                   "x2_asof_attrib","k10_sections","v7_knn_ivf_learned",
                   "d7_dedup_editdist","m2_decode_frames","t10_bm25",
                   "x6_clean_pipeline","x7_pack_sequences","x8_merge_upsert",
-                  "v9_knn_pq")) {
+                  "v9_knn_pq","d8_dedup_hamming","d9_decontaminate",
+                  "x9_range_join","x10_heavy_hitters","q30_lead_lag",
+                  "k11_pagerank")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

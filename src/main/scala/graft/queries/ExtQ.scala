@@ -356,10 +356,17 @@ object ExtQ {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(graft.ops.TextFns.tokens(col("text"))).as("tok"))
         .select(lower(col("tok")).as("term"))
-      val cand = toks
-        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("term"), HhK).as("cands"))
-        .select(explode(col("cands")).as("term"))
-      val tot = toks.agg(count(lit(1)).as("n_toks"))
+      // ONE sketch pass carries both the MG summary and the stream
+      // length; Derived-persisted (it's a single row) so the candidate
+      // explode and the threshold read it without recomputing — the
+      // raw term stream is scanned exactly twice: sketch + recount.
+      val sketch = Derived.of(s, d, "hh_sketch") {
+        toks.agg(
+          graft.functions.HeavyHittersAgg.heavyHitters(col("term"), HhK).as("cands"),
+          count(lit(1)).as("n_toks"))
+      }
+      val cand = sketch.select(explode(col("cands")).as("term"))
+      val tot = sketch.select(col("n_toks"))
       toks.join(broadcast(cand), Seq("term"), "left_semi")
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(tot))
