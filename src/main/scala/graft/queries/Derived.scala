@@ -62,6 +62,18 @@ object Derived {
     }
   }
 
+  /** Non-building lookup: lets callers whose `build` would RUN JOBS
+    * (index training, fixpoint loops) check for a cached entry first,
+    * do the expensive work outside any lock, and only then hand the
+    * finished frames to [[of]] — preserving the no-jobs-under-lock
+    * invariant. Losing a build race wastes work but stays correct
+    * ([[of]] keeps the first entry). */
+  def peek(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    val m = cache.synchronized(cache.get(spark))
+    if (m == null) None
+    else Option(m.synchronized(m.get((dir, name))))
+  }
+
   /** Unpersist and drop everything cached for one session. */
   def invalidate(spark: SparkSession): Unit = {
     val m = cache.synchronized(cache.remove(spark))

@@ -37,31 +37,36 @@ object VectorQ {
     * index is built once and every query probes it).
     */
   private def learnedIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
-    var built: Option[graft.ops.Ivf.Index] = None
-    def b: graft.ops.Ivf.Index = {
-      if (built.isEmpty)
-        built = Some(graft.ops.Ivf.build(emb(s, d), "vec_id", "embedding",
-          k = IvfClusters, iters = IvfIters))
-      built.get
+    // KMeans training runs Spark jobs — peek first and train OUTSIDE
+    // Derived's lock (Derived.peek doc); a lost race wastes one
+    // training run but Derived.of keeps the first entry.
+    val cached = for {
+      c <- Derived.peek(s, d, "ivf_centroids")
+      a <- Derived.peek(s, d, "ivf_assigned")
+    } yield graft.ops.Ivf.Index(c, a, "vec_id")
+    cached.getOrElse {
+      val b = graft.ops.Ivf.build(emb(s, d), "vec_id", "embedding",
+        k = IvfClusters, iters = IvfIters)
+      val cents = Derived.of(s, d, "ivf_centroids")(b.centroids)
+      val assigned = Derived.of(s, d, "ivf_assigned")(b.assigned)
+      graft.ops.Ivf.Index(cents, assigned, "vec_id")
     }
-    val cents = Derived.of(s, d, "ivf_centroids")(b.centroids)
-    val assigned = Derived.of(s, d, "ivf_assigned")(b.assigned)
-    graft.ops.Ivf.Index(cents, assigned, "vec_id")
   }
 
   /** Session-memoized PQ index (same pattern as [[learnedIndex]]):
     * codebooks + codes trained once, every query ADC-scans them. */
   private def pqIndex(s: SparkSession, d: String): graft.ops.Pq.Index = {
-    var built: Option[graft.ops.Pq.Index] = None
-    def b: graft.ops.Pq.Index = {
-      if (built.isEmpty)
-        built = Some(graft.ops.Pq.build(emb(s, d), "vec_id", "embedding",
-          dim = EmbDim, m = PqM, k = PqK, iters = PqIters))
-      built.get
+    val cached = for {
+      cb <- Derived.peek(s, d, "pq_codebooks")
+      enc <- Derived.peek(s, d, "pq_encoded")
+    } yield graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
+    cached.getOrElse {
+      val b = graft.ops.Pq.build(emb(s, d), "vec_id", "embedding",
+        dim = EmbDim, m = PqM, k = PqK, iters = PqIters)
+      val cb = Derived.of(s, d, "pq_codebooks")(b.codebooks)
+      val enc = Derived.of(s, d, "pq_encoded")(b.encoded)
+      graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
     }
-    val cb = Derived.of(s, d, "pq_codebooks")(b.codebooks)
-    val enc = Derived.of(s, d, "pq_encoded")(b.encoded)
-    graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
   }
 
   /** The cosine expression shared by v1/d5: dot/(|a||b|). */

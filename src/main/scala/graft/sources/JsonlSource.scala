@@ -95,20 +95,28 @@ private[sources] class JsonlScanBuilder(full: StructType, path: String)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
+    val accepted = filters.filter {
       case EqualTo(JsonlSource.FileCol, _: String) => true
       case In(JsonlSource.FileCol, vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
     }
-    val names: Set[String] = accepted.flatMap {
-      case EqualTo(_, v: String) => Seq(v)
-      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
-      case _ => Seq.empty[String]
-    }.toSet
-    if (accepted.nonEmpty) fileFilters = Some(names)
+    // Conjunctive filters INTERSECT (each must hold for a row to
+    // survive), so the set of files that can contain qualifying rows
+    // is the intersection of each filter's value set.
+    val sets: Seq[Set[String]] = accepted.toSeq.map {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+      case _ => Set.empty[String]
+    }
+    if (sets.nonEmpty) fileFilters = Some(sets.reduce(_ intersect _))
     pushed = accepted
-    // file filters are fully handled at planning — nothing re-evaluated
-    rest
+    // File pruning is an OPTIMIZATION, not an evaluation: every filter
+    // is returned as residual so Spark re-applies it post-scan. That
+    // keeps the source correct even when a pushed value can never
+    // match the emitted column (e.g. a full path — `_file` holds base
+    // names): the scan prunes conservatively, the residual filter
+    // gives the exact answer.
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -52,6 +52,20 @@ class JsonlSourceSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"), s"expected pushed file filter:\n$plan")
   }
 
+  test("conjunctive _file filters intersect and stay residual (contradiction => empty)") {
+    val dir = fixture()
+    // contradictory ANDed equalities can match nothing — union-style
+    // pruning plus consumed filters would wrongly return both files
+    val none = read(dir)
+      .filter(col("_file") === "a.jsonl").filter(col("_file") === "b.jsonl")
+    assert(none.count() == 0)
+    // a full-path value never matches the base-name column: the scan
+    // may prune conservatively but the residual filter must zero it
+    val fullPath = read(dir)
+      .filter(col("_file") === s"file:$dir/a.jsonl")
+    assert(fullPath.count() == 0)
+  }
+
   test("provenance-only projection parses nothing but still counts lines") {
     val df = read(fixture()).select("_file", "_line")
     assert(df.count() == 4)
