@@ -102,4 +102,60 @@ object KMeans {
   /** Sum of squared distances of every point to its centroid. */
   def inertia(assignments: DataFrame): Double =
     assignments.agg(sum(col("sq_dist"))).head().getDouble(0)
+
+  /** CROSS-ENGINE-EXACT Lloyd's variant: same deterministic seeding
+    * and tie-breaks as [[fit]], but centroid updates go through the
+    * decimal-explode mean (each element cast to DECIMAL(25,10), an
+    * order-independent exact sum, then one double division — the v5
+    * centroid path), so every centroid coordinate, every squared
+    * distance, and every assignment is bit-identical on any engine
+    * and any partitioning. That buys a full oracle hash-check at ~d×
+    * the update-shuffle volume of [[fit]]'s d-length-buffer path —
+    * the right trade for verification runs; [[fit]] remains the
+    * scale path. Differences from [[fit]]: `assignPasses` counts
+    * assignment passes (updates happen between them), and a cluster
+    * that receives no points drops out of the model instead of
+    * keeping its stale centroid (mirrors the plain SQL semantics).
+    * Returns the final (idCol, cluster_id, sq_dist) assignment.
+    */
+  def fitExact(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, assignPasses: Int): DataFrame = {
+    require(k >= 1 && assignPasses >= 1)
+    val spark = vectors.sparkSession
+    VectorOps.ensureRegistered(spark)
+    import spark.implicits._
+
+    val base = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_vv", VectorOps.dot(col("_v"), col("_v")))
+
+    def assign(c: DataFrame): DataFrame = {
+      val cdf = broadcast(c.withColumn("_cc", VectorOps.dot(col("cvec"), col("cvec"))))
+      val scored = base.crossJoin(cdf)
+        .withColumn("sq_dist",
+          sqDist(col("_vv"), col("_cc"), VectorOps.dot(col("_v"), col("cvec"))))
+      graft.plans.TopK.perKey(scored, Seq(idCol),
+        Seq(col("sq_dist"), col("cluster_id")), 1)
+    }
+
+    // k-smallest-ids seeding (model-sized driver collect, like fit)
+    var cent: DataFrame = base.orderBy(col(idCol)).limit(k)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Double](0).toSeq).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+      .toDF("cluster_id", "cvec")
+
+    for (_ <- 1 until assignPasses) {
+      cent = assign(cent)
+        .select(col("cluster_id"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dc"))
+        .select(col("cluster_id"),
+          transform(col("dc"), x => x.getField("cv")).as("cvec"))
+    }
+    assign(cent).select(col(idCol), col("cluster_id"), col("sq_dist"))
+  }
 }

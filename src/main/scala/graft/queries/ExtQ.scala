@@ -27,6 +27,11 @@ object ExtQ {
   val RangeWindowSec = 900
   val RangeValueMin = 100.0
 
+  /** x11 exact k-means: cluster count and assignment passes (updates
+    * run between passes; see KMeans.fitExact). */
+  val KmK = 4
+  val KmPasses = 3
+
   /** x10 heavy hitters: report terms with frequency > n/[[HhDen]]
     * (exact), found via a Misra–Gries sketch of capacity [[HhK]].
     * The guarantee needs HhK ≥ HhDen (summary error ≤ n/(HhK+1) <
@@ -104,6 +109,22 @@ object ExtQ {
       val (_, assign) = graft.ops.KMeans.fit(vecs, "vec_id", "embedding",
         k = 4, maxIters = 3)
       assign.select(col("vec_id"), col("cluster_id"),
+          round(col("sq_dist"), 4).as("sq_dist"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // x11 — ORACLE-EXACT k-means: the same Lloyd's loop as x5, but
+    // with decimal-explode centroid means (bit-identical on any
+    // engine/partitioning), so the flagship ML operator carries a
+    // full hash-checked oracle — the DuckDB side unrolls the 3
+    // assignment passes as a CTE chain, k11-style. x5 remains the
+    // d-length-buffer scale path. Runs training jobs at construction.
+    "x11_kmeans_exact" -> ((s, d) => {
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.KMeans.fitExact(vecs, "vec_id", "embedding",
+          k = KmK, assignPasses = KmPasses)
+        .select(col("vec_id"), col("cluster_id"),
           round(col("sq_dist"), 4).as("sq_dist"))
         .orderBy(col("vec_id"))
     }),
@@ -436,7 +457,62 @@ object ExtQ {
     })
   )
 
+  /** The x11 oracle: KmPasses assignment passes unrolled as a CTE
+    * chain (k11's pattern — standard SQL cannot iterate with
+    * aggregates in the recursive term). Seeding, tie-breaks, the
+    * squared-distance expression (self + cent − 2·cross, left-to-
+    * right double folds), and the decimal-explode centroid mean all
+    * mirror KMeans.fitExact term for term, so the comparison is a
+    * bit-exact hash match, not an approximation. */
+  private def kmeansExactOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         |         embedding::DOUBLE[] AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmK) s),
+         |dims AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |cent0 AS (SELECT cluster_id, cvec FROM seeds)""".stripMargin)
+    def asgSql(i: Int): String =
+      s""",
+         |asg$i AS (
+         |  SELECT vec_id, cluster_id, sq FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |        + list_dot_product(c.cvec, c.cvec)
+         |        - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec) AS sq,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |          + list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent${i - 1} c) t
+         |  WHERE rn = 1)""".stripMargin
+    for (i <- 1 to KmPasses) {
+      sb.append(asgSql(i))
+      if (i < KmPasses) sb.append(
+        s""",
+           |cent$i AS (
+           |  SELECT cluster_id, array_agg(cv ORDER BY dim) AS cvec FROM (
+           |    SELECT a.cluster_id, d.dim,
+           |      CAST(SUM(CAST(d.x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS cv
+           |    FROM asg$i a JOIN dims d USING (vec_id)
+           |    GROUP BY a.cluster_id, d.dim) u
+           |  GROUP BY cluster_id)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT vec_id, cluster_id, round(sq, 4) AS sq_dist
+         |FROM asg$KmPasses
+         |ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "x11_kmeans_exact" -> kmeansExactOracle,
     "j5_zip_arrays" ->
       """SELECT doc_id,
         |  CAST(generate_subscripts(w, 1) AS INT) AS ord,
