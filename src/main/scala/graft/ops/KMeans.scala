@@ -103,6 +103,80 @@ object KMeans {
   def inertia(assignments: DataFrame): Double =
     assignments.agg(sum(col("sq_dist"))).head().getDouble(0)
 
+  /** GROUPED k-means: trains one independent model per value of an
+    * integer `groupCol` — in ONE shared Lloyd's loop. Where a caller
+    * with m groups would otherwise run m sequential [[fit]]s
+    * (m × iters scoring passes and driver round-trips), this runs
+    * `iters` passes total: each scores every (group, point) row
+    * against its group's broadcast centroids and performs one
+    * (group × k)-row update collect. Same determinism contract as
+    * [[fit]] (per-group k-smallest-id seeding, id tie-breaks, empty
+    * clusters keep their previous centroid). Driver state is
+    * groups·k·d doubles — model-sized for bounded group counts (PQ
+    * subspaces, shards), which is this operator's intended domain.
+    *
+    * Returns (centroids (groupCol, cluster_id, cvec),
+    *          assignments (groupCol, idCol, cluster_id, sq_dist)).
+    */
+  def fitGrouped(vectors: DataFrame, groupCol: String, idCol: String,
+                 vecCol: String, k: Int, maxIters: Int = 10): (DataFrame, DataFrame) = {
+    require(k >= 1 && maxIters >= 1)
+    val spark = vectors.sparkSession
+    VectorOps.ensureRegistered(spark)
+    VectorAgg.register(spark)
+    import spark.implicits._
+
+    val base = vectors
+      .select(col(groupCol).cast("int").as("_g"), col(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_vv", VectorOps.dot(col("_v"), col("_v")))
+
+    // per-group k-smallest-id seeding via the bounded-heap operator
+    var centroids: Map[(Int, Int), Seq[Double]] =
+      graft.plans.TopK.perKey(base, Seq("_g"), Seq(col(idCol)), k)
+        .select(col("_g"), col(idCol), col("_v")).collect()
+        .groupBy(_.getInt(0)).flatMap { case (g, rows) =>
+          rows.sortBy(_.get(1).toString.toLong).zipWithIndex.map {
+            case (r, i) => ((g, i), r.getSeq[Double](2).toSeq)
+          }
+        }
+
+    def centDf(c: Map[(Int, Int), Seq[Double]]): DataFrame =
+      c.toSeq.map { case ((g, i), v) => (g, i, v) }
+        .toDF("_g", "cluster_id", "cvec")
+
+    def assign(c: Map[(Int, Int), Seq[Double]]): DataFrame = {
+      val cdf = broadcast(
+        centDf(c).withColumn("_cc", VectorOps.dot(col("cvec"), col("cvec"))))
+      val scored = base.join(cdf, "_g")
+        .withColumn("sq_dist",
+          sqDist(col("_vv"), col("_cc"), VectorOps.dot(col("_v"), col("cvec"))))
+      graft.plans.TopK.perKey(scored, Seq("_g", idCol),
+        Seq(col("sq_dist"), col("cluster_id")), 1)
+    }
+
+    var iter = 0
+    while (iter < maxIters) {
+      val next = assign(centroids)
+        .groupBy(col("_g"), col("cluster_id"))
+        .agg(VectorAgg.vectorSum(col("_v")).as("vs"), count(lit(1)).as("n"))
+        .select(col("_g"), col("cluster_id"),
+          transform(col("vs"), x => x / col("n")).as("cvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq))
+        .toMap
+      centroids = centroids.map { case (key, old) =>
+        (key, next.getOrElse(key, old))
+      }
+      iter += 1
+    }
+
+    val cents = centDf(centroids).withColumnRenamed("_g", groupCol)
+    val assignments = assign(centroids)
+      .select(col("_g").as(groupCol), col(idCol), col("cluster_id"), col("sq_dist"))
+    (cents, assignments)
+  }
+
   /** CROSS-ENGINE-EXACT Lloyd's variant: same deterministic seeding
     * and tie-breaks as [[fit]], but centroid updates go through the
     * decimal-explode mean (each element cast to DECIMAL(25,10), an
