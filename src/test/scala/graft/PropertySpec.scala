@@ -113,6 +113,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin equals brute-force containment on random timelines") {
+    // random points and random-width intervals (some wider than the
+    // bucket, some zero-length) — the binned join must return exactly
+    // the cross-join-and-filter answer at an arbitrary bucket width
+    val ptGen = Gen.choose(0L, 100000L)
+    val ivGen = for {
+      s <- Gen.choose(0L, 100000L)
+      w <- Gen.choose(0L, 5000L)
+    } yield (s, s + w)
+    val pts = samples(ptGen, 300, seed = 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000L)) }
+      .toDF("pid", "ts")
+    val ivs = samples(ivGen, 80, seed = 8L).zipWithIndex
+      .map { case ((a, b), i) =>
+        (i.toLong, new java.sql.Timestamp(a * 1000L), new java.sql.Timestamp(b * 1000L)) }
+      .toDF("iid", "start", "end")
+    val brute = pts.crossJoin(ivs)
+      .filter(col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    for (width <- Seq(600, 5000, 100000)) {
+      val got = graft.ops.RangeJoin
+        .pointInInterval(pts, ivs, "ts", "start", "end", width)
+        .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+      assert(got == brute, s"bucketWidth=$width diverges from brute force")
+    }
+  }
+
   test("co-occurrence pair count equals sum of C(k,2) over chunks") {
     // random entity lists per chunk -> edge weights must satisfy the
     // combinatorial identity regardless of duplicates
