@@ -261,6 +261,41 @@ object TextQ {
         .orderBy(col("source"))
     }),
 
+    // t12 — MIXTURE SOLVER: t11 applies fixed per-source rates; this
+    // computes the rates FROM a target language distribution — the op
+    // a pretraining corpus actually runs ("make the mix 40% en /
+    // 15% each fr·de·es·zh"). The largest corpus honoring the target
+    // exactly is bounded by the scarcest language:
+    // T = min_l floor(c_l·10000 / target_bps_l); per-language keeps
+    // n_l = floor(T·target_bps_l / 10000) and the hash-membership
+    // rate is floor(n_l·10000 / c_l). ALL integer math (DIV), so both
+    // engines agree exactly; per-language stats are a 5-row broadcast
+    // joined back to the narrow hash test — no per-language window,
+    // no skewed partition.
+    "t12_mixture_target" -> ((s, d) => {
+      val targetBps = map(
+        lit("en"), lit(4000), lit("fr"), lit(1500), lit("de"), lit(1500),
+        lit("es"), lit(1500), lit("zh"), lit(1500))
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"))
+        .withColumn("target_bps", element_at(targetBps, col("lang")).cast("long"))
+      val tmax = counts.agg(
+        min(expr("n_total * 10000 DIV target_bps")).as("t_max"))
+      val rates = counts.crossJoin(broadcast(tmax))
+        .withColumn("n_keep", expr("t_max * target_bps DIV 10000"))
+        .withColumn("rate_bps", expr("n_keep * 10000 DIV n_total"))
+        .select(col("lang"), col("n_total"), col("target_bps"),
+          col("n_keep"), col("rate_bps"))
+      val h = TextFns.hash60(concat(lit("mix|"), col("doc_id").cast("string"))) % 10000
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("kept", (h < col("rate_bps")).cast("long"))
+        .groupBy(col("lang"), col("n_total"), col("target_bps"),
+          col("n_keep"), col("rate_bps"))
+        .agg(sum(col("kept")).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // t9 — PII redaction: emails, URLs, long digit runs → typed
     // placeholder tokens, with per-doc redaction counts — the scrub
     // pass every training-data pipeline runs before publication.
@@ -532,6 +567,27 @@ object TextQ {
         |FROM r
         |GROUP BY source, rate_bps
         |ORDER BY source""".stripMargin,
+
+    "t12_mixture_target" ->
+      """WITH tgt AS (
+        |  SELECT * FROM (VALUES ('en', 4000), ('fr', 1500), ('de', 1500),
+        |                        ('es', 1500), ('zh', 1500)) AS t(lang, target_bps)),
+        |counts AS (
+        |  SELECT d.lang, COUNT(*) AS n_total, CAST(t.target_bps AS BIGINT) AS target_bps
+        |  FROM documents d JOIN tgt t USING (lang)
+        |  GROUP BY d.lang, t.target_bps),
+        |tmax AS (SELECT min(n_total * 10000 // target_bps) AS t_max FROM counts),
+        |rates AS (
+        |  SELECT lang, n_total, target_bps,
+        |    (SELECT t_max FROM tmax) * target_bps // 10000 AS n_keep,
+        |    ((SELECT t_max FROM tmax) * target_bps // 10000) * 10000 // n_total AS rate_bps
+        |  FROM counts)
+        |SELECT r.lang, r.n_total, r.target_bps, r.n_keep, r.rate_bps,
+        |  CAST(SUM(CASE WHEN CAST(('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |             % 10000 < r.rate_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN rates r USING (lang)
+        |GROUP BY r.lang, r.n_total, r.target_bps, r.n_keep, r.rate_bps
+        |ORDER BY r.lang""".stripMargin,
 
     "t9_redact" ->
       """SELECT doc_id,
