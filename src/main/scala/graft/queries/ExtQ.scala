@@ -113,6 +113,36 @@ object ExtQ {
         .orderBy(col("vec_id"))
     }),
 
+    // x12 — INCREMENTAL AGGREGATE MAINTENANCE: fold the "new" batch
+    // (1997+) into aggregate state built from history (pre-1997) and
+    // read the merged state — proving merge(state(A), state(B)) ==
+    // state(A ∪ B), which the oracle states as the plain one-shot
+    // aggregate over everything. At scale the nightly cost is
+    // O(batch) + a key-cardinality combine, never a history rescan.
+    // avg derives from sum÷count at read time (single division, both
+    // engines), sums in decimal so the merge order can't matter.
+    "x12_incremental_agg" -> ((s, d) => {
+      import graft.ops.IncrementalAgg
+      val orders = Tables.load(s, d, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val hist = IncrementalAgg.state(
+        orders.filter(col("o_orderdate") < cut), "o_custkey", "o_totalprice")
+      val batch = IncrementalAgg.state(
+        orders.filter(col("o_orderdate") >= cut), "o_custkey", "o_totalprice")
+      IncrementalAgg.merge(hist, batch, "o_custkey")
+        // avg stays the RAW double quotient: the decimal sum and the
+        // count are engine-identical, so the single IEEE division is
+        // bit-exact — while round(…,4) would sit on a half-way edge
+        // whenever an exact 2-decimal sum divides to a 5th-decimal 5
+        // (Spark rounds the shortest decimal repr, DuckDB the binary
+        // value, and they disagree there).
+        .select(col("o_custkey"), col("n"),
+          col("sum_v").cast("double").as("sum_spend"),
+          (col("sum_v").cast("double") / col("n")).as("avg_spend"),
+          col("min_v").as("min_spend"), col("max_v").as("max_spend"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // x11 — ORACLE-EXACT k-means: the same Lloyd's loop as x5, but
     // with decimal-explode centroid means (bit-identical on any
     // engine/partitioning), so the flagship ML operator carries a
@@ -513,6 +543,18 @@ object ExtQ {
 
   val oracles: Map[String, String] = Map(
     "x11_kmeans_exact" -> kmeansExactOracle,
+
+    // merge(state(A), state(B)) == state(A ∪ B): the oracle is the
+    // one-shot aggregate the incremental plan must reproduce exactly.
+    "x12_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_spend,
+        |  min(o_totalprice) AS min_spend, max(o_totalprice) AS max_spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "j5_zip_arrays" ->
       """SELECT doc_id,
         |  CAST(generate_subscripts(w, 1) AS INT) AS ord,
