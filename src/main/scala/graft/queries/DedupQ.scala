@@ -311,6 +311,28 @@ object DedupQ {
         .orderBy(col("doc_id"))
     }),
 
+    // d10 — CANONICAL SELECTION, the step that turns clusters into a
+    // deduped corpus: per near-dup cluster (d6) keep the most complete
+    // copy — longest text, ties to the smallest doc_id. One broadcast-
+    // joinable metadata lookup + one groupBy on rep_id; the per-
+    // cluster argmax is a lexicographic struct max (order-independent
+    // aggregate), not a window, so no per-cluster sort buffer.
+    "d10_dedup_canonical" -> ((s, d) => {
+      val clusters = defs("d6_dedup_clusters")(s, d)
+      val meta = docs(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      clusters.join(meta, Seq("doc_id"))
+        .groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+        .select(col("rep_id"),
+          (-col("best.neg_id")).as("keep_doc_id"),
+          col("best.n_chars").as("keep_chars"),
+          col("n_members"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy(col("rep_id"))
+    }),
+
     // d7 — edit-distance near-dup: exact Levenshtein over the
     // LSH-blocked candidate pairs only (never all-pairs), with BOTH
     // per-pair cost bounds (see MaxEditChars/EditSimMin above): texts
@@ -435,6 +457,42 @@ object DedupQ {
            |SELECT doc_id, min(r) AS rep_id
            |FROM reach GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin,
+
+      // same recursive-CTE clustering as d6, then the per-cluster
+      // argmax stated as a window (the Spark side uses an
+      // order-independent struct-max aggregate instead).
+      "d10_dedup_canonical" ->
+        s"""WITH RECURSIVE $shingleCte,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandUnion),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT a_id AS s, b_id AS t FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach(doc_id, r) AS (
+           |  SELECT s, t FROM (SELECT s, t FROM edges
+           |                    UNION SELECT s, s FROM edges) base
+           |  UNION
+           |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.doc_id = e.t),
+           |clusters AS (
+           |  SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id),
+           |sel AS (
+           |  SELECT c.rep_id, d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           |    row_number() OVER (PARTITION BY c.rep_id
+           |      ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY c.rep_id) AS n_members
+           |  FROM clusters c JOIN documents d USING (doc_id))
+           |SELECT rep_id, doc_id AS keep_doc_id, n_chars AS keep_chars,
+           |  n_members, n_members - 1 AS n_dropped
+           |FROM sel WHERE rn = 1
+           |ORDER BY rep_id""".stripMargin,
 
       "d7_dedup_editdist" ->
         s"""WITH $shingleCte,
