@@ -68,27 +68,10 @@ object Bench {
         if (err2.isEmpty) (name, math.min(sec, sec2), None) else (name, sec, None)
       case r => r
     }
-    // Full JSON string escaping: Spark exception messages routinely
-    // contain newlines (plan fragments) and control chars — a raw
-    // newline inside the detail line would make the whole file
-    // unparseable and lose every per-query timing.
-    def jstr(s: String): String = {
-      val sb = new StringBuilder("\"")
-      s.foreach {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append("\"").toString()
-    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":" + jstr(e)
+      s"\"" + k + "\":" + graft.util.Jsons.quote(e)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)

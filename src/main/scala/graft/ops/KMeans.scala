@@ -131,12 +131,17 @@ object KMeans {
         col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_vv", VectorOps.dot(col("_v"), col("_v")))
 
-    // per-group k-smallest-id seeding via the bounded-heap operator
+    // per-group k-smallest-id seeding via the bounded-heap operator.
+    // The driver-side sort uses the values' own natural ordering so it
+    // agrees with TopK.perKey's column ordering for ANY orderable id
+    // type (long, int, string, timestamp) — fit's contract.
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
     var centroids: Map[(Int, Int), Seq[Double]] =
       graft.plans.TopK.perKey(base, Seq("_g"), Seq(col(idCol)), k)
         .select(col("_g"), col(idCol), col("_v")).collect()
         .groupBy(_.getInt(0)).flatMap { case (g, rows) =>
-          rows.sortBy(_.get(1).toString.toLong).zipWithIndex.map {
+          rows.sortWith((x, y) => cmp(x.get(1), y.get(1)) < 0).zipWithIndex.map {
             case (r, i) => ((g, i), r.getSeq[Double](2).toSeq)
           }
         }

@@ -133,6 +133,17 @@ object DedupQ {
               i => array_join(slice(col("_w"), i, lit(DecontamN)), " ")))).as("ngram"))
     }
 
+  /** Session-memoized connected-components frame (d6 and d10 share
+    * it). The min-label-propagation fixpoint RUNS JOBS at
+    * construction, so it is built OUTSIDE Derived's lock
+    * (peek-then-build-then-of, see Derived.peek; a lost race wastes
+    * one clustering run but Derived.of keeps the first entry). */
+  private def clustersOf(s: SparkSession, d: String): DataFrame =
+    Derived.peek(s, d, "dedup_clusters").getOrElse {
+      val built = graft.ops.DedupCluster.clusters(defs("d3_dedup_minhash")(s, d))
+      Derived.of(s, d, "dedup_clusters")(built)
+    }
+
   /** Shingles surviving the relative df-cap — the inverted index both
     * d2 sides read. Managed (and eventually unpersisted) by Derived. */
   private def keptShinglesOf(s: SparkSession, d: String): DataFrame =
@@ -306,9 +317,7 @@ object DedupQ {
     // is BUILT (it iterates to fixpoint), unlike the other lazily-
     // declared entries.
     "d6_dedup_clusters" -> ((s, d) => {
-      val pairs = defs("d3_dedup_minhash")(s, d)
-      graft.ops.DedupCluster.clusters(pairs)
-        .orderBy(col("doc_id"))
+      clustersOf(s, d).orderBy(col("doc_id"))
     }),
 
     // d10 — CANONICAL SELECTION, the step that turns clusters into a
@@ -318,7 +327,7 @@ object DedupQ {
     // cluster argmax is a lexicographic struct max (order-independent
     // aggregate), not a window, so no per-cluster sort buffer.
     "d10_dedup_canonical" -> ((s, d) => {
-      val clusters = defs("d6_dedup_clusters")(s, d)
+      val clusters = clustersOf(s, d)
       val meta = docs(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       clusters.join(meta, Seq("doc_id"))

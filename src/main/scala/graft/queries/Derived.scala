@@ -62,6 +62,38 @@ object Derived {
     }
   }
 
+  /** Atomic multi-entry variant of [[of]] for callers caching the
+    * COUPLED outputs of one computation (an index's centroids +
+    * assignments): either every entry comes from the cache or every
+    * entry comes from `built` — never a torn mix of two training
+    * runs (float-trained models can differ in the last ulp between
+    * runs, so centroids from run A with assignments from run B would
+    * be silently inconsistent). `built` frames must be pre-computed
+    * (the lock only persists/stores them).
+    */
+  def ofAll(spark: SparkSession, dir: String,
+            entries: Seq[(String, DataFrame)]): Seq[DataFrame] = {
+    val perSession = cache.synchronized {
+      purgeStopped()
+      var m = cache.get(spark)
+      if (m == null) { m = new java.util.HashMap[(String, String), DataFrame](); cache.put(spark, m) }
+      m
+    }
+    perSession.synchronized {
+      val existing = entries.map { case (n, _) => Option(perSession.get((dir, n))) }
+      if (existing.forall(_.isDefined)) existing.map(_.get)
+      else entries.map { case (n, df) =>
+        // all-or-nothing under ONE lock hold: as long as these names
+        // are only ever written through this call site, a loser of a
+        // build race finds either the full winning set (branch above)
+        // or nothing, and installs its own complete set here
+        val p = df.persist()
+        perSession.put((dir, n), p)
+        p
+      }
+    }
+  }
+
   /** Non-building lookup: lets callers whose `build` would RUN JOBS
     * (index training, fixpoint loops) check for a cached entry first,
     * do the expensive work outside any lock, and only then hand the

@@ -276,9 +276,13 @@ object TextQ {
       val targetBps = map(
         lit("en"), lit(4000), lit("fr"), lit(1500), lit("de"), lit(1500),
         lit("es"), lit(1500), lit("zh"), lit(1500))
+      // languages outside the target mix are excluded (the oracle's
+      // inner join does the same) — otherwise a sixth language would
+      // surface as an all-null row only on this side
       val counts = docs(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"))
         .withColumn("target_bps", element_at(targetBps, col("lang")).cast("long"))
+        .filter(col("target_bps").isNotNull)
       val tmax = counts.agg(
         min(expr("n_total * 10000 DIV target_bps")).as("t_max"))
       val rates = counts.crossJoin(broadcast(tmax))

@@ -47,8 +47,11 @@ object VectorQ {
     cached.getOrElse {
       val b = graft.ops.Ivf.build(emb(s, d), "vec_id", "embedding",
         k = IvfClusters, iters = IvfIters)
-      val cents = Derived.of(s, d, "ivf_centroids")(b.centroids)
-      val assigned = Derived.of(s, d, "ivf_assigned")(b.assigned)
+      // atomic paired insert: centroids and assignments must come from
+      // the SAME training run (Derived.ofAll), never a torn mix of two
+      // racing builds
+      val Seq(cents, assigned) = Derived.ofAll(s, d,
+        Seq("ivf_centroids" -> b.centroids, "ivf_assigned" -> b.assigned))
       graft.ops.Ivf.Index(cents, assigned, "vec_id")
     }
   }
@@ -63,8 +66,8 @@ object VectorQ {
     cached.getOrElse {
       val b = graft.ops.Pq.build(emb(s, d), "vec_id", "embedding",
         dim = EmbDim, m = PqM, k = PqK, iters = PqIters)
-      val cb = Derived.of(s, d, "pq_codebooks")(b.codebooks)
-      val enc = Derived.of(s, d, "pq_encoded")(b.encoded)
+      val Seq(cb, enc) = Derived.ofAll(s, d,
+        Seq("pq_codebooks" -> b.codebooks, "pq_encoded" -> b.encoded))
       graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
     }
   }

@@ -36,6 +36,28 @@ class KMeansSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("fitExact with one pass assigns every vector to its nearest seed (independent math)") {
+    val emb = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val out = KMeans.fitExact(emb, "vec_id", "embedding", k = 4, assignPasses = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // plain-Scala brute force over the same seeding rule, same
+    // |v|² + |c|² − 2·v·c formula and left-to-right folds
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    val seeds = rows.take(4).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    rows.foreach { case (id, v) =>
+      val vv = dot(v, v)
+      val best = seeds.indices.minBy(c =>
+        (vv + dot(seeds(c), seeds(c)) - 2.0 * dot(v, seeds(c)), c))
+      assert(out(id) == best, s"vec $id: got ${out(id)}, brute force says $best")
+    }
+  }
+
   test("assignment is the argmin centroid for each point") {
     val (cents, assign) = KMeans.fit(vecs, "vec_id", "embedding", 3, 2)
     val c = cents.withColumnRenamed("cluster_id", "cid2")
