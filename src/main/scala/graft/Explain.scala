@@ -14,7 +14,8 @@ object Explain {
                   "x6_clean_pipeline","x7_pack_sequences","x8_merge_upsert",
                   "v9_knn_pq","d8_dedup_hamming","d9_decontaminate",
                   "x9_range_join","x10_heavy_hitters","q30_lead_lag",
-                  "k11_pagerank")) {
+                  "k11_pagerank","x11_kmeans_exact","x12_incremental_agg",
+                  "t12_mixture_target","d10_dedup_canonical")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }
