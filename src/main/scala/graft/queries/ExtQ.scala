@@ -168,6 +168,18 @@ object ExtQ {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // s3 — the stream-stream INTERVAL JOIN's batch twin, oracle-
+    // checked: purchases joined to the same user's views from the
+    // preceding hour. The exact operator streaming runs with
+    // watermark-evictable state (StreamingSpec parity) — here the
+    // driver's hash gate pins its semantics. Keyed by user, so the
+    // join is a plain shuffle-partitionable equi join with a time
+    // band, no binning needed (contrast keyless x9).
+    "s3_interval_join" -> ((s, d) => {
+      graft.streaming.EventStream.purchaseViewJoin(Tables.load(s, d, "events"))
+        .orderBy(col("p_id"), col("v_id"))
+    }),
+
     // q21 — exact interpolated percentiles per group (sort-based, so
     // engine-order independent; matches DuckDB quantile_cont).
     "q21_percentiles" -> ((s, d) => {
@@ -712,6 +724,15 @@ object ExtQ {
         |FROM c
         |GROUP BY 1, 2, 3
         |ORDER BY lang, shard, pack_id""".stripMargin,
+
+    "s3_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts,
+        |  v.event_id AS v_id, v.ts AS v_ts
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_id, v_id""".stripMargin,
 
     // The sketch pass is an admissible candidate generator (no false
     // negatives above the threshold), so the oracle states the exact
