@@ -5,17 +5,26 @@ import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Query groups:
-  *  - RelationalQ (q1–q20): SURVEY.md §2.1–2.8 relational inventory
-  *  - VectorQ (v1–v5): §2.9 vector ops + ANN (brute-force, IVF)
-  *  - DedupQ (d1–d5): dedup suite (exact, Jaccard, MinHash, SimHash,
-  *    embedding)
-  *  - TextQ (t1–t4, m1, s1): text analysis, multimodal metadata,
-  *    windowed events
-  *  - KgQ (k1–k7): chunker / knowledge-graph pipeline + flagship search
+  * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
+  *  - RelationalQ (q1–q20, q30): SURVEY.md §2.1–2.8 relational
+  *    inventory + window analytics
+  *  - VectorQ (v1–v9): §2.9 vector ops + ANN (brute-force, IVF,
+  *    learned-centroid IVF, product quantization)
+  *  - DedupQ (d1–d10): dedup suite (exact, Jaccard, MinHash, SimHash,
+  *    Hamming pairs, embedding, clustering, edit distance,
+  *    decontamination, canonical selection)
+  *  - TextQ (t1–t12, m1/m2, s1, q28): text analysis, sampling,
+  *    multimodal, windowed events
+  *  - KgQ (k1–k11): chunker / knowledge-graph pipeline + flagship
+  *    search + graph analytics
+  *  - ExtQ (j5, p6, s2/s3, q21–q27, q29, x1–x12, v6): §2.5–2.13
+  *    extensions (sketches, range/as-of joins, packing, merge,
+  *    incremental aggregation, exact k-means)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
-  * column names/types and a deterministic total ORDER BY.
+  * column names/types and a deterministic total ORDER BY, except the
+  * declared rows-only approximations (v6, v8, v9, x1, x4, x5), each
+  * anchored by a spec instead.
   */
 object SparkEntry {
 
