@@ -58,6 +58,44 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Training-shard delivery writer — the LAST step of a data
+    * pipeline: emit the corpus as `numShards` range-partitioned,
+    * internally sorted parquet shards plus a `_manifest.json`
+    * consumers read instead of listing the directory. Range
+    * partitioning on the sort key gives (a) globally ordered shards
+    * (shard i's keys all precede shard i+1's — a reader can binary-
+    * search the manifest), (b) deterministic shard MEMBERSHIP for a
+    * fixed key distribution, and (c) balanced shard sizes via
+    * Spark's range-exchange sampling. `maxRecordsPerFile` bounds any
+    * single file for downstream loaders that stream whole files.
+    * Returns the number of data files written.
+    */
+  def writeShards(df: DataFrame, outDir: String, sortCol: String,
+                  numShards: Int, maxRecordsPerFile: Long = 0L): Int = {
+    require(numShards >= 1, "writeShards: numShards must be >= 1")
+    val spark = df.sparkSession
+    val w = df.repartitionByRange(numShards, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(outDir)
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val rows = spark.read.parquet(outDir).count()
+    val manifest = files.map(f =>
+      s"""{"file":${graft.util.Jsons.quote(f.getPath.getName)},"bytes":${f.getLen}}""")
+      .mkString(
+        s"""{"sort_col":${graft.util.Jsons.quote(sortCol)},"n_shards":$numShards,""" +
+          s""""n_rows":$rows,"files":[""", ",", "]}\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_manifest.json"), true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    files.length
+  }
+
   /** Small-files compaction — the table-maintenance operator every
     * long-running ingest needs: streaming/micro-batch sinks and
     * per-stage checkpoints accumulate thousands of KB-sized files,

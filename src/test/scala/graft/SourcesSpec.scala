@@ -73,6 +73,33 @@ class SourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("shard writer: ordered range shards, bounded files, manifest matches") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    val docs = Tables.load(spark, Sf0001, "documents").select("doc_id", "text")
+    val total = docs.count()
+    val nFiles = Sources.writeShards(docs, dir, "doc_id",
+      numShards = 4, maxRecordsPerFile = 20)
+    // maxRecordsPerFile splits each range shard into ceil(rows/20) files
+    assert(nFiles >= 4, s"expected at least 4 shard files, got $nFiles")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == total)
+    // every file individually honors the record cap and is sorted
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq
+      assert(ids.size <= 20, s"$f exceeds maxRecordsPerFile")
+      assert(ids == ids.sorted, s"$f is not internally sorted")
+    }
+    // manifest agrees with the directory
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_manifest.json"))
+    assert(manifest.contains(s""""n_rows":$total"""))
+    assert(files.forall(f => manifest.contains(new java.io.File(f).getName)))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
