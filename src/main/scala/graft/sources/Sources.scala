@@ -58,42 +58,70 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                               path: org.apache.hadoop.fs.Path) =
+    fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
   /** Training-shard delivery writer — the LAST step of a data
     * pipeline: emit the corpus as `numShards` range-partitioned,
     * internally sorted parquet shards plus a `_manifest.json`
-    * consumers read instead of listing the directory. Range
-    * partitioning on the sort key gives (a) globally ordered shards
-    * (shard i's keys all precede shard i+1's — a reader can binary-
-    * search the manifest), (b) deterministic shard MEMBERSHIP for a
-    * fixed key distribution, and (c) balanced shard sizes via
-    * Spark's range-exchange sampling. `maxRecordsPerFile` bounds any
-    * single file for downstream loaders that stream whole files.
-    * Returns the number of data files written.
+    * consumers read instead of listing the directory. The manifest
+    * lists files in KEY ORDER, each with its byte size, row count,
+    * and inclusive [min_key, max_key] bounds — that per-shard bound
+    * list IS the membership contract: a reader binary-searches it to
+    * find the shard(s) holding a key. Shard boundaries come from
+    * Spark's range-exchange sampling (size-balanced, but not
+    * bit-stable across runs — consumers must key off the manifest
+    * bounds, never remembered boundaries). `maxRecordsPerFile`
+    * bounds any single file for loaders that stream whole files;
+    * split files of one shard are themselves sorted and
+    * non-overlapping, so the global key order holds file-to-file.
+    * Stats cost one aggregation pass over the written shards (which
+    * also yields `n_rows` — no separate count job). Returns the
+    * number of data files written.
     */
   def writeShards(df: DataFrame, outDir: String, sortCol: String,
                   numShards: Int, maxRecordsPerFile: Long = 0L): Int = {
     require(numShards >= 1, "writeShards: numShards must be >= 1")
     val spark = df.sparkSession
-    val w = df.repartitionByRange(numShards, org.apache.spark.sql.functions.col(sortCol))
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val w = df.repartitionByRange(numShards, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(outDir)
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    val rows = spark.read.parquet(outDir).count()
-    val manifest = files.map(f =>
-      s"""{"file":${graft.util.Jsons.quote(f.getPath.getName)},"bytes":${f.getLen}}""")
-      .mkString(
-        s"""{"sort_col":${graft.util.Jsons.quote(sortCol)},"n_shards":$numShards,""" +
-          s""""n_rows":$rows,"files":[""", ",", "]}\n")
+    val bytesByName = listParquetFiles(fs, path)
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    // one pass over the written output: per-file rows + key bounds
+    val stats = spark.read.parquet(outDir)
+      .select(input_file_name().as("f"), col(sortCol).as("k"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("rows"), min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+        r.getLong(1), r.get(2), r.get(3)))
+      // KEY order, not filename order: part-%05d / -c%03d counters
+      // wrap lexicographically past 99999 shards / 999 splits
+      .sortWith((a, b) =>
+        a._3.asInstanceOf[Comparable[Any]].compareTo(b._3) < 0)
+    def jval(v: Any): String = v match {
+      case n: java.lang.Number => n.toString
+      case other => graft.util.Jsons.quote(String.valueOf(other))
+    }
+    val nRows = stats.map(_._2).sum
+    val manifest = stats.map { case (name, rows, kmin, kmax) =>
+      s"""{"file":${graft.util.Jsons.quote(name)},"bytes":${bytesByName(name)},""" +
+        s""""rows":$rows,"min_key":${jval(kmin)},"max_key":${jval(kmax)}}"""
+    }.mkString(
+      s"""{"sort_col":${graft.util.Jsons.quote(sortCol)},"n_shards":$numShards,""" +
+        s""""n_rows":$nRows,"files":[""", ",", "]}\n")
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_manifest.json"), true)
     try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    files.length
+    stats.length
   }
 
   /** Small-files compaction — the table-maintenance operator every
@@ -110,13 +138,10 @@ object Sources {
                      targetBytes: Long = 128L * 1024 * 1024): Int = {
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val totalBytes = listParquetFiles(fs, path).map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).coalesce(n)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    fs.listStatus(out).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    listParquetFiles(fs, new org.apache.hadoop.fs.Path(outDir)).length
   }
 }

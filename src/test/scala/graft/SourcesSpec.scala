@@ -98,6 +98,26 @@ class SourcesSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "_manifest.json"))
     assert(manifest.contains(s""""n_rows":$total"""))
     assert(files.forall(f => manifest.contains(new java.io.File(f).getName)))
+    // the HEADLINE property: manifest file order is global key order —
+    // max_key of entry k strictly precedes min_key of entry k+1, and
+    // the recorded bounds match the actual per-file data
+    val entry = """\{"file":"([^"]+)","bytes":\d+,"rows":(\d+),"min_key":(\d+),"max_key":(\d+)\}""".r
+    val entries = entry.findAllMatchIn(manifest)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
+      .toSeq
+    assert(entries.size == files.length, "manifest must list every data file")
+    entries.sliding(2).foreach {
+      case Seq((fa, _, _, maxA), (fb, _, minB, _)) =>
+        assert(maxA < minB, s"global key order broken between $fa and $fb")
+      case _ =>
+    }
+    entries.foreach { case (name, rows, kmin, kmax) =>
+      val ids = spark.read.parquet(s"$dir/$name")
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq
+      assert(ids.size == rows && ids.min == kmin && ids.max == kmax,
+        s"$name: manifest bounds/rows disagree with the file")
+    }
   }
 
   test("bucketed tables join without any shuffle exchange") {
