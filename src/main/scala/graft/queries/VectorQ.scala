@@ -24,6 +24,9 @@ object VectorQ {
 
   /** Fixture embedding dimensionality (TESTDATA.md). */
   val EmbDim = 64
+
+  /** v10 LSH: number of random hyperplanes (2^planes buckets). */
+  val LshPlanes = 4
   val PqM = 4
   val PqK = 16
   val PqIters = 3
@@ -129,6 +132,45 @@ object VectorQ {
     // ≤3 surviving rows per query. Select-then-rank is the scalable
     // decomposition: the expensive reduction never sorts, the cheap
     // window touches k rows per group.
+    // v10 — LSH-BUCKETED ANN: the training-free scale path (contrast
+    // IVF's learned centroids — LSH needs no fit, so it works on a
+    // streaming corpus from row one). LshPlanes deterministic random
+    // hyperplanes are derived from hash60 of ("lsh|plane|dim"), so
+    // the SAME planes are reconstructible in plain SQL and the oracle
+    // is a full hash check. A vector's bucket is its sign-bit
+    // signature; candidates only form inside a bucket (2^planes
+    // partitions of the corpus — at scale the bucket is the shuffle/
+    // storage key and a query touches 1/2^planes of the data), ranked
+    // by exact dot product. The plane arrays fold to literals at plan
+    // time (hash60 of literal args is foldable).
+    "v10_knn_lsh" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      def plane(p: Int) = transform(sequence(lit(0), lit(EmbDim - 1)),
+        dd => (graft.ops.TextFns.hash60(
+          concat(lit(s"lsh|$p|"), dd.cast("string"))) % 2001 - 1000) / lit(1000.0))
+      def bucketOf(v: org.apache.spark.sql.Column) =
+        (0 until LshPlanes).map(p =>
+          when(VectorOps.dot(v, plane(p)) >= 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _)
+      val e = emb(s, d)
+        .withColumn("ed", col("embedding").cast("array<double>"))
+        .withColumn("bucket", bucketOf(col("ed")))
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket").as("qbucket"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+      val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(col("raw").desc, col("vec_id")), 3)
+      val w = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+      top.withColumn("nb_rank", row_number().over(w))
+        .select(col("qid"), col("qbucket").as("bucket"), col("vec_id").as("nb_id"),
+          col("nb_rank"), round(col("raw"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v4_knn_bruteforce" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
       val e = emb(s, d)
@@ -240,7 +282,36 @@ object VectorQ {
     })
   )
 
+  /** The v10 oracle reconstructs the SAME hash-derived hyperplanes in
+    * SQL (hash60 ≡ first 15 hex chars of md5; both dot products fold
+    * left-to-right), so bucket assignment and ranking hash-match. */
+  private def lshOracle: String = {
+    def planeList(p: Int) =
+      s"list_transform(generate_series(0, ${EmbDim - 1}), " +
+        s"d -> (CAST(('0x' || substr(md5('lsh|$p|' || d::VARCHAR), 1, 15)) AS BIGINT) " +
+        s"% 2001 - 1000) / 1000.0)"
+    val bucketExpr = (0 until LshPlanes).map(p =>
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeList(p)}) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END").mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings)
+       |SELECT qid, bucket, nb_id, CAST(rn AS INT) AS nb_rank, round(raw, 4) AS score
+       |FROM (
+       |  SELECT q.vec_id AS qid, q.bucket, e.vec_id AS nb_id,
+       |    list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+       |               e.vec_id) AS rn
+       |  FROM b q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5) x
+       |WHERE rn <= 3
+       |ORDER BY qid, nb_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "v10_knn_lsh" -> lshOracle,
     "v1_cosine_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0)
