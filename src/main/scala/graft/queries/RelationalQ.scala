@@ -45,15 +45,18 @@ object RelationalQ {
     }),
 
     // q3 — J1+T1: dimension-filtered join + grouped revenue + top-k.
-    // customer is the small side → broadcast; top-k plans to
-    // TakeOrderedAndProject (no global sort).
+    // customer is the genuinely small side → broadcast. orders is a
+    // FACT table (the date filter keeps ~64% of it), so lineitem⋈orders
+    // must stay a shuffle join — AQE picks SMJ/shuffled-hash; a forced
+    // broadcast there is a multi-GB build side at scale (executor OOM).
+    // Top-k plans to TakeOrderedAndProject (no global sort).
     "q3_shipping_priority" -> ((s, d) => {
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, d, "orders")
         .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp"))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1999-03-15").cast("timestamp"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))

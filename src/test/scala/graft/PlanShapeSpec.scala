@@ -52,6 +52,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q3 never force-broadcasts the orders fact table") {
+    // orders filtered at ~64% selectivity is a fact table: a broadcast
+    // HINT there is a multi-GB build side at scale (the one named
+    // scale-killer in round 3). At sf0.001 AQE may still broadcast by
+    // measured size — that's fine and correct; what must stay gone is
+    // the user hint forcing it at any scale. Assert every explicit
+    // broadcast hint in the plan covers only the customer dimension.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, Sf0001)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "q3 should still broadcast-hint the customer dim")
+    for (h <- hints) {
+      val cols = h.child.output.map(_.name)
+      assert(cols.exists(_.startsWith("c_")) && !cols.exists(_.startsWith("o_")),
+        s"broadcast hint must cover only the customer dim, got ${cols.mkString(",")}")
+    }
+  }
+
   test("range join buckets to an equi join — no nested-loop or cartesian (x9)") {
     // the BETWEEN predicate alone would plan BroadcastNestedLoopJoin;
     // the time-bucket expansion must turn it into a hash equi-join
