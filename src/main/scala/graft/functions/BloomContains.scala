@@ -70,7 +70,12 @@ object BloomContains {
     val f = exprs(1)
     require(f.foldable && f.dataType == BinaryType,
       "graft_bloom_contains: filter_bytes must be a BINARY literal")
-    BloomContains(exprs.head, f.eval(null).asInstanceOf[Array[Byte]])
+    val bytes = f.eval(null).asInstanceOf[Array[Byte]]
+    // a foldable CAST(NULL AS BINARY) passes the type check but would
+    // NPE inside BloomFilter.readFrom at execution — fail at analysis
+    require(bytes != null,
+      "graft_bloom_contains: filter_bytes must not be NULL")
+    BloomContains(exprs.head, bytes)
   }
 
   def register(spark: SparkSession): Unit =

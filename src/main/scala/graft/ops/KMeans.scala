@@ -132,11 +132,16 @@ object KMeans {
       .withColumn("_vv", VectorOps.dot(col("_v"), col("_v")))
 
     // per-group k-smallest-id seeding via the bounded-heap operator.
-    // The driver-side sort uses the values' own natural ordering so it
-    // agrees with TopK.perKey's column ordering for ANY orderable id
-    // type (long, int, string, timestamp) — fit's contract.
-    def cmp(a: Any, b: Any): Int =
-      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // The driver-side sort must agree with TopK.perKey's column
+    // ordering: for strings that is UTF8String BINARY order, which
+    // differs from java.lang.String's UTF-16 order on supplementary-
+    // plane code points — compare via UTF8String, not Comparable.
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     var centroids: Map[(Int, Int), Seq[Double]] =
       graft.plans.TopK.perKey(base, Seq("_g"), Seq(col(idCol)), k)
         .select(col("_g"), col(idCol), col("_v")).collect()

@@ -5,7 +5,6 @@ import java.util
 import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -40,9 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Malformed lines follow P6 PERMISSIVE semantics: user columns null,
   * provenance still populated. Supported field types: string, long,
-  * int, double, boolean. The reader builds a default Hadoop
-  * configuration — plumb a serialized configuration through
-  * [[JsonlPartition]] if credentials-bearing filesystems are needed.
+  * int, double, boolean — anything else fails at table resolution
+  * (a silent all-null column would masquerade as missing data). The
+  * session's Hadoop configuration (spark.hadoop.*, object-store
+  * credentials) is captured at planning time and shipped to readers
+  * as a [[org.apache.spark.util.SerializableConfiguration]].
   */
 class JsonlSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -56,6 +57,13 @@ class JsonlSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null, "graft.sources.JsonlSource: .load(path) is required")
+    val bad = schema.fields.filterNot(f =>
+      f.name == JsonlSource.FileCol || f.name == JsonlSource.LineCol ||
+        JsonlSource.supportedTypes.contains(f.dataType))
+    require(bad.isEmpty,
+      s"graft.sources.JsonlSource: unsupported field type(s) " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — supported: string, long, int, double, boolean")
     new JsonlTable(schema, path)
   }
 }
@@ -63,6 +71,9 @@ class JsonlSource extends TableProvider {
 object JsonlSource {
   val FileCol = "_file"
   val LineCol = "_line"
+
+  val supportedTypes: Set[DataType] =
+    Set(StringType, LongType, IntegerType, DoubleType, BooleanType)
 
   val provenanceFields: Seq[StructField] = Seq(
     StructField(FileCol, StringType, nullable = false),
@@ -79,11 +90,19 @@ private[sources] class JsonlTable(userSchema: StructType, path: String)
   override def schema(): StructType = JsonlSource.fullSchema(userSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(schema(), path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the SESSION's Hadoop configuration here (driver side) so
+    // spark.hadoop.* settings and object-store credentials apply; a
+    // bare `new Configuration()` would silently ignore them
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new JsonlScanBuilder(schema(), path, conf)
+  }
 }
 
-private[sources] class JsonlScanBuilder(full: StructType, path: String)
+private[sources] class JsonlScanBuilder(
+    full: StructType, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -121,12 +140,15 @@ private[sources] class JsonlScanBuilder(full: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new JsonlScan(required, path, fileFilters, pushed)
+  override def build(): Scan =
+    new JsonlScan(required, path, fileFilters, pushed, conf)
 }
 
-private[sources] class JsonlScan(required: StructType, path: String,
-                                 fileFilters: Option[Set[String]],
-                                 pushed: Array[Filter])
+private[sources] class JsonlScan(
+    required: StructType, path: String,
+    fileFilters: Option[Set[String]],
+    pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -140,7 +162,7 @@ private[sources] class JsonlScan(required: StructType, path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     val files = fs.listStatus(p).filter(_.isFile)
       .map(_.getPath)
       .filter(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".json"))
@@ -151,23 +173,27 @@ private[sources] class JsonlScan(required: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required)
+    new JsonlReaderFactory(required, conf)
 }
 
 private[sources] case class JsonlPartition(file: String) extends InputPartition
 
-private[sources] class JsonlReaderFactory(required: StructType)
+private[sources] class JsonlReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonlReader(partition.asInstanceOf[JsonlPartition].file, required)
+    new JsonlReader(partition.asInstanceOf[JsonlPartition].file, required, conf)
 }
 
-private[sources] class JsonlReader(file: String, required: StructType)
+private[sources] class JsonlReader(
+    file: String, required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
   private val in = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf.value)
     new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
   }

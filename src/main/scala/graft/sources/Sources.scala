@@ -104,11 +104,20 @@ object Sources {
       .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
         r.getLong(1), r.get(2), r.get(3)))
       // KEY order, not filename order: part-%05d / -c%03d counters
-      // wrap lexicographically past 99999 shards / 999 splits
-      .sortWith((a, b) =>
-        a._3.asInstanceOf[Comparable[Any]].compareTo(b._3) < 0)
+      // wrap lexicographically past 99999 shards / 999 splits. A
+      // nullable sortCol range-sorts its nulls into the first shard,
+      // so min bounds can be null — order those first, never deref.
+      .sortWith { (a, b) =>
+        (a._3, b._3) match {
+          case (null, null) => false
+          case (null, _)    => true
+          case (_, null)    => false
+          case (x, y)       => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        }
+      }
     def jval(v: Any): String = v match {
-      case n: java.lang.Number => n.toString
+      case null                 => "null"
+      case n: java.lang.Number  => n.toString
       case other => graft.util.Jsons.quote(String.valueOf(other))
     }
     val nRows = stats.map(_._2).sum
