@@ -40,7 +40,13 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => try materialize(fn) catch { case _: Throwable => })
     spark.catalog.clearCache()
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Debug/repro knob: SPARK_GRAFT_ONLY=q3_...,q6_... times just that
+    // subset (fresh-JVM single-query repro of bench anomalies).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val firstPass = selected.map { case (name, fn) =>
       val (sec, err) = timeOne(name, fn)
       (name, sec, err)
       // Shared derived tables (queries.Derived) stay cached across
@@ -52,8 +58,19 @@ object Bench {
     // 95s and 484s): re-time the slowest queries once more in the same
     // JVM and report the min, so one host-level stall can't masquerade
     // as a query regression.
+    // Retime set = the slowest N (their absolute seconds dominate the
+    // total) UNION every query whose first-pass time exceeds
+    // RETIME_FACTOR × the per-query median (heavy-tailed stalls hit
+    // cheap queries too — r3 measured q6 at 7× its steady-state time
+    // and the top-8 cut missed it; a median-relative cut is
+    // self-calibrating, no history file needed).
     val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_N", "8").toInt
-    val slowest = firstPass.filter(_._3.isEmpty).sortBy(-_._2).take(retimeN).map(_._1).toSet
+    val retimeFactor = sys.env.getOrElse("SPARK_GRAFT_RETIME_FACTOR", "4").toDouble
+    val ok = firstPass.filter(_._3.isEmpty)
+    val median = if (ok.isEmpty) 0.0
+      else ok.map(_._2).sorted.apply(ok.size / 2)
+    val slowest = (ok.sortBy(-_._2).take(retimeN).map(_._1) ++
+      ok.filter(_._2 > retimeFactor * median).map(_._1)).toSet
     // Drop every shared derived table before re-timing: otherwise the
     // retime runs fully warm, min() replaces the one timing that
     // charged the derivation, and a derivation-cost regression would
