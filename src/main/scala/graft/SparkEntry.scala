@@ -23,8 +23,9 @@ import graft.queries._
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY, except the
-  * declared rows-only approximations (v6, v8, v9, x1, x4, x5), each
-  * anchored by a spec instead.
+  * declared rows-only approximations (v6, x1, x4, x5), each anchored
+  * by a spec instead. (v8/v9 train their ANN models with the
+  * decimal-exact variants and carry full hash oracles since round 4.)
   */
 object SparkEntry {
 

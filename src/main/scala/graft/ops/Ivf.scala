@@ -28,6 +28,26 @@ object Ivf {
   def build(vectors: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 5): Index = {
     val (cents, assign) = KMeans.fit(vectors, idCol, vecCol, k, iters)
+    bucket(vectors, idCol, vecCol, cents, assign)
+  }
+
+  /** ORACLE-EXACT variant: trains via [[KMeans.fitExactModel]]
+    * (decimal-explode centroid means — bit-identical on any engine
+    * and partitioning), so the centroids, every bucket assignment,
+    * and therefore any nprobe probe result reproduce in plain SQL.
+    * Same probe path; [[build]] stays the d-length-buffer scale
+    * trainer. An empty cluster drops out of the model (fitExact
+    * semantics) — harmless here: probing ranks whatever centroids
+    * exist, no positional lookup. */
+  def buildExact(vectors: DataFrame, idCol: String, vecCol: String,
+                 k: Int, assignPasses: Int = 3): Index = {
+    val (cents, assign) =
+      KMeans.fitExactModel(vectors, idCol, vecCol, k, assignPasses)
+    bucket(vectors, idCol, vecCol, cents, assign)
+  }
+
+  private def bucket(vectors: DataFrame, idCol: String, vecCol: String,
+                     cents: DataFrame, assign: DataFrame): Index = {
     val v = vectors.select(col(idCol),
       col(vecCol).cast("array<double>").as("_vec"))
     val assigned = v.join(assign.select(col(idCol), col("cluster_id")), idCol)

@@ -203,7 +203,16 @@ object KMeans {
     * Returns the final (idCol, cluster_id, sq_dist) assignment.
     */
   def fitExact(vectors: DataFrame, idCol: String, vecCol: String,
-               k: Int, assignPasses: Int): DataFrame = {
+               k: Int, assignPasses: Int): DataFrame =
+    fitExactModel(vectors, idCol, vecCol, k, assignPasses)._2
+      .select(col(idCol), col("cluster_id"), col("sq_dist"))
+
+  /** [[fitExact]] exposing the model too: returns
+    * (centroids (cluster_id, cvec), full final assignment rows).
+    * The centroids are the engine-independent decimal-mean model —
+    * what [[Ivf.buildExact]] probes. */
+  def fitExactModel(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, assignPasses: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && assignPasses >= 1)
     val spark = vectors.sparkSession
     VectorOps.ensureRegistered(spark)
@@ -239,7 +248,8 @@ object KMeans {
         .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dc"))
         .select(col("cluster_id"),
           transform(col("dc"), x => x.getField("cv")).as("cvec"))
+        .localCheckpoint(true) // cut lineage per pass (iterative loop)
     }
-    assign(cent).select(col(idCol), col("cluster_id"), col("sq_dist"))
+    (cent, assign(cent))
   }
 }

@@ -64,6 +64,83 @@ object Pq {
     Index(m, subDim, codebooks, encoded, idCol)
   }
 
+  /** ORACLE-EXACT PQ training — the x11 pattern applied per subspace:
+    * the same per-subspace Lloyd's loop as [[build]], but centroid
+    * means go through a decimal explode (sum of DECIMAL(25,10) per
+    * (sub, cid, dim), one division), which is bit-identical on any
+    * engine and any partitioning. That makes the trained codebooks —
+    * and therefore the codes and every ADC score — reproducible in
+    * plain SQL, so the PQ query carries a full hash-checked oracle
+    * instead of a rows-only declaration. [[build]] remains the scale
+    * path (d-length VectorSumAgg buffers, m× fewer shuffled rows).
+    *
+    * Semantics mirrored by the SQL twin term for term:
+    *  - seeding: the k smallest ids' subvectors, cid = id rank;
+    *  - assignment: argmin of |s|² + |c|² − 2·s·c, ties to smaller
+    *    cid ([[graft.plans.TopK]] heap, k=1);
+    *  - update: decimal-explode mean; an EMPTY cluster keeps its
+    *    previous centroid, so cids stay contiguous 0..k-1 — which
+    *    [[search]]'s positional LUT lookup (element_at(lut, cid+1))
+    *    requires;
+    *  - `assignPasses` assignment passes total, updates between them.
+    */
+  def buildExact(vectors: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, k: Int, assignPasses: Int = 3): Index = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(k >= 1 && assignPasses >= 1)
+    val spark = vectors.sparkSession
+    VectorOps.ensureRegistered(spark)
+    import spark.implicits._
+    val subDim = dim / m
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val subRows = v.select(col(idCol),
+        posexplode(array((0 until m).map(j =>
+          slice(col("_v"), j * subDim + 1, subDim)): _*)).as(Seq("sub_id", "_s")))
+      .withColumn("_ss", VectorOps.dot(col("_s"), col("_s")))
+
+    // k-smallest-ids seeding, sliced per subspace on the driver
+    // (m·k·subDim doubles — model-sized)
+    val seedVecs = v.orderBy(col(idCol)).limit(k)
+      .select(col("_v")).collect().map(_.getSeq[Double](0)).zipWithIndex
+    var cent: DataFrame = seedVecs.flatMap { case (vec, i) =>
+      (0 until m).map(j => (j, i, vec.slice(j * subDim, (j + 1) * subDim).toSeq))
+    }.toSeq.toDF("sub_id", "cid", "cvec")
+
+    def assign(c: DataFrame): DataFrame = {
+      val cdf = broadcast(c.withColumn("_cc", VectorOps.dot(col("cvec"), col("cvec"))))
+      val scored = subRows.join(cdf, "sub_id")
+        .withColumn("sq_dist",
+          col("_ss") + col("_cc") - lit(2.0) * VectorOps.dot(col("_s"), col("cvec")))
+      graft.plans.TopK.perKey(scored, Seq("sub_id", idCol),
+        Seq(col("sq_dist"), col("cid")), 1)
+    }
+
+    for (_ <- 1 until assignPasses) {
+      val means = assign(cent)
+        .select(col("sub_id"), col("cid"),
+          posexplode(col("_s")).as(Seq("dim", "x")))
+        .groupBy(col("sub_id"), col("cid"), col("dim"))
+        .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("sub_id"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dc"))
+        .select(col("sub_id"), col("cid"),
+          transform(col("dc"), x => x.getField("cv")).as("mvec"))
+      cent = cent.as("p").join(means, Seq("sub_id", "cid"), "left")
+        .select(col("sub_id"), col("cid"),
+          coalesce(col("mvec"), col("p.cvec")).as("cvec"))
+        .localCheckpoint(true) // cut lineage per pass (iterative loop)
+    }
+    val codebooks = cent
+    val encoded = assign(codebooks)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("cid")))),
+        s => s("cid")).as("code"))
+      .localCheckpoint(true)
+    Index(m, subDim, codebooks, encoded, idCol)
+  }
+
   /** ADC top-k by dot-product score. Queries: (qid, qvec).
     * Output: (qid, nb_id, nb_rank, score) — score is the QUANTIZED
     * dot product Σ_j q_j · c_{code_j}. */

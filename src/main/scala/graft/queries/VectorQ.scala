@@ -31,13 +31,23 @@ object VectorQ {
   val PqK = 16
   val PqIters = 3
 
+  /** v9 exact-PQ training: total assignment passes (updates between
+    * them) — mirrored pass for pass by the unrolled oracle CTEs. */
+  val PqPasses = 3
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
   /** Session-memoized learned IVF index: v7 and v8 probe the SAME
     * trained index (one KMeans run per session, Derived-managed
     * persists for both index tables — the production shape, where the
-    * index is built once and every query probes it).
+    * index is built once and every query probes it). Trained with
+    * [[graft.ops.Ivf.buildExact]] (decimal-explode centroid means) so
+    * the model reproduces in SQL: v7 keeps its brute-force oracle
+    * (nprobe = k is exact under ANY training), and v8's nprobe = 2
+    * result gains a FULL hash oracle (ivfProbe2Oracle unrolls the
+    * same training, x11-style). Ivf.build stays the float scale
+    * path, pinned by IvfSpec.
     */
   private def learnedIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
     // KMeans training runs Spark jobs — peek first and train OUTSIDE
@@ -48,8 +58,8 @@ object VectorQ {
       a <- Derived.peek(s, d, "ivf_assigned")
     } yield graft.ops.Ivf.Index(c, a, "vec_id")
     cached.getOrElse {
-      val b = graft.ops.Ivf.build(emb(s, d), "vec_id", "embedding",
-        k = IvfClusters, iters = IvfIters)
+      val b = graft.ops.Ivf.buildExact(emb(s, d), "vec_id", "embedding",
+        k = IvfClusters, assignPasses = IvfIters)
       // atomic paired insert: centroids and assignments must come from
       // the SAME training run (Derived.ofAll), never a torn mix of two
       // racing builds
@@ -60,15 +70,19 @@ object VectorQ {
   }
 
   /** Session-memoized PQ index (same pattern as [[learnedIndex]]):
-    * codebooks + codes trained once, every query ADC-scans them. */
+    * codebooks + codes trained once, every query ADC-scans them.
+    * v9 uses the ORACLE-EXACT trainer ([[graft.ops.Pq.buildExact]],
+    * decimal-explode centroid means) so the whole index — and every
+    * ADC score — is reproducible in the DuckDB twin; Pq.build stays
+    * the scale path, pinned by PqSpec. */
   private def pqIndex(s: SparkSession, d: String): graft.ops.Pq.Index = {
     val cached = for {
       cb <- Derived.peek(s, d, "pq_codebooks")
       enc <- Derived.peek(s, d, "pq_encoded")
     } yield graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
     cached.getOrElse {
-      val b = graft.ops.Pq.build(emb(s, d), "vec_id", "embedding",
-        dim = EmbDim, m = PqM, k = PqK, iters = PqIters)
+      val b = graft.ops.Pq.buildExact(emb(s, d), "vec_id", "embedding",
+        dim = EmbDim, m = PqM, k = PqK, assignPasses = PqPasses)
       val Seq(cb, enc) = Derived.ofAll(s, d,
         Seq("pq_codebooks" -> b.codebooks, "pq_encoded" -> b.encoded))
       graft.ops.Pq.Index(PqM, EmbDim / PqM, cb, enc, "vec_id")
@@ -247,10 +261,11 @@ object VectorQ {
 
     // v8 — the same learned index in its production configuration:
     // nprobe = 2 of IvfClusters buckets, candidate set ~2/k of the
-    // corpus. Approximate by design (bucket choice follows the
-    // trained centroids), so no SQL oracle — rows-only check; the
-    // recall-vs-nprobe contract (nprobe = k ⇒ exact; candidates only
-    // shrink as nprobe drops) is pinned by IvfSpec.
+    // corpus. Still approximate RETRIEVAL (that's the point of
+    // nprobe < k), but with the exact-trained index the bucket
+    // choices and scores are deterministic arithmetic — the oracle
+    // reproduces training + bucket ranking + candidate scan in SQL
+    // and the result is a full hash check.
     "v8_knn_ivf_probe2" -> ((s, d) => {
       val e = emb(s, d)
       val idx = learnedIndex(s, d)
@@ -266,10 +281,12 @@ object VectorQ {
     // vectors compressed to 4 codes of 4 bits; queries score
     // candidates via a broadcast (m × k) lookup table — m array
     // lookups + adds per row, no decompression, no join on the data
-    // path. Scores are quantized (that is the point), and the trained
-    // codebooks are float-sum-order dependent, so no SQL oracle —
-    // rows-only check; the recall / reconstruction / ADC-identity
-    // contracts are pinned by PqSpec.
+    // path. The index trains with Pq.buildExact (decimal-explode
+    // centroid means — bit-identical on any engine/partitioning), so
+    // the codebooks, codes, and every quantized ADC score reproduce
+    // in SQL and the query carries a FULL hash oracle (pqOracle
+    // unrolls the training passes as CTEs, x11-style). Pq.build is
+    // the float scale path, pinned by PqSpec.
     "v9_knn_pq" -> ((s, d) => {
       val e = emb(s, d)
       val idx = pqIndex(s, d)
@@ -310,8 +327,158 @@ object VectorQ {
        |ORDER BY qid, nb_rank""".stripMargin
   }
 
+  /** The v9 oracle: Pq.buildExact + Pq.search reproduced in SQL.
+    * Training unrolls the PqPasses assignment passes as a CTE chain
+    * (the x11 pattern, per subspace via one extra group key); seeding,
+    * tie-breaks, the squared-distance expression, the decimal-explode
+    * centroid mean, and the empty-cluster COALESCE all mirror
+    * buildExact term for term. The ADC score folds the m per-subspace
+    * LUT contributions in sub_id order via list_reduce — the same
+    * left-to-right double fold as Spark's aggregate(zip_with(...)) —
+    * so the quantized scores are bit-identical and the rounded
+    * result hash-matches. */
+  private def pqOracle: String = {
+    val subDim = EmbDim / PqM
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, sub_id,
+         |         list_slice(v, sub_id * $subDim + 1, sub_id * $subDim + $subDim) AS s
+         |  FROM vecs CROSS JOIN range(0, $PqM) r(sub_id)),
+         |subdims AS (
+         |  SELECT vec_id, sub_id, generate_subscripts(s, 1) - 1 AS dim,
+         |         unnest(s)::DOUBLE AS x
+         |  FROM subs),
+         |cent0 AS (
+         |  SELECT sub_id,
+         |    CAST(row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    s AS cvec
+         |  FROM subs
+         |  WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $PqK))""".stripMargin)
+    def asgSql(i: Int): String =
+      s""",
+         |asg$i AS (
+         |  SELECT sub_id, vec_id, cid, s FROM (
+         |    SELECT b.sub_id, b.vec_id, c.cid, b.s,
+         |      row_number() OVER (PARTITION BY b.sub_id, b.vec_id ORDER BY
+         |        list_dot_product(b.s, b.s) + list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(b.s, c.cvec), c.cid) AS rn
+         |    FROM subs b JOIN cent${i - 1} c ON c.sub_id = b.sub_id) t
+         |  WHERE rn = 1)""".stripMargin
+    for (i <- 1 to PqPasses) {
+      sb.append(asgSql(i))
+      if (i < PqPasses) sb.append(
+        s""",
+           |means$i AS (
+           |  SELECT sub_id, cid, array_agg(cv ORDER BY dim) AS mvec FROM (
+           |    SELECT a.sub_id, a.cid, d.dim,
+           |      CAST(SUM(CAST(d.x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS cv
+           |    FROM asg$i a JOIN subdims d
+           |      ON d.vec_id = a.vec_id AND d.sub_id = a.sub_id
+           |    GROUP BY a.sub_id, a.cid, d.dim) u
+           |  GROUP BY sub_id, cid),
+           |cent$i AS (
+           |  SELECT p.sub_id, p.cid, COALESCE(n.mvec, p.cvec) AS cvec
+           |  FROM cent${i - 1} p LEFT JOIN means$i n
+           |    ON n.sub_id = p.sub_id AND n.cid = p.cid)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |luts AS (
+         |  SELECT q.vec_id AS qid, c.sub_id, c.cid,
+         |    list_dot_product(q.s, c.cvec) AS contrib
+         |  FROM subs q JOIN cent${PqPasses - 1} c ON c.sub_id = q.sub_id
+         |  WHERE q.vec_id < 5),
+         |scored AS (
+         |  SELECT l.qid, a.vec_id AS nb_id,
+         |    list_reduce(array_agg(l.contrib ORDER BY l.sub_id),
+         |                (acc, x) -> acc + x) AS score
+         |  FROM asg$PqPasses a JOIN luts l ON l.sub_id = a.sub_id AND l.cid = a.cid
+         |  WHERE a.vec_id <> l.qid
+         |  GROUP BY l.qid, a.vec_id)
+         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
+         |FROM (SELECT qid, nb_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+         |      FROM scored) x
+         |WHERE rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
+  /** The v8 oracle: Ivf.buildExact + probe(nprobe=2) in SQL. The
+    * training chain is x11's unrolled-CTE pattern at IvfClusters/
+    * IvfIters; bucket ranking mirrors Ivf.probe's rank-neutral
+    * |c|² − 2·q·c expression and cluster_id tie-break; the candidate
+    * scan joins only the two probed buckets. */
+  private def ivfProbe2Oracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         |         embedding::DOUBLE[] AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfClusters) s),
+         |dims AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |cent0 AS (SELECT cluster_id, cvec FROM seeds)""".stripMargin)
+    def asgSql(i: Int): String =
+      s""",
+         |asg$i AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |          + list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent${i - 1} c) t
+         |  WHERE rn = 1)""".stripMargin
+    for (i <- 1 to IvfIters) {
+      sb.append(asgSql(i))
+      if (i < IvfIters) sb.append(
+        s""",
+           |cent$i AS (
+           |  SELECT cluster_id, array_agg(cv ORDER BY dim) AS cvec FROM (
+           |    SELECT a.cluster_id, d.dim,
+           |      CAST(SUM(CAST(d.x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS cv
+           |    FROM asg$i a JOIN dims d USING (vec_id)
+           |    GROUP BY a.cluster_id, d.dim) u
+           |  GROUP BY cluster_id)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |probed AS (
+         |  SELECT qid, qe, cluster_id FROM (
+         |    SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qe, c.cluster_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(q.embedding::DOUBLE[], c.cvec),
+         |        c.cluster_id) AS brn
+         |    FROM embeddings q CROSS JOIN cent${IvfIters - 1} c
+         |    WHERE q.vec_id < 5) t
+         |  WHERE brn <= 2),
+         |cands AS (
+         |  SELECT p.qid, a.vec_id AS nb_id,
+         |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
+         |  FROM probed p
+         |  JOIN asg$IvfIters a ON a.cluster_id = p.cluster_id
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
+         |FROM (SELECT qid, nb_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+         |      FROM cands) x
+         |WHERE rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "v10_knn_lsh" -> lshOracle,
+    "v9_knn_pq" -> pqOracle,
+    "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
     "v1_cosine_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0)
