@@ -50,4 +50,22 @@ object Skew {
       .select(col(key))
     df.join(keep, Seq(key), "left_semi")
   }
+
+  /** [[withDfCap]] with the threshold RELATIVE to the corpus:
+    * keys in more than `frac` of all distinct `docCol` values are
+    * dropped. The right form at scale — an absolute cap tuned at one
+    * SF silently keeps everything (or nothing) at 100×; a fraction
+    * tracks the corpus. The total stays in-plan (broadcast scalar),
+    * no driver collect.
+    */
+  def withRelativeDfCap(df: DataFrame, key: String, docCol: String,
+                        frac: Double): DataFrame = {
+    val total = df.agg(countDistinct(col(docCol)).as("_total"))
+    val keep = df.groupBy(col(key))
+      .agg(countDistinct(col(docCol)).as("_df"))
+      .crossJoin(broadcast(total))
+      .filter(col("_df") <= col("_total") * frac)
+      .select(col(key))
+    df.join(keep, Seq(key), "left_semi")
+  }
 }

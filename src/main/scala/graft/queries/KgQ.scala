@@ -35,6 +35,17 @@ object KgQ {
     * reference tools.py:186-203). */
   val SeedNames = Seq("spark", "data", "query")
 
+  /** k12 skew caps (SURVEY.md §7.4.2): an entity appearing in more
+    * than EdgeMaxDfFrac of all distinct chunks is dropped (RELATIVE
+    * hot-key cap — an absolute cap tuned at one SF keeps everything
+    * or nothing at 100×), and each chunk contributes at most
+    * EdgeCapPerChunk entities to the pair generator (C(cap,2) bound
+    * per chunk). Both mirrored in the oracle. At sf0.01 both bind:
+    * the fixture's hot tokens sit at ~43–50% chunk df, so 0.45 drops
+    * the head; surviving chunks still carry more than 6 entities. */
+  val EdgeCapPerChunk = 6
+  val EdgeMaxDfFrac = 0.45
+
   /** Chunk table without the audit index: pure narrow explode, no
     * shuffle — the shape every downstream KG query uses.
     */
@@ -211,6 +222,24 @@ object KgQ {
     "k4_kg_edges" -> ((s, d) => {
       edgesDf(s, d)
         .select(col("src").as("source_node_id"), col("tgt").as("target_node_id"),
+          col("paper_id"), col("weight"))
+        .orderBy(col("source_node_id"), col("target_node_id"), col("paper_id"))
+    }),
+
+    // k12 — k4's 100 TB shape: the G4 co-occurrence generator under
+    // its SKEW CONTROLS (SURVEY.md §7.4.2 — 25M edges from 35k chunks
+    // is the reference's named blowup). Two deterministic caps, both
+    // mirrored term for term in the oracle: Skew.withRelativeDfCap
+    // drops entities appearing in more than EdgeMaxDfFrac of all
+    // chunks (a stopword-like entity otherwise lands all its C(n,2)
+    // pairs on one reducer), then Ingest.edges' maxEntitiesPerChunk window
+    // (partitioned by chunk — never global) bounds each chunk's
+    // contribution at C(cap,2) pairs.
+    "k12_kg_edges_capped" -> ((s, d) => {
+      val capped = graft.ops.Skew.withRelativeDfCap(
+        entsDf(s, d), "node_id", "chunk_id", EdgeMaxDfFrac)
+      Ingest.edges(capped, maxEntitiesPerChunk = EdgeCapPerChunk)
+        .select(col("source_node_id"), col("target_node_id"),
           col("paper_id"), col("weight"))
         .orderBy(col("source_node_id"), col("target_node_id"), col("paper_id"))
     }),
@@ -475,6 +504,33 @@ object KgQ {
       s"""$ctePrefix
          |SELECT src AS source_node_id, tgt AS target_node_id, paper_id, weight
          |FROM edges
+         |ORDER BY source_node_id, target_node_id, paper_id""".stripMargin,
+
+    // df-cap before the per-chunk rank, rank by first occurrence
+    // (unique within a chunk: each ord is one occurrence), C(cap,2)
+    // pair join — Skew.withDfCap + Ingest.edges(cap) term for term.
+    "k12_kg_edges_capped" ->
+      s"""$ctePrefix,
+         |dpcf AS (
+         |  SELECT chunk_id, paper_id, node_id, MIN(ord) AS first_ord
+         |  FROM ents GROUP BY chunk_id, paper_id, node_id),
+         |keep AS (
+         |  SELECT node_id FROM dpcf GROUP BY node_id
+         |  HAVING COUNT(DISTINCT chunk_id)
+         |    <= (SELECT COUNT(DISTINCT chunk_id) FROM dpcf) * $EdgeMaxDfFrac),
+         |capped AS (
+         |  SELECT chunk_id, paper_id, node_id FROM (
+         |    SELECT d.chunk_id, d.paper_id, d.node_id,
+         |      row_number() OVER (PARTITION BY d.chunk_id
+         |        ORDER BY d.first_ord) AS rk
+         |    FROM dpcf d JOIN keep USING (node_id)) t
+         |  WHERE rk <= $EdgeCapPerChunk)
+         |SELECT * FROM (
+         |  SELECT a.node_id AS source_node_id, b.node_id AS target_node_id,
+         |    a.paper_id AS paper_id, CAST(COUNT(*) AS DOUBLE) AS weight
+         |  FROM capped a JOIN capped b
+         |    ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+         |  GROUP BY a.node_id, b.node_id, a.paper_id) e
          |ORDER BY source_node_id, target_node_id, paper_id""".stripMargin,
 
     "k5_entity_map" ->

@@ -95,6 +95,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "d9 must not plan a cartesian product")
   }
 
+  test("k12's skew caps are in the plan: partitioned cap window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("k12_kg_edges_capped")(spark, Sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "k12 should plan the per-chunk cap window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "the cap window must stay partitioned by chunk (never a global window)")
+    assert(!plan("k12_kg_edges_capped").contains("CartesianProduct"))
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     for (q <- Seq("q19_topk_orders", "v1_cosine_topk", "k7_search_chunks"))
       assert(plan(q).contains("TakeOrderedAndProject"), q)
