@@ -15,7 +15,9 @@ object Explain {
                   "v9_knn_pq","d8_dedup_hamming","d9_decontaminate",
                   "x9_range_join","x10_heavy_hitters","q30_lead_lag",
                   "k11_pagerank","x11_kmeans_exact","x12_incremental_agg",
-                  "t12_mixture_target","d10_dedup_canonical")) {
+                  "t12_mixture_target","d10_dedup_canonical",
+                  "q21_percentiles","k12_kg_edges_capped",
+                  "v8_knn_ivf_probe2")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -181,14 +181,17 @@ object ExtQ {
     }),
 
     // q21 — exact interpolated percentiles per group (sort-based, so
-    // engine-order independent; matches DuckDB quantile_cont).
+    // engine-order independent; matches DuckDB quantile_cont) behind
+    // the BOUNDED-MEMORY switchover (ops.Percentiles): a count-only
+    // pre-pass sizes the largest group, exact percentiles run only
+    // while that fits one aggregation buffer, and past the bound the
+    // query degrades to the x4 mergeable sketch instead of OOMing an
+    // executor. The mode is the visible `exact` column — the oracle
+    // pins that the exact path was taken at this SF.
     "q21_percentiles" -> ((s, d) => {
-      Tables.load(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
-          count(lit(1)).as("n_rows"))
+      graft.ops.Percentiles.grouped(
+          Tables.load(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          Seq("median_qty" -> 0.5, "p90_qty" -> 0.9))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -641,11 +644,14 @@ object ExtQ {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // `true AS exact` pins that the bounded-memory switchover chose
+    // the exact path at this SF (the sketch branch would hash-differ).
     "q21_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
-        |  COUNT(*) AS n_rows
+        |  COUNT(*) AS n_rows,
+        |  true AS exact
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -23,4 +23,26 @@ class ApproxQuantileSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("p90") - r.getAs[Double]("approx_p90")) <= 1.0, r)
     }
   }
+
+  test("percentile switchover: exact under the bound, sketch (flagged) above it") {
+    import graft.ops.Percentiles
+    val li = Tables.load(spark, Sf001, "lineitem")
+    val pts = Seq("median_qty" -> 0.5, "p90_qty" -> 0.9)
+
+    val small = Percentiles.grouped(li, "l_returnflag", "l_quantity", pts)
+    assert(small.collect().forall(_.getAs[Boolean]("exact")))
+
+    // force the degrade path: every group exceeds one row
+    val degraded = Percentiles.grouped(li, "l_returnflag", "l_quantity", pts,
+      maxExactGroupRows = 1)
+    val rows = degraded.collect()
+    assert(rows.forall(!_.getAs[Boolean]("exact")))
+    // schema identical across modes; sketch stays within the x4 bound
+    assert(degraded.schema == small.schema)
+    val exactByFlag = small.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median_qty")).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("median_qty") - exactByFlag(r.getString(0))) <= 1.0, r)
+    }
+  }
 }
