@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the dedup/ANN families: synthesize a factor-F
+  * corpus from a fixture dir (duplicate + perturb — the fixtures
+  * themselves are never touched), run the bucketed-join queries at 1×
+  * and F×, and report wall-times next to CANDIDATE-PAIR counts.
+  *
+  * The claim under test (SCALE.md): candidate generation is
+  * O(collisions), bounded by bucket density — so when the corpus
+  * grows F×, candidates and runtime grow ~F×, not F². Perturbation
+  * suffixes every word with the copy number, so copies share no
+  * shingles / token hashes / n-grams across copy spaces — corpus
+  * structure replicates (near-dup DENSITY constant), the clean
+  * near-linear-growth null hypothesis. Embeddings get one dimension
+  * nudged per copy (distinct vectors, same geometry).
+  *
+  * Usage: runMain graft.ScaleSmoke [baseDir] [factor] [outDir]
+  * Emits one JSON line per measured dir:
+  *   {"dir":…,"times":{q:sec,…},"dedup":{…counts},"ann":{…counts}}
+  */
+object ScaleSmoke {
+
+  private val Queries = Seq(
+    "d1_dedup_exact", "d2_dedup_jaccard", "d3_dedup_minhash",
+    "d8_dedup_hamming", "d9_decontaminate",
+    "v7_knn_ivf_learned", "v8_knn_ivf_probe2", "v10_knn_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val out = if (args.length > 2) args(2) else "target/scale_smoke"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scaled = s"$out/x$factor"
+    generate(spark, base, scaled, factor)
+
+    for (dir <- Seq(base, scaled)) {
+      queries.Derived.invalidate(spark)
+      spark.catalog.clearCache()
+      val times = Queries.map { q =>
+        val t0 = System.nanoTime()
+        val err = try {
+          SparkEntry.queries(q)(spark, dir)
+            .write.mode("overwrite").format("noop").save(); None
+        } catch { case e: Throwable => Some(e.toString.take(120)) }
+        (q, (System.nanoTime() - t0) / 1e9, err)
+      }
+      val dedup = queries.DedupQ.candidateDiagnostics(spark, dir)
+      val ann = queries.VectorQ.annCandidateDiagnostics(spark, dir)
+      def jmap(m: Seq[(String, Any)]): String =
+        m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(
+        s"""{"dir":"$dir","times":${jmap(times.map(t => t._1 -> t._2))},""" +
+          s""""errors":${jmap(times.collect { case (q, _, Some(e)) => q -> ("\"" + e + "\"") })},""" +
+          s""""dedup":${jmap(dedup.toSeq.sortBy(_._1))},"ann":${jmap(ann.toSeq.sortBy(_._1))}}""")
+    }
+    spark.stop()
+  }
+
+  /** Write factor-F copies of documents + embeddings under `out`
+    * (skipped if already generated). Copy 0 is verbatim; copy i > 0
+    * offsets ids by i·n and makes the content copy-distinct. */
+  def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val done = new java.io.File(s"$out/_GENERATED")
+    if (done.exists()) return
+    val docs = Tables.load(spark, base, "documents")
+    val nDocs = docs.agg(max(col("doc_id"))).head.getAs[Number](0).longValue + 1
+    val docCopies = (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+        // suffix every word: copies share no shingles across copy spaces
+        regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embs = Tables.load(spark, base, "embeddings")
+    val nVecs = embs.agg(max(col("vec_id"))).head.getAs[Number](0).longValue + 1
+    val embCopies = (0 until factor).map { i =>
+      if (i == 0) embs
+      else embs.select(
+        (col("vec_id") + lit(i * nVecs)).as("vec_id"),
+        transform(col("embedding"),
+          (x, idx) => when(idx === 0, x + lit(i * 0.001f)).otherwise(x))
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(done.toPath, s"base=$base factor=$factor\n"): Unit
+  }
+}

@@ -62,6 +62,23 @@ object Ivf {
     * score). Queries: (qid, qvec). `nprobe >= k` ⇒ exact.
     */
   def probe(index: Index, queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val cands = candidates(index, queries, nprobe)
+    val top = graft.plans.TopK.perKey(cands, Seq("qid"),
+      Seq(col("score").desc, col(index.idCol)), topK)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(index.idCol))
+    top.withColumn("nb_rank", row_number().over(w))
+      .select(col("qid"), col(index.idCol).as("nb_id"), col("nb_rank"),
+        col("score"))
+  }
+
+  /** The scored candidate rows a probe(nprobe) scans before top-k —
+    * probe's data-path cost, exposed for the scale diagnostics
+    * (SCALE.md: candidates must track nprobe/k of the corpus, never
+    * the corpus squared). */
+  def probeCandidateCount(index: Index, queries: DataFrame, nprobe: Int): Long =
+    candidates(index, queries, nprobe).count()
+
+  private def candidates(index: Index, queries: DataFrame, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
     val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
@@ -75,14 +92,8 @@ object Ivf {
         Seq(col("_cd"), col("cluster_id")), nprobe)
       .select(col("qid"), col("_q"), col("cluster_id"))
     // scan only the probed buckets
-    val cands = probed.join(index.assigned, Seq("cluster_id"))
+    probed.join(index.assigned, Seq("cluster_id"))
       .filter(col(index.idCol) =!= col("qid"))
       .withColumn("score", VectorOps.dot(col("_q"), col("_vec")))
-    val top = graft.plans.TopK.perKey(cands, Seq("qid"),
-      Seq(col("score").desc, col(index.idCol)), topK)
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(index.idCol))
-    top.withColumn("nb_rank", row_number().over(w))
-      .select(col("qid"), col(index.idCol).as("nb_id"), col("nb_rank"),
-        col("score"))
   }
 }

@@ -36,8 +36,15 @@ object DedupQ {
   /** MinHash signature length and LSH band width. */
   val NumHashes = 16
   val BandWidth = 4
-  /** SimHash bit width. */
-  val SimHashBits = 32
+  /** SimHash bit width — hash60's full width. 60 bits (not 32) is a
+    * SCALE parameter, not a precision nicety: d8 buckets pairs on
+    * [[SimBands]] equal bit-slices, and the band value space is the
+    * collision denominator. The round-4 scale smoke measured 32-bit
+    * signatures (4×8-bit bands, 1024 buckets) growing candidates 20×
+    * on a 10× corpus — chance collisions ~n²/buckets, quadratic. At
+    * 60 bits the 4 bands hold 2^15 values each (32× the space) and
+    * the measured candidate curve is linear (see SCALE.md). */
+  val SimHashBits = 60
   /** Jaccard / cosine thresholds. */
   val JaccardMin = 0.3
   val CosineMin = 0.35
@@ -57,10 +64,10 @@ object DedupQ {
   val EditSimMin = 0.35
   /** d8 SimHash near-dup: pairs at Hamming distance ≤ [[HammingMax]].
     * The signature is banded into [[SimBands]] equal bit-slices; with
-    * 4 bands of 8 bits and a threshold of 3, banding is LOSSLESS by
-    * pigeonhole (3 differing bits can touch at most 3 of 4 bands, so
-    * every qualifying pair shares at least one full band) — the
-    * banded plan computes exactly the all-pairs answer. */
+    * 4 bands (of 15 bits each) and a threshold of 3, banding is
+    * LOSSLESS by pigeonhole (3 differing bits can touch at most 3 of
+    * 4 bands, so every qualifying pair shares at least one full
+    * band) — the banded plan computes exactly the all-pairs answer. */
   val HammingMax = 3
   val SimBands = 4
   /** d9 decontamination: word-n-gram width for benchmark overlap and
@@ -158,6 +165,80 @@ object DedupQ {
       sh.join(keep, Seq("shingle"), "left_semi")
     }
 
+  /** Session-memoized MinHash band table — d3's bucket key; both
+    * sides of the candidate self-join (and the scale diagnostics)
+    * read it. */
+  private def minhashBandsOf(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "minhash_bands") {
+      val sh = shinglesOf(s, d)
+      val sigCols = (0 until NumHashes).map(j =>
+        min(col("h1") + lit(j.toLong) * col("h2")).as(s"s$j"))
+      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until NumHashes / BandWidth).map { b =>
+        val parts = (0 until BandWidth).map(k => col(s"s${b * BandWidth + k}").cast("string"))
+        md5(concat_ws(",", parts: _*))
+      }
+      sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    }
+
+  /** d8's 15-bit-band table (doc_id, simhash, band, bv). */
+  private def simhashBandsOf(s: SparkSession, d: String): DataFrame = {
+    val bandBits = SimHashBits / SimBands
+    val bandArr = array((0 until SimBands).map(b =>
+      shiftright(col("simhash"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+    simhashOf(s, d).select(col("doc_id"), col("simhash"),
+      posexplode(bandArr).as(Seq("band", "bv")))
+  }
+
+  /** d9's pruned stream — (test n-grams, train n-grams, Bloom
+    * survivors); shared by the query and the scale diagnostics.
+    * Building the sketch RUNS a job. */
+  private def decontamStreams(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.BloomContains.register(s)
+    val ng = splitNgramsOf(s, d)
+    val testNg = ng.filter(col("split") === "test")
+      .select(col("ngram")).distinct()
+    val nTest = testNg.count()
+    val bf = testNg.select(xxhash64(col("ngram")).as("h"))
+      .stat.bloomFilter("h", math.max(1000L, nTest), BloomFpp)
+    val train = ng.filter(col("split") === "train")
+    val cand = train.filter(
+      graft.functions.BloomContains.contains(xxhash64(col("ngram")), bf))
+    (testNg, train, cand)
+  }
+
+  /** Scale-smoke diagnostics (SCALE.md evidence): the bucketed-join
+    * candidate counts BEFORE the similarity cuts — the quantity the
+    * inverted-index / banding designs bound. A near-linear candidate
+    * curve at growing SF is the proof the plans never degrade toward
+    * all-pairs; a super-linear one names the operator to fix. */
+  def candidateDiagnostics(s: SparkSession, d: String): Map[String, Long] = {
+    val kept = keptShinglesOf(s, d)
+    val d2 = kept.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(kept.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id")).count()
+    val mb = minhashBandsOf(s, d)
+    val d3 = mb.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(mb.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id")).count()
+    val sb = simhashBandsOf(s, d)
+    val d8 = sb.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+      .join(sb.select(col("doc_id").as("b_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id")).count()
+    val (_, train, surv) = decontamStreams(s, d)
+    Map(
+      "n_docs" -> docs(s, d).count(),
+      "d2_candidates" -> d2,
+      "d3_candidates" -> d3,
+      "d8_candidates" -> d8,
+      "d9_train_ngrams" -> train.count(),
+      "d9_bloom_survivors" -> surv.count())
+  }
+
   /** Shared oracle CTE: distinct shingles per doc + hash bases. */
   private val shingleCte =
     s"""sh AS (
@@ -217,20 +298,9 @@ object DedupQ {
     // hash. The band join is the scale path: signatures are
     // fixed-width, pairs only form inside buckets.
     "d3_dedup_minhash" -> ((s, d) => {
-      val sh = shinglesOf(s, d)
-      val sigCols = (0 until NumHashes).map(j =>
-        min(col("h1") + lit(j.toLong) * col("h2")).as(s"s$j"))
-      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      val bandCols = (0 until NumHashes / BandWidth).map { b =>
-        val parts = (0 until BandWidth).map(k => col(s"s${b * BandWidth + k}").cast("string"))
-        md5(concat_ws(",", parts: _*))
-      }
       // both sides of the bucket self-join read bands — Derived-managed
       // persist (freed by invalidate/clearCache, not leaked).
-      val bands = Derived.of(s, d, "minhash_bands") {
-        sig.select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-      }
+      val bands = minhashBandsOf(s, d)
       val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bh"))
       x.join(y, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
@@ -256,13 +326,7 @@ object DedupQ {
     // signature-level LSH that scales where d3's shingle-level LSH
     // pays per-shingle cost.
     "d8_dedup_hamming" -> ((s, d) => {
-      val bandBits = SimHashBits / SimBands
-      val sig = simhashOf(s, d)
-      val bandArr = array((0 until SimBands).map(b =>
-        shiftright(col("simhash"), b * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1))): _*)
-      val bands = sig.select(col("doc_id"), col("simhash"),
-        posexplode(bandArr).as(Seq("band", "bv")))
+      val bands = simhashBandsOf(s, d)
       val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
         col("band"), col("bv"))
       val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
@@ -286,15 +350,7 @@ object DedupQ {
     // is the per-train-doc verdict. NOTE: building the sketch runs a
     // job when the DataFrame is BUILT (like d6's fixpoint loop).
     "d9_decontaminate" -> ((s, d) => {
-      graft.functions.BloomContains.register(s)
-      val ng = splitNgramsOf(s, d)
-      val testNg = ng.filter(col("split") === "test")
-        .select(col("ngram")).distinct()
-      val nTest = testNg.count()
-      val bf = testNg.select(xxhash64(col("ngram")).as("h"))
-        .stat.bloomFilter("h", math.max(1000L, nTest), BloomFpp)
-      val cand = ng.filter(col("split") === "train")
-        .filter(graft.functions.BloomContains.contains(xxhash64(col("ngram")), bf))
+      val (testNg, _, cand) = decontamStreams(s, d)
       val hits = cand.join(testNg, Seq("ngram"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bad"))
       val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))

@@ -89,6 +89,45 @@ object VectorQ {
     }
   }
 
+  /** v10's sign-bit-bucketed corpus (vec_id, embedding, bucket) —
+    * shared by the query and the scale diagnostics. Planes are
+    * hash-derived (reconstructible in SQL); they fold to literals at
+    * plan time. */
+  private def lshBucketedOf(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    def plane(p: Int) = transform(sequence(lit(0), lit(EmbDim - 1)),
+      dd => (graft.ops.TextFns.hash60(
+        concat(lit(s"lsh|$p|"), dd.cast("string"))) % 2001 - 1000) / lit(1000.0))
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      (0 until LshPlanes).map(p =>
+        when(VectorOps.dot(v, plane(p)) >= 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _)
+    emb(s, d)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("bucket", bucketOf(col("ed")))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+  }
+
+  /** Scale-smoke diagnostics (SCALE.md evidence): the candidate rows
+    * the ANN paths scan for the standard 5-query set — must track
+    * bucket density (corpus/2^planes, nprobe/k·corpus), never the
+    * corpus squared. */
+  def annCandidateDiagnostics(s: SparkSession, d: String): Map[String, Long] = {
+    val e = lshBucketedOf(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"))
+    val v10 = e.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("qid")).count()
+    val queries = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val v8 = graft.ops.Ivf.probeCandidateCount(
+      learnedIndex(s, d), queries, nprobe = 2)
+    Map(
+      "corpus_vectors" -> emb(s, d).count(),
+      "v10_candidates" -> v10,
+      "v8_candidates" -> v8)
+  }
+
   /** The cosine expression shared by v1/d5: dot/(|a||b|). */
   private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     VectorOps.dot(a, b) / (VectorOps.l2norm(a) * VectorOps.l2norm(b))
@@ -158,18 +197,7 @@ object VectorQ {
     // by exact dot product. The plane arrays fold to literals at plan
     // time (hash60 of literal args is foldable).
     "v10_knn_lsh" -> ((s, d) => {
-      VectorOps.ensureRegistered(s)
-      def plane(p: Int) = transform(sequence(lit(0), lit(EmbDim - 1)),
-        dd => (graft.ops.TextFns.hash60(
-          concat(lit(s"lsh|$p|"), dd.cast("string"))) % 2001 - 1000) / lit(1000.0))
-      def bucketOf(v: org.apache.spark.sql.Column) =
-        (0 until LshPlanes).map(p =>
-          when(VectorOps.dot(v, plane(p)) >= 0, lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _)
-      val e = emb(s, d)
-        .withColumn("ed", col("embedding").cast("array<double>"))
-        .withColumn("bucket", bucketOf(col("ed")))
-        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val e = lshBucketedOf(s, d)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("bucket").as("qbucket"))
