@@ -77,8 +77,12 @@ object RelationalQ {
         .orderBy(col("n_name"))
     }),
 
-    // q5 — J1×5: star-schema multi-join (TPC-H Q5 shape). Dims
-    // broadcast; the only big-big join is lineitem⋈orders.
+    // q5 — J1×5: star-schema multi-join (TPC-H Q5 shape). Only the
+    // BOUNDED dims (nation: 25 rows, region: 5 rows at ANY scale
+    // factor) carry broadcast hints. customer and supplier GROW with
+    // the corpus — hinting them is the q3-orders class of scale
+    // hazard — so those joins are left to AQE: broadcast while they
+    // measure small, shuffle join at scale.
     "q5_local_supplier_volume" -> ((s, d) => {
       val region = t(s, d, "region").filter(col("r_name") === "ASIA")
       val nation = t(s, d, "nation")
@@ -89,8 +93,8 @@ object RelationalQ {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(s, d, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

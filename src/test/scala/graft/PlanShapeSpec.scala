@@ -52,6 +52,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q5's broadcast hints cover only the bounded dims (nation/region)") {
+    // customer and supplier grow with the corpus: a hint there is the
+    // q3-orders scale hazard. AQE may still broadcast them while they
+    // measure small — that's correct; the HINT must stay gone.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q5_local_supplier_volume")(spark, Sf0001)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "q5 should still broadcast-hint nation/region")
+    for (h <- hints) {
+      val cols = h.child.output.map(_.name)
+      assert(cols.forall(c => c.startsWith("n_") || c.startsWith("r_")),
+        s"broadcast hint must cover only nation/region, got ${cols.mkString(",")}")
+    }
+  }
+
   test("q3 never force-broadcasts the orders fact table") {
     // orders filtered at ~64% selectivity is a fact table: a broadcast
     // HINT there is a multi-GB build side at scale (the one named
