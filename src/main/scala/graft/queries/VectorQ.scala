@@ -305,6 +305,34 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v11 — ANN over SCALAR-QUANTIZED codes (ops.Sq): float32 →
+    // int8 + one scale per vector, 4× compression with NO training
+    // (contrast v9's PQ codebooks) — encode is a narrow map, so it
+    // works on a streaming corpus and the scored scan reads 1/4 the
+    // bytes. Quantization math is floor-based (engine-identical), so
+    // unlike trained indexes the full pipeline — encode, asymmetric
+    // score, rank — carries a plain hash oracle with no unrolled
+    // training CTEs.
+    "v11_knn_sq8" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val enc = graft.ops.Sq.encode(e, "vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = enc.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score_raw",
+          graft.ops.Sq.score(col("qe"), col("scale"), col("codes")))
+      val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(col("score_raw").desc, col("vec_id")), 3)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_raw").desc, col("vec_id"))
+      top.withColumn("nb_rank", row_number().over(w))
+        .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     // v9 — ANN over PRODUCT-QUANTIZED codes (ops.Pq): 64-dim float
     // vectors compressed to 4 codes of 4 bits; queries score
     // candidates via a broadcast (m × k) lookup table — m array
@@ -507,6 +535,33 @@ object VectorQ {
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
+
+    // Sq.encode + Sq.score term for term: max|x|/127 scale,
+    // floor(x/s + 0.5) codes (floor, not round — round's half-case
+    // tie-breaking differs across engines), score = s·<q,codes>.
+    "v11_knn_sq8" ->
+      """WITH s1 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |enc AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(floor(
+        |      x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5) AS INT)) AS codes
+        |  FROM s1),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nb_id,
+        |    e.scale * list_dot_product(q.qe,
+        |      list_transform(e.codes, c -> c::DOUBLE)) AS score
+        |  FROM enc e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
+        |FROM (SELECT qid, nb_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+        |      FROM scored) x
+        |WHERE rn <= 3
+        |ORDER BY qid, nb_rank""".stripMargin,
     "v1_cosine_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0)
