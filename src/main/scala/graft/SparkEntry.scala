@@ -10,9 +10,9 @@ import graft.queries._
   *    inventory + window analytics
   *  - VectorQ (v1–v11): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization)
-  *  - DedupQ (d1–d10): dedup suite (exact, Jaccard, MinHash, SimHash,
-  *    Hamming pairs, embedding, clustering, edit distance,
-  *    decontamination, canonical selection)
+  *  - DedupQ (d1–d11): dedup suite (exact, Jaccard, MinHash, SimHash,
+  *    Hamming pairs, embedding, clustering, edit distance, exact +
+  *    fuzzy decontamination, canonical selection)
   *  - TextQ (t1–t12, m1/m2, s1, q28): text analysis, sampling,
   *    multimodal, windowed events
   *  - KgQ (k1–k12): chunker / knowledge-graph pipeline + flagship

@@ -192,6 +192,16 @@ object DedupQ {
       posexplode(bandArr).as(Seq("band", "bv")))
   }
 
+  /** t6's deterministic split label per document (the same salted
+    * hash-bucket formula d9's n-gram stream uses). */
+  private def splitLabels(s: SparkSession, d: String): DataFrame = {
+    val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
+    docs(s, d).select(col("doc_id"),
+      when((h % 100).cast("int") < 80, "train")
+        .when((h % 100).cast("int") < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** d9's pruned stream — (test n-grams, train n-grams, Bloom
     * survivors); shared by the query and the scale diagnostics.
     * Building the sketch RUNS a job. */
@@ -361,6 +371,53 @@ object DedupQ {
         .select(col("doc_id"),
           coalesce(col("n_bad"), lit(0L)).as("n_bad"))
         .withColumn("keep", col("n_bad") === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // d11 — FUZZY decontamination: exact n-gram overlap (d9) misses
+    // paraphrased or partially-edited benchmark leakage, so
+    // production pipelines ALSO near-dup-match the train split
+    // against the benchmark (test split). Candidates form only
+    // inside the SAME MinHash band buckets d3 uses — train side ⋈
+    // test side per bucket, never train × test — and are verified by
+    // exact Jaccard over the df-capped shingle sets (d2's math, d2's
+    // threshold). Output is d9's shape: one verdict row per train
+    // doc. Every piece reuses a Derived table the d-family already
+    // persists (bands, kept shingles), so the marginal cost is the
+    // cross-split joins alone.
+    "d11_decontaminate_fuzzy" -> ((s, d) => {
+      val lab = splitLabels(s, d)
+      val bands = minhashBandsOf(s, d).join(lab, "doc_id")
+      val cand = bands.filter(col("split") === "train")
+        .select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bands.filter(col("split") === "test")
+          .select(col("doc_id").as("b_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val kept = keptShinglesOf(s, d)
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val ka = kept.join(lab.filter(col("split") === "train"), "doc_id")
+        .select(col("doc_id").as("a_id"), col("shingle"))
+      val kb = kept.join(lab.filter(col("split") === "test"), "doc_id")
+        .select(col("doc_id").as("b_id"), col("shingle"))
+      val inter = ka.join(kb, Seq("shingle"))
+        .join(cand, Seq("a_id", "b_id"), "left_semi")
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      val jac = inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("sz", "sa"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("sz", "sb"), Seq("b_id"))
+        .withColumn("j", col("inter") / (col("sa") + col("sb") - col("inter")))
+        .filter(col("j") >= JaccardMin)
+      val hits = jac.groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_test_matches"), max(col("j")).as("maxj"))
+      lab.filter(col("split") === "train").select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_test_matches"), lit(0L)).as("n_test_matches"),
+          round(coalesce(col("maxj"), lit(0.0)), 4).as("max_jaccard"),
+          (coalesce(col("n_test_matches"), lit(0L)) === 0).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -632,6 +689,55 @@ object DedupQ {
       // are removed by the exact semi-join; false negatives are
       // impossible), so the oracle needs only the exact semantics:
       // train docs sharing any word-8-gram with a test doc.
+      // d3's band buckets restricted to train⋈test, d2's Jaccard over
+      // the kept shingles, d9's verdict shape — term for term.
+      "d11_decontaminate_fuzzy" ->
+        s"""WITH $shingleCte,
+           |$keptCte,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandUnion),
+           |lab AS (
+           |  SELECT doc_id,
+           |    CASE WHEN CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           |           % 100 < 80 THEN 'train'
+           |         WHEN CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           |           % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |cand AS (
+           |  SELECT DISTINCT ta.doc_id AS a_id, tb.doc_id AS b_id
+           |  FROM bands ta
+           |  JOIN lab la ON la.doc_id = ta.doc_id AND la.split = 'train'
+           |  JOIN bands tb ON tb.band = ta.band AND tb.bh = ta.bh
+           |  JOIN lab lb ON lb.doc_id = tb.doc_id AND lb.split = 'test'),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.a_id, c.b_id, COUNT(*) AS inter
+           |  FROM kept a
+           |  JOIN kept b ON a.shingle = b.shingle
+           |  JOIN cand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+           |  GROUP BY c.a_id, c.b_id),
+           |jac AS (
+           |  SELECT i.a_id, i.b_id,
+           |    i.inter / (sa.sz + sb.sz - i.inter) AS j
+           |  FROM inter i
+           |  JOIN sizes sa ON sa.doc_id = i.a_id
+           |  JOIN sizes sb ON sb.doc_id = i.b_id
+           |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin),
+           |hits AS (
+           |  SELECT a_id AS doc_id, COUNT(*) AS n_test_matches, MAX(j) AS maxj
+           |  FROM jac GROUP BY a_id)
+           |SELECT l.doc_id, COALESCE(h.n_test_matches, 0) AS n_test_matches,
+           |  round(COALESCE(h.maxj, 0.0), 4) AS max_jaccard,
+           |  COALESCE(h.n_test_matches, 0) = 0 AS keep
+           |FROM lab l LEFT JOIN hits h USING (doc_id)
+           |WHERE l.split = 'train'
+           |ORDER BY doc_id""".stripMargin,
+
       "d9_decontaminate" ->
         s"""WITH lab AS (
            |  SELECT doc_id, text,
