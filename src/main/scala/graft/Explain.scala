@@ -17,7 +17,8 @@ object Explain {
                   "k11_pagerank","x11_kmeans_exact","x12_incremental_agg",
                   "t12_mixture_target","d10_dedup_canonical",
                   "q21_percentiles","k12_kg_edges_capped",
-                  "v8_knn_ivf_probe2","v11_knn_sq8")) {
+                  "v8_knn_ivf_probe2","v11_knn_sq8",
+                  "d11_decontaminate_fuzzy")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -13,7 +13,7 @@ import graft.queries._
   *  - DedupQ (d1–d11): dedup suite (exact, Jaccard, MinHash, SimHash,
   *    Hamming pairs, embedding, clustering, edit distance, exact +
   *    fuzzy decontamination, canonical selection)
-  *  - TextQ (t1–t12, m1/m2, s1, q28): text analysis, sampling,
+  *  - TextQ (t1–t13, m1/m2, s1, q28): text analysis, sampling,
   *    multimodal, windowed events
   *  - KgQ (k1–k12): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics + skew-capped edge generation

@@ -30,6 +30,9 @@ object TextQ {
     * with the oracle. */
   val BmQueryTerms = Seq("spark", "join", "vector")
 
+  /** t13: exact per-stratum sample size. */
+  val StratN = 20
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -300,6 +303,29 @@ object TextQ {
         .orderBy(col("lang"))
     }),
 
+    // t13 — STRATIFIED EXACT-N SAMPLING: exactly StratN docs per
+    // language, selected in deterministic salted-hash order — the
+    // eval-set construction primitive (fixed-size per-stratum
+    // samples, reproducible on any engine/partitioning). Selection
+    // goes through the bounded-heap TopK operator (O(n log N),
+    // N-row state per language), NOT a per-language sort window —
+    // with a handful of languages, window partitions would be the
+    // hottest keys in the job; rank numbers are then assigned by a
+    // window over only the ≤ StratN surviving rows per language
+    // (the select-then-rank decomposition, same as v4).
+    "t13_stratified_sample" -> ((s, d) => {
+      val h = TextFns.hash60(concat(lit("strat|"), col("doc_id").cast("string")))
+      val ranked = docs(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("h", h)
+      val top = graft.plans.TopK.perKey(ranked, Seq("lang"),
+        Seq(col("h"), col("doc_id")), StratN)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // t9 — PII redaction: emails, URLs, long digit runs → typed
     // placeholder tokens, with per-doc redaction counts — the scrub
     // pass every training-data pipeline runs before publication.
@@ -390,6 +416,18 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // select-then-rank in Spark ≡ the plain rank window here: the
+    // heap keeps the N smallest (h, doc_id) per lang — same order key.
+    "t13_stratified_sample" ->
+      s"""SELECT lang, CAST(rn AS INT) AS rank, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      CAST(('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 15)) AS BIGINT),
+         |      doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $StratN
+         |ORDER BY lang, rank""".stripMargin,
+
     "t1_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
