@@ -17,7 +17,7 @@ import graft.queries._
   *    multimodal, windowed events
   *  - KgQ (k1–k12): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics + skew-capped edge generation
-  *  - ExtQ (j5, p6, s2/s3, q21–q27, q29, x1–x12, v6): §2.5–2.13
+  *  - ExtQ (j5, p6, s2/s3, q21–q27, q29, x1–x13, v6): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge,
   *    incremental aggregation, exact k-means)
   *

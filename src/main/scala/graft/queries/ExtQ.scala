@@ -80,6 +80,21 @@ object ExtQ {
         .orderBy(col("l_returnflag"))
     }),
 
+    // x13 — SALTED two-phase aggregation (ops.Skew.saltedCount) on a
+    // deliberately hot key: l_returnflag has 3 values over the whole
+    // fact table, so a plain groupBy funnels a third of the corpus
+    // into each of 3 reducers. The salt (deterministic hash of the
+    // tie-break column, never random — retries stay reproducible)
+    // spreads each hot key over `shards` partial aggregations; the
+    // final combine touches keys × shards rows. The oracle is the
+    // plain COUNT the two-phase plan must reproduce exactly.
+    "x13_salted_count" -> ((s, d) => {
+      graft.ops.Skew.saltedCount(
+          Tables.load(s, d, "lineitem"), "l_returnflag",
+          shards = 32, tieBreak = "l_orderkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // x4 — approximate quantiles: the mergeable-sketch scale path for
     // q21's exact percentiles (same trade as x1's HLL for exact
     // distinct): one pass, bounded memory per group, partials merge
@@ -558,6 +573,13 @@ object ExtQ {
 
   val oracles: Map[String, String] = Map(
     "x11_kmeans_exact" -> kmeansExactOracle,
+
+    // the two-phase salted plan must reproduce the plain count
+    "x13_salted_count" ->
+      """SELECT l_returnflag, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // merge(state(A), state(B)) == state(A ∪ B): the oracle is the
     // one-shot aggregate the incremental plan must reproduce exactly.
