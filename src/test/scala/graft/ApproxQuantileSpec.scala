@@ -24,6 +24,20 @@ class ApproxQuantileSpec extends SparkSpec {
     }
   }
 
+  test("x1's HLL estimate lands within the configured rsd of the exact count") {
+    // x1 declares rsd = 0.02; HLL++ error is probabilistic, so allow
+    // 5 sigma — a deterministic fixture makes this a stable pin, and
+    // a wrong rsd argument or broken sketch blows straight past it.
+    val rows = SparkEntry.queries("x1_approx_distinct")(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) <= 5 * 0.02 * exact + 1,
+        s"HLL estimate $approx too far from exact $exact")
+    }
+  }
+
   test("percentile switchover: exact under the bound, sketch (flagged) above it") {
     import graft.ops.Percentiles
     val li = Tables.load(spark, Sf001, "lineitem")
