@@ -51,36 +51,53 @@ object ScaleSmoke {
         val err = try {
           SparkEntry.queries(q)(spark, dir)
             .write.mode("overwrite").format("noop").save(); None
-        } catch { case e: Throwable => Some(e.toString.take(120)) }
+        } catch { case e: Throwable => Some(e.toString.take(200)) }
         (q, (System.nanoTime() - t0) / 1e9, err)
       }
-      val dedup = queries.DedupQ.candidateDiagnostics(spark, dir)
-      val ann = queries.VectorQ.annCandidateDiagnostics(spark, dir)
+      // a diagnostics failure must not discard the wall-times already
+      // measured for this dir — degrade to an error marker instead
+      def diag(f: => Map[String, Long]): Either[String, Map[String, Long]] =
+        try Right(f) catch { case e: Throwable => Left(e.toString.take(200)) }
+      val dedup = diag(queries.DedupQ.candidateDiagnostics(spark, dir))
+      val ann = diag(queries.VectorQ.annCandidateDiagnostics(spark, dir))
       def jmap(m: Seq[(String, Any)]): String =
         m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      def jdiag(d: Either[String, Map[String, Long]]): String = d match {
+        case Right(m) => jmap(m.toSeq.sortBy(_._1))
+        case Left(e) => s"""{"error":${util.Jsons.quote(e)}}"""
+      }
       println(
         s"""{"dir":"$dir","times":${jmap(times.map(t => t._1 -> t._2))},""" +
-          s""""errors":${jmap(times.collect { case (q, _, Some(e)) => q -> ("\"" + e + "\"") })},""" +
-          s""""dedup":${jmap(dedup.toSeq.sortBy(_._1))},"ann":${jmap(ann.toSeq.sortBy(_._1))}}""")
+          s""""errors":${jmap(times.collect { case (q, _, Some(e)) => q -> util.Jsons.quote(e) })},""" +
+          s""""dedup":${jdiag(dedup)},"ann":${jdiag(ann)}}""")
     }
     spark.stop()
   }
 
   /** Write factor-F copies of documents + embeddings under `out`
-    * (skipped if already generated). Copy 0 is verbatim; copy i > 0
-    * offsets ids by i·n and makes the content copy-distinct. */
+    * (skipped only if the SAME base+factor were already generated —
+    * a marker from a different base would silently measure the wrong
+    * corpus). Copy 0 is verbatim; copy i > 0 offsets ids by i·n and
+    * makes the content copy-distinct. */
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val done = new java.io.File(s"$out/_GENERATED")
-    if (done.exists()) return
+    val stamp = s"base=$base factor=$factor\n"
+    if (done.exists() &&
+      java.nio.file.Files.readString(done.toPath) == stamp) return
     val docs = Tables.load(spark, base, "documents")
     val nDocs = docs.agg(max(col("doc_id"))).head.getAs[Number](0).longValue + 1
     val docCopies = (0 until factor).map { i =>
       if (i == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+      else {
         // suffix every word: copies share no shingles across copy spaces
-        regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        val t = regexp_replace(col("text"), "(\\S+)", "$1_" + i)
+        docs.select(
+          (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+          t.as("text"),
+          col("lang"), col("source"),
+          // keep the fixture invariant n_chars == length(text)
+          length(t).cast("long").as("n_chars"))
+      }
     }
     docCopies.reduce(_ unionByName _)
       .repartition(8)
@@ -100,6 +117,6 @@ object ScaleSmoke {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     done.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(done.toPath, s"base=$base factor=$factor\n"): Unit
+    java.nio.file.Files.writeString(done.toPath, stamp): Unit
   }
 }

@@ -203,19 +203,26 @@ object DedupQ {
   }
 
   /** d9's pruned stream — (test n-grams, train n-grams, Bloom
-    * survivors); shared by the query and the scale diagnostics.
-    * Building the sketch RUNS a job. */
+    * survivors); shared by the query and the scale diagnostics. The
+    * survivor frame (whose plan embeds the sketch) is Derived-
+    * memoized so the count + bloomFilter jobs run once per session
+    * even when both consumers ask — built outside Derived's lock
+    * (clustersOf pattern) because sketch construction runs jobs. */
   private def decontamStreams(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.BloomContains.register(s)
     val ng = splitNgramsOf(s, d)
     val testNg = ng.filter(col("split") === "test")
       .select(col("ngram")).distinct()
-    val nTest = testNg.count()
-    val bf = testNg.select(xxhash64(col("ngram")).as("h"))
-      .stat.bloomFilter("h", math.max(1000L, nTest), BloomFpp)
     val train = ng.filter(col("split") === "train")
-    val cand = train.filter(
-      graft.functions.BloomContains.contains(xxhash64(col("ngram")), bf))
+    val cand = Derived.peek(s, d, "decontam_cand").getOrElse {
+      val nTest = testNg.count()
+      val bf = testNg.select(xxhash64(col("ngram")).as("h"))
+        .stat.bloomFilter("h", math.max(1000L, nTest), BloomFpp)
+      Derived.of(s, d, "decontam_cand") {
+        train.filter(
+          graft.functions.BloomContains.contains(xxhash64(col("ngram")), bf))
+      }
+    }
     (testNg, train, cand)
   }
 

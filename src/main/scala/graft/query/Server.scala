@@ -33,7 +33,15 @@ import org.apache.spark.sql.Column
 object Server {
 
   case class Handle(server: HttpServer, port: Int) {
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      // the pool's threads are non-daemon — shut them down or the
+      // JVM outlives the server
+      server.getExecutor match {
+        case e: java.util.concurrent.ExecutorService => e.shutdown()
+        case _ =>
+      }
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -51,11 +59,16 @@ object Server {
         case Left(msg) => (400, err(msg))
         case Right(body) =>
           val qNode = body.get("question")
+          val kNode = Option(body.get("top_k"))
           if (qNode == null || !qNode.isTextual || qNode.asText.trim.isEmpty)
             (400, err("missing 'question'"))
+          // validate, don't coerce: a non-integral or non-positive
+          // top_k is a caller bug — 400, never a silent default or a
+          // planner exception surfacing as 500
+          else if (kNode.exists(k => !k.canConvertToExactIntegral || k.asInt < 1))
+            (400, err("'top_k' must be a positive integer"))
           else {
-            val topK = Option(body.get("top_k")).filter(_.isInt)
-              .map(_.asInt).getOrElse(5)
+            val topK = kNode.map(_.asInt).getOrElse(5)
             val res = Agent.run(corpus, qNode.asText, queryVec,
               topK = topK, historyDir = historyDir)
             (200, queryResponse(res))
@@ -86,7 +99,9 @@ object Server {
       }
     })
 
-    server.setExecutor(null) // serve on the dispatch thread
+    // a small pool, not the dispatch thread: one slow /query (Spark
+    // jobs) must not block /reset and /papers for every other client
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     Handle(server, server.getAddress.getPort)
   }

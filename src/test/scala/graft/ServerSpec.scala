@@ -76,6 +76,12 @@ class ServerSpec extends SparkSpec {
       assert(post(port, "/query", """{"top_k": 3}""").statusCode() == 400)
       assert(post(port, "/query", "not json").statusCode() == 400)
       assert(get(port, "/query").statusCode() == 405)
+      // top_k must be a positive integer — not a planner 500, not a
+      // silently-ignored float
+      assert(post(port, "/query",
+        """{"question": "x", "top_k": -1}""").statusCode() == 400)
+      assert(post(port, "/query",
+        """{"question": "x", "top_k": 2.5}""").statusCode() == 400)
     }
   }
 
