@@ -8,8 +8,9 @@ import graft.queries._
   * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
   *  - RelationalQ (q1–q20, q30): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics
-  *  - VectorQ (v1–v11): §2.9 vector ops + ANN (brute-force, IVF,
-  *    learned-centroid IVF, LSH, product + scalar quantization)
+  *  - VectorQ (v1–v12): §2.9 vector ops + ANN (brute-force, IVF,
+  *    learned-centroid IVF, LSH, product + scalar quantization,
+  *    composed IVF-PQ)
   *  - DedupQ (d1–d11): dedup suite (exact, Jaccard, MinHash, SimHash,
   *    Hamming pairs, embedding, clustering, edit distance, exact +
   *    fuzzy decontamination, canonical selection)

@@ -78,6 +78,14 @@ object Ivf {
   def probeCandidateCount(index: Index, queries: DataFrame, nprobe: Int): Long =
     candidates(index, queries, nprobe).count()
 
+  /** The (qid, id) candidate PAIRS a probe(nprobe) would scan —
+    * the coarse-quantizer stage of a composed index (IVF-PQ: these
+    * pairs go to [[Pq.searchAmong]] for the compressed ADC scan
+    * instead of being scored against full-width vectors here). */
+  def probeCandidatePairs(index: Index, queries: DataFrame, nprobe: Int): DataFrame =
+    candidates(index, queries, nprobe)
+      .select(col("qid"), col(index.idCol))
+
   private def candidates(index: Index, queries: DataFrame, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)

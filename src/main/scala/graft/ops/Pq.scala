@@ -141,39 +141,69 @@ object Pq {
     Index(m, subDim, codebooks, encoded, idCol)
   }
 
-  /** ADC top-k by dot-product score. Queries: (qid, qvec).
-    * Output: (qid, nb_id, nb_rank, score) — score is the QUANTIZED
-    * dot product Σ_j q_j · c_{code_j}. */
-  def search(index: Index, queries: DataFrame, topK: Int): DataFrame = {
-    val spark = queries.sparkSession
-    VectorOps.ensureRegistered(spark)
-    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
-    // (m × k) LUT per query: contrib(sub, cid) = <q_sub, c_{sub,cid}>;
-    // nested array_sort(collect_list(struct)) keeps both levels
-    // ordered by id, so lut[sub+1][cid+1] is positional.
+  /** (m × k) LUT per query: contrib(sub, cid) = <q_sub, c_{sub,cid}>;
+    * nested array_sort(collect_list(struct)) keeps both levels
+    * ordered by id, so lut[sub+1][cid+1] is positional. */
+  private def lutOf(index: Index, q: DataFrame): DataFrame = {
     val contribs = q.crossJoin(broadcast(index.codebooks))
       .withColumn("contrib",
         VectorOps.dot(slice(col("_q"), col("sub_id") * index.subDim + 1,
           lit(index.subDim)), col("cvec")))
-    val lut = contribs
+    contribs
       .groupBy(col("qid"), col("sub_id"))
       .agg(transform(array_sort(collect_list(struct(col("cid"), col("contrib")))),
         s => s("contrib")).as("sub_lut"))
       .groupBy(col("qid"))
       .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("sub_lut")))),
         s => s("sub_lut")).as("lut"))
-    // data path: one narrow pass over the codes — m lookups + adds
-    val scored = index.encoded.crossJoin(broadcast(lut))
-      .filter(col(index.idCol) =!= col("qid"))
-      .withColumn("score",
-        aggregate(zip_with(col("code"), col("lut"),
-            (c, l) => element_at(l, c + 1)),
-          lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** ADC rank of pre-scored candidate rows (must carry qid, idCol,
+    * "score") — shared tail of [[search]]/[[searchAmong]]. */
+  private def rankTop(index: Index, scored: DataFrame, topK: Int): DataFrame = {
     val top = graft.plans.TopK.perKey(scored, Seq("qid"),
       Seq(col("score").desc, col(index.idCol)), topK)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(index.idCol))
     top.withColumn("nb_rank", row_number().over(w))
       .select(col("qid"), col(index.idCol).as("nb_id"), col("nb_rank"), col("score"))
+  }
+
+  /** ADC top-k by dot-product score over the WHOLE corpus.
+    * Queries: (qid, qvec). Output: (qid, nb_id, nb_rank, score) —
+    * score is the QUANTIZED dot product Σ_j q_j · c_{code_j}. */
+  def search(index: Index, queries: DataFrame, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
+    // data path: one narrow pass over the codes — m lookups + adds
+    val scored = index.encoded.crossJoin(broadcast(lutOf(index, q)))
+      .filter(col(index.idCol) =!= col("qid"))
+      .withColumn("score",
+        aggregate(zip_with(col("code"), col("lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    rankTop(index, scored, topK)
+  }
+
+  /** ADC top-k restricted to given candidate PAIRS (qid, idCol) —
+    * the second stage of a COMPOSED index: a coarse quantizer (e.g.
+    * [[Ivf.probeCandidatePairs]]) bounds which (query, vector) pairs
+    * are considered, and the PQ codes make each considered pair cost
+    * m lookups + adds over 1/128th the bytes. Identical scoring/
+    * tie-break semantics to [[search]]. */
+  def searchAmong(index: Index, queries: DataFrame, cands: DataFrame,
+                  topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
+    val scored = cands.join(index.encoded, index.idCol)
+      .join(broadcast(lutOf(index, q)), "qid")
+      .filter(col(index.idCol) =!= col("qid"))
+      .withColumn("score",
+        aggregate(zip_with(col("code"), col("lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    rankTop(index, scored, topK)
   }
 
   /** Decode: reconstruct each vector from its codes (concatenated

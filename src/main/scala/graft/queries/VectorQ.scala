@@ -333,6 +333,29 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v12 — IVF-PQ, the COMPOSED index real ANN systems deploy: the
+    // exact-trained coarse quantizer (v7/v8's learnedIndex) bounds
+    // WHICH (query, vector) pairs are considered — nprobe=2 buckets,
+    // ~2/k of the corpus — and the exact-trained PQ codes (v9's
+    // pqIndex) price each considered pair at m LUT lookups over
+    // 1/128th the bytes. Both stages reuse the session-memoized
+    // indexes, so the query itself is pure probe work. Because both
+    // trainers are decimal-exact, the composition carries a FULL
+    // hash oracle (ivfPqOracle: both CTE chains composed with
+    // disjoint prefixes).
+    "v12_knn_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = learnedIndex(s, d)
+      val pq = pqIndex(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = graft.ops.Ivf.probeCandidatePairs(ivf, q, nprobe = 2)
+      graft.ops.Pq.searchAmong(pq, q, cands, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     // v9 — ANN over PRODUCT-QUANTIZED codes (ops.Pq): 64-dim float
     // vectors compressed to 4 codes of 4 bits; queries score
     // candidates via a broadcast (m × k) lookup table — m array
@@ -393,95 +416,116 @@ object VectorQ {
     * left-to-right double fold as Spark's aggregate(zip_with(...)) —
     * so the quantized scores are bit-identical and the rounded
     * result hash-matches. */
-  private def pqOracle: String = {
+  /** Pq.buildExact's training chain as CTE text (no leading WITH),
+    * every CTE name prefixed with `p` so it can compose with other
+    * chains (the v12 IVF-PQ oracle) without collisions. Exposes
+    * `${p}subs`, `${p}cent${PqPasses-1}` (final codebooks) and
+    * `${p}asg$PqPasses` (final codes). */
+  private def pqTrainCtes(p: String): String = {
     val subDim = EmbDim / PqM
     val sb = new StringBuilder
     sb.append(
-      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |subs AS (
+      s"""${p}vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${p}subs AS (
          |  SELECT vec_id, sub_id,
          |         list_slice(v, sub_id * $subDim + 1, sub_id * $subDim + $subDim) AS s
-         |  FROM vecs CROSS JOIN range(0, $PqM) r(sub_id)),
-         |subdims AS (
+         |  FROM ${p}vecs CROSS JOIN range(0, $PqM) r(sub_id)),
+         |${p}subdims AS (
          |  SELECT vec_id, sub_id, generate_subscripts(s, 1) - 1 AS dim,
          |         unnest(s)::DOUBLE AS x
-         |  FROM subs),
-         |cent0 AS (
+         |  FROM ${p}subs),
+         |${p}cent0 AS (
          |  SELECT sub_id,
          |    CAST(row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1 AS INT) AS cid,
          |    s AS cvec
-         |  FROM subs
-         |  WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $PqK))""".stripMargin)
+         |  FROM ${p}subs
+         |  WHERE vec_id IN (SELECT vec_id FROM ${p}vecs ORDER BY vec_id LIMIT $PqK))""".stripMargin)
     def asgSql(i: Int): String =
       s""",
-         |asg$i AS (
+         |${p}asg$i AS (
          |  SELECT sub_id, vec_id, cid, s FROM (
          |    SELECT b.sub_id, b.vec_id, c.cid, b.s,
          |      row_number() OVER (PARTITION BY b.sub_id, b.vec_id ORDER BY
          |        list_dot_product(b.s, b.s) + list_dot_product(c.cvec, c.cvec)
          |          - 2 * list_dot_product(b.s, c.cvec), c.cid) AS rn
-         |    FROM subs b JOIN cent${i - 1} c ON c.sub_id = b.sub_id) t
+         |    FROM ${p}subs b JOIN ${p}cent${i - 1} c ON c.sub_id = b.sub_id) t
          |  WHERE rn = 1)""".stripMargin
     for (i <- 1 to PqPasses) {
       sb.append(asgSql(i))
       if (i < PqPasses) sb.append(
         s""",
-           |means$i AS (
+           |${p}means$i AS (
            |  SELECT sub_id, cid, array_agg(cv ORDER BY dim) AS mvec FROM (
            |    SELECT a.sub_id, a.cid, d.dim,
            |      CAST(SUM(CAST(d.x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS cv
-           |    FROM asg$i a JOIN subdims d
+           |    FROM ${p}asg$i a JOIN ${p}subdims d
            |      ON d.vec_id = a.vec_id AND d.sub_id = a.sub_id
            |    GROUP BY a.sub_id, a.cid, d.dim) u
            |  GROUP BY sub_id, cid),
-           |cent$i AS (
-           |  SELECT p.sub_id, p.cid, COALESCE(n.mvec, p.cvec) AS cvec
-           |  FROM cent${i - 1} p LEFT JOIN means$i n
-           |    ON n.sub_id = p.sub_id AND n.cid = p.cid)""".stripMargin)
+           |${p}cent$i AS (
+           |  SELECT pc.sub_id, pc.cid, COALESCE(n.mvec, pc.cvec) AS cvec
+           |  FROM ${p}cent${i - 1} pc LEFT JOIN ${p}means$i n
+           |    ON n.sub_id = pc.sub_id AND n.cid = pc.cid)""".stripMargin)
     }
-    sb.append(
-      s""",
-         |luts AS (
-         |  SELECT q.vec_id AS qid, c.sub_id, c.cid,
-         |    list_dot_product(q.s, c.cvec) AS contrib
-         |  FROM subs q JOIN cent${PqPasses - 1} c ON c.sub_id = q.sub_id
-         |  WHERE q.vec_id < 5),
-         |scored AS (
-         |  SELECT l.qid, a.vec_id AS nb_id,
-         |    list_reduce(array_agg(l.contrib ORDER BY l.sub_id),
-         |                (acc, x) -> acc + x) AS score
-         |  FROM asg$PqPasses a JOIN luts l ON l.sub_id = a.sub_id AND l.cid = a.cid
-         |  WHERE a.vec_id <> l.qid
-         |  GROUP BY l.qid, a.vec_id)
-         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
-         |FROM (SELECT qid, nb_id, score,
-         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
-         |      FROM scored) x
-         |WHERE rn <= 3
-         |ORDER BY qid, nb_rank""".stripMargin)
     sb.toString
   }
+
+  /** The ADC LUT + scored CTEs. `candJoin` restricts the scan to a
+    * candidate-pair source ('' = score the whole corpus); `lutExtra`
+    * carries the matching extra lut-join condition (e.g. the qid
+    * equality against the candidate table). */
+  private def pqScoreCtes(p: String, candJoin: String, lutExtra: String): String =
+    s"""${p}luts AS (
+       |  SELECT q.vec_id AS qid, c.sub_id, c.cid,
+       |    list_dot_product(q.s, c.cvec) AS contrib
+       |  FROM ${p}subs q JOIN ${p}cent${PqPasses - 1} c ON c.sub_id = q.sub_id
+       |  WHERE q.vec_id < 5),
+       |${p}scored AS (
+       |  SELECT l.qid, a.vec_id AS nb_id,
+       |    list_reduce(array_agg(l.contrib ORDER BY l.sub_id),
+       |                (acc, x) -> acc + x) AS score
+       |  FROM ${p}asg$PqPasses a
+       |  $candJoin
+       |  JOIN ${p}luts l ON l.sub_id = a.sub_id AND l.cid = a.cid$lutExtra
+       |  WHERE a.vec_id <> l.qid
+       |  GROUP BY l.qid, a.vec_id)""".stripMargin
+
+  private def pqTopSelect(p: String): String =
+    s"""SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
+       |FROM (SELECT qid, nb_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+       |      FROM ${p}scored) x
+       |WHERE rn <= 3
+       |ORDER BY qid, nb_rank""".stripMargin
+
+  private def pqOracle: String =
+    s"""WITH ${pqTrainCtes("")},
+       |${pqScoreCtes("", "", "")}
+       |${pqTopSelect("")}""".stripMargin
 
   /** The v8 oracle: Ivf.buildExact + probe(nprobe=2) in SQL. The
     * training chain is x11's unrolled-CTE pattern at IvfClusters/
     * IvfIters; bucket ranking mirrors Ivf.probe's rank-neutral
     * |c|² − 2·q·c expression and cluster_id tie-break; the candidate
     * scan joins only the two probed buckets. */
-  private def ivfProbe2Oracle: String = {
+  /** Ivf.buildExact's training chain as prefixable CTE text (x11's
+    * unrolled pattern). Exposes `${p}cent${IvfIters-1}` (final
+    * centroids) and `${p}asg$IvfIters` (final bucket assignment). */
+  private def ivfTrainCtes(p: String): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH seeds AS (
+      s"""${p}seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
          |         embedding::DOUBLE[] AS cvec
          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfClusters) s),
-         |dims AS (
+         |${p}dims AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          |         unnest(embedding)::DOUBLE AS x
          |  FROM embeddings),
-         |cent0 AS (SELECT cluster_id, cvec FROM seeds)""".stripMargin)
+         |${p}cent0 AS (SELECT cluster_id, cvec FROM ${p}seeds)""".stripMargin)
     def asgSql(i: Int): String =
       s""",
-         |asg$i AS (
+         |${p}asg$i AS (
          |  SELECT vec_id, cluster_id FROM (
          |    SELECT e.vec_id, c.cluster_id,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -489,52 +533,78 @@ object VectorQ {
          |          + list_dot_product(c.cvec, c.cvec)
          |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
          |        c.cluster_id) AS rn
-         |    FROM embeddings e CROSS JOIN cent${i - 1} c) t
+         |    FROM embeddings e CROSS JOIN ${p}cent${i - 1} c) t
          |  WHERE rn = 1)""".stripMargin
     for (i <- 1 to IvfIters) {
       sb.append(asgSql(i))
       if (i < IvfIters) sb.append(
         s""",
-           |cent$i AS (
+           |${p}cent$i AS (
            |  SELECT cluster_id, array_agg(cv ORDER BY dim) AS cvec FROM (
            |    SELECT a.cluster_id, d.dim,
            |      CAST(SUM(CAST(d.x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS cv
-           |    FROM asg$i a JOIN dims d USING (vec_id)
+           |    FROM ${p}asg$i a JOIN ${p}dims d USING (vec_id)
            |    GROUP BY a.cluster_id, d.dim) u
            |  GROUP BY cluster_id)""".stripMargin)
     }
-    sb.append(
-      s""",
-         |probed AS (
-         |  SELECT qid, qe, cluster_id FROM (
-         |    SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qe, c.cluster_id,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        list_dot_product(c.cvec, c.cvec)
-         |          - 2 * list_dot_product(q.embedding::DOUBLE[], c.cvec),
-         |        c.cluster_id) AS brn
-         |    FROM embeddings q CROSS JOIN cent${IvfIters - 1} c
-         |    WHERE q.vec_id < 5) t
-         |  WHERE brn <= 2),
-         |cands AS (
-         |  SELECT p.qid, a.vec_id AS nb_id,
-         |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
-         |  FROM probed p
-         |  JOIN asg$IvfIters a ON a.cluster_id = p.cluster_id
-         |  JOIN embeddings e ON e.vec_id = a.vec_id
-         |  WHERE a.vec_id <> p.qid)
-         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
-         |FROM (SELECT qid, nb_id, score,
-         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
-         |      FROM cands) x
-         |WHERE rn <= 3
-         |ORDER BY qid, nb_rank""".stripMargin)
     sb.toString
   }
+
+  /** nprobe=2 bucket selection over the trained centroids — the
+    * coarse stage shared by v8 (full-width scoring) and v12 (ADC). */
+  private def ivfProbedCte(p: String): String =
+    s"""${p}probed AS (
+       |  SELECT qid, qe, cluster_id FROM (
+       |    SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qe, c.cluster_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(c.cvec, c.cvec)
+       |          - 2 * list_dot_product(q.embedding::DOUBLE[], c.cvec),
+       |        c.cluster_id) AS brn
+       |    FROM embeddings q CROSS JOIN ${p}cent${IvfIters - 1} c
+       |    WHERE q.vec_id < 5) t
+       |  WHERE brn <= 2)""".stripMargin
+
+  private def ivfProbe2Oracle: String =
+    s"""WITH ${ivfTrainCtes("")},
+       |${ivfProbedCte("")},
+       |cands AS (
+       |  SELECT p.qid, a.vec_id AS nb_id,
+       |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
+       |  FROM probed p
+       |  JOIN asg$IvfIters a ON a.cluster_id = p.cluster_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
+       |FROM (SELECT qid, nb_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+       |      FROM cands) x
+       |WHERE rn <= 3
+       |ORDER BY qid, nb_rank""".stripMargin
+
+  /** The v12 oracle: BOTH exact training chains composed — IVF
+    * buckets pick the candidate pairs (nprobe = 2), the PQ codes
+    * price them (ADC). Prefixes keep the two chains' CTE names
+    * disjoint; the scored stage is pqScoreCtes restricted to the
+    * probed pairs. */
+  private def ivfPqOracle: String =
+    s"""WITH ${ivfTrainCtes("i")},
+       |${pqTrainCtes("p")},
+       |${ivfProbedCte("i")},
+       |cand AS (
+       |  SELECT pr.qid, a.vec_id
+       |  FROM iprobed pr
+       |  JOIN iasg$IvfIters a ON a.cluster_id = pr.cluster_id
+       |  WHERE a.vec_id <> pr.qid),
+       |${pqScoreCtes("p",
+      "JOIN cand c ON c.vec_id = a.vec_id",
+      " AND l.qid = c.qid")}
+       |${pqTopSelect("p")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
+    "v12_knn_ivfpq" -> ivfPqOracle,
 
     // Sq.encode + Sq.score term for term: max|x|/127 scale,
     // floor(x/s + 0.5) codes (floor, not round — round's half-case
