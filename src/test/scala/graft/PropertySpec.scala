@@ -140,6 +140,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 invariants hold for arbitrary vectors") {
+    import graft.ops.Sq
+    // include degenerate shapes: all-zero, single-spike, negative-only
+    val gen = Gen.listOfN(16, Gen.choose(-1000.0f, 1000.0f))
+    val vs = samples(gen, 60, seed = 21L).map(_.toArray) ++
+      Seq(Array.fill(16)(0.0f), Array.fill(16)(-3.5f),
+        (Array.fill(15)(0.0f) :+ 123.4f))
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val enc = Sq.encode(df, "vec_id", "embedding")
+    // codes bounded
+    assert(enc.select(explode(col("codes")).as("c"))
+      .filter(abs(col("c")) > 127).count() == 0)
+    // reconstruction within scale/2 per element, including the
+    // all-zero vector (scale 0 reconstructs exact zeros)
+    val bad = df.join(Sq.reconstruct(enc, "vec_id"), "vec_id")
+      .join(enc.select(col("vec_id"), col("scale")), "vec_id")
+      .withColumn("err", aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("vec_hat"),
+          (x, xh) => abs(x - xh)),
+        lit(0.0), (a, e) => greatest(a, e)))
+      .filter(col("err") > col("scale") / 2 + lit(1e-9))
+    assert(bad.count() == 0)
+  }
+
+  test("percentile switchover modes agree with a driver-side sort on arbitrary groups") {
+    import graft.ops.Percentiles
+    val gen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (g, v)
+    val rows = samples(gen, 400, seed = 31L)
+    val df = rows.toDF("g", "v")
+    val exact = Percentiles.grouped(df, "g", "v", Seq("p50" -> 0.5)).collect()
+    // Spark's exact percentile is the linear-interpolated order stat —
+    // recompute it driver-side from the raw values
+    def interp(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.min(pos.toInt + 1, s.length - 1))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val byG = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2) }
+    exact.foreach { r =>
+      val want = interp(byG(r.getString(0)), 0.5)
+      assert(math.abs(r.getAs[Double]("p50") - want) < 1e-9, r)
+      assert(r.getAs[Boolean]("exact"))
+    }
+  }
+
   test("co-occurrence pair count equals sum of C(k,2) over chunks") {
     // random entity lists per chunk -> edge weights must satisfy the
     // combinatorial identity regardless of duplicates
