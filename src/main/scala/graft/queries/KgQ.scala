@@ -423,7 +423,7 @@ object KgQ {
       val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
       val n = nodes.count()
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
-      for (_ <- 1 to PrIters) {
+      for (i <- 1 to PrIters) {
         // The graph is SYMMETRIZED, so every ranked node (= every node
         // with an out-edge) also has an in-edge: inflow covers the full
         // node set and the dangling-node outer join the general
@@ -434,7 +434,12 @@ object KgQ {
           .groupBy(col("dst").as("node"))
           .agg((lit((1 - damp) / n) +
             lit(damp) * sum(col("rank") / col("od"))).as("rank"))
-          .localCheckpoint(true)
+        // lineage cut every SECOND round (and at the end): each
+        // eager localCheckpoint is a full job, and a 2-round plan is
+        // still small — halves the materialization count vs cutting
+        // every round (measured ~7s → ~5s at sf0.1) while keeping
+        // plan growth bounded.
+        if (i % 2 == 0 || i == PrIters) ranks = ranks.localCheckpoint(true)
       }
       // normalized rank (mean 1.0) so round(4) carries real precision
       ranks.select(col("node"), round(col("rank") * n, 4).as("rank_norm"))
