@@ -247,11 +247,22 @@ object DedupQ {
         Seq("band", "bv"))
       .filter(col("a_id") < col("b_id")).count()
     val (_, train, surv) = decontamStreams(s, d)
+    // d11's cross-split band candidates: the train⋈test restriction
+    // of the d3 buckets — must track the d3 curve, not n²
+    val lab = splitLabels(s, d)
+    val lb = mb.join(lab, "doc_id")
+    val d11 = lb.filter(col("split") === "train")
+      .select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(lb.filter(col("split") === "test")
+        .select(col("doc_id").as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .count()
     Map(
       "n_docs" -> docs(s, d).count(),
       "d2_candidates" -> d2,
       "d3_candidates" -> d3,
       "d8_candidates" -> d8,
+      "d11_candidates" -> d11,
       "d9_train_ngrams" -> train.count(),
       "d9_bloom_survivors" -> surv.count())
   }
