@@ -75,6 +75,20 @@ object TextFns {
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(lit(s"$seed|"), c))
 
+  /** The deterministic train/val/test hash bucket of a document id —
+    * bucket = hash60("split|" + id) % 100. THE single source of the
+    * split formula: t6 (the split query), d9/d11 (decontamination)
+    * and every diagnostic derive membership from this column, so the
+    * ratios/salt can only ever change in one place. */
+  def splitBucket(docId: Column): Column =
+    (hash60(concat(lit("split|"), docId.cast("string"))) % 100).cast("int")
+
+  /** "train" / "val" / "test" label (80/10/10) from [[splitBucket]]. */
+  def splitLabel(docId: Column): Column = {
+    val b = splitBucket(docId)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** F5 — reference id formats (data/ingestion.py:124,212). */
   def paperId(i: Column): Column = format_string("doc_%06d", i)
   def chunkId(paperId: Column, sectionSlug: Column, i: Column): Column =

@@ -124,13 +124,9 @@ object DedupQ {
     * and train sides both read it. */
   private def splitNgramsOf(s: SparkSession, d: String): DataFrame =
     Derived.of(s, d, "split_ngrams") {
-      val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
       val w = TextFns.tokens(col("text"))
       docs(s, d)
-        .withColumn("split",
-          when((h % 100).cast("int") < 80, "train")
-            .when((h % 100).cast("int") < 90, "val")
-            .otherwise("test"))
+        .withColumn("split", TextFns.splitLabel(col("doc_id")))
         .withColumn("_w", w)
         .withColumn("_n", size(col("_w")))
         .filter(col("_n") >= DecontamN)
@@ -192,14 +188,24 @@ object DedupQ {
       posexplode(bandArr).as(Seq("band", "bv")))
   }
 
-  /** t6's deterministic split label per document (the same salted
-    * hash-bucket formula d9's n-gram stream uses). */
-  private def splitLabels(s: SparkSession, d: String): DataFrame = {
-    val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
+  /** (doc_id, split) for every document — [[TextFns.splitLabel]]
+    * applied once; d9, d11, and the diagnostics all read it. */
+  private def splitLabels(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
-      when((h % 100).cast("int") < 80, "train")
-        .when((h % 100).cast("int") < 90, "val")
-        .otherwise("test").as("split"))
+      TextFns.splitLabel(col("doc_id")).as("split"))
+
+  /** d11's candidate source — the d3 band buckets restricted to
+    * train ⋈ test (NOT distinct; the query dedups, the diagnostics
+    * count raw collisions). One definition so the SCALE.md candidate
+    * evidence counts exactly the join the query runs. */
+  private def crossSplitBandPairs(s: SparkSession, d: String): DataFrame = {
+    val lb = minhashBandsOf(s, d).join(splitLabels(s, d), "doc_id")
+    lb.filter(col("split") === "train")
+      .select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(lb.filter(col("split") === "test")
+        .select(col("doc_id").as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** d9's pruned stream — (test n-grams, train n-grams, Bloom
@@ -247,16 +253,9 @@ object DedupQ {
         Seq("band", "bv"))
       .filter(col("a_id") < col("b_id")).count()
     val (_, train, surv) = decontamStreams(s, d)
-    // d11's cross-split band candidates: the train⋈test restriction
-    // of the d3 buckets — must track the d3 curve, not n²
-    val lab = splitLabels(s, d)
-    val lb = mb.join(lab, "doc_id")
-    val d11 = lb.filter(col("split") === "train")
-      .select(col("doc_id").as("a_id"), col("band"), col("bh"))
-      .join(lb.filter(col("split") === "test")
-        .select(col("doc_id").as("b_id"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .count()
+    // d11's cross-split band candidates (the query's own candidate
+    // join, pre-distinct) — must track the d3 curve, not n²
+    val d11 = crossSplitBandPairs(s, d).count()
     Map(
       "n_docs" -> docs(s, d).count(),
       "d2_candidates" -> d2,
@@ -381,9 +380,8 @@ object DedupQ {
       val (testNg, _, cand) = decontamStreams(s, d)
       val hits = cand.join(testNg, Seq("ngram"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bad"))
-      val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
-      val trainDocs = docs(s, d)
-        .filter((h % 100).cast("int") < 80)
+      val trainDocs = splitLabels(s, d)
+        .filter(col("split") === "train")
         .select(col("doc_id"))
       trainDocs.join(hits, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
@@ -405,13 +403,7 @@ object DedupQ {
     // cross-split joins alone.
     "d11_decontaminate_fuzzy" -> ((s, d) => {
       val lab = splitLabels(s, d)
-      val bands = minhashBandsOf(s, d).join(lab, "doc_id")
-      val cand = bands.filter(col("split") === "train")
-        .select(col("doc_id").as("a_id"), col("band"), col("bh"))
-        .join(bands.filter(col("split") === "test")
-          .select(col("doc_id").as("b_id"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .select(col("a_id"), col("b_id")).distinct()
+      val cand = crossSplitBandPairs(s, d).distinct()
       val kept = keptShinglesOf(s, d)
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val ka = kept.join(lab.filter(col("split") === "train"), "doc_id")

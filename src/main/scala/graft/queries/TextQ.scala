@@ -148,13 +148,9 @@ object TextQ {
     // function of doc_id — stable across runs, partitions, and
     // cluster sizes, and any engine can recompute membership.
     "t6_split" -> ((s, d) => {
-      val h = TextFns.hash60(concat(lit("split|"), col("doc_id").cast("string")))
       docs(s, d)
-        .withColumn("bucket", (h % 100).cast("int"))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
+        .withColumn("bucket", TextFns.splitBucket(col("doc_id")))
+        .withColumn("split", TextFns.splitLabel(col("doc_id")))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }),

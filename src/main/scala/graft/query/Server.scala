@@ -52,6 +52,13 @@ object Server {
   def start(corpus: Agent.Corpus, queryVec: Column, port: Int = 0,
             historyDir: Option[String] = None): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // Serializes MUTATIONS of the history sinks only: concurrent
+    // Spark appends to one directory share a _temporary staging dir
+    // (one job's commit cleanup breaks the other's tasks), and /reset
+    // must not delete under an in-flight append. Query COMPUTE stays
+    // concurrent — Agent.run executes outside the lock with no sink,
+    // only the append/delete critical sections take it.
+    val sinkLock = new Object
 
     server.createContext("/query", (ex: HttpExchange) => handle(ex) {
       if (ex.getRequestMethod != "POST") (405, err("POST required"))
@@ -62,15 +69,25 @@ object Server {
           val kNode = Option(body.get("top_k"))
           if (qNode == null || !qNode.isTextual || qNode.asText.trim.isEmpty)
             (400, err("missing 'question'"))
-          // validate, don't coerce: a non-integral or non-positive
-          // top_k is a caller bug — 400, never a silent default or a
-          // planner exception surfacing as 500
-          else if (kNode.exists(k => !k.canConvertToExactIntegral || k.asInt < 1))
+          // validate, don't coerce: a non-integral, non-positive, or
+          // out-of-int-range top_k is a caller bug — 400, never a
+          // silent default/truncation or a planner 500
+          else if (kNode.exists(k => !k.canConvertToExactIntegral ||
+              !k.canConvertToInt || k.asInt < 1))
             (400, err("'top_k' must be a positive integer"))
           else {
             val topK = kNode.map(_.asInt).getOrElse(5)
             val res = Agent.run(corpus, qNode.asText, queryVec,
-              topK = topK, historyDir = historyDir)
+              topK = topK, historyDir = None)
+            historyDir.foreach { dir =>
+              val spark = corpus.chunksV.sparkSession
+              sinkLock.synchronized {
+                graft.sources.Sources.appendJsonl(
+                  Agent.historyRecord(spark, qNode.asText, res), s"$dir/history")
+                graft.sources.Sources.appendJsonl(
+                  Agent.evalMetricsRow(spark, qNode.asText, res), s"$dir/eval_metrics")
+              }
+            }
             (200, queryResponse(res))
           }
       }
@@ -80,8 +97,10 @@ object Server {
       if (ex.getRequestMethod != "POST") (405, err("POST required"))
       else {
         historyDir.foreach { dir =>
-          Seq("history", "eval_metrics").foreach(sub =>
-            deleteRecursively(new java.io.File(dir, sub)))
+          sinkLock.synchronized {
+            Seq("history", "eval_metrics").foreach(sub =>
+              deleteRecursively(new java.io.File(dir, sub)))
+          }
         }
         val node = mapper.createObjectNode()
         node.put("status", "ok")
@@ -160,7 +179,9 @@ object Server {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles is null for a dir removed underneath us
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 }
