@@ -95,6 +95,27 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("concurrent /query requests both land their history rows") {
+    // the sink lock serializes appends to the shared directory
+    // (concurrent Spark appends share _temporary staging); compute
+    // stays concurrent, but neither request's record may be lost
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_conc").toString
+    withServer(historyDir = Some(dir)) { port =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val posts = Seq("first question", "second question").map(q => Future {
+        post(port, "/query", s"""{"question": "$q"}""").statusCode()
+      })
+      assert(Await.result(Future.sequence(posts), 120.seconds).forall(_ == 200))
+      val history = spark.read.json(s"$dir/history")
+      assert(history.count() == 2)
+      assert(history.select("query").collect().map(_.getString(0)).toSet ==
+        Set("first question", "second question"))
+      assert(spark.read.json(s"$dir/eval_metrics").count() == 2)
+    }
+  }
+
   test("POST /reset clears the history sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_srv").toString
     withServer(historyDir = Some(dir)) { port =>
