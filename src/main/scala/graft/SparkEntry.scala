@@ -11,9 +11,10 @@ import graft.queries._
   *  - VectorQ (v1–v12): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ)
-  *  - DedupQ (d1–d11): dedup suite (exact, Jaccard, MinHash, SimHash,
-  *    Hamming pairs, embedding, clustering, edit distance, exact +
-  *    fuzzy decontamination, canonical selection)
+  *  - DedupQ (d1–d11, x14): dedup suite (exact, Jaccard, MinHash,
+  *    SimHash, Hamming pairs, embedding, clustering, edit distance,
+  *    exact + fuzzy decontamination, canonical selection,
+  *    incremental batch-vs-corpus dedup)
   *  - TextQ (t1–t13, m1/m2, s1, q28): text analysis, sampling,
   *    multimodal, windowed events
   *  - KgQ (k1–k12): chunker / knowledge-graph pipeline + flagship

@@ -431,6 +431,62 @@ object DedupQ {
         .orderBy(col("doc_id"))
     }),
 
+    // x14 — INCREMENTAL DEDUP, the nightly-ingest shape: a NEW BATCH
+    // (a deterministic 20% of docs, standing in for tonight's crawl)
+    // is admitted against the EXISTING corpus (the other 80%, whose
+    // band index is pre-built state in production — batch bands probe
+    // the stored buckets, the existing corpus is never rescanned) and
+    // against itself (earlier-id batch docs win). Candidates form
+    // only inside shared MinHash band buckets, verified by d2's
+    // Jaccard at d2's threshold; every new doc gets an admission
+    // verdict: dup_of_existing > dup_in_batch > unique. Nightly cost
+    // is O(batch × collisions), independent of corpus history size —
+    // the x12 incremental-maintenance principle applied to dedup.
+    "x14_incremental_dedup" -> ((s, d) => {
+      val isNew = (TextFns.hash60(concat(lit("inc|"),
+        col("doc_id").cast("string"))) % 10).cast("int") >= 8
+      val lab = docs(s, d).select(col("doc_id"), isNew.as("is_new"))
+      val bands = minhashBandsOf(s, d).join(lab, "doc_id")
+      val newB = bands.filter(col("is_new"))
+        .select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      val exB = bands.filter(!col("is_new"))
+        .select(col("doc_id").as("b_id"), col("band"), col("bh"))
+      val exCand = newB.join(exB, Seq("band", "bh"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val batchCand = newB.join(
+          bands.filter(col("is_new"))
+            .select(col("doc_id").as("b_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("b_id") < col("a_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val kept = keptShinglesOf(s, d)
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      def verifiedHits(cand: DataFrame): DataFrame =
+        kept.select(col("doc_id").as("a_id"), col("shingle"))
+          .join(kept.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+          .join(cand, Seq("a_id", "b_id"), "left_semi")
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sa"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "sb"), Seq("b_id"))
+          .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= JaccardMin)
+          .groupBy(col("a_id").as("doc_id")).agg(count(lit(1)).as("n"))
+      val exHits = verifiedHits(exCand).withColumnRenamed("n", "n_existing_matches")
+      val batchHits = verifiedHits(batchCand).withColumnRenamed("n", "n_batch_matches")
+      lab.filter(col("is_new")).select(col("doc_id"))
+        .join(exHits, Seq("doc_id"), "left_outer")
+        .join(batchHits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_existing_matches"), lit(0L)).as("n_existing_matches"),
+          coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"))
+        .withColumn("verdict",
+          when(col("n_existing_matches") > 0, "dup_of_existing")
+            .when(col("n_batch_matches") > 0, "dup_in_batch")
+            .otherwise("unique"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d6 — near-dup CLUSTERING: candidate pairs (the d3 MinHash/LSH
     // bands) → connected components via iterative min-label
     // propagation (graft.ops.DedupCluster) — the final step of a real
@@ -699,6 +755,66 @@ object DedupQ {
       // are removed by the exact semi-join; false negatives are
       // impossible), so the oracle needs only the exact semantics:
       // train docs sharing any word-8-gram with a test doc.
+      // the same band buckets + Jaccard math split along the
+      // new-batch / existing membership, verdicts by priority.
+      "x14_incremental_dedup" ->
+        s"""WITH $shingleCte,
+           |$keptCte,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandUnion),
+           |lab AS (
+           |  SELECT doc_id,
+           |    CAST(CAST(('0x' || substr(md5('inc|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           |      % 10 AS INT) >= 8 AS is_new
+           |  FROM documents),
+           |newb AS (
+           |  SELECT b.doc_id AS a_id, b.band, b.bh
+           |  FROM bands b JOIN lab l ON l.doc_id = b.doc_id AND l.is_new),
+           |exb AS (
+           |  SELECT b.doc_id AS b_id, b.band, b.bh
+           |  FROM bands b JOIN lab l ON l.doc_id = b.doc_id AND NOT l.is_new),
+           |excand AS (SELECT DISTINCT a_id, b_id FROM newb JOIN exb USING (band, bh)),
+           |bcand AS (
+           |  SELECT DISTINCT n1.a_id, n2.a_id AS b_id
+           |  FROM newb n1 JOIN newb n2
+           |    ON n1.band = n2.band AND n1.bh = n2.bh AND n2.a_id < n1.a_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+           |exver AS (
+           |  SELECT i.a_id AS doc_id, COUNT(*) AS n FROM (
+           |    SELECT c.a_id, c.b_id, COUNT(*) AS inter
+           |    FROM kept a JOIN kept b ON a.shingle = b.shingle
+           |    JOIN excand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+           |    GROUP BY c.a_id, c.b_id) i
+           |  JOIN sizes sa ON sa.doc_id = i.a_id
+           |  JOIN sizes sb ON sb.doc_id = i.b_id
+           |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin
+           |  GROUP BY i.a_id),
+           |bver AS (
+           |  SELECT i.a_id AS doc_id, COUNT(*) AS n FROM (
+           |    SELECT c.a_id, c.b_id, COUNT(*) AS inter
+           |    FROM kept a JOIN kept b ON a.shingle = b.shingle
+           |    JOIN bcand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+           |    GROUP BY c.a_id, c.b_id) i
+           |  JOIN sizes sa ON sa.doc_id = i.a_id
+           |  JOIN sizes sb ON sb.doc_id = i.b_id
+           |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin
+           |  GROUP BY i.a_id)
+           |SELECT l.doc_id,
+           |  COALESCE(e.n, 0) AS n_existing_matches,
+           |  COALESCE(v.n, 0) AS n_batch_matches,
+           |  CASE WHEN COALESCE(e.n, 0) > 0 THEN 'dup_of_existing'
+           |       WHEN COALESCE(v.n, 0) > 0 THEN 'dup_in_batch'
+           |       ELSE 'unique' END AS verdict
+           |FROM lab l
+           |LEFT JOIN exver e USING (doc_id)
+           |LEFT JOIN bver v USING (doc_id)
+           |WHERE l.is_new
+           |ORDER BY doc_id""".stripMargin,
+
       // d3's band buckets restricted to train⋈test, d2's Jaccard over
       // the kept shingles, d9's verdict shape — term for term.
       "d11_decontaminate_fuzzy" ->
