@@ -19,7 +19,8 @@ object Explain {
                   "q21_percentiles","k12_kg_edges_capped",
                   "v8_knn_ivf_probe2","v11_knn_sq8",
                   "d11_decontaminate_fuzzy","v12_knn_ivfpq",
-                  "t13_stratified_sample","x13_salted_count")) {
+                  "t13_stratified_sample","x13_salted_count",
+                  "x14_incremental_dedup")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }
