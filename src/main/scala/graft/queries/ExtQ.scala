@@ -456,6 +456,35 @@ object ExtQ {
         .orderBy(col("cnt").desc, col("term"))
     }),
 
+    // x15 — heavy hitters PER GROUP: the same Misra–Gries
+    // TypedImperativeAggregate running under groupBy(lang) — one
+    // k-counter buffer per (group × partition), merged per group —
+    // proving the sketch is a first-class grouped aggregate, not a
+    // global-only pass (the per-language frequent-terms shape every
+    // corpus report needs). Same two-pass exactness: per-group
+    // candidates recounted exactly, thresholded on the group's own
+    // stream length.
+    "x15_heavy_hitters_grouped" -> ((s, d) => {
+      graft.functions.HeavyHittersAgg.register(s)
+      val toks = Tables.load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("lang"),
+          explode(graft.ops.TextFns.tokens(col("text"))).as("tok"))
+        .select(col("lang"), lower(col("tok")).as("term"))
+      val sketch = Derived.of(s, d, "hh_sketch_grouped") {
+        toks.groupBy(col("lang")).agg(
+          graft.functions.HeavyHittersAgg.heavyHitters(col("term"), HhK).as("cands"),
+          count(lit(1)).as("n_toks"))
+      }
+      val cand = sketch.select(col("lang"), explode(col("cands")).as("term"))
+      toks.join(broadcast(cand), Seq("lang", "term"), "left_semi")
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(sketch.select(col("lang"), col("n_toks"))), Seq("lang"))
+        .filter(col("cnt") * HhDen > col("n_toks"))
+        .select(col("lang"), col("term"), col("cnt"))
+        .orderBy(col("lang"), col("cnt").desc, col("term"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -774,6 +803,19 @@ object ExtQ {
          |FROM toks GROUP BY term
          |HAVING COUNT(*) * $HhDen > (SELECT n_toks FROM tot)
          |ORDER BY cnt DESC, term""".stripMargin,
+
+    // the grouped two-pass plan must reproduce the exact per-language
+    // frequent-terms answer
+    "x15_heavy_hitters_grouped" ->
+      s"""WITH toks AS (
+         |  SELECT lang, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+         |  FROM documents),
+         |tot AS (SELECT lang, COUNT(*) AS n_toks FROM toks GROUP BY lang)
+         |SELECT t.lang, t.term, COUNT(*) AS cnt
+         |FROM toks t
+         |GROUP BY t.lang, t.term
+         |HAVING COUNT(*) * $HhDen > (SELECT n_toks FROM tot WHERE tot.lang = t.lang)
+         |ORDER BY lang, cnt DESC, term""".stripMargin,
 
     // The time-bucket expansion is an admissible candidate generator
     // (co-bucketing is implied by containment), so the oracle states
