@@ -20,7 +20,8 @@ object Explain {
                   "v8_knn_ivf_probe2","v11_knn_sq8",
                   "d11_decontaminate_fuzzy","v12_knn_ivfpq",
                   "t13_stratified_sample","x13_salted_count",
-                  "x14_incremental_dedup","x15_heavy_hitters_grouped")) {
+                  "x14_incremental_dedup","x15_heavy_hitters_grouped",
+                  "t14_filter_funnel","x16_global_shuffle")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

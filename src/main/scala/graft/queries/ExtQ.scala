@@ -36,6 +36,11 @@ object ExtQ {
     * (exact), found via a Misra–Gries sketch of capacity [[HhK]].
     * The guarantee needs HhK ≥ HhDen (summary error ≤ n/(HhK+1) <
     * threshold n/HhDen, so no true heavy hitter can be evicted). */
+  /** x16 training-shard count — tiny at fixture scale; at 100 TB the
+    * same round-robin over the global rank yields any shard count
+    * without replanning. */
+  val ShufShards = 8
+
   val HhK = 400
   val HhDen = 200
 
@@ -485,6 +490,29 @@ object ExtQ {
         .orderBy(col("lang"), col("cnt").desc, col("term"))
     }),
 
+    // x16 — DETERMINISTIC GLOBAL SHUFFLE + SHARD ASSIGNMENT: the
+    // "shuffle before training" step. Every doc gets a pseudorandom
+    // but reproducible position (rank of hash60("shuf|"+id) in the
+    // total order), then round-robin sharding gives N balanced shards
+    // whose contents are independent of input partitioning. The
+    // global rank comes from GlobalIndexExec (range exchange +
+    // Tungsten-row numbering) — NOT a row_number over an
+    // unpartitioned window, which would funnel 100 TB through one
+    // reducer. The hash is md5-reconstructible, so the oracle
+    // replays the exact permutation in SQL.
+    "x16_global_shuffle" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("shuffle_key",
+          graft.ops.TextFns.hash60(concat(lit("shuf|"), col("doc_id").cast("string"))))
+      graft.ops.GlobalIndex
+        .withGlobalIndex(docs, Seq(col("shuffle_key"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("shuffle_key"),
+          (col("pos") % ShufShards).cast("int").as("shard"),
+          expr(s"pos div $ShufShards").as("pos_in_shard"))
+        .orderBy(col("shard"), col("pos_in_shard"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -816,6 +844,20 @@ object ExtQ {
          |GROUP BY t.lang, t.term
          |HAVING COUNT(*) * $HhDen > (SELECT n_toks FROM tot WHERE tot.lang = t.lang)
          |ORDER BY lang, cnt DESC, term""".stripMargin,
+
+    // the GlobalIndexExec rank must equal the plain window rank over
+    // the reconstructed md5 permutation
+    "x16_global_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5('shuf|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+         |    AS shuffle_key
+         |  FROM documents),
+         |r AS (SELECT doc_id, shuffle_key,
+         |  row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos FROM h)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(pos % $ShufShards AS INT) AS shard,
+         |  pos // $ShufShards AS pos_in_shard
+         |FROM r ORDER BY shard, pos_in_shard""".stripMargin,
 
     // The time-bucket expansion is an admissible candidate generator
     // (co-bucketing is implied by containment), so the oracle states

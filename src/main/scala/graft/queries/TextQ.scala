@@ -322,6 +322,41 @@ object TextQ {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // t14 — FILTER FUNNEL: the per-stage attrition report every
+    // curation pipeline publishes (how many documents survive each
+    // cumulative gate: raw → min-length → repetition → language →
+    // exact-dedup). All five counts come out of ONE aggregate over
+    // one scan — the stages are cumulative boolean conjunctions
+    // summed map-side, and the dedup stage is a conditional
+    // count(distinct md5) — then a 5-row stack unpivots the single
+    // result row. No per-stage rescans, no joins: at 100 TB this is
+    // exactly one pass over the corpus.
+    "t14_filter_funnel" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      val base = docs(s, d)
+        .withColumn("n", TextFns.wordCount(col("text")))
+        .withColumn("dr",
+          when(col("n") > 0,
+            size(array_distinct(w)) / col("n").cast("double")).otherwise(lit(0.0)))
+        .withColumn("p1", col("n") >= 30)
+        .withColumn("p2", col("p1") && col("dr") >= 0.4)
+        .withColumn("p3", col("p2") && col("lang") === "en")
+      base.agg(
+          count(lit(1)).as("c0"),
+          sum(when(col("p1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("p2"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("p3"), 1L).otherwise(0L)).as("c3"),
+          countDistinct(when(col("p3"), md5(col("text")))).as("c4"))
+        .select(expr(
+          """stack(5,
+            |  0, 'raw',         c0,
+            |  1, 'min_length',  c1,
+            |  2, 'repetition',  c2,
+            |  3, 'lang_en',     c3,
+            |  4, 'exact_dedup', c4) AS (stage_idx, stage, n_docs)""".stripMargin))
+        .orderBy(col("stage_idx"))
+    }),
+
     // t9 — PII redaction: emails, URLs, long digit runs → typed
     // placeholder tokens, with per-doc redaction counts — the scrub
     // pass every training-data pipeline runs before publication.
@@ -423,6 +458,32 @@ object TextQ {
          |  FROM documents) t
          |WHERE rn <= $StratN
          |ORDER BY lang, rank""".stripMargin,
+
+    // the one-pass funnel must equal the per-stage recount
+    "t14_filter_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT lang, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n,
+        |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END) > 0
+        |       THEN len(list_distinct(w)) * 1.0 /
+        |            (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END)
+        |       ELSE 0.0 END AS dr
+        |FROM t),
+        |m AS (SELECT
+        |  count(*) AS c0,
+        |  count(*) FILTER (n >= 30) AS c1,
+        |  count(*) FILTER (n >= 30 AND dr >= 0.4) AS c2,
+        |  count(*) FILTER (n >= 30 AND dr >= 0.4 AND lang = 'en') AS c3,
+        |  count(DISTINCT CASE WHEN n >= 30 AND dr >= 0.4 AND lang = 'en'
+        |                      THEN md5(text) END) AS c4
+        |FROM g)
+        |SELECT 0 AS stage_idx, 'raw' AS stage, c0 AS n_docs FROM m
+        |UNION ALL SELECT 1, 'min_length', c1 FROM m
+        |UNION ALL SELECT 2, 'repetition', c2 FROM m
+        |UNION ALL SELECT 3, 'lang_en', c3 FROM m
+        |UNION ALL SELECT 4, 'exact_dedup', c4 FROM m
+        |ORDER BY stage_idx""".stripMargin,
 
     "t1_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, text,

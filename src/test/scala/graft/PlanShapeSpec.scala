@@ -40,6 +40,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x16's global shuffle rank is GlobalIndexExec, not a window or RDD hop") {
+    val p = plan("x16_global_shuffle")
+    assert(p.contains("GlobalIndex"), "x16 should plan GlobalIndexExec")
+    assert(!p.contains("ExistingRDD"), "x16 must not re-enter via Scan ExistingRDD")
+    assert(!p.contains("Window"), "x16 must not use a window for the global rank")
+  }
+
+  test("t14's five funnel stages come from ONE corpus scan") {
+    val scans = SparkEntry.queries("t14_filter_funnel")(spark, Sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+    assert(scans.size == 1,
+      "t14 must compute all stage counts in a single pass over documents")
+  }
+
   test("dimension joins broadcast; no cartesian or nested-loop joins") {
     for (q <- Seq("q3_shipping_priority", "q5_local_supplier_volume", "k6_graph_2hop")) {
       val p = plan(q)
