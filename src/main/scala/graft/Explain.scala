@@ -21,7 +21,8 @@ object Explain {
                   "d11_decontaminate_fuzzy","v12_knn_ivfpq",
                   "t13_stratified_sample","x13_salted_count",
                   "x14_incremental_dedup","x15_heavy_hitters_grouped",
-                  "t14_filter_funnel","x16_global_shuffle")) {
+                  "t14_filter_funnel","x16_global_shuffle",
+                  "t15_quality_score","v13_label_centroid")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

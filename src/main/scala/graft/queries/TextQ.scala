@@ -33,6 +33,11 @@ object TextQ {
   /** t13: exact per-stratum sample size. */
   val StratN = 20
 
+  /** t15 hashed-feature space size. 64 buckets is fixture-sized; the
+    * shape is bucket-count-independent (the weight lives in an
+    * expression, not a join). */
+  val QsBuckets = 64
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -357,6 +362,38 @@ object TextQ {
         .orderBy(col("stage_idx"))
     }),
 
+    // t15 — QUALITY-CLASSIFIER INFERENCE (fasttext-shaped): score
+    // every document with a linear model over hashed token features
+    // (bucket = hash60(token) % QsBuckets), entirely as a NARROW MAP —
+    // the model lives inside the expression, so inference is
+    // embarrassingly parallel: no explode, no join, no shuffle, and
+    // the whole scan stays in whole-stage codegen. Scoring is
+    // INTEGER-exact (milli-weights summed as LONG, one double
+    // division at the end), so the result is bit-identical on any
+    // engine/partitioning and carries a full hash oracle. The weights
+    // are a deterministic md5-derived fixture standing in for
+    // externally-trained parameters (same policy as the V1 encode
+    // contract); the inference plumbing is the deliverable.
+    "t15_quality_score" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      def bucket(t: Column): Column = pmod(TextFns.hash60(t), lit(QsBuckets.toLong))
+      def wMilli(b: Column): Column =
+        TextFns.hash60(concat(lit("w|"), b.cast("string"))) % 2001 - 1000
+      docs(s, d)
+        .withColumn("n", TextFns.wordCount(col("text")))
+        .withColumn("wz",
+          when(col("n") > 0,
+            aggregate(w, lit(0L), (acc, t) => acc + wMilli(bucket(t))))
+            .otherwise(lit(0L)))
+        .withColumn("score",
+          when(col("n") > 0, round(col("wz") / (col("n") * 1000.0), 6))
+            .otherwise(lit(0.0)))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("wz").as("raw_milli"), col("score"),
+          (col("wz") >= 0).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t9 — PII redaction: emails, URLs, long digit runs → typed
     // placeholder tokens, with per-doc redaction counts — the scrub
     // pass every training-data pipeline runs before publication.
@@ -458,6 +495,25 @@ object TextQ {
          |  FROM documents) t
          |WHERE rn <= $StratN
          |ORDER BY lang, rank""".stripMargin,
+
+    // the md5-derived milli-weights replay exactly in SQL; list_sum
+    // over BIGINTs is order-free-exact, like the Spark LONG fold
+    "t15_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n,
+         |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(list_sum(list_transform(w, t ->
+         |         CAST(('0x' || substr(md5('w|' ||
+         |           CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $QsBuckets
+         |             AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)) AS BIGINT)
+         |  END AS wz
+         |FROM t)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens, wz AS raw_milli,
+         |  CASE WHEN n > 0 THEN round(wz / (n * 1000.0), 6) ELSE 0.0 END AS score,
+         |  CASE WHEN wz >= 0 THEN 1 ELSE 0 END AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // the one-pass funnel must equal the per-stage recount
     "t14_filter_funnel" ->

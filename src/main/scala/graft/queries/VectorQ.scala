@@ -375,6 +375,29 @@ object VectorQ {
         .select(col("qid"), col("nb_id"), col("nb_rank"),
           round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v13 — PER-CLASS EMBEDDING CENTROID (mean pooling): the
+    // class-prototype / cluster-based data-selection primitive (mean
+    // vector per label, e.g. for DSIR-style domain matching or
+    // nearest-prototype filtering). Emitted in long form (label, dim,
+    // cv): the posexplode is a narrow ×d map, and the partial
+    // aggregate combines map-side, so the one shuffle moves only
+    // (partitions × labels × d) pre-aggregated rows — never the
+    // vectors themselves. Decimal(25,10) sums make the mean
+    // bit-identical on any engine/partitioning (the x11 trainer
+    // pattern), so the query carries a full hash oracle.
+    "v13_label_centroid" -> ((s, d) => {
+      Tables.load(s, d, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("_v"))
+        .select(col("label"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          round(sum(col("x").cast("decimal(25,10)")).cast("double") /
+            count(lit(1)), 6).as("cv"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("dim"), col("cv"), col("n_vecs"))
+        .orderBy(col("label"), col("dim"))
     })
   )
 
@@ -717,6 +740,19 @@ object VectorQ {
         |  FROM embeddings q, embeddings e
         |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
         |WHERE rn <= 3
-        |ORDER BY qid, nb_rank""".stripMargin
+        |ORDER BY qid, nb_rank""".stripMargin,
+
+    // the decimal-sum mean must be bit-identical to the engine's
+    "v13_label_centroid" ->
+      """WITH dims AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  round(CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS cv,
+        |  COUNT(*) AS n_vecs
+        |FROM dims
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin
   )
 }

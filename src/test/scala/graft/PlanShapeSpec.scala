@@ -56,6 +56,13 @@ class PlanShapeSpec extends SparkSpec {
       "t14 must compute all stage counts in a single pass over documents")
   }
 
+  test("t15's classifier inference is a narrow map: no explode, no shuffle but the final sort") {
+    val p = plan("t15_quality_score")
+    assert(!p.contains("Generate"), "t15 must not explode tokens")
+    assert(!p.contains("hashpartitioning"), "t15 must not shuffle for scoring")
+    assert(!p.contains("Join"), "t15 must not join a weights table")
+  }
+
   test("dimension joins broadcast; no cartesian or nested-loop joins") {
     for (q <- Seq("q3_shipping_priority", "q5_local_supplier_volume", "k6_graph_2hop")) {
       val p = plan(q)
