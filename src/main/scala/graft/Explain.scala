@@ -22,7 +22,9 @@ object Explain {
                   "t13_stratified_sample","x13_salted_count",
                   "x14_incremental_dedup","x15_heavy_hitters_grouped",
                   "t14_filter_funnel","x16_global_shuffle",
-                  "t15_quality_score","v13_label_centroid")) {
+                  "t15_quality_score","v13_label_centroid",
+                  "t16_boilerplate","t17_perplexity","d12_span_dedup",
+                  "k13_clustering_coeff","v14_semdedup")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -28,7 +28,9 @@ object ScaleSmoke {
     "d8_dedup_hamming", "d9_decontaminate", "d11_decontaminate_fuzzy",
     "v7_knn_ivf_learned", "v8_knn_ivf_probe2", "v10_knn_lsh",
     "v11_knn_sq8", "v12_knn_ivfpq", "t13_stratified_sample",
-    "x15_heavy_hitters_grouped", "x16_global_shuffle")
+    "x15_heavy_hitters_grouped", "x16_global_shuffle",
+    "t16_boilerplate", "t17_perplexity", "d12_span_dedup",
+    "v14_semdedup")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

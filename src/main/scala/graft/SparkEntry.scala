@@ -8,20 +8,22 @@ import graft.queries._
   * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
   *  - RelationalQ (q1–q20, q30): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics
-  *  - VectorQ (v1–v12): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v13): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
-  *    composed IVF-PQ)
-  *  - DedupQ (d1–d11, x14): dedup suite (exact, Jaccard, MinHash,
+  *    composed IVF-PQ, class centroids)
+  *  - DedupQ (d1–d12, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, canonical selection,
-  *    incremental batch-vs-corpus dedup)
-  *  - TextQ (t1–t13, m1/m2, s1, q28): text analysis, sampling,
-  *    multimodal, windowed events
-  *  - KgQ (k1–k12): chunker / knowledge-graph pipeline + flagship
-  *    search + graph analytics + skew-capped edge generation
-  *  - ExtQ (j5, p6, s2/s3, q21–q27, q29, x1–x13, v6): §2.5–2.13
+  *    incremental batch-vs-corpus dedup, duplicated-span detection)
+  *  - TextQ (t1–t17, m1/m2, s1, q28): text analysis, sampling,
+  *    boilerplate removal, perplexity scoring, multimodal, windowed
+  *    events
+  *  - KgQ (k1–k13): chunker / knowledge-graph pipeline + flagship
+  *    search + graph analytics (2-hop, PageRank, triangles) +
+  *    skew-capped edge generation
+  *  - ExtQ (j5, p6, s2/s3, q21–q27, q29, x1–x16, v6, v14): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge,
-  *    incremental aggregation, exact k-means)
+  *    incremental aggregation, exact k-means, semantic dedup)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY, except the

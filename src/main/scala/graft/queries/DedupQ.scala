@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{TextFns, VectorOps}
@@ -48,6 +49,9 @@ object DedupQ {
   /** Jaccard / cosine thresholds. */
   val JaccardMin = 0.3
   val CosineMin = 0.35
+  /** d12 duplicated-span width (tokens): spans are overlapping
+    * SpanN-grams shared verbatim across documents. */
+  val SpanN = 5
   /** d7 edit-distance near-dup bounds. The Levenshtein DP is
     * O(|a|·|b|) time AND memory per candidate pair — LSH banding
     * bounds the pair COUNT, not the per-pair cost, and a single pair
@@ -237,7 +241,29 @@ object DedupQ {
     * inverted-index / banding designs bound. A near-linear candidate
     * curve at growing SF is the proof the plans never degrade toward
     * all-pairs; a super-linear one names the operator to fix. */
+  /** d12's positional overlapping [[SpanN]]-gram stream:
+    * (doc_id, pos, gram), pos 1-based. Shared by the query and the
+    * scale-smoke diagnostics. */
+  private def spanGrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"),
+        TextFns.wordCount(col("text")).as("nw"))
+      .filter(col("nw") >= SpanN)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), col("nw") - (SpanN - 1)),
+          i => array_join(slice(col("w"), i, lit(SpanN)), " "))))
+      .toDF("doc_id", "pos0", "gram")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+
   def candidateDiagnostics(s: SparkSession, d: String): Map[String, Long] = {
+    // d12's join fan-in: positions carrying a cross-doc-duplicated
+    // gram — the count that must track corpus duplication density
+    // linearly, not n²
+    val gr = spanGrams(s, d)
+    val d12 = gr.join(
+      gr.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("gram")),
+      Seq("gram")).count()
     val kept = keptShinglesOf(s, d)
     val d2 = kept.select(col("doc_id").as("a_id"), col("shingle"))
       .join(kept.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
@@ -262,6 +288,7 @@ object DedupQ {
       "d3_candidates" -> d3,
       "d8_candidates" -> d8,
       "d11_candidates" -> d11,
+      "d12_dup_positions" -> d12,
       "d9_train_ngrams" -> train.count(),
       "d9_bloom_survivors" -> surv.count())
   }
@@ -564,6 +591,60 @@ object DedupQ {
         .select(col("a_id"), col("b_id"), col("label"),
           round(col("raw"), 4).as("cosine"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // d12 — EXACT DUPLICATED-SPAN detection (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better"
+    // substring-level pass; d1–d11 decide per DOCUMENT, this finds
+    // the repeated REGIONS INSIDE documents): every overlapping
+    // SpanN-token gram shared verbatim by ≥2 distinct documents marks
+    // its positions; overlapping/adjacent marked positions merge into
+    // maximal spans (gaps-and-islands) and each document reports its
+    // duplicated-token coverage. At 100 TB: the gram explode is
+    // narrow, the df count is one shuffle keyed by gram content
+    // (uniform — no hot key survives, a gram IS its hash), and the
+    // island window is partitioned per document, bounded by document
+    // length — never global. This is the scalable approximation of
+    // the paper's suffix array: position-level exactness at fixed
+    // gram width, with the same remove-span output contract.
+    "d12_span_dedup" -> ((s, d) => {
+      val n = SpanN
+      val grams = spanGrams(s, d)
+      val dupGrams = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gram"), lit(1).as("isdup"))
+      val flagged = grams.join(dupGrams, Seq("gram"), "left")
+        .withColumn("isdup", coalesce(col("isdup"), lit(0)))
+      val counts = flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_grams"),
+          sum(col("isdup")).cast("int").as("n_dup_grams"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val isl = flagged.filter(col("isdup") === 1)
+        .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > n, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val spans = isl.groupBy(col("doc_id"), col("isl"))
+        .agg((max(col("pos")) - min(col("pos")) + n).as("cov"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_dup_spans"),
+          sum(col("cov")).cast("int").as("dup_tokens"))
+      docs(s, d)
+        .select(col("doc_id"), TextFns.wordCount(col("text")).as("n_tokens"))
+        .join(counts, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_grams"), lit(0)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0)).as("n_dup_grams"),
+          coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+          coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"),
+          when(col("n_tokens") > 0,
+            round(coalesce(col("dup_tokens"), lit(0)) /
+              col("n_tokens").cast("double"), 4))
+            .otherwise(lit(0.0)).as("dup_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -902,7 +983,56 @@ object DedupQ {
            |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
            |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= $CosineMin
-           |ORDER BY a_id, b_id""".stripMargin
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      // overlapping n-gram explode, df≥2 flag, then textbook
+      // gaps-and-islands (adjacent = pos gap ≤ SpanN) — every window
+      // is partitioned by doc_id, mirroring the Spark plan
+      "d12_span_dedup" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+           |g AS (SELECT doc_id, w,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS nw FROM t),
+           |grams AS (
+           |  SELECT doc_id, i AS pos,
+           |    array_to_string(w[i : i + $SpanN - 1], ' ') AS gram
+           |  FROM g, LATERAL unnest(range(1, nw - $SpanN + 2)) AS u(i)
+           |  WHERE nw >= $SpanN),
+           |dupg AS (
+           |  SELECT gram FROM (
+           |    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram) x
+           |  WHERE nd >= 2),
+           |flagged AS (
+           |  SELECT gr.doc_id, gr.pos,
+           |    CASE WHEN d.gram IS NULL THEN 0 ELSE 1 END AS isdup
+           |  FROM grams gr LEFT JOIN dupg d USING (gram)),
+           |counts AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+           |    CAST(SUM(isdup) AS INT) AS n_dup_grams
+           |  FROM flagged GROUP BY doc_id),
+           |dp AS (SELECT doc_id, pos,
+           |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |  FROM flagged WHERE isdup = 1),
+           |br AS (SELECT doc_id, pos,
+           |    CASE WHEN prev IS NULL OR pos - prev > $SpanN THEN 1 ELSE 0 END AS brk
+           |  FROM dp),
+           |il AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM br),
+           |spans AS (SELECT doc_id, isl, MAX(pos) - MIN(pos) + $SpanN AS cov
+           |  FROM il GROUP BY doc_id, isl),
+           |pd AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_spans,
+           |    CAST(SUM(cov) AS INT) AS dup_tokens
+           |  FROM spans GROUP BY doc_id)
+           |SELECT g.doc_id, CAST(g.nw AS INT) AS n_tokens,
+           |  COALESCE(c.n_grams, 0) AS n_grams,
+           |  COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+           |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           |  CASE WHEN g.nw > 0
+           |       THEN round(COALESCE(p.dup_tokens, 0) * 1.0 / g.nw, 4)
+           |       ELSE 0.0 END AS dup_frac
+           |FROM g LEFT JOIN counts c USING (doc_id) LEFT JOIN pd p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
     )
   }
 }

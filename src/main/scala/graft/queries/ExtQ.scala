@@ -32,6 +32,9 @@ object ExtQ {
   val KmK = 4
   val KmPasses = 3
 
+  /** v14 SemDeDup cosine threshold (same family as DedupQ.CosineMin). */
+  val SemTau = 0.35
+
   /** x10 heavy hitters: report terms with frequency > n/[[HhDen]]
     * (exact), found via a Misra–Gries sketch of capacity [[HhK]].
     * The guarantee needs HhK ≥ HhDen (summary error ≤ n/(HhK+1) <
@@ -571,6 +574,39 @@ object ExtQ {
         .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
           col("nb_rank"), round(col("raw"), 4).as("score"))
         .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v14 — SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023):
+    // cluster the embedding space with k-means, then search for
+    // near-duplicate pairs ONLY inside each cluster — the learned-
+    // partition twin of d5's label blocking (no pre-existing label
+    // needed) and the semantic complement of the lexical d2/d3.
+    // Training uses KMeans.fitExact (decimal-explode means), so the
+    // cluster assignment — and with it the whole result — replays
+    // bit-exactly in the oracle's unrolled CTE chain. At 100 TB:
+    // the model is a k×d broadcast, assignment a narrow map, and the
+    // pair join is blocked by cluster_id (candidate pairs are
+    // Σ cluster², never n²) — cluster count is the knob that keeps
+    // blocks bounded, exactly as in the paper.
+    "v14_semdedup" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val asg = graft.ops.KMeans.fitExact(vecs, "vec_id", "embedding",
+          k = KmK, assignPasses = KmPasses)
+        .select(col("vec_id"), col("cluster_id"))
+      val ev = vecs.join(asg, Seq("vec_id"))
+      val a = ev.select(col("cluster_id"), col("vec_id").as("keep_id"),
+        col("embedding").as("ea"))
+      val b = ev.select(col("cluster_id").as("cb"), col("vec_id").as("drop_id"),
+        col("embedding").as("eb"))
+      a.join(b, col("cluster_id") === col("cb") && col("keep_id") < col("drop_id"))
+        .withColumn("raw", VectorOps.dot(col("ea"), col("eb")) /
+          (VectorOps.l2norm(col("ea")) * VectorOps.l2norm(col("eb"))))
+        .filter(col("raw") >= SemTau)
+        .select(col("cluster_id"), col("keep_id"), col("drop_id"),
+          round(col("raw"), 4).as("cosine"))
+        .orderBy(col("keep_id"), col("drop_id"))
     })
   )
 
@@ -581,7 +617,16 @@ object ExtQ {
     * right double folds), and the decimal-explode centroid mean all
     * mirror KMeans.fitExact term for term, so the comparison is a
     * bit-exact hash match, not an approximation. */
-  private def kmeansExactOracle: String = {
+  private def kmeansExactOracle: String =
+    s"""$kmeansCteChain
+       |SELECT vec_id, cluster_id, round(sq, 4) AS sq_dist
+       |FROM asg$KmPasses
+       |ORDER BY vec_id""".stripMargin
+
+  /** The shared WITH-chain: seeds → dims → cent0 → (asg_i, cent_i)*
+    * → asg[[KmPasses]], reused by x11's assignment dump and v14's
+    * within-cluster pair search. */
+  private def kmeansCteChain: String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH seeds AS (
@@ -620,16 +665,31 @@ object ExtQ {
            |    GROUP BY a.cluster_id, d.dim) u
            |  GROUP BY cluster_id)""".stripMargin)
     }
-    sb.append(
-      s"""
-         |SELECT vec_id, cluster_id, round(sq, 4) AS sq_dist
-         |FROM asg$KmPasses
-         |ORDER BY vec_id""".stripMargin)
     sb.toString
   }
 
+  /** The v14 oracle: the same exact-k-means chain, then the d5-style
+    * pair join blocked by cluster_id. */
+  private def semdedupOracle: String =
+    s"""$kmeansCteChain,
+       |ev AS (
+       |  SELECT e.vec_id, a.cluster_id, e.embedding
+       |  FROM embeddings e JOIN asg$KmPasses a USING (vec_id))
+       |SELECT a.cluster_id, a.vec_id AS keep_id, b.vec_id AS drop_id,
+       |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+       |    AS cosine
+       |FROM ev a JOIN ev b
+       |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= $SemTau
+       |ORDER BY keep_id, drop_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x11_kmeans_exact" -> kmeansExactOracle,
+    "v14_semdedup" -> semdedupOracle,
 
     // the two-phase salted plan must reproduce the plain count
     "x13_salted_count" ->

@@ -118,6 +118,30 @@ object KgQ {
   def edgesDf(s: SparkSession, d: String): DataFrame =
     Derived.of(s, d, "edges")(edgesFrom(distinctEntsDf(s, d)))
 
+  /** Distinct undirected edge set (src < tgt canonical), shared by
+    * the triangle family (k9 listing, k13 clustering coefficients). */
+  private def triEdges(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "tri_edges")(
+      edgesDf(s, d).select(col("src"), col("tgt")).distinct())
+
+  /** Degree-oriented edges: each undirected edge points from its
+    * lower-degree endpoint to the higher-degree one (ties broken by
+    * id — src < tgt by construction, so `<=` keeps the edge as-is on
+    * a tie). Out-degree under this orientation is O(√m), so hub
+    * entities never explode the wedge join as Σdeg². */
+  private def triOriented(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "tri_oriented") {
+      val e = triEdges(s, d)
+      val deg = e.select(col("src").as("n"))
+        .unionAll(e.select(col("tgt").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      e.join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "ds"), Seq("src"))
+        .join(deg.withColumnRenamed("n", "tgt").withColumnRenamed("deg", "dt"), Seq("tgt"))
+        .select(
+          when(col("ds") <= col("dt"), col("src")).otherwise(col("tgt")).as("u"),
+          when(col("ds") <= col("dt"), col("tgt")).otherwise(col("src")).as("v"))
+    }
+
   // ── DuckDB CTE prefix ──────────────────────────────────────────────
   // Plain (non-interpolated) string: `$` appears in regexes. Params are
   // patched in via @TOKENS@.
@@ -315,22 +339,9 @@ object KgQ {
     // scalable triangle-listing shape. Output is identical to the
     // naive a<b<c three-way join (each triangle listed once, sorted).
     "k9_triangles" -> ((s, d) => {
-      val e = Derived.of(s, d, "tri_edges")(
-        edgesDf(s, d).select(col("src"), col("tgt")).distinct())
-      val deg = e.select(col("src").as("n"))
-        .unionAll(e.select(col("tgt").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      // src < tgt by construction, so on a degree tie the id-order
-      // tie-break keeps the edge as-is.
-      val oriented = Derived.of(s, d, "tri_oriented") {
-        e.join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "ds"), Seq("src"))
-          .join(deg.withColumnRenamed("n", "tgt").withColumnRenamed("deg", "dt"), Seq("tgt"))
-          .select(
-            when(col("ds") <= col("dt"), col("src")).otherwise(col("tgt")).as("u"),
-            when(col("ds") <= col("dt"), col("tgt")).otherwise(col("src")).as("v"))
-      }
-      val x = oriented.select(col("u"), col("v").as("p"))
-      val y = oriented.select(col("u").as("u2"), col("v").as("q"))
+      val e = triEdges(s, d)
+      val x = triOriented(s, d).select(col("u"), col("v").as("p"))
+      val y = triOriented(s, d).select(col("u").as("u2"), col("v").as("q"))
       x.join(y, col("u") === col("u2") && col("p") < col("q"))
         .join(e, col("p") === col("src") && col("q") === col("tgt"))
         .withColumn("t", array_sort(array(col("u"), col("p"), col("q"))))
@@ -444,6 +455,38 @@ object KgQ {
       // normalized rank (mean 1.0) so round(4) carries real precision
       ranks.select(col("node"), round(col("rank") * n, 4).as("rank_norm"))
         .orderBy(col("node"))
+    }),
+
+    // k13 — LOCAL CLUSTERING COEFFICIENTS: per node, its undirected
+    // degree, triangle membership count, and cc = 2·Δ/(deg·(deg−1)) —
+    // the community-structure metric on top of k9's listing (k9
+    // answers "which triangles", k13 answers "how clustered is each
+    // entity's neighborhood"). Reuses the SAME Derived tri_edges /
+    // tri_oriented intermediates as k9 — the degree-ordered wedge
+    // join (out-degree O(√m), no hub blowup) exists once; this query
+    // adds only a corner explode + one count shuffle + the degree
+    // join. Oracle is the naive a<b<c three-way self-join aggregated
+    // the same way (triangle sets are provably identical).
+    "k13_clustering_coeff" -> ((s, d) => {
+      val e = triEdges(s, d)
+      val deg = e.select(col("src").as("n"))
+        .unionAll(e.select(col("tgt").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      val x = triOriented(s, d).select(col("u"), col("v").as("p"))
+      val y = triOriented(s, d).select(col("u").as("u2"), col("v").as("q"))
+      val tri = x.join(y, col("u") === col("u2") && col("p") < col("q"))
+        .join(e, col("p") === col("src") && col("q") === col("tgt"))
+        .select(col("u"), col("p"), col("q"))
+      val perNode = tri.select(explode(array(col("u"), col("p"), col("q"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+      deg.join(perNode, Seq("n"), "left")
+        .select(col("n").as("node_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)), 4))
+            .otherwise(lit(0.0)).as("clustering_coeff"))
+        .orderBy(col("node_id"))
     })
   )
 
@@ -487,6 +530,32 @@ object KgQ {
 
   val oracles: Map[String, String] = Map(
     "k11_pagerank" -> pagerankOracle,
+
+    // naive closed-wedge triangle enumeration: src<tgt is already the
+    // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle
+    // {x<y<z} exactly once; corners attribute it to all three nodes
+    "k13_clustering_coeff" ->
+      s"""$ctePrefix,
+         |ue AS (SELECT DISTINCT src, tgt FROM edges),
+         |deg AS (SELECT n, COUNT(*) AS degree FROM (
+         |  SELECT src AS n FROM ue UNION ALL SELECT tgt FROM ue) t GROUP BY n),
+         |tri AS (
+         |  SELECT a.src AS x, a.tgt AS y, b.tgt AS z
+         |  FROM ue a
+         |  JOIN ue b ON b.src = a.tgt
+         |  JOIN ue c ON c.src = a.src AND c.tgt = b.tgt),
+         |pern AS (SELECT n, COUNT(*) AS n_triangles FROM (
+         |  SELECT x AS n FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) t GROUP BY n)
+         |SELECT d.n AS node_id, d.degree,
+         |  COALESCE(p.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |       THEN round(2.0 * COALESCE(p.n_triangles, 0) /
+         |            (d.degree * (d.degree - 1)), 4)
+         |       ELSE 0.0 END AS clustering_coeff
+         |FROM deg d LEFT JOIN pern p USING (n)
+         |ORDER BY node_id""".stripMargin,
 
     "k1_chunks" ->
       s"""$ctePrefix

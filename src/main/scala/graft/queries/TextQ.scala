@@ -38,6 +38,15 @@ object TextQ {
     * expression, not a join). */
   val QsBuckets = 64
 
+  /** t16: tokens per boilerplate segment, and the corpus-frequency
+    * threshold (distinct docs) above which a segment is boilerplate. */
+  val SegTokens = 10
+  val SegMinDocs = 2
+
+  /** t17: keep documents whose average unigram cost is below this
+    * many micro-nats (≈ 3.45 nats; the corpus median is ~3.40). */
+  val PplMaxMicroNats = 3450000L
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -394,6 +403,80 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // t16 — BOILERPLATE SEGMENT REMOVAL (the C4/RefinedWeb line-dedup
+    // rule, on deterministic 10-token segments since the fixture text
+    // has no newlines): a segment that appears in ≥ SegMinDocs
+    // DISTINCT documents is boilerplate and is dropped from every
+    // document; the cleaned text is re-assembled in segment order and
+    // fingerprinted. Plan shape at 100 TB: one narrow segment explode,
+    // one df shuffle keyed by the segment itself (the classic
+    // line-dedup shuffle — uniform because the key is a content
+    // hash), one join back, one per-doc aggregate. The reassembly
+    // list is per-document (bounded by doc length), never global.
+    "t16_boilerplate" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("w"),
+          TextFns.wordCount(col("text")).as("n"))
+      val segs = base.filter(col("n") > 0)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), floor((col("n") - 1) / SegTokens).cast("int")),
+            i => array_join(slice(col("w"), i * SegTokens + 1, lit(SegTokens)), " "))))
+        .toDF("doc_id", "seg_idx", "seg")
+      val segdf = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val marked = segs.join(segdf, Seq("seg"))
+        .withColumn("bp", col("n_docs") >= SegMinDocs)
+      val agg = marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_segs"),
+          sum(col("bp").cast("int")).cast("int").as("n_removed"),
+          sum(when(!col("bp"), size(split(col("seg"), " "))).otherwise(0))
+            .cast("int").as("kept_tokens"),
+          array_join(transform(
+            array_sort(collect_list(when(!col("bp"),
+              struct(col("seg_idx"), col("seg"))))),
+            x => x("seg")), " ").as("cleaned"))
+      docs(s, d).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segs"), lit(0)).as("n_segs"),
+          coalesce(col("n_removed"), lit(0)).as("n_removed"),
+          coalesce(col("kept_tokens"), lit(0)).as("kept_tokens"),
+          md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t17 — UNIGRAM-LM PERPLEXITY SCORING (the CCNet/Wikipedia-LM
+    // quality gate): train a Laplace-smoothed unigram model on the
+    // corpus itself, score every document by average per-token cost,
+    // keep the low-perplexity side. Costs are INTEGER micro-nats
+    // (one ln per VOCAB ENTRY rounded to a long, then order-free
+    // integer sums), so the result is bit-identical on any
+    // engine/partitioning. At 100 TB: the model is a vocab-sized
+    // table (broadcast-join side), the corpus pass is one token
+    // explode + one join + one per-doc aggregate; the 1-row (T, V)
+    // stats are a broadcast scalar.
+    "t17_perplexity" -> ((s, d) => {
+      val toks = docs(s, d)
+        .filter(TextFns.wordCount(col("text")) > 0)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("term"))
+      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val stats = tf.agg(sum(col("c")).as("t_tokens"), count(lit(1)).as("v_terms"))
+      val cost = tf.crossJoin(broadcast(stats))
+        .select(col("term"),
+          round(-log((col("c") + 1).cast("double") / (col("t_tokens") + col("v_terms")))
+            * 1e6).cast("long").as("cost_micro"))
+      toks.join(cost, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micro")).as("total_micro"))
+        .withColumn("avg_micro_nats",
+          floor(col("total_micro") / col("n_tokens")).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("total_micro"),
+          col("avg_micro_nats"),
+          (col("avg_micro_nats") < PplMaxMicroNats).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t9 — PII redaction: emails, URLs, long digit runs → typed
     // placeholder tokens, with per-doc redaction counts — the scrub
     // pass every training-data pipeline runs before publication.
@@ -484,6 +567,59 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // segment explode mirrors the Spark transform(sequence(...)) term
+    // for term; the ordered string_agg replays the array_sort(struct)
+    // reassembly (seg_idx is unique per doc, so both orders agree)
+    "t16_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n FROM t),
+         |segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(w[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' ') AS seg
+         |  FROM g, LATERAL unnest(range(0,
+         |    CAST(floor((n - 1) / $SegTokens.0) AS BIGINT) + 1)) AS u(i)
+         |  WHERE n > 0),
+         |df AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg),
+         |m AS (SELECT s.doc_id, s.seg_idx, s.seg, d.n_docs >= $SegMinDocs AS bp
+         |      FROM segs s JOIN df d USING (seg)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(COUNT(*) AS INT) AS n_segs,
+         |    CAST(COUNT(*) FILTER (bp) AS INT) AS n_removed,
+         |    CAST(COALESCE(SUM(len(string_split(seg, ' '))) FILTER (NOT bp), 0)
+         |      AS INT) AS kept_tokens,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) FILTER (NOT bp) AS cleaned
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_segs, 0) AS n_segs,
+         |  COALESCE(a.n_removed, 0) AS n_removed,
+         |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+         |  md5(COALESCE(a.cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // one ln per vocab entry rounded to integer micro-nats, then
+    // order-free BIGINT sums — engine-independent by construction
+    "t17_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |toks AS (SELECT doc_id, lower(unnest(w)) AS term FROM t),
+         |tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+         |st AS (SELECT SUM(c) AS tt, COUNT(*) AS vt FROM tf),
+         |cost AS (SELECT term,
+         |  CAST(round(-ln((c + 1) * 1.0 / (tt + vt)) * 1e6) AS BIGINT) AS cost_micro
+         |  FROM tf CROSS JOIN st),
+         |doc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(cost_micro) AS BIGINT) AS total_micro
+         |  FROM toks JOIN cost USING (term) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, total_micro,
+         |  CAST(floor(total_micro * 1.0 / n_tokens) AS BIGINT) AS avg_micro_nats,
+         |  CASE WHEN floor(total_micro * 1.0 / n_tokens) < $PplMaxMicroNats
+         |       THEN 1 ELSE 0 END AS keep
+         |FROM doc ORDER BY doc_id""".stripMargin,
+
     // select-then-rank in Spark ≡ the plain rank window here: the
     // heap keeps the N smallest (h, doc_id) per lang — same order key.
     "t13_stratified_sample" ->

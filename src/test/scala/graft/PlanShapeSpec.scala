@@ -108,6 +108,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("k13/d12/t16/v14 joins are shuffle equi joins — no cartesian") {
+    // wedge generation and closure must both key on node ids; a lost
+    // equi condition degrades to the all-pairs nested loop. d12's
+    // gram-df join and t16's segment-df join share the property.
+    for (q <- Seq("k13_clustering_coeff", "d12_span_dedup", "t16_boilerplate",
+        "v14_semdedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
+      // v14's k-means assignment is crossJoin(broadcast(k centroids)) —
+      // a bounded-model broadcast, the accepted pattern — so only the
+      // content-keyed joins are held to the equi-join bar.
+      if (q != "v14_semdedup")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q must not plan a nested-loop join")
+    }
+  }
+
   test("range join buckets to an equi join — no nested-loop or cartesian (x9)") {
     // the BETWEEN predicate alone would plan BroadcastNestedLoopJoin;
     // the time-bucket expansion must turn it into a hash equi-join
