@@ -24,7 +24,8 @@ object Explain {
                   "t14_filter_funnel","x16_global_shuffle",
                   "t15_quality_score","v13_label_centroid",
                   "t16_boilerplate","t17_perplexity","d12_span_dedup",
-                  "k13_clustering_coeff","v14_semdedup")) {
+                  "k13_clustering_coeff","v14_semdedup",
+                  "v15_standardize","t18_vocab_coverage","q31_grouping_sets")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -8,16 +8,16 @@ import graft.queries._
   * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
   *  - RelationalQ (q1–q20, q30): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics
-  *  - VectorQ (v1–v13): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v13, v15): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
-  *    composed IVF-PQ, class centroids)
+  *    composed IVF-PQ, class centroids, feature standardization)
   *  - DedupQ (d1–d12, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, canonical selection,
   *    incremental batch-vs-corpus dedup, duplicated-span detection)
-  *  - TextQ (t1–t17, m1/m2, s1, q28): text analysis, sampling,
-  *    boilerplate removal, perplexity scoring, multimodal, windowed
-  *    events
+  *  - TextQ (t1–t18, m1/m2, s1, q28, q31): text analysis, sampling,
+  *    boilerplate removal, perplexity scoring, vocabulary coverage,
+  *    grouping sets, multimodal, windowed events
   *  - KgQ (k1–k13): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, triangles) +
   *    skew-capped edge generation

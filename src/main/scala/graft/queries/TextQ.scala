@@ -47,6 +47,9 @@ object TextQ {
     * many micro-nats (≈ 3.45 nats; the corpus median is ~3.40). */
   val PplMaxMicroNats = 3450000L
 
+  /** t18: vocabulary size (top-K terms by corpus frequency). */
+  val VocabK = 20
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -477,6 +480,50 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // t18 — VOCABULARY COVERAGE / OOV-RATE REPORT: fix the tokenizer
+    // vocabulary at the top-[[VocabK]] corpus terms and report every
+    // document's out-of-vocabulary token rate — the report that
+    // drives vocab-size choices for a tokenizer (coverage vs table
+    // size). The vocab is MODEL-sized (top-K, TakeOrderedAndProject),
+    // so at 100 TB it broadcasts to the narrow membership probe; the
+    // only corpus shuffles are the term count and the per-doc
+    // aggregate.
+    "t18_vocab_coverage" -> ((s, d) => {
+      val toks = docs(s, d)
+        .filter(TextFns.wordCount(col("text")) > 0)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(VocabK)
+        .select(col("term"), lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("iv").isNull, col("term"))).as("n_oov_terms"))
+        .withColumn("oov_rate",
+          round(col("n_oov") / col("n_tokens").cast("double"), 4))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_oov_terms"), col("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q31 — GROUPING SETS (the general form of q22's ROLLUP and q25's
+    // CUBE): one aggregation pass expands to the declared grouping
+    // combinations; labels are coalesced so both engines emit the
+    // same totals rows without relying on engine-specific
+    // grouping_id bit orders.
+    "q31_grouping_sets" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT coalesce(source, 'ALL') AS source,
+          |  coalesce(lang, 'ALL') AS lang,
+          |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |FROM documents
+          |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+          |ORDER BY source, lang""".stripMargin)
+    }),
+
     // t9 — PII redaction: emails, URLs, long digit runs → typed
     // placeholder tokens, with per-doc redaction counts — the scrub
     // pass every training-data pipeline runs before publication.
@@ -619,6 +666,32 @@ object TextQ {
          |  CASE WHEN floor(total_micro * 1.0 / n_tokens) < $PplMaxMicroNats
          |       THEN 1 ELSE 0 END AS keep
          |FROM doc ORDER BY doc_id""".stripMargin,
+
+    // the top-K vocab is reproduced with the same (count desc, term)
+    // total order; OOV membership is then a deterministic set probe
+    "t18_vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |toks AS (SELECT doc_id, lower(unnest(w)) AS term FROM t),
+         |vocab AS (SELECT term FROM (
+         |  SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+         |  FROM toks GROUP BY term) x WHERE rn <= $VocabK)
+         |SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  COUNT(DISTINCT CASE WHEN v.term IS NULL THEN tk.term END) AS n_oov_terms,
+         |  round(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         |    AS oov_rate
+         |FROM toks tk LEFT JOIN vocab v ON tk.term = v.term
+         |GROUP BY tk.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    "q31_grouping_sets" ->
+      """SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY source, lang""".stripMargin,
 
     // select-then-rank in Spark ≡ the plain rank window here: the
     // heap keeps the N smallest (h, doc_id) per lang — same order key.

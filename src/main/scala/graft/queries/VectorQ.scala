@@ -398,8 +398,44 @@ object VectorQ {
           count(lit(1)).as("n_vecs"))
         .select(col("label"), col("dim"), col("cv"), col("n_vecs"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // v15 — PER-DIMENSION FEATURE STANDARDIZATION (z-score): the
+    // embedding-preprocessing staple before clustering / PQ / linear
+    // probes (whitened dims make Euclidean quantizers behave). Stats
+    // are decimal-exact sums (the v13 pattern: Σx and Σx² accumulate
+    // as DECIMAL(25,10), order-independent on any partitioning), so
+    // mean/std — and with them every z — are bit-identical across
+    // engines and the query carries a full hash oracle. At 100 TB:
+    // the stats aggregate moves only (partitions × d) pre-aggregated
+    // buffers through one shuffle, the d-row stats table broadcasts
+    // back, and the z computation is a narrow map. Output bounded to
+    // the first [[ZsampleIds]] vectors (stats still use the corpus).
+    "v15_standardize" -> ((s, d) => {
+      val dims = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+        .select(col("vec_id"), posexplode(col("_v")).as(Seq("dim", "x")))
+      val stats = dims.groupBy(col("dim"))
+        .agg(
+          (sum(col("x").cast("decimal(25,10)")).cast("double") /
+            count(lit(1))).as("mu"),
+          (sum((col("x") * col("x")).cast("decimal(25,10)")).cast("double") /
+            count(lit(1))).as("ex2"),
+          count(lit(1)).as("n"))
+        .withColumn("sigma", sqrt(col("ex2") - col("mu") * col("mu")))
+      dims.filter(col("vec_id") < ZsampleIds)
+        .join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          round(col("mu"), 6).as("mu"),
+          round(col("sigma"), 6).as("sigma"),
+          round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
     })
   )
+
+  /** v15: number of leading vec_ids whose standardized rows are
+    * emitted (corpus-wide stats either way). */
+  val ZsampleIds = 50
 
   /** The v10 oracle reconstructs the SAME hash-derived hyperplanes in
     * SQL (hash60 ≡ first 15 hex chars of md5; both dot products fold
@@ -753,6 +789,26 @@ object VectorQ {
         |  COUNT(*) AS n_vecs
         |FROM dims
         |GROUP BY label, dim
-        |ORDER BY label, dim""".stripMargin
+        |ORDER BY label, dim""".stripMargin,
+
+    // decimal-exact Σx and Σx² replay the engine's stats bit for bit;
+    // the z math is then pure double arithmetic on identical inputs
+    "v15_standardize" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |stats AS (
+         |  SELECT dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS ex2
+         |  FROM dims GROUP BY dim)
+         |SELECT d.vec_id, d.dim,
+         |  round(s.mu, 6) AS mu,
+         |  round(sqrt(s.ex2 - s.mu * s.mu), 6) AS sigma,
+         |  round((d.x - s.mu) / sqrt(s.ex2 - s.mu * s.mu), 4) AS z
+         |FROM dims d JOIN stats s USING (dim)
+         |WHERE d.vec_id < $ZsampleIds
+         |ORDER BY d.vec_id, d.dim""".stripMargin
   )
 }
