@@ -25,7 +25,8 @@ object Explain {
                   "t15_quality_score","v13_label_centroid",
                   "t16_boilerplate","t17_perplexity","d12_span_dedup",
                   "k13_clustering_coeff","v14_semdedup",
-                  "v15_standardize","t18_vocab_coverage","q31_grouping_sets")) {
+                  "v15_standardize","t18_vocab_coverage","q31_grouping_sets",
+                  "v16_knn_truncated")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -8,9 +8,10 @@ import graft.queries._
   * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
   *  - RelationalQ (q1–q20, q30): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics
-  *  - VectorQ (v1–v13, v15): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v16): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
-  *    composed IVF-PQ, class centroids, feature standardization)
+  *    composed IVF-PQ, class centroids, feature standardization,
+  *    truncated-prefilter rerank)
   *  - DedupQ (d1–d12, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, canonical selection,
