@@ -122,10 +122,28 @@ object VectorQ {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val v8 = graft.ops.Ivf.probeCandidateCount(
       learnedIndex(s, d), queries, nprobe = 2)
+    // v14's within-cluster pair count Σ C(n_c, 2), measured twice:
+    // with the fixture k (what the declared query uses — quadratic in
+    // corpus size when k stays fixed) and with k scaled to the corpus
+    // (the SemDeDup contract: clusters ∝ n keeps per-cluster blocks —
+    // and with them the candidate total — growing linearly).
+    def semPairs(k: Int): Long = {
+      val (_, asg) = graft.ops.KMeans.fit(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = k, maxIters = 3)
+      asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long"))
+        .head.getLong(0)
+    }
+    val n = emb(s, d).count()
+    val kFixed = graft.queries.ExtQ.KmK
+    val kScaled = (kFixed * math.max(1L, n / 2000)).toInt
     Map(
-      "corpus_vectors" -> emb(s, d).count(),
+      "corpus_vectors" -> n,
       "v10_candidates" -> v10,
-      "v8_candidates" -> v8)
+      "v8_candidates" -> v8,
+      "v14_pairs_k_fixed" -> semPairs(kFixed),
+      "v14_pairs_k_scaled" -> semPairs(kScaled))
   }
 
   /** The cosine expression shared by v1/d5: dot/(|a||b|). */
@@ -442,27 +460,32 @@ object VectorQ {
     // free (contrast IVF/PQ), recall tuned by shortlist depth
     // (ShortK = n degenerates to v4 exactly). Both stages are
     // deterministic double math ⇒ full hash oracle.
-    "v16_knn_truncated" -> ((s, d) => {
-      VectorOps.ensureRegistered(s)
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val pre = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("pre", VectorOps.dot(
-          slice(col("qe"), 1, PrefDims), slice(col("embedding"), 1, PrefDims)))
-      val short = graft.plans.TopK.perKey(pre, Seq("qid"),
-        Seq(col("pre").desc, col("vec_id")), ShortK)
-      val rer = short.withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
-      val top = graft.plans.TopK.perKey(rer, Seq("qid"),
-        Seq(col("raw").desc, col("vec_id")), 3)
-      val w = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
-      top.withColumn("nb_rank", row_number().over(w))
-        .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
-          round(col("pre"), 4).as("pre_score"),
-          round(col("raw"), 4).as("score"))
-        .orderBy(col("qid"), col("nb_rank"))
-    })
+    "v16_knn_truncated" -> ((s, d) => truncatedRerank(s, d, PrefDims, ShortK))
   )
+
+  /** v16's two-stage search, parametrized so TruncatedRerankSpec can
+    * pin the degenerate identity (shortK ≥ corpus ⇒ ≡ v4 exactly). */
+  def truncatedRerank(s: SparkSession, d: String,
+      prefDims: Int, shortK: Int): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pre = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("pre", VectorOps.dot(
+        slice(col("qe"), 1, prefDims), slice(col("embedding"), 1, prefDims)))
+    val short = graft.plans.TopK.perKey(pre, Seq("qid"),
+      Seq(col("pre").desc, col("vec_id")), shortK)
+    val rer = short.withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+    val top = graft.plans.TopK.perKey(rer, Seq("qid"),
+      Seq(col("raw").desc, col("vec_id")), 3)
+    val w = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+    top.withColumn("nb_rank", row_number().over(w))
+      .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
+        round(col("pre"), 4).as("pre_score"),
+        round(col("raw"), 4).as("score"))
+      .orderBy(col("qid"), col("nb_rank"))
+  }
 
   /** v15: number of leading vec_ids whose standardized rows are
     * emitted (corpus-wide stats either way). */
