@@ -516,6 +516,40 @@ object ExtQ {
         .orderBy(col("shard"), col("pos_in_shard"))
     }),
 
+    // x17 — SCD-2 HISTORY MERGE (type-2 slowly-changing dimension):
+    // x8 keeps only the latest value; this builds the full validity
+    // history a warehouse dimension actually stores — one row per
+    // (key, version) with [valid_from, valid_to) intervals and an
+    // is_current flag. The change stream is orders-as-CDC (each 1997+
+    // order restates the customer's balance). Plan: union snapshot
+    // seed + changes, ONE per-key window (row_number + lead) ordered
+    // by (valid_from, change_seq). The window's state is bounded by
+    // versions-per-key (orders per customer, ~dozens) — per-key
+    // history sorts, never a global sort, so the shape is flat at
+    // 100 TB: shuffle on the dimension key, sort within key groups.
+    "x17_scd2_history" -> ((s, d) => {
+      val seed = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("balance"),
+          lit("1996-12-31").cast("timestamp").as("valid_from"),
+          lit(-1L).as("chg_seq"))
+      val changes = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_totalprice").as("balance"),
+          col("o_orderdate").as("valid_from"),
+          col("o_orderkey").cast("long").as("chg_seq"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("valid_from"), col("chg_seq"))
+      seed.unionByName(changes)
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select(col("c_custkey"), col("version"),
+          round(col("balance"), 2).as("balance"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy(col("c_custkey"), col("version"))
+    }),
+
     // q29 — the S8 SQL SURFACE end to end: fixture tables registered
     // as views, a multi-statement SQL script (comment line, temp-view
     // statement, final select) run through SqlRunner, and the
@@ -951,6 +985,28 @@ object ExtQ {
         |FROM customer c LEFT JOIN chg g USING (c_custkey)
         |WHERE g.op IS NULL OR g.op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+
+    // same union + one per-key window; lead() replays identically
+    "x17_scd2_history" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_acctbal AS balance,
+        |    TIMESTAMP '1996-12-31' AS valid_from,
+        |    CAST(-1 AS BIGINT) AS chg_seq
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey AS c_custkey, o_totalprice AS balance,
+        |    o_orderdate AS valid_from, CAST(o_orderkey AS BIGINT) AS chg_seq
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |v AS (
+        |  SELECT c_custkey,
+        |    CAST(row_number() OVER pk AS INT) AS version,
+        |    round(balance, 2) AS balance, valid_from,
+        |    lead(valid_from, 1) OVER pk AS valid_to
+        |  FROM chg
+        |  WINDOW pk AS (PARTITION BY c_custkey ORDER BY valid_from, chg_seq))
+        |SELECT c_custkey, version, balance, valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v ORDER BY c_custkey, version""".stripMargin,
 
     "q29_sql_script" ->
       """SELECT label, COUNT(*) AS n_vectors,

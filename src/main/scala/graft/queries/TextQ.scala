@@ -50,6 +50,16 @@ object TextQ {
   /** t18: vocabulary size (top-K terms by corpus frequency). */
   val VocabK = 20
 
+  /** t19: hashed n-gram feature space for DSIR importance weights
+    * (Xie et al. 2023, §2.2 — hashed unigram+bigram counts). 1024
+    * buckets keeps the model table broadcast-sized at any corpus
+    * scale; the smoothing constant is the bucket count. */
+  val DsirBuckets = 1024L
+
+  /** t20: the Gopher-rule stopword list (Rae et al. 2021, A1.1 —
+    * "contains at least two of ..."). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -508,6 +518,93 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // t19 — DSIR IMPORTANCE WEIGHTS (hashed n-gram importance
+    // resampling, Xie et al. NeurIPS 2023): score every document by
+    // how much more likely its hashed unigram+bigram features are
+    // under a TARGET distribution (here: the English slice) than
+    // under the RAW corpus — the data-selection primitive behind
+    // "make the pretraining mix look like Wikipedia". Per-bucket
+    // log-ratios are rounded ONCE to integer micro-nats (the t17
+    // trick), then summed as longs — bit-identical on any
+    // engine/partitioning. At 100 TB: the model is a
+    // [[DsirBuckets]]-row broadcast; the corpus pays one feature
+    // explode feeding two shuffles (bucket counts, per-doc sum) —
+    // no all-pairs, no driver state.
+    "t19_dsir_weights" -> ((s, d) => {
+      val b = lit(DsirBuckets)
+      val base = docs(s, d)
+        .filter(TextFns.wordCount(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          transform(TextFns.tokens(col("text")), t => lower(t)).as("w"))
+      val bigrams = zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, c) => concat(a, lit(" "), c))
+      val feats = base
+        .select(col("doc_id"), col("lang"),
+          explode(concat(col("w"), bigrams)).as("feat"))
+        .select(col("doc_id"), col("lang"),
+          (TextFns.hash60(concat(lit("f|"), col("feat"))) % b).as("bucket"))
+      val bc = feats.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("raw_c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_c"))
+      val tot = bc.agg(sum(col("raw_c")).as("raw_total"),
+        sum(col("tgt_c")).as("tgt_total"))
+      val lr = bc.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round((log((col("tgt_c") + 1).cast("double") / (col("tgt_total") + b))
+            - log((col("raw_c") + 1).cast("double") / (col("raw_total") + b)))
+            * 1e6).cast("long").as("lr_micro"))
+      feats.join(broadcast(lr), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("logw_micro"))
+        .withColumn("avg_micro",
+          floor(col("logw_micro") / col("n_feats")).cast("long"))
+        .select(col("doc_id"), col("n_feats"), col("logw_micro"),
+          col("avg_micro"),
+          (col("avg_micro") >= 0L).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t20 — GOPHER QUALITY RULES (Rae et al. 2021, A1.1): the
+    // published heuristic battery — word count bounds, mean word
+    // length 3–10, symbol-to-word ratio, ≥80% words alphabetic,
+    // ≥2 distinct stopwords present. Every KEEP decision is an
+    // INTEGER comparison (3·n ≤ Σlen ≤ 10·n, 10·sym ≤ n,
+    // 5·alpha ≥ 4·n) so no float rounding can flip a row between
+    // engines; the reported ratios are display-rounded only. Pure
+    // narrow map — zero shuffles at any scale.
+    "t20_gopher_rules" -> ((s, d) => {
+      val w = TextFns.tokens(col("text"))
+      docs(s, d)
+        .withColumn("w", transform(w, t => lower(t)))
+        .withColumn("n_words", TextFns.wordCount(col("text")))
+        .withColumn("sum_len",
+          coalesce(aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)),
+            lit(0L)))
+        .withColumn("n_sym",
+          (regexp_count(col("text"), lit("#")) +
+            regexp_count(col("text"), lit("\\.\\.\\."))).cast("long"))
+        .withColumn("n_alpha",
+          size(filter(col("w"), t => t.rlike("[a-z]"))).cast("long"))
+        .withColumn("n_stops",
+          size(array_intersect(array_distinct(col("w")),
+            array(GopherStops.map(lit): _*))).cast("long"))
+        .withColumn("keep", (
+          col("n_words") >= 5 && col("n_words") <= 100000 &&
+            col("sum_len") >= col("n_words") * 3L &&
+            col("sum_len") <= col("n_words") * 10L &&
+            col("n_sym") * 10L <= col("n_words") &&
+            col("n_alpha") * 5L >= col("n_words") * 4L &&
+            col("n_stops") >= 2L).cast("int"))
+        .select(col("doc_id"), col("n_words"), col("sum_len"),
+          col("n_sym"), col("n_alpha"), col("n_stops"),
+          when(col("n_words") > 0, round(col("sum_len") / col("n_words"), 4))
+            .otherwise(lit(0.0)).as("mean_word_len"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q31 — GROUPING SETS (the general form of q22's ROLLUP and q25's
     // CUBE): one aggregation pass expands to the declared grouping
     // combinations; labels are coalesced so both engines emit the
@@ -684,6 +781,68 @@ object TextQ {
          |FROM toks tk LEFT JOIN vocab v ON tk.term = v.term
          |GROUP BY tk.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // per-bucket log-ratios rounded once to integer micro-nats, then
+    // order-free BIGINT sums — the t17 engine-exactness recipe
+    "t19_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  list_transform(string_split_regex(trim(text), '\\s+'),
+         |    x -> lower(x)) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |uni AS (SELECT doc_id, lang, unnest(w) AS feat FROM t),
+         |big AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS feat
+         |  FROM t, LATERAL unnest(range(1, len(w))) AS u(i)),
+         |feats AS (SELECT doc_id, lang,
+         |  CAST(('0x' || substr(md5('f|' || feat), 1, 15)) AS BIGINT)
+         |    % $DsirBuckets AS bucket
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+         |bc AS (SELECT bucket, COUNT(*) AS raw_c,
+         |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+         |  FROM feats GROUP BY bucket),
+         |tot AS (SELECT SUM(raw_c) AS raw_total, SUM(tgt_c) AS tgt_total FROM bc),
+         |lr AS (SELECT bucket,
+         |  CAST(round((ln((tgt_c + 1.0) / (tgt_total + $DsirBuckets))
+         |            - ln((raw_c + 1.0) / (raw_total + $DsirBuckets))) * 1e6)
+         |    AS BIGINT) AS lr_micro
+         |  FROM bc CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_feats,
+         |  CAST(SUM(lr_micro) AS BIGINT) AS logw_micro,
+         |  CAST(floor(SUM(lr_micro) * 1.0 / COUNT(*)) AS BIGINT) AS avg_micro,
+         |  CASE WHEN floor(SUM(lr_micro) * 1.0 / COUNT(*)) >= 0
+         |       THEN 1 ELSE 0 END AS keep
+         |FROM feats JOIN lr USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // every keep rule is an integer comparison — no float threshold
+    // can flip between engines; ratios are display-rounded only
+    "t20_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_transform(string_split_regex(trim(text), '\\s+'),
+         |    x -> lower(x)) AS w FROM documents),
+         |g AS (SELECT doc_id, text, w,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END
+         |    AS INT) AS n_words,
+         |  CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+         |    AS BIGINT) AS sum_len,
+         |  CAST(length(text) - length(replace(text, '#', ''))
+         |     + (length(text) - length(replace(text, '...', ''))) / 3
+         |    AS BIGINT) AS n_sym,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |    AS BIGINT) AS n_alpha,
+         |  CAST(len(list_intersect(list_distinct(w),
+         |    [${GopherStops.map(x => s"'$x'").mkString(", ")}]))
+         |    AS BIGINT) AS n_stops
+         |FROM t)
+         |SELECT doc_id, n_words, sum_len, n_sym, n_alpha, n_stops,
+         |  CASE WHEN n_words > 0 THEN round(sum_len * 1.0 / n_words, 4)
+         |       ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_words >= 5 AND n_words <= 100000
+         |        AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+         |        AND n_sym * 10 <= n_words
+         |        AND n_alpha * 5 >= n_words * 4
+         |        AND n_stops >= 2
+         |       THEN 1 ELSE 0 END AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q31_grouping_sets" ->
       """SELECT coalesce(source, 'ALL') AS source,
