@@ -641,6 +641,72 @@ object ExtQ {
         .select(col("cluster_id"), col("keep_id"), col("drop_id"),
           round(col("raw"), 4).as("cosine"))
         .orderBy(col("keep_id"), col("drop_id"))
+    }),
+
+    // s4 — ORDERED FUNNEL (sequential event-pattern match): how many
+    // users progressed view → click → purchase, where each step must
+    // occur STRICTLY AFTER the user's earliest previous step — the
+    // conversion query every event warehouse runs, and a shape none
+    // of s1–s3 cover (those window/join on time, not on order).
+    // Per step: earliest qualifying timestamp per user, then the next
+    // step filters on it. At 100 TB each stage is one groupBy(user) +
+    // one equi join on user — all shuffles on the same key, so a
+    // co-partitioned exchange reuse; the step tables shrink
+    // monotonically, and nothing is ever globally sorted or windowed.
+    "s4_funnel" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def earliest(step: String, after: Option[DataFrame]): DataFrame = {
+        val base = ev.filter(col("event_type") === step)
+        val gated = after match {
+          case Some(prev) => base.join(prev, Seq("user_id"))
+            .filter(col("ts") > col("t_prev"))
+          case None => base
+        }
+        gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+      }
+      val s1 = earliest("view", None)
+      val s2 = earliest("click", Some(s1))
+      val s3 = earliest("purchase", Some(s2))
+      val counts = Seq(("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("step"), col("n_users"))
+        }
+        .reduce(_.unionAll(_))
+      // pct-of-first via a broadcast 1-row scalar — lazy, no action
+      val first = counts.filter(col("step") === "1_view")
+        .select(col("n_users").as("n_first"))
+      counts.crossJoin(broadcast(first))
+        .select(col("step"), col("n_users"),
+          round(col("n_users") / col("n_first"), 4).as("pct_of_first"))
+        .orderBy(col("step"))
+    }),
+
+    // x18 — SNAPSHOT DIFF / CHANGE-DATA FEED (ops.Diff): compare two
+    // versions of the customer table and emit only the I/U/D change
+    // rows. The "new" snapshot is derived deterministically from the
+    // old one (drop key%97=0, bump balance where key%13=0, re-key a
+    // slice past the max key as inserts) so the oracle replays it
+    // exactly. The diff itself is one full-outer shuffle join plus a
+    // null-safe struct compare — see ops/Diff.scala for why that is
+    // the 100 TB-minimal plan.
+    "x18_snapshot_diff" -> ((s, d) => {
+      val old = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val maxKey = 1000000L
+      val neu = old.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, round(col("c_acctbal") + 100.0, 2))
+            .otherwise(col("c_acctbal")))
+        .unionAll(old.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + maxKey).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      graft.ops.Diff.snapshot(old, neu, Seq("c_custkey"))
+        .select(col("op"), col("c_custkey"),
+          round(col("old_c_acctbal"), 2).as("old_bal"),
+          round(col("new_c_acctbal"), 2).as("new_bal"))
+        .orderBy(col("c_custkey"), col("op"))
     })
   )
 
@@ -1014,7 +1080,54 @@ object ExtQ {
         |    AS DECIMAL(18,4))) AS DOUBLE) AS energy
         |FROM embeddings
         |GROUP BY label
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // same step-gated earliest-timestamp chain; DuckDB replays the
+    // strictly-after semantics with correlated min-filters
+    "s4_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |c AS (
+        |  SELECT '1_view' AS step, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+        |SELECT step, n_users,
+        |  round(n_users * 1.0 / (SELECT n_users FROM c WHERE step = '1_view'), 4)
+        |    AS pct_of_first
+        |FROM c ORDER BY step""".stripMargin,
+
+    // full-outer diff with IS DISTINCT FROM = Spark's null-safe <=>
+    "x18_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |new AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 13 = 0 THEN round(c_acctbal + 100.0, 2)
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM old WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM old WHERE c_custkey % 31 = 0)
+        |SELECT CASE WHEN o.c_custkey IS NULL THEN 'I'
+        |            WHEN n.c_custkey IS NULL THEN 'D'
+        |            ELSE 'U' END AS op,
+        |  COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  round(o.c_acctbal, 2) AS old_bal,
+        |  round(n.c_acctbal, 2) AS new_bal
+        |FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_name IS DISTINCT FROM n.c_name
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |ORDER BY c_custkey, op""".stripMargin
     // x1 / v6: intentionally no oracle (approximate / float-order
     // dependent) — driver records rows-only checks.
   )

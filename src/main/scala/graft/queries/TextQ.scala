@@ -63,11 +63,50 @@ object TextQ {
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** Shared by t17 (keep/drop gate) and t22 (CCNet buckets): per-doc
+    * unigram-LM negative log-likelihood in integer micro-nats —
+    * rounded once per vocab entry so the per-doc sums are order-free
+    * BIGINT arithmetic and replay exactly in the oracle. The LM is
+    * corpus-sized-vocabulary only (tf + a 1-row stats broadcast);
+    * the per-doc cost is one join + one aggregate. */
+  private def perplexityPerDoc(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .filter(TextFns.wordCount(col("text")) > 0)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val stats = tf.agg(sum(col("c")).as("t_tokens"), count(lit(1)).as("v_terms"))
+    val cost = tf.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(-log((col("c") + 1).cast("double") / (col("t_tokens") + col("v_terms")))
+          * 1e6).cast("long").as("cost_micro"))
+    toks.join(cost, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micro")).as("total_micro"))
+      .withColumn("avg_micro_nats",
+        floor(col("total_micro") / col("n_tokens")).cast("long"))
+  }
+
   private def hits(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => w.isin(markers.map(lit): _*)))
 
   private def hitsSql(markers: Seq[String]): String =
     s"CAST(len(list_filter(w, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
+
+  /** DuckDB twin of [[perplexityPerDoc]] (shared by the t17 and t22
+    * oracles): ends in `doc(doc_id, n_tokens, total_micro)`. */
+  private val PplCte: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |toks AS (SELECT doc_id, lower(unnest(w)) AS term FROM t),
+      |tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+      |st AS (SELECT SUM(c) AS tt, COUNT(*) AS vt FROM tf),
+      |cost AS (SELECT term,
+      |  CAST(round(-ln((c + 1) * 1.0 / (tt + vt)) * 1e6) AS BIGINT) AS cost_micro
+      |  FROM tf CROSS JOIN st),
+      |doc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(cost_micro) AS BIGINT) AS total_micro
+      |  FROM toks JOIN cost USING (term) GROUP BY doc_id)""".stripMargin
 
   val defs: Map[String, Q] = Map(
     // t1 — language ID: count marker-word hits per language, pick by
@@ -469,21 +508,7 @@ object TextQ {
     // explode + one join + one per-doc aggregate; the 1-row (T, V)
     // stats are a broadcast scalar.
     "t17_perplexity" -> ((s, d) => {
-      val toks = docs(s, d)
-        .filter(TextFns.wordCount(col("text")) > 0)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), lower(col("tok")).as("term"))
-      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      val stats = tf.agg(sum(col("c")).as("t_tokens"), count(lit(1)).as("v_terms"))
-      val cost = tf.crossJoin(broadcast(stats))
-        .select(col("term"),
-          round(-log((col("c") + 1).cast("double") / (col("t_tokens") + col("v_terms")))
-            * 1e6).cast("long").as("cost_micro"))
-      toks.join(cost, Seq("term"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micro")).as("total_micro"))
-        .withColumn("avg_micro_nats",
-          floor(col("total_micro") / col("n_tokens")).cast("long"))
+      perplexityPerDoc(s, d)
         .select(col("doc_id"), col("n_tokens"), col("total_micro"),
           col("avg_micro_nats"),
           (col("avg_micro_nats") < PplMaxMicroNats).cast("int").as("keep"))
@@ -707,6 +732,68 @@ object TextQ {
         .select(col("w.start").as("wstart"), col("event_type"), col("n"),
           col("sum_value"))
         .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // t21 — DATA-QUALITY PROFILING REPORT: per-column null count,
+    // distinct count, and min/max (values for scalars and enums,
+    // lengths for long text) in ONE aggregation pass — the contract
+    // check run before any corpus enters training. All 21 aggregates
+    // share a single scan; the distinct counts are the only shuffles
+    // (Catalyst plans them as one expand + aggregate). At 100 TB the
+    // exact text distinct is the knob to watch — swap in
+    // approx_count_distinct (x1's HLL) when exactness isn't required;
+    // the report shape is identical.
+    "t21_profile" -> ((s, d) => {
+      val df = docs(s, d)
+      def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val a = df.agg(
+        nNull("doc_id").as("id_nn"), countDistinct(col("doc_id")).as("id_nd"),
+        min(col("doc_id")).cast("string").as("id_min"),
+        max(col("doc_id")).cast("string").as("id_max"),
+        nNull("text").as("tx_nn"), countDistinct(col("text")).as("tx_nd"),
+        min(length(col("text"))).cast("string").as("tx_min"),
+        max(length(col("text"))).cast("string").as("tx_max"),
+        nNull("lang").as("lg_nn"), countDistinct(col("lang")).as("lg_nd"),
+        min(col("lang")).as("lg_min"), max(col("lang")).as("lg_max"),
+        nNull("source").as("sc_nn"), countDistinct(col("source")).as("sc_nd"),
+        min(col("source")).as("sc_min"), max(col("source")).as("sc_max"),
+        nNull("n_chars").as("nc_nn"), countDistinct(col("n_chars")).as("nc_nd"),
+        min(col("n_chars")).cast("string").as("nc_min"),
+        max(col("n_chars")).cast("string").as("nc_max"))
+      a.selectExpr(
+        """stack(5,
+          |  'doc_id',  id_nn, id_nd, id_min, id_max,
+          |  'lang',    lg_nn, lg_nd, lg_min, lg_max,
+          |  'n_chars', nc_nn, nc_nd, nc_min, nc_max,
+          |  'source',  sc_nn, sc_nd, sc_min, sc_max,
+          |  'text',    tx_nn, tx_nd, tx_min, tx_max
+          |) AS (col_name, n_null, n_distinct, vmin, vmax)""".stripMargin)
+        .orderBy(col("col_name"))
+    }),
+
+    // t22 — CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020):
+    // split each language's documents into head/middle/tail thirds by
+    // unigram-LM perplexity percentile — the standard quality
+    // stratification before mixture sampling (t11/t12 then sample per
+    // bucket). Reuses t17's integer micro-nat LM so the ranking key
+    // is exact; percent_rank is (rank−1)/(n−1) in both engines and
+    // the 1/3 cutoffs are plain double compares. One window per
+    // (lang) partition on top of the t17 plan — no new corpus-sized
+    // shuffle beyond the rank itself.
+    "t22_ccnet_buckets" -> ((s, d) => {
+      val ppl = perplexityPerDoc(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("avg_micro_nats"), col("doc_id"))
+      ppl.withColumn("pr", percent_rank().over(w))
+        .withColumn("bucket",
+          when(col("pr") < lit(1.0 / 3), "head")
+            .when(col("pr") < lit(2.0 / 3), "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_micro_nats"),
+          round(col("pr") * 1e6).cast("long").as("pr_micro"), col("bucket"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -747,17 +834,7 @@ object TextQ {
     // one ln per vocab entry rounded to integer micro-nats, then
     // order-free BIGINT sums — engine-independent by construction
     "t17_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |toks AS (SELECT doc_id, lower(unnest(w)) AS term FROM t),
-         |tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
-         |st AS (SELECT SUM(c) AS tt, COUNT(*) AS vt FROM tf),
-         |cost AS (SELECT term,
-         |  CAST(round(-ln((c + 1) * 1.0 / (tt + vt)) * 1e6) AS BIGINT) AS cost_micro
-         |  FROM tf CROSS JOIN st),
-         |doc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-         |  CAST(SUM(cost_micro) AS BIGINT) AS total_micro
-         |  FROM toks JOIN cost USING (term) GROUP BY doc_id)
+      s"""WITH $PplCte
          |SELECT doc_id, n_tokens, total_micro,
          |  CAST(floor(total_micro * 1.0 / n_tokens) AS BIGINT) AS avg_micro_nats,
          |  CASE WHEN floor(total_micro * 1.0 / n_tokens) < $PplMaxMicroNats
@@ -1182,6 +1259,50 @@ object TextQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY wstart, event_type""".stripMargin
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    // per-column UNION ALL twin of the one-pass stack report
+    "t21_profile" ->
+      """WITH m AS (
+        |  SELECT 'doc_id' AS col_name,
+        |    COUNT(*) - COUNT(doc_id) AS n_null,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS vmin,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS vmax
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |    MIN(lang), MAX(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |    MIN(source), MAX(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |    CAST(MIN(length(text)) AS VARCHAR), CAST(MAX(length(text)) AS VARCHAR)
+        |  FROM documents)
+        |SELECT col_name, n_null, n_distinct, vmin, vmax
+        |FROM m ORDER BY col_name""".stripMargin,
+
+    // percent_rank is (rank-1)/(n-1) in both engines; the ranking key
+    // avg_micro_nats is exact integer math from the shared CTE
+    "t22_ccnet_buckets" ->
+      s"""WITH $PplCte,
+         |p AS (SELECT doc_id,
+         |  CAST(floor(total_micro * 1.0 / n_tokens) AS BIGINT) AS avg_micro_nats
+         |  FROM doc),
+         |r AS (SELECT p.doc_id, d.lang, p.avg_micro_nats,
+         |  percent_rank() OVER (PARTITION BY d.lang
+         |    ORDER BY p.avg_micro_nats, p.doc_id) AS pr
+         |  FROM p JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, avg_micro_nats,
+         |  CAST(round(pr * 1e6) AS BIGINT) AS pr_micro,
+         |  CASE WHEN pr < 1.0/3 THEN 'head'
+         |       WHEN pr < 2.0/3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }
