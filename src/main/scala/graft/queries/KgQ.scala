@@ -487,12 +487,64 @@ object KgQ {
               (col("degree") * (col("degree") - 1)), 4))
             .otherwise(lit(0.0)).as("clustering_coeff"))
         .orderBy(col("node_id"))
+    }),
+
+    // k14 — LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) on
+    // the customer⋈supplier graph from k11. The graph is BIPARTITE,
+    // and fully-synchronous LPA on a bipartite graph famously
+    // oscillates (the two sides swap labels forever), so the rounds
+    // are SEMI-SYNCHRONOUS by bipartite class — each round updates
+    // the supplier side from customer labels, then the customer side
+    // from the fresh supplier labels (tie → smallest label), for a
+    // fixed [[LpIters]] rounds so the oracle can unroll it. The
+    // complement of d6's connected components: CC merges everything
+    // reachable; LPA finds dense sub-communities inside a component.
+    // Per half-round: one equi join (neighbor labels) + one
+    // (node,label) count + one struct-max argmax — all shuffled on
+    // the same key, NO window/sort buffer (the argmax is an
+    // aggregate, d10's canonical-selection pattern), lineage cut once
+    // per full round (k11's cadence). At 100 TB rounds are
+    // fixed-count edge-sized shuffles — the shape GraphX/Pregel would
+    // produce, without leaving DataFrames.
+    "k14_label_prop" -> ((s, d) => {
+      val ed = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      // argmax by (count desc, label asc) as a struct-max aggregate
+      def vote(pairs: DataFrame): DataFrame = pairs
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+      var cl = ed.select(col("a").as("node")).distinct().withColumn("lbl", col("node"))
+      var sl = ed.select(col("b").as("node")).distinct().withColumn("lbl", col("node"))
+      for (i <- 1 to LpIters) {
+        sl = vote(ed.join(cl.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"), col("lbl")))
+        cl = vote(ed.join(sl.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("lbl")))
+        if (i % 2 == 0 || i == LpIters) {
+          sl = sl.localCheckpoint(true); cl = cl.localCheckpoint(true)
+        }
+      }
+      val labels = cl.unionAll(sl)
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "lbl")
+        .select(col("node"), col("lbl").as("community"), col("n_members"))
+        .orderBy(col("node"))
     })
   )
 
   /** PageRank constants, shared with the oracle builder. */
   val PrDamping = 0.85
   val PrIters = 10
+
+  /** k14 label-propagation round count, shared with the oracle. */
+  val LpIters = 4
 
   /** The k11 oracle: the same 10 power iterations UNROLLED as a CTE
     * chain (standard SQL forbids aggregates in a recursive term, so
@@ -528,8 +580,42 @@ object KgQ {
        |ORDER BY node""".stripMargin
   }
 
+  /** The k14 oracle: [[LpIters]] semi-synchronous LPA rounds unrolled
+    * as a CTE chain (k11's pattern) — supplier half-step from c{i-1},
+    * customer half-step from the fresh s{i}; the argmax is a
+    * row_number window with the same (count desc, label asc) total
+    * order as the struct-max. */
+  private def labelPropOracle: String = {
+    def voteSql(out: String, joinKey: String, groupKey: String, prev: String) =
+      s"""$out AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.$groupKey AS node, l.lbl, COUNT(*) AS c,
+         |      row_number() OVER (PARTITION BY e.$groupKey
+         |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |    FROM ed e JOIN $prev l ON e.$joinKey = l.node
+         |    GROUP BY e.$groupKey, l.lbl) t
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to LpIters).map { i =>
+      voteSql(s"s$i", "a", "b", s"c${i - 1}") + ",\n" +
+        voteSql(s"c$i", "b", "a", s"s$i")
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |c0 AS (SELECT DISTINCT a AS node, a AS lbl FROM ed),
+       |$steps,
+       |fin AS (SELECT node, lbl FROM c$LpIters
+       |        UNION ALL SELECT node, lbl FROM s$LpIters)
+       |SELECT f.node, f.lbl AS community, s.n_members
+       |FROM fin f JOIN (
+       |  SELECT lbl, COUNT(*) AS n_members FROM fin GROUP BY lbl) s
+       |  USING (lbl)
+       |ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "k11_pagerank" -> pagerankOracle,
+    "k14_label_prop" -> labelPropOracle,
 
     // naive closed-wedge triangle enumeration: src<tgt is already the
     // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle

@@ -460,7 +460,32 @@ object VectorQ {
     // free (contrast IVF/PQ), recall tuned by shortlist depth
     // (ShortK = n degenerates to v4 exactly). Both stages are
     // deterministic double math ⇒ full hash oracle.
-    "v16_knn_truncated" -> ((s, d) => truncatedRerank(s, d, PrefDims, ShortK))
+    "v16_knn_truncated" -> ((s, d) => truncatedRerank(s, d, PrefDims, ShortK)),
+
+    // v17 — ANN RECALL EVALUATION: recall@3 of the LSH index (v10)
+    // against the exact brute-force answer (v4), per query — the
+    // acceptance report any ANN deployment needs before swapping an
+    // index into production (tune planes/probes until recall clears
+    // the bar). Composes the two declared plans at call time, so it
+    // measures exactly what v4/v10 ship. Ground truth is k=3 per
+    // query (n_bf); hits = inner join on (qid, nb_id). At 100 TB the
+    // eval runs on a sampled query set — both sides are per-query
+    // top-k tables, so the compare is query-set-sized, not corpus-
+    // sized.
+    "v17_recall_eval" -> ((s, d) => {
+      val bf = defs("v4_knn_bruteforce")(s, d).select(col("qid"), col("nb_id"))
+      val ann = defs("v10_knn_lsh")(s, d).select(col("qid"), col("nb_id"))
+      val nBf = bf.groupBy(col("qid")).agg(count(lit(1)).as("n_bf"))
+      val nAnn = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_ann"))
+      val hits = bf.join(ann, Seq("qid", "nb_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      nBf.join(nAnn, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_ann", "n_hits"))
+        .select(col("qid"), col("n_bf"), col("n_ann"), col("n_hits"),
+          round(col("n_hits") / col("n_bf"), 4).as("recall"))
+        .orderBy(col("qid"))
+    })
   )
 
   /** v16's two-stage search, parametrized so TruncatedRerankSpec can
@@ -717,7 +742,40 @@ object VectorQ {
       " AND l.qid = c.qid")}
        |${pqTopSelect("p")}""".stripMargin
 
+  /** Shared by the v4 entry and the v17 recall report. */
+  private def v4Oracle: String =
+    """SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(raw, 4) AS score
+      |FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nb_id,
+      |    list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |               e.vec_id) AS rn
+      |  FROM embeddings q, embeddings e
+      |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
+      |WHERE rn <= 3
+      |ORDER BY qid, nb_rank""".stripMargin
+
+  /** The v17 oracle: both published result sets as derived tables,
+    * then the same per-qid hit counting. */
+  private def recallOracle: String =
+    s"""WITH bf AS (SELECT qid, nb_id FROM ($v4Oracle) t),
+       |ann AS (SELECT qid, nb_id FROM ($lshOracle) t),
+       |nb AS (SELECT qid, COUNT(*) AS n_bf FROM bf GROUP BY qid),
+       |na AS (SELECT qid, COUNT(*) AS n_ann FROM ann GROUP BY qid),
+       |h AS (SELECT bf.qid, COUNT(*) AS n_hits
+       |      FROM bf JOIN ann ON bf.qid = ann.qid AND bf.nb_id = ann.nb_id
+       |      GROUP BY bf.qid)
+       |SELECT nb.qid, nb.n_bf,
+       |  COALESCE(na.n_ann, 0) AS n_ann,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  round(COALESCE(h.n_hits, 0) * 1.0 / nb.n_bf, 4) AS recall
+       |FROM nb LEFT JOIN na ON nb.qid = na.qid
+       |LEFT JOIN h ON nb.qid = h.qid
+       |ORDER BY nb.qid""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v17_recall_eval" -> recallOracle,
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
@@ -770,18 +828,7 @@ object VectorQ {
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
 
-    "v4_knn_bruteforce" ->
-      """SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(raw, 4) AS score
-        |FROM (
-        |  SELECT q.vec_id AS qid, e.vec_id AS nb_id,
-        |    list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
-        |               e.vec_id) AS rn
-        |  FROM embeddings q, embeddings e
-        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
-        |WHERE rn <= 3
-        |ORDER BY qid, nb_rank""".stripMargin,
+    "v4_knn_bruteforce" -> v4Oracle,
 
     "v5_knn_ivf" ->
       """WITH dims AS (
