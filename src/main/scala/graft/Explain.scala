@@ -26,7 +26,10 @@ object Explain {
                   "t16_boilerplate","t17_perplexity","d12_span_dedup",
                   "k13_clustering_coeff","v14_semdedup",
                   "v15_standardize","t18_vocab_coverage","q31_grouping_sets",
-                  "v16_knn_truncated")) {
+                  "v16_knn_truncated","t19_dsir_weights","t20_gopher_rules",
+                  "x17_scd2_history","s4_funnel","x18_snapshot_diff",
+                  "t21_profile","t22_ccnet_buckets","k14_label_prop",
+                  "v17_recall_eval")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

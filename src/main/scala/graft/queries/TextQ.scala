@@ -776,17 +776,31 @@ object TextQ {
     // unigram-LM perplexity percentile — the standard quality
     // stratification before mixture sampling (t11/t12 then sample per
     // bucket). Reuses t17's integer micro-nat LM so the ranking key
-    // is exact; percent_rank is (rank−1)/(n−1) in both engines and
-    // the 1/3 cutoffs are plain double compares. One window per
-    // (lang) partition on top of the t17 plan — no new corpus-sized
-    // shuffle beyond the rank itself.
+    // is exact. The percentile is EXACT but never windows the corpus:
+    // a naive percent_rank() OVER (PARTITION BY lang ...) is one
+    // reducer per language — 20 TB through a single sort buffer at
+    // target scale. Instead: aggregate to per-(lang, value) counts
+    // (value-level table, ≤ |distinct micro-nat values| rows), run
+    // the cumulative window THERE, and broadcast the ranks back.
+    // pr = below/(n−1) is exactly percent_rank's tied-min-rank
+    // semantics, so value ties land in the same bucket (the standard
+    // definition) and the oracle is a plain percent_rank.
     "t22_ccnet_buckets" -> ((s, d) => {
       val ppl = perplexityPerDoc(s, d)
         .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(col("avg_micro_nats"), col("doc_id"))
-      ppl.withColumn("pr", percent_rank().over(w))
+      val vc = ppl.groupBy(col("lang"), col("avg_micro_nats"))
+        .agg(count(lit(1)).as("cnt"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("avg_micro_nats"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val withBelow = vc.withColumn("below", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      val n = ppl.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val pr = withBelow.join(n, Seq("lang"))
+        .withColumn("pr",
+          when(col("n_lang") > 1, col("below") / (col("n_lang") - 1))
+            .otherwise(lit(0.0)))
+      ppl.join(broadcast(pr.select(col("lang"), col("avg_micro_nats"), col("pr"))),
+          Seq("lang", "avg_micro_nats"))
         .withColumn("bucket",
           when(col("pr") < lit(1.0 / 3), "head")
             .when(col("pr") < lit(2.0 / 3), "middle")
@@ -1287,8 +1301,9 @@ object TextQ {
         |SELECT col_name, n_null, n_distinct, vmin, vmax
         |FROM m ORDER BY col_name""".stripMargin,
 
-    // percent_rank is (rank-1)/(n-1) in both engines; the ranking key
-    // avg_micro_nats is exact integer math from the shared CTE
+    // plain percent_rank (no tie-break column): tied-min-rank pr =
+    // below/(n-1), exactly the Spark side's value-level formula; the
+    // ranking key avg_micro_nats is exact integer math
     "t22_ccnet_buckets" ->
       s"""WITH $PplCte,
          |p AS (SELECT doc_id,
@@ -1296,7 +1311,7 @@ object TextQ {
          |  FROM doc),
          |r AS (SELECT p.doc_id, d.lang, p.avg_micro_nats,
          |  percent_rank() OVER (PARTITION BY d.lang
-         |    ORDER BY p.avg_micro_nats, p.doc_id) AS pr
+         |    ORDER BY p.avg_micro_nats) AS pr
          |  FROM p JOIN documents d USING (doc_id))
          |SELECT doc_id, lang, avg_micro_nats,
          |  CAST(round(pr * 1e6) AS BIGINT) AS pr_micro,
