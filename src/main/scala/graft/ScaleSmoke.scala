@@ -30,7 +30,8 @@ object ScaleSmoke {
     "v11_knn_sq8", "v12_knn_ivfpq", "t13_stratified_sample",
     "x15_heavy_hitters_grouped", "x16_global_shuffle",
     "t16_boilerplate", "t17_perplexity", "d12_span_dedup",
-    "v14_semdedup")
+    "v14_semdedup", "t19_dsir_weights", "t20_gopher_rules",
+    "t21_profile", "t22_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
