@@ -505,7 +505,10 @@ object KgQ {
     // aggregate, d10's canonical-selection pattern), lineage cut once
     // per full round (k11's cadence). At 100 TB rounds are
     // fixed-count edge-sized shuffles — the shape GraphX/Pregel would
-    // produce, without leaving DataFrames.
+    // produce, without leaving DataFrames. (Pre-partitioning two
+    // checkpointed edge copies by join key was A/B-measured neutral
+    // at sf0.1 — 8.1 s either way; the vote's two aggregations, not
+    // the edge-side exchange, dominate each half-round.)
     "k14_label_prop" -> ((s, d) => {
       val ed = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
