@@ -29,7 +29,8 @@ object Explain {
                   "v16_knn_truncated","t19_dsir_weights","t20_gopher_rules",
                   "x17_scd2_history","s4_funnel","x18_snapshot_diff",
                   "t21_profile","t22_ccnet_buckets","k14_label_prop",
-                  "v17_recall_eval")) {
+                  "v17_recall_eval","q32_cume_dist","s5_retention",
+                  "k15_components")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

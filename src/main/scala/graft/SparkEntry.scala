@@ -6,25 +6,29 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
-  *  - RelationalQ (q1–q20, q30): SURVEY.md §2.1–2.8 relational
-  *    inventory + window analytics
-  *  - VectorQ (v1–v16): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - RelationalQ (q1–q20, q30, q32): SURVEY.md §2.1–2.8 relational
+  *    inventory + window analytics (lead/lag/ntile, distribution
+  *    ranks)
+  *  - VectorQ (v1–v17): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
-  *    truncated-prefilter rerank)
+  *    truncated-prefilter rerank, recall@k evaluation)
   *  - DedupQ (d1–d12, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, canonical selection,
   *    incremental batch-vs-corpus dedup, duplicated-span detection)
-  *  - TextQ (t1–t18, m1/m2, s1, q28, q31): text analysis, sampling,
+  *  - TextQ (t1–t22, m1/m2, s1, q28, q31): text analysis, sampling,
   *    boilerplate removal, perplexity scoring, vocabulary coverage,
-  *    grouping sets, multimodal, windowed events
-  *  - KgQ (k1–k13): chunker / knowledge-graph pipeline + flagship
-  *    search + graph analytics (2-hop, PageRank, triangles) +
-  *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2/s3, q21–q27, q29, x1–x16, v6, v14): §2.5–2.13
-  *    extensions (sketches, range/as-of joins, packing, merge,
-  *    incremental aggregation, exact k-means, semantic dedup)
+  *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
+  *    sets, multimodal, windowed events
+  *  - KgQ (k1–k15): chunker / knowledge-graph pipeline + flagship
+  *    search + graph analytics (2-hop, PageRank, triangles,
+  *    clustering coefficients, label-propagation communities,
+  *    connected components) + skew-capped edge generation
+  *  - ExtQ (j5, p6, s2–s5, q21–q27, q29, x1–x18, v6, v14): §2.5–2.13
+  *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
+  *    incremental aggregation, exact k-means, semantic dedup, funnel,
+  *    retention, snapshot diff)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY, except the

@@ -683,6 +683,37 @@ object ExtQ {
         .orderBy(col("step"))
     }),
 
+    // s5 — COHORT RETENTION (the companion report to s4's funnel):
+    // users grouped by first-active day (cohort), counted on every
+    // later day they return, reported as a fraction of the cohort's
+    // day-0 size — the canonical growth-analytics matrix. (Day grain
+    // rather than week: the events fixture spans one month, so weeks
+    // would collapse to a single cohort; the plan is grain-agnostic.)
+    // Plan: one distinct over (user, day) [the only event-sized
+    // shuffle], a per-user min, a user-keyed join back, then a
+    // cohort-sized aggregate — no window anywhere, and the day-0 base
+    // joins back on cohort_day (cohort-count-sized, broadcast). At
+    // 100 TB every shuffle is keyed by user or by (cohort, offset);
+    // nothing is ever globally sorted.
+    "s5_retention" -> ((s, d) => {
+      val wk = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val coh = wk.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val act = wk.join(coh, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"),
+          col("user_id"))
+      val m = act.groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val base = m.filter(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_users").as("n_cohort"))
+      m.join(broadcast(base), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"),
+          round(col("n_users") / col("n_cohort"), 4).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // x18 — SNAPSHOT DIFF / CHANGE-DATA FEED (ops.Diff): compare two
     // versions of the customer table and emit only the I/U/D change
     // rows. The "new" snapshot is derived deterministically from the
@@ -1104,6 +1135,27 @@ object ExtQ {
         |  round(n_users * 1.0 / (SELECT n_users FROM c WHERE step = '1_view'), 4)
         |    AS pct_of_first
         |FROM c ORDER BY step""".stripMargin,
+
+    // same day-grain math; INT cast mirrors Spark's int datediff
+    "s5_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |coh AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM wk GROUP BY user_id),
+        |act AS (
+        |  SELECT c.cohort_day,
+        |    CAST(datediff('day', c.cohort_day, w.day) AS INT) AS day_offset,
+        |    w.user_id
+        |  FROM wk w JOIN coh c USING (user_id)),
+        |m AS (
+        |  SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_users
+        |  FROM act GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, n_users AS n_cohort FROM m
+        |      WHERE day_offset = 0)
+        |SELECT m.cohort_day, m.day_offset, m.n_users,
+        |  round(m.n_users * 1.0 / b.n_cohort, 4) AS retention
+        |FROM m JOIN b USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     // full-outer diff with IS DISTINCT FROM = Spark's null-safe <=>
     "x18_snapshot_diff" ->

@@ -539,6 +539,37 @@ object KgQ {
       labels.join(sizes, "lbl")
         .select(col("node"), col("lbl").as("community"), col("n_members"))
         .orderBy(col("node"))
+    }),
+
+    // k15 — CONNECTED COMPONENTS over the customer⋈supplier order
+    // graph, sliced to one order week (the "which trading communities
+    // existed this week" cut; the slice predicate is the natural
+    // partition-pruning column at scale). d6 proves ops.DedupCluster
+    // on near-dup doc pairs; k15 runs the SAME min-label propagation
+    // with path halving over KG-shaped edges, so the contract carries
+    // over unchanged: component id = min node id, O(log diameter)
+    // rounds, each round a bounded (node,label)-keyed shuffle, no
+    // driver-side graph state. Complements k14: LPA finds dense
+    // sub-communities, CC finds reachability classes — run on the
+    // same week the two answer different questions. The oracle
+    // replays reachability as a recursive-CTE transitive closure, so
+    // the hash match is exact, not approximate.
+    "k15_components" -> ((s, d) => {
+      val eo = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate").between("1995-03-01", "1995-03-07"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = eo.join(
+          Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a_id"),
+          (col("l_suppkey") + 1000000L).as("b_id"))
+        .distinct()
+      val comp = graft.ops.DedupCluster.clusters(edges)
+        .select(col("doc_id").as("node"), col("rep_id").as("component"))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "component")
+        .select(col("node"), col("component"), col("n_members"))
+        .orderBy(col("node"))
     })
   )
 
@@ -619,6 +650,28 @@ object KgQ {
   val oracles: Map[String, String] = Map(
     "k11_pagerank" -> pagerankOracle,
     "k14_label_prop" -> labelPropOracle,
+
+    // reachability as transitive closure (d6's oracle pattern): the
+    // component of a node is min over everything it can reach
+    "k15_components" ->
+      """WITH RECURSIVE eo AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-07'),
+        |e0 AS (
+        |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
+        |edges AS (SELECT a AS s, b AS t FROM e0 UNION SELECT b, a FROM e0),
+        |reach(node, r) AS (
+        |  SELECT s, t FROM (SELECT s, t FROM edges
+        |                    UNION SELECT s, s FROM edges) base
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.t),
+        |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        |sizes AS (SELECT component, COUNT(*) AS n_members FROM comp
+        |          GROUP BY component)
+        |SELECT c.node, c.component, s.n_members
+        |FROM comp c JOIN sizes s USING (component)
+        |ORDER BY node""".stripMargin,
 
     // naive closed-wedge triangle enumeration: src<tgt is already the
     // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle

@@ -310,6 +310,30 @@ object RelationalQ {
           col("prev_delta"), col("next_date"), col("spend_quartile"),
           col("first_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // q32 — §2.5 window completion (distribution ranks): dense_rank /
+    // percent_rank / cume_dist of each order's price WITHIN its
+    // customer. All three are VALUE-based (ties share a value, so the
+    // result is deterministic with no tie-break column — unlike
+    // row_number/ntile in q10/q30). One window partitioning
+    // (o_custkey) feeds all three functions: a single shuffle + sort.
+    // Scale: partition count is customer cardinality and each
+    // window's buffer is one customer's orders (~10 rows) — the
+    // per-entity window shape that survives 100 TB, never a global or
+    // low-cardinality sort (t22's value-level rework exists for THAT
+    // case).
+    "q32_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk_dense", dense_rank().over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 4))
+        .withColumn("cume", round(cume_dist().over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          col("rnk_dense"), col("pct_rank"), col("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -515,6 +539,15 @@ object RelationalQ {
         |FROM orders
         |WHERE o_custkey % 100 = 0
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q32_cume_dist" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+        |  dense_rank() OVER w AS rnk_dense,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
         |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
