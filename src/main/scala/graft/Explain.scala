@@ -30,7 +30,7 @@ object Explain {
                   "x17_scd2_history","s4_funnel","x18_snapshot_diff",
                   "t21_profile","t22_ccnet_buckets","k14_label_prop",
                   "v17_recall_eval","q32_cume_dist","s5_retention",
-                  "k15_components")) {
+                  "k15_components","k16_kcore","k17_node_similarity")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -21,10 +21,11 @@ import graft.queries._
   *    boilerplate removal, perplexity scoring, vocabulary coverage,
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, multimodal, windowed events
-  *  - KgQ (k1–k15): chunker / knowledge-graph pipeline + flagship
+  *  - KgQ (k1–k17): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, triangles,
   *    clustering coefficients, label-propagation communities,
-  *    connected components) + skew-capped edge generation
+  *    connected components, (p,q)-core peeling, node similarity) +
+  *    skew-capped edge generation
   *  - ExtQ (j5, p6, s2–s5, q21–q27, q29, x1–x18, v6, v14): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,

@@ -570,6 +570,83 @@ object KgQ {
       comp.join(sizes, "component")
         .select(col("node"), col("component"), col("n_members"))
         .orderBy(col("node"))
+    }),
+
+    // k16 — (p,q)-CORE DECOMPOSITION of the bipartite customer⋈
+    // supplier graph (the bipartite generalization of k-core, Ahmed
+    // et al.; one threshold per side since the two sides' degree
+    // scales differ by orders of magnitude — customers ~30,
+    // suppliers ~480 at sf0.01). [[KcoreRounds]] fixed peeling
+    // rounds so the oracle can unroll them: each round computes
+    // degrees on the surviving subgraph, keeps nodes at/above their
+    // side's threshold, and restricts edges to kept×kept. The
+    // constants produce a real cascade on the fixture (84.7k → 77.6k
+    // → 72.8k → 35.5k edges), not a one-round fixpoint. Per round:
+    // one degree aggregation + two semi-shaped joins, all keyed by
+    // node, lineage cut eagerly — k11's iterative shape. Driver
+    // state: the loop counter. Degrees are exact integers, so the
+    // oracle hash match is exact at any parallelism.
+    "k16_kcore" -> ((s, d) => {
+      val ed = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+      var e = ed.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(ed.select(col("b").as("s"), col("a").as("t")))
+        .localCheckpoint(true)
+      val thresh = when(col("s") >= 1000000L, lit(KcoreQ)).otherwise(lit(KcoreP))
+      for (_ <- 1 to KcoreRounds) {
+        val keep = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= thresh)
+          .select(col("s").as("n"))
+        e = e.join(keep.withColumnRenamed("n", "s"), "s")
+          .join(keep.withColumnRenamed("n", "t"), "t")
+          .select(col("s"), col("t"))
+          .localCheckpoint(true)
+      }
+      e.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("node"))
+    }),
+
+    // k17 — NODE SIMILARITY (link prediction): Jaccard overlap of two
+    // suppliers' customer neighborhoods, the item-item similarity
+    // join every co-purchase recommender runs. The wedge join routes
+    // every candidate pair through a shared customer, so wedge count
+    // is Σ_a deg(a)² — bounded by [[WedgeCap]]² per customer because
+    // hub customers (degree > cap) are EXCLUDED up front: d2's df-cap
+    // move, and like there it is semantic, not an approximation —
+    // degrees and intersections are both computed over the SAME
+    // capped universe, so the Jaccard is exact for the declared
+    // denominator. Plan: one capped-edge derivation (broadcast-able
+    // hot-key list), one self-join keyed by customer, one pair
+    // count + degree join-back — no windows, nothing global.
+    "k17_node_similarity" -> ((s, d) => {
+      val ed = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), col("l_suppkey").as("b"))
+        .distinct()
+      val small = ed.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") <= WedgeCap).select(col("a"))
+      val capped = ed.join(small, "a").localCheckpoint(true)
+      val deg = capped.groupBy(col("b")).agg(count(lit(1)).as("dg"))
+      val inter = capped.select(col("a"), col("b").as("b1"))
+        .join(capped.select(col("a"), col("b").as("b2")), "a")
+        .filter(col("b1") < col("b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("n_common"))
+      inter
+        .join(deg.select(col("b").as("b1"), col("dg").as("deg1")), "b1")
+        .join(deg.select(col("b").as("b2"), col("dg").as("deg2")), "b2")
+        .withColumn("jac_raw",
+          col("n_common") / (col("deg1") + col("deg2") - col("n_common")))
+        .filter(col("jac_raw") >= JacMin)
+        .select(col("b1").as("supp_a"), col("b2").as("supp_b"),
+          col("n_common"), col("deg1"), col("deg2"),
+          round(col("jac_raw"), 4).as("jaccard"))
+        .orderBy(col("supp_a"), col("supp_b"))
     })
   )
 
@@ -579,6 +656,41 @@ object KgQ {
 
   /** k14 label-propagation round count, shared with the oracle. */
   val LpIters = 4
+
+  /** k16 (p,q)-core: per-side degree thresholds + fixed peeling
+    * rounds, shared with the unrolled oracle. */
+  val KcoreP = 25
+  val KcoreQ = 400
+  val KcoreRounds = 4
+
+  /** k17 similarity: hub-customer degree cap (the wedge-count bound)
+    * and the reported Jaccard floor, shared with the oracle. */
+  val WedgeCap = 40
+  val JacMin = 0.2
+
+  /** The k16 oracle: the same fixed peeling rounds unrolled as a CTE
+    * chain (k11's pattern) — degree filter per side, then edge
+    * restriction to kept×kept, repeated [[KcoreRounds]] times. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""k$i AS (
+         |  SELECT s AS n FROM e${i - 1} GROUP BY s
+         |  HAVING COUNT(*) >= CASE WHEN s >= 1000000 THEN $KcoreQ
+         |                          ELSE $KcoreP END),
+         |e$i AS (
+         |  SELECT e.s, e.t FROM e${i - 1} e
+         |  JOIN k$i x ON e.s = x.n JOIN k$i y ON e.t = y.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (SELECT a AS s, b AS t FROM ed
+       |       UNION ALL SELECT b, a FROM ed),
+       |$rounds
+       |SELECT s AS node, COUNT(*) AS degree
+       |FROM e$KcoreRounds GROUP BY s
+       |ORDER BY node""".stripMargin
+  }
 
   /** The k11 oracle: the same 10 power iterations UNROLLED as a CTE
     * chain (standard SQL forbids aggregates in a recursive term, so
@@ -672,6 +784,30 @@ object KgQ {
         |SELECT c.node, c.component, s.n_members
         |FROM comp c JOIN sizes s USING (component)
         |ORDER BY node""".stripMargin,
+
+    "k16_kcore" -> kcoreOracle,
+
+    // same capped universe on both sides of the Jaccard: hub
+    // customers are excluded before degrees AND intersections
+    "k17_node_similarity" ->
+      s"""WITH ed AS (
+         |  SELECT DISTINCT o_custkey AS a, l_suppkey AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |capped AS (
+         |  SELECT a, b FROM ed WHERE a IN (
+         |    SELECT a FROM ed GROUP BY a HAVING COUNT(*) <= $WedgeCap)),
+         |deg AS (SELECT b, COUNT(*) AS dg FROM capped GROUP BY b),
+         |inter AS (
+         |  SELECT x.b AS b1, y.b AS b2, COUNT(*) AS n_common
+         |  FROM capped x JOIN capped y ON x.a = y.a AND x.b < y.b
+         |  GROUP BY x.b, y.b)
+         |SELECT b1 AS supp_a, b2 AS supp_b, n_common,
+         |  d1.dg AS deg1, d2.dg AS deg2,
+         |  round(n_common * 1.0 / (d1.dg + d2.dg - n_common), 4) AS jaccard
+         |FROM inter
+         |JOIN deg d1 ON b1 = d1.b JOIN deg d2 ON b2 = d2.b
+         |WHERE n_common * 1.0 / (d1.dg + d2.dg - n_common) >= $JacMin
+         |ORDER BY supp_a, supp_b""".stripMargin,
 
     // naive closed-wedge triangle enumeration: src<tgt is already the
     // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle
