@@ -153,4 +153,63 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     listParquetFiles(fs, new org.apache.hadoop.fs.Path(outDir)).length
   }
+
+  /** Manifest-pruned range read — the reader twin of [[writeShards]]
+    * and the zone-map data-skipping move: because shards are range-
+    * partitioned and the manifest records each file's inclusive
+    * [min_key, max_key], a range predicate needs to OPEN only the
+    * files whose bounds overlap it. At 100 TB this is the difference
+    * between listing+footer-reading every file of a delivery table
+    * and a driver-side scan of one manifest line per file (the same
+    * contract Delta/Iceberg file-level stats provide, expressed over
+    * plain parquet + JSON). The residual `between` filter still runs
+    * on the selected files — pruning is a superset selection, never
+    * a correctness dependency; parquet row-group stats then skip
+    * within each file. Bounds compare as exact decimals for numeric
+    * keys (Jackson preserves int64 precision; json-inference would
+    * round through double) and as strings otherwise — matching the
+    * manifest writer's two jval shapes. Files whose min bound is
+    * null hold the nulls-first head shard: null keys match no range
+    * predicate, but the file may also hold real keys up to its max,
+    * so it prunes on max alone. Returns (filtered rows, files read,
+    * files total) so callers and specs can see the skip ratio.
+    */
+  def readShardRange(spark: SparkSession, dir: String,
+                     lower: Any, upper: Any): (DataFrame, Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "_manifest.json"))
+    val manifest =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val sortCol = manifest.get("sort_col").asText()
+    def dec(n: com.fasterxml.jackson.databind.JsonNode): java.math.BigDecimal =
+      n.decimalValue()
+    def cmp(a: com.fasterxml.jackson.databind.JsonNode, b: Any): Int =
+      b match {
+        case num: java.lang.Number =>
+          dec(a).compareTo(new java.math.BigDecimal(num.toString))
+        case other => a.asText().compareTo(String.valueOf(other))
+      }
+    val files = manifest.get("files").elements()
+    val (keep, total) = {
+      var kept = List.newBuilder[String]; var n = 0
+      while (files.hasNext) {
+        val f = files.next(); n += 1
+        val mn = f.get("min_key"); val mx = f.get("max_key")
+        // all-null shard (max null): holds no key in any range.
+        // null min: treat as -inf — prune on max alone.
+        val overlaps = !mx.isNull &&
+          cmp(mx, lower) >= 0 && (mn.isNull || cmp(mn, upper) <= 0)
+        if (overlaps) kept += new org.apache.hadoop.fs.Path(path, f.get("file").asText()).toString
+      }
+      (kept.result(), n)
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep: _*)
+        .filter(col(sortCol).between(lit(lower), lit(upper)))
+    (df, keep.size, total)
+  }
 }

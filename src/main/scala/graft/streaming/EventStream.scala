@@ -101,6 +101,22 @@ object EventStream {
       .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
   }
 
+  /** Stream-static ENRICHMENT join — the most common production
+    * streaming shape after windowed aggregation: an unbounded event
+    * stream joined to a bounded dimension (user profile, device
+    * table, feature snapshot). The static side carries no watermark
+    * and holds NO state: Spark re-plans it per micro-batch, and a
+    * dimension that fits the broadcast threshold joins map-side —
+    * no shuffle of the stream, no state store at all (unlike the
+    * stream-stream join above). Works identically on a batch events
+    * frame — the parity-test twin. At 100 TB of stream the dimension
+    * is the thing to keep bounded; a corpus-scaled "dimension" would
+    * need the stream-stream path instead.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** IDEMPOTENT micro-batch file sink via foreachBatch: every batch
     * writes to an epoch-keyed partition directory with overwrite
     * mode, so a replayed batch (failure recovery re-executes the

@@ -120,6 +120,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("manifest-pruned range read skips non-overlapping shard files") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/out"
+    val docs = Tables.load(spark, Sf0001, "documents").select("doc_id", "text")
+    Sources.writeShards(docs, dir, "doc_id", numShards = 8)
+    val ids = docs.select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    // a range inside the key space, spanning ~an eighth of the rows
+    val (lo, hi) = (ids(ids.length / 4), ids(ids.length / 4 + ids.length / 8))
+    val (df, read, total) = Sources.readShardRange(spark, dir, lo, hi)
+    // correctness: exactly the rows a full-scan filter returns
+    val expect = ids.filter(k => k >= lo && k <= hi).toSeq
+    val got = df.select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+    assert(got == expect)
+    // the SKIP property: a sub-range must not open every file
+    assert(total == 8, s"expected 8 shard files, got $total")
+    assert(read < total, s"no files were skipped (read $read of $total)")
+    // degenerate range below the key space: zero files, empty result,
+    // schema intact
+    val (none, r0, _) = Sources.readShardRange(spark, dir, ids.min - 10, ids.min - 1)
+    assert(r0 == 0 && none.count() == 0 && none.columns.sameElements(df.columns))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

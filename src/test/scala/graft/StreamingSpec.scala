@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals batch twin and keeps no state") {
+    val dir = java.nio.file.Files.createTempDirectory("enrich").toString
+    Tables.load(spark, Sf0001, "events").write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    // bounded dimension: a segment per user id bucket; user 0 is
+    // deliberately absent so the left join's null path is exercised
+    val dim = spark.range(1, 40)
+      .select(col("id").as("user_id"),
+        concat(lit("seg_"), col("id") % 4).as("segment"))
+    val streamed = EventStream.enrichWithDim(
+      EventStream.readStream(spark, dir), dim)
+      .select("event_id", "user_id", "segment")
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").orderBy("event_id").collect()
+      val batch = EventStream.enrichWithDim(spark.read.parquet(dir), dim)
+        .select("event_id", "user_id", "segment")
+        .orderBy("event_id").collect()
+      assert(got.length == batch.length && got.length > 0)
+      assert(got.sameElements(batch))
+      // left join: users outside the dimension survive with null segment
+      assert(spark.table("enrich_out").filter(col("segment").isNull).count() > 0)
+      // the static side holds NO streaming state (unlike stream-stream)
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty,
+        s"stream-static join must not create a state store: $st")
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
     val src = java.nio.file.Files.createTempDirectory("idem_src").toString
     val out = java.nio.file.Files.createTempDirectory("idem_out").toString
