@@ -9,26 +9,28 @@ import graft.queries._
   *  - RelationalQ (q1–q20, q30, q32): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics (lead/lag/ntile, distribution
   *    ranks)
-  *  - VectorQ (v1–v17): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v18): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
-  *    truncated-prefilter rerank, recall@k evaluation)
+  *    truncated-prefilter rerank, recall@k evaluation, MMR re-ranking)
   *  - DedupQ (d1–d12, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, canonical selection,
   *    incremental batch-vs-corpus dedup, duplicated-span detection)
-  *  - TextQ (t1–t22, m1/m2, s1, q28, q31): text analysis, sampling,
+  *  - TextQ (t1–t23, m1/m2, s1, q28, q31): text analysis, sampling,
   *    boilerplate removal, perplexity scoring, vocabulary coverage,
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, multimodal, windowed events
-  *  - KgQ (k1–k17): chunker / knowledge-graph pipeline + flagship
+  *  - KgQ (k1–k18): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, triangles,
   *    clustering coefficients, label-propagation communities,
-  *    connected components, (p,q)-core peeling, node similarity) +
+  *    connected components, (p,q)-core peeling, node similarity,
+  *    BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s5, q21–q27, q29, x1–x18, v6, v14): §2.5–2.13
+  *  - ExtQ (j5, p6, s2–s5, q21–q27, q29, x1–x19, v6, v14): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
+  *    z-order layout,
   *    retention, snapshot diff)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical

@@ -738,8 +738,60 @@ object ExtQ {
           round(col("old_c_acctbal"), 2).as("old_bal"),
           round(col("new_c_acctbal"), 2).as("new_bal"))
         .orderBy(col("c_custkey"), col("op"))
+    }),
+
+    // x19 — Z-ORDER LAYOUT + ZONE-MAP PRUNING REPORT: the lakehouse
+    // multi-dimensional clustering trick (Delta/Iceberg OPTIMIZE
+    // ZORDER BY). Interleave the bits of two query dimensions (user
+    // bucket × time-of-day bucket) into a z-value, range-partition
+    // files by z, and report each file's per-dimension zone map plus
+    // whether a fixed 2-D query box would scan it. Because the box
+    // [4,7]×[4,7] is bit-aligned, z-order packs it into ONE file of
+    // 16 — the report shows n_match concentrated in scanned files,
+    // the data-skipping win a 1-D sort can't give both dims. The
+    // layout math is pure integer bit arithmetic (div/mod — no
+    // bitwise builtins, so the oracle replays it verbatim); at
+    // 100 TB the same z-key is the writeShards sort column and the
+    // zone maps land in the shard manifest (sources/Sources.scala) —
+    // this query IS the planner's pruning decision, made inspectable.
+    "x19_zorder_layout" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .withColumn("ub", (col("user_id") % 16).cast("int"))
+        .withColumn("tb",
+          expr("cast((hour(ts) * 60 + minute(ts)) div 90 as int)"))
+        .withColumn("z", expr(zInterleave("div")).cast("int"))
+        .withColumn("file", expr(s"z div $ZFileSpan").cast("int"))
+      ev.groupBy(col("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+          min(col("tb")).as("min_tb"), max(col("tb")).as("max_tb"),
+          sum(when(col("ub").between(ZBoxLo, ZBoxHi)
+            && col("tb").between(ZBoxLo, ZBoxHi), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("scanned",
+          (col("min_ub") <= ZBoxHi && col("max_ub") >= ZBoxLo &&
+            col("min_tb") <= ZBoxHi && col("max_tb") >= ZBoxLo).cast("int"))
+        .select(col("file"), col("n_rows"), col("min_ub"), col("max_ub"),
+          col("min_tb"), col("max_tb"), col("n_match"), col("scanned"))
+        .orderBy(col("file"))
     })
   )
+
+  /** x19: bit-interleaved z-value of the 4-bit buckets `ub`/`tb`,
+    * written with integer div/mod only so the identical expression
+    * (modulo the division operator) runs on Spark (`div`) and DuckDB
+    * (`//`). ub bits land on odd positions, tb on even. */
+  def zInterleave(intDiv: String): String =
+    (0 until 4).map { i =>
+      s"((ub $intDiv ${1 << i}) % 2) * ${1 << (2 * i + 1)}" +
+        s" + ((tb $intDiv ${1 << i}) % 2) * ${1 << (2 * i)}"
+    }.mkString(" + ")
+
+  /** x19 layout constants: z-values per file (16 files × span 16
+    * covers the 8-bit z space) and the query box [lo, hi] on both
+    * dimensions. */
+  val ZFileSpan = 16
+  val ZBoxLo = 4
+  val ZBoxHi = 7
 
   /** The x11 oracle: KmPasses assignment passes unrolled as a CTE
     * chain (k11's pattern — standard SQL cannot iterate with
@@ -1179,7 +1231,29 @@ object ExtQ {
         |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
         |   OR o.c_name IS DISTINCT FROM n.c_name
         |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
-        |ORDER BY c_custkey, op""".stripMargin
+        |ORDER BY c_custkey, op""".stripMargin,
+
+    // the z computation is the same div/mod string the Spark side
+    // compiles (zInterleave), only the integer-division operator
+    // differs; all math is integer so the twin is exact
+    "x19_zorder_layout" ->
+      s"""WITH e AS (SELECT
+         |  CAST(user_id % 16 AS INT) AS ub,
+         |  CAST((hour(ts) * 60 + minute(ts)) // 90 AS INT) AS tb
+         |  FROM events),
+         |z AS (SELECT ub, tb,
+         |  CAST(${zInterleave("//")} AS INT) AS z FROM e),
+         |f AS (SELECT ub, tb, CAST(z // $ZFileSpan AS INT) AS file FROM z)
+         |SELECT file, COUNT(*) AS n_rows,
+         |  MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+         |  MIN(tb) AS min_tb, MAX(tb) AS max_tb,
+         |  CAST(SUM(CASE WHEN ub BETWEEN $ZBoxLo AND $ZBoxHi
+         |                 AND tb BETWEEN $ZBoxLo AND $ZBoxHi
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(CASE WHEN MIN(ub) <= $ZBoxHi AND MAX(ub) >= $ZBoxLo
+         |             AND MIN(tb) <= $ZBoxHi AND MAX(tb) >= $ZBoxLo
+         |            THEN 1 ELSE 0 END AS INT) AS scanned
+         |FROM f GROUP BY file ORDER BY file""".stripMargin
     // x1 / v6: intentionally no oracle (approximate / float-order
     // dependent) — driver records rows-only checks.
   )

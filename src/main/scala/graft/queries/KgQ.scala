@@ -647,6 +647,43 @@ object KgQ {
           col("n_common"), col("deg1"), col("deg2"),
           round(col("jac_raw"), 4).as("jaccard"))
         .orderBy(col("supp_a"), col("supp_b"))
+    }),
+
+    // k18 — BFS SHORTEST PATHS (multi-source hop distance): min hops
+    // from a seed set over the k15-style date-windowed
+    // customer–supplier graph, [[BfsRounds]] synchronous relaxation
+    // rounds. Per round ONE equi join (frontier ⋈ edges on src) and
+    // ONE min aggregate — the Pregel/Bellman-Ford shape: state is
+    // |reached nodes| rows, never |walks|; at 1000 executors both
+    // sides shuffle on the node key and nothing is quadratic. The
+    // round count is fixed so the oracle can cap its recursive CTE
+    // at the same depth (the k15/k16 unrolling trick); nodes farther
+    // than [[BfsRounds]] hops are absent from both sides by
+    // construction.
+    "k18_shortest_paths" -> ((s, d) => {
+      val eo = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate").between("1995-03-01", "1995-03-14"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val e0 = eo.join(
+          Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") < 1000000L && col("node") % 3 === 0)
+      var dist = seeds.withColumn("d", lit(0))
+      for (_ <- 1 to BfsRounds) {
+        val nxt = dist.as("t")
+          .join(edges.as("e"), col("t.node") === col("e.src"))
+          .select(col("e.dst").as("node"), (col("t.d") + 1).as("d"))
+        dist = dist.union(nxt).groupBy(col("node")).agg(min(col("d")).as("d"))
+      }
+      dist.select(col("node"), col("d").cast("int").as("hops"))
+        .orderBy(col("node"))
     })
   )
 
@@ -662,6 +699,10 @@ object KgQ {
   val KcoreP = 25
   val KcoreQ = 400
   val KcoreRounds = 4
+
+  /** k18 BFS relaxation rounds (= max reported hop distance), shared
+    * with the oracle's recursive-CTE depth cap. */
+  val BfsRounds = 4
 
   /** k17 similarity: hub-customer degree cap (the wedge-count bound)
     * and the reported Jaccard floor, shared with the oracle. */
@@ -808,6 +849,29 @@ object KgQ {
          |JOIN deg d1 ON b1 = d1.b JOIN deg d2 ON b2 = d2.b
          |WHERE n_common * 1.0 / (d1.dg + d2.dg - n_common) >= $JacMin
          |ORDER BY supp_a, supp_b""".stripMargin,
+
+    // recursive CTE with UNION (dedup on (node, d) pairs) and a depth
+    // cap mirroring BfsRounds: the walk-length MIN per node equals
+    // the Spark side's synchronous relaxation fixpoint for all nodes
+    // within BfsRounds hops
+    "k18_shortest_paths" ->
+      s"""WITH RECURSIVE eo AS (
+         |  SELECT o_orderkey, o_custkey FROM orders
+         |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-14'),
+         |e0 AS (
+         |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
+         |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM e0
+         |          UNION SELECT b, a FROM e0),
+         |seeds AS (SELECT DISTINCT src AS node FROM edges
+         |          WHERE src < 1000000 AND src % 3 = 0),
+         |bfs(node, d) AS (
+         |  SELECT node, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, b.d + 1 FROM bfs b
+         |  JOIN edges e ON e.src = b.node WHERE b.d < ${BfsRounds})
+         |SELECT node, CAST(MIN(d) AS INT) AS hops
+         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
 
     // naive closed-wedge triangle enumeration: src<tgt is already the
     // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle

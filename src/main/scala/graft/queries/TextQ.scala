@@ -60,6 +60,10 @@ object TextQ {
     * "contains at least two of ..."). */
   val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** t23: exact per-language sample size for weighted reservoir
+    * sampling (A-Res, Efraimidis & Spirakis 2006). */
+  val WsN = 15
+
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
@@ -446,9 +450,20 @@ object TextQ {
           when(col("n") > 0,
             aggregate(w, lit(0L), (acc, t) => acc + wMilli(bucket(t))))
             .otherwise(lit(0L)))
-        .withColumn("score",
-          when(col("n") > 0, round(col("wz") / (col("n") * 1000.0), 6))
-            .otherwise(lit(0.0)))
+        // score = wz/(1000·n) rounded half-away-from-zero to 6 dp, in
+        // EXACT integer math: round(double, 6) is engine-dependent at
+        // decimal boundaries (Spark HALF_UPs the shortest-decimal
+        // string; DuckDB rounds the raw binary), which flipped one
+        // row at sf0.001. q = (2·|wz|·1000 + n) div (2·n) is
+        // half-up on |wz·1000/n| micro-units; the final /1e6 is one
+        // IEEE division of an integer — bit-identical everywhere.
+        .withColumn("nL", col("n").cast("long"))
+        .withColumn("q",
+          when(col("n") > 0,
+            expr("(2 * abs(wz) * 1000 + nL) div (2 * nL)")).otherwise(lit(0L)))
+        .withColumn("score_micro",
+          when(col("wz") < 0, -col("q")).otherwise(col("q")))
+        .withColumn("score", col("score_micro") / lit(1e6))
         .select(col("doc_id"), col("n").as("n_tokens"),
           col("wz").as("raw_milli"), col("score"),
           (col("wz") >= 0).cast("int").as("keep"))
@@ -808,6 +823,41 @@ object TextQ {
         .select(col("doc_id"), col("lang"), col("avg_micro_nats"),
           round(col("pr") * 1e6).cast("long").as("pr_micro"), col("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // t23 — WEIGHTED RESERVOIR SAMPLE per language (A-Res, Efraimidis
+    // & Spirakis 2006): exactly [[WsN]] docs per lang with inclusion
+    // probability ∝ weight (word count). Each doc draws a
+    // deterministic uniform u ∈ (0,1] from its id hash and gets
+    // priority −ln(u)/w — an Exp(w) variate — and the N smallest
+    // priorities per group win. t11/t12 sample at a RATE (Bernoulli,
+    // approximate N); this is the exact-N weighted complement, the
+    // sampler used when a mixture recipe demands exact per-source
+    // counts with quality weighting. Priorities are integer
+    // micro-units (the t17/t19 trick) so the ranking key is
+    // cross-engine exact. Plan shape: narrow map → TopKPerKeyExec
+    // bounded heap (partial per partition, merge per key) → the
+    // row_number window only ever sees ≤ N·|langs| survivors. No
+    // corpus sort, no per-language reducer hotspot — one pass at
+    // 100 TB regardless of skew.
+    "t23_weighted_sample" -> ((s, d) => {
+      val base = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextFns.wordCount(col("text")).cast("long").as("weight"))
+        .withColumn("u",
+          (TextFns.hash60(concat(lit("ws|"), col("doc_id").cast("string"))) + 1)
+            .cast("double") / lit(1.152921504606846976e18))
+        .withColumn("cost_micro",
+          round(-log(col("u")) * lit(1e6) / col("weight")).cast("long"))
+      val top = graft.plans.TopK.perKey(base, Seq("lang"),
+        Seq(col("cost_micro"), col("doc_id")), WsN)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cost_micro"), col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("lang"), col("rank"), col("doc_id"), col("weight"),
+          col("cost_micro"))
+        .orderBy(col("lang"), col("rank"))
     })
   )
 
@@ -956,7 +1006,10 @@ object TextQ {
          |ORDER BY lang, rank""".stripMargin,
 
     // the md5-derived milli-weights replay exactly in SQL; list_sum
-    // over BIGINTs is order-free-exact, like the Spark LONG fold
+    // over BIGINTs is order-free-exact, like the Spark LONG fold.
+    // The 6-dp rounding is integer half-away-from-zero (// floors,
+    // operands are non-negative) — round(double, 6) is NOT
+    // cross-engine stable at decimal boundaries.
     "t15_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
@@ -968,11 +1021,15 @@ object TextQ {
          |           CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $QsBuckets
          |             AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)) AS BIGINT)
          |  END AS wz
-         |FROM t)
+         |FROM t),
+         |m AS (SELECT doc_id, n, wz,
+         |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (2 * abs(wz) * 1000 + n) // (2 * n) END AS q
+         |FROM g)
          |SELECT doc_id, CAST(n AS INT) AS n_tokens, wz AS raw_milli,
-         |  CASE WHEN n > 0 THEN round(wz / (n * 1000.0), 6) ELSE 0.0 END AS score,
+         |  (CASE WHEN wz < 0 THEN -q ELSE q END) / 1e6 AS score,
          |  CASE WHEN wz >= 0 THEN 1 ELSE 0 END AS keep
-         |FROM g ORDER BY doc_id""".stripMargin,
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // the one-pass funnel must equal the per-stage recount
     "t14_filter_funnel" ->
@@ -1318,6 +1375,27 @@ object TextQ {
          |  CASE WHEN pr < 1.0/3 THEN 'head'
          |       WHEN pr < 2.0/3 THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // same double-op order as the Spark side ((−ln(u) · 1e6) / w,
+    // then round): ulp-level ln() differences sit ~9 orders of
+    // magnitude below the 0.5-micro rounding boundary
+    "t23_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         |    AS weight
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |c AS (SELECT doc_id, lang, weight,
+         |  CAST(round(-ln((CAST(('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 15))
+         |                    AS BIGINT) + 1) / 1152921504606846976.0)
+         |             * 1e6 / weight) AS BIGINT) AS cost_micro
+         |  FROM t),
+         |r AS (SELECT lang, doc_id, weight, cost_micro,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY cost_micro, doc_id) AS rn
+         |  FROM c)
+         |SELECT lang, CAST(rn AS INT) AS rank, doc_id, weight, cost_micro
+         |FROM r WHERE rn <= $WsN ORDER BY lang, rank""".stripMargin
   )
 }

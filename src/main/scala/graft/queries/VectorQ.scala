@@ -485,8 +485,71 @@ object VectorQ {
         .select(col("qid"), col("n_bf"), col("n_ann"), col("n_hits"),
           round(col("n_hits") / col("n_bf"), 4).as("recall"))
         .orderBy(col("qid"))
+    }),
+
+    // v18 — MMR RE-RANKING (maximal marginal relevance, Carbonell &
+    // Goldstein 1998): diversify the flagship top-k before it reaches
+    // the prompt — greedily pick [[MmrK]] of the top-[[MmrM]]
+    // retrieval candidates maximizing λ·rel − (1−λ)·max-sim-to-
+    // already-picked (λ = [[MmrLambdaX10]]/10). The RAG failure it
+    // fixes: v1 returns 10 near-identical chunks; MMR trades rank-9
+    // redundancy for coverage. Scale shape: the DISTRIBUTED work is
+    // the candidate top-M scan (v1's plan — codegen dot product +
+    // TakeOrdered); the greedy runs on the M-row candidate table and
+    // its M·(M−1) pair sims — model-sized frames (the k-means
+    // precedent), each step one join + one limit(1) argmax. All
+    // comparisons are INTEGER deci-micro MMR scores over bit-exact
+    // dot products, so selection order is engine-reproducible and the
+    // unrolled-CTE oracle hash-matches.
+    "v18_mmr_rerank" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("rel_micro",
+          round(cos(col("embedding"), col("qe")) * lit(1e6)).cast("long"))
+        .orderBy(col("rel_micro").desc, col("vec_id"))
+        .limit(MmrM)
+        .select(col("vec_id"), col("embedding"), col("rel_micro"))
+        .localCheckpoint(true)
+      val sim = cand.as("a").crossJoin(cand.as("b"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
+          round(cos(col("a.embedding"), col("b.embedding")) * lit(1e6))
+            .cast("long").as("sim_micro"))
+        .localCheckpoint(true)
+      val rels = cand.select(col("vec_id"), col("rel_micro"))
+      var selected = rels
+        .orderBy(col("rel_micro").desc, col("vec_id")).limit(1)
+        .select(lit(1).as("rank"), col("vec_id"),
+          (col("rel_micro") * MmrLambdaX10).as("mmr_deci"))
+      for (r <- 2 to MmrK) {
+        val selIds = selected.select(col("vec_id").as("sid"))
+        val maxSim = sim.join(selIds, col("bi") === col("sid"))
+          .groupBy(col("ai")).agg(max(col("sim_micro")).as("ms"))
+        val next = rels
+          .join(selIds, col("vec_id") === col("sid"), "left_anti")
+          .join(maxSim, col("vec_id") === col("ai"))
+          .select(col("vec_id"),
+            (col("rel_micro") * MmrLambdaX10 - col("ms") * (10 - MmrLambdaX10))
+              .as("mmr_deci"))
+          .orderBy(col("mmr_deci").desc, col("vec_id")).limit(1)
+          .select(lit(r).as("rank"), col("vec_id"), col("mmr_deci"))
+        selected = selected.unionAll(next)
+      }
+      selected.join(rels, Seq("vec_id"))
+        .select(col("rank"), col("vec_id"), col("rel_micro"), col("mmr_deci"))
+        .orderBy(col("rank"))
     })
   )
+
+  /** v18 MMR parameters: candidate pool, picks, and λ in tenths
+    * (7 → λ = 0.7; integer so the greedy objective
+    * 7·rel_micro − 3·maxsim_micro stays in exact BIGINT math). */
+  val MmrM = 20
+  val MmrK = 5
+  val MmrLambdaX10 = 7
 
   /** v16's two-stage search, parametrized so TruncatedRerankSpec can
     * pin the degenerate identity (shortK ≥ corpus ⇒ ≡ v4 exactly). */
@@ -774,7 +837,44 @@ object VectorQ {
        |LEFT JOIN h ON nb.qid = h.qid
        |ORDER BY nb.qid""".stripMargin
 
+  /** v18 oracle: the same greedy, unrolled — step r picks the
+    * argmax of 7·rel − 3·max(sim to sel(r−1)) among unpicked
+    * candidates (ties → smallest vec_id), all in BIGINT deci-micro
+    * units over the bit-exact list_dot_product cosines. */
+  private def mmrOracle: String = {
+    val lam = MmrLambdaX10
+    val steps = (2 to MmrK).map { r =>
+      s"""p$r AS (SELECT c.vec_id, c.rel_micro, MAX(s.sim_micro) AS ms
+         |  FROM cand c JOIN sim s ON s.ai = c.vec_id
+         |  WHERE s.bi IN (SELECT vec_id FROM sel${r - 1})
+         |    AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY c.vec_id, c.rel_micro),
+         |s$r AS (SELECT $r AS rank, vec_id,
+         |    $lam * rel_micro - ${10 - lam} * ms AS mmr_deci
+         |  FROM p$r ORDER BY mmr_deci DESC, vec_id LIMIT 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+       |           WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |      WHERE vec_id <> 0),
+       |cand AS (SELECT vec_id, emb,
+       |    CAST(round(${cosSql("emb", "qe")} * 1e6) AS BIGINT) AS rel_micro
+       |  FROM e, q ORDER BY rel_micro DESC, vec_id LIMIT $MmrM),
+       |sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |    CAST(round(${cosSql("a.emb", "b.emb")} * 1e6) AS BIGINT) AS sim_micro
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT 1 AS rank, vec_id, $lam * rel_micro AS mmr_deci
+       |  FROM cand ORDER BY rel_micro DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT r.rank, r.vec_id, c.rel_micro, r.mmr_deci
+       |FROM sel$MmrK r JOIN cand c USING (vec_id)
+       |ORDER BY r.rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "v18_mmr_rerank" -> mmrOracle,
     "v17_recall_eval" -> recallOracle,
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
