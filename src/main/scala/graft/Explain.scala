@@ -30,7 +30,10 @@ object Explain {
                   "x17_scd2_history","s4_funnel","x18_snapshot_diff",
                   "t21_profile","t22_ccnet_buckets","k14_label_prop",
                   "v17_recall_eval","q32_cume_dist","s5_retention",
-                  "k15_components","k16_kcore","k17_node_similarity")) {
+                  "k15_components","k16_kcore","k17_node_similarity",
+                  "t23_weighted_sample","k18_shortest_paths",
+                  "x19_zorder_layout","v18_mmr_rerank",
+                  "d13_containment","x20_compaction_plan")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

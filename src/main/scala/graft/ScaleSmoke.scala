@@ -31,7 +31,8 @@ object ScaleSmoke {
     "x15_heavy_hitters_grouped", "x16_global_shuffle",
     "t16_boilerplate", "t17_perplexity", "d12_span_dedup",
     "v14_semdedup", "t19_dsir_weights", "t20_gopher_rules",
-    "t21_profile", "t22_ccnet_buckets")
+    "t21_profile", "t22_ccnet_buckets", "t23_weighted_sample",
+    "x19_zorder_layout", "v18_mmr_rerank", "d13_containment")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -86,7 +87,7 @@ object ScaleSmoke {
     * makes the content copy-distinct. */
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val done = new java.io.File(s"$out/_GENERATED")
-    val stamp = s"base=$base factor=$factor\n"
+    val stamp = s"base=$base factor=$factor tables=docs,embs,events\n"
     if (done.exists() &&
       java.nio.file.Files.readString(done.toPath) == stamp) return
     val docs = Tables.load(spark, base, "documents")
@@ -121,6 +122,19 @@ object ScaleSmoke {
     embCopies.reduce(_ unionByName _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events: offset ids per copy; time/bucket distributions replicate
+    // (x19's zone-map density stays constant while rows grow F×)
+    val ev = Tables.load(spark, base, "events")
+    val nEv = ev.agg(max(col("event_id"))).head.getAs[Number](0).longValue + 1
+    val nUsers = ev.agg(max(col("user_id"))).head.getAs[Number](0).longValue + 1
+    val evCopies = (0 until factor).map { i =>
+      if (i == 0) ev
+      else ev.withColumn("event_id", col("event_id") + lit(i * nEv))
+        .withColumn("user_id", col("user_id") + lit(i * nUsers))
+    }
+    evCopies.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     done.getParentFile.mkdirs()
     java.nio.file.Files.writeString(done.toPath, stamp): Unit
   }

@@ -13,9 +13,10 @@ import graft.queries._
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
   *    truncated-prefilter rerank, recall@k evaluation, MMR re-ranking)
-  *  - DedupQ (d1–d12, x14): dedup suite (exact, Jaccard, MinHash,
+  *  - DedupQ (d1–d13, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
-  *    exact + fuzzy decontamination, canonical selection,
+  *    exact + fuzzy decontamination, n-gram containment,
+  *    canonical selection,
   *    incremental batch-vs-corpus dedup, duplicated-span detection)
   *  - TextQ (t1–t23, m1/m2, s1, q28, q31): text analysis, sampling,
   *    boilerplate removal, perplexity scoring, vocabulary coverage,
@@ -27,10 +28,10 @@ import graft.queries._
   *    connected components, (p,q)-core peeling, node similarity,
   *    BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s5, q21–q27, q29, x1–x19, v6, v14): §2.5–2.13
+  *  - ExtQ (j5, p6, s2–s5, q21–q27, q29, x1–x20, v6, v14): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
-  *    z-order layout,
+  *    z-order layout, compaction planning,
   *    retention, snapshot diff)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical

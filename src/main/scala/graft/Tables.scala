@@ -20,8 +20,16 @@ object Tables {
     // DuckDB's nanos→micros truncation, so oracle timestamps agree).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // Fixture files carry TIMESTAMP(NANOS) (read as long under the
+      // flag); derived copies (e.g. ScaleSmoke's scaled corpus) are
+      // re-written as plain micros timestamps — convert only the
+      // former so both load identically.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -49,6 +49,8 @@ object DedupQ {
   /** Jaccard / cosine thresholds. */
   val JaccardMin = 0.3
   val CosineMin = 0.35
+  /** d13 containment threshold (on the larger direction). */
+  val ContainMin = 0.5
   /** d12 duplicated-span width (tokens): spans are overlapping
     * SpanN-grams shared verbatim across documents. */
   val SpanN = 5
@@ -645,6 +647,35 @@ object DedupQ {
               col("n_tokens").cast("double"), 4))
             .otherwise(lit(0.0)).as("dup_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // d13 — N-GRAM CONTAINMENT (Broder 1997's asymmetric twin of
+    // d2's resemblance): C(A→B) = |A∩B|/|A|. The case it exists for:
+    // a short doc pasted inside a much longer one scores near-1
+    // containment but a Jaccard diluted by the size gap below d2's
+    // threshold — quote/excerpt detection needs the asymmetric
+    // measure. Same df-capped inverted-index candidate join as d2
+    // (bucketed by shingle, never all-pairs); both directions fall
+    // out of the one unordered pair, so the pair join runs once.
+    "d13_containment" -> ((s, d) => {
+      val kept = keptShinglesOf(s, d)
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = kept.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
+      a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("sz", "sa"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("sz", "sb"), Seq("b_id"))
+        .withColumn("ca", col("inter") / col("sa"))
+        .withColumn("cb", col("inter") / col("sb"))
+        .filter(greatest(col("ca"), col("cb")) >= ContainMin)
+        .select(col("a_id"), col("b_id"), col("inter"), col("sa"), col("sb"),
+          round(col("ca"), 4).as("cont_a_in_b"),
+          round(col("cb"), 4).as("cont_b_in_a"))
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -672,6 +703,26 @@ object DedupQ {
           |FROM documents
           |GROUP BY md5(text)
           |ORDER BY keep_doc_id""".stripMargin,
+
+      // same division both engines (BIGINT/BIGINT → double), so the
+      // threshold compare and the round(…,4) see identical doubles
+      "d13_containment" ->
+        s"""WITH $shingleCte,
+           |$keptCte,
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+           |cand AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+           |  FROM kept a JOIN kept b
+           |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT a_id, b_id, inter, sa.sz AS sa, sb.sz AS sb,
+           |  round(inter / sa.sz, 4) AS cont_a_in_b,
+           |  round(inter / sb.sz, 4) AS cont_b_in_a
+           |FROM cand
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |WHERE greatest(inter / sa.sz, inter / sb.sz) >= $ContainMin
+           |ORDER BY a_id, b_id""".stripMargin,
 
       "d2_dedup_jaccard" ->
         s"""WITH $shingleCte,

@@ -773,6 +773,35 @@ object ExtQ {
         .select(col("file"), col("n_rows"), col("min_ub"), col("max_ub"),
           col("min_tb"), col("max_tb"), col("n_match"), col("scanned"))
         .orderBy(col("file"))
+    }),
+
+    // x20 — COMPACTION PLAN (the OPTIMIZE/bin-packing pass every
+    // lakehouse table needs): assign small files to merge bins of
+    // ~[[CompactTarget]] bytes, largest-first fill, one plan per
+    // partition directory. Files are simulated as per-(source,
+    // doc-group) stats rows (char sums stand in for bytes); the bin
+    // assignment is a cumulative sum over the FILE-STATS table
+    // partitioned by source — manifest-sized metadata (≤ dir file
+    // count per group, bounded in any sane layout), never the
+    // corpus. All math is exact integers, so the plan — and its
+    // oracle — is deterministic down to the bin boundaries.
+    "x20_compaction_plan" -> ((s, d) => {
+      val files = Tables.load(s, d, "documents")
+        .groupBy(col("source"), expr(s"doc_id div $CompactGroup").as("g"))
+        .agg(sum(col("n_chars")).cast("long").as("size_bytes"))
+        .select(col("source"),
+          concat(col("source"), lit("_"), col("g").cast("string")).as("file_id"),
+          col("size_bytes"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("size_bytes").desc, col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before",
+          coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $CompactTarget").cast("int"))
+        .select(col("source"), col("file_id"), col("size_bytes"),
+          col("cum_before"), col("bin"))
+        .orderBy(col("source"), col("bin"), col("size_bytes").desc, col("file_id"))
     })
   )
 
@@ -792,6 +821,11 @@ object ExtQ {
   val ZFileSpan = 16
   val ZBoxLo = 4
   val ZBoxHi = 7
+
+  /** x20: compaction target size (chars stand in for bytes at
+    * fixture scale) and the micro-file granularity. */
+  val CompactTarget = 2000L
+  val CompactGroup = 20
 
   /** The x11 oracle: KmPasses assignment passes unrolled as a CTE
     * chain (k11's pattern — standard SQL cannot iterate with
@@ -1253,7 +1287,24 @@ object ExtQ {
          |  CAST(CASE WHEN MIN(ub) <= $ZBoxHi AND MAX(ub) >= $ZBoxLo
          |             AND MIN(tb) <= $ZBoxHi AND MAX(tb) >= $ZBoxLo
          |            THEN 1 ELSE 0 END AS INT) AS scanned
-         |FROM f GROUP BY file ORDER BY file""".stripMargin
+         |FROM f GROUP BY file ORDER BY file""".stripMargin,
+
+    // pure integer cumulative math; the window frame (UNBOUNDED
+    // PRECEDING .. 1 PRECEDING) is the Spark rowsBetween twin
+    "x20_compaction_plan" ->
+      s"""WITH f AS (SELECT source,
+         |    source || '_' || (doc_id // $CompactGroup)::VARCHAR AS file_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS size_bytes
+         |  FROM documents GROUP BY source, doc_id // $CompactGroup),
+         |w AS (SELECT source, file_id, size_bytes,
+         |  CAST(COALESCE(SUM(size_bytes) OVER (PARTITION BY source
+         |    ORDER BY size_bytes DESC, file_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM f)
+         |SELECT source, file_id, size_bytes, cum_before,
+         |  CAST(cum_before // $CompactTarget AS INT) AS bin
+         |FROM w ORDER BY source, bin, size_bytes DESC, file_id""".stripMargin
     // x1 / v6: intentionally no oracle (approximate / float-order
     // dependent) — driver records rows-only checks.
   )

@@ -124,6 +124,26 @@ object KgQ {
     Derived.of(s, d, "tri_edges")(
       edgesDf(s, d).select(col("src"), col("tgt")).distinct())
 
+  /** Full bipartite customer–supplier co-purchase graph: distinct
+    * (o_custkey, l_suppkey + 1e6) pairs over ALL orders — the shared
+    * input of the whole-graph analytics family (k11 PageRank, k14
+    * label propagation, k16 (p,q)-core). Derived-persisted per
+    * session, so the orders⋈lineitem join + distinct shuffle runs
+    * once per session instead of once per query — the production
+    * shape (materialize the graph, run the analytics suite on it).
+    * k15/k18 use date-windowed subgraphs and k17 a capped raw-id
+    * variant, so they build their own. */
+  private def orderGraph(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "order_graph") {
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+    }
+
   /** Degree-oriented edges: each undirected edge points from its
     * lower-degree endpoint to the higher-degree one (ties broken by
     * id — src < tgt by construction, so `<=` keeps the edge as-is on
@@ -419,12 +439,7 @@ object KgQ {
     // bit-for-bit before the final round(4).
     "k11_pagerank" -> ((s, d) => {
       val damp = PrDamping
-      val ed = Tables.load(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
-        .distinct()
+      val ed = orderGraph(s, d)
       // symmetrize, then bake the out-degree onto each edge ONCE —
       // the per-round loop touches only (src, dst, od) + the rank.
       val edges = ed.select(col("a").as("src"), col("b").as("dst"))
@@ -510,13 +525,7 @@ object KgQ {
     // at sf0.1 — 8.1 s either way; the vote's two aggregations, not
     // the edge-side exchange, dominate each half-round.)
     "k14_label_prop" -> ((s, d) => {
-      val ed = Tables.load(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+      val ed = orderGraph(s, d)
       // argmax by (count desc, label asc) as a struct-max aggregate
       def vote(pairs: DataFrame): DataFrame = pairs
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -587,12 +596,7 @@ object KgQ {
     // state: the loop counter. Degrees are exact integers, so the
     // oracle hash match is exact at any parallelism.
     "k16_kcore" -> ((s, d) => {
-      val ed = Tables.load(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
-        .distinct()
+      val ed = orderGraph(s, d)
       var e = ed.select(col("a").as("s"), col("b").as("t"))
         .unionAll(ed.select(col("b").as("s"), col("a").as("t")))
         .localCheckpoint(true)
