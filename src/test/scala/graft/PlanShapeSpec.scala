@@ -177,4 +177,78 @@ class PlanShapeSpec extends SparkSpec {
     // two HashAggregate nodes (partial + final) around one Exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
+
+  test("t23's weighted sample selects via the bounded TopKPerKey heap") {
+    val p = plan("t23_weighted_sample")
+    assert(p.contains("TopKPerKey"),
+      "t23 must plan the bounded per-key heap, not rank the corpus")
+    // the row_number window only ever sees the ≤ N·|langs| survivors:
+    // it must sit ABOVE TopKPerKey in the plan (appear before it in
+    // the formatted top-down dump)
+    assert(p.indexOf("Window") < p.indexOf("TopKPerKey"),
+      "the rank window must run on the TopKPerKey output, not the corpus")
+  }
+
+  test("x19's z-order report is scan → partial+final aggregate, no join or window") {
+    val p = plan("x19_zorder_layout")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "zone-map stats must combine map-side")
+    assert(!p.contains("Join"), "x19 needs no join")
+    assert(!p.contains("Window"), "x19 needs no window")
+    assert(p.contains("struct<ts:bigint,user_id:bigint>") ||
+      p.contains("ReadSchema: struct<ts"),
+      "the scan must read only ts and user_id")
+  }
+
+  test("d13's containment candidates form only on the shingle equi key") {
+    // the only nested-loop allowed is the 1-row df-cap scalar
+    // broadcast (shared with d2); the doc-pair join itself must be a
+    // shuffled equi join keyed by the shingle
+    val p = plan("d13_containment")
+    assert(!p.contains("CartesianProduct"),
+      "containment must stay an inverted-index equi join, never all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "expected the shingle-keyed candidate equi join in the plan")
+  }
+
+  test("k18's BFS rounds are shuffle equi joins with partial min-aggregates") {
+    val p = plan("k18_shortest_paths")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "BFS relaxation must join frontier⋈edges on the node key")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the per-node min must combine map-side")
+  }
+
+  test("x20's compaction windows stay partitioned by the directory key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("x20_compaction_plan")(spark, Sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "the cumulative fill must run per partition dir, never globally")
+  }
+
+  test("v18's distributed stage is the candidate top-M scan (TakeOrdered + broadcast)") {
+    // the greedy operates on localCheckpointed model-sized frames, so
+    // only the candidate selection shows the corpus-shaped plan: the
+    // broadcast query vector + TakeOrderedAndProject top-M. Checked on
+    // the candidate sub-plan (the final plan sees only checkpointed
+    // leaves).
+    import org.apache.spark.sql.functions._
+    graft.ops.VectorOps.ensureRegistered(spark)
+    val e = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", col("vec_id").cast("double"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(queries.VectorQ.MmrM)
+    val p = cand.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-M candidate selection must be TakeOrdered, not sort+limit")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "the single query vector must broadcast")
+  }
 }
