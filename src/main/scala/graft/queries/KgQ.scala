@@ -526,7 +526,13 @@ object KgQ {
     // the edge-side exchange, dominate each half-round.)
     "k14_label_prop" -> ((s, d) => {
       val ed = orderGraph(s, d)
-      // argmax by (count desc, label asc) as a struct-max aggregate
+      // argmax by (count desc, label asc) as a struct-max aggregate.
+      // A/B'd against the one-exchange alternative mode(lbl, true)
+      // (whose lowest-value tie-break matches this contract exactly):
+      // fresh-JVM sf0.1 measured 8.4 s (this form) vs 10.2 s (mode) —
+      // the ObjectHashAggregate label-count maps cost more than the
+      // second codegen'd exchange on this dense graph, so the
+      // two-step HashAggregate pair stays.
       def vote(pairs: DataFrame): DataFrame = pairs
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
