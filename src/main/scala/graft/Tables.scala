@@ -28,6 +28,12 @@ object Tables {
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Newer fixtures store TIMESTAMP(MICROS, isAdjustedToUTC=false),
+          // which Spark 4 reads as TIMESTAMP_NTZ. The session tz is pinned
+          // UTC, so the NTZ→LTZ cast is a pure re-tagging that matches the
+          // DuckDB oracle's naive timestamps value-for-value.
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else {

@@ -43,6 +43,7 @@ class SkewSpec extends SparkSpec {
     val s2 = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
