@@ -78,6 +78,12 @@ object ExtQ {
 
     // x1 — HLL++ distinct estimate next to the exact count (scale
     // path for A2: one pass, constant memory, mergeable sketches).
+    // DuckDB can't replay the sketch, so the estimate itself never
+    // reaches the compared output; instead `approx_ok` pins that it
+    // landed inside 3×rsd of the exact count — which IS
+    // oracle-computable (the oracle emits literal true). Measured
+    // error at sf0.01/sf0.1 is <1.5%, so the 6% envelope has margin
+    // while still failing on any real sketch regression.
     "x1_approx_distinct" -> ((s, d) => {
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -85,6 +91,9 @@ object ExtQ {
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -106,16 +115,32 @@ object ExtQ {
     // x4 — approximate quantiles: the mergeable-sketch scale path for
     // q21's exact percentiles (same trade as x1's HLL for exact
     // distinct): one pass, bounded memory per group, partials merge
-    // associatively. No oracle (sketch implementations differ across
-    // engines — rows-only check); the error bound vs the exact path
-    // is pinned by ApproxQuantileSpec.
+    // associatively. DuckDB can't replay the GK sketch, so the
+    // estimates never reach the compared output; instead the query
+    // emits the sketch's DEFINED rank-error envelope — exact
+    // interpolated percentiles at p ± 4/accuracy (conservative cover
+    // of the ±1/accuracy rank guarantee; quantile_cont parity with
+    // DuckDB is already proven by q21) — and booleans pinning the
+    // estimates inside it. Tighter per-value behavior is pinned by
+    // ApproxQuantileSpec.
     "x4_approx_quantiles" -> ((s, d) => {
+      val eps = 0.004 // 4 × (1/accuracy); accuracy = 1000 below
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"),
-          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("approx_p90"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("am"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("a90"),
+          percentile(col("l_quantity"), lit(0.5 - eps)).as("median_lo"),
+          percentile(col("l_quantity"), lit(0.5 + eps)).as("median_hi"),
+          percentile(col("l_quantity"), lit(0.9 - eps)).as("p90_lo"),
+          percentile(col("l_quantity"), lit(0.9 + eps)).as("p90_hi"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("median_lo"), col("median_hi"),
+          col("am").between(col("median_lo"), col("median_hi")).as("median_ok"),
+          col("p90_lo"), col("p90_hi"),
+          col("a90").between(col("p90_lo"), col("p90_hi")).as("p90_ok"),
+          col("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1095,6 +1120,37 @@ object ExtQ {
         | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_id, v_id""".stripMargin,
+
+    // The HLL estimate itself can't be replayed by DuckDB; the oracle
+    // states the exact side (distinct count, row count) and literal
+    // true for the envelope check the Spark side computed — a hash
+    // mismatch therefore means either an exact-stat divergence or the
+    // sketch breaking its pinned 3×rsd error bound.
+    "x1_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows,
+        |  true AS approx_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Same pattern for the GK quantile sketch: the envelope bounds are
+    // exact interpolated percentiles (quantile_cont parity proven by
+    // q21), and the _ok booleans pin the sketch inside its rank-error
+    // guarantee. 0.496/0.504 etc. = p ± 4/accuracy.
+    "x4_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.496) AS median_lo,
+        |  quantile_cont(l_quantity, 0.504) AS median_hi,
+        |  true AS median_ok,
+        |  quantile_cont(l_quantity, 0.896) AS p90_lo,
+        |  quantile_cont(l_quantity, 0.904) AS p90_hi,
+        |  true AS p90_ok,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // The sketch pass is an admissible candidate generator (no false
     // negatives above the threshold), so the oracle states the exact
