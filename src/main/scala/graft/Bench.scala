@@ -41,6 +41,22 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => try materialize(fn) catch { case _: Throwable => })
     spark.catalog.clearCache()
+    // Contention calibration probe: a fixed CPU-bound job (no IO, no
+    // shuffle skew, constant work) timed before and after the sweep.
+    // Its cost can only drift if the HOST drifted — so a >2× spread
+    // marks the whole run `contended` and the JSON carries its own
+    // credibility signal (r4's driver run was a flat ~+2 s/query vs
+    // the same-code clean run; this field makes that detectable
+    // without a second run to compare against).
+    def probe(): Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, col => fcol}
+      val t0 = System.nanoTime()
+      spark.range(20L * 1000 * 1000).select(fsum(fcol("id")))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // untimed: absorb the probe plan's own codegen
+    val probeBefore = math.min(probe(), probe())
     // Debug/repro knob: SPARK_GRAFT_ONLY=q3_...,q6_... times just that
     // subset (fresh-JVM single-query repro of bench anomalies).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -93,10 +109,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)
+    val probeAfter = math.min(probe(), probe())
+    val spread = probeAfter / math.max(probeBefore, 1e-9)
+    val contended = spread > 2.0 || spread < 0.5
+    val probeJson =
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"contended":$contended"""
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"queries":$qs,"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson,"queries":$qs,"errors":$errs}"""
     // Clean line on the REAL stdout (build.sbt: run/outputStrategy =
     // StdoutOutput, so no sbt "[info] " prefix) + a file copy so the
     // driver can recover the metrics even if its stdout parse fails.
