@@ -827,8 +827,54 @@ object ExtQ {
         .select(col("source"), col("file_id"), col("size_bytes"),
           col("cum_before"), col("bin"))
         .orderBy(col("source"), col("bin"), col("size_bytes").desc, col("file_id"))
+    }),
+
+    // x21 — MANIFEST-PRUNED SHARD RANGE READ, end to end: write the
+    // documents table as range-partitioned shards + manifest
+    // (Sources.writeShards), then answer a key-range predicate by
+    // opening ONLY the overlapping files (Sources.readShardRange).
+    // The result must equal a plain BETWEEN filter — pruning is a
+    // superset selection, never a correctness dependency — and the
+    // `pruned` flag pins that file skipping actually happened (the
+    // oracle emits literal true; PlanShapeSpec asserts the ratio).
+    // Shard write happens at DataFrame-construction time (like x5's
+    // training jobs); text is dropped so shards carry only the
+    // queried columns.
+    "x21_shard_range_read" -> ((s, d) => {
+      val dir = s"target/x21_shards_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeShards(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        dir, "doc_id", numShards = 8)
+      val (df, filesRead, filesTotal) =
+        graft.sources.Sources.readShardRange(s, dir, ShardRangeLo, ShardRangeHi)
+      df.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          lit(filesRead < filesTotal).as("pruned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // s6 — stream-static ENRICHMENT as a declared batch query: the
+    // events fact left-joined to a bounded dimension (customer
+    // segments) through EventStream.enrichWithDim — the exact
+    // function the streaming path runs per micro-batch (broadcast
+    // the dimension, no stream shuffle, no state store; parity with
+    // the streaming side is pinned by StreamingSpec).
+    "s6_enrich_events" -> ((s, d) => {
+      val dim = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      graft.streaming.EventStream.enrichWithDim(
+          Tables.load(s, d, "events"), dim)
+        .select(col("event_id"), col("user_id"), col("segment"))
+        .orderBy(col("event_id"))
     })
   )
+
+  /** x21: the queried key range. Constant across SFs (doc_id starts
+    * at 0 in every fixture), sized so 8 shards always leave some
+    * non-overlapping — the `pruned` flag must be true at every SF. */
+  val ShardRangeLo = 100L
+  val ShardRangeHi = 249L
 
   /** x19: bit-interleaved z-value of the 4-bit buckets `ub`/`tb`,
     * written with integer div/mod only so the identical expression
@@ -1360,8 +1406,23 @@ object ExtQ {
          |  FROM f)
          |SELECT source, file_id, size_bytes, cum_before,
          |  CAST(cum_before // $CompactTarget AS INT) AS bin
-         |FROM w ORDER BY source, bin, size_bytes DESC, file_id""".stripMargin
-    // x1 / v6: intentionally no oracle (approximate / float-order
-    // dependent) — driver records rows-only checks.
+         |FROM w ORDER BY source, bin, size_bytes DESC, file_id""".stripMargin,
+
+    // the manifest-pruned read must equal a plain BETWEEN filter;
+    // `true AS pruned` pins that files were actually skipped
+    "x21_shard_range_read" ->
+      s"""SELECT doc_id, lang, source, n_chars, true AS pruned
+         |FROM documents
+         |WHERE doc_id BETWEEN $ShardRangeLo AND $ShardRangeHi
+         |ORDER BY doc_id""".stripMargin,
+
+    // broadcast left join to a unique-keyed dimension — no row
+    // multiplication, absent users keep null segments
+    "s6_enrich_events" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin
+    // v6: intentionally no oracle (float-order dependent) — driver
+    // records a rows-only check; spec-pinned ≡ v5.
   )
 }

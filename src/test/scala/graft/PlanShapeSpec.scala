@@ -251,4 +251,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
       "the single query vector must broadcast")
   }
+
+  test("x21's manifest prune actually skips files (and the residual filter stays)") {
+    import org.apache.spark.sql.functions._
+    val dir = "target/x21_planshape"
+    graft.sources.Sources.writeShards(
+      Tables.load(spark, Sf0001, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      dir, "doc_id", numShards = 8)
+    val (df, filesRead, filesTotal) = graft.sources.Sources.readShardRange(
+      spark, dir, queries.ExtQ.ShardRangeLo, queries.ExtQ.ShardRangeHi)
+    // 8 range shards over 500 ids, range spans 150 ids → at most 4
+    // files can overlap; the point is the ratio, not the constant
+    assert(filesTotal == 8 && filesRead < filesTotal && filesRead <= 4,
+      s"expected a real skip ratio, got $filesRead/$filesTotal")
+    // pruning is a superset selection — the BETWEEN must still be in
+    // the plan (and pushed to the scan) for correctness
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(doc_id"),
+      "residual range filter must reach the parquet scan")
+  }
+
+  test("s6's dimension joins map-side (BroadcastHashJoin, no stream-side shuffle)") {
+    val p = plan("s6_enrich_events")
+    assert(p.contains("BroadcastHashJoin"),
+      "bounded dimension must broadcast — a shuffle join here shuffles the whole stream")
+    val joinSection = p.substring(0, p.indexOf("BroadcastHashJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      "events side must not hash-exchange before the broadcast join")
+  }
 }
