@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash60"),
       info("graft_hash60", "graft_hash60(s) - first 60 bits of md5(s) as a non-negative BIGINT"),
       (exprs: Seq[Expression]) => Hash60(arity("graft_hash60", 1)(exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical-composition normalization"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.NfcNormalize(arity("graft_nfc", 1)(exprs).head)))
     // Optimizer rule: users writing the portable HOF dot product get
     // the fused codegen'd expression automatically.
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)

@@ -853,6 +853,35 @@ object ExtQ {
         .orderBy(col("doc_id"))
     }),
 
+    // x22 — BUCKETED CO-LOCATED JOIN (Sources.writeBucketed end to
+    // end): both fact tables written bucketed+sorted on the join key
+    // into the catalog, then joined — the pre-partitioning pattern
+    // that makes a REPEATED big-big join shuffle-free: each side's
+    // bucket layout satisfies the join's distribution requirement,
+    // so no Exchange on either side (pinned by SourcesSpec with
+    // broadcast off; at fixture scale AQE may still elect a
+    // broadcast — either way, no hash exchange of the fact tables).
+    // At 100 TB this converts the every-query shuffle of the hottest
+    // join into a one-time bucketed write. Bucketed writes happen at
+    // DataFrame-construction time (like x5/x21's eager stages).
+    "x22_bucketed_join" -> ((s, d) => {
+      graft.sources.Sources.writeBucketed(
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        "graft_x22_orders", "o_orderkey", 8)
+      graft.sources.Sources.writeBucketed(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_x22_lineitem", "l_orderkey", 8)
+      s.table("graft_x22_lineitem")
+        .join(s.table("graft_x22_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_year"))
+    }),
+
     // s6 — stream-static ENRICHMENT as a declared batch query: the
     // events fact left-joined to a bounded dimension (customer
     // segments) through EventStream.enrichWithDim — the exact
@@ -1415,6 +1444,14 @@ object ExtQ {
          |FROM documents
          |WHERE doc_id BETWEEN $ShardRangeLo AND $ShardRangeHi
          |ORDER BY doc_id""".stripMargin,
+
+    // the bucketed-layout join must reproduce the plain join+agg
+    "x22_bucketed_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     // broadcast left join to a unique-keyed dimension — no row
     // multiplication, absent users keep null segments

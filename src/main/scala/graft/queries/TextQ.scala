@@ -858,8 +858,37 @@ object TextQ {
         .select(col("lang"), col("rank"), col("doc_id"), col("weight"),
           col("cost_micro"))
         .orderBy(col("lang"), col("rank"))
+    }),
+
+    // t24 — Unicode NFC NORMALIZATION via the codegen'd graft_nfc
+    // expression (functions/UnicodeNormalize.scala): composed vs
+    // decomposed grapheme forms must collapse before any
+    // hash-equality operator (d1/d2/d3 dedup, t18 vocab, k3 entity
+    // keys) sees the text. The fixture corpus is ASCII-clean, so a
+    // decomposed probe suffix ([[NfcProbe]]) is appended to every
+    // row to make the normalization observable: n_raw > n_norm on
+    // every row, and the composed output must byte-match DuckDB's
+    // nfc_normalize. Narrow map over the scan — no shuffle, stays
+    // inside WholeStageCodegen.
+    "t24_nfc_normalize" -> ((s, d) => {
+      graft.functions.NfcNormalize.ensureRegistered(s)
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40), lit(NfcProbe)).as("raw"))
+        .select(col("doc_id"),
+          call_function("graft_nfc", col("raw")).as("norm_text"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(call_function("graft_nfc", col("raw"))).cast("long").as("n_norm"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** t24: probe suffix "resume cafe" with accents — the resume
+    * accents DECOMPOSED (e + combining acute U+0301), the cafe accent
+    * COMPOSED (U+00E9) — so NFC must compose the former and pass the
+    * latter through. Escapes only, no raw non-ASCII in source; the
+    * oracle twin builds identical bytes via chr(). */
+  val NfcProbe = " re\u0301sume\u0301 caf\u00e9"
 
   val oracles: Map[String, String] = Map(
     // segment explode mirrors the Spark transform(sequence(...)) term
@@ -1396,6 +1425,18 @@ object TextQ {
          |    ORDER BY cost_micro, doc_id) AS rn
          |  FROM c)
          |SELECT lang, CAST(rn AS INT) AS rank, doc_id, weight, cost_micro
-         |FROM r WHERE rn <= $WsN ORDER BY lang, rank""".stripMargin
+         |FROM r WHERE rn <= $WsN ORDER BY lang, rank""".stripMargin,
+
+    // same probe bytes built via chr(); nfc_normalize is DuckDB's
+    // TR#15 canonical composition — output must byte-match graft_nfc
+    "t24_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' re' || chr(769) || 'sume' || chr(769)
+        |    || ' caf' || chr(233) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |  length(raw) AS n_raw,
+        |  length(nfc_normalize(raw)) AS n_norm
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

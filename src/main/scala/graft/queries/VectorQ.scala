@@ -170,6 +170,30 @@ object VectorQ {
         .select(col("vec_id"), round(col("raw"), 4).as("score"))
     }),
 
+    // v19 — RANGE (radius) similarity search: every corpus vector
+    // with cosine >= [[RadiusTau]] against the query vector —
+    // set-valued semantics (result size is data-dependent), the other
+    // half of the retrieval API next to v1's top-k. Same scale shape
+    // as v1: broadcast single-row query, narrow codegen'd scoring
+    // scan, and the threshold filter runs BEFORE any ordering, so
+    // the distributed stage is a pure filter-scan (no TakeOrdered
+    // heap needed, no global sort of the corpus — the final orderBy
+    // sorts only the matching set). Both engines compute the cosine
+    // with the identical left-to-right fold, so the >= boundary
+    // decision is bitwise-identical (the property v1's ORDER BY
+    // already relies on).
+    "v19_radius_search" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("raw", cos(col("embedding"), col("qe")))
+        .filter(col("raw") >= RadiusTau)
+        .select(col("vec_id"), round(col("raw"), 4).as("score"))
+        .orderBy(col("vec_id"))
+    }),
+
     // v2 — V4: L2 norm + dimension audit of every vector.
     "v2_vector_norms" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
@@ -547,6 +571,11 @@ object VectorQ {
   /** v18 MMR parameters: candidate pool, picks, and λ in tenths
     * (7 → λ = 0.7; integer so the greedy objective
     * 7·rel_micro − 3·maxsim_micro stays in exact BIGINT math). */
+  /** v19: cosine threshold for the radius search — ~1/8 of the
+    * corpus matches at fixture scale (non-trivial, non-empty at
+    * every SF; the fixtures' score distribution is SF-stable). */
+  val RadiusTau = 0.15
+
   val MmrM = 20
   val MmrK = 5
   val MmrLambdaX10 = 7
@@ -914,6 +943,16 @@ object VectorQ {
          |FROM e, q
          |ORDER BY ${cosSql("emb", "qe")} DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    // identical fold order on both engines makes the >= boundary
+    // decision deterministic (same property v1's ORDER BY uses)
+    "v19_radius_search" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, round(${cosSql("emb", "qe")}, 4) AS score
+         |FROM e, q
+         |WHERE ${cosSql("emb", "qe")} >= $RadiusTau
+         |ORDER BY vec_id""".stripMargin,
 
     "v2_vector_norms" ->
       """SELECT vec_id,

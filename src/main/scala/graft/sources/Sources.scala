@@ -51,12 +51,23 @@ object Sources {
     * (`saveAsTable`), not a bare path.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A warehouse directory left by a PREVIOUS session's metastore is
+    // invisible to this catalog but still blocks the managed-table
+    // location (LOCATION_ALREADY_EXISTS) — drop both the entry and
+    // any stale directory before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
                                path: org.apache.hadoop.fs.Path) =

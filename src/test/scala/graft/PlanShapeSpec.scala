@@ -273,6 +273,33 @@ class PlanShapeSpec extends SparkSpec {
       "residual range filter must reach the parquet scan")
   }
 
+  test("v19's radius search is a broadcast + narrow filter scan (no corpus sort before the filter)") {
+    val p = plan("v19_radius_search")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "single-row query vector must broadcast")
+    // the threshold filter prunes before the (small-result) sort: the
+    // corpus itself must never hash-exchange ahead of the filter
+    val preSort = p.substring(0, math.max(p.indexOf("Sort"), 0).max(p.length - 1))
+    assert(!preSort.contains("Exchange hashpartitioning"),
+      "corpus must not shuffle before the radius filter")
+  }
+
+  test("t24's normalization is a single narrow scan (no shuffle except the final sort)") {
+    val p = plan("t24_nfc_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "graft_nfc is a scalar map — no hash exchange belongs in this plan")
+  }
+
+  test("x22's join reads bucketed scans (no hash exchange of either fact table)") {
+    val p = plan("x22_bucketed_join")
+    assert(p.contains("Bucketed: true"),
+      "both sides must scan the bucketed catalog tables")
+    // the only hash exchange allowed is the post-join year aggregation
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx > 0 && !p.substring(joinIdx).contains("Exchange hashpartitioning(l_orderkey"),
+      "bucketed layout must satisfy the join's distribution — no orderkey exchange")
+  }
+
   test("s6's dimension joins map-side (BroadcastHashJoin, no stream-side shuffle)") {
     val p = plan("s6_enrich_events")
     assert(p.contains("BroadcastHashJoin"),
