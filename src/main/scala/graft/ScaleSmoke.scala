@@ -32,7 +32,8 @@ object ScaleSmoke {
     "t16_boilerplate", "t17_perplexity", "d12_span_dedup",
     "v14_semdedup", "t19_dsir_weights", "t20_gopher_rules",
     "t21_profile", "t22_ccnet_buckets", "t23_weighted_sample",
-    "x19_zorder_layout", "v18_mmr_rerank", "d13_containment")
+    "x19_zorder_layout", "v18_mmr_rerank", "d13_containment",
+    "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

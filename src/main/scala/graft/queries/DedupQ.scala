@@ -254,8 +254,15 @@ object DedupQ {
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), col("nw") - (SpanN - 1)),
           i => array_join(slice(col("w"), i, lit(SpanN)), " "))))
-      .toDF("doc_id", "pos0", "gram")
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      .toDF("doc_id", "pos0", "gram_str")
+      // The gram string exists only as a grouping/join key — hash it
+      // to a 60-bit long MAP-SIDE so both of d12's corpus-sized
+      // shuffles (the df groupBy and the position-flag join) move
+      // 8-byte keys instead of ~40-byte 5-gram strings (~3× less
+      // exchange volume). Counts are unchanged absent a hash60
+      // collision (~n²/2⁶¹: ≪1 even at 10⁹ distinct grams).
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        TextFns.hash60(col("gram_str")).as("gram"))
 
   def candidateDiagnostics(s: SparkSession, d: String): Map[String, Long] = {
     // d12's join fan-in: positions carrying a cross-doc-duplicated
