@@ -40,6 +40,31 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("n"))
 
+  /** SALTED EQUI JOIN — the skew remedy for a shuffle join whose
+    * probe side is hot on a few key values and whose build side is
+    * too large to broadcast. The probe side gets a deterministic salt
+    * in [0, shards); the build side is replicated once per salt value
+    * (explode of a `shards`-element sequence — build×shards rows, the
+    * price of the technique); the join key becomes (key, salt), so a
+    * hot key's rows spread over `shards` reducers instead of one.
+    * Exactly the rewrite AQE's skew-join performs at runtime for
+    * sort-merge joins, available here as an explicit operator for
+    * plans AQE can't rebalance (e.g. a join feeding a co-partitioned
+    * downstream stage, or non-SMJ shapes). Inner and left joins only:
+    * each probe row carries exactly one salt, so join multiplicity is
+    * unchanged.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 shards: Int, tieBreak: String,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left (probe-side multiplicity), got $joinType")
+    val p = probe.withColumn("_salt", salt(shards, col(tieBreak)))
+    val b = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(shards - 1))))
+    p.join(b, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
   /** Keep only rows whose `key` appears in at most `maxDf` distinct
     * `docCol` values — the pre-join hot-key cap.
     */

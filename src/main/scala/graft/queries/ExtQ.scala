@@ -882,6 +882,29 @@ object ExtQ {
         .orderBy(col("o_year"))
     }),
 
+    // x23 — SALTED SHUFFLE JOIN (ops.Skew.saltedJoin): the skew
+    // remedy for a probe side hot on few key values when the build
+    // side can't broadcast. l_returnflag is the engine's maximal-skew
+    // key (3 values across the whole fact table — a plain shuffle
+    // join funnels a third of the corpus per reducer); the salted
+    // rewrite joins on (key, salt) so each hot key spreads over 8
+    // reducers, build side replicated 8× (3 rows → 24). The final
+    // per-flag aggregate proves multiplicity is unchanged: n_rows
+    // must equal the plain group count the oracle states. SkewSpec
+    // pins the (key, salt) exchange in the plan.
+    "x23_salted_join" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(dsum2(col("l_extendedprice")).as("flag_total"))
+      graft.ops.Skew.saltedJoin(
+          li.select(col("l_orderkey"), col("l_returnflag")),
+          dim, "l_returnflag", shards = 8, tieBreak = "l_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("flag_total")).as("flag_total"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // s6 — stream-static ENRICHMENT as a declared batch query: the
     // events fact left-joined to a bounded dimension (customer
     // segments) through EventStream.enrichWithDim — the exact
@@ -1444,6 +1467,16 @@ object ExtQ {
          |FROM documents
          |WHERE doc_id BETWEEN $ShardRangeLo AND $ShardRangeHi
          |ORDER BY doc_id""".stripMargin,
+
+    // the salted rewrite must reproduce the plain join exactly —
+    // per-flag row counts unchanged (multiplicity preserved)
+    "x23_salted_join" ->
+      """WITH dim AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS flag_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n_rows, MAX(d.flag_total) AS flag_total
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // the bucketed-layout join must reproduce the plain join+agg
     "x22_bucketed_join" ->
