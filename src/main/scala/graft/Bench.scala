@@ -57,13 +57,23 @@ object Bench {
     }
     probe() // untimed: absorb the probe plan's own codegen
     val probeBefore = math.min(probe(), probe())
+    // Mid-sweep probe log: the endpoint-only probe missed r5's
+    // mid-run host drift (k14 read 27.7 s driver vs 7.4 s clean while
+    // both endpoints were quiet). Probing every ProbeEvery queries
+    // makes per-SEGMENT drift visible, and `contended` now marks a
+    // run where ANY segment drifted >2× from the best probe — the
+    // JSON carries which segment, so an inflated query can be matched
+    // to the contention window that inflated it.
+    val ProbeEvery = 20
+    val probeLog = scala.collection.mutable.ArrayBuffer[Double](probeBefore)
     // Debug/repro knob: SPARK_GRAFT_ONLY=q3_...,q6_... times just that
     // subset (fresh-JVM single-query repro of bench anomalies).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val firstPass = selected.map { case (name, fn) =>
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % ProbeEvery == 0) probeLog += probe()
       val (sec, err) = timeOne(name, fn)
       (name, sec, err)
       // Shared derived tables (queries.Derived) stay cached across
@@ -110,10 +120,15 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)
     val probeAfter = math.min(probe(), probe())
-    val spread = probeAfter / math.max(probeBefore, 1e-9)
-    val contended = spread > 2.0 || spread < 0.5
+    probeLog += probeAfter
+    // contended if any probe (endpoint OR mid-sweep) drifted >2× from
+    // the run's best probe — the best approximates the uncontended
+    // host, so a single slow segment can no longer hide.
+    val probeMin = probeLog.min
+    val contended = probeLog.max / math.max(probeMin, 1e-9) > 2.0
+    val probeSegs = probeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"contended":$contended"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson}"""
     val detail =
@@ -125,10 +140,13 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     catch { case _: Throwable => }
-    // Durable copy under git (bench_out.json is ignored): the r4 judge
-    // couldn't cite the round's error evidence because only the
-    // ignored file carried the per-query errors map.
-    try {
+    // Durable copy for bench_history. latest.json is git-ignored
+    // scratch (round evidence gets COPIED to a named r{NN}_final.json
+    // at round end — r5's committed latest.json was a 1-query debug
+    // run that misrepresented the sweep); SPARK_GRAFT_ONLY subset
+    // runs skip it entirely so a debug run can never clobber the
+    // round's full-sweep record.
+    if (only.isEmpty) try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_history/latest.json"), detail + "\n")

@@ -35,10 +35,13 @@ import graft.queries._
   *    retention, snapshot diff)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
-  * column names/types and a deterministic total ORDER BY, except the
-  * declared rows-only approximations (v6, x1, x4, x5), each anchored
-  * by a spec instead. (v8/v9 train their ANN models with the
-  * decimal-exact variants and carry full hash oracles since round 4.)
+  * column names/types and a deterministic total ORDER BY. The four
+  * approximate operators (v6, x1, x4, x5) publish bound-checking
+  * envelopes — exact oracle-computable quantities plus literal-true
+  * verdict booleans — so they hash-check too (the estimate itself
+  * never reaches the compared output). (v8/v9 train their ANN models
+  * with the decimal-exact variants and carry full hash oracles since
+  * round 4.)
   */
 object SparkEntry {
 

@@ -33,12 +33,15 @@ object Skew {
     * `df.groupBy(key).count()` but a hot key spreads across `shards`
     * partial aggregations before the final combine.
     */
-  def saltedCount(df: DataFrame, key: String, shards: Int, tieBreak: String): DataFrame =
+  def saltedCount(df: DataFrame, key: String, shards: Int, tieBreak: String): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "input already has a _salt column — withColumn would silently overwrite it")
     df.withColumn("_salt", salt(shards, col(tieBreak)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("n"))
+  }
 
   /** SALTED EQUI JOIN — the skew remedy for a shuffle join whose
     * probe side is hot on a few key values and whose build side is
@@ -59,6 +62,10 @@ object Skew {
                  joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left (probe-side multiplicity), got $joinType")
+    // A pre-existing _salt would be silently replaced on the probe
+    // side and become ambiguous/duplicated after the build explode.
+    require(!probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "an input already has a _salt column — rename it before saltedJoin")
     val p = probe.withColumn("_salt", salt(shards, col(tieBreak)))
     val b = build.withColumn("_salt",
       explode(sequence(lit(0), lit(shards - 1))))

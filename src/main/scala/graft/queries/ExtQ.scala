@@ -35,6 +35,17 @@ object ExtQ {
   /** v14 SemDeDup cosine threshold (same family as DedupQ.CosineMin). */
   val SemTau = 0.35
 
+  /** x5 envelope: the float trainer's final inertia must sit within
+    * this relative tolerance of the decimal-exact objective (x11's
+    * path). Measured drift ≤ 0.0024 across all three fixture SFs. */
+  val InertiaRelTol = 0.01
+
+  /** x4 envelope half-width: 4 × (1/accuracy) with accuracy = 1000 —
+    * the SINGLE source for both the Spark bounds and the oracle's
+    * quantile_cont probe points (interpolated below), so the two
+    * sides can never drift apart. */
+  val QuantEps = 0.004
+
   /** x10 heavy hitters: report terms with frequency > n/[[HhDen]]
     * (exact), found via a Misra–Gries sketch of capacity [[HhK]].
     * The guarantee needs HhK ≥ HhDen (summary error ≤ n/(HhK+1) <
@@ -124,7 +135,7 @@ object ExtQ {
     // estimates inside it. Tighter per-value behavior is pinned by
     // ApproxQuantileSpec.
     "x4_approx_quantiles" -> ((s, d) => {
-      val eps = 0.004 // 4 × (1/accuracy); accuracy = 1000 below
+      val eps = QuantEps // 4 × (1/accuracy); accuracy = 1000 below
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -146,19 +157,36 @@ object ExtQ {
 
     // x5 — k-means clustering of the embedding corpus (ops.KMeans:
     // deterministic Lloyd's, k-smallest-ids seeding, TopK-heap
-    // assignment, VectorSumAgg centroid updates). No oracle: float
-    // centroid iterations aren't cross-engine reproducible — rows-only
-    // check; assignment optimality/determinism pinned by KMeansSpec.
-    // Runs its training jobs at DataFrame construction (iterative),
-    // like d6.
+    // assignment, VectorSumAgg centroid updates). Float centroid
+    // iterations aren't cross-engine reproducible, so the trained
+    // assignment never reaches the compared output; instead the query
+    // emits the BOUND-CHECKING envelope (x1/x4 pattern): the exact
+    // Lloyd's objective from the decimal-exact twin (x11's path —
+    // fully oracle-computable as a decimal sum of rounded per-point
+    // distances) plus `inertia_ok`, pinning the float trainer's final
+    // inertia within [[InertiaRelTol]] of the exact objective.
+    // Measured |ratio−1| ≤ 0.0024 across sf0.001/0.01/0.1; the 1%
+    // envelope has 4× margin yet fails on any real trainer regression
+    // (lost pass, wrong assignment, buffer merge bug — each moves
+    // inertia by percents). Per-assignment optimality/determinism
+    // stays pinned by KMeansSpec. Runs training jobs at DataFrame
+    // construction (iterative), like d6.
     "x5_kmeans" -> ((s, d) => {
       val vecs = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val (_, assign) = graft.ops.KMeans.fit(vecs, "vec_id", "embedding",
-        k = 4, maxIters = 3)
-      assign.select(col("vec_id"), col("cluster_id"),
-          round(col("sq_dist"), 4).as("sq_dist"))
-        .orderBy(col("vec_id"))
+        k = KmK, maxIters = KmPasses)
+      val fastAgg = assign.agg(
+        sum(col("sq_dist")).as("fast_inertia"))
+      val exactAgg = graft.ops.KMeans.fitExact(vecs, "vec_id", "embedding",
+          k = KmK, assignPasses = KmPasses)
+        .agg(count(lit(1)).as("n_points"),
+          sum(round(col("sq_dist"), 4).cast("decimal(28,4)"))
+            .cast("double").as("exact_inertia"))
+      exactAgg.crossJoin(broadcast(fastAgg))
+        .select(lit(KmK).as("k"), col("n_points"), col("exact_inertia"),
+          (abs(col("fast_inertia") / col("exact_inertia") - 1) <=
+            lit(InertiaRelTol)).as("inertia_ok"))
     }),
 
     // x12 — INCREMENTAL AGGREGATE MAINTENANCE: fold the "new" batch
@@ -604,6 +632,20 @@ object ExtQ {
     // v6 — IVF with single-pass centroid aggregation: one shuffle of
     // d-length buffers instead of exploding n×d rows (v5's
     // oracle-exact path). Same probe/rank shape as v5.
+    //
+    // BOUND-CHECKING ORACLE (the x1/x4 envelope pattern): the float-
+    // summed centroids can't be replayed in SQL, so the fast path's
+    // rows never reach the compared output. Instead the query emits
+    // v5's decimal-exact result (fully oracle-computable) plus
+    // `agrees_exact` — per-query equality of the fast path's
+    // (probe_label, ranked neighbors, rounded scores) against v5's.
+    // The identity is not luck: centroid argmax margins measured at
+    // sf0.001/0.01/0.1 are ≥ 4e-4 while float-vs-decimal centroid
+    // error is ~1e-12 (n·ulp), so the fast path picks the same
+    // bucket — and within a bucket both paths score with the SAME
+    // exact dot products. A real divergence (agg bug, tie-break
+    // drift) flips the boolean → hash mismatch. VectorAggSpec keeps
+    // the stronger full-row identity at both fixture scales.
     "v6_knn_ivf_fast" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
       VectorAgg.register(s)
@@ -629,9 +671,23 @@ object ExtQ {
       val top = graft.plans.TopK.perKey(probed, Seq("qid"),
         Seq(col("raw").desc, col("vec_id")), 3)
       val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
-      top.withColumn("nb_rank", row_number().over(wRank))
+      val fast = top.withColumn("nb_rank", row_number().over(wRank))
         .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
           col("nb_rank"), round(col("raw"), 4).as("score"))
+      val exact = graft.queries.VectorQ.defs("v5_knn_ivf")(s, d)
+      def sig(df: org.apache.spark.sql.DataFrame, label: String, nbs: String) =
+        df.groupBy(col("qid")).agg(
+          max(col("probe_label")).as(label),
+          sort_array(collect_list(struct(col("nb_rank"), col("nb_id"),
+            col("score")))).as(nbs))
+      val agree = sig(fast, "f_label", "f_nbs")
+        .join(sig(exact, "e_label", "e_nbs"), Seq("qid"))
+        .select(col("qid"),
+          (col("f_label") === col("e_label") &&
+            col("f_nbs") === col("e_nbs")).as("agrees_exact"))
+      exact.join(agree, Seq("qid"))
+        .select(col("qid"), col("probe_label"), col("nb_id"), col("nb_rank"),
+          col("score"), col("agrees_exact"))
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
@@ -1029,6 +1085,29 @@ object ExtQ {
 
   val oracles: Map[String, String] = Map(
     "x11_kmeans_exact" -> kmeansExactOracle,
+
+    // v6's envelope: the compared rows are v5's decimal-exact result
+    // (that oracle replays centroid training in SQL); agrees_exact is
+    // the literal-true verdict the Spark side computed against the
+    // float-agg fast path. A fast-path divergence flips it → red.
+    "v6_knn_ivf_fast" -> {
+      val v5 = graft.queries.VectorQ.oracles("v5_knn_ivf")
+      s"""SELECT qid, probe_label, nb_id, nb_rank, score,
+         |  true AS agrees_exact
+         |FROM ($v5) t
+         |ORDER BY qid, nb_rank""".stripMargin
+    },
+
+    // x5's envelope: exact objective from the unrolled x11 CTE chain
+    // (decimal sum of rounded per-point squared distances — engine-
+    // exact), plus the literal-true inertia verdict.
+    "x5_kmeans" ->
+      s"""$kmeansCteChain
+         |SELECT CAST($KmK AS INT) AS k, COUNT(*) AS n_points,
+         |  CAST(SUM(CAST(round(sq, 4) AS DECIMAL(28,4))) AS DOUBLE)
+         |    AS exact_inertia,
+         |  true AS inertia_ok
+         |FROM asg$KmPasses""".stripMargin,
     "v14_semdedup" -> semdedupOracle,
 
     // the two-phase salted plan must reproduce the plain count
@@ -1236,19 +1315,21 @@ object ExtQ {
     // Same pattern for the GK quantile sketch: the envelope bounds are
     // exact interpolated percentiles (quantile_cont parity proven by
     // q21), and the _ok booleans pin the sketch inside its rank-error
-    // guarantee. 0.496/0.504 etc. = p ± 4/accuracy.
+    // guarantee. Probe points p ± QuantEps are interpolated from the
+    // SAME constant the Spark side uses, so a one-sided eps change
+    // can't silently break hash parity.
     "x4_approx_quantiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.496) AS median_lo,
-        |  quantile_cont(l_quantity, 0.504) AS median_hi,
-        |  true AS median_ok,
-        |  quantile_cont(l_quantity, 0.896) AS p90_lo,
-        |  quantile_cont(l_quantity, 0.904) AS p90_hi,
-        |  true AS p90_ok,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag,
+         |  quantile_cont(l_quantity, ${0.5 - QuantEps}) AS median_lo,
+         |  quantile_cont(l_quantity, ${0.5 + QuantEps}) AS median_hi,
+         |  true AS median_ok,
+         |  quantile_cont(l_quantity, ${0.9 - QuantEps}) AS p90_lo,
+         |  quantile_cont(l_quantity, ${0.9 + QuantEps}) AS p90_hi,
+         |  true AS p90_ok,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     // The sketch pass is an admissible candidate generator (no false
     // negatives above the threshold), so the oracle states the exact

@@ -40,4 +40,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  test("d12's hash60 gram keys are collision-free at oracle scale") {
+    // d12 shuffles hash60(gram) instead of the gram string; a
+    // cross-gram collision would merge groups and flip the dup flags
+    // vs the string-keyed DuckDB oracle. The documented risk bound is
+    // ~n²/2⁶¹; this pins that it actually holds at the SF the oracle
+    // compares (distinct strings == distinct hashes ⇒ zero merges).
+    import graft.ops.TextFns
+    val n = DedupQ.SpanN
+    val grams = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"),
+        TextFns.wordCount(col("text")).as("nw"))
+      .filter(col("nw") >= n)
+      .select(explode(transform(sequence(lit(1), col("nw") - (n - 1)),
+        i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram_str"))
+    val r = grams.agg(
+      countDistinct(col("gram_str")).as("strs"),
+      countDistinct(TextFns.hash60(col("gram_str"))).as("hashes")).head()
+    assert(r.getLong(0) == r.getLong(1),
+      s"hash60 collision at sf0.01: ${r.getLong(0)} distinct grams vs ${r.getLong(1)} hashes")
+  }
 }

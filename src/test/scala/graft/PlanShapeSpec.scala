@@ -279,7 +279,8 @@ class PlanShapeSpec extends SparkSpec {
       "single-row query vector must broadcast")
     // the threshold filter prunes before the (small-result) sort: the
     // corpus itself must never hash-exchange ahead of the filter
-    val preSort = p.substring(0, math.max(p.indexOf("Sort"), 0).max(p.length - 1))
+    val sortIdx = p.indexOf("Sort")
+    val preSort = if (sortIdx >= 0) p.substring(0, sortIdx) else p
     assert(!preSort.contains("Exchange hashpartitioning"),
       "corpus must not shuffle before the radius filter")
   }
