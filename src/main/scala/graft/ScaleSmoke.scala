@@ -33,7 +33,8 @@ object ScaleSmoke {
     "v14_semdedup", "t19_dsir_weights", "t20_gopher_rules",
     "t21_profile", "t22_ccnet_buckets", "t23_weighted_sample",
     "x19_zorder_layout", "v18_mmr_rerank", "d13_containment",
-    "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events")
+    "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events",
+    "d14_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

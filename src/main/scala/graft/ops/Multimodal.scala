@@ -97,6 +97,62 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual average-hash (aHash) of a binary payload, as four
+    * 16-bit bands — the image near-dup signature (d14). The classic
+    * algorithm: downscale to an 8×8 grid, threshold each cell
+    * against the global mean, read the 64 bits. Here the "decode"
+    * is the byte-identity fake (payload bytes ARE the grayscale
+    * stream — swap in a real pixel decode at deployment, the banding
+    * and join shape are unchanged):
+    *
+    *  - cell(p) = (p·64) div n  — 64 onto, order-preserving cells
+    *    for any n ≥ 64;
+    *  - cv(j)   = sum(bytes in cell j) div count  — integer mean;
+    *  - m       = sum(cv) div 64;  bit(j) = cv(j) > m;
+    *  - band b (0..3) packs bits [16b, 16b+16) little-endian.
+    *
+    * Pure integer math ⇒ bit-reproducible on any engine (the DuckDB
+    * oracle replays it from the characters). Runs in the same
+    * mapPartitions codec seam as [[decode]]; emits (figure_id,
+    * bands ARRAY<INT>[4]). Rows with n < 64 are dropped (no stable
+    * 8×8 grid exists). */
+  def aHashBands(figures: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("figure_id", StringType, nullable = false),
+      StructField("bands", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    figures
+      .select("figure_id", "payload")
+      .filter(octet_length(col("payload")) >= 64)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val n = payload.length
+          val sums = new Array[Long](64)
+          val counts = new Array[Int](64)
+          var p = 0
+          while (p < n) {
+            val j = (p.toLong * 64 / n).toInt
+            sums(j) += (payload(p) & 0xff)
+            counts(j) += 1
+            p += 1
+          }
+          val cv = new Array[Long](64)
+          var mSum = 0L
+          var j = 0
+          while (j < 64) { cv(j) = sums(j) / counts(j); mSum += cv(j); j += 1 }
+          val m = mSum / 64
+          val bands = new Array[Int](4)
+          j = 0
+          while (j < 64) {
+            if (cv(j) > m) bands(j / 16) |= 1 << (j % 16)
+            j += 1
+          }
+          Row(r.getString(0), bands.toSeq)
+        }
+      }(enc)
+  }
+
   /** Frame sampling: every `stride`-th unit of a payload → one row
     * (the video analogue of the text chunker's Generator shape).
     */

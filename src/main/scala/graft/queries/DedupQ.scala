@@ -85,6 +85,17 @@ object DedupQ {
   val DecontamN = 8
   val BloomFpp = 0.01
 
+  /** d14 perceptual-hash image dedup: aHash-64 signatures banded into
+    * 4×16-bit slices (ops.Multimodal.aHashBands); near-dup pairs are
+    * band-bucket collisions at Hamming ≤ [[PhashHamMax]]. Unlike d8
+    * (whose ≤3 threshold makes 4-band banding lossless by pigeonhole)
+    * the DECLARED operator here is the banded LSH search — d3's
+    * semantics, replayed exactly by the oracle. 16-bit bands give
+    * 2^16 bucket values, so chance collisions stay ~n²/2^16 per band
+    * — the linear-candidates regime SCALE.md demands (the 8-bit-band
+    * alternative measured quadratic in r4). */
+  val PhashHamMax = 16
+
   private def docs(s: SparkSession, d: String) =
     // single-row-group parquet → 1 partition; spread the shingle /
     // hash work across cores with one cheap shuffle of the raw docs.
@@ -291,6 +302,16 @@ object DedupQ {
     // d11's cross-split band candidates (the query's own candidate
     // join, pre-distinct) — must track the d3 curve, not n²
     val d11 = crossSplitBandPairs(s, d).count()
+    // d14's band-bucket collisions (pre-distinct): bounded by
+    // per-(band, bv) bucket density — must grow ~linearly, the 16-bit
+    // band space is the collision denominator
+    val pb = graft.ops.Multimodal.aHashBands(
+        graft.ops.Multimodal.figuresFromDocuments(docs(s, d)))
+      .select(col("figure_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val d14 = pb.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
+      .join(pb.select(col("figure_id").as("b_fig"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("a_fig") < col("b_fig")).count()
     Map(
       "n_docs" -> docs(s, d).count(),
       "d2_candidates" -> d2,
@@ -298,6 +319,7 @@ object DedupQ {
       "d8_candidates" -> d8,
       "d11_candidates" -> d11,
       "d12_dup_positions" -> d12,
+      "d14_candidates" -> d14,
       "d9_train_ngrams" -> train.count(),
       "d9_bloom_survivors" -> surv.count())
   }
@@ -683,6 +705,40 @@ object DedupQ {
           round(col("ca"), 4).as("cont_a_in_b"),
           round(col("cb"), 4).as("cont_b_in_a"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // d14 — PERCEPTUAL-HASH IMAGE DEDUP: the multimodal member of the
+    // dedup family. Payloads (m1's binary columns — here the fake-
+    // codec byte-identity stand-in, a real pixel decode at
+    // deployment) get a 64-bit average-hash in the mapPartitions
+    // codec seam, banded into 4×16-bit slices; candidate pairs are
+    // band-bucket collisions (d8's byte-band join shape), verified at
+    // Hamming ≤ PhashHamMax over the full signature. All integer
+    // math ⇒ the DuckDB oracle replays hash, banding, and verify
+    // bit for bit. At 100 TB: signatures are 1 row × 4 ints per
+    // image (corpus-sized but thin), the join is bucketed by
+    // (band, bv) — candidates bounded by bucket density, never
+    // all-pairs — and the verify join touches only candidates.
+    "d14_phash_dedup" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val bands = Derived.of(s, d, "phash_bands") {
+        Multimodal.aHashBands(Multimodal.figuresFromDocuments(docs(s, d)))
+          .select(col("figure_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      }
+      val a = bands.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
+      val b = bands.select(col("figure_id").as("b_fig"), col("band"), col("bv"))
+      val cand = a.join(b, Seq("band", "bv")).filter(col("a_fig") < col("b_fig"))
+        .select(col("a_fig"), col("b_fig")).distinct()
+      val x = bands.select(col("figure_id").as("a_fig"), col("band"),
+        col("bv").as("xa"))
+      val y = bands.select(col("figure_id").as("b_fig"), col("band"),
+        col("bv").as("xb"))
+      cand.join(x, Seq("a_fig")).join(y, Seq("b_fig", "band"))
+        .groupBy(col("a_fig"), col("b_fig"))
+        .agg(sum(bit_count(col("xa").bitwiseXOR(col("xb")).cast("long")))
+          .cast("long").as("hamming"))
+        .filter(col("hamming") <= PhashHamMax)
+        .orderBy(col("a_fig"), col("b_fig"))
     })
   )
 
@@ -1090,7 +1146,47 @@ object DedupQ {
            |       THEN round(COALESCE(p.dup_tokens, 0) * 1.0 / g.nw, 4)
            |       ELSE 0.0 END AS dup_frac
            |FROM g LEFT JOIN counts c USING (doc_id) LEFT JOIN pd p USING (doc_id)
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+
+      // d14: the aHash pipeline replayed from the characters (ASCII
+      // fixture ⇒ chars == bytes, the m2 precedent): 64 onto cells
+      // by (p·64)//n, integer cell means, global-mean threshold,
+      // 4×16-bit bands, band-bucket candidates, full-signature
+      // Hamming verify — every step integer-exact on both engines.
+      "d14_phash_dedup" ->
+        s"""WITH figs AS (
+           |  SELECT printf('fig_%06d', doc_id) AS figure_id, text,
+           |         octet_length(encode(text)) AS n
+           |  FROM documents WHERE octet_length(encode(text)) >= 64),
+           |bytes AS (
+           |  SELECT figure_id, n, u.p, ascii(substr(text, u.p + 1, 1)) AS code
+           |  FROM figs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS p) u),
+           |cells AS (
+           |  SELECT figure_id, (p * 64) // n AS cell, SUM(code) // COUNT(*) AS cv
+           |  FROM bytes GROUP BY figure_id, (p * 64) // n),
+           |means AS (SELECT figure_id, SUM(cv) // 64 AS m FROM cells
+           |          GROUP BY figure_id),
+           |bits AS (
+           |  SELECT c.figure_id, c.cell,
+           |         CASE WHEN c.cv > m.m THEN 1 ELSE 0 END AS bit
+           |  FROM cells c JOIN means m USING (figure_id)),
+           |bands AS (
+           |  SELECT figure_id, CAST(cell // 16 AS INT) AS band,
+           |    CAST(SUM(bit * (1 << (cell % 16))) AS INT) AS bv
+           |  FROM bits GROUP BY figure_id, cell // 16),
+           |cand AS (
+           |  SELECT DISTINCT a.figure_id AS a_fig, b.figure_id AS b_fig
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+           |    AND a.figure_id < b.figure_id)
+           |SELECT c.a_fig, c.b_fig,
+           |  CAST(SUM(bit_count(xor(CAST(x.bv AS BIGINT), CAST(y.bv AS BIGINT))))
+           |    AS BIGINT) AS hamming
+           |FROM cand c JOIN bands x ON x.figure_id = c.a_fig
+           |JOIN bands y ON y.figure_id = c.b_fig AND y.band = x.band
+           |GROUP BY c.a_fig, c.b_fig
+           |HAVING SUM(bit_count(xor(CAST(x.bv AS BIGINT), CAST(y.bv AS BIGINT))))
+           |  <= $PhashHamMax
+           |ORDER BY a_fig, b_fig""".stripMargin
     )
   }
 }

@@ -41,4 +41,22 @@ class MultimodalSpec extends SparkSpec {
     val bad = frames.filter(octet_length(col("frame")) > 16)
     assert(bad.count() == 0)
   }
+
+  test("aHashBands: identical payloads hash identically; a local edit stays near; structure differs far") {
+    import spark.implicits._
+    val base = ("x" * 100) + ("Q" * 100) + ("x" * 100) // high-contrast blocks
+    val near = ("x" * 100) + ("Q" * 99) + "R" + ("x" * 100) // one byte changed
+    val far = ("Qx" * 150) // same bytes, alternating layout
+    val figs = Seq(("a", base), ("b", base), ("c", near), ("d", far), ("e", "tiny"))
+      .toDF("figure_id", "t")
+      .select(col("figure_id"), col("t").cast("binary").as("payload"))
+    val out = Multimodal.aHashBands(figs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(!out.contains("e"), "payloads under 64 bytes have no 8x8 grid")
+    assert(out("a") == out("b"), "identical payloads must hash identically")
+    def ham(x: Seq[Int], y: Seq[Int]) =
+      x.zip(y).map { case (u, v) => java.lang.Integer.bitCount(u ^ v) }.sum
+    assert(ham(out("a"), out("c")) <= 4, "one-byte edit must stay within a few bits")
+    assert(ham(out("a"), out("d")) > 16, "different byte layout must land far")
+  }
 }
