@@ -46,6 +46,42 @@ object Ivf {
     bucket(vectors, idCol, vecCol, cents, assign)
   }
 
+  /** INCREMENTAL INDEX MAINTENANCE: admit a new batch into a stored
+    * index WITHOUT retraining and WITHOUT rescanning the stored
+    * corpus — the x14 pattern for vectors. At 100 TB you cannot
+    * re-run training nightly; the standard production shape
+    * (FAISS's add-after-train) is: keep the centroids fixed, assign
+    * only the new vectors (a narrow map against the model-sized
+    * centroid broadcast — O(batch·k·d) work, zero stored-side IO),
+    * and append just the new bucket rows. The stored side's
+    * partitioning is preserved (no repartition — a shuffle here
+    * would touch the whole corpus); the probe join stays satisfied
+    * because the tiny probed-query side broadcasts.
+    *
+    * Equivalence contract (v20's oracle proves it as a hash check):
+    * the assignment expression and (sq, cluster_id) tie-break are
+    * IDENTICAL to training's final pass, so append(build(hist),
+    * batch) ≡ bucketing (hist ∪ batch) at the same fixed centroids.
+    */
+  def append(index: Index, batch: DataFrame, vecCol: String): Index = {
+    val spark = batch.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val id = index.idCol
+    val cents = broadcast(index.centroids
+      .withColumn("_cc", VectorOps.dot(col("cvec"), col("cvec"))))
+    val v = batch.select(col(id), col(vecCol).cast("array<double>").as("_vec"))
+      .withColumn("_vv", VectorOps.dot(col("_vec"), col("_vec")))
+    val scored = v.crossJoin(cents)
+      .withColumn("_sq", col("_vv") + col("_cc") -
+        lit(2.0) * VectorOps.dot(col("_vec"), col("cvec")))
+    val assignedNew = graft.plans.TopK.perKey(scored, Seq(id),
+        Seq(col("_sq"), col("cluster_id")), 1)
+      .select(col(id), col("_vec"), col("cluster_id"))
+    Index(index.centroids,
+      index.assigned.select(col(id), col("_vec"), col("cluster_id"))
+        .unionByName(assignedNew), id)
+  }
+
   private def bucket(vectors: DataFrame, idCol: String, vecCol: String,
                      cents: DataFrame, assign: DataFrame): Index = {
     val v = vectors.select(col(idCol),

@@ -49,6 +49,33 @@ object VectorQ {
     * same training, x11-style). Ivf.build stays the float scale
     * path, pinned by IvfSpec.
     */
+  /** v20 split: vectors with vec_id % [[AppendSplitMod]] <
+    * [[AppendHistMax]] are the STORED corpus (the index is trained
+    * and built on them); the rest are the nightly batch admitted via
+    * [[graft.ops.Ivf.append]] without retraining or a corpus rescan. */
+  val AppendSplitMod = 10
+  val AppendHistMax = 8
+
+  /** Session-memoized history-split index for v20 (same
+    * Derived-paired pattern as [[learnedIndex]]): exact-trained on
+    * the stored 80%, so the whole append-then-probe path replays in
+    * SQL. */
+  private def historyIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
+    val cached = for {
+      c <- Derived.peek(s, d, "ivf_hist_centroids")
+      a <- Derived.peek(s, d, "ivf_hist_assigned")
+    } yield graft.ops.Ivf.Index(c, a, "vec_id")
+    cached.getOrElse {
+      val hist = emb(s, d).filter(col("vec_id") % AppendSplitMod < AppendHistMax)
+      val b = graft.ops.Ivf.buildExact(hist, "vec_id", "embedding",
+        k = IvfClusters, assignPasses = IvfIters)
+      val Seq(cents, assigned) = Derived.ofAll(s, d,
+        Seq("ivf_hist_centroids" -> b.centroids,
+          "ivf_hist_assigned" -> b.assigned))
+      graft.ops.Ivf.Index(cents, assigned, "vec_id")
+    }
+  }
+
   private def learnedIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
     // KMeans training runs Spark jobs — peek first and train OUTSIDE
     // Derived's lock (Derived.peek doc); a lost race wastes one
@@ -511,6 +538,31 @@ object VectorQ {
         .orderBy(col("qid"))
     }),
 
+    // v20 — INCREMENTAL ANN INDEX MAINTENANCE (x14 for vectors): the
+    // stored 80% of the corpus carries an exact-trained IVF index
+    // (Derived-persisted, built once per session — the production
+    // "index on disk" stand-in); the remaining 20% arrives as a new
+    // batch and is admitted via Ivf.append — centroids FIXED, batch
+    // assigned by a narrow map against the model-sized centroid
+    // broadcast, stored bucket rows untouched (no retraining, no
+    // corpus rescan, no stored-side shuffle; PlanShapeSpec pins the
+    // plan). The oracle replays the FULL REBUILD at the same fixed
+    // centroids — training on the history split, assigning history ∪
+    // batch, probing nprobe=2 — so the hash match IS the proof that
+    // append ≡ rebuild.
+    "v20_ivf_append" -> ((s, d) => {
+      val idx = historyIndex(s, d)
+      val batch = emb(s, d)
+        .filter(col("vec_id") % AppendSplitMod >= AppendHistMax)
+      val appended = graft.ops.Ivf.append(idx, batch, "embedding")
+      val q = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(appended, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     // v18 — MMR RE-RANKING (maximal marginal relevance, Carbonell &
     // Goldstein 1998): diversify the flagship top-k before it reaches
     // the prompt — greedily pick [[MmrK]] of the top-[[MmrM]]
@@ -744,18 +796,20 @@ object VectorQ {
     * scan joins only the two probed buckets. */
   /** Ivf.buildExact's training chain as prefixable CTE text (x11's
     * unrolled pattern). Exposes `${p}cent${IvfIters-1}` (final
-    * centroids) and `${p}asg$IvfIters` (final bucket assignment). */
-  private def ivfTrainCtes(p: String): String = {
+    * centroids) and `${p}asg$IvfIters` (final bucket assignment).
+    * `where` restricts the TRAINING SET (v20 trains on the history
+    * split only; '' = the whole corpus). */
+  private def ivfTrainCtes(p: String, where: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
       s"""${p}seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
          |         embedding::DOUBLE[] AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfClusters) s),
+         |  FROM (SELECT vec_id, embedding FROM embeddings $where ORDER BY vec_id LIMIT $IvfClusters) s),
          |${p}dims AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          |         unnest(embedding)::DOUBLE AS x
-         |  FROM embeddings),
+         |  FROM embeddings $where),
          |${p}cent0 AS (SELECT cluster_id, cvec FROM ${p}seeds)""".stripMargin)
     def asgSql(i: Int): String =
       s""",
@@ -767,7 +821,7 @@ object VectorQ {
          |          + list_dot_product(c.cvec, c.cvec)
          |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
          |        c.cluster_id) AS rn
-         |    FROM embeddings e CROSS JOIN ${p}cent${i - 1} c) t
+         |    FROM (SELECT * FROM embeddings $where) e CROSS JOIN ${p}cent${i - 1} c) t
          |  WHERE rn = 1)""".stripMargin
     for (i <- 1 to IvfIters) {
       sb.append(asgSql(i))
@@ -806,6 +860,40 @@ object VectorQ {
        |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
        |  FROM probed p
        |  JOIN asg$IvfIters a ON a.cluster_id = p.cluster_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
+       |FROM (SELECT qid, nb_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+       |      FROM cands) x
+       |WHERE rn <= 3
+       |ORDER BY qid, nb_rank""".stripMargin
+
+  /** The v20 oracle: the FULL REBUILD at fixed centroids — train on
+    * the history split (the same unrolled chain as v8's, restricted
+    * by WHERE), then assign EVERY vector (history ∪ batch) against
+    * the final centroids with training's exact expression and
+    * tie-break, then probe nprobe=2. Ivf.append's contract is that
+    * its union (stored assignment + narrow batch assignment) equals
+    * exactly this, so the hash match proves append ≡ rebuild. */
+  private def ivfAppendOracle: String =
+    s"""WITH ${ivfTrainCtes("h", s"WHERE vec_id % $AppendSplitMod < $AppendHistMax")},
+       |allasg AS (
+       |  SELECT vec_id, cluster_id FROM (
+       |    SELECT e.vec_id, c.cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |          + list_dot_product(c.cvec, c.cvec)
+       |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
+       |        c.cluster_id) AS rn
+       |    FROM embeddings e CROSS JOIN hcent${IvfIters - 1} c) t
+       |  WHERE rn = 1),
+       |${ivfProbedCte("h")},
+       |cands AS (
+       |  SELECT p.qid, a.vec_id AS nb_id,
+       |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
+       |  FROM hprobed p
+       |  JOIN allasg a ON a.cluster_id = p.cluster_id
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  WHERE a.vec_id <> p.qid)
        |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
@@ -908,6 +996,7 @@ object VectorQ {
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
+    "v20_ivf_append" -> ivfAppendOracle,
     "v12_knn_ivfpq" -> ivfPqOracle,
 
     // Sq.encode + Sq.score term for term: max|x|/127 scale,

@@ -69,4 +69,27 @@ class IvfSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("append equals a full rebuild at fixed centroids (probe parity)") {
+    // the v20 contract: admitting a batch with frozen centroids must
+    // give exactly the probe results of bucketing the whole corpus at
+    // those centroids — both nprobe=2 and the exhaustive nprobe=k
+    val hist = vecs.filter(col("vec_id") % 10 < 8)
+    val batch = vecs.filter(col("vec_id") % 10 >= 8)
+    val idx = Ivf.buildExact(hist, "vec_id", "embedding", k = 4, assignPasses = 3)
+    val appended = Ivf.append(idx, batch, "embedding")
+    // "rebuild": assign EVERYTHING at the same frozen centroids
+    val rebuilt = Ivf.append(
+      Ivf.Index(idx.centroids, appended.assigned.limit(0), "vec_id"),
+      vecs, "embedding")
+    for (np <- Seq(2, 4)) {
+      def res(ix: Ivf.Index) = Ivf.probe(ix, queries, nprobe = np, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("nb_rank")))
+        .toSet
+      assert(res(appended) == res(rebuilt), s"append/rebuild diverge at nprobe=$np")
+    }
+    // and the appended index actually contains every vector once
+    assert(appended.assigned.count() == vecs.count())
+    assert(appended.assigned.select("vec_id").distinct().count() == vecs.count())
+  }
 }

@@ -301,6 +301,27 @@ class PlanShapeSpec extends SparkSpec {
       "bucketed layout must satisfy the join's distribution — no orderkey exchange")
   }
 
+  test("v20's append admits the batch without rescanning the stored corpus") {
+    // count source relations on the OPTIMIZED plan, where the
+    // persisted index is an InMemoryRelation LEAF (formatted explain
+    // would also print the cached relations' build plans and
+    // double-count their scans)
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val opt = SparkEntry.queries("v20_ivf_append")(spark, Sf0001)
+      .queryExecution.optimizedPlan
+    // stored index buckets + centroids must come from the persisted
+    // (Derived) relations, not be re-derived from the source table
+    assert(opt.collect { case r: InMemoryRelation => r }.nonEmpty,
+      "stored index must be served from the persisted relations")
+    // the only source reads allowed are the new batch and the query
+    // vectors — a third scan would mean the append path re-read the
+    // stored corpus from source
+    val scans = opt.collect { case r: LogicalRelation => r }
+    assert(scans.size <= 2,
+      s"append must scan only batch + query rows, found ${scans.size} source scans")
+  }
+
   test("s6's dimension joins map-side (BroadcastHashJoin, no stream-side shuffle)") {
     val p = plan("s6_enrich_events")
     assert(p.contains("BroadcastHashJoin"),
