@@ -34,7 +34,12 @@ object ScaleSmoke {
     "t21_profile", "t22_ccnet_buckets", "t23_weighted_sample",
     "x19_zorder_layout", "v18_mmr_rerank", "d13_containment",
     "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events",
-    "d14_phash_dedup", "v20_ivf_append")
+    "d14_phash_dedup", "v20_ivf_append",
+    // graph family over the scaled orders⋈lineitem co-purchase graph
+    // (copies are id-offset ⇒ F disjoint subgraphs: density constant,
+    // rounds constant, per-round shuffle rows must grow ~F)
+    "k11_pagerank", "k14_label_prop", "k15_components", "k16_kcore",
+    "k17_node_similarity", "k18_shortest_paths", "x23_salted_join")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,6 +74,7 @@ object ScaleSmoke {
         try Right(f) catch { case e: Throwable => Left(e.toString.take(200)) }
       val dedup = diag(queries.DedupQ.candidateDiagnostics(spark, dir))
       val ann = diag(queries.VectorQ.annCandidateDiagnostics(spark, dir))
+      val graph = diag(queries.KgQ.graphDiagnostics(spark, dir))
       def jmap(m: Seq[(String, Any)]): String =
         m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       def jdiag(d: Either[String, Map[String, Long]]): String = d match {
@@ -78,7 +84,7 @@ object ScaleSmoke {
       println(
         s"""{"dir":"$dir","times":${jmap(times.map(t => t._1 -> t._2))},""" +
           s""""errors":${jmap(times.collect { case (q, _, Some(e)) => q -> util.Jsons.quote(e) })},""" +
-          s""""dedup":${jdiag(dedup)},"ann":${jdiag(ann)}}""")
+          s""""dedup":${jdiag(dedup)},"ann":${jdiag(ann)},"graph":${jdiag(graph)}}""")
     }
     spark.stop()
   }
@@ -90,7 +96,7 @@ object ScaleSmoke {
     * makes the content copy-distinct. */
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val done = new java.io.File(s"$out/_GENERATED")
-    val stamp = s"base=$base factor=$factor tables=docs,embs,events\n"
+    val stamp = s"base=$base factor=$factor tables=docs,embs,events,orders,lineitem,customer\n"
     if (done.exists() &&
       java.nio.file.Files.readString(done.toPath) == stamp) return
     val docs = Tables.load(spark, base, "documents")
@@ -138,6 +144,40 @@ object ScaleSmoke {
     evCopies.reduce(_ unionByName _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // orders + lineitem: id-offset copies (orderkey/custkey/suppkey
+    // shift together, dates unchanged) → the customer–supplier
+    // co-purchase graph becomes F disjoint copies of the base graph:
+    // node/edge counts grow F×, degree distribution and diameter are
+    // UNCHANGED, so the iterative family's round counts hold and the
+    // per-round shuffle rows are the linear quantity under test.
+    val ord = Tables.load(spark, base, "orders")
+    val li = Tables.load(spark, base, "lineitem")
+    val nOrd = ord.agg(max(col("o_orderkey"))).head.getAs[Number](0).longValue + 1
+    val nCust = ord.agg(max(col("o_custkey"))).head.getAs[Number](0).longValue + 1
+    val nSupp = li.agg(max(col("l_suppkey"))).head.getAs[Number](0).longValue + 1
+    val ordCopies = (0 until factor).map { i =>
+      if (i == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * nOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * nCust))
+    }
+    ordCopies.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val liCopies = (0 until factor).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * nSupp))
+    }
+    liCopies.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // customer rides along VERBATIM: it is s6's bounded dimension —
+    // the operator's scale story is precisely "stream grows F×, dim
+    // stays model-sized" — and the id-offset user copies still land
+    // inside the base key range for factor ≤ 10 (1500·F ≤ 15000), so
+    // every copied event finds its segment.
+    Tables.load(spark, base, "customer")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
     done.getParentFile.mkdirs()
     java.nio.file.Files.writeString(done.toPath, stamp): Unit
   }

@@ -302,15 +302,28 @@ object DedupQ {
     // d11's cross-split band candidates (the query's own candidate
     // join, pre-distinct) — must track the d3 curve, not n²
     val d11 = crossSplitBandPairs(s, d).count()
-    // d14's band-bucket collisions (pre-distinct): bounded by
-    // per-(band, bv) bucket density — must grow ~linearly, the 16-bit
-    // band space is the collision denominator
+    // d14's band-bucket collisions (pre-distinct): the 16-bit band
+    // space is the collision denominator, so alongside the real
+    // near-dup structure the count carries an ~n²/2^16 chance term
+    // (measured: dominant only past ~50k docs). The WIDE variant
+    // fuses adjacent bands into 2×32-bit slices — denominator 2^32,
+    // chance term gone for any realistic corpus — the d8 band-
+    // widening move, reported here as the measured scale path (the
+    // recall trade: a qualifying pair must now match one of 2 wider
+    // bands instead of one of 4).
     val pb = graft.ops.Multimodal.aHashBands(
         graft.ops.Multimodal.figuresFromDocuments(docs(s, d)))
       .select(col("figure_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val d14 = pb.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
       .join(pb.select(col("figure_id").as("b_fig"), col("band"), col("bv")),
         Seq("band", "bv"))
+      .filter(col("a_fig") < col("b_fig")).count()
+    val pbWide = pb.groupBy(col("figure_id"), (col("band") / 2).cast("int").as("wband"))
+      .agg(sum(col("bv").cast("long") *
+        pow(lit(65536.0), pmod(col("band"), lit(2))).cast("long")).as("wbv"))
+    val d14w = pbWide.select(col("figure_id").as("a_fig"), col("wband"), col("wbv"))
+      .join(pbWide.select(col("figure_id").as("b_fig"), col("wband"), col("wbv")),
+        Seq("wband", "wbv"))
       .filter(col("a_fig") < col("b_fig")).count()
     Map(
       "n_docs" -> docs(s, d).count(),
@@ -320,6 +333,7 @@ object DedupQ {
       "d11_candidates" -> d11,
       "d12_dup_positions" -> d12,
       "d14_candidates" -> d14,
+      "d14_candidates_wide" -> d14w,
       "d9_train_ngrams" -> train.count(),
       "d9_bloom_survivors" -> surv.count())
   }

@@ -1074,4 +1074,34 @@ object KgQ {
          |  chunk_id
          |LIMIT 5""".stripMargin
   )
+
+  /** Scale-smoke diagnostics (SCALE.md evidence — the graph analogue
+    * of DedupQ.candidateDiagnostics): node/edge counts of the shared
+    * co-purchase graph and k17's wedge-join fan-in over the capped
+    * universe. The iterative family's per-round shuffle volume is a
+    * fixed multiple of `graph_edges` by construction (k11: one rank
+    * message per edge; k14/k15: 2m candidate rows over the
+    * symmetrized graph; k18: ≤ m frontier messages), so a ~linear
+    * edge curve at growing SF is the no-blowup proof for the whole
+    * family. Wedges are the one super-linear hazard — Σ_a deg(a)·
+    * (deg(a)−1)/2 with hub customers (deg > [[WedgeCap]]) excluded —
+    * bounded per customer by cap²/2. */
+  def graphDiagnostics(s: SparkSession, d: String): Map[String, Long] = {
+    val g = orderGraph(s, d)
+    val m = g.count()
+    val n = g.select(col("a").as("v")).unionByName(g.select(col("b").as("v")))
+      .distinct().count()
+    val ed = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"), col("l_suppkey").as("b"))
+      .distinct()
+    val wedges = ed.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") <= WedgeCap)
+      .agg(coalesce(sum((col("dg") * (col("dg") - 1) / 2).cast("long")), lit(0L)))
+      .head.getLong(0)
+    Map("graph_nodes" -> n, "graph_edges" -> m, "k17_wedges" -> wedges)
+  }
 }
