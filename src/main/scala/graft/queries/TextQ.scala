@@ -26,6 +26,14 @@ object TextQ {
     * signed-64 range. */
   val RollMask = (1L << 56) - 1
 
+  /** m3 frame dedup: frame hashes appearing in more than this many
+    * figures are dropped before the pair join (d2's df-cap move —
+    * a boilerplate frame shared by thousands of videos would
+    * otherwise quadratically dominate the shared-frame join; at
+    * deployment scale prefer the relative form,
+    * ops.Skew.withRelativeDfCap). */
+  val FrameDfCap = 10
+
   /** Fixed query for the BM25 retrieval demo (t10); shared verbatim
     * with the oracle. */
   val BmQueryTerms = Seq("spark", "join", "vector")
@@ -737,6 +745,43 @@ object TextQ {
         .orderBy(col("figure_id"))
     }),
 
+    // m3 — FRAME-LEVEL OVERLAP DEDUP: the video analogue of d13's
+    // containment — two media files sharing SAMPLED FRAMES (same
+    // scene, re-encoded container) that whole-payload hashing (d14)
+    // misses when the files differ elsewhere. Pipeline: the m2 frame
+    // sampler (every stride-th 64-byte frame of the payload) → md5
+    // per frame → df-capped inverted-index join on frame hash →
+    // per-pair shared-frame count + overlap fraction against the
+    // smaller figure's kept-frame count (exact for the declared
+    // capped universe, the d13/k17 contract). All hash/substring
+    // math replays in SQL, so the full oracle applies. At 100 TB:
+    // frames are (figure, 16-byte hash) rows — corpus-sized but
+    // thin; the join is bucketed by frame hash with the df-cap
+    // bounding bucket width, never all-pairs.
+    "m3_frame_dedup" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val figs = Multimodal.figuresFromDocuments(docs(s, d))
+      val frames = Multimodal.sampleFrames(figs, frameBytes = 64, stride = 4)
+        .select(col("figure_id"), md5(col("frame")).as("fh")).distinct()
+      val dfc = frames.groupBy(col("fh")).agg(count(lit(1)).as("nfig"))
+      val kept = frames.join(
+        dfc.filter(col("nfig") <= FrameDfCap).select(col("fh")), "fh")
+      val sizes = kept.groupBy(col("figure_id")).agg(count(lit(1)).as("sz"))
+      val a = kept.select(col("figure_id").as("a_fig"), col("fh"))
+      val b = kept.select(col("figure_id").as("b_fig"), col("fh"))
+      a.join(b, Seq("fh")).filter(col("a_fig") < col("b_fig"))
+        .groupBy(col("a_fig"), col("b_fig")).agg(count(lit(1)).as("n_shared"))
+        .join(sizes.withColumnRenamed("figure_id", "a_fig")
+          .withColumnRenamed("sz", "na"), Seq("a_fig"))
+        .join(sizes.withColumnRenamed("figure_id", "b_fig")
+          .withColumnRenamed("sz", "nb"), Seq("b_fig"))
+        .withColumn("overlap",
+          round(col("n_shared") / least(col("na"), col("nb")), 4))
+        .select(col("a_fig"), col("b_fig"), col("n_shared"),
+          col("na"), col("nb"), col("overlap"))
+        .orderBy(col("a_fig"), col("b_fig"))
+    }),
+
     // s1 — §2.11: tumbling-window event aggregation, the batch twin
     // of graft.streaming.Events (same 5-minute windows + decimal-exact
     // sums). Partial agg + one shuffle on (window, type).
@@ -1352,6 +1397,39 @@ object TextQ {
         |  CAST(0 AS BIGINT) AS hb6, CAST(0 AS BIGINT) AS hb7
         |FROM figs f JOIN fsum s USING (figure_id)
         |ORDER BY figure_id""".stripMargin,
+
+    // m3: the m2 frame geometry (frame i = bytes [256·i+1, 256·i+64],
+    // ASCII fixture ⇒ chars == bytes) hashed and joined in SQL —
+    // df-cap, pair counts, and the overlap denominator all replay
+    // over the same capped universe.
+    "m3_frame_dedup" ->
+      s"""WITH figs AS (
+         |  SELECT printf('fig_%06d', doc_id) AS figure_id, text,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents),
+         |fr AS (
+         |  SELECT figure_id, greatest(CAST(floor(n / 256.0) AS INT), 1) AS nf, text
+         |  FROM figs),
+         |frames AS (
+         |  SELECT DISTINCT figure_id,
+         |         md5(substr(text, 256 * CAST(u.i AS INT) + 1, 64)) AS fh
+         |  FROM fr, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) u),
+         |df AS (SELECT fh, COUNT(*) AS nfig FROM frames GROUP BY fh),
+         |kept AS (
+         |  SELECT f.figure_id, f.fh
+         |  FROM frames f JOIN df USING (fh) WHERE df.nfig <= $FrameDfCap),
+         |sizes AS (SELECT figure_id, COUNT(*) AS sz FROM kept GROUP BY figure_id),
+         |pairs AS (
+         |  SELECT a.figure_id AS a_fig, b.figure_id AS b_fig,
+         |         COUNT(*) AS n_shared
+         |  FROM kept a JOIN kept b
+         |    ON a.fh = b.fh AND a.figure_id < b.figure_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a_fig, p.b_fig, p.n_shared, sa.sz AS na, sb.sz AS nb,
+         |  round(p.n_shared * 1.0 / least(sa.sz, sb.sz), 4) AS overlap
+         |FROM pairs p JOIN sizes sa ON sa.figure_id = p.a_fig
+         |JOIN sizes sb ON sb.figure_id = p.b_fig
+         |ORDER BY a_fig, b_fig""".stripMargin,
 
     "s1_event_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type,
