@@ -318,6 +318,21 @@ object DedupQ {
       .join(pb.select(col("figure_id").as("b_fig"), col("band"), col("bv")),
         Seq("band", "bv"))
       .filter(col("a_fig") < col("b_fig")).count()
+    // m3's frame-hash join fan-in over the df-capped universe (the
+    // inverted-index quantity, pre-distinct) — the df-cap bounds
+    // bucket width, so the count must track shared-frame density
+    // linearly
+    val fr = graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.figuresFromDocuments(docs(s, d)),
+        frameBytes = 64, stride = 4)
+      .select(col("figure_id"), md5(col("frame")).as("fh")).distinct()
+    val frKept = fr.join(
+      fr.groupBy(col("fh")).agg(count(lit(1)).as("nfig"))
+        .filter(col("nfig") <= graft.queries.TextQ.FrameDfCap).select(col("fh")),
+      "fh")
+    val m3 = frKept.select(col("figure_id").as("a_fig"), col("fh"))
+      .join(frKept.select(col("figure_id").as("b_fig"), col("fh")), Seq("fh"))
+      .filter(col("a_fig") < col("b_fig")).count()
     val pbWide = pb.groupBy(col("figure_id"), (col("band") / 2).cast("int").as("wband"))
       .agg(sum(col("bv").cast("long") *
         pow(lit(65536.0), pmod(col("band"), lit(2))).cast("long")).as("wbv"))
@@ -334,6 +349,7 @@ object DedupQ {
       "d12_dup_positions" -> d12,
       "d14_candidates" -> d14,
       "d14_candidates_wide" -> d14w,
+      "m3_frame_candidates" -> m3,
       "d9_train_ngrams" -> train.count(),
       "d9_bloom_survivors" -> surv.count())
   }
