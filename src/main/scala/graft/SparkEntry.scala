@@ -9,19 +9,21 @@ import graft.queries._
   *  - RelationalQ (q1–q20, q30, q32): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics (lead/lag/ntile, distribution
   *    ranks)
-  *  - VectorQ (v1–v18): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v20): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
-  *    truncated-prefilter rerank, recall@k evaluation, MMR re-ranking)
-  *  - DedupQ (d1–d13, x14): dedup suite (exact, Jaccard, MinHash,
+  *    truncated-prefilter rerank, recall@k evaluation, MMR
+  *    re-ranking, radius search, incremental index append)
+  *  - DedupQ (d1–d14, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, n-gram containment,
-  *    canonical selection,
+  *    canonical selection, perceptual-hash image dedup,
   *    incremental batch-vs-corpus dedup, duplicated-span detection)
-  *  - TextQ (t1–t23, m1/m2, s1, q28, q31): text analysis, sampling,
+  *  - TextQ (t1–t24, m1–m3, s1, q28, q31): text analysis, sampling,
   *    boilerplate removal, perplexity scoring, vocabulary coverage,
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
-  *    sets, multimodal, windowed events
+  *    sets, NFC normalization, multimodal (binary metadata, decode +
+  *    frame sampling, frame-overlap dedup), windowed events
   *  - KgQ (k1–k18): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, triangles,
   *    clustering coefficients, label-propagation communities,
