@@ -301,6 +301,20 @@ class PlanShapeSpec extends SparkSpec {
       "bucketed layout must satisfy the join's distribution — no orderkey exchange")
   }
 
+  test("d14/m3 candidate generation is banded equi-joins, never a cross join") {
+    // the multimodal dedup pair — band-bucket (d14) and frame-hash
+    // (m3) inverted indexes — must plan as hash equi-joins on the
+    // bucket key; a CartesianProduct or BroadcastNestedLoop here is
+    // the all-pairs blowup the banding exists to prevent
+    for (q <- Seq("d14_phash_dedup", "m3_frame_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian candidate join")
+      assert(!p.contains("BroadcastNestedLoop"),
+        s"$q must not plan a nested-loop candidate join")
+    }
+  }
+
   test("v20's append admits the batch without rescanning the stored corpus") {
     // count source relations on the OPTIMIZED plan, where the
     // persisted index is an InMemoryRelation LEAF (formatted explain
