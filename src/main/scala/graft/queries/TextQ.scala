@@ -764,8 +764,12 @@ object TextQ {
       val frames = Multimodal.sampleFrames(figs, frameBytes = 64, stride = 4)
         .select(col("figure_id"), md5(col("frame")).as("fh")).distinct()
       val dfc = frames.groupBy(col("fh")).agg(count(lit(1)).as("nfig"))
+      // kept feeds three consumers (self-join both sides + sizes) —
+      // cut the plan here (k17's move) so the sample→hash→distinct→
+      // df-cap chain runs once, not three times
       val kept = frames.join(
         dfc.filter(col("nfig") <= FrameDfCap).select(col("fh")), "fh")
+        .localCheckpoint(true)
       val sizes = kept.groupBy(col("figure_id")).agg(count(lit(1)).as("sz"))
       val a = kept.select(col("figure_id").as("a_fig"), col("fh"))
       val b = kept.select(col("figure_id").as("b_fig"), col("fh"))
