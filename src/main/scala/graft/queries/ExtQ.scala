@@ -967,6 +967,41 @@ object ExtQ {
     // function the streaming path runs per micro-batch (broadcast
     // the dimension, no stream shuffle, no state store; parity with
     // the streaming side is pinned by StreamingSpec).
+    // x24 — TIME TRAVEL over the copy-on-write snapshot log
+    // (sources.Snapshots): commit customer balances as of 1996
+    // (version 1), commit the post-1997 refresh (version 2), then
+    // read version 1 AGAIN — after v2 exists — next to latest. The
+    // oracle states both table states straight from orders, so the
+    // hash match proves snapshot ISOLATION: the v1 read is
+    // bit-identical to the pre-refresh aggregate even though a later
+    // commit rewrote the table (old version files are immutable; the
+    // log, not the directory tree, defines visibility). Like
+    // x21/x22, the writes run at query construction and their cost
+    // is honestly inside this query's bench time. At 100 TB the
+    // version unit becomes file-level deltas + an atomic log store;
+    // the reader contract exercised here is identical.
+    "x24_time_travel" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x24_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val orders = Tables.load(s, d, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      def balances(o: DataFrame) = o.groupBy(col("o_custkey"))
+        .agg(dsum2(col("o_totalprice")).as("balance"),
+          count(lit(1)).as("n_orders"))
+      Snapshots.commit(balances(orders.filter(col("o_orderdate") < cut)), dir)
+      Snapshots.commit(balances(orders), dir)
+      val v1 = Snapshots.read(s, dir, Some(1))
+        .select(col("o_custkey"), col("balance").as("bal_v1"),
+          col("n_orders").as("n_orders_v1"))
+      val latest = Snapshots.read(s, dir)
+      latest.join(v1, Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("bal_v1"), col("n_orders_v1"),
+          col("balance").as("bal_latest"), col("n_orders").as("n_orders_latest"),
+          lit(Snapshots.versions(s, dir).size).as("n_versions"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "s6_enrich_events" -> ((s, d) => {
       val dim = Tables.load(s, d, "customer")
         .select(col("c_custkey").as("user_id"),
@@ -1566,6 +1601,28 @@ object ExtQ {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // x24: both snapshot states stated straight from orders — the
+    // pinned-v1 read must equal the pre-refresh aggregate even
+    // though v2 was committed in between (snapshot isolation as a
+    // hash check); customers first active in 1997+ carry null v1
+    // columns through the left join on both engines.
+    "x24_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_v1,
+        |    COUNT(*) AS n_orders_v1
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |latest AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_latest,
+        |    COUNT(*) AS n_orders_latest
+        |  FROM orders GROUP BY 1)
+        |SELECT l.o_custkey, v.bal_v1, v.n_orders_v1,
+        |  l.bal_latest, l.n_orders_latest, CAST(2 AS INT) AS n_versions
+        |FROM latest l LEFT JOIN v1 v USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     // broadcast left join to a unique-keyed dimension — no row
     // multiplication, absent users keep null segments

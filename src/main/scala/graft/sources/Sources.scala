@@ -224,3 +224,84 @@ object Sources {
     (df, keep.size, total)
   }
 }
+
+/** MINIMAL COPY-ON-WRITE SNAPSHOT LOG — the time-travel /
+  * snapshot-isolation core of a lakehouse table format (the central
+  * Delta/Iceberg idea reduced to its load-bearing parts):
+  *
+  *  - a commit writes a NEW immutable version directory `v<N>/` and
+  *    only then records the version in the `_versions.json` log —
+  *    old version files are never touched, so a reader pinned to
+  *    version N is unaffected by any later commit (snapshot
+  *    isolation by construction, x24's oracle proves it as a hash
+  *    check);
+  *  - the log is the visibility point: a version exists iff its log
+  *    entry does, so a crashed half-written `v<N>` directory without
+  *    its entry is invisible garbage, never a torn read;
+  *  - readers resolve `latest` (or an explicit `asOf`) from the log
+  *    — manifest-sized metadata, one small file read before the
+  *    scan.
+  *
+  * At 100 TB the version unit would be file-level deltas + atomic
+  * log-store appends rather than full directory rewrites + a local
+  * rewrite of the log file; the visibility contract is identical.
+  */
+object Snapshots {
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed version numbers, ascending (empty if no log). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
+    if (!fs.exists(log)) Seq.empty
+    else {
+      val in = fs.open(log)
+      val text = try new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      text.linesIterator.filter(_.nonEmpty)
+        .map(l => m.readTree(l).get("version").asInt()).toSeq.sorted
+    }
+  }
+
+  /** Write `df` as the next version; returns its number (1-based). */
+  def commit(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val (fs, p) = fsOf(spark, dir)
+    val next = versions(spark, dir).lastOption.getOrElse(0) + 1
+    val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
+    val rows = spark.read.parquet(vdir.toString).count()
+    val entry = s"""{"version":$next,"n_rows":$rows}""" + "\n"
+    val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
+    val prior = if (fs.exists(log)) {
+      val in = fs.open(log)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } else ""
+    val out = fs.create(log, true)
+    try out.write((prior + entry).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
+
+  /** Read a pinned version, or the latest committed one. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in committed log $vs")
+    spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** Drop the whole table (all versions + log). */
+  def drop(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** The copy-on-write snapshot log's visibility contract (x24's
+  * operator): versions are immutable, the log — not the directory
+  * tree — defines what exists, and pinned reads are isolated from
+  * later commits.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
+    dir
+  }
+
+  test("commit/read round-trip and latest resolution") {
+    val dir = freshDir()
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val v2 = Snapshots.commit(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), dir)
+    assert(v1 == 1 && v2 == 2 && Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("a pinned read is isolated from later commits") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, 10.0)).toDF("id", "bal"), dir)
+    // capture the pinned plan BEFORE the refresh lands, execute after
+    val pinned = Snapshots.read(spark, dir, Some(1))
+    Snapshots.commit(Seq((1L, 99.0), (2L, 5.0)).toDF("id", "bal"), dir)
+    assert(pinned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0)), "v1 files must be untouched by the v2 commit")
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 1)
+    assert(Snapshots.read(spark, dir).count() == 2)
+  }
+
+  test("the log, not the directory tree, defines visibility") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate a crashed half-commit: a v2 directory with data files
+    // but NO log entry — it must be invisible garbage
+    Seq((9L, "torn")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L), "torn v2 must not be readable as latest")
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, Some(2))
+    }
+  }
+
+  test("reading an empty or unknown table fails loudly") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, dir, Some(7)) }
+    Snapshots.drop(spark, dir)
+    assert(Snapshots.versions(spark, dir).isEmpty)
+  }
+}
