@@ -276,8 +276,13 @@ object Snapshots {
     val next = versions(spark, dir).lastOption.getOrElse(0) + 1
     val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
     df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
-    val rows = spark.read.parquet(vdir.toString).count()
-    val entry = s"""{"version":$next,"n_rows":$rows}""" + "\n"
+    // log metadata comes from the FILE LISTING only — never a read
+    // pass over the data just written (at 100 TB a per-commit rescan
+    // would double the write cost)
+    val files = fs.listStatus(vdir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val entry =
+      s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum}}""" + "\n"
     val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
     val prior = if (fs.exists(log)) {
       val in = fs.open(log)
