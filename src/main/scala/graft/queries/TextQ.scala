@@ -745,6 +745,53 @@ object TextQ {
         .orderBy(col("figure_id"))
     }),
 
+    // t25 — WITHIN-DOCUMENT REPETITION FILTERS (Gopher §A1.1's
+    // repetition rules — the half of Gopher t20 doesn't cover, and
+    // the complement of d12's CROSS-document spans): per doc the
+    // duplicate-word fraction, the most-frequent-bigram occurrence
+    // share, and the duplicate-5-gram occurrence share, each gated by
+    // its Gopher-style threshold. ALL comparisons are integer
+    // cross-multiplications (dup·10 ≤ nw·3 etc.) and the published
+    // columns are raw integer counts — no float division anywhere,
+    // so engine rounding can never diverge (the x12 lesson). Scale
+    // shape: one gram explode + one (doc, gram) count + one doc
+    // aggregate per width — all shuffles keyed by doc/gram, nothing
+    // corpus-global; the same shape d12 already measures linear.
+    "t25_repetition" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("w", transform(TextFns.tokens(col("text")), t => lower(t)))
+        .withColumn("nw", TextFns.wordCount(col("text")))
+      def gramStats(n: Int, dupOnly: Boolean) = {
+        val grams = base.filter(col("nw") >= n)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), col("nw") - (n - 1)),
+              i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        if (dupOnly)
+          grams.groupBy(col("doc_id")).agg(
+            sum(col("c")).as(s"g${n}_total"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$n"))
+        else
+          grams.groupBy(col("doc_id")).agg(
+            sum(col("c")).as(s"g${n}_total"),
+            max(col("c")).as(s"top$n"))
+      }
+      base.select(col("doc_id"), col("nw"),
+          size(array_distinct(col("w"))).cast("long").as("ndw"))
+        .withColumn("ndw", when(col("nw") === 0, 0L).otherwise(col("ndw")))
+        .join(gramStats(2, dupOnly = false), Seq("doc_id"), "left")
+        .join(gramStats(5, dupOnly = true), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("g2_total", "top2", "g5_total", "dup5"))
+        .withColumn("keep", (
+          (col("nw") - col("ndw")) * 10L <= col("nw") * 3L &&
+            col("top2") * 5L <= col("g2_total") &&
+            col("dup5") * 20L <= col("g5_total") * 3L).cast("int"))
+        .select(col("doc_id"), col("nw").cast("long").as("n_words"),
+          col("ndw").as("n_distinct"), col("g2_total"), col("top2"),
+          col("g5_total"), col("dup5"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // m3 — FRAME-LEVEL OVERLAP DEDUP: the video analogue of d13's
     // containment — two media files sharing SAMPLED FRAMES (same
     // scene, re-encoded container) that whole-payload hashing (d14)
@@ -1401,6 +1448,49 @@ object TextQ {
         |  CAST(0 AS BIGINT) AS hb6, CAST(0 AS BIGINT) AS hb7
         |FROM figs f JOIN fsum s USING (figure_id)
         |ORDER BY figure_id""".stripMargin,
+
+    // t25: gram streams via the d12 slice idiom; every published
+    // column is an integer count and the keep flag is integer
+    // cross-multiplication — nothing to round, nothing to diverge.
+    "t25_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      x -> lower(x)) AS w,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nw
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, nw,
+        |    CASE WHEN nw = 0 THEN 0 ELSE len(list_distinct(w)) END AS ndw, w
+        |  FROM t),
+        |g2 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, nw - 1),
+        |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+        |    FROM base WHERE nw >= 2) x
+        |  GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g2_total,
+        |       CAST(MAX(c) AS BIGINT) AS top2 FROM g2 GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, nw - 4),
+        |      i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+        |    FROM base WHERE nw >= 5) x
+        |  GROUP BY doc_id, g),
+        |a5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g5_total,
+        |       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup5
+        |       FROM g5 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
+        |  CAST(b.ndw AS BIGINT) AS n_distinct,
+        |  COALESCE(a2.g2_total, 0) AS g2_total, COALESCE(a2.top2, 0) AS top2,
+        |  COALESCE(a5.g5_total, 0) AS g5_total, COALESCE(a5.dup5, 0) AS dup5,
+        |  CAST(CASE WHEN (b.nw - b.ndw) * 10 <= b.nw * 3
+        |        AND COALESCE(a2.top2, 0) * 5 <= COALESCE(a2.g2_total, 0)
+        |        AND COALESCE(a5.dup5, 0) * 20 <= COALESCE(a5.g5_total, 0) * 3
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // m3: the m2 frame geometry (frame i = bytes [256·i+1, 256·i+64],
     // ASCII fixture ⇒ chars == bytes) hashed and joined in SQL —
