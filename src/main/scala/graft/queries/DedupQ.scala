@@ -90,11 +90,26 @@ object DedupQ {
     * band-bucket collisions at Hamming ≤ [[PhashHamMax]]. Unlike d8
     * (whose ≤3 threshold makes 4-band banding lossless by pigeonhole)
     * the DECLARED operator here is the banded LSH search — d3's
-    * semantics, replayed exactly by the oracle. 16-bit bands give
-    * 2^16 bucket values, so chance collisions stay ~n²/2^16 per band
-    * — the linear-candidates regime SCALE.md demands (the 8-bit-band
-    * alternative measured quadratic in r4). */
+    * semantics, replayed exactly by the oracle. Band width is a
+    * SCALE-AWARE knob: past [[PhashWideMinFigs]] figures the
+    * candidate join runs on 2×32-bit WIDE bands (adjacent 16-bit
+    * slices fused), because the narrow 4×16-bit join carries an
+    * ~n²/2^16 chance-collision term the r6 20× smoke measured as
+    * dominant (4.0M candidates at 20×, a quadratic scale-killer)
+    * while 2^32 bucket values push the chance term below one pair
+    * for any realistic image corpus — candidates track true
+    * near-dup density, the linear regime SCALE.md demands. At or
+    * under the threshold the narrow bands are the RECALL mode: with
+    * n ≤ 1000 the chance term is ≤ ~n²/32768 ≈ 30 pairs — noise the
+    * Hamming verify absorbs for free — and the extra recall (match
+    * any of 4 narrow bands vs any of 2 wide) is worth having. The
+    * corpus-size branch is part of the declared semantics: the
+    * oracle replays the same count-based switch. */
   val PhashHamMax = 16
+
+  /** Figure count above which d14's candidate join switches from
+    * narrow 4×16-bit recall bands to 2×32-bit wide bands. */
+  val PhashWideMinFigs = 1000L
 
   private def docs(s: SparkSession, d: String) =
     // single-row-group parquet → 1 partition; spread the shingle /
@@ -742,23 +757,47 @@ object DedupQ {
     // codec byte-identity stand-in, a real pixel decode at
     // deployment) get a 64-bit average-hash in the mapPartitions
     // codec seam, banded into 4×16-bit slices; candidate pairs are
-    // band-bucket collisions (d8's byte-band join shape), verified at
-    // Hamming ≤ PhashHamMax over the full signature. All integer
-    // math ⇒ the DuckDB oracle replays hash, banding, and verify
-    // bit for bit. At 100 TB: signatures are 1 row × 4 ints per
-    // image (corpus-sized but thin), the join is bucketed by
-    // (band, bv) — candidates bounded by bucket density, never
-    // all-pairs — and the verify join touches only candidates.
+    // band-bucket collisions, verified at Hamming ≤ PhashHamMax
+    // over the full signature. Band width is the scale-aware knob
+    // (see PhashWideMinFigs): past 1000 figures adjacent slices are
+    // fused into 2×32-bit WIDE bands, because the r6 20× smoke
+    // measured the narrow join chance-dominated (n²/2^16 ⇒ 4.0M
+    // candidates at 20×) while the 2^32 bucket space carries
+    // essentially zero chance pairs at any corpus size; small
+    // corpora keep the narrow 4-band recall mode (chance term ≤ ~30
+    // pairs, absorbed by the verify). The count-based switch is part
+    // of the declared semantics — the oracle replays it. All integer
+    // math ⇒ the DuckDB oracle replays hash, banding, switch, and
+    // verify bit for bit. At 100 TB: signatures are 1 row × 4 ints
+    // per image (corpus-sized but thin), the join is bucketed by
+    // (band, value) — candidates bounded by true-pair density in
+    // wide mode, never n²/2^16 — and the verify join touches only
+    // candidates. The sizing count is one metadata-cheap action over
+    // the cached band table (the AQE pattern: a plan-time statistic,
+    // not a per-row dependency).
     "d14_phash_dedup" -> ((s, d) => {
       import graft.ops.Multimodal
       val bands = Derived.of(s, d, "phash_bands") {
         Multimodal.aHashBands(Multimodal.figuresFromDocuments(docs(s, d)))
           .select(col("figure_id"), posexplode(col("bands")).as(Seq("band", "bv")))
       }
-      val a = bands.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
-      val b = bands.select(col("figure_id").as("b_fig"), col("band"), col("bv"))
-      val cand = a.join(b, Seq("band", "bv")).filter(col("a_fig") < col("b_fig"))
-        .select(col("a_fig"), col("b_fig")).distinct()
+      val nFigs = bands.select(col("figure_id")).distinct().count()
+      val cand = if (nFigs > PhashWideMinFigs) {
+        val wide = bands
+          .groupBy(col("figure_id"), (col("band") / 2).cast("int").as("wband"))
+          .agg(sum(col("bv").cast("long") *
+            when(pmod(col("band"), lit(2)) === 1, lit(65536L)).otherwise(lit(1L)))
+            .as("wbv"))
+        val a = wide.select(col("figure_id").as("a_fig"), col("wband"), col("wbv"))
+        val b = wide.select(col("figure_id").as("b_fig"), col("wband"), col("wbv"))
+        a.join(b, Seq("wband", "wbv")).filter(col("a_fig") < col("b_fig"))
+          .select(col("a_fig"), col("b_fig")).distinct()
+      } else {
+        val a = bands.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
+        val b = bands.select(col("figure_id").as("b_fig"), col("band"), col("bv"))
+        a.join(b, Seq("band", "bv")).filter(col("a_fig") < col("b_fig"))
+          .select(col("a_fig"), col("b_fig")).distinct()
+      }
       val x = bands.select(col("figure_id").as("a_fig"), col("band"),
         col("bv").as("xa"))
       val y = bands.select(col("figure_id").as("b_fig"), col("band"),
@@ -1181,8 +1220,11 @@ object DedupQ {
       // d14: the aHash pipeline replayed from the characters (ASCII
       // fixture ⇒ chars == bytes, the m2 precedent): 64 onto cells
       // by (p·64)//n, integer cell means, global-mean threshold,
-      // 4×16-bit bands, band-bucket candidates, full-signature
-      // Hamming verify — every step integer-exact on both engines.
+      // 4×16-bit bands, the scale-aware band-width switch (narrow
+      // recall bands at ≤ PhashWideMinFigs figures, 2×32-bit wide
+      // bands past it — sf0.01 exercises the narrow branch, sf0.1
+      // the wide one), full-signature Hamming verify — every step
+      // integer-exact on both engines.
       "d14_phash_dedup" ->
         s"""WITH figs AS (
            |  SELECT printf('fig_%06d', doc_id) AS figure_id, text,
@@ -1204,10 +1246,22 @@ object DedupQ {
            |  SELECT figure_id, CAST(cell // 16 AS INT) AS band,
            |    CAST(SUM(bit * (1 << (cell % 16))) AS INT) AS bv
            |  FROM bits GROUP BY figure_id, cell // 16),
+           |wbands AS (
+           |  SELECT figure_id, CAST(band // 2 AS INT) AS wband,
+           |    CAST(SUM(CAST(bv AS BIGINT) *
+           |      CASE WHEN band % 2 = 1 THEN 65536 ELSE 1 END) AS BIGINT) AS wbv
+           |  FROM bands GROUP BY figure_id, band // 2),
+           |nf AS (SELECT COUNT(*) AS n_figs FROM figs),
            |cand AS (
            |  SELECT DISTINCT a.figure_id AS a_fig, b.figure_id AS b_fig
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-           |    AND a.figure_id < b.figure_id)
+           |    AND a.figure_id < b.figure_id
+           |  WHERE (SELECT n_figs FROM nf) <= $PhashWideMinFigs
+           |  UNION
+           |  SELECT DISTINCT a.figure_id AS a_fig, b.figure_id AS b_fig
+           |  FROM wbands a JOIN wbands b ON a.wband = b.wband AND a.wbv = b.wbv
+           |    AND a.figure_id < b.figure_id
+           |  WHERE (SELECT n_figs FROM nf) > $PhashWideMinFigs)
            |SELECT c.a_fig, c.b_fig,
            |  CAST(SUM(bit_count(xor(CAST(x.bv AS BIGINT), CAST(y.bv AS BIGINT))))
            |    AS BIGINT) AS hamming
