@@ -73,7 +73,11 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % ProbeEvery == 0) probeLog += probe()
+      // min-of-two per checkpoint (the endpoints' rule): a single
+      // probe inherits the GC debt of whatever heavy query just
+      // finished and reads as fake host drift; the min of two
+      // back-to-back probes is the steady-state cost
+      if (i > 0 && i % ProbeEvery == 0) probeLog += math.min(probe(), probe())
       val (sec, err) = timeOne(name, fn)
       (name, sec, err)
       // Shared derived tables (queries.Derived) stay cached across
@@ -131,15 +135,27 @@ object Bench {
     // the median test catches; a whole-run slowdown shows in the
     // endpoint spread.
     val endSpread = probeAfter / math.max(probeBefore, 1e-9)
+    // the median test needs a population: with < 3 mid probes the
+    // median IS one of the two samples and any jitter reads as a 2×
+    // spread (the r6 driver/builder disagreement) — below that the
+    // mid test abstains and only the endpoint spread decides
     val mids = probeLog.slice(1, probeLog.length - 1)
-    val midSpread = if (mids.isEmpty) 1.0 else {
+    val midSpread = if (mids.size < 3) 1.0 else {
       val med = mids.sorted.apply(mids.size / 2)
       mids.max / math.max(med, 1e-9)
     }
     val contended = endSpread > 2.0 || endSpread < 0.5 || midSpread > 2.0
     val probeSegs = probeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
+    // the decision rule rides IN the JSON so a driver run and a
+    // builder run can never disagree about what `contended` means on
+    // identical probe data
+    val contendedRule = "endpoints are min-of-2 cold probes, mids are " +
+      "min-of-2 mid-sweep probes; contended iff after/before outside " +
+      "[0.5,2.0] OR (>=3 mids AND max(mid)/median(mid) > 2.0); mids sit " +
+      "~3x above endpoints by design (warm JVM) and are never compared " +
+      "against them"
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":"$contendedRule"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson}"""
     val detail =

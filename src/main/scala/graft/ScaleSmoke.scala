@@ -58,10 +58,15 @@ object ScaleSmoke {
     val scaled = s"$out/x$factor"
     generate(spark, base, scaled, factor)
 
+    // factor > 10 breaks the verbatim-customer key-range invariant
+    // (see generate()): s6's join hit-rate would silently change, so
+    // the customer-joining query is excluded rather than measured wrong
+    val measured =
+      if (factor > 10) Queries.filterNot(_ == "s6_enrich_events") else Queries
     for (dir <- Seq(base, scaled)) {
       queries.Derived.invalidate(spark)
       spark.catalog.clearCache()
-      val times = Queries.map { q =>
+      val times = measured.map { q =>
         val t0 = System.nanoTime()
         val err = try {
           SparkEntry.queries(q)(spark, dir)
@@ -96,6 +101,15 @@ object ScaleSmoke {
     * corpus). Copy 0 is verbatim; copy i > 0 offsets ids by i·n and
     * makes the content copy-distinct. */
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    // the verbatim customer table only covers the copied events'
+    // user_id range for factor ≤ 10 (see the comment at the customer
+    // write below); past that, copied rows silently miss the
+    // dimension and change s6's join hit-rate — make the bound
+    // executable, not a comment
+    if (factor > 10)
+      System.err.println(s"[scale-smoke] WARNING factor=$factor > 10: copied " +
+        "event user_ids exceed the verbatim customer key range — " +
+        "customer-joining queries (s6) are excluded from this run")
     val done = new java.io.File(s"$out/_GENERATED")
     val stamp = s"base=$base factor=$factor tables=docs,embs,events,orders,lineitem,customer\n"
     if (done.exists() &&

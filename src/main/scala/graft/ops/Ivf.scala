@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** `vectors` column layout: (id, cluster_id, vec array<double>,
-    * plus the trained centroids). */
+  /** The index pair: `centroids` (cluster_id, cvec) and `assigned`,
+    * whose SCHEMA CONTRACT is (idCol, vecCol array<double>,
+    * cluster_id) — [[bucket]]-built indexes use the default `_vec`
+    * vector column; a caller constructing an Index from its own
+    * frames must pass the actual vector column name, which
+    * [[append]] and [[probe]] read from here rather than assuming. */
   case class Index(centroids: DataFrame, assigned: DataFrame,
-                   idCol: String)
+                   idCol: String, vecCol: String = "_vec")
 
   /** Train the quantizer and bucket every vector. */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
@@ -76,10 +80,10 @@ object Ivf {
         lit(2.0) * VectorOps.dot(col("_vec"), col("cvec")))
     val assignedNew = graft.plans.TopK.perKey(scored, Seq(id),
         Seq(col("_sq"), col("cluster_id")), 1)
-      .select(col(id), col("_vec"), col("cluster_id"))
+      .select(col(id), col("_vec").as(index.vecCol), col("cluster_id"))
     Index(index.centroids,
-      index.assigned.select(col(id), col("_vec"), col("cluster_id"))
-        .unionByName(assignedNew), id)
+      index.assigned.select(col(id), col(index.vecCol), col("cluster_id"))
+        .unionByName(assignedNew), id, index.vecCol)
   }
 
   private def bucket(vectors: DataFrame, idCol: String, vecCol: String,
@@ -138,6 +142,6 @@ object Ivf {
     // scan only the probed buckets
     probed.join(index.assigned, Seq("cluster_id"))
       .filter(col(index.idCol) =!= col("qid"))
-      .withColumn("score", VectorOps.dot(col("_q"), col("_vec")))
+      .withColumn("score", VectorOps.dot(col("_q"), col(index.vecCol)))
   }
 }

@@ -646,6 +646,12 @@ object ExtQ {
     // exact dot products. A real divergence (agg bug, tie-break
     // drift) flips the boolean → hash mismatch. VectorAggSpec keeps
     // the stronger full-row identity at both fixture scales.
+    //
+    // BENCH NARRATIVE: since the envelope runs v5's decimal-exact
+    // path INSIDE this query, v6's sweep time is dominated by the
+    // exact twin + comparison join, not the d-length-buffer fast
+    // path it showcases — read the fast path's own cost from
+    // VectorAggSpec / the v5-vs-v6 delta, not v6's headline number.
     "v6_knn_ivf_fast" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
       VectorAgg.register(s)
