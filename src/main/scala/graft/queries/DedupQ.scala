@@ -393,6 +393,81 @@ object DedupQ {
        |    HAVING COUNT(*) <= greatest($MinShingleDfCap,
        |      CAST(ceil($ShingleDfFrac * (SELECT COUNT(*) FROM documents)) AS BIGINT))))""".stripMargin
 
+  /** MinHash signature + band SQL fragments, object-level so both
+    * the oracle map and [[x14VerdictCtes]] share one definition. */
+  private lazy val sigExprsSql = (0 until NumHashes)
+    .map(j => s"min(h1 + $j * h2) AS s$j").mkString(",\n    ")
+  private lazy val bandUnionSql = (0 until NumHashes / BandWidth).map { b =>
+    val parts = (0 until BandWidth).map(k => s"s${b * BandWidth + k}::VARCHAR")
+    s"md5(${parts.mkString(" || ',' || ")})"
+  }.zipWithIndex.map { case (e, i) =>
+    s"SELECT doc_id, $i AS band, $e AS bh FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  /** x14's whole oracle chain (batch split → MinHash bands →
+    * band-bucket candidates → Jaccard verify → admission verdicts)
+    * as a reusable WITH-body ending in `x14verdicts` — the x14
+    * oracle wraps it directly, and ExtQ's x25 composed-pipeline
+    * oracle embeds it next to VectorQ's append-assignment chain (the
+    * CTE names here and VectorQ's h-prefixed ones are disjoint). */
+  private[queries] lazy val x14VerdictCtes: String =
+    s"""$shingleCte,
+       |$keptCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigExprsSql
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandUnionSql),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(('0x' || substr(md5('inc|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+       |      % 10 AS INT) >= 8 AS is_new
+       |  FROM documents),
+       |newb AS (
+       |  SELECT b.doc_id AS a_id, b.band, b.bh
+       |  FROM bands b JOIN lab l ON l.doc_id = b.doc_id AND l.is_new),
+       |exb AS (
+       |  SELECT b.doc_id AS b_id, b.band, b.bh
+       |  FROM bands b JOIN lab l ON l.doc_id = b.doc_id AND NOT l.is_new),
+       |excand AS (SELECT DISTINCT a_id, b_id FROM newb JOIN exb USING (band, bh)),
+       |bcand AS (
+       |  SELECT DISTINCT n1.a_id, n2.a_id AS b_id
+       |  FROM newb n1 JOIN newb n2
+       |    ON n1.band = n2.band AND n1.bh = n2.bh AND n2.a_id < n1.a_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+       |exver AS (
+       |  SELECT i.a_id AS doc_id, COUNT(*) AS n FROM (
+       |    SELECT c.a_id, c.b_id, COUNT(*) AS inter
+       |    FROM kept a JOIN kept b ON a.shingle = b.shingle
+       |    JOIN excand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+       |    GROUP BY c.a_id, c.b_id) i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin
+       |  GROUP BY i.a_id),
+       |bver AS (
+       |  SELECT i.a_id AS doc_id, COUNT(*) AS n FROM (
+       |    SELECT c.a_id, c.b_id, COUNT(*) AS inter
+       |    FROM kept a JOIN kept b ON a.shingle = b.shingle
+       |    JOIN bcand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+       |    GROUP BY c.a_id, c.b_id) i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin
+       |  GROUP BY i.a_id),
+       |x14verdicts AS (
+       |  SELECT l.doc_id,
+       |    COALESCE(e.n, 0) AS n_existing_matches,
+       |    COALESCE(v.n, 0) AS n_batch_matches,
+       |    CASE WHEN COALESCE(e.n, 0) > 0 THEN 'dup_of_existing'
+       |         WHEN COALESCE(v.n, 0) > 0 THEN 'dup_in_batch'
+       |         ELSE 'unique' END AS verdict
+       |  FROM lab l
+       |  LEFT JOIN exver e USING (doc_id)
+       |  LEFT JOIN bver v USING (doc_id)
+       |  WHERE l.is_new)""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // d1 — exact dedup: hash-groupBy on full text; representative =
     // min doc_id. One shuffle on the md5 key.
@@ -812,15 +887,8 @@ object DedupQ {
   )
 
   val oracles: Map[String, String] = {
-    val sigExprs = (0 until NumHashes)
-      .map(j => s"min(h1 + $j * h2) AS s$j").mkString(",\n    ")
-    val bandExprs = (0 until NumHashes / BandWidth).map { b =>
-      val parts = (0 until BandWidth).map(k => s"s${b * BandWidth + k}::VARCHAR")
-      s"md5(${parts.mkString(" || ',' || ")})"
-    }
-    val bandUnion = bandExprs.zipWithIndex.map { case (e, i) =>
-      s"SELECT doc_id, $i AS band, $e AS bh FROM sig"
-    }.mkString("\n  UNION ALL ")
+    val sigExprs = sigExprsSql
+    val bandUnion = bandUnionSql
     val bitSumExprs = (0 until SimHashBits)
       .map(b => s"SUM(CASE WHEN ((th >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n    ")
@@ -1022,61 +1090,9 @@ object DedupQ {
       // the same band buckets + Jaccard math split along the
       // new-batch / existing membership, verdicts by priority.
       "x14_incremental_dedup" ->
-        s"""WITH $shingleCte,
-           |$keptCte,
-           |sig AS (
-           |  SELECT doc_id,
-           |    $sigExprs
-           |  FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  $bandUnion),
-           |lab AS (
-           |  SELECT doc_id,
-           |    CAST(CAST(('0x' || substr(md5('inc|' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
-           |      % 10 AS INT) >= 8 AS is_new
-           |  FROM documents),
-           |newb AS (
-           |  SELECT b.doc_id AS a_id, b.band, b.bh
-           |  FROM bands b JOIN lab l ON l.doc_id = b.doc_id AND l.is_new),
-           |exb AS (
-           |  SELECT b.doc_id AS b_id, b.band, b.bh
-           |  FROM bands b JOIN lab l ON l.doc_id = b.doc_id AND NOT l.is_new),
-           |excand AS (SELECT DISTINCT a_id, b_id FROM newb JOIN exb USING (band, bh)),
-           |bcand AS (
-           |  SELECT DISTINCT n1.a_id, n2.a_id AS b_id
-           |  FROM newb n1 JOIN newb n2
-           |    ON n1.band = n2.band AND n1.bh = n2.bh AND n2.a_id < n1.a_id),
-           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
-           |exver AS (
-           |  SELECT i.a_id AS doc_id, COUNT(*) AS n FROM (
-           |    SELECT c.a_id, c.b_id, COUNT(*) AS inter
-           |    FROM kept a JOIN kept b ON a.shingle = b.shingle
-           |    JOIN excand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
-           |    GROUP BY c.a_id, c.b_id) i
-           |  JOIN sizes sa ON sa.doc_id = i.a_id
-           |  JOIN sizes sb ON sb.doc_id = i.b_id
-           |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin
-           |  GROUP BY i.a_id),
-           |bver AS (
-           |  SELECT i.a_id AS doc_id, COUNT(*) AS n FROM (
-           |    SELECT c.a_id, c.b_id, COUNT(*) AS inter
-           |    FROM kept a JOIN kept b ON a.shingle = b.shingle
-           |    JOIN bcand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
-           |    GROUP BY c.a_id, c.b_id) i
-           |  JOIN sizes sa ON sa.doc_id = i.a_id
-           |  JOIN sizes sb ON sb.doc_id = i.b_id
-           |  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= $JaccardMin
-           |  GROUP BY i.a_id)
-           |SELECT l.doc_id,
-           |  COALESCE(e.n, 0) AS n_existing_matches,
-           |  COALESCE(v.n, 0) AS n_batch_matches,
-           |  CASE WHEN COALESCE(e.n, 0) > 0 THEN 'dup_of_existing'
-           |       WHEN COALESCE(v.n, 0) > 0 THEN 'dup_in_batch'
-           |       ELSE 'unique' END AS verdict
-           |FROM lab l
-           |LEFT JOIN exver e USING (doc_id)
-           |LEFT JOIN bver v USING (doc_id)
-           |WHERE l.is_new
+        s"""WITH $x14VerdictCtes
+           |SELECT doc_id, n_existing_matches, n_batch_matches, verdict
+           |FROM x14verdicts
            |ORDER BY doc_id""".stripMargin,
 
       // d3's band buckets restricted to train⋈test, d2's Jaccard over

@@ -1016,8 +1016,82 @@ object ExtQ {
           Tables.load(s, d, "events"), dim)
         .select(col("event_id"), col("user_id"), col("segment"))
         .orderBy(col("event_id"))
+    }),
+
+    // x25 — THE COMPOSED LAKEHOUSE PIPELINE: the three incremental
+    // operators run TOGETHER the way a nightly ingest actually runs
+    // them — x14 admits tonight's document batch against the stored
+    // corpus (band-index probe, no corpus rescan), v20 appends the
+    // batch vectors to the stored IVF index (fixed centroids, no
+    // retrain, no stored-side rescan), and x24's snapshot log commits
+    // the combined store state as version 2 next to the pre-batch
+    // version 1. The output reads the PINNED v1 AFTER v2 exists,
+    // side by side with latest — and the oracle states BOTH versions
+    // straight from source (x14's verdict chain + v20's fixed-
+    // centroid assignment chain), so the hash match proves at once:
+    // admission semantics, append ≡ rebuild, and snapshot isolation
+    // of the composed commit. State rows are (store, bucket, id):
+    // the doc corpus keyed by doc_id and the vector store keyed by
+    // (cluster_id, vec_id); the compared output is per-bucket counts
+    // + id-sum checksums — integer-exact on both engines. At 100 TB:
+    // each stage is the already-proven incremental shape, the commit
+    // is file-listing metadata (Snapshots), and the summary is one
+    // shuffle per version over store-state rows.
+    "x25_pipeline_snapshot" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x25_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      Snapshots.commit(x25State(s, d, postBatch = false), dir)
+      Snapshots.commit(x25State(s, d, postBatch = true), dir)
+      val v1 = Snapshots.read(s, dir, Some(1))
+        .groupBy(col("store"), col("bucket"))
+        .agg(count(lit(1)).as("n_v1"), sum(col("id")).as("idsum_v1"))
+      val latest = Snapshots.read(s, dir)
+        .groupBy(col("store"), col("bucket"))
+        .agg(count(lit(1)).as("n_latest"), sum(col("id")).as("idsum_latest"))
+      latest.join(v1, Seq("store", "bucket"), "full_outer")
+        .select(col("store"), col("bucket"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("idsum_v1"), lit(0L)).as("idsum_v1"),
+          coalesce(col("n_latest"), lit(0L)).as("n_latest"),
+          coalesce(col("idsum_latest"), lit(0L)).as("idsum_latest"),
+          lit(Snapshots.versions(s, dir).size).as("n_versions"))
+        .orderBy(col("store"), col("bucket"))
     })
   )
+
+  /** x25's store state at one point in time, as (store, bucket, id)
+    * rows: the document corpus (bucket −1, id = doc_id) and the
+    * vector store (bucket = cluster_id, id = vec_id). Pre-batch =
+    * the x14 "existing" doc split + the stored history index
+    * assignment; post-batch adds the x14-admitted unique batch docs
+    * and swaps in the v20-appended index — whose stored side comes
+    * from the SAME persisted relations, so the composed plan admits
+    * the batch without rescanning either stored corpus
+    * (PlanShapeSpec pins it). */
+  private[graft] def x25State(s: SparkSession, d: String,
+                              postBatch: Boolean): DataFrame = {
+    val isNew = (graft.ops.TextFns.hash60(concat(lit("inc|"),
+      col("doc_id").cast("string"))) % 10).cast("int") >= 8
+    val existing = Tables.load(s, d, "documents")
+      .filter(!isNew)
+      .select(lit("docs").as("store"), lit(-1).cast("int").as("bucket"),
+        col("doc_id").cast("long").as("id"))
+    val docsState =
+      if (!postBatch) existing
+      else existing.unionByName(
+        DedupQ.defs("x14_incremental_dedup")(s, d)
+          .filter(col("verdict") === "unique")
+          .select(lit("docs").as("store"), lit(-1).cast("int").as("bucket"),
+            col("doc_id").cast("long").as("id")))
+    val index =
+      if (!postBatch) VectorQ.x25HistoryIndex(s, d)
+      else VectorQ.x25AppendedIndex(s, d)
+    val vecsState = index.assigned
+      .select(lit("vecs").as("store"), col("cluster_id").cast("int").as("bucket"),
+        col("vec_id").cast("long").as("id"))
+    docsState.unionByName(vecsState)
+  }
 
   /** x21: the queried key range. Constant across SFs (doc_id starts
     * at 0 in every fixture), sized so 8 shards always leave some
@@ -1635,8 +1709,45 @@ object ExtQ {
     "s6_enrich_events" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin
-    // v6: intentionally no oracle (float-order dependent) — driver
-    // records a rows-only check; spec-pinned ≡ v5.
+        |ORDER BY e.event_id""".stripMargin,
+
+    // x25: BOTH snapshot versions stated straight from source — the
+    // doc corpus via x14's verdict chain (DedupQ.x14VerdictCtes) and
+    // the vector store via v20's fixed-centroid assignment chain
+    // (VectorQ.appendAssignCtes). History rows of allasg are v1, the
+    // whole of allasg is v2 (append ≡ rebuild, v20's proven
+    // contract), so the per-bucket counts + id-sum checksums replay
+    // integer-exactly and the hash match proves the pinned v1 read
+    // is byte-identical to the pre-batch state.
+    "x25_pipeline_snapshot" ->
+      s"""WITH ${DedupQ.x14VerdictCtes},
+         |${VectorQ.appendAssignCtes},
+         |v1state AS (
+         |  SELECT 'docs' AS store, -1 AS bucket, doc_id AS id
+         |  FROM lab WHERE NOT is_new
+         |  UNION ALL
+         |  SELECT 'vecs', cluster_id, vec_id FROM allasg
+         |  WHERE vec_id % ${VectorQ.AppendSplitMod} < ${VectorQ.AppendHistMax}),
+         |v2state AS (
+         |  SELECT 'docs' AS store, -1 AS bucket, doc_id AS id
+         |  FROM lab WHERE NOT is_new
+         |  UNION ALL
+         |  SELECT 'docs', -1, doc_id FROM x14verdicts WHERE verdict = 'unique'
+         |  UNION ALL
+         |  SELECT 'vecs', cluster_id, vec_id FROM allasg),
+         |a1 AS (SELECT store, bucket, COUNT(*) AS n_v1,
+         |         CAST(SUM(id) AS BIGINT) AS idsum_v1
+         |       FROM v1state GROUP BY store, bucket),
+         |a2 AS (SELECT store, bucket, COUNT(*) AS n_latest,
+         |         CAST(SUM(id) AS BIGINT) AS idsum_latest
+         |       FROM v2state GROUP BY store, bucket)
+         |SELECT store, CAST(bucket AS INT) AS bucket,
+         |  COALESCE(n_v1, 0) AS n_v1,
+         |  COALESCE(idsum_v1, 0) AS idsum_v1,
+         |  COALESCE(n_latest, 0) AS n_latest,
+         |  COALESCE(idsum_latest, 0) AS idsum_latest,
+         |  CAST(2 AS INT) AS n_versions
+         |FROM a2 FULL JOIN a1 USING (store, bucket)
+         |ORDER BY store, bucket""".stripMargin
   )
 }

@@ -76,6 +76,18 @@ object VectorQ {
     }
   }
 
+  /** x25 composition hooks: the v20 machinery exposed for the
+    * composed lakehouse-pipeline query (ExtQ x25) — the
+    * session-memoized history index and the appended
+    * (history ∪ batch) index built by [[graft.ops.Ivf.append]]. */
+  private[queries] def x25HistoryIndex(s: SparkSession, d: String): graft.ops.Ivf.Index =
+    historyIndex(s, d)
+
+  private[queries] def x25AppendedIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
+    val batch = emb(s, d).filter(col("vec_id") % AppendSplitMod >= AppendHistMax)
+    graft.ops.Ivf.append(historyIndex(s, d), batch, "embedding")
+  }
+
   private def learnedIndex(s: SparkSession, d: String): graft.ops.Ivf.Index = {
     // KMeans training runs Spark jobs — peek first and train OUTSIDE
     // Derived's lock (Derived.peek doc); a lost race wastes one
@@ -876,8 +888,15 @@ object VectorQ {
     * tie-break, then probe nprobe=2. Ivf.append's contract is that
     * its union (stored assignment + narrow batch assignment) equals
     * exactly this, so the hash match proves append ≡ rebuild. */
-  private def ivfAppendOracle: String =
-    s"""WITH ${ivfTrainCtes("h", s"WHERE vec_id % $AppendSplitMod < $AppendHistMax")},
+  /** The h-prefixed exact training chain on the history split plus
+    * `allasg` (every vector assigned at the fixed final centroids) —
+    * the WITH-body shared by [[ivfAppendOracle]] and ExtQ's x25
+    * composed-pipeline oracle. History rows of `allasg` equal the
+    * stored index's assignment (same expression, same centroids, same
+    * tie-break), so `allasg` IS both snapshot versions of the vector
+    * store: restricted to the history split it is v1, whole it is v2. */
+  private[queries] lazy val appendAssignCtes: String =
+    s"""${ivfTrainCtes("h", s"WHERE vec_id % $AppendSplitMod < $AppendHistMax")},
        |allasg AS (
        |  SELECT vec_id, cluster_id FROM (
        |    SELECT e.vec_id, c.cluster_id,
@@ -887,7 +906,10 @@ object VectorQ {
        |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
        |        c.cluster_id) AS rn
        |    FROM embeddings e CROSS JOIN hcent${IvfIters - 1} c) t
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private def ivfAppendOracle: String =
+    s"""WITH $appendAssignCtes,
        |${ivfProbedCte("h")},
        |cands AS (
        |  SELECT p.qid, a.vec_id AS nb_id,

@@ -336,6 +336,29 @@ class PlanShapeSpec extends SparkSpec {
       s"append must scan only batch + query rows, found ${scans.size} source scans")
   }
 
+  test("x25's composed pipeline admits the batch without rescanning the stored vector corpus") {
+    // the composed post-batch state (x14 admission + v20 append):
+    // the stored index must still be served from the persisted
+    // relations, and the embeddings source may be scanned at most
+    // once — the batch split. A second embeddings scan would mean
+    // composition broke v20's no-rescan property.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val opt = graft.queries.ExtQ.x25State(spark, Sf0001, postBatch = true)
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case r: InMemoryRelation => r }.nonEmpty,
+      "stored index must be served from the persisted relations")
+    val embScans = opt.collect {
+      case l: LogicalRelation if (l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains("embeddings"))
+        case _ => false
+      }) => l
+    }
+    assert(embScans.size <= 1,
+      s"composed append must scan embeddings once (the batch), found ${embScans.size}")
+  }
+
   test("s6's dimension joins map-side (BroadcastHashJoin, no stream-side shuffle)") {
     val p = plan("s6_enrich_events")
     assert(p.contains("BroadcastHashJoin"),
