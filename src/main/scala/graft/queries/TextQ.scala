@@ -75,6 +75,83 @@ object TextQ {
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** t20's Gopher keep-flag battery as ONE definition over any
+    * (doc_id, text) frame — the declared batch query wraps it with
+    * the deterministic ORDER BY, and the streaming quality gate
+    * (EventStream.scoreDocs) applies the SAME function per
+    * micro-batch, so the streaming twin can never drift from the
+    * oracle-checked batch semantics. Per-document scoring only —
+    * no cross-document state, which is exactly what makes the
+    * foreachBatch twin ≡ batch on the drained union. */
+  private[graft] def gopherBattery(docsDf: DataFrame): DataFrame = {
+    val w = TextFns.tokens(col("text"))
+    docsDf
+      .withColumn("w", transform(w, t => lower(t)))
+      .withColumn("n_words", TextFns.wordCount(col("text")))
+      .withColumn("sum_len",
+        coalesce(aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)),
+          lit(0L)))
+      .withColumn("n_sym",
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("w"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stops",
+        size(array_intersect(array_distinct(col("w")),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("keep", (
+        col("n_words") >= 5 && col("n_words") <= 100000 &&
+          col("sum_len") >= col("n_words") * 3L &&
+          col("sum_len") <= col("n_words") * 10L &&
+          col("n_sym") * 10L <= col("n_words") &&
+          col("n_alpha") * 5L >= col("n_words") * 4L &&
+          col("n_stops") >= 2L).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("sum_len"),
+        col("n_sym"), col("n_alpha"), col("n_stops"),
+        when(col("n_words") > 0, round(col("sum_len") / col("n_words"), 4))
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        col("keep"))
+  }
+
+  /** t25's within-document repetition battery, factored the same way
+    * as [[gopherBattery]] (one definition for the batch query and
+    * the streaming twin). All per-doc aggregations are keyed by
+    * doc_id, so the result over a union of micro-batches equals the
+    * result over the whole input. */
+  private[graft] def repetitionBattery(docsDf: DataFrame): DataFrame = {
+    val base = docsDf
+      .withColumn("w", transform(TextFns.tokens(col("text")), t => lower(t)))
+      .withColumn("nw", TextFns.wordCount(col("text")))
+    def gramStats(n: Int, dupOnly: Boolean) = {
+      val grams = base.filter(col("nw") >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), col("nw") - (n - 1)),
+            i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      if (dupOnly)
+        grams.groupBy(col("doc_id")).agg(
+          sum(col("c")).as(s"g${n}_total"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$n"))
+      else
+        grams.groupBy(col("doc_id")).agg(
+          sum(col("c")).as(s"g${n}_total"),
+          max(col("c")).as(s"top$n"))
+    }
+    base.select(col("doc_id"), col("nw"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+      .withColumn("ndw", when(col("nw") === 0, 0L).otherwise(col("ndw")))
+      .join(gramStats(2, dupOnly = false), Seq("doc_id"), "left")
+      .join(gramStats(5, dupOnly = true), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("g2_total", "top2", "g5_total", "dup5"))
+      .withColumn("keep", (
+        (col("nw") - col("ndw")) * 10L <= col("nw") * 3L &&
+          col("top2") * 5L <= col("g2_total") &&
+          col("dup5") * 20L <= col("g5_total") * 3L).cast("int"))
+      .select(col("doc_id"), col("nw").cast("long").as("n_words"),
+        col("ndw").as("n_distinct"), col("g2_total"), col("top2"),
+        col("g5_total"), col("dup5"), col("keep"))
+  }
+
   /** Shared by t17 (keep/drop gate) and t22 (CCNet buckets): per-doc
     * unigram-LM negative log-likelihood in integer micro-nats —
     * rounded once per vocab entry so the per-doc sums are order-free
@@ -622,36 +699,7 @@ object TextQ {
     // 5·alpha ≥ 4·n) so no float rounding can flip a row between
     // engines; the reported ratios are display-rounded only. Pure
     // narrow map — zero shuffles at any scale.
-    "t20_gopher_rules" -> ((s, d) => {
-      val w = TextFns.tokens(col("text"))
-      docs(s, d)
-        .withColumn("w", transform(w, t => lower(t)))
-        .withColumn("n_words", TextFns.wordCount(col("text")))
-        .withColumn("sum_len",
-          coalesce(aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)),
-            lit(0L)))
-        .withColumn("n_sym",
-          (regexp_count(col("text"), lit("#")) +
-            regexp_count(col("text"), lit("\\.\\.\\."))).cast("long"))
-        .withColumn("n_alpha",
-          size(filter(col("w"), t => t.rlike("[a-z]"))).cast("long"))
-        .withColumn("n_stops",
-          size(array_intersect(array_distinct(col("w")),
-            array(GopherStops.map(lit): _*))).cast("long"))
-        .withColumn("keep", (
-          col("n_words") >= 5 && col("n_words") <= 100000 &&
-            col("sum_len") >= col("n_words") * 3L &&
-            col("sum_len") <= col("n_words") * 10L &&
-            col("n_sym") * 10L <= col("n_words") &&
-            col("n_alpha") * 5L >= col("n_words") * 4L &&
-            col("n_stops") >= 2L).cast("int"))
-        .select(col("doc_id"), col("n_words"), col("sum_len"),
-          col("n_sym"), col("n_alpha"), col("n_stops"),
-          when(col("n_words") > 0, round(col("sum_len") / col("n_words"), 4))
-            .otherwise(lit(0.0)).as("mean_word_len"),
-          col("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    "t20_gopher_rules" -> ((s, d) => gopherBattery(docs(s, d)).orderBy(col("doc_id"))),
 
     // q31 — GROUPING SETS (the general form of q22's ROLLUP and q25's
     // CUBE): one aggregation pass expands to the declared grouping
@@ -757,40 +805,8 @@ object TextQ {
     // shape: one gram explode + one (doc, gram) count + one doc
     // aggregate per width — all shuffles keyed by doc/gram, nothing
     // corpus-global; the same shape d12 already measures linear.
-    "t25_repetition" -> ((s, d) => {
-      val base = docs(s, d)
-        .withColumn("w", transform(TextFns.tokens(col("text")), t => lower(t)))
-        .withColumn("nw", TextFns.wordCount(col("text")))
-      def gramStats(n: Int, dupOnly: Boolean) = {
-        val grams = base.filter(col("nw") >= n)
-          .select(col("doc_id"), explode(
-            transform(sequence(lit(1), col("nw") - (n - 1)),
-              i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        if (dupOnly)
-          grams.groupBy(col("doc_id")).agg(
-            sum(col("c")).as(s"g${n}_total"),
-            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$n"))
-        else
-          grams.groupBy(col("doc_id")).agg(
-            sum(col("c")).as(s"g${n}_total"),
-            max(col("c")).as(s"top$n"))
-      }
-      base.select(col("doc_id"), col("nw"),
-          size(array_distinct(col("w"))).cast("long").as("ndw"))
-        .withColumn("ndw", when(col("nw") === 0, 0L).otherwise(col("ndw")))
-        .join(gramStats(2, dupOnly = false), Seq("doc_id"), "left")
-        .join(gramStats(5, dupOnly = true), Seq("doc_id"), "left")
-        .na.fill(0L, Seq("g2_total", "top2", "g5_total", "dup5"))
-        .withColumn("keep", (
-          (col("nw") - col("ndw")) * 10L <= col("nw") * 3L &&
-            col("top2") * 5L <= col("g2_total") &&
-            col("dup5") * 20L <= col("g5_total") * 3L).cast("int"))
-        .select(col("doc_id"), col("nw").cast("long").as("n_words"),
-          col("ndw").as("n_distinct"), col("g2_total"), col("top2"),
-          col("g5_total"), col("dup5"), col("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    "t25_repetition" -> ((s, d) =>
+      repetitionBattery(docs(s, d)).orderBy(col("doc_id"))),
 
     // m3 — FRAME-LEVEL OVERLAP DEDUP: the video analogue of d13's
     // containment — two media files sharing SAMPLED FRAMES (same

@@ -133,6 +133,49 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Schema of the documents fixture — the quality-gate stream's
+    * input (TESTDATA.md). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Read a directory of document parquet files as a stream.
+    * `maxFilesPerTrigger` forces multi-micro-batch processing — the
+    * parity spec uses it to prove the gates hold ACROSS batch
+    * boundaries, not just on a single-batch drain. */
+  def readDocStream(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
+
+  /** Streaming QUALITY GATE — documents scored ON ARRIVAL with a
+    * batch-pinned keep-flag battery (t20's Gopher rules, t25's
+    * repetition rules): the production ingest shape, where a
+    * document's keep/drop verdict lands with the document instead of
+    * in a nightly sweep. The battery runs INSIDE foreachBatch via
+    * the idempotent epoch-keyed sink (same exactly-once pattern as
+    * [[idempotentParquetSink]]), and because every battery
+    * aggregation is keyed by doc_id — no cross-document state — the
+    * drained stream output over any micro-batch split equals the
+    * batch battery over the whole input. The battery argument IS the
+    * batch function (TextQ), one definition for both paths, so the
+    * streaming twin can never drift from the oracle-checked batch
+    * semantics (StreamingSpec pins the parity).
+    */
+  def scoreDocs(docs: DataFrame, battery: DataFrame => DataFrame,
+                outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        battery(batch).write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Synchronous local run into an in-memory table (test/dev path):
     * processes everything currently in `dir`, returns the query. In
     * append mode only windows older than the watermark emit — the

@@ -98,6 +98,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed quality gates (t20/t25 batteries) equal the batch batteries once drained") {
+    // documents arrive over MULTIPLE micro-batches (maxFilesPerTrigger=1
+    // over a 3-file layout); the foreachBatch gate scores each batch
+    // with the SAME battery function the declared batch queries use,
+    // so the drained union must equal the batch result row for row —
+    // including keep flags at batch boundaries
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    Tables.load(spark, Sf0001, "documents")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    for ((name, battery) <- Seq(
+        "gopher" -> (graft.queries.TextQ.gopherBattery _),
+        "repetition" -> (graft.queries.TextQ.repetitionBattery _))) {
+      val out = java.nio.file.Files.createTempDirectory(s"docscore_$name").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"docscore_ck_$name").toString
+      val q = EventStream.scoreDocs(
+        EventStream.readDocStream(spark, dir, maxFilesPerTrigger = Some(1)),
+        battery, out, ckpt).start()
+      try q.awaitTermination() finally q.stop()
+      val batchCols = battery(spark.read.parquet(dir)).columns
+      val streamed = spark.read.parquet(out)
+        .select(batchCols.map(col): _*).orderBy("doc_id").collect()
+      val batch = battery(spark.read.parquet(dir)).orderBy("doc_id").collect()
+      assert(streamed.length == batch.length && streamed.length > 0,
+        s"$name: drained stream must cover every document")
+      assert(streamed.zip(batch).forall { case (a, b) => a == b },
+        s"$name: per-document scores must be identical across the two paths")
+      // multi-batch evidence: the epoch-keyed sink saw >1 micro-batch
+      assert(spark.read.parquet(out).select("epoch").distinct().count() > 1,
+        s"$name: the parity claim needs multiple micro-batches to be meaningful")
+    }
+  }
+
   test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
     val src = java.nio.file.Files.createTempDirectory("idem_src").toString
     val out = java.nio.file.Files.createTempDirectory("idem_out").toString
