@@ -59,4 +59,41 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(out("a"), out("c")) <= 4, "one-byte edit must stay within a few bits")
     assert(ham(out("a"), out("d")) > 16, "different byte layout must land far")
   }
+
+  test("m3 frame df-cap bounds a hot frame's join fan-in (cap under stress)") {
+    // the generator never produces a frame shared by > FrameDfCap
+    // figures, so the cap had never actually fired — synthesize the
+    // hot frame (one 64-byte block shared by 25 figures, 2.5x the
+    // cap) and measure the inverted-index fan-in with and without
+    // the cap, the same way d2's df-cap evidence was produced.
+    import spark.implicits._
+    val cap = graft.queries.TextQ.FrameDfCap
+    val nHot = 25
+    val hotBlock = "H" * 256 // sampled frame 0 (frameBytes=64, stride=4)
+    // unique tail per figure -> second sampled frame is figure-private
+    val hot = (0 until nHot).map(i => (f"hot_$i%03d", hotBlock + f"u$i%03d" * 64))
+    val cold = (0 until 10).map(i => (f"cold_$i%03d", f"c$i%03d" * 128))
+    val figs = (hot ++ cold).toDF("figure_id", "t")
+      .select(col("figure_id"), col("t").cast("binary").as("payload"))
+    val frames = Multimodal.sampleFrames(figs, frameBytes = 64, stride = 4)
+      .select(col("figure_id"), md5(col("frame")).as("fh")).distinct()
+    def fanIn(kept: org.apache.spark.sql.DataFrame): Long =
+      kept.select(col("figure_id").as("a_fig"), col("fh"))
+        .join(kept.select(col("figure_id").as("b_fig"), col("fh")), Seq("fh"))
+        .filter(col("a_fig") < col("b_fig")).count()
+    val dfc = frames.groupBy(col("fh")).agg(count(lit(1)).as("nfig"))
+    val capped = frames.join(
+      dfc.filter(col("nfig") <= cap).select(col("fh")), "fh")
+    val uncapped = fanIn(frames)
+    val cappedFan = fanIn(capped)
+    // uncapped: the hot bucket alone contributes C(25,2) = 300 pairs
+    assert(uncapped >= nHot.toLong * (nHot - 1) / 2,
+      s"hot frame must dominate the uncapped fan-in (got $uncapped)")
+    // capped: the hot bucket (df = 25 > cap) drops out entirely, so
+    // the worst remaining bucket is bounded by C(cap, 2)
+    assert(cappedFan <= cap.toLong * (cap - 1) / 2,
+      s"cap must bound every bucket's fan-in (got $cappedFan)")
+    assert(cappedFan < uncapped,
+      "the cap must strictly reduce fan-in when a hot frame exists")
+  }
 }
