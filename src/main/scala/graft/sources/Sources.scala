@@ -299,9 +299,9 @@ object Snapshots {
     // file and renamed over _versions.json — rename(2) on local FS
     // and HDFS replaces the destination atomically, so a reader (or
     // a crash at ANY point here) sees either the complete old log or
-    // the complete new one, never a truncation. The temp name is
-    // version-qualified, so an abandoned temp from a crashed commit
-    // is inert garbage the next commit simply overwrites-by-rename.
+    // the complete new one, never a truncation. An abandoned temp
+    // from a crashed commit is inert garbage the next commit simply
+    // overwrites and renames away.
     // CONCURRENCY CONTRACT (tested in SnapshotsSpec, not just prose):
     // single writer — two concurrent committers can still race the
     // read-modify-rename and one entry wins; the 100 TB shape for
