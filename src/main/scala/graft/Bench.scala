@@ -155,7 +155,7 @@ object Bench {
       "~3x above endpoints by design (warm JVM) and are never compared " +
       "against them"
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":"$contendedRule"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson}"""
     val detail =
