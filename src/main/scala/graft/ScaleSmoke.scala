@@ -35,7 +35,7 @@ object ScaleSmoke {
     "x19_zorder_layout", "v18_mmr_rerank", "d13_containment",
     "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events",
     "d14_phash_dedup", "v20_ivf_append", "m3_frame_dedup",
-    "t25_repetition", "x25_pipeline_snapshot",
+    "t25_repetition", "x25_pipeline_snapshot", "x26_compaction_exec",
     // graph family over the scaled orders⋈lineitem co-purchase graph
     // (copies are id-offset ⇒ F disjoint subgraphs: density constant,
     // rounds constant, per-round shuffle rows must grow ~F)

@@ -30,13 +30,14 @@ import graft.queries._
   *    connected components, (p,q)-core peeling, node similarity,
   *    BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s6, q21–q27, q29, x1–x25, v6, v14): §2.5–2.13
+  *  - ExtQ (j5, p6, s2–s6, q21–q27, q29, x1–x26, v6, v14): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
-  *    z-order layout, compaction planning, retention, snapshot diff,
-  *    salted join, copy-on-write time travel, and the x25 composed
-  *    lakehouse pipeline: x14 admission + v20 vector append + x24
-  *    snapshot commit in one declared query)
+  *    z-order layout, compaction planning + execution (x26: the plan
+  *    materialized as a partitioned snapshot commit), retention,
+  *    snapshot diff, salted join, copy-on-write time travel, and the
+  *    x25 composed lakehouse pipeline: x14 admission + v20 vector
+  *    append + x24 snapshot commit in one declared query)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four

@@ -1057,6 +1057,55 @@ object ExtQ {
           coalesce(col("idsum_latest"), lit(0L)).as("idsum_latest"),
           lit(Snapshots.versions(s, dir).size).as("n_versions"))
         .orderBy(col("store"), col("bucket"))
+    }),
+
+    // x26 — COMPACTION EXECUTION (x20's plan materialized through
+    // x24's snapshot machinery — the OPTIMIZE command, not just its
+    // planner): version 1 commits the table in the fragmented layout
+    // x20 models (one hive partition per micro-file), then every row
+    // of the STORED v1 — not the source table — is routed to its
+    // planned bin and committed as version 2, partitioned by
+    // (source, bin) with each bin's rows repartition-colocated into
+    // exactly ONE data file. The `one_file_per_bin` flag is computed
+    // from the commit's FILE LISTING (Snapshots.filesPerDir,
+    // metadata-sized — the x21 `pruned` pattern: the oracle states
+    // literal true, so a layout that failed to compact breaks the
+    // hash). Everything else replays in SQL: the bin routing is
+    // x20's exact integer plan, and the per-bin (n_files_in,
+    // size_bytes, n_docs, docsum) aggregates prove the rewrite moved
+    // every row exactly once — compaction changes layout, never
+    // content. At 100 TB: routing is one manifest-sized plan join;
+    // the rewrite shuffles each bin's rows once to their single
+    // writer (the point of the exercise); the old layout stays
+    // readable at v1 (time travel) until vacuumed.
+    "x26_compaction_exec" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x26_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val frag = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"),
+          expr(s"doc_id div $CompactGroup").as("g"))
+      Snapshots.commit(frag, dir, partitionBy = Seq("source", "g"))
+      val plan = defs("x20_compaction_plan")(s, d)
+        .select(col("source"), col("file_id"), col("bin"))
+      val routed = Snapshots.read(s, dir, Some(1))
+        .withColumn("file_id",
+          concat(col("source"), lit("_"), col("g").cast("string")))
+        .join(plan, Seq("source", "file_id"))
+        .select(col("doc_id"), col("n_chars"), col("file_id"),
+          col("source"), col("bin"))
+      Snapshots.commit(routed.repartition(col("source"), col("bin")),
+        dir, partitionBy = Seq("source", "bin"))
+      val oneFilePerBin =
+        Snapshots.filesPerDir(s, dir, 2).values.forall(_ == 1)
+      Snapshots.read(s, dir, Some(2))
+        .groupBy(col("source"), col("bin").cast("int").as("bin"))
+        .agg(countDistinct(col("file_id")).as("n_files_in"),
+          sum(col("n_chars")).as("size_bytes"),
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("docsum"))
+        .withColumn("one_file_per_bin", lit(oneFilePerBin))
+        .orderBy(col("source"), col("bin"))
     })
   )
 
@@ -1748,6 +1797,35 @@ object ExtQ {
          |  COALESCE(idsum_latest, 0) AS idsum_latest,
          |  CAST(2 AS INT) AS n_versions
          |FROM a2 FULL JOIN a1 USING (store, bucket)
-         |ORDER BY store, bucket""".stripMargin
+         |ORDER BY store, bucket""".stripMargin,
+
+    // x26: the bin routing is x20's integer plan replayed; per-bin
+    // counts + id/byte sums prove the rewrite is content-preserving;
+    // literal `true` states the one-file-per-bin layout the Spark
+    // side computes from the commit's file listing.
+    "x26_compaction_exec" ->
+      s"""WITH f AS (SELECT source,
+         |    source || '_' || (doc_id // $CompactGroup)::VARCHAR AS file_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS size_bytes
+         |  FROM documents GROUP BY source, doc_id // $CompactGroup),
+         |w AS (SELECT source, file_id, size_bytes,
+         |  CAST(COALESCE(SUM(size_bytes) OVER (PARTITION BY source
+         |    ORDER BY size_bytes DESC, file_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM f),
+         |plan AS (SELECT source, file_id,
+         |    CAST(cum_before // $CompactTarget AS INT) AS bin FROM w),
+         |rws AS (SELECT source, doc_id, n_chars,
+         |    source || '_' || (doc_id // $CompactGroup)::VARCHAR AS file_id
+         |  FROM documents),
+         |routed AS (SELECT r.source, r.doc_id, r.n_chars, r.file_id, p.bin
+         |  FROM rws r JOIN plan p ON p.source = r.source AND p.file_id = r.file_id)
+         |SELECT source, bin, COUNT(DISTINCT file_id) AS n_files_in,
+         |  CAST(SUM(n_chars) AS BIGINT) AS size_bytes,
+         |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS docsum,
+         |  true AS one_file_per_bin
+         |FROM routed GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin
   )
 }

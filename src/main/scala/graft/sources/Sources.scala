@@ -275,18 +275,25 @@ object Snapshots {
     }
   }
 
-  /** Write `df` as the next version; returns its number (1-based). */
-  def commit(df: DataFrame, dir: String): Int = {
+  /** Write `df` as the next version; returns its number (1-based).
+    * `partitionBy` commits a hive-partitioned layout (the x26
+    * compaction target: one directory per partition value) — reads
+    * restore the partition columns, and the log metadata lists files
+    * recursively so partitioned and flat commits carry the same
+    * accounting. */
+  def commit(df: DataFrame, dir: String,
+             partitionBy: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
     val next = versions(spark, dir).lastOption.getOrElse(0) + 1
     val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
-    df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(vdir.toString)
     // log metadata comes from the FILE LISTING only — never a read
     // pass over the data just written (at 100 TB a per-commit rescan
     // would double the write cost)
-    val files = fs.listStatus(vdir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val files = dataFiles(fs, vdir)
     val entry =
       s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum}}""" + "\n"
     val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
@@ -319,6 +326,29 @@ object Snapshots {
       require(fs.rename(tmp, log), s"could not commit version log $log")
     }
     next
+  }
+
+  /** All data files under a version dir, recursively (partitioned
+    * layouts nest them one dir per partition value). */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        vdir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(vdir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f
+    }
+    out.result()
+  }
+
+  /** Data-file count per immediate parent directory of a committed
+    * version — metadata-sized layout evidence (x26 pins that
+    * compaction left exactly one file per bin directory). */
+  def filesPerDir(spark: SparkSession, dir: String, version: Int): Map[String, Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    dataFiles(fs, new org.apache.hadoop.fs.Path(p, s"v$version"))
+      .groupBy(_.getPath.getParent.toString).map { case (k, v) => k -> v.size }
   }
 
   /** Read a pinned version, or the latest committed one. */

@@ -87,6 +87,24 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned commit: hive layout round-trips, listing counts files per dir") {
+    val dir = freshDir()
+    val df = Seq((1L, "a", 0), (2L, "a", 0), (3L, "b", 1))
+      .toDF("id", "grp", "bin")
+    Snapshots.commit(df.repartition(col("grp"), col("bin")), dir,
+      partitionBy = Seq("grp", "bin"))
+    // partition columns restored on read, content identical
+    val back = Snapshots.read(spark, dir)
+      .select(col("id"), col("grp"), col("bin").cast("int"))
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 0), (2L, "a", 0), (3L, "b", 1)))
+    // repartition-by-partition-cols colocates each value into ONE file
+    val perDir = Snapshots.filesPerDir(spark, dir, 1)
+    assert(perDir.size == 2 && perDir.values.forall(_ == 1),
+      s"expected one data file per partition dir, got $perDir")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
