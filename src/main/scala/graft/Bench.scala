@@ -123,6 +123,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)
+    // v6's declared query carries its agrees-exact envelope (the
+    // decimal-exact twin runs INSIDE it), so its sweep time measures
+    // the twin, not the showcased single-pass-centroid fast path.
+    // Time the fast path alone as a supplemental field so the bench
+    // narrative is a measurement, not prose. Full-sweep runs only —
+    // a SPARK_GRAFT_ONLY debug subset skips it.
+    val v6FastOnly = if (only.isEmpty)
+      Some(timeOne("v6_fast_only", (s, d) => graft.queries.ExtQ.v6FastPath(s, d))._1)
+    else None
     val probeAfter = math.min(probe(), probe())
     probeLog += probeAfter
     // Two comparisons, never mixed: endpoints against each other, and
@@ -154,8 +163,9 @@ object Bench {
       "[0.5,2.0] OR (>=3 mids AND max(mid)/median(mid) > 2.0); mids sit " +
       "~3x above endpoints by design (warm JVM) and are never compared " +
       "against them"
+    val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("")
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$v6Json"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson}"""
     val detail =

@@ -24,20 +24,23 @@ import graft.queries._
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, NFC normalization, multimodal (binary metadata, decode +
   *    frame sampling, frame-overlap dedup), windowed events
-  *  - KgQ (k1–k18): chunker / knowledge-graph pipeline + flagship
-  *    search + graph analytics (2-hop, PageRank, triangles,
-  *    clustering coefficients, label-propagation communities,
-  *    connected components, (p,q)-core peeling, node similarity,
-  *    BFS shortest paths) +
+  *  - KgQ (k1–k19): chunker / knowledge-graph pipeline + flagship
+  *    search + graph analytics (2-hop, PageRank, personalized
+  *    PageRank, triangles, clustering coefficients,
+  *    label-propagation communities, connected components,
+  *    (p,q)-core peeling, node similarity, BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s6, q21–q27, q29, x1–x26, v6, v14): §2.5–2.13
+  *  - ExtQ (j5, p6, s2–s6, q21–q27, q29, x1–x28, v6, v14): §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
   *    z-order layout, compaction planning + execution (x26: the plan
   *    materialized as a partitioned snapshot commit), retention,
-  *    snapshot diff, salted join, copy-on-write time travel, and the
+  *    snapshot diff, salted join, copy-on-write time travel, the
   *    x25 composed lakehouse pipeline: x14 admission + v20 vector
-  *    append + x24 snapshot commit in one declared query)
+  *    append + x24 snapshot commit in one declared query, x27
+  *    deletion-vector merge-on-read deletes, and x28 dynamic
+  *    partition overwrite — both with listing-checked immutability
+  *    flags)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four

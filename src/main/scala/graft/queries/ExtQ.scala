@@ -35,6 +35,44 @@ object ExtQ {
   /** v14 SemDeDup cosine threshold (same family as DedupQ.CosineMin). */
   val SemTau = 0.35
 
+  /** v6's showcased plan ALONE — single-pass [[VectorAgg.vectorSum]]
+    * centroids (one shuffle of d-length buffers, never an n×d gram
+    * explode), broadcast-assigned probe, heap top-k. The declared
+    * `v6_knn_ivf_fast` wraps this in the agrees-exact envelope (which
+    * runs v5's decimal-exact twin INSIDE the query), so the sweep time
+    * of the declared query is dominated by the twin; [[Bench]] times
+    * this method separately and reports it as `v6_fast_only_sec`, the
+    * number the fast path actually earns. */
+  def v6FastPath(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    VectorAgg.register(s)
+    val e = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cvecs = e.groupBy(col("label"))
+      .agg(VectorAgg.vectorSum(col("embedding")).as("vs"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"),
+        transform(col("vs"), x => x / col("n")).as("cvec"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wAssign = Window.partitionBy(col("qid")).orderBy(col("craw").desc, col("clabel"))
+    val assigned = q.crossJoin(broadcast(cvecs))
+      .withColumn("craw", VectorOps.dot(col("qe").cast("array<double>"), col("cvec")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("qid"), col("qe"), col("clabel"))
+    // heap-select the 3 best neighbors per query (graft.plans.TopK,
+    // no per-query sort), then rank the ≤3 survivors with a window.
+    val probed = assigned.join(e,
+        col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+    val top = graft.plans.TopK.perKey(probed, Seq("qid"),
+      Seq(col("raw").desc, col("vec_id")), 3)
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
+    top.withColumn("nb_rank", row_number().over(wRank))
+      .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
+        col("nb_rank"), round(col("raw"), 4).as("score"))
+  }
+
   /** x5 envelope: the float trainer's final inertia must sit within
     * this relative tolerance of the decimal-exact objective (x11's
     * path). Measured drift ≤ 0.0024 across all three fixture SFs. */
@@ -650,36 +688,11 @@ object ExtQ {
     // BENCH NARRATIVE: since the envelope runs v5's decimal-exact
     // path INSIDE this query, v6's sweep time is dominated by the
     // exact twin + comparison join, not the d-length-buffer fast
-    // path it showcases — read the fast path's own cost from
-    // VectorAggSpec / the v5-vs-v6 delta, not v6's headline number.
+    // path it showcases — the fast path's own cost is timed
+    // separately by Bench ([[v6FastPath]]) and reported as
+    // `v6_fast_only_sec` in the bench JSON.
     "v6_knn_ivf_fast" -> ((s, d) => {
-      VectorOps.ensureRegistered(s)
-      VectorAgg.register(s)
-      val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val cvecs = e.groupBy(col("label"))
-        .agg(VectorAgg.vectorSum(col("embedding")).as("vs"), count(lit(1)).as("n"))
-        .select(col("label").as("clabel"),
-          transform(col("vs"), x => x / col("n")).as("cvec"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val wAssign = Window.partitionBy(col("qid")).orderBy(col("craw").desc, col("clabel"))
-      val assigned = q.crossJoin(broadcast(cvecs))
-        .withColumn("craw", VectorOps.dot(col("qe").cast("array<double>"), col("cvec")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("qid"), col("qe"), col("clabel"))
-      // heap-select the 3 best neighbors per query (graft.plans.TopK,
-      // no per-query sort), then rank the ≤3 survivors with a window.
-      val probed = assigned.join(e,
-          col("label") === col("clabel") && col("vec_id") =!= col("qid"))
-        .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
-      val top = graft.plans.TopK.perKey(probed, Seq("qid"),
-        Seq(col("raw").desc, col("vec_id")), 3)
-      val wRank = Window.partitionBy(col("qid")).orderBy(col("raw").desc, col("vec_id"))
-      val fast = top.withColumn("nb_rank", row_number().over(wRank))
-        .select(col("qid"), col("clabel").as("probe_label"), col("vec_id").as("nb_id"),
-          col("nb_rank"), round(col("raw"), 4).as("score"))
+      val fast = v6FastPath(s, d)
       val exact = graft.queries.VectorQ.defs("v5_knn_ivf")(s, d)
       def sig(df: org.apache.spark.sql.DataFrame, label: String, nbs: String) =
         df.groupBy(col("qid")).agg(
@@ -1018,6 +1031,39 @@ object ExtQ {
         .orderBy(col("event_id"))
     }),
 
+    // s7 — AT-LEAST-ONCE DELIVERY DEDUP: the ingest-side twin of the
+    // d1 batch operator. Real feeds re-deliver (producer retries,
+    // consumer-group rebalances), so the query synthesizes the
+    // at-least-once shape — a hash-chosen ~10% of events arrives
+    // TWICE — and pushes the feed through EventStream.dedupedEvents,
+    // the SAME function the streaming path runs per micro-batch
+    // (dropDuplicatesWithinWatermark there, dropDuplicates here —
+    // StreamingSpec pins the parity across micro-batch splits). The
+    // summary proves exactly-once state from at-least-once input:
+    // n_delivered counts the duplicated feed, n_unique/sum_value the
+    // deduped survivors — re-deliveries are row-identical, so the
+    // dedup pick is deterministic set semantics, no arbitrary-row
+    // hazard. At 100 TB/day: state is bounded by the watermark
+    // horizon (ids are forgotten once the watermark passes), which is
+    // the only dedup shape that runs forever on an unbounded feed.
+    "s7_at_least_once_dedup" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val redelivered = ev.filter(
+        graft.ops.TextFns.hash60(concat(lit("redeliver|"),
+          col("event_id").cast("string"))) % 10 === 0)
+      val feed = ev.unionByName(redelivered)
+      val deduped = graft.streaming.EventStream.dedupedEvents(feed)
+      val delivered = feed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_delivered"))
+      val unique = deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      delivered.join(unique, Seq("event_type"))
+        .select(col("event_type"), col("n_delivered"), col("n_unique"),
+          col("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // x25 — THE COMPOSED LAKEHOUSE PIPELINE: the three incremental
     // operators run TOGETHER the way a nightly ingest actually runs
     // them — x14 admits tonight's document batch against the stored
@@ -1106,8 +1152,100 @@ object ExtQ {
           sum(col("doc_id")).as("docsum"))
         .withColumn("one_file_per_bin", lit(oneFilePerBin))
         .orderBy(col("source"), col("bin"))
+    }),
+
+    // x27 — DELETION VECTORS (merge-on-read row deletes): version 1
+    // commits the document corpus; version 2 commits ONLY the keys of
+    // a GDPR-style takedown set (hash-derived, ~5% of doc_ids) as a
+    // deletion vector referencing v1 — the base's data files are
+    // never rewritten, and `base_files_untouched` states it from the
+    // FILE LISTING captured before and after the delete commit
+    // (Snapshots.fileSignature — the x21/x26 metadata-check pattern:
+    // the oracle pins literal true, so a delete that rewrote or
+    // touched the base breaks the hash). Reads resolve the version as
+    // base ANTI-JOIN keys (Snapshots.readResolved). The oracle states
+    // both versions from source — v1 the full corpus, v2 the corpus
+    // minus the replayed hash predicate — so one hash match proves
+    // the DV read-path semantics AND base immutability. At 100 TB:
+    // deleting a few million rows costs a key-sized write + a
+    // broadcast-able anti-join at read, not a corpus rewrite; the
+    // anti-join keys ship with the manifest exactly like Delta DVs /
+    // Iceberg equality deletes.
+    "x27_deletion_vectors" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x27_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs, dir)
+      val sigBefore = Snapshots.fileSignature(s, dir, 1)
+      val takedown = docs.filter(
+          graft.ops.TextFns.hash60(concat(lit("gdpr|"),
+            col("doc_id").cast("string"))) % 20 === 0)
+        .select(col("doc_id"))
+      Snapshots.commitDeletes(takedown, dir, base = 1)
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sigBefore
+      val v1 = Snapshots.readResolved(s, dir, Some(1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_v1"), sum(col("doc_id")).as("idsum_v1"))
+      val v2 = Snapshots.readResolved(s, dir, Some(2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_v2"), sum(col("doc_id")).as("idsum_v2"))
+      v1.join(v2, Seq("source"))
+        .select(col("source"), col("n_v1"), col("idsum_v1"),
+          col("n_v2"), col("idsum_v2"),
+          lit(untouched).as("base_files_untouched"))
+        .orderBy(col("source"))
+    }),
+
+    // x28 — DYNAMIC PARTITION OVERWRITE (INSERT OVERWRITE …
+    // PARTITION / replaceWhere): version 1 commits per-doc scores for
+    // the whole corpus; version 2 commits ONLY the re-scored rows of
+    // partition source = X28Pval, referencing v1 for every other
+    // partition (Snapshots.commitReplace). Two listing-checked flags
+    // ride in the output: `base_files_untouched` (v1's files are
+    // byte-identical after the overwrite — x27's witness) and
+    // `only_replaced_partition` (v2's directory holds exactly the one
+    // hive partition it claims to replace). Reads resolve as
+    // base-minus-partition ∪ replacement; the oracle states both
+    // versions from source with the re-score replayed, so the hash
+    // match proves the overwrite touched exactly one partition's
+    // content and nothing else. At 100 TB this is the nightly
+    // re-score shape: one partition's write, never a table rewrite,
+    // with old versions still pinned-readable (x24's time travel).
+    "x28_partition_overwrite" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x28_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val scores = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+      Snapshots.commit(scores, dir)
+      val sigBefore = Snapshots.fileSignature(s, dir, 1)
+      val rescored = scores.filter(col("source") === X28Pval)
+        .withColumn("score", col("score") * 2)
+      Snapshots.commitReplace(rescored, dir, base = 1,
+        pcol = "source", pval = X28Pval)
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sigBefore
+      val onlyReplaced = Snapshots.filesPerDir(s, dir, 2)
+        .keys.forall(_.contains(s"source=$X28Pval"))
+      val v1 = Snapshots.readResolved(s, dir, Some(1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_v1"), sum(col("score")).as("scoresum_v1"))
+      val v2 = Snapshots.readResolved(s, dir, Some(2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_v2"), sum(col("score")).as("scoresum_v2"))
+      v1.join(v2, Seq("source"))
+        .select(col("source"), col("n_v1"), col("scoresum_v1"),
+          col("n_v2"), col("scoresum_v2"),
+          lit(untouched).as("base_files_untouched"),
+          lit(onlyReplaced).as("only_replaced_partition"))
+        .orderBy(col("source"))
     })
   )
+
+  /** x28: the overwritten partition (a mid-range source so the query
+    * exercises base partitions on both sides of it). */
+  val X28Pval = "src3"
 
   /** x25's store state at one point in time, as (store, bucket, id)
     * rows: the document corpus (bucket −1, id = doc_id) and the
@@ -1760,6 +1898,24 @@ object ExtQ {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
 
+    // s7: the duplicated feed replayed with the same redelivery hash;
+    // the deduped side is the original table (re-deliveries are
+    // row-identical copies, so dedup = distinct event_id = source)
+    "s7_at_least_once_dedup" ->
+      """WITH re AS (
+        |  SELECT * FROM events
+        |  WHERE CAST(('0x' || substr(md5('redeliver|' || event_id::VARCHAR), 1, 15))
+        |    AS BIGINT) % 10 = 0),
+        |feed AS (SELECT * FROM events UNION ALL SELECT * FROM re),
+        |a AS (SELECT event_type, COUNT(*) AS n_delivered
+        |      FROM feed GROUP BY event_type),
+        |b AS (SELECT event_type, COUNT(*) AS n_unique,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |      FROM events GROUP BY event_type)
+        |SELECT event_type, n_delivered, n_unique, sum_value
+        |FROM a JOIN b USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     // x25: BOTH snapshot versions stated straight from source — the
     // doc corpus via x14's verdict chain (DedupQ.x14VerdictCtes) and
     // the vector store via v20's fixed-centroid assignment chain
@@ -1826,6 +1982,46 @@ object ExtQ {
          |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS docsum,
          |  true AS one_file_per_bin
          |FROM routed GROUP BY source, bin
-         |ORDER BY source, bin""".stripMargin
+         |ORDER BY source, bin""".stripMargin,
+
+    // x27: both versions stated from source — v1 the full corpus, v2
+    // the corpus minus the replayed takedown hash predicate; literal
+    // `true` states the listing-checked base-immutability flag.
+    "x27_deletion_vectors" ->
+      """WITH del AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(('0x' || substr(md5('gdpr|' || doc_id::VARCHAR), 1, 15))
+        |    AS BIGINT) % 20 = 0),
+        |v1 AS (SELECT source, COUNT(*) AS n_v1,
+        |         CAST(SUM(doc_id) AS BIGINT) AS idsum_v1
+        |       FROM documents GROUP BY source),
+        |v2 AS (SELECT source, COUNT(*) AS n_v2,
+        |         CAST(SUM(doc_id) AS BIGINT) AS idsum_v2
+        |       FROM documents d
+        |       WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)
+        |       GROUP BY source)
+        |SELECT source, n_v1, idsum_v1, n_v2, idsum_v2,
+        |  true AS base_files_untouched
+        |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x28: v1 scores from source, v2 with the re-score replayed on
+    // the replaced partition only; literal `true` states both
+    // listing-checked flags (base untouched, v2 dir holds exactly
+    // the replaced partition).
+    "x28_partition_overwrite" ->
+      s"""WITH v1 AS (
+         |  SELECT source, COUNT(*) AS n_v1,
+         |    CAST(SUM(n_chars) AS BIGINT) AS scoresum_v1
+         |  FROM documents GROUP BY source),
+         |v2 AS (
+         |  SELECT source, COUNT(*) AS n_v2,
+         |    CAST(SUM(CASE WHEN source = '$X28Pval' THEN n_chars * 2
+         |                  ELSE n_chars END) AS BIGINT) AS scoresum_v2
+         |  FROM documents GROUP BY source)
+         |SELECT source, n_v1, scoresum_v1, n_v2, scoresum_v2,
+         |  true AS base_files_untouched, true AS only_replaced_partition
+         |FROM v1 JOIN v2 USING (source)
+         |ORDER BY source""".stripMargin
   )
 }

@@ -472,6 +472,52 @@ object KgQ {
         .orderBy(col("node"))
     }),
 
+    // k19 — PERSONALIZED PAGERANK (random walk with restart, Haveliwala
+    // 2002): k11's power iteration with the teleport mass restricted
+    // to a SEED set (every [[PprSeedMod]]-th customer node) — the
+    // "similar items to THESE" primitive behind related-document
+    // recommendation and local community scoring. Same per-round
+    // shape as k11 (ONE edge⋈rank join + ONE sum shuffle; the node-
+    // sized seed join is broadcast-scale) and the same unrolled-CTE
+    // oracle; non-seed nodes start at 0 and receive mass only
+    // through the graph, so the hash also checks the propagation
+    // frontier round by round. At 100 TB: identical scaling story to
+    // k11 — the seed set is a filter on the node table, never a
+    // driver-side list.
+    "k19_personalized_pagerank" -> ((s, d) => {
+      val damp = PrDamping
+      val ed = orderGraph(s, d)
+      val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+        .union(ed.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val ew = edges.join(deg, "src").localCheckpoint(true)
+      val nodes = deg.select(col("src").as("node"),
+          (col("src") < 1000000L && col("src") % PprSeedMod === 0).as("is_seed"))
+        .localCheckpoint(true)
+      val n = nodes.count()
+      val nSeeds = nodes.filter(col("is_seed")).count()
+      require(nSeeds > 0, s"no PPR seeds at mod $PprSeedMod")
+      var ranks = nodes.select(col("node"),
+        when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
+      for (i <- 1 to PrIters) {
+        // the symmetrized graph gives every node an in-edge and ranks
+        // covers every node each round (zeros included), so the
+        // inflow group-by reaches the full node set — k11's one-join
+        // invariant holds with restart mass handled by the seed join
+        val inflow = ew
+          .join(ranks.select(col("node").as("src"), col("rank")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") / col("od")).as("inflow"))
+        ranks = nodes.join(inflow, Seq("node"))
+          .select(col("node"),
+            (when(col("is_seed"), lit((1 - damp) / nSeeds)).otherwise(lit(0.0)) +
+              lit(damp) * col("inflow")).as("rank"))
+        if (i % 2 == 0 || i == PrIters) ranks = ranks.localCheckpoint(true)
+      }
+      ranks.select(col("node"), round(col("rank") * n, 4).as("ppr_norm"))
+        .orderBy(col("node"))
+    }),
+
     // k13 — LOCAL CLUSTERING COEFFICIENTS: per node, its undirected
     // degree, triangle membership count, and cc = 2·Δ/(deg·(deg−1)) —
     // the community-structure metric on top of k9's listing (k9
@@ -701,6 +747,10 @@ object KgQ {
   val PrDamping = 0.85
   val PrIters = 10
 
+  /** k19: every PprSeedMod-th customer node seeds the restart set —
+    * scale-free (3 seeds at sf0.001, 30 at sf0.01, 300 at sf0.1). */
+  val PprSeedMod = 50L
+
   /** k14 label-propagation round count, shared with the oracle. */
   val LpIters = 4
 
@@ -810,8 +860,48 @@ object KgQ {
        |ORDER BY node""".stripMargin
   }
 
+  /** The k19 oracle: [[pagerankOracle]]'s unrolled chain with the
+    * teleport term gated on seed membership — the identical IEEE
+    * operation sequence as the engine (base + d·inflow per node). */
+  private def pprOracle: String = {
+    val d = PrDamping
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT s.node,
+         |    (CASE WHEN s.is_seed THEN (1 - $d::DOUBLE) / ns.ns
+         |          ELSE 0::DOUBLE END)
+         |      + $d::DOUBLE * COALESCE(f.inflow, 0::DOUBLE) AS rank
+         |  FROM seeds s CROSS JOIN ns
+         |  LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank / e.od) AS inflow
+         |    FROM ew e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) f ON s.node = f.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b AS src, a AS dst FROM ed),
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, deg.od FROM e JOIN deg ON e.src = deg.src),
+       |seeds AS (SELECT src AS node,
+       |            (src < 1000000 AND src % $PprSeedMod = 0) AS is_seed
+       |          FROM deg),
+       |n AS (SELECT COUNT(*) AS n FROM seeds),
+       |ns AS (SELECT COUNT(*) AS ns FROM seeds WHERE is_seed),
+       |r0 AS (SELECT node,
+       |         CASE WHEN is_seed THEN 1::DOUBLE / ns.ns
+       |              ELSE 0::DOUBLE END AS rank
+       |       FROM seeds CROSS JOIN ns),
+       |$steps
+       |SELECT node, round(rank * n.n, 4) AS ppr_norm
+       |FROM r$PrIters CROSS JOIN n
+       |ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "k11_pagerank" -> pagerankOracle,
+    "k19_personalized_pagerank" -> pprOracle,
     "k14_label_prop" -> labelPropOracle,
 
     // reachability as transitive closure (d6's oracle pattern): the

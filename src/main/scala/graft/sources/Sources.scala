@@ -259,8 +259,9 @@ object Snapshots {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Committed version numbers, ascending (empty if no log). */
-  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+  /** Parsed log entries, one per committed version (empty if no log). */
+  private def logEntries(spark: SparkSession, dir: String)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
     val (fs, p) = fsOf(spark, dir)
     val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
     if (!fs.exists(log)) Seq.empty
@@ -270,10 +271,13 @@ object Snapshots {
         in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      text.linesIterator.filter(_.nonEmpty)
-        .map(l => m.readTree(l).get("version").asInt()).toSeq.sorted
+      text.linesIterator.filter(_.nonEmpty).map(m.readTree).toSeq
     }
   }
+
+  /** Committed version numbers, ascending (empty if no log). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] =
+    logEntries(spark, dir).map(_.get("version").asInt()).sorted
 
   /** Write `df` as the next version; returns its number (1-based).
     * `partitionBy` commits a hive-partitioned layout (the x26
@@ -282,7 +286,45 @@ object Snapshots {
     * recursively so partitioned and flat commits carry the same
     * accounting. */
   def commit(df: DataFrame, dir: String,
-             partitionBy: Seq[String] = Nil): Int = {
+             partitionBy: Seq[String] = Nil): Int =
+    writeVersion(df, dir, partitionBy, extraMeta = "")
+
+  /** Commit a DELETION VECTOR: `keys` (any key-column subset of the
+    * base's schema) names the rows logically deleted from version
+    * `base`. Only the key rows are written — the base's data files
+    * are never rewritten or touched (x27 proves it from the file
+    * listing), which is the whole point at 100 TB: a GDPR-style
+    * delete of a few million rows costs a key-sized write, not a
+    * corpus rewrite. Readers resolve the version through
+    * [[readResolved]] (base anti-join keys) — the merge-on-read
+    * contract of Delta deletion vectors / Iceberg equality deletes
+    * reduced to its load-bearing parts. */
+  def commitDeletes(keys: DataFrame, dir: String, base: Int): Int = {
+    require(versions(keys.sparkSession, dir).contains(base),
+      s"delete base v$base not committed under $dir")
+    writeVersion(keys, dir, Nil, extraMeta = s""","kind":"deletes","base":$base""")
+  }
+
+  /** Commit a PARTITION OVERWRITE: `df` holds ONLY the rows of the
+    * partition `pcol = pval`; every other partition of version `base`
+    * rides along logically (INSERT OVERWRITE ... PARTITION /
+    * replaceWhere). The written version contains just the replaced
+    * partition — at 100 TB a daily re-score of one day's partition
+    * costs that partition's write, never a table rewrite — and
+    * [[readResolved]] serves base-minus-partition ∪ replacement. */
+  def commitReplace(df: DataFrame, dir: String, base: Int,
+                    pcol: String, pval: String): Int = {
+    require(versions(df.sparkSession, dir).contains(base),
+      s"replace base v$base not committed under $dir")
+    writeVersion(df, dir, Seq(pcol),
+      extraMeta = s""","kind":"replace","base":$base,"pcol":${jstr(pcol)},"pval":${jstr(pval)}""")
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def writeVersion(df: DataFrame, dir: String,
+                           partitionBy: Seq[String], extraMeta: String): Int = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
     val next = versions(spark, dir).lastOption.getOrElse(0) + 1
@@ -295,7 +337,7 @@ object Snapshots {
     // would double the write cost)
     val files = dataFiles(fs, vdir)
     val entry =
-      s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum}}""" + "\n"
+      s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum}$extraMeta}""" + "\n"
     val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
     val prior = if (fs.exists(log)) {
       val in = fs.open(log)
@@ -358,6 +400,51 @@ object Snapshots {
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in committed log $vs")
     spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** Read a version RESOLVING logical commits: a `deletes` version is
+    * its base anti-joined with the stored key rows, a `replace`
+    * version is its base minus the replaced partition unioned with
+    * the stored replacement rows, and chains resolve recursively
+    * (delete-on-replace-on-data works). The resolution is pure plan
+    * construction — metadata-sized log reads decide the shape; data
+    * files are only ever scanned by the resulting Spark plan. */
+  def readResolved(spark: SparkSession, dir: String,
+                   asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byV = logEntries(spark, dir)
+      .map(n => n.get("version").asInt() -> n).toMap
+    require(byV.nonEmpty, s"no committed versions under $dir")
+    val v0 = asOf.getOrElse(byV.keys.max)
+    require(byV.contains(v0), s"version $v0 not in committed log ${byV.keys.toSeq.sorted}")
+    def resolve(v: Int): DataFrame = {
+      val n = byV(v)
+      val vdf = spark.read.parquet(s"$dir/v$v")
+      Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
+        case "data" => vdf
+        case "deletes" =>
+          resolve(n.get("base").asInt()).join(vdf, vdf.columns.toSeq, "left_anti")
+        case "replace" =>
+          val pcol = n.get("pcol").asText()
+          val pval = n.get("pval").asText()
+          resolve(n.get("base").asInt())
+            .filter(col(pcol) =!= pval).unionByName(vdf)
+        case other => sys.error(s"unknown version kind '$other' at v$v")
+      }
+    }
+    resolve(v0)
+  }
+
+  /** (relative path, length) of every data file of a version, sorted —
+    * the immutability witness: x27/x28 capture it before and after a
+    * logical commit and compare for equality, so "the base's files
+    * were never touched" is a checked fact, not prose. */
+  def fileSignature(spark: SparkSession, dir: String, version: Int): Seq[(String, Long)] = {
+    val (fs, p) = fsOf(spark, dir)
+    val vdir = new org.apache.hadoop.fs.Path(p, s"v$version")
+    dataFiles(fs, vdir)
+      .map(f => (f.getPath.toString.stripPrefix(vdir.toString), f.getLen))
+      .sortBy(_._1)
   }
 
   /** Drop the whole table (all versions + log). */

@@ -105,6 +105,66 @@ class SnapshotsSpec extends SparkSpec {
       s"expected one data file per partition dir, got $perDir")
   }
 
+  test("deletion vector: merge-on-read anti-join, base files untouched") {
+    val dir = freshDir()
+    Snapshots.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "grp", "n"), dir)
+    val sig = Snapshots.fileSignature(spark, dir, 1)
+    assert(sig.nonEmpty)
+    Snapshots.commitDeletes(Seq(2L).toDF("id"), dir, base = 1)
+    // the DV commit wrote only keys; the base's files are byte-identical
+    assert(Snapshots.fileSignature(spark, dir, 1) == sig,
+      "a deletion-vector commit must never touch the base's data files")
+    assert(Snapshots.readResolved(spark, dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the pinned base still reads the FULL pre-delete state
+    assert(Snapshots.readResolved(spark, dir, Some(1)).count() == 3)
+  }
+
+  test("partition overwrite: only the replaced partition changes, others ride the base") {
+    val dir = freshDir()
+    Snapshots.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "grp", "n"), dir)
+    val sig = Snapshots.fileSignature(spark, dir, 1)
+    Snapshots.commitReplace(
+      Seq((1L, "a", 100L), (3L, "a", 300L), (4L, "a", 400L)).toDF("id", "grp", "n"),
+      dir, base = 1, pcol = "grp", pval = "a")
+    assert(Snapshots.fileSignature(spark, dir, 1) == sig,
+      "a partition overwrite must never touch the base's data files")
+    // v2's directory holds exactly the replaced hive partition
+    assert(Snapshots.filesPerDir(spark, dir, 2).keys.forall(_.contains("grp=a")))
+    val got = Snapshots.readResolved(spark, dir)
+      .select(col("id"), col("grp"), col("n")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 100L), (2L, "b", 20L), (3L, "a", 300L), (4L, "a", 400L)))
+  }
+
+  test("logical commits chain: a delete on top of a replace resolves recursively") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "n"), dir)
+    Snapshots.commitReplace(Seq((1L, "a", 100L)).toDF("id", "grp", "n"),
+      dir, base = 1, pcol = "grp", pval = "a")
+    Snapshots.commitDeletes(Seq(2L).toDF("id"), dir, base = 2)
+    assert(Snapshots.readResolved(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 100L)))
+    // every intermediate state stays pinned-readable
+    assert(Snapshots.readResolved(spark, dir, Some(1)).count() == 2)
+    assert(Snapshots.readResolved(spark, dir, Some(2))
+      .filter(col("n") === 100L).count() == 1)
+  }
+
+  test("logical commits validate their base version") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDeletes(Seq(1L).toDF("id"), dir, base = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(Seq((1L, "a")).toDF("id", "v"), dir,
+        base = 9, pcol = "v", pval = "a")
+    }
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

@@ -50,6 +50,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == 2)
   }
 
+  test("s7 at-least-once feed streamed across micro-batches equals the batch dedup") {
+    // the s7 feed (each hash-chosen event delivered twice), written as
+    // 4 files and streamed one file per trigger, so re-deliveries can
+    // straddle micro-batch boundaries; the watermark horizon covers
+    // the fixture's whole time span, so no row is ever late and the
+    // drained output must equal the batch dropDuplicates exactly
+    val dir = java.nio.file.Files.createTempDirectory("s7feed").toString
+    val ev = Tables.load(spark, Sf0001, "events")
+    val re = ev.filter(
+      graft.ops.TextFns.hash60(concat(lit("redeliver|"),
+        col("event_id").cast("string"))) % 10 === 0)
+    assert(re.count() > 0, "the redelivery subset must be non-empty")
+    ev.unionByName(re).repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.dedupedEvents(stream, watermark = "100 days")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s7_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("s7_out")
+      assert(got.count() == ev.count(),
+        "every event id must survive exactly once after the drain")
+      val g = got.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect().toSeq
+      val b = EventStream.dedupedEvents(ev.unionByName(re))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect().toSeq
+      assert(g == b, "per-type counts must match the batch twin")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join once drained") {
     val dir = java.nio.file.Files.createTempDirectory("ssjoin").toString
     Tables.load(spark, Sf0001, "events").write.mode("overwrite").parquet(dir)
