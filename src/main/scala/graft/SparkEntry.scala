@@ -30,7 +30,8 @@ import graft.queries._
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s6, q21–q27, q29, x1–x28, v6, v14): §2.5–2.13
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, x1–x28, v6, v14, v21):
+  *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
   *    z-order layout, compaction planning + execution (x26: the plan
@@ -38,9 +39,10 @@ import graft.queries._
   *    snapshot diff, salted join, copy-on-write time travel, the
   *    x25 composed lakehouse pipeline: x14 admission + v20 vector
   *    append + x24 snapshot commit in one declared query, x27
-  *    deletion-vector merge-on-read deletes, and x28 dynamic
-  *    partition overwrite — both with listing-checked immutability
-  *    flags)
+  *    deletion-vector merge-on-read deletes, x28 dynamic partition
+  *    overwrite — both with listing-checked immutability flags —
+  *    s7 at-least-once delivery dedup, and v21 cluster-blocked kNN
+  *    self-join)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four

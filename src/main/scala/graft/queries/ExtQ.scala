@@ -35,6 +35,9 @@ object ExtQ {
   /** v14 SemDeDup cosine threshold (same family as DedupQ.CosineMin). */
   val SemTau = 0.35
 
+  /** v21 kNN self-join: neighbors kept per vector. */
+  val KnnJoinK = 3
+
   /** v6's showcased plan ALONE — single-pass [[VectorAgg.vectorSum]]
     * centroids (one shuffle of d-length buffers, never an n×d gram
     * explode), broadcast-assigned probe, heap top-k. The declared
@@ -743,6 +746,44 @@ object ExtQ {
         .orderBy(col("keep_id"), col("drop_id"))
     }),
 
+    // v21 — k-NN SELF-JOIN (batch all-pairs top-k, cluster-blocked):
+    // every vector finds its K best neighbors in one pass — the
+    // corpus-wide companion of the per-query ANN family (v4–v12 serve
+    // "neighbors of THIS query"; v21 materializes "neighbors of
+    // EVERYONE", the input to SemDeDup-style pruning, kNN-graph
+    // construction, and NN-descent seeding). Candidates are blocked
+    // by the SAME exact-k-means partition as v14 (declared semantics:
+    // neighbors within the assigned cluster — the scale contract, and
+    // the oracle replays the identical blocking), then a bounded
+    // TopKPerKey heap keeps K per vector — no per-vector sort, no
+    // n² join. At 100 TB: candidate pairs are Σ cluster², cluster
+    // count is the knob, and the heap bounds both memory and the
+    // shuffle to K rows per vector.
+    "v21_knn_join" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val asg = graft.ops.KMeans.fitExact(vecs, "vec_id", "embedding",
+          k = KmK, assignPasses = KmPasses)
+        .select(col("vec_id"), col("cluster_id"))
+      val ev = vecs.join(asg, Seq("vec_id"))
+      val a = ev.select(col("cluster_id"), col("vec_id"), col("embedding").as("ea"))
+      val b = ev.select(col("cluster_id").as("cb"), col("vec_id").as("nb_id"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b,
+          col("cluster_id") === col("cb") && col("vec_id") =!= col("nb_id"))
+        .withColumn("raw", VectorOps.dot(col("ea"), col("eb")) /
+          (VectorOps.l2norm(col("ea")) * VectorOps.l2norm(col("eb"))))
+      val top = graft.plans.TopK.perKey(pairs, Seq("vec_id"),
+        Seq(col("raw").desc, col("nb_id")), KnnJoinK)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("raw").desc, col("nb_id"))
+      top.withColumn("nb_rank", row_number().over(w))
+        .select(col("vec_id"), col("cluster_id"), col("nb_id"),
+          col("nb_rank"), round(col("raw"), 4).as("cosine"))
+        .orderBy(col("vec_id"), col("nb_rank"))
+    }),
+
     // s4 — ORDERED FUNNEL (sequential event-pattern match): how many
     // users progressed view → click → purchase, where each step must
     // occur STRICTLY AFTER the user's earliest previous step — the
@@ -1411,6 +1452,30 @@ object ExtQ {
          |  true AS inertia_ok
          |FROM asg$KmPasses""".stripMargin,
     "v14_semdedup" -> semdedupOracle,
+
+    // v21: the same exact-k-means chain + cluster-blocked pair join as
+    // v14, then a row_number window with the engine's (raw desc,
+    // nb_id) total order keeps K per vector
+    "v21_knn_join" ->
+      s"""$kmeansCteChain,
+         |ev AS (
+         |  SELECT e.vec_id, a.cluster_id, e.embedding
+         |  FROM embeddings e JOIN asg$KmPasses a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id, a.cluster_id, b.vec_id AS nb_id,
+         |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS raw
+         |  FROM ev a JOIN ev b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, cluster_id, nb_id, raw,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY raw DESC, nb_id) AS INT) AS nb_rank
+         |  FROM pairs)
+         |SELECT vec_id, cluster_id, nb_id, nb_rank, round(raw, 4) AS cosine
+         |FROM ranked WHERE nb_rank <= $KnnJoinK
+         |ORDER BY vec_id, nb_rank""".stripMargin,
 
     // the two-phase salted plan must reproduce the plain count
     "x13_salted_count" ->
