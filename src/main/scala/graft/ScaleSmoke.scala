@@ -36,11 +36,14 @@ object ScaleSmoke {
     "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events",
     "d14_phash_dedup", "v20_ivf_append", "m3_frame_dedup",
     "t25_repetition", "x25_pipeline_snapshot", "x26_compaction_exec",
+    "x27_deletion_vectors", "x28_partition_overwrite", "x29_vacuum",
+    "s7_at_least_once_dedup", "v21_knn_join",
     // graph family over the scaled orders⋈lineitem co-purchase graph
     // (copies are id-offset ⇒ F disjoint subgraphs: density constant,
     // rounds constant, per-round shuffle rows must grow ~F)
     "k11_pagerank", "k14_label_prop", "k15_components", "k16_kcore",
-    "k17_node_similarity", "k18_shortest_paths", "x23_salted_join")
+    "k17_node_similarity", "k18_shortest_paths", "x23_salted_join",
+    "k19_personalized_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -30,7 +30,7 @@ import graft.queries._
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, x1–x28, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, x1–x30, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -41,6 +41,7 @@ import graft.queries._
   *    append + x24 snapshot commit in one declared query, x27
   *    deletion-vector merge-on-read deletes, x28 dynamic partition
   *    overwrite — both with listing-checked immutability flags —
+  *    x29 vacuum retention, x30 CDC apply with a checked round-trip,
   *    s7 at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join)
   *

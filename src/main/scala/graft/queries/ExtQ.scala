@@ -881,6 +881,53 @@ object ExtQ {
         .orderBy(col("c_custkey"), col("op"))
     }),
 
+    // x30 — CDC APPLY (x18's inverse, closing the change-data loop):
+    // the change feed x18 emits is only useful if a downstream
+    // replica can REPLAY it — so this query diffs the two snapshot
+    // states (ops.Diff, x18's exact construction), then reconstructs
+    // the new state from the OLD state + the feed alone: anti-join
+    // out D/U keys, union in I/U new images. The reconstruction
+    // never touches the new snapshot; equality with it is CHECKED
+    // (two exceptAll counts must be zero) and stated as
+    // `roundtrip_exact`, which the oracle pins to literal true while
+    // replaying the new state from source for the per-bucket
+    // checksums — a failed replay breaks the hash twice over. At
+    // 100 TB this is the replica-maintenance shape: the feed is
+    // churn-sized, the apply is one anti-join + union on the key
+    // partitioning, and nothing rescans the source table.
+    "x30_cdc_apply" -> ((s, d) => {
+      val old = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val maxKey = 1000000L
+      val neu = old.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, round(col("c_acctbal") + 100.0, 2))
+            .otherwise(col("c_acctbal")))
+        .unionAll(old.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + maxKey).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      // the feed is computed once and reused twice (delete keys, new
+      // images) — cut it eagerly so the diff join runs once
+      val cdc = graft.ops.Diff.snapshot(old, neu, Seq("c_custkey"))
+        .localCheckpoint(true)
+      val delKeys = cdc.filter(col("op").isin("D", "U"))
+        .select(col("c_custkey"))
+      val newImgs = cdc.filter(col("op").isin("I", "U"))
+        .select(col("c_custkey"), col("new_c_name").as("c_name"),
+          col("new_c_acctbal").as("c_acctbal"))
+      val applied = old.join(delKeys, Seq("c_custkey"), "left_anti")
+        .unionByName(newImgs)
+      val mismatches = applied.exceptAll(neu).count() +
+        neu.exceptAll(applied).count()
+      applied
+        .groupBy((col("c_custkey") % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum2(col("c_acctbal")).as("balsum"),
+          sum(col("c_custkey")).as("keysum"))
+        .withColumn("roundtrip_exact", lit(mismatches == 0L))
+        .orderBy(col("bucket"))
+    }),
+
     // x19 — Z-ORDER LAYOUT + ZONE-MAP PRUNING REPORT: the lakehouse
     // multi-dimensional clustering trick (Delta/Iceberg OPTIMIZE
     // ZORDER BY). Interleave the bits of two query dimensions (user
@@ -1193,6 +1240,46 @@ object ExtQ {
           sum(col("doc_id")).as("docsum"))
         .withColumn("one_file_per_bin", lit(oneFilePerBin))
         .orderBy(col("source"), col("bin"))
+    }),
+
+    // x29 — VACUUM (snapshot retention): three committed states of
+    // the x24 balance table, then Snapshots.vacuum(keepLast = 2)
+    // physically removes v1 — the log is pruned FIRST (rename-atomic,
+    // so a crash mid-vacuum leaves invisible garbage, never a log
+    // entry pointing at deleted data), and a kept logical version's
+    // base chain is reference-protected (SnapshotsSpec). The output
+    // reads BOTH surviving versions after the vacuum next to the
+    // listing-checked `v1_dir_gone` flag; the oracle states the two
+    // surviving states from source plus literal true, so the hash
+    // proves retention removed exactly the expired version and
+    // nothing the survivors need. At 100 TB vacuum is what caps
+    // storage at (retention × churn) instead of all history — and
+    // the log-first ordering is what makes it safe to crash.
+    "x29_vacuum" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x29_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val orders = Tables.load(s, d, "orders")
+      def balances(cut: Option[String]) = cut.fold(orders)(c =>
+          orders.filter(col("o_orderdate") < lit(c).cast("timestamp")))
+        .groupBy(col("o_custkey"))
+        .agg(dsum2(col("o_totalprice")).as("balance"),
+          count(lit(1)).as("n_orders"))
+      Snapshots.commit(balances(Some("1996-01-01")), dir)
+      Snapshots.commit(balances(Some("1997-01-01")), dir)
+      Snapshots.commit(balances(None), dir)
+      val dropped = Snapshots.vacuum(s, dir, keepLast = 2)
+      val v1Gone = dropped == Seq(1) && !Snapshots.versionDirExists(s, dir, 1)
+      val v2 = Snapshots.read(s, dir, Some(2))
+        .select(col("o_custkey"), col("balance").as("bal_v2"),
+          col("n_orders").as("n_orders_v2"))
+      val v3 = Snapshots.read(s, dir, Some(3))
+      v3.join(v2, Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("bal_v2"), col("n_orders_v2"),
+          col("balance").as("bal_v3"), col("n_orders").as("n_orders_v3"),
+          lit(Snapshots.versions(s, dir).size).as("n_versions_after"),
+          lit(v1Gone).as("v1_dir_gone"))
+        .orderBy(col("o_custkey"))
     }),
 
     // x27 — DELETION VECTORS (merge-on-read row deletes): version 1
@@ -1869,6 +1956,25 @@ object ExtQ {
         |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
         |ORDER BY c_custkey, op""".stripMargin,
 
+    // x30: the applied replica must equal the new snapshot, so the
+    // oracle just states the new state from source (x18's replay) and
+    // aggregates it; literal true states the checked exceptAll proof
+    "x30_cdc_apply" ->
+      """WITH neu AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 13 = 0 THEN round(c_acctbal + 100.0, 2)
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 31 = 0)
+        |SELECT CAST(c_custkey % 10 AS INT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balsum,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS keysum,
+        |  true AS roundtrip_exact
+        |FROM neu GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
     // the z computation is the same div/mod string the Spark side
     // compiles (zInterleave), only the integer-division operator
     // differs; all math is integer so the twin is exact
@@ -2048,6 +2154,27 @@ object ExtQ {
          |  true AS one_file_per_bin
          |FROM routed GROUP BY source, bin
          |ORDER BY source, bin""".stripMargin,
+
+    // x29: the two SURVIVING states stated from source (the x24
+    // pattern at cuts 1997-01-01 and none); literal true states the
+    // listing-checked "v1's directory is physically gone" flag.
+    "x29_vacuum" ->
+      """WITH v2 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_v2,
+        |    COUNT(*) AS n_orders_v2
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |v3 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_v3,
+        |    COUNT(*) AS n_orders_v3
+        |  FROM orders GROUP BY 1)
+        |SELECT l.o_custkey, v.bal_v2, v.n_orders_v2,
+        |  l.bal_v3, l.n_orders_v3,
+        |  CAST(2 AS INT) AS n_versions_after, true AS v1_dir_gone
+        |FROM v3 l LEFT JOIN v2 v USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     // x27: both versions stated from source — v1 the full corpus, v2
     // the corpus minus the replayed takedown hash predicate; literal

@@ -447,6 +447,56 @@ object Snapshots {
       .sortBy(_._1)
   }
 
+  /** VACUUM: physically remove versions outside the retention window.
+    * Keeps the newest `keepLast` versions PLUS, transitively, every
+    * version still referenced as a `base` by a kept logical commit
+    * (deleting a DV's base would corrupt the DV's read path — the
+    * reference-protection rule of every production table format).
+    * Ordering is crash-safe in the same direction as [[commit]]: the
+    * pruned log is renamed into place FIRST, then the dropped
+    * directories are deleted — a crash between the two leaves
+    * unreferenced garbage dirs (invisible, the log defines
+    * visibility), never a log entry pointing at deleted data. Reads
+    * of a vacuumed version fail loudly at log resolution.
+    * Returns the dropped version numbers. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val (fs, p) = fsOf(spark, dir)
+    val entries = logEntries(spark, dir).sortBy(_.get("version").asInt())
+    val byV = entries.map(n => n.get("version").asInt() -> n).toMap
+    var keep = entries.takeRight(keepLast).map(_.get("version").asInt()).toSet
+    // transitive base closure: a kept logical version pins its chain
+    var frontier = keep
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(v =>
+        Option(byV(v).get("base")).map(_.asInt())).diff(keep)
+      keep ++= frontier
+    }
+    val dropped = entries.map(_.get("version").asInt()).filterNot(keep)
+    if (dropped.nonEmpty) {
+      val keptText = entries.filter(n => keep(n.get("version").asInt()))
+        .map(_.toString).mkString("", "\n", "\n")
+      val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
+      val tmp = new org.apache.hadoop.fs.Path(p, "_versions.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(keptText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, log)) {
+        fs.delete(log, false)
+        require(fs.rename(tmp, log), s"could not commit pruned log $log")
+      }
+      dropped.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, s"v$v"), true))
+    }
+    dropped
+  }
+
+  /** Whether a version's directory physically exists (vacuum
+    * evidence — visibility itself is always decided by the log). */
+  def versionDirExists(spark: SparkSession, dir: String, version: Int): Boolean = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(p, s"v$version"))
+  }
+
   /** Drop the whole table (all versions + log). */
   def drop(spark: SparkSession, dir: String): Unit = {
     val (fs, p) = fsOf(spark, dir)

@@ -367,4 +367,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!joinSection.contains("Exchange hashpartitioning"),
       "events side must not hash-exchange before the broadcast join")
   }
+
+  test("x27's deletion vector merges on read as a broadcast anti-join") {
+    // run the declared query once so the snapshot dirs exist, then pin
+    // the resolved read's plan: the key-sized DV must broadcast —
+    // at 100 TB a shuffled anti-join would re-shuffle the corpus to
+    // serve a churn-sized delete
+    SparkEntry.queries("x27_deletion_vectors")(spark, Sf0001).collect()
+    val dir = s"target/x27_snap_${math.abs(Sf0001.hashCode)}"
+    val resolved = graft.sources.Snapshots.readResolved(spark, dir, Some(2))
+    val p = resolved.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV resolution must be a broadcast anti-join, got:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "neither side of the DV anti-join should hash-exchange")
+  }
+
+  test("x30's CDC apply anti-joins the delete keys via broadcast") {
+    val p = plan("x30_cdc_apply")
+    val anti = p.indexOf("LeftAnti")
+    assert(anti >= 0, "the apply must anti-join out the D/U keys")
+    assert(p.contains("BroadcastHashJoin"),
+      "the churn-sized delete-key side must broadcast, not shuffle the replica")
+  }
 }

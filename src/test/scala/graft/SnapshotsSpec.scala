@@ -165,6 +165,40 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("vacuum removes expired versions, keeps survivors readable, fails vacuumed reads loudly") {
+    val dir = freshDir()
+    (1 to 3).foreach { i =>
+      Snapshots.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), dir)
+    }
+    val dropped = Snapshots.vacuum(spark, dir, keepLast = 2)
+    assert(dropped == Seq(1))
+    assert(Snapshots.versions(spark, dir) == Seq(2, 3))
+    assert(!Snapshots.versionDirExists(spark, dir, 1),
+      "the expired version's directory must be physically gone")
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 1)
+    assert(Snapshots.read(spark, dir).select("v").as[String].collect().toSeq == Seq("r3"))
+    intercept[IllegalArgumentException] { Snapshots.read(spark, dir, Some(1)) }
+    // idempotent when nothing is expired
+    assert(Snapshots.vacuum(spark, dir, keepLast = 2).isEmpty)
+  }
+
+  test("vacuum protects a kept logical version's base chain") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Snapshots.commitDeletes(Seq(2L).toDF("id"), dir, base = 1)
+    // keepLast = 1 keeps only the DV — but its base must survive too,
+    // or the DV's read path would dangle
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).isEmpty)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.readResolved(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a data version on top releases the chain: vacuum now drops both
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).sorted == Seq(1, 2))
+    assert(Snapshots.versions(spark, dir) == Seq(3))
+    assert(!Snapshots.versionDirExists(spark, dir, 1) &&
+      !Snapshots.versionDirExists(spark, dir, 2))
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
