@@ -37,7 +37,8 @@ object ScaleSmoke {
     "d14_phash_dedup", "v20_ivf_append", "m3_frame_dedup",
     "t25_repetition", "x25_pipeline_snapshot", "x26_compaction_exec",
     "x27_deletion_vectors", "x28_partition_overwrite", "x29_vacuum",
-    "s7_at_least_once_dedup", "v21_knn_join",
+    "s7_at_least_once_dedup", "v21_knn_join", "t26_strip_invisible",
+    "x31_schema_evolution", "q33_correlated_exists",
     // graph family over the scaled orders⋈lineitem co-purchase graph
     // (copies are id-offset ⇒ F disjoint subgraphs: density constant,
     // rounds constant, per-round shuffle rows must grow ~F)

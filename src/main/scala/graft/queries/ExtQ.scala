@@ -881,6 +881,57 @@ object ExtQ {
         .orderBy(col("c_custkey"), col("op"))
     }),
 
+    // x31 — SCHEMA EVOLUTION (additive column, aligned reads):
+    // version 1 commits the document table WITHOUT the lang column;
+    // version 2 commits it widened. Snapshots.readAligned serves the
+    // OLD version through the LATEST schema — the missing column
+    // comes back as typed nulls in the new column order, which is the
+    // read contract that lets a reader written against today's schema
+    // scan every historic version with no migration rewrite (type
+    // changes and drops fail loudly — SnapshotsSpec). The output puts
+    // both versions' per-source counts and null-lang counts side by
+    // side; the oracle states them from source (v1's lang is null for
+    // every row BECAUSE the column didn't exist), so the hash pins
+    // the null-fill semantics exactly. At 100 TB: evolution is a log
+    // metadata change — zero data files rewritten, zero backfill.
+    "x31_schema_evolution" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x31_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val docs = Tables.load(s, d, "documents")
+      Snapshots.commit(docs.select(col("doc_id"), col("source")), dir)
+      Snapshots.commit(docs.select(col("doc_id"), col("source"), col("lang")), dir)
+      def summary(df: DataFrame, v: Int) = df
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+          sum(col("doc_id")).as("idsum"))
+        .select(lit(v).as("version"), col("source"), col("n"),
+          col("n_lang_null"), col("idsum"))
+      summary(Snapshots.readAligned(s, dir, Some(1)), 1)
+        .unionByName(summary(Snapshots.readAligned(s, dir, Some(2)), 2))
+        .orderBy(col("version"), col("source"))
+    }),
+
+    // q33 — CORRELATED EXISTS / NOT EXISTS: customers with at least
+    // one urgent order but no blockbuster order — the classic
+    // correlated-subquery pair, declared in SQL so Catalyst's
+    // RewritePredicateSubquery turns it into one LeftSemi + one
+    // LeftAnti join (never a per-row subquery execution — the only
+    // shape that scales; the oracle runs the identical SQL text).
+    "q33_correlated_exists" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(
+        s"""SELECT c_custkey, c_mktsegment FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_orderpriority = '1-URGENT')
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_totalprice > $Q33PriceCut)
+           |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // x30 — CDC APPLY (x18's inverse, closing the change-data loop):
     // the change feed x18 emits is only useful if a downstream
     // replica can REPLAY it — so this query diffs the two snapshot
@@ -1374,6 +1425,10 @@ object ExtQ {
   /** x28: the overwritten partition (a mid-range source so the query
     * exercises base partitions on both sides of it). */
   val X28Pval = "src3"
+
+  /** q33: the blockbuster-order threshold (sits inside every SF's
+    * o_totalprice range, so both EXISTS legs filter non-trivially). */
+  val Q33PriceCut = 300000
 
   /** x25's store state at one point in time, as (store, bucket, id)
     * rows: the document corpus (bucket −1, id = doc_id) and the
@@ -1955,6 +2010,35 @@ object ExtQ {
         |   OR o.c_name IS DISTINCT FROM n.c_name
         |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
         |ORDER BY c_custkey, op""".stripMargin,
+
+    // x31: v1's lang is null for EVERY row because the column did not
+    // exist pre-evolution — the oracle states exactly that; v2 reads
+    // the real column
+    "x31_schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT CAST(1 AS INT) AS version, source, COUNT(*) AS n,
+        |    COUNT(*) AS n_lang_null,
+        |    CAST(SUM(doc_id) AS BIGINT) AS idsum
+        |  FROM documents GROUP BY source),
+        |v2 AS (
+        |  SELECT CAST(2 AS INT) AS version, source, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_lang_null,
+        |    CAST(SUM(doc_id) AS BIGINT) AS idsum
+        |  FROM documents GROUP BY source)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY version, source""".stripMargin,
+
+    // q33: the identical correlated-subquery SQL text
+    "q33_correlated_exists" ->
+      s"""SELECT c_custkey, c_mktsegment FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_orderpriority = '1-URGENT')
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_totalprice > $Q33PriceCut)
+         |ORDER BY c_custkey""".stripMargin,
 
     // x30: the applied replica must equal the new snapshot, so the
     // oracle just states the new state from source (x18's replay) and

@@ -738,6 +738,34 @@ object TextQ {
         .orderBy(col("doc_id"))
     }),
 
+    // t26 — INVISIBLE-CHARACTER SCRUB (zero-width + BOM stripping):
+    // the tokenizer-hygiene pass LLM pipelines run against
+    // homoglyph/stealth-injection text — zero-width
+    // space/joiner/non-joiner and BOM characters carry no glyph but
+    // change tokenization. The fixture corpus is clean bytes, so the
+    // operator's wire shape is synthesized deterministically (a
+    // hash-chosen ~20% of docs arrives wrapped in U+200B…U+FEFF —
+    // d14's synthesize-the-payload pattern), then scrubbed with one
+    // codegen'd regexp_replace. The oracle states the EXPECTED clean
+    // text's md5 straight from source (clean ≡ original), so a scrub
+    // that strips too little OR too much breaks the hash — a
+    // round-trip proof, not a replay. Narrow map, zero shuffles.
+    "t26_strip_invisible" -> ((s, d) => {
+      val dirty = graft.ops.TextFns.hash60(concat(lit("zw|"),
+        col("doc_id").cast("string"))) % 5 === 0
+      docs(s, d)
+        .withColumn("injected", dirty)
+        .withColumn("wire", when(dirty,
+          concat(lit("\u200B"), col("text"), lit("\uFEFF")))
+          .otherwise(col("text")))
+        .withColumn("clean",
+          regexp_replace(col("wire"), "[\u200B\u200C\u200D\uFEFF]", ""))
+        .select(col("doc_id"), col("injected"),
+          (length(col("wire")) - length(col("clean"))).cast("int").as("n_invisible"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q28 — PIVOT: per-source document counts spread across language
     // columns (explicit value list → deterministic schema; Spark
     // compiles it to the same partial-agg shape as CASE-sums, which
@@ -1411,6 +1439,22 @@ object TextQ {
         |    'http\S+', '<URL>', 'g'),
         |    '\d{6,}', '<NUM>', 'g')) AS redacted_md5
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // t26: the expected clean text IS the source text (the scrub must
+    // round-trip the injection exactly), so the oracle states
+    // md5(text) and the injection arithmetic directly — it never
+    // runs the scrub, making the comparison a proof of it
+    "t26_strip_invisible" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5('zw|' || doc_id::VARCHAR), 1, 15))
+        |      AS BIGINT) % 5 = 0 AS injected
+        |  FROM documents)
+        |SELECT doc_id, injected,
+        |  CAST(CASE WHEN injected THEN 2 ELSE 0 END AS INT) AS n_invisible,
+        |  md5(text) AS clean_md5
+        |FROM f
         |ORDER BY doc_id""".stripMargin,
 
     "q28_pivot" ->

@@ -435,6 +435,33 @@ object Snapshots {
     resolve(v0)
   }
 
+  /** Read a (possibly logical) version ALIGNED to the latest schema:
+    * columns the old version lacks come back as typed nulls, in the
+    * latest version's column order — SCHEMA EVOLUTION's read contract
+    * (a reader written against today's schema can scan every historic
+    * version without a migration rewrite). Columns present in both
+    * must agree on type; a column DROPPED by evolution would need a
+    * policy decision, so it fails loudly instead of guessing. */
+  def readAligned(spark: SparkSession, dir: String,
+                  asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = readResolved(spark, dir).schema
+    val src = readResolved(spark, dir, asOf)
+    val have = src.schema.fields.map(f => f.name -> f.dataType).toMap
+    val extra = src.columns.filterNot(c => target.fieldNames.contains(c))
+    require(extra.isEmpty,
+      s"version has columns the latest schema dropped: ${extra.mkString(",")}")
+    src.select(target.fields.toSeq.map { f =>
+      have.get(f.name) match {
+        case Some(t) =>
+          require(t == f.dataType,
+            s"column ${f.name} changed type $t -> ${f.dataType}; aligned reads only add columns")
+          col(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
   /** (relative path, length) of every data file of a version, sorted —
     * the immutability witness: x27/x28 capture it before and after a
     * logical commit and compare for equality, so "the base's files

@@ -384,6 +384,14 @@ class PlanShapeSpec extends SparkSpec {
       "neither side of the DV anti-join should hash-exchange")
   }
 
+  test("q33's correlated subqueries rewrite to semi/anti joins (no per-row execution)") {
+    val p = plan("q33_correlated_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "neither leg may degrade to a nested-loop/cartesian plan")
+  }
+
   test("x30's CDC apply anti-joins the delete keys via broadcast") {
     val p = plan("x30_cdc_apply")
     val anti = p.indexOf("LeftAnti")

@@ -199,6 +199,32 @@ class SnapshotsSpec extends SparkSpec {
       !Snapshots.versionDirExists(spark, dir, 2))
   }
 
+  test("aligned reads serve old versions through the latest schema; drops/type-changes fail loudly") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "grp"), dir)
+    Snapshots.commit(Seq((2L, "b", 5L)).toDF("id", "grp", "score"), dir)
+    val v1 = Snapshots.readAligned(spark, dir, Some(1))
+    assert(v1.columns.toSeq == Seq("id", "grp", "score"),
+      "aligned read must carry the latest column set and order")
+    val row = v1.collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(2),
+      "the missing column must come back as a typed null")
+    // latest aligned to itself is identity
+    assert(Snapshots.readAligned(spark, dir).collect().head.getLong(2) == 5L)
+    // a dropped column has no safe answer — loud failure
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "grp"), dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAligned(spark, dir, Some(2)).collect()
+    }
+    // a type change is not additive evolution — loud failure
+    val dir2 = freshDir()
+    Snapshots.commit(Seq((1L, 5L)).toDF("id", "score"), dir2)
+    Snapshots.commit(Seq((1L, "five")).toDF("id", "score"), dir2)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAligned(spark, dir2, Some(1)).collect()
+    }
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
