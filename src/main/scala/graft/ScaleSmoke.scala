@@ -39,6 +39,10 @@ object ScaleSmoke {
     "x27_deletion_vectors", "x28_partition_overwrite", "x29_vacuum",
     "s7_at_least_once_dedup", "v21_knn_join", "t26_strip_invisible",
     "x31_schema_evolution", "q33_correlated_exists",
+    "x32_write_audit_publish",
+    // x30 is deliberately absent: its input is the customer DIMENSION,
+    // which this generator keeps verbatim (see the customer note in
+    // generate()) — a 10× row would measure nothing (SCALE.md r7)
     // graph family over the scaled orders⋈lineitem co-purchase graph
     // (copies are id-offset ⇒ F disjoint subgraphs: density constant,
     // rounds constant, per-round shuffle rows must grow ~F)

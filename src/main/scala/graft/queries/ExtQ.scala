@@ -881,6 +881,50 @@ object ExtQ {
         .orderBy(col("c_custkey"), col("op"))
     }),
 
+    // x32 — WRITE-AUDIT-PUBLISH (WAP, the staged-commit quality
+    // gate): tonight's quality-gated refresh is committed STAGED —
+    // fully durable, owns its version number, but invisible to every
+    // reader resolving `latest` (the log entry carries staged:true).
+    // The query proves the whole protocol in one hash: (1)
+    // `staged_invisible` — a latest read taken WHILE v2 was staged
+    // still counts v1's rows; (2) the audit — a pinned read of the
+    // staged version checks the quality gate held (zero short docs
+    // remain), and only then (3) Snapshots.publish flips the flag
+    // with a metadata-only log rewrite, after which latest serves the
+    // refresh. The oracle states v1, the gated v2, and both literal
+    // verdicts from source. At 100 TB: the audit is the barrier
+    // between an ingest run and production readers — bad data is
+    // never served, and un-publishing is free because publication
+    // never touched a data file.
+    "x32_write_audit_publish" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x32_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs, dir)
+      val staged = Snapshots.commitStaged(
+        docs.filter(col("n_chars") >= X32MinChars), dir)
+      // the reader's view while v2 is staged: latest must still be v1
+      val stagedInvisible =
+        Snapshots.read(s, dir).count() == docs.count()
+      // the audit: a pinned read of the staged version, gate checked
+      val auditPass = Snapshots.read(s, dir, Some(staged))
+        .filter(col("n_chars") < X32MinChars).count() == 0
+      if (auditPass) Snapshots.publish(s, dir, staged)
+      val before = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_v1"), sum(col("doc_id")).as("idsum_v1"))
+      val after = Snapshots.read(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_published"),
+          sum(col("doc_id")).as("idsum_published"))
+      before.join(after, Seq("source"))
+        .select(col("source"), col("n_v1"), col("idsum_v1"),
+          col("n_published"), col("idsum_published"),
+          lit(stagedInvisible).as("staged_invisible"),
+          lit(auditPass).as("audit_pass"))
+        .orderBy(col("source"))
+    }),
+
     // x31 — SCHEMA EVOLUTION (additive column, aligned reads):
     // version 1 commits the document table WITHOUT the lang column;
     // version 2 commits it widened. Snapshots.readAligned serves the
@@ -1025,8 +1069,9 @@ object ExtQ {
     // corpus. All math is exact integers, so the plan — and its
     // oracle — is deterministic down to the bin boundaries.
     "x20_compaction_plan" -> ((s, d) => {
+      val (gw, tgt) = compactKnobs(s, d)
       val files = Tables.load(s, d, "documents")
-        .groupBy(col("source"), expr(s"doc_id div $CompactGroup").as("g"))
+        .groupBy(col("source"), expr(s"doc_id div $gw").as("g"))
         .agg(sum(col("n_chars")).cast("long").as("size_bytes"))
         .select(col("source"),
           concat(col("source"), lit("_"), col("g").cast("string")).as("file_id"),
@@ -1037,7 +1082,7 @@ object ExtQ {
       files
         .withColumn("cum_before",
           coalesce(sum(col("size_bytes")).over(w), lit(0L)))
-        .withColumn("bin", expr(s"cum_before div $CompactTarget").cast("int"))
+        .withColumn("bin", expr(s"cum_before div $tgt").cast("int"))
         .select(col("source"), col("file_id"), col("size_bytes"),
           col("cum_before"), col("bin"))
         .orderBy(col("source"), col("bin"), col("size_bytes").desc, col("file_id"))
@@ -1267,10 +1312,17 @@ object ExtQ {
       import graft.sources.Snapshots
       val dir = s"target/x26_snap_${math.abs(d.hashCode)}"
       Snapshots.drop(s, dir) // deterministic version numbers per run
+      val (gw, _) = compactKnobs(s, d)
       val frag = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("n_chars"), col("source"),
-          expr(s"doc_id div $CompactGroup").as("g"))
-      Snapshots.commit(frag, dir, partitionBy = Seq("source", "g"))
+          expr(s"doc_id div $gw").as("g"))
+      // colocate each micro-file's rows before the write: without
+      // this every task emits a file into every partition dir it
+      // touches (tasks × dirs files — measured 135 s at sf0.1 before
+      // the knobs were scale-aware), with it the fragmented layout
+      // is exactly one data file per micro-file dir
+      Snapshots.commit(frag.repartition(col("source"), col("g")),
+        dir, partitionBy = Seq("source", "g"))
       val plan = defs("x20_compaction_plan")(s, d)
         .select(col("source"), col("file_id"), col("bin"))
       val routed = Snapshots.read(s, dir, Some(1))
@@ -1430,6 +1482,11 @@ object ExtQ {
     * o_totalprice range, so both EXISTS legs filter non-trivially). */
   val Q33PriceCut = 300000
 
+  /** x32: the audit's minimum-length gate (roughly a quarter of every
+    * fixture's docs fall below it, so the staged refresh differs
+    * non-trivially from v1). */
+  val X32MinChars = 200
+
   /** x25's store state at one point in time, as (store, bucket, id)
     * rows: the document corpus (bucket −1, id = doc_id) and the
     * vector store (bucket = cluster_id, id = vec_id). Pre-batch =
@@ -1487,9 +1544,38 @@ object ExtQ {
   val ZBoxHi = 7
 
   /** x20: compaction target size (chars stand in for bytes at
-    * fixture scale) and the micro-file granularity. */
+    * fixture scale) and the micro-file granularity — BASE values for
+    * the smallest fixtures; [[compactKnobs]] scales both with the
+    * corpus. */
   val CompactTarget = 2000L
   val CompactGroup = 20
+
+  /** SCALE-AWARE compaction knobs (the d14 band-width lesson applied
+    * to layout simulation): the micro-file width grows with the
+    * corpus so the SIMULATED file count stays manifest-sized
+    * (~25/source), and the bin target scales in the same ratio so
+    * each bin still packs ~3 files. Without this, x26's fragmented
+    * v1 commit wrote one hive directory PER DOC-GROUP — 5,000
+    * one-row directories at sf0.1 (135 s of pure file creation,
+    * caught by the r7 bench sweep) and unboundedly more beyond. Both
+    * knobs are integer functions of max(doc_id), replayed by the
+    * oracle in a scalar CTE, so plan and oracle can never disagree.
+    * At the base fixtures (max id < 500·[[CompactGroup]]÷20) the
+    * knobs equal the base constants — sf0.001/0.01 outputs are
+    * unchanged. */
+  private[graft] def compactKnobs(s: SparkSession, d: String): (Long, Long) = {
+    val maxId = Tables.load(s, d, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val gw = math.max(CompactGroup.toLong, (maxId + 1) / 25)
+    (gw, CompactTarget * gw / CompactGroup)
+  }
+
+  /** The oracle twin of [[compactKnobs]] as a one-row CTE. */
+  private def compactKnobsCte: String =
+    s"""knobs AS (SELECT greatest($CompactGroup, (max(doc_id) + 1) // 25) AS gw,
+       |  ($CompactTarget * greatest($CompactGroup, (max(doc_id) + 1) // 25))
+       |    // $CompactGroup AS tgt
+       |  FROM documents)""".stripMargin
 
   /** The x11 oracle: KmPasses assignment passes unrolled as a CTE
     * chain (k11's pattern — standard SQL cannot iterate with
@@ -2011,6 +2097,23 @@ object ExtQ {
         |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
         |ORDER BY c_custkey, op""".stripMargin,
 
+    // x32: v1 and the gated refresh stated from source; the two
+    // protocol verdicts (staged-invisible, audit-pass) are literal
+    // true — a staging leak or a failed gate breaks the hash
+    "x32_write_audit_publish" ->
+      s"""WITH v1 AS (
+         |  SELECT source, COUNT(*) AS n_v1,
+         |    CAST(SUM(doc_id) AS BIGINT) AS idsum_v1
+         |  FROM documents GROUP BY source),
+         |pub AS (
+         |  SELECT source, COUNT(*) AS n_published,
+         |    CAST(SUM(doc_id) AS BIGINT) AS idsum_published
+         |  FROM documents WHERE n_chars >= $X32MinChars GROUP BY source)
+         |SELECT source, n_v1, idsum_v1, n_published, idsum_published,
+         |  true AS staged_invisible, true AS audit_pass
+         |FROM v1 JOIN pub USING (source)
+         |ORDER BY source""".stripMargin,
+
     // x31: v1's lang is null for EVERY row because the column did not
     // exist pre-evolution — the oracle states exactly that; v2 reads
     // the real column
@@ -2084,10 +2187,12 @@ object ExtQ {
     // pure integer cumulative math; the window frame (UNBOUNDED
     // PRECEDING .. 1 PRECEDING) is the Spark rowsBetween twin
     "x20_compaction_plan" ->
-      s"""WITH f AS (SELECT source,
-         |    source || '_' || (doc_id // $CompactGroup)::VARCHAR AS file_id,
+      s"""WITH $compactKnobsCte,
+         |f AS (SELECT source,
+         |    source || '_' || (doc_id // gw)::VARCHAR AS file_id,
          |    CAST(SUM(n_chars) AS BIGINT) AS size_bytes
-         |  FROM documents GROUP BY source, doc_id // $CompactGroup),
+         |  FROM documents CROSS JOIN knobs
+         |  GROUP BY source, doc_id // gw),
          |w AS (SELECT source, file_id, size_bytes,
          |  CAST(COALESCE(SUM(size_bytes) OVER (PARTITION BY source
          |    ORDER BY size_bytes DESC, file_id
@@ -2095,8 +2200,9 @@ object ExtQ {
          |    AS cum_before
          |  FROM f)
          |SELECT source, file_id, size_bytes, cum_before,
-         |  CAST(cum_before // $CompactTarget AS INT) AS bin
-         |FROM w ORDER BY source, bin, size_bytes DESC, file_id""".stripMargin,
+         |  CAST(cum_before // tgt AS INT) AS bin
+         |FROM w CROSS JOIN knobs
+         |ORDER BY source, bin, size_bytes DESC, file_id""".stripMargin,
 
     // the manifest-pruned read must equal a plain BETWEEN filter;
     // `true AS pruned` pins that files were actually skipped
@@ -2215,10 +2321,12 @@ object ExtQ {
     // literal `true` states the one-file-per-bin layout the Spark
     // side computes from the commit's file listing.
     "x26_compaction_exec" ->
-      s"""WITH f AS (SELECT source,
-         |    source || '_' || (doc_id // $CompactGroup)::VARCHAR AS file_id,
+      s"""WITH $compactKnobsCte,
+         |f AS (SELECT source,
+         |    source || '_' || (doc_id // gw)::VARCHAR AS file_id,
          |    CAST(SUM(n_chars) AS BIGINT) AS size_bytes
-         |  FROM documents GROUP BY source, doc_id // $CompactGroup),
+         |  FROM documents CROSS JOIN knobs
+         |  GROUP BY source, doc_id // gw),
          |w AS (SELECT source, file_id, size_bytes,
          |  CAST(COALESCE(SUM(size_bytes) OVER (PARTITION BY source
          |    ORDER BY size_bytes DESC, file_id
@@ -2226,10 +2334,10 @@ object ExtQ {
          |    AS cum_before
          |  FROM f),
          |plan AS (SELECT source, file_id,
-         |    CAST(cum_before // $CompactTarget AS INT) AS bin FROM w),
+         |    CAST(cum_before // tgt AS INT) AS bin FROM w CROSS JOIN knobs),
          |rws AS (SELECT source, doc_id, n_chars,
-         |    source || '_' || (doc_id // $CompactGroup)::VARCHAR AS file_id
-         |  FROM documents),
+         |    source || '_' || (doc_id // gw)::VARCHAR AS file_id
+         |  FROM documents CROSS JOIN knobs),
          |routed AS (SELECT r.source, r.doc_id, r.n_chars, r.file_id, p.bin
          |  FROM rws r JOIN plan p ON p.source = r.source AND p.file_id = r.file_id)
          |SELECT source, bin, COUNT(DISTINCT file_id) AS n_files_in,

@@ -275,8 +275,17 @@ object Snapshots {
     }
   }
 
-  /** Committed version numbers, ascending (empty if no log). */
+  /** PUBLISHED version numbers, ascending (empty if no log). Staged
+    * (write-audit-publish) versions are excluded — to every reader
+    * they do not exist until [[publish]] flips the flag. */
   def versions(spark: SparkSession, dir: String): Seq[Int] =
+    logEntries(spark, dir)
+      .filterNot(n => Option(n.get("staged")).exists(_.asBoolean()))
+      .map(_.get("version").asInt()).sorted
+
+  /** Every version in the log, staged included (the writer's view;
+    * [[versions]] is the reader's). */
+  def allVersions(spark: SparkSession, dir: String): Seq[Int] =
     logEntries(spark, dir).map(_.get("version").asInt()).sorted
 
   /** Write `df` as the next version; returns its number (1-based).
@@ -320,6 +329,70 @@ object Snapshots {
       extraMeta = s""","kind":"replace","base":$base,"pcol":${jstr(pcol)},"pval":${jstr(pval)}""")
   }
 
+  /** Stage a version for WRITE-AUDIT-PUBLISH: the data is fully
+    * written and owns its version number, but the log entry carries
+    * `staged: true`, so no reader resolving `latest` can see it —
+    * only an explicit pinned read (the audit) can. [[publish]] makes
+    * it visible with a metadata-only log rewrite; an audit that
+    * fails simply never publishes, and the staged version is inert
+    * garbage for [[vacuum]]. The WAP pattern decouples "the data is
+    * durable" from "the data is served" — at 100 TB the audit is the
+    * quality gate between an ingest run and production readers. */
+  def commitStaged(df: DataFrame, dir: String,
+                   partitionBy: Seq[String] = Nil): Int =
+    writeVersion(df, dir, partitionBy, extraMeta = ""","staged":true""")
+
+  /** Publish a staged version: flip its log entry's `staged` flag off
+    * (write-temp-then-rename — the same crash-atomicity as commit).
+    * Data files are untouched; publication is pure metadata. */
+  def publish(spark: SparkSession, dir: String, version: Int): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    val entries = logEntries(spark, dir)
+    val target = entries.find(_.get("version").asInt() == version)
+    require(target.isDefined, s"version $version not in log under $dir")
+    require(Option(target.get.get("staged")).exists(_.asBoolean()),
+      s"version $version is not staged")
+    val text = entries.map { n =>
+      if (n.get("version").asInt() == version) {
+        val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        o.remove("staged"); o.toString
+      } else n.toString
+    }.mkString("", "\n", "\n")
+    replaceLog(fs, p, text)
+  }
+
+  /** IDEMPOTENT epoch commit — the exactly-once streaming sink
+    * primitive: each micro-batch commits as a version tagged with its
+    * epoch id, and a REPLAYED epoch (failure recovery re-executes the
+    * last uncommitted micro-batch) finds its tag already in the log
+    * and commits nothing — the version log plays the role of the
+    * transactional sink commit. Returns the new version, or None if
+    * this epoch already landed. */
+  def commitEpoch(df: DataFrame, dir: String, epochId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    val already = logEntries(spark, dir)
+      .exists(n => Option(n.get("epoch")).exists(_.asLong() == epochId))
+    if (already) None
+    else Some(writeVersion(df, dir, Nil, extraMeta = s""","epoch":$epochId"""))
+  }
+
+  /** Crash-atomic whole-log replacement (write temp, rename over). */
+  private def replaceLog(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
+    val tmp = new org.apache.hadoop.fs.Path(p, "_versions.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, log)) {
+      // some FileSystem impls refuse rename-onto-existing: take the
+      // delete+rename fallback (a narrower non-atomic window than an
+      // in-place rewrite, and never a partial file)
+      fs.delete(log, false)
+      require(fs.rename(tmp, log), s"could not commit version log $log")
+    }
+  }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -327,7 +400,9 @@ object Snapshots {
                            partitionBy: Seq[String], extraMeta: String): Int = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
-    val next = versions(spark, dir).lastOption.getOrElse(0) + 1
+    // number against ALL log entries (staged included) — a staged
+    // version owns its number from the moment it is written
+    val next = allVersions(spark, dir).lastOption.getOrElse(0) + 1
     val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -344,29 +419,19 @@ object Snapshots {
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     } else ""
-    // CRASH-ATOMIC log update: the full new log is written to a temp
-    // file and renamed over _versions.json — rename(2) on local FS
-    // and HDFS replaces the destination atomically, so a reader (or
-    // a crash at ANY point here) sees either the complete old log or
-    // the complete new one, never a truncation. An abandoned temp
-    // from a crashed commit is inert garbage the next commit simply
-    // overwrites and renames away.
+    // CRASH-ATOMIC log update ([[replaceLog]]): the full new log is
+    // written to a temp file and renamed over _versions.json —
+    // rename(2) on local FS and HDFS replaces the destination
+    // atomically, so a reader (or a crash at ANY point here) sees
+    // either the complete old log or the complete new one, never a
+    // truncation. An abandoned temp from a crashed commit is inert
+    // garbage the next commit simply overwrites and renames away.
     // CONCURRENCY CONTRACT (tested in SnapshotsSpec, not just prose):
     // single writer — two concurrent committers can still race the
     // read-modify-rename and one entry wins; the 100 TB shape for
     // that is an atomic-append / conditional-put log store, which
     // this local reduction deliberately does not fake.
-    val tmp = new org.apache.hadoop.fs.Path(p, s"_versions.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((prior + entry).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, log)) {
-      // some FileSystem impls refuse rename-onto-existing: take the
-      // delete+rename fallback (a narrower non-atomic window than
-      // the old in-place rewrite, and never a partial file)
-      fs.delete(log, false)
-      require(fs.rename(tmp, log), s"could not commit version log $log")
-    }
+    replaceLog(fs, p, prior + entry)
     next
   }
 
@@ -393,12 +458,18 @@ object Snapshots {
       .groupBy(_.getPath.getParent.toString).map { case (k, v) => k -> v.size }
   }
 
-  /** Read a pinned version, or the latest committed one. */
+  /** Read a pinned version, or the latest PUBLISHED one. An explicit
+    * `asOf` may name a staged version — that is the write-audit-
+    * publish audit read, available only to a caller who knows the
+    * number; `latest` never resolves to staged. */
   def read(spark: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
     val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no committed versions under $dir")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in committed log $vs")
+    val v = asOf.getOrElse {
+      require(vs.nonEmpty, s"no committed versions under $dir")
+      vs.last
+    }
+    require(vs.contains(v) || allVersions(spark, dir).contains(v),
+      s"version $v not in committed log $vs")
     spark.read.parquet(s"$dir/v$v")
   }
 
@@ -414,8 +485,13 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val byV = logEntries(spark, dir)
       .map(n => n.get("version").asInt() -> n).toMap
-    require(byV.nonEmpty, s"no committed versions under $dir")
-    val v0 = asOf.getOrElse(byV.keys.max)
+    // `latest` never resolves to a staged (unpublished) version; an
+    // explicit asOf may name one — the write-audit-publish audit read
+    val published = versions(spark, dir)
+    val v0 = asOf.getOrElse {
+      require(published.nonEmpty, s"no committed versions under $dir")
+      published.last
+    }
     require(byV.contains(v0), s"version $v0 not in committed log ${byV.keys.toSeq.sorted}")
     def resolve(v: Int): DataFrame = {
       val n = byV(v)
@@ -503,15 +579,7 @@ object Snapshots {
     if (dropped.nonEmpty) {
       val keptText = entries.filter(n => keep(n.get("version").asInt()))
         .map(_.toString).mkString("", "\n", "\n")
-      val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
-      val tmp = new org.apache.hadoop.fs.Path(p, "_versions.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(keptText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, log)) {
-        fs.delete(log, false)
-        require(fs.rename(tmp, log), s"could not commit pruned log $log")
-      }
+      replaceLog(fs, p, keptText)
       dropped.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, s"v$v"), true))
     }
     dropped

@@ -176,6 +176,26 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** EXACTLY-ONCE streaming sink into a Snapshots table: every
+    * micro-batch commits as an epoch-tagged version via
+    * [[graft.sources.Snapshots.commitEpoch]], so a replayed epoch
+    * (failure recovery re-executes the last uncommitted micro-batch)
+    * finds its tag in the version log and commits NOTHING — the log
+    * is the transactional sink commit, and downstream readers see
+    * each batch exactly once through the published version chain.
+    * The lakehouse upgrade of [[idempotentParquetSink]]: same
+    * idempotence, plus time travel / vacuum / the whole Snapshots
+    * contract over the sunk stream.
+    */
+  def snapshotSink(df: DataFrame, dir: String,
+                   checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.Snapshots.commitEpoch(batch, dir, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Synchronous local run into an in-memory table (test/dev path):
     * processes everything currently in `dir`, returns the query. In
     * append mode only windows older than the watermark emit — the

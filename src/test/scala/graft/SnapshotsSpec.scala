@@ -225,6 +225,42 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("write-audit-publish: staged versions are invisible until published, publication is metadata-only") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val staged = Snapshots.commitStaged(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(staged == 2)
+    // readers: latest and the published version list don't know v2
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.read(spark, dir).select("v").as[String].collect().toSeq == Seq("a"))
+    assert(Snapshots.readResolved(spark, dir).count() == 1)
+    // the auditor: an explicit pinned read reaches the staged data
+    assert(Snapshots.read(spark, dir, Some(2)).select("v").as[String]
+      .collect().toSeq == Seq("b"))
+    // a commit while v2 is staged must NOT reuse its number
+    assert(Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir) == 3)
+    // publish flips visibility without touching a data file
+    val sig = Snapshots.fileSignature(spark, dir, 2)
+    Snapshots.publish(spark, dir, 2)
+    assert(Snapshots.fileSignature(spark, dir, 2) == sig,
+      "publication must be a metadata-only log rewrite")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3))
+    // publishing a non-staged or unknown version fails loudly
+    intercept[IllegalArgumentException] { Snapshots.publish(spark, dir, 1) }
+    intercept[IllegalArgumentException] { Snapshots.publish(spark, dir, 9) }
+  }
+
+  test("epoch commits are idempotent: a replayed micro-batch never double-commits") {
+    val dir = freshDir()
+    assert(Snapshots.commitEpoch(Seq((1L, "a")).toDF("id", "v"), dir, epochId = 0) == Some(1))
+    assert(Snapshots.commitEpoch(Seq((2L, "b")).toDF("id", "v"), dir, epochId = 1) == Some(2))
+    // failure recovery replays epoch 1 — the log already carries it
+    assert(Snapshots.commitEpoch(Seq((2L, "b")).toDF("id", "v"), dir, epochId = 1).isEmpty)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir, Some(1)).count() +
+      Snapshots.read(spark, dir, Some(2)).count() == 2)
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

@@ -82,6 +82,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot sink: each micro-batch lands as exactly one version; drained union equals input") {
+    val inDir = java.nio.file.Files.createTempDirectory("snapsink_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("snapsink_out").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("snapsink_ck").toString
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "source", "n_chars")
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = EventStream.readDocStream(spark, inDir, maxFilesPerTrigger = Some(1))
+      .select("doc_id", "source", "n_chars")
+    val q = EventStream.snapshotSink(stream, outDir, ck).start()
+    try q.awaitTermination() finally q.stop()
+    val versions = graft.sources.Snapshots.versions(spark, outDir)
+    assert(versions.size >= 2, s"one-file triggers should land multiple versions, got $versions")
+    val drained = versions.map(v =>
+        graft.sources.Snapshots.read(spark, outDir, Some(v)))
+      .reduce(_ unionByName _)
+    assert(drained.count() == docs.count(),
+      "the union of committed versions must hold every input row exactly once")
+    assert(drained.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("stream-stream interval join equals the batch join once drained") {
     val dir = java.nio.file.Files.createTempDirectory("ssjoin").toString
     Tables.load(spark, Sf0001, "events").write.mode("overwrite").parquet(dir)
