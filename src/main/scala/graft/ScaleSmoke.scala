@@ -38,11 +38,13 @@ object ScaleSmoke {
     "t25_repetition", "x25_pipeline_snapshot", "x26_compaction_exec",
     "x27_deletion_vectors", "x28_partition_overwrite", "x29_vacuum",
     "s7_at_least_once_dedup", "v21_knn_join", "t26_strip_invisible",
-    "x31_schema_evolution", "q33_correlated_exists",
+    "x31_schema_evolution",
     "x32_write_audit_publish",
-    // x30 is deliberately absent: its input is the customer DIMENSION,
-    // which this generator keeps verbatim (see the customer note in
-    // generate()) — a 10× row would measure nothing (SCALE.md r7)
+    // x30 and q33 are deliberately absent: both read the customer
+    // DIMENSION, which this generator keeps verbatim (see the
+    // customer note in generate()) — a 10× row would measure nothing
+    // (SCALE.md r7) — and q33's registerAll additionally needs the
+    // full fixture catalog, which the scaled dir does not carry
     // graph family over the scaled orders⋈lineitem co-purchase graph
     // (copies are id-offset ⇒ F disjoint subgraphs: density constant,
     // rounds constant, per-round shuffle rows must grow ~F)
