@@ -39,7 +39,7 @@ object ScaleSmoke {
     "x27_deletion_vectors", "x28_partition_overwrite", "x29_vacuum",
     "s7_at_least_once_dedup", "v21_knn_join", "t26_strip_invisible",
     "x31_schema_evolution",
-    "x32_write_audit_publish",
+    "x32_write_audit_publish", "x33_log_changes",
     // x30 and q33 are deliberately absent: both read the customer
     // DIMENSION, which this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

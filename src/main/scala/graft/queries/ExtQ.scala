@@ -925,6 +925,47 @@ object ExtQ {
         .orderBy(col("source"))
     }),
 
+    // x33 — LOG-NATIVE CHANGE FEED (table_changes): the change rows
+    // introduced by each commit of a data → DV → partition-overwrite
+    // chain, derived from the version LOG (Snapshots.stepChanges) so
+    // CDC cost follows recorded churn, not table size: the DV step
+    // reads ONLY the key-sized deletion vector (zero base scans —
+    // PlanShapeSpec pins exactly one file scan in its plan), the
+    // replace step diffs exactly one partition-pruned slice, and only
+    // a data-over-data commit pays the honest full-outer diff. The
+    // oracle replays every step from source (takedown hash for the D
+    // set; the within-partition keep/rescore split for the D/U set),
+    // so the per-(version, op) counts + key checksums pin the whole
+    // feed. This is x18/x30's CDC family moved INTO the table format:
+    // x18 computes a diff between two states it must scan; x33 reads
+    // the changes the log already knows about. At 100 TB that is the
+    // difference between scanning a table and reading a manifest.
+    "x33_log_changes" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x33_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs, dir)
+      val takedown = docs.filter(
+          graft.ops.TextFns.hash60(concat(lit("gdpr|"),
+            col("doc_id").cast("string"))) % 20 === 0)
+        .select(col("doc_id"))
+      Snapshots.commitDeletes(takedown, dir, base = 1)
+      val rescored = Snapshots.readResolved(s, dir, Some(2))
+        .filter(col("source") === X28Pval && col("n_chars") >= X32MinChars)
+        .withColumn("n_chars", col("n_chars") * 2)
+      Snapshots.commitReplace(rescored, dir, base = 2,
+        pcol = "source", pval = X28Pval)
+      (1 to 3).map(v =>
+          Snapshots.stepChanges(s, dir, v, Seq("doc_id"))
+            .withColumn("to_version", lit(v)))
+        .reduce(_ unionByName _)
+        .groupBy(col("to_version"), col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
+        .orderBy(col("to_version"), col("op"))
+    }),
+
     // x31 — SCHEMA EVOLUTION (additive column, aligned reads):
     // version 1 commits the document table WITHOUT the lang column;
     // version 2 commits it widened. Snapshots.readAligned serves the
@@ -2096,6 +2137,34 @@ object ExtQ {
         |   OR o.c_name IS DISTINCT FROM n.c_name
         |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
         |ORDER BY c_custkey, op""".stripMargin,
+
+    // x33: every step's change set replayed from source — v1 is
+    // all-inserts, v2's D set is the takedown hash, v3 splits the
+    // surviving replaced partition into D (fails the length gate)
+    // and U (kept and rescored; n_chars > 0 so the doubled value
+    // always differs)
+    "x33_log_changes" ->
+      s"""WITH del AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE CAST(('0x' || substr(md5('gdpr|' || doc_id::VARCHAR), 1, 15))
+         |    AS BIGINT) % 20 = 0),
+         |s3 AS (
+         |  SELECT doc_id, n_chars FROM documents d
+         |  WHERE source = '$X28Pval'
+         |    AND NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)),
+         |allc AS (
+         |  SELECT CAST(1 AS INT) AS to_version, 'I' AS op, doc_id
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT CAST(2 AS INT), 'D', doc_id FROM del
+         |  UNION ALL
+         |  SELECT CAST(3 AS INT),
+         |    CASE WHEN n_chars < $X32MinChars THEN 'D' ELSE 'U' END, doc_id
+         |  FROM s3)
+         |SELECT to_version, op, COUNT(*) AS n,
+         |  CAST(SUM(doc_id) AS BIGINT) AS keysum
+         |FROM allc GROUP BY to_version, op
+         |ORDER BY to_version, op""".stripMargin,
 
     // x32: v1 and the gated refresh stated from source; the two
     // protocol verdicts (staged-invisible, audit-pass) are literal

@@ -361,6 +361,51 @@ object Snapshots {
     replaceLog(fs, p, text)
   }
 
+  /** LOG-NATIVE CHANGE FEED: the change rows INTRODUCED by `version`,
+    * derived from the version's log entry — the point is what each
+    * commit kind does NOT have to scan:
+    *  - a `deletes` version yields its keys as D rows by reading ONLY
+    *    the key-sized DV file (zero base scans — x33's PlanShapeSpec
+    *    pin);
+    *  - a `replace` version diffs ONE partition (the base side is
+    *    partition-pruned to `pcol = pval`; unchanged partitions are
+    *    never read);
+    *  - a first data version is all-inserts from its own files;
+    *  - a data version over history falls back to the honest
+    *    full-outer diff ([[graft.ops.Diff]]) — the only kind where
+    *    both sides genuinely must be read.
+    * Output: `op` ('I'/'U'/'D') + the key columns. At 100 TB this is
+    * the table_changes contract: CDC cost follows the CHURN recorded
+    * in the log, not the table size. */
+  def stepChanges(spark: SparkSession, dir: String, version: Int,
+                  keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val entries = logEntries(spark, dir)
+    val byV = entries.map(n => n.get("version").asInt() -> n).toMap
+    require(byV.contains(version), s"version $version not in log under $dir")
+    val n = byV(version)
+    val vdf = spark.read.parquet(s"$dir/v$version")
+    val sel = (op: org.apache.spark.sql.Column, df: DataFrame) =>
+      df.select(op.as("op") +: keys.map(col): _*)
+    Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
+      case "deletes" => sel(lit("D"), vdf)
+      case "replace" =>
+        val pcol = n.get("pcol").asText()
+        val pval = n.get("pval").asText()
+        val oldPart = readResolved(spark, dir, Some(n.get("base").asInt()))
+          .filter(col(pcol) === pval)
+        graft.ops.Diff.snapshot(oldPart, vdf, keys)
+          .select(col("op") +: keys.map(col): _*)
+      case "data" =>
+        val prior = byV.keys.filter(_ < version)
+        if (prior.isEmpty) sel(lit("I"), vdf)
+        else graft.ops.Diff.snapshot(
+            readResolved(spark, dir, Some(prior.max)), vdf, keys)
+          .select(col("op") +: keys.map(col): _*)
+      case other => sys.error(s"unknown version kind '$other' at v$version")
+    }
+  }
+
   /** IDEMPOTENT epoch commit — the exactly-once streaming sink
     * primitive: each micro-batch commits as a version tagged with its
     * epoch id, and a REPLAYED epoch (failure recovery re-executes the

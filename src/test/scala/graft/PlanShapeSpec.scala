@@ -392,6 +392,23 @@ class PlanShapeSpec extends SparkSpec {
       "neither leg may degrade to a nested-loop/cartesian plan")
   }
 
+  test("x33's DV change step reads only the deletion vector (one file scan, no base)") {
+    // run the declared query once so the snapshot chain exists, then
+    // pin the log-native feed's core property: a deletes version's
+    // change rows come from the key-sized DV file alone — CDC cost
+    // follows churn, never table size
+    SparkEntry.queries("x33_log_changes")(spark, Sf0001).collect()
+    val dir = s"target/x33_snap_${math.abs(Sf0001.hashCode)}"
+    val step = graft.sources.Snapshots.stepChanges(spark, dir, 2, Seq("doc_id"))
+    val scans = step.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(scans.size == 1,
+      s"the DV step must scan exactly the deletion vector, found ${scans.size} scans")
+    import org.apache.spark.sql.functions.col
+    assert(step.filter(col("op") =!= "D").isEmpty, "a DV step emits only deletes")
+  }
+
   test("x30's CDC apply anti-joins the delete keys via broadcast") {
     val p = plan("x30_cdc_apply")
     val anti = p.indexOf("LeftAnti")

@@ -261,6 +261,24 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.read(spark, dir, Some(2)).count() == 2)
   }
 
+  test("stepChanges derives each commit kind's change rows from the log") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "grp", "n"), dir)
+    Snapshots.commitDeletes(Seq(2L).toDF("id"), dir, base = 1)
+    // replace grp=a on v2-state {1}: drop 1, add 4, so the step
+    // carries one D and one I (and no U)
+    Snapshots.commitReplace(Seq((4L, "a", 400L)).toDF("id", "grp", "n"),
+      dir, base = 2, pcol = "grp", pval = "a")
+    Snapshots.commit(Seq((3L, "b", 31L), (4L, "a", 400L)).toDF("id", "grp", "n"), dir)
+    def ops(v: Int) = Snapshots.stepChanges(spark, dir, v, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(ops(1) == Seq(("I", 1L), ("I", 2L), ("I", 3L)), "first data commit is all-inserts")
+    assert(ops(2) == Seq(("D", 2L)), "a DV step is its keys as deletes")
+    assert(ops(3) == Seq(("D", 1L), ("I", 4L)), "a replace step diffs only its partition")
+    assert(ops(4) == Seq(("U", 3L)), "a data-over-history step is the honest full diff")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
