@@ -143,6 +143,13 @@ object Bench {
     // a SEGMENT jumping away from its peers (r5's k14 window), which
     // the median test catches; a whole-run slowdown shows in the
     // endpoint spread.
+    // Asymmetric on purpose: the probe is CPU-bound, so 158 queries of
+    // JIT tier-up can only make the after-probe FASTER than the cold
+    // before-probe (r7 measured 0.154 -> 0.076 s on an idle host, and
+    // the old symmetric [0.5, 2.0] band read that healthy warm-up as
+    // `contended` — the exact driver/builder disagreement the rule
+    // exists to prevent). Host contention can only SLOW the probe, so
+    // only the >2x direction is evidence of drift.
     val endSpread = probeAfter / math.max(probeBefore, 1e-9)
     // the median test needs a population: with < 3 mid probes the
     // median IS one of the two samples and any jitter reads as a 2×
@@ -153,14 +160,16 @@ object Bench {
       val med = mids.sorted.apply(mids.size / 2)
       mids.max / math.max(med, 1e-9)
     }
-    val contended = endSpread > 2.0 || endSpread < 0.5 || midSpread > 2.0
+    val contended = endSpread > 2.0 || midSpread > 2.0
     val probeSegs = probeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
     // the decision rule rides IN the JSON so a driver run and a
     // builder run can never disagree about what `contended` means on
     // identical probe data
     val contendedRule = "endpoints are min-of-2 cold probes, mids are " +
-      "min-of-2 mid-sweep probes; contended iff after/before outside " +
-      "[0.5,2.0] OR (>=3 mids AND max(mid)/median(mid) > 2.0); mids sit " +
+      "min-of-2 mid-sweep probes; contended iff after/before > 2.0 " +
+      "(slowdown only: the probe is CPU-bound, so JIT warm-up makes the " +
+      "after probe faster on a healthy host and only a slowdown is " +
+      "drift) OR (>=3 mids AND max(mid)/median(mid) > 2.0); mids sit " +
       "~3x above endpoints by design (warm JVM) and are never compared " +
       "against them"
     val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -964,6 +964,97 @@ object ExtQ {
         .groupBy(col("to_version"), col("op"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
         .orderBy(col("to_version"), col("op"))
+    }),
+
+    // x34 — TABLE STATISTICS (ANALYZE): per-column null count / exact
+    // NDV / min / max / string-length profile — the inputs a cost-based
+    // optimizer and a zone-map writer both need. One aggregate per
+    // column, unioned: over COLUMNAR files each leg's scan is pruned
+    // to exactly its one column (ReadSchema shows a single field), so
+    // C per-column stats cost the same bytes as one C-column scan and
+    // the legs parallelize across the cluster; each NDV is an exact
+    // distinct on a single column (map-side partial dedup, then a
+    // value-cardinality shuffle). Timestamps profile as epoch micros
+    // (exact in double to 2^53) so every min/max stays engine-typed —
+    // never a string-formatting parity bet. The oracle states each
+    // column's stats directly; the hash pins NDV semantics (exact,
+    // null-excluding) and the length profile's integer-sum division.
+    "x34_table_stats" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val nullNum = lit(null).cast("double")
+      val nullStr = lit(null).cast("string")
+      def numLeg(c: String, asNum: Column) = li.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(asNum).cast("double").as("min_num"),
+          max(asNum).cast("double").as("max_num"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          nullStr.as("min_str"), nullStr.as("max_str"),
+          nullNum.as("avg_len"))
+      def strLeg(c: String) = li.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_str"), max(col(c)).as("max_str"),
+          (sum(length(col(c))).cast("double") / count(col(c))).as("avg_len"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), nullNum.as("min_num"), nullNum.as("max_num"),
+          col("min_str"), col("max_str"), col("avg_len"))
+      numLeg("l_orderkey", col("l_orderkey"))
+        .unionByName(numLeg("l_quantity", col("l_quantity")))
+        .unionByName(strLeg("l_returnflag"))
+        // parquet timestamps load as NTZ; the UTC session makes the
+        // cast a wall-clock identity, so epoch micros match DuckDB's
+        // epoch_us on the same naive values
+        .unionByName(numLeg("l_shipdate",
+          unix_micros(col("l_shipdate").cast("timestamp"))))
+        .orderBy(col("col_name"))
+    }),
+
+    // x35 — INCREMENTAL VIEW MAINTENANCE of a JOIN view (delta-join):
+    // the materialized view V = orders ⋈ lineitem aggregated per
+    // customer, maintained under simultaneous inserts to BOTH fact
+    // tables with the classic three delta terms
+    // ΔV = ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL — the stored state's O⋈L join is
+    // never re-run. Each delta term is Δ-sized on one side, so at
+    // 100 TB the nightly cost is O(|Δ| · join fanout) probes plus a
+    // key-cardinality merge (IncrementalAgg.merge — x12's monoid
+    // state, sums in decimal so merge order can't matter), not a
+    // history×history join. The fixture's quadrants are all
+    // non-empty (old orders receive new lineitems and vice versa —
+    // lineitem splits on l_shipdate, orders on o_orderdate), so every
+    // delta term carries rows. The oracle is the one-shot
+    // join-aggregate over everything: the hash proves
+    // merge(state(O⋈L), state(ΔV)) == state((O∪ΔO)⋈(L∪ΔL)), the IVM
+    // correctness identity, extended from x12's single-table case to
+    // a two-sided join view.
+    "x35_ivm_join" -> ((s, d) => {
+      import graft.ops.IncrementalAgg
+      val cut = lit("1997-01-01").cast("timestamp")
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+      val oOld = o.filter(col("o_orderdate") < cut)
+      val oNew = o.filter(col("o_orderdate") >= cut)
+      val lOld = l.filter(col("l_shipdate") < cut)
+      val lNew = l.filter(col("l_shipdate") >= cut)
+      def joined(a: DataFrame, b: DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_extendedprice"))
+      val state = IncrementalAgg.state(
+        joined(oOld, lOld), "o_custkey", "l_extendedprice")
+      val delta = IncrementalAgg.state(
+        joined(oNew, lOld).unionByName(joined(oOld, lNew))
+          .unionByName(joined(oNew, lNew)),
+        "o_custkey", "l_extendedprice")
+      IncrementalAgg.merge(state, delta, "o_custkey")
+        .select(col("o_custkey"), col("n").as("n_items"),
+          col("sum_v").cast("double").as("revenue"),
+          col("min_v").as("min_price"), col("max_v").as("max_price"))
+        .orderBy(col("o_custkey"))
     }),
 
     // x31 — SCHEMA EVOLUTION (additive column, aligned reads):
@@ -2165,6 +2256,48 @@ object ExtQ {
          |  CAST(SUM(doc_id) AS BIGINT) AS keysum
          |FROM allc GROUP BY to_version, op
          |ORDER BY to_version, op""".stripMargin,
+
+    // Each column's stats stated directly, one SELECT per column —
+    // the same union-of-legs shape as the Spark plan, so the hash
+    // pins exact NDV, null accounting, and the length division.
+    "x34_table_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(NULL AS DOUBLE) AS avg_len
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        |    COUNT(DISTINCT l_quantity),
+        |    MIN(l_quantity), MAX(l_quantity), NULL, NULL, NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |    COUNT(DISTINCT l_returnflag), NULL, NULL,
+        |    MIN(l_returnflag), MAX(l_returnflag),
+        |    CAST(SUM(length(l_returnflag)) AS DOUBLE) / COUNT(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        |    COUNT(DISTINCT l_shipdate),
+        |    CAST(epoch_us(MIN(l_shipdate)) AS DOUBLE),
+        |    CAST(epoch_us(MAX(l_shipdate)) AS DOUBLE), NULL, NULL, NULL
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    // The IVM identity: the incremental plan must reproduce the
+    // one-shot join-aggregate over everything, exactly.
+    "x35_ivm_join" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     // x32: v1 and the gated refresh stated from source; the two
     // protocol verdicts (staged-invisible, audit-pass) are literal

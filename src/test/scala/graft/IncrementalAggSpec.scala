@@ -24,6 +24,24 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows(merged) == rows(oneShot))
   }
 
+  test("x35's delta quadrants are all non-empty in the fixture") {
+    // the IVM query only exercises all three delta-join terms
+    // (ΔO⋈L, O⋈ΔL, ΔO⋈ΔL) if old orders receive new lineitems and
+    // vice versa — guard the fixture property the query's coverage
+    // claim rests on, so a testdata regeneration can't silently turn
+    // x35 into a single-term append test
+    val cut = lit("1997-01-01").cast("timestamp")
+    val o = Tables.load(spark, Sf001, "orders")
+    val l = Tables.load(spark, Sf001, "lineitem")
+    val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val quadrants = j.groupBy(
+        (col("o_orderdate") >= cut).as("o_new"),
+        (col("l_shipdate") >= cut).as("l_new"))
+      .count().collect()
+    assert(quadrants.length == 4,
+      s"expected all 4 (o_new, l_new) quadrants populated, got ${quadrants.length}")
+  }
+
   test("merge is associative: ((A+B)+C) == (A+(B+C))") {
     def part(i: Int) = IncrementalAgg.state(
       orders.filter(col("o_orderkey") % 3 === i), "o_custkey", "o_totalprice")

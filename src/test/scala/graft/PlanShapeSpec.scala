@@ -416,4 +416,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the churn-sized delete-key side must broadcast, not shuffle the replica")
   }
+
+  test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
+    // ANALYZE over columnar files must cost one column per leg: if a
+    // leg's scan reads the full row, stats collection pays table
+    // width × row count instead of one column's bytes
+    val p = plan("x34_table_stats")
+    for (want <- Seq("struct<l_orderkey:bigint>", "struct<l_quantity:double>",
+        "struct<l_returnflag:string>", "struct<l_shipdate:timestamp_ntz>"))
+      assert(p.contains(want), s"a stats leg should prune its scan to $want")
+  }
 }
