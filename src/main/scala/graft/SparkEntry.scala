@@ -30,7 +30,7 @@ import graft.queries._
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x33, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x35, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -44,8 +44,9 @@ import graft.queries._
   *    x29 vacuum retention, x30 CDC apply with a checked round-trip,
   *    x31 additive schema evolution with aligned historic reads,
   *    x32 write-audit-publish with staged commits, x33 log-native
-  *    change feed, q33 correlated
-  *    EXISTS, s7 at-least-once delivery dedup, and v21
+  *    change feed, x34 per-column table statistics (ANALYZE),
+  *    x35 incremental join-view maintenance (delta-join), q33
+  *    correlated EXISTS, s7 at-least-once delivery dedup, and v21
   *    cluster-blocked kNN self-join)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
