@@ -133,6 +133,58 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Schema of the lineitem slice the streaming IVM maintains its
+    * join-view state over (x35's fact-side columns). */
+  val lineitemSliceSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_extendedprice", DoubleType)))
+
+  /** Read a directory of (l_orderkey, l_extendedprice) parquet files
+    * as a stream — the arriving fact-table delta feed. */
+  def readLineitemStream(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(lineitemSliceSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
+
+  /** STREAMING IVM — x35's join-view maintenance run per micro-batch,
+    * the production shape of the batch query's one split: each
+    * arriving lineitem batch joins the static orders dimension
+    * (ΔL⋈O, Δ-sized on the stream side), aggregates to x12's monoid
+    * state, and folds into the persistent per-customer state with
+    * IncrementalAgg.merge. Each folded state lands as a NEW
+    * Snapshots version — a log-visible commit, never an in-place
+    * overwrite of a table the merge is concurrently reading — so a
+    * crash mid-fold leaves the previous state version intact.
+    * Drained-state == one-shot batch aggregate is pinned by
+    * StreamingSpec; per-batch cost is O(|Δ| · join fanout) + a
+    * key-cardinality merge, never a history rescan. (The state table
+    * grows one version per batch — x29's vacuum retention is the
+    * companion operator that prunes old state versions.)
+    */
+  def ivmSink(lineitems: DataFrame, orders: DataFrame,
+              stateDir: String, checkpoint: String): DataStreamWriter[Row] = {
+    import graft.ops.IncrementalAgg
+    import graft.sources.Snapshots
+    lineitems.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val delta = IncrementalAgg.state(
+          batch.join(orders, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey"), col("l_extendedprice")),
+          "o_custkey", "l_extendedprice")
+        val merged =
+          if (Snapshots.versions(s, stateDir).isEmpty) delta
+          else IncrementalAgg.merge(
+            Snapshots.read(s, stateDir), delta, "o_custkey")
+        Snapshots.commit(merged, stateDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Schema of the documents fixture — the quality-gate stream's
     * input (TESTDATA.md). */
   val docSchema: StructType = StructType(Seq(

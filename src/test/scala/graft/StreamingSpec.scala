@@ -183,6 +183,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVM state (x35 twin) equals the one-shot join aggregate once drained") {
+    // lineitem facts arrive over multiple micro-batches; each batch
+    // delta-joins the static orders dimension and folds into the
+    // Snapshots-committed per-customer state — the drained state must
+    // equal the one-shot aggregate over the full join (the x35
+    // identity, per micro-batch instead of one split)
+    import graft.ops.IncrementalAgg
+    import graft.sources.Snapshots
+    val src = java.nio.file.Files.createTempDirectory("ivm_src").toString
+    val state = java.nio.file.Files.createTempDirectory("ivm_state").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ckpt").toString
+    val li = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    li.repartition(3).write.mode("overwrite").parquet(src)
+    val orders = Tables.load(spark, Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val q = EventStream.ivmSink(
+      EventStream.readLineitemStream(spark, src, maxFilesPerTrigger = Some(1)),
+      orders, state, ckpt).start()
+    try q.awaitTermination() finally q.stop()
+    // multi-batch evidence: one committed state version per micro-batch
+    assert(Snapshots.versions(spark, state).size > 1,
+      "the parity claim needs multiple micro-batches to be meaningful")
+    val streamed = Snapshots.read(spark, state)
+      .orderBy("o_custkey").collect()
+    val oneShot = IncrementalAgg.state(
+      spark.read.parquet(src).join(orders,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_extendedprice")),
+      "o_custkey", "l_extendedprice").orderBy("o_custkey").collect()
+    assert(streamed.length == oneShot.length && streamed.length > 0)
+    assert(streamed.zip(oneShot).forall { case (a, b) => a == b },
+      "drained IVM state must equal the one-shot join aggregate")
+  }
+
   test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
     val src = java.nio.file.Files.createTempDirectory("idem_src").toString
     val out = java.nio.file.Files.createTempDirectory("idem_out").toString
