@@ -38,6 +38,22 @@ object ExtQ {
   /** v21 kNN self-join: neighbors kept per vector. */
   val KnnJoinK = 3
 
+  /** v21's blocking-cluster sizing: target rows per k-means cluster.
+    * The cluster count is DERIVED from the corpus size
+    * ([[knnJoinClusters]]) so within-cluster candidate pairs stay
+    * ~n·[[KnnBlockRows]] — linear — instead of the n²/k a fixed k
+    * degenerates to (d14's count-based-switch precedent applied to
+    * kNN-join blocking; the r7 smoke measured 50.07M pairs at 10×
+    * under fixed k vs 5.06M with k scaled). */
+  val KnnBlockRows = 125L
+
+  /** Scale-aware cluster count for [[queries]]' v21: `max(KmK,
+    * n / KnnBlockRows)` — KmK floors small fixtures (sf0.01 keeps the
+    * original k = 4 blocking), integer division matches the oracle's
+    * DuckDB `//`. */
+  def knnJoinClusters(nVectors: Long): Int =
+    math.max(KmK.toLong, nVectors / KnnBlockRows).toInt
+
   /** v6's showcased plan ALONE — single-pass [[VectorAgg.vectorSum]]
     * centroids (one shuffle of d-length buffers, never an n×d gram
     * explode), broadcast-assigned probe, heap top-k. The declared
@@ -756,15 +772,22 @@ object ExtQ {
     // neighbors within the assigned cluster — the scale contract, and
     // the oracle replays the identical blocking), then a bounded
     // TopKPerKey heap keeps K per vector — no per-vector sort, no
-    // n² join. At 100 TB: candidate pairs are Σ cluster², cluster
-    // count is the knob, and the heap bounds both memory and the
-    // shuffle to K rows per vector.
+    // n² join. The cluster count is SCALE-AWARE in the declared plan
+    // (knnJoinClusters: max(KmK, n/KnnBlockRows), replayed by the
+    // oracle's training CTE from the same count): a fixed k makes the
+    // blocked join n²/k — quadratic — while k ∝ n pins candidate
+    // pairs to ~n·KnnBlockRows, the linear regime the r7 smoke
+    // measured (50.07M pairs at 10× fixed-k vs 5.06M scaled). The
+    // sizing count is a plan-time statistic over parquet metadata
+    // (k-means training is driver-iterative anyway). At 100 TB:
+    // candidate pairs are Σ cluster² ≈ n·KnnBlockRows, and the heap
+    // bounds both memory and the shuffle to K rows per vector.
     "v21_knn_join" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
       val vecs = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val asg = graft.ops.KMeans.fitExact(vecs, "vec_id", "embedding",
-          k = KmK, assignPasses = KmPasses)
+          k = knnJoinClusters(vecs.count()), assignPasses = KmPasses)
         .select(col("vec_id"), col("cluster_id"))
       val ev = vecs.join(asg, Seq("vec_id"))
       val a = ev.select(col("cluster_id"), col("vec_id"), col("embedding").as("ea"))
@@ -1724,14 +1747,26 @@ object ExtQ {
 
   /** The shared WITH-chain: seeds → dims → cent0 → (asg_i, cent_i)*
     * → asg[[KmPasses]], reused by x11's assignment dump and v14's
-    * within-cluster pair search. */
-  private def kmeansCteChain: String = {
+    * within-cluster pair search. Fixed k = [[KmK]]; v21 instead
+    * passes its corpus-derived cluster count through
+    * [[kmeansCteChainFor]]. */
+  private def kmeansCteChain: String = kmeansCteChainFor(KmK.toString)
+
+  /** [[kmeansCteChain]] with the seed count `kSql` as an arbitrary
+    * SQL expression (a literal, or v21's count-derived scalar
+    * subquery — replaying the engine's scale-aware k from the same
+    * corpus count, so the blocking stays part of the verified
+    * semantics). */
+  private def kmeansCteChainFor(kSql: String): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH seeds AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         |  SELECT CAST(rn - 1 AS INT) AS cluster_id,
          |         embedding::DOUBLE[] AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmK) s),
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings) s
+         |  WHERE rn <= $kSql),
          |dims AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          |         unnest(embedding)::DOUBLE AS x
@@ -1814,10 +1849,14 @@ object ExtQ {
     "v14_semdedup" -> semdedupOracle,
 
     // v21: the same exact-k-means chain + cluster-blocked pair join as
-    // v14, then a row_number window with the engine's (raw desc,
-    // nb_id) total order keeps K per vector
+    // v14 — but trained at the engine's SCALE-AWARE cluster count,
+    // replayed here as a scalar subquery over the same corpus count
+    // (greatest(KmK, n // KnnBlockRows) — DuckDB // matches the
+    // engine's Long division) — then a row_number window with the
+    // engine's (raw desc, nb_id) total order keeps K per vector
     "v21_knn_join" ->
-      s"""$kmeansCteChain,
+      s"""${kmeansCteChainFor(
+           s"(SELECT greatest($KmK, count(*) // $KnnBlockRows) FROM embeddings)")},
          |ev AS (
          |  SELECT e.vec_id, a.cluster_id, e.embedding
          |  FROM embeddings e JOIN asg$KmPasses a USING (vec_id)),

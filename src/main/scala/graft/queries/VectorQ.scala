@@ -176,9 +176,13 @@ object VectorQ {
     }
     val n = emb(s, d).count()
     val kFixed = graft.queries.ExtQ.KmK
-    val kScaled = (kFixed * math.max(1L, n / 2000)).toInt
+    // the DECLARED v21/k-scaled blocking: max(KmK, n / KnnBlockRows)
+    // — pairs should track ~n·KnnBlockRows (linear), while the fixed-k
+    // column shows the n²/k curve the scale-aware plan avoids
+    val kScaled = graft.queries.ExtQ.knnJoinClusters(n)
     Map(
       "corpus_vectors" -> n,
+      "knn_join_k" -> kScaled.toLong,
       "v10_candidates" -> v10,
       "v8_candidates" -> v8,
       "v14_pairs_k_fixed" -> semPairs(kFixed),

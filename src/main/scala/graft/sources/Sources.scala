@@ -252,6 +252,15 @@ object Sources {
   * the multi-writer story belongs to the log store, not this local
   * reduction (SnapshotsSpec makes the contract executable).
   */
+/** Raised when a [[Snapshots.commit]] with `expectedVersion` loses an
+  * optimistic-concurrency race: the log advanced past the version the
+  * commit was planned against, so applying it would silently clobber
+  * the interleaved writer's result (lost update). The caller re-reads,
+  * re-plans against the new latest, and retries — the standard
+  * conditional-put commit loop of every production table format. */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
 object Snapshots {
 
   private def fsOf(spark: SparkSession, dir: String) = {
@@ -297,6 +306,22 @@ object Snapshots {
   def commit(df: DataFrame, dir: String,
              partitionBy: Seq[String] = Nil): Int =
     writeVersion(df, dir, partitionBy, extraMeta = "")
+
+  /** OPTIMISTIC-CONCURRENCY commit: land `df` as the next version
+    * ONLY if the log still ends at `expectedVersion` (the version this
+    * commit was planned against). The data files are staged to a
+    * writer-unique directory first; at the commit point the log is
+    * re-read and, if any other writer advanced it, the staged files
+    * are discarded and [[ConcurrentCommitException]] is raised —
+    * never a silent last-wins overwrite of the interleaved commit.
+    * `expectedVersion = 0` commits only into an empty table. Within
+    * one JVM the check-and-publish step is atomic (a process-wide
+    * monitor); across processes this local reduction still documents
+    * single-writer — the 100 TB shape is the same protocol against a
+    * conditional-put log store. */
+  def commit(df: DataFrame, dir: String, expectedVersion: Int): Int =
+    writeVersion(df, dir, Nil, extraMeta = "",
+      expected = Some(expectedVersion))
 
   /** Commit a DELETION VECTOR: `keys` (any key-column subset of the
     * base's schema) names the rows logically deleted from version
@@ -384,7 +409,7 @@ object Snapshots {
     val byV = entries.map(n => n.get("version").asInt() -> n).toMap
     require(byV.contains(version), s"version $version not in log under $dir")
     val n = byV(version)
-    val vdf = spark.read.parquet(s"$dir/v$version")
+    val vdf = readVersionDf(spark, dir, n)
     val sel = (op: org.apache.spark.sql.Column, df: DataFrame) =>
       df.select(op.as("op") +: keys.map(col): _*)
     Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
@@ -397,7 +422,17 @@ object Snapshots {
         graft.ops.Diff.snapshot(oldPart, vdf, keys)
           .select(col("op") +: keys.map(col): _*)
       case "data" =>
-        val prior = byV.keys.filter(_ < version)
+        // the diff baseline is the latest PUBLISHED prior version: a
+        // staged (unpublished) prior was never visible to any reader,
+        // so diffing against it would emit a feed that reconstructs
+        // states nobody observed (commit v1 / commitStaged v2 /
+        // commit v3 must feed v3 as diff-vs-v1). Baselines follow the
+        // published chain as of THIS call — publishing a staged
+        // version re-bases later feeds, which is the WAP contract:
+        // the feed describes what readers could see.
+        val prior = entries
+          .filterNot(e => Option(e.get("staged")).exists(_.asBoolean()))
+          .map(_.get("version").asInt()).filter(_ < version)
         if (prior.isEmpty) sel(lit("I"), vdf)
         else graft.ops.Diff.snapshot(
             readResolved(spark, dir, Some(prior.max)), vdf, keys)
@@ -441,43 +476,100 @@ object Snapshots {
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Process-wide monitor making check-expected + rename + log-append
+    * atomic for same-JVM writers (the conditional-put reduction). */
+  private val commitMonitor = new Object
+
   private def writeVersion(df: DataFrame, dir: String,
-                           partitionBy: Seq[String], extraMeta: String): Int = {
+                           partitionBy: Seq[String], extraMeta: String,
+                           expected: Option[Int] = None): Int = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
-    // number against ALL log entries (staged included) — a staged
-    // version owns its number from the moment it is written
-    val next = allVersions(spark, dir).lastOption.getOrElse(0) + 1
-    val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
+    expected.foreach { e =>
+      // cheap preflight: abort before the data write if the race is
+      // already lost (the authoritative check re-runs at the commit
+      // point below)
+      val cur = allVersions(spark, dir).lastOption.getOrElse(0)
+      if (cur != e) throw new ConcurrentCommitException(
+        s"commit planned against v$e but log is at v$cur under $dir")
+    }
+    // Stage the data files under a writer-unique directory: the
+    // expensive write happens OUTSIDE the commit critical section,
+    // and two concurrent writers can never scribble into the same
+    // version directory (underscore prefix: invisible to readers).
+    val stage = new org.apache.hadoop.fs.Path(p,
+      s"_stage_${java.util.UUID.randomUUID().toString.take(12)}")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(vdir.toString)
+      .parquet(stage.toString)
     // log metadata comes from the FILE LISTING only — never a read
     // pass over the data just written (at 100 TB a per-commit rescan
-    // would double the write cost)
-    val files = dataFiles(fs, vdir)
-    val entry =
-      s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum}$extraMeta}""" + "\n"
-    val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
-    val prior = if (fs.exists(log)) {
-      val in = fs.open(log)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    } else ""
-    // CRASH-ATOMIC log update ([[replaceLog]]): the full new log is
-    // written to a temp file and renamed over _versions.json —
-    // rename(2) on local FS and HDFS replaces the destination
-    // atomically, so a reader (or a crash at ANY point here) sees
-    // either the complete old log or the complete new one, never a
-    // truncation. An abandoned temp from a crashed commit is inert
-    // garbage the next commit simply overwrites and renames away.
-    // CONCURRENCY CONTRACT (tested in SnapshotsSpec, not just prose):
-    // single writer — two concurrent committers can still race the
-    // read-modify-rename and one entry wins; the 100 TB shape for
-    // that is an atomic-append / conditional-put log store, which
-    // this local reduction deliberately does not fake.
-    replaceLog(fs, p, prior + entry)
-    next
+    // would double the write cost). The writer-observed SCHEMA rides
+    // in the entry so reads restore exact column types — hive
+    // partition-value re-inference (a numeric-looking pval coming
+    // back int) can never diverge a version from what was committed.
+    val files = dataFiles(fs, stage)
+    val schemaJson = jstr(df.schema.json)
+    commitMonitor.synchronized {
+      val cur = allVersions(spark, dir).lastOption.getOrElse(0)
+      expected.foreach { e =>
+        if (cur != e) {
+          fs.delete(stage, true)
+          throw new ConcurrentCommitException(
+            s"commit planned against v$e but log is at v$cur under $dir")
+        }
+      }
+      val next = cur + 1
+      val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
+      // a torn dir from a crashed half-commit may squat the slot; the
+      // log defines visibility, so it is garbage — clear and claim
+      if (fs.exists(vdir)) fs.delete(vdir, true)
+      require(fs.rename(stage, vdir), s"could not publish $stage -> $vdir")
+      val entry =
+        s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum},"schema":$schemaJson$extraMeta}""" + "\n"
+      val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
+      val prior = if (fs.exists(log)) {
+        val in = fs.open(log)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } else ""
+      // CRASH-ATOMIC log update ([[replaceLog]]): the full new log is
+      // written to a temp file and renamed over _versions.json —
+      // rename(2) on local FS and HDFS replaces the destination
+      // atomically, so a reader (or a crash at ANY point here) sees
+      // either the complete old log or the complete new one, never a
+      // truncation. An abandoned temp from a crashed commit is inert
+      // garbage the next commit simply overwrites and renames away.
+      // CONCURRENCY CONTRACT (tested in SnapshotsSpec, not just
+      // prose): plain commits are single-writer (concurrent plain
+      // committers still race read-modify-rename across PROCESSES);
+      // `expectedVersion` commits get lost-update detection, atomic
+      // within one JVM via [[commitMonitor]] — the 100 TB shape is
+      // the same check against an atomic-append / conditional-put
+      // log store.
+      replaceLog(fs, p, prior + entry)
+      next
+    }
+  }
+
+  /** Read one version's files with the COMMITTED schema from its log
+    * entry (writeVersion records it): partition-column values are
+    * parsed with their original types instead of re-inferred, so a
+    * numeric-looking partition value (pval "2024") comes back as the
+    * string it was written as — the hive type-inference trap that
+    * would otherwise break unionByName / pval comparisons on replace
+    * versions. Entries from before schema recording fall back to
+    * inference. */
+  private def readVersionDf(spark: SparkSession, dir: String,
+                            n: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    val v = n.get("version").asInt()
+    Option(n.get("schema")).map(_.asText()) match {
+      case Some(sj) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[StructType]
+        spark.read.schema(st).parquet(s"$dir/v$v")
+      case None => spark.read.parquet(s"$dir/v$v")
+    }
   }
 
   /** All data files under a version dir, recursively (partitioned
@@ -508,14 +600,17 @@ object Snapshots {
     * publish audit read, available only to a caller who knows the
     * number; `latest` never resolves to staged. */
   def read(spark: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, dir)
+    val entries = logEntries(spark, dir)
+    val vs = entries
+      .filterNot(n => Option(n.get("staged")).exists(_.asBoolean()))
+      .map(_.get("version").asInt()).sorted
     val v = asOf.getOrElse {
       require(vs.nonEmpty, s"no committed versions under $dir")
       vs.last
     }
-    require(vs.contains(v) || allVersions(spark, dir).contains(v),
-      s"version $v not in committed log $vs")
-    spark.read.parquet(s"$dir/v$v")
+    val node = entries.find(_.get("version").asInt() == v)
+    require(node.isDefined, s"version $v not in committed log $vs")
+    readVersionDf(spark, dir, node.get)
   }
 
   /** Read a version RESOLVING logical commits: a `deletes` version is
@@ -540,7 +635,7 @@ object Snapshots {
     require(byV.contains(v0), s"version $v0 not in committed log ${byV.keys.toSeq.sorted}")
     def resolve(v: Int): DataFrame = {
       val n = byV(v)
-      val vdf = spark.read.parquet(s"$dir/v$v")
+      val vdf = readVersionDf(spark, dir, n)
       Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
         case "data" => vdf
         case "deletes" =>
@@ -596,8 +691,11 @@ object Snapshots {
   }
 
   /** VACUUM: physically remove versions outside the retention window.
-    * Keeps the newest `keepLast` versions PLUS, transitively, every
-    * version still referenced as a `base` by a kept logical commit
+    * Keeps the newest `keepLast` PUBLISHED versions (staged ghosts
+    * never consume retention slots; newer-than-window staged versions
+    * survive pending their audit, older ones are collected) PLUS,
+    * transitively, every version still referenced as a `base` by a
+    * kept logical commit
     * (deleting a DV's base would corrupt the DV's read path — the
     * reference-protection rule of every production table format).
     * Ordering is crash-safe in the same direction as [[commit]]: the
@@ -612,7 +710,23 @@ object Snapshots {
     val (fs, p) = fsOf(spark, dir)
     val entries = logEntries(spark, dir).sortBy(_.get("version").asInt())
     val byV = entries.map(n => n.get("version").asInt() -> n).toMap
-    var keep = entries.takeRight(keepLast).map(_.get("version").asInt()).toSet
+    def isStaged(n: com.fasterxml.jackson.databind.JsonNode) =
+      Option(n.get("staged")).exists(_.asBoolean())
+    // The retention window counts PUBLISHED versions only: a staged
+    // (reader-invisible) latest must never displace the published
+    // version readers actually resolve — keepLast=1 with a staged
+    // head keeps the newest published version, not just the ghost.
+    // Staged entries newer than the oldest kept published version are
+    // retained (their audit may still publish them); staged entries
+    // that aged PAST the window are the failed-audit garbage
+    // commitStaged promises vacuum collects. With nothing published
+    // yet, nothing has aged relative to a publication — keep all.
+    val published = entries.filterNot(isStaged)
+    val keptPub = published.takeRight(keepLast).map(_.get("version").asInt())
+    var keep =
+      if (published.isEmpty) entries.map(_.get("version").asInt()).toSet
+      else (keptPub ++ entries.filter(isStaged)
+        .map(_.get("version").asInt()).filter(_ > keptPub.min)).toSet
     // transitive base closure: a kept logical version pins its chain
     var frontier = keep
     while (frontier.nonEmpty) {

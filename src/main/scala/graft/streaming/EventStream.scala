@@ -164,25 +164,39 @@ object EventStream {
     * companion operator that prunes old state versions.)
     */
   def ivmSink(lineitems: DataFrame, orders: DataFrame,
-              stateDir: String, checkpoint: String): DataStreamWriter[Row] = {
-    import graft.ops.IncrementalAgg
-    import graft.sources.Snapshots
+              stateDir: String, checkpoint: String): DataStreamWriter[Row] =
     lineitems.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val delta = IncrementalAgg.state(
-          batch.join(orders, col("o_orderkey") === col("l_orderkey"))
-            .select(col("o_custkey"), col("l_extendedprice")),
-          "o_custkey", "l_extendedprice")
-        val merged =
-          if (Snapshots.versions(s, stateDir).isEmpty) delta
-          else IncrementalAgg.merge(
-            Snapshots.read(s, stateDir), delta, "o_custkey")
-        Snapshots.commit(merged, stateDir)
-        ()
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ivmFold(batch, orders, stateDir, epochId); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** One micro-batch's fold of [[ivmSink]], exposed so the replay
+    * contract is directly testable: the delta-join state merges into
+    * the stored state and commits EPOCH-TAGGED
+    * ([[graft.sources.Snapshots.commitEpoch]]). foreachBatch is
+    * at-least-once — a crash after the state commit but before the
+    * checkpoint offset commit re-executes the same epoch — and a
+    * replayed epoch finds its tag already in the version log and
+    * folds NOTHING (the merge plan is lazy, so the skip costs no
+    * compute), preserving drained-state == one-shot identity under
+    * recovery instead of silently double-counting the delta. Returns
+    * the committed version, or None for a replay skip. */
+  def ivmFold(batch: DataFrame, orders: DataFrame,
+              stateDir: String, epochId: Long): Option[Int] = {
+    import graft.ops.IncrementalAgg
+    import graft.sources.Snapshots
+    val s = batch.sparkSession
+    val delta = IncrementalAgg.state(
+      batch.join(orders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_extendedprice")),
+      "o_custkey", "l_extendedprice")
+    val merged =
+      if (Snapshots.versions(s, stateDir).isEmpty) delta
+      else IncrementalAgg.merge(
+        Snapshots.read(s, stateDir), delta, "o_custkey")
+    Snapshots.commitEpoch(merged, stateDir, epochId)
   }
 
   /** Schema of the documents fixture — the quality-gate stream's

@@ -279,6 +279,110 @@ class SnapshotsSpec extends SparkSpec {
     assert(ops(4) == Seq(("U", 3L)), "a data-over-history step is the honest full diff")
   }
 
+  test("optimistic concurrency: a commit against a stale expected version raises, never last-wins") {
+    import graft.sources.ConcurrentCommitException
+    val dir = freshDir()
+    assert(Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir) == 1)
+    // writer B lands v2 between writer A's read (v1) and A's commit
+    assert(Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir) == 2)
+    intercept[ConcurrentCommitException] {
+      Snapshots.commit(Seq((3L, "lost-update")).toDF("id", "v"), dir,
+        expectedVersion = 1)
+    }
+    // B's result was not clobbered and no ghost version appeared
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir).select("v").as[String].collect().toSeq == Seq("b"))
+    // re-planned against the new latest, the retry lands
+    assert(Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir,
+      expectedVersion = 2) == 3)
+    // expectedVersion = 0 means "only into an empty table"
+    intercept[ConcurrentCommitException] {
+      Snapshots.commit(Seq((9L, "x")).toDF("id", "v"), dir, expectedVersion = 0)
+    }
+  }
+
+  test("optimistic concurrency: of two racing writers exactly one wins, the loser raises") {
+    import graft.sources.ConcurrentCommitException
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Int]]()
+    val threads = Seq("left", "right").map { tag =>
+      new Thread(() =>
+        try results.add(Right(Snapshots.commit(
+          Seq((2L, tag)).toDF("id", "v"), dir, expectedVersion = 1)))
+        catch { case _: ConcurrentCommitException => results.add(Left(tag)) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (lost, won) = results.toArray(Array.empty[Either[String, Int]]).partition(_.isLeft)
+    assert(won.toSeq == Seq(Right(2)) && lost.size == 1,
+      s"exactly one racer must win v2: $results")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    // the winner's rows are intact (the loser's staged files are gone)
+    assert(Snapshots.read(spark, dir).count() == 1)
+  }
+
+  test("stepChanges baselines a data commit on the published chain, skipping staged priors") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // an unpublished (failed-audit) refresh readers never saw
+    Snapshots.commitStaged(Seq((1L, "a"), (2L, "B"), (3L, "ghost")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v"), dir)
+    val ops = Snapshots.stepChanges(spark, dir, 3, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // vs the staged v2 this would read (D 3, I 4, U 2) — states no
+    // reader ever observed; the published feed v1→v3 is one insert
+    assert(ops == Seq(("I", 4L)),
+      "the v3 feed must diff against published v1, not the staged ghost")
+  }
+
+  test("vacuum retention counts published versions; staged ghosts never displace them") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commitStaged(Seq((2L, "b")).toDF("id", "v"), dir)
+    // pre-fix this kept ONLY the invisible staged head and deleted
+    // every published version, breaking read(latest)
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).isEmpty)
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.read(spark, dir).select("v").as[String].collect().toSeq == Seq("a"))
+    // the in-window staged version survives pending its audit
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 1)
+    // a staged version that AGED past the window is collected garbage
+    val dir2 = freshDir()
+    Snapshots.commitStaged(Seq((1L, "failed-audit")).toDF("id", "v"), dir2)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir2)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir2)
+    assert(Snapshots.vacuum(spark, dir2, keepLast = 1).sorted == Seq(1, 2))
+    assert(Snapshots.versions(spark, dir2) == Seq(3))
+    assert(!Snapshots.versionDirExists(spark, dir2, 1))
+  }
+
+  test("committed schema survives hive partition re-inference (numeric-looking pval)") {
+    val dir = freshDir()
+    // "2024"/"2025" are the inference trap: spark.read would type the
+    // recovered partition column int and break the string comparisons
+    Snapshots.commit(Seq((1L, "2024", 10L), (2L, "2025", 20L))
+      .toDF("id", "yr", "n"), dir)
+    Snapshots.commitReplace(Seq((1L, "2024", 11L), (3L, "2024", 30L))
+      .toDF("id", "yr", "n"), dir, base = 1, pcol = "yr", pval = "2024")
+    val resolved = Snapshots.readResolved(spark, dir)
+    assert(resolved.schema("yr").dataType == org.apache.spark.sql.types.StringType,
+      "the replace version must read back with its committed string type")
+    assert(resolved.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "2024", 11L), (2L, "2025", 20L), (3L, "2024", 30L)))
+    val ops = Snapshots.stepChanges(spark, dir, 2, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(ops == Seq(("I", 3L), ("U", 1L)))
+    // a plain partitioned commit round-trips its types too
+    val dir2 = freshDir()
+    Snapshots.commit(Seq((1L, "007", 1L)).toDF("id", "pc", "n"), dir2,
+      partitionBy = Seq("pc"))
+    val back = Snapshots.read(spark, dir2)
+    assert(back.schema("pc").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.select("pc").as[String].collect().toSeq == Seq("007"),
+      "a zero-padded partition value must not round-trip as the int 7")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

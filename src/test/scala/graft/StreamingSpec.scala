@@ -218,6 +218,30 @@ class StreamingSpec extends SparkSpec {
       "drained IVM state must equal the one-shot join aggregate")
   }
 
+  test("IVM fold is epoch-idempotent: a replayed micro-batch never double-counts the delta") {
+    // foreachBatch is at-least-once: a crash after the state commit
+    // but before the checkpoint offset commit re-executes the same
+    // epoch. Pre-fix, the replay re-merged the delta into the
+    // already-updated state (sums/counts silently doubled); the
+    // epoch-tagged commit must skip the whole fold instead.
+    import graft.sources.Snapshots
+    val state = java.nio.file.Files.createTempDirectory("ivmr_state").toString + "/t"
+    val orders = Tables.load(spark, Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val batch = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice")).limit(200)
+    assert(EventStream.ivmFold(batch, orders, state, epochId = 0) == Some(1))
+    val after = Snapshots.read(spark, state).orderBy("o_custkey").collect()
+    // failure recovery replays epoch 0: no new version, state unchanged
+    assert(EventStream.ivmFold(batch, orders, state, epochId = 0).isEmpty)
+    assert(Snapshots.versions(spark, state) == Seq(1))
+    assert(Snapshots.read(spark, state).orderBy("o_custkey").collect()
+      .sameElements(after), "a replayed epoch must not re-merge its delta")
+    // the next real epoch still folds
+    assert(EventStream.ivmFold(batch, orders, state, epochId = 1) == Some(2))
+    assert(Snapshots.read(spark, state).agg(sum("n")).head.getLong(0) == 400)
+  }
+
   test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
     val src = java.nio.file.Files.createTempDirectory("idem_src").toString
     val out = java.nio.file.Files.createTempDirectory("idem_out").toString
