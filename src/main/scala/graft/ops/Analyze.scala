@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE machinery: per-column table statistics (x34/x36's legs)
+  * and the first consumer that closes the stats→planner loop (x37's
+  * stats-chosen broadcast side).
+  *
+  * The reference has no optimizer of its own — it leans on its
+  * warehouse's (SURVEY §2: every query ships as declarative SQL to
+  * Snowflake, e.g. tools.py's search path). Re-expressed Spark-first,
+  * the engine needs the warehouse half too: ANALYZE produces the
+  * row-count/NDV/width facts, a committed Snapshots table carries
+  * them, and the planner consults them where Spark's static
+  * heuristics would guess — at 100 TB the difference between
+  * broadcasting the true dimension and shuffling two facts.
+  */
+object Analyze {
+
+  /** One numeric-profiled stats leg: COUNT/NULLs/exact NDV/min/max
+    * over a single column, pruned to exactly that column's bytes on a
+    * columnar scan (PlanShapeSpec pins the one-field ReadSchema). */
+  def numLeg(df: DataFrame, c: String, asNum: Column): DataFrame = {
+    val nullNum = lit(null).cast("double")
+    val nullStr = lit(null).cast("string")
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(asNum).cast("double").as("min_num"),
+        max(asNum).cast("double").as("max_num"))
+      .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        nullStr.as("min_str"), nullStr.as("max_str"),
+        nullNum.as("avg_len"))
+  }
+
+  /** One string-profiled stats leg: min/max lexicographic bounds plus
+    * the average byte length a width estimator needs. */
+  def strLeg(df: DataFrame, c: String): DataFrame = {
+    val nullNum = lit(null).cast("double")
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_str"), max(col(c)).as("max_str"),
+        (sum(length(col(c))).cast("double") / count(col(c))).as("avg_len"))
+      .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), nullNum.as("min_num"), nullNum.as("max_num"),
+        col("min_str"), col("max_str"), col("avg_len"))
+  }
+
+  /** Estimated in-memory bytes of a table from its committed ANALYZE
+    * output (one row per profiled column): row count × (8 bytes per
+    * numeric column + avg_len + 4 per string column). Model-sized
+    * input — stats rows number in the columns, never the rows. */
+  def estBytes(stats: Array[org.apache.spark.sql.Row]): Long = {
+    require(stats.nonEmpty, "estBytes needs at least one stats row")
+    val n = stats.head.getAs[Long]("n_rows")
+    val width = stats.map { r =>
+      val i = r.fieldIndex("avg_len")
+      if (r.isNullAt(i)) 8.0 else r.getDouble(i) + 4.0
+    }.sum
+    (n * width).toLong
+  }
+
+  /** The stats→planner loop's first decision: join `left` and `right`
+    * with the BROADCAST side chosen from their committed ANALYZE
+    * outputs instead of Spark's static size threshold — the
+    * fewer-estimated-rows side is hinted, provided its estimated
+    * bytes fit `maxBroadcastBytes`; if neither side is
+    * broadcast-sized the join is left to the shuffle planner. Spark's
+    * own threshold reads FILE sizes, which at 100 TB routinely
+    * mis-sizes a narrow projection of a wide table (or a post-filter
+    * slice); ANALYZE row counts + widths size the join INPUT.
+    * Returns (joined, chosen-side label: "left" | "right" | "none").
+    */
+  def statsChosenJoin(left: DataFrame, leftStats: Array[org.apache.spark.sql.Row],
+                      right: DataFrame, rightStats: Array[org.apache.spark.sql.Row],
+                      cond: Column,
+                      maxBroadcastBytes: Long = 10L << 20): (DataFrame, String) = {
+    val lRows = leftStats.head.getAs[Long]("n_rows")
+    val rRows = rightStats.head.getAs[Long]("n_rows")
+    val (small, smallBytes, label) =
+      if (rRows <= lRows) (right, estBytes(rightStats), "right")
+      else (left, estBytes(leftStats), "left")
+    if (smallBytes > maxBroadcastBytes) (left.join(right, cond), "none")
+    else if (small eq right) (left.join(broadcast(right), cond), label)
+    else (broadcast(left).join(right, cond), label)
+  }
+}

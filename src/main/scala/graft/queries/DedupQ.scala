@@ -847,32 +847,53 @@ object DedupQ {
     // per image (corpus-sized but thin), the join is bucketed by
     // (band, value) — candidates bounded by true-pair density in
     // wide mode, never n²/2^16 — and the verify join touches only
-    // candidates. The sizing count is one metadata-cheap action over
-    // the cached band table (the AQE pattern: a plan-time statistic,
-    // not a per-row dependency).
+    // candidates. The mode switch is LAZY: both branches are
+    // declared, each gated by a broadcast 0-or-1-row corpus-size
+    // flag joined UNDER its candidate join, and AQE's runtime
+    // empty-relation propagation collapses the un-taken branch
+    // before its join stage ever runs — the size statistic rides
+    // inside the single query execution, so building the DataFrame
+    // costs zero driver-side jobs (PlanShapeSpec pins it).
     "d14_phash_dedup" -> ((s, d) => {
       import graft.ops.Multimodal
       val bands = Derived.of(s, d, "phash_bands") {
         Multimodal.aHashBands(Multimodal.figuresFromDocuments(docs(s, d)))
           .select(col("figure_id"), posexplode(col("bands")).as(Seq("band", "bv")))
       }
-      val nFigs = bands.select(col("figure_id")).distinct().count()
-      val cand = if (nFigs > PhashWideMinFigs) {
-        val wide = bands
-          .groupBy(col("figure_id"), (col("band") / 2).cast("int").as("wband"))
-          .agg(sum(col("bv").cast("long") *
-            when(pmod(col("band"), lit(2)) === 1, lit(65536L)).otherwise(lit(1L)))
-            .as("wbv"))
-        val a = wide.select(col("figure_id").as("a_fig"), col("wband"), col("wbv"))
-        val b = wide.select(col("figure_id").as("b_fig"), col("wband"), col("wbv"))
-        a.join(b, Seq("wband", "wbv")).filter(col("a_fig") < col("b_fig"))
-          .select(col("a_fig"), col("b_fig")).distinct()
-      } else {
-        val a = bands.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
-        val b = bands.select(col("figure_id").as("b_fig"), col("band"), col("bv"))
-        a.join(b, Seq("band", "bv")).filter(col("a_fig") < col("b_fig"))
-          .select(col("a_fig"), col("b_fig")).distinct()
-      }
+      // 1-row figure count → two mutually exclusive 0-or-1-row gates.
+      // The unit join key is DERIVED from runtime columns (x - x = 0)
+      // on both sides: a literal key would constant-fold the join
+      // condition away and degrade the gate to a cartesian — this way
+      // each gate stays a BroadcastHashJoin, never a nested loop.
+      val nf = bands.agg(countDistinct(col("figure_id")).as("nf"))
+      val gateKey = (col("nf") - col("nf")).cast("int").as("_g")
+      val wideOn = broadcast(
+        nf.filter(col("nf") > PhashWideMinFigs).select(gateKey))
+      val narrowOn = broadcast(
+        nf.filter(col("nf") <= PhashWideMinFigs).select(gateKey))
+      val wide = bands
+        .groupBy(col("figure_id"), (col("band") / 2).cast("int").as("wband"))
+        .agg(sum(col("bv").cast("long") *
+          when(pmod(col("band"), lit(2)) === 1, lit(65536L)).otherwise(lit(1L)))
+          .as("wbv"))
+      // each gate joins a ≤1-row broadcast onto one input of its
+      // equi join: an empty gate empties that input, and AQE prunes
+      // the whole branch at runtime
+      val wa = wide.select(col("figure_id").as("a_fig"), col("wband"), col("wbv"))
+        .withColumn("_g", (col("wband") - col("wband")).cast("int"))
+        .join(wideOn, Seq("_g"))
+      val wb = wide.select(col("figure_id").as("b_fig"), col("wband"), col("wbv"))
+      val candWide = wa.join(wb, Seq("wband", "wbv"))
+        .filter(col("a_fig") < col("b_fig"))
+        .select(col("a_fig"), col("b_fig")).distinct()
+      val na = bands.select(col("figure_id").as("a_fig"), col("band"), col("bv"))
+        .withColumn("_g", (col("band") - col("band")).cast("int"))
+        .join(narrowOn, Seq("_g"))
+      val nb = bands.select(col("figure_id").as("b_fig"), col("band"), col("bv"))
+      val candNarrow = na.join(nb, Seq("band", "bv"))
+        .filter(col("a_fig") < col("b_fig"))
+        .select(col("a_fig"), col("b_fig")).distinct()
+      val cand = candWide.unionByName(candNarrow)
       val x = bands.select(col("figure_id").as("a_fig"), col("band"),
         col("bv").as("xa"))
       val y = bands.select(col("figure_id").as("b_fig"), col("band"),

@@ -35,6 +35,10 @@ object ExtQ {
   /** v14 SemDeDup cosine threshold (same family as DedupQ.CosineMin). */
   val SemTau = 0.35
 
+  /** x36 sketch-mode ANALYZE: HyperLogLog++ relative standard
+    * deviation; the hash-pinned envelope allows 3·rsd (3σ). */
+  val X36Rsd = 0.02
+
   /** v21 kNN self-join: neighbors kept per vector. */
   val KnnJoinK = 3
 
@@ -1003,37 +1007,93 @@ object ExtQ {
     // column's stats directly; the hash pins NDV semantics (exact,
     // null-excluding) and the length profile's integer-sum division.
     "x34_table_stats" -> ((s, d) => {
+      import graft.ops.Analyze
       val li = Tables.load(s, d, "lineitem")
-      val nullNum = lit(null).cast("double")
-      val nullStr = lit(null).cast("string")
-      def numLeg(c: String, asNum: Column) = li.agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(asNum).cast("double").as("min_num"),
-          max(asNum).cast("double").as("max_num"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_num"), col("max_num"),
-          nullStr.as("min_str"), nullStr.as("max_str"),
-          nullNum.as("avg_len"))
-      def strLeg(c: String) = li.agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).as("min_str"), max(col(c)).as("max_str"),
-          (sum(length(col(c))).cast("double") / count(col(c))).as("avg_len"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), nullNum.as("min_num"), nullNum.as("max_num"),
-          col("min_str"), col("max_str"), col("avg_len"))
-      numLeg("l_orderkey", col("l_orderkey"))
-        .unionByName(numLeg("l_quantity", col("l_quantity")))
-        .unionByName(strLeg("l_returnflag"))
+      Analyze.numLeg(li, "l_orderkey", col("l_orderkey"))
+        .unionByName(Analyze.numLeg(li, "l_quantity", col("l_quantity")))
+        .unionByName(Analyze.strLeg(li, "l_returnflag"))
         // parquet timestamps load as NTZ; the UTC session makes the
         // cast a wall-clock identity, so epoch micros match DuckDB's
         // epoch_us on the same naive values
-        .unionByName(numLeg("l_shipdate",
+        .unionByName(Analyze.numLeg(li, "l_shipdate",
           unix_micros(col("l_shipdate").cast("timestamp"))))
         .orderBy(col("col_name"))
+    }),
+
+    // x36 — ANALYZE, SKETCH MODE (the wide-table twin of x34): NDV
+    // per column via HyperLogLog++ instead of an exact distinct —
+    // the mode a 100 TB ANALYZE actually runs, where x34's exact
+    // value-cardinality shuffle PER COLUMN is the one knob that
+    // doesn't scale (a 500-column table would pay 500 corpus-keyed
+    // exchanges; the sketch pays 500 fixed-size buffers merged
+    // map-side). x1's envelope pattern keeps it oracle-checkable:
+    // the estimate never reaches the compared output — each leg
+    // emits the exact NDV plus a literal-checked bound verdict
+    // (|hll − exact| ≤ 3·rsd·exact, the standard-error band at 3σ),
+    // so a sketch drifting out of its guarantee flips a hash-pinned
+    // boolean instead of hiding in an approximate column.
+    "x36_table_stats_hll" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      def leg(c: String) = li.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          approx_count_distinct(col(c), X36Rsd).as("hll"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          (abs(col("hll") - col("n_distinct")) <=
+            col("n_distinct") * lit(3 * X36Rsd)).as("ndv_ok"))
+      leg("l_orderkey")
+        .unionByName(leg("l_quantity"))
+        .unionByName(leg("l_returnflag"))
+        .unionByName(leg("l_shipdate"))
+        .orderBy(col("col_name"))
+    }),
+
+    // x37 — the ANALYZE→PLANNER loop closed: the first planning
+    // decision the engine makes FROM its own committed statistics.
+    // Both join inputs are profiled with x34's legs, the stats land
+    // as one Snapshots version (ANALYZE writes; planners read — the
+    // catalog shape), and the broadcast side of the declared
+    // customer⋈nation join is chosen from the committed row counts +
+    // widths (ops.Analyze.statsChosenJoin), not Spark's static file-
+    // size threshold — PlanShapeSpec pins that the hint alone
+    // produces the BroadcastHashJoin even with the static threshold
+    // disabled. The chosen side is PART OF THE OUTPUT, and the
+    // oracle replays the row-count comparison from source, so the
+    // planning decision itself is hash-checked. At 100 TB file size
+    // routinely mis-sizes a narrow projection of a wide table; stats
+    // size the join input.
+    "x37_stats_planned_join" -> ((s, d) => {
+      import graft.ops.Analyze
+      import graft.sources.Snapshots
+      val statsDir = s"target/x37_stats_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, statsDir) // deterministic version numbers per run
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+          col("c_acctbal"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val stats = Analyze.numLeg(cust, "c_custkey", col("c_custkey"))
+        .unionByName(Analyze.strLeg(cust, "c_name"))
+        .select(lit("customer").as("tbl"), col("*"))
+        .unionByName(
+          Analyze.numLeg(nat, "n_nationkey", col("n_nationkey"))
+            .unionByName(Analyze.strLeg(nat, "n_name"))
+            .select(lit("nation").as("tbl"), col("*")))
+      Snapshots.commit(stats, statsDir)
+      val committed = Snapshots.read(s, statsDir).collect()
+      val (joined, chosen) = Analyze.statsChosenJoin(
+        cust, committed.filter(_.getString(0) == "customer"),
+        nat, committed.filter(_.getString(0) == "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      joined.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(28,2)")).cast("double")
+            .as("sum_bal"))
+        .select(col("n_name"), col("n_cust"), col("sum_bal"),
+          lit(chosen).as("broadcast_side"))
+        .orderBy(col("n_name"))
     }),
 
     // x35 — INCREMENTAL VIEW MAINTENANCE of a JOIN view (delta-join):
@@ -2327,6 +2387,44 @@ object ExtQ {
         |    CAST(epoch_us(MAX(l_shipdate)) AS DOUBLE), NULL, NULL, NULL
         |  FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    // x36: exact counts/NDV stated from source; the sketch never
+    // reaches the compared output — its 3σ bound verdict does, as a
+    // literal-true column (x1's envelope pattern)
+    "x36_table_stats_hll" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT l_orderkey) AS n_distinct, true AS ndv_ok
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        |    COUNT(DISTINCT l_quantity), true
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |    COUNT(DISTINCT l_returnflag), true
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        |    COUNT(DISTINCT l_shipdate), true
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    // x37: the join-aggregate stated plainly, PLUS the planning
+    // decision replayed from source — the fewer-rows side is the
+    // broadcast side ("right" = nation), so a planner that stopped
+    // consulting the stats (or a stats pipeline feeding it garbage)
+    // flips a hash-pinned column
+    "x37_stats_planned_join" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal,
+        |  CASE WHEN (SELECT COUNT(*) FROM nation) <=
+        |            (SELECT COUNT(*) FROM customer)
+        |       THEN 'right' ELSE 'left' END AS broadcast_side
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     // The IVM identity: the incremental plan must reproduce the
     // one-shot join-aggregate over everything, exactly.

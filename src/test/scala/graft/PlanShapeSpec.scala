@@ -417,6 +417,57 @@ class PlanShapeSpec extends SparkSpec {
       "the churn-sized delete-key side must broadcast, not shuffle the replica")
   }
 
+  test("d14's band-mode switch is lazy: building the DataFrame runs zero driver jobs") {
+    // the corpus-size statistic that picks wide vs narrow bands rides
+    // INSIDE the query as a broadcast gate AQE prunes at runtime — a
+    // driver-side count() at plan time would add one job per run and
+    // make DataFrame construction eagerly execute
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet()
+        seen.add(j.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("d14_phash_dedup")(spark, Sf0001)
+      // canary action: listener delivery is FIFO, so once the
+      // canary's job-start has landed, any job the construction above
+      // had run would already be counted
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis + 30000
+      while (counter.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(counter.get() >= 1, "canary job never arrived")
+      // parquet footer/listing reads (Tables.load) and the canary are
+      // metadata-or-test noise every construction pays; a COMPUTE
+      // action at plan time (the removed eager count) would surface
+      // as a job whose stages point into the query's own code
+      val compute = seen.toArray(Array.empty[String])
+        .filter(s => s.contains("DedupQ") || s.contains("Multimodal"))
+      assert(compute.isEmpty,
+        s"plan construction must run zero compute jobs, saw: ${compute.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("x37's broadcast comes from the committed stats, not the static threshold") {
+    // with Spark's file-size threshold disabled, only the
+    // stats-driven hint can produce a broadcast — and it must build
+    // on the right (nation, the fewer-rows side per the ANALYZE
+    // output the query itself committed)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("x37_stats_planned_join")(spark, Sf0001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+        "the stats-chosen side must broadcast even with the static threshold off")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
     // ANALYZE over columnar files must cost one column per leg: if a
     // leg's scan reads the full row, stats collection pays table
