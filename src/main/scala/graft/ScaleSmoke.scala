@@ -44,6 +44,9 @@ object ScaleSmoke {
     // both grow F× under id-offset copies); x35 joins scaled
     // orders⋈lineitem with F× key cardinality in the merge state
     "x34_table_stats", "x35_ivm_join", "x36_table_stats_hll",
+    // x38's fact (orders) scales F×; customer rides verbatim — the
+    // dim-bounded sketch vs growing-fact contract under test
+    "x38_bloom_join",
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

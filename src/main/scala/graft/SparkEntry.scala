@@ -30,7 +30,7 @@ import graft.queries._
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x35, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x38, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -45,9 +45,15 @@ import graft.queries._
   *    x31 additive schema evolution with aligned historic reads,
   *    x32 write-audit-publish with staged commits, x33 log-native
   *    change feed, x34 per-column table statistics (ANALYZE),
-  *    x35 incremental join-view maintenance (delta-join), q33
+  *    x35 incremental join-view maintenance (delta-join), x36
+  *    sketch-mode ANALYZE (one-scan HLL NDV with a 3σ envelope),
+  *    x37 stats-driven broadcast planning (the ANALYZE→planner
+  *    loop, the decision hash-pinned in the output), x38 Bloom
+  *    runtime-filter join (dim-bounded sketch prunes the fact
+  *    before the exchange), q33
   *    correlated EXISTS, s7 at-least-once delivery dedup, and v21
-  *    cluster-blocked kNN self-join)
+  *    cluster-blocked kNN self-join at a corpus-derived cluster
+  *    count)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four

@@ -1034,19 +1034,29 @@ object ExtQ {
     // boolean instead of hiding in an approximate column.
     "x36_table_stats_hll" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
-      def leg(c: String) = li.agg(
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      // EVERY column's sketch from ONE corpus scan — the wide-table
+      // win itself: C fixed-size HLL buffers updated side by side
+      // (never mixed into the exact legs' expand — the r8 smoke
+      // measured the fused form 10× slower), merged map-side, C rows
+      // out. The exact legs below exist only for the envelope check.
+      val hll = li.agg(
+          approx_count_distinct(col(cols.head), X36Rsd).as(cols.head),
+          cols.tail.map(c => approx_count_distinct(col(c), X36Rsd).as(c)): _*)
+        .select(explode(map(cols.flatMap(c => Seq(lit(c), col(c))): _*))
+          .as(Seq("col_name", "hll")))
+      def exact(c: String) = li.agg(
           count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col(c))).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          approx_count_distinct(col(c), X36Rsd).as("hll"))
+          countDistinct(col(c)).as("n_distinct"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+      cols.map(exact).reduce(_ unionByName _)
+        .join(broadcast(hll), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"),
           (abs(col("hll") - col("n_distinct")) <=
             col("n_distinct") * lit(3 * X36Rsd)).as("ndv_ok"))
-      leg("l_orderkey")
-        .unionByName(leg("l_quantity"))
-        .unionByName(leg("l_returnflag"))
-        .unionByName(leg("l_shipdate"))
         .orderBy(col("col_name"))
     }),
 
@@ -1354,6 +1364,40 @@ object ExtQ {
         .agg(count(lit(1)).as("n_items"),
           dsum2(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("o_year"))
+    }),
+
+    // x38 — RUNTIME-FILTER JOIN (Bloom-pruned fact⋈dim): the general-
+    // join form of d9's membership-prune pattern. The filtered dim
+    // (one customer segment) collapses its join keys into a
+    // model-sized Bloom sketch built once on the driver; the orders
+    // FACT is pruned by a codegen'd graft_bloom_contains probe
+    // NARROWLY — inside the scan's WholeStageCodegen, BEFORE the join
+    // exchange (PlanShapeSpec pins the probe under the shuffle) — so
+    // only ~selectivity × |fact| rows are ever hashed/shuffled. Bloom
+    // false positives survive the prune but not the exact equi join
+    // that follows, so the result is exact and the oracle is the
+    // plain join-aggregate. At 100 TB this is the difference between
+    // shuffling the full fact table and shuffling the dimension's
+    // actual match set: the sketch is bounded by the DIM cardinality
+    // (model-sized, fpp a build knob), rides to every task as a plan
+    // constant, and the prune costs one hash probe per row in codegen
+    // — the DPP/runtime-row-filter pattern declared as an operator.
+    "x38_bloom_join" -> ((s, d) => {
+      graft.functions.BloomContains.register(s)
+      val dim = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val nDim = dim.count() // model-sized sketch sizing (d9 pattern)
+      val bf = dim.stat.bloomFilter("c_custkey", math.max(1000L, nDim), 0.01)
+      val fact = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .filter(graft.functions.BloomContains.contains(col("o_custkey"), bf))
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            .as("spend"))
+        .orderBy(col("c_custkey"))
     }),
 
     // x23 — SALTED SHUFFLE JOIN (ops.Skew.saltedJoin): the skew
@@ -2553,6 +2597,15 @@ object ExtQ {
 
     // the salted rewrite must reproduce the plain join exactly —
     // per-flag row counts unchanged (multiplicity preserved)
+    // the Bloom prune is exact after the equi join: plain aggregate
+    "x38_bloom_join" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+
     "x23_salted_join" ->
       """WITH dim AS (SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS flag_total

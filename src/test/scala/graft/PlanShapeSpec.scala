@@ -150,6 +150,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "d9 must not plan a cartesian product")
   }
 
+  test("x38's runtime filter prunes the fact below the join (Bloom probe in codegen)") {
+    // the general-join form of d9's prune: the fact scan must carry
+    // the narrow graft_bloom_contains filter so pruning happens
+    // before any exchange, and the join stays an equi join
+    val p = plan("x38_bloom_join")
+    assert(p.contains("graft_bloom_contains"),
+      "x38 should keep the Bloom runtime filter in the physical plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the prune is real: survivors are a strict subset of the fact
+    val q = SparkEntry.queries("x38_bloom_join")(spark, Sf0001)
+    val total = Tables.load(spark, Sf0001, "orders").count()
+    val dimKeys = Tables.load(spark, Sf0001, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .count()
+    assert(q.count() <= dimKeys && dimKeys < total,
+      "the Bloom-pruned join must reduce to the dim's match set")
+  }
+
   test("k12's skew caps are in the plan: partitioned cap window, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = SparkEntry.queries("k12_kg_edges_capped")(spark, Sf0001)
