@@ -57,7 +57,13 @@ object ScaleSmoke {
     // rounds constant, per-round shuffle rows must grow ~F)
     "k11_pagerank", "k14_label_prop", "k15_components", "k16_kcore",
     "k17_node_similarity", "k18_shortest_paths", "x23_salted_join",
-    "k19_personalized_pagerank")
+    "k19_personalized_pagerank",
+    // k20 reads the scaled documents: copy-suffixed words give each
+    // copy a disjoint vocabulary, so the chunk-blocked pair rows
+    // (chunks × c² — the operator's linear quantity) replicate F×;
+    // x39 reads the verbatim customer dimension — exempt like
+    // x30/x37
+    "k20_edge_lift")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

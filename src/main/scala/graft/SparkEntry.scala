@@ -24,13 +24,13 @@ import graft.queries._
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, NFC normalization, multimodal (binary metadata, decode +
   *    frame sampling, frame-overlap dedup), windowed events
-  *  - KgQ (k1–k19): chunker / knowledge-graph pipeline + flagship
+  *  - KgQ (k1–k20): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, personalized
   *    PageRank, triangles, clustering coefficients,
   *    label-propagation communities, connected components,
-  *    (p,q)-core peeling, node similarity, BFS shortest paths) +
-  *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x38, v6, v14, v21):
+  *    (p,q)-core peeling, node similarity, BFS shortest paths,
+  *    co-occurrence lift) + skew-capped edge generation
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x39, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -50,7 +50,7 @@ import graft.queries._
   *    x37 stats-driven broadcast planning (the ANALYZE→planner
   *    loop, the decision hash-pinned in the output), x38 Bloom
   *    runtime-filter join (dim-bounded sketch prunes the fact
-  *    before the exchange), q33
+  *    before the exchange), x39 k-anonymity audit, q33
   *    correlated EXISTS, s7 at-least-once delivery dedup, and v21
   *    cluster-blocked kNN self-join at a corpus-derived cluster
   *    count)

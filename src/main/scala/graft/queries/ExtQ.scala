@@ -39,6 +39,9 @@ object ExtQ {
     * deviation; the hash-pinned envelope allows 3·rsd (3σ). */
   val X36Rsd = 0.02
 
+  /** x39: minimum equivalence-class size for k-anonymity. */
+  val KAnonK = 10L
+
   /** v21 kNN self-join: neighbors kept per vector. */
   val KnnJoinK = 3
 
@@ -1400,6 +1403,39 @@ object ExtQ {
         .orderBy(col("c_custkey"))
     }),
 
+    // x39 — K-ANONYMITY AUDIT (privacy governance for training
+    // data): generalize the quasi-identifiers (nation, market
+    // segment, account-balance band — the binning step every
+    // k-anonymity pipeline applies before judging), then report each
+    // equivalence class's size, whether it clears k = KAnonK, and
+    // the corpus-level re-identification exposure (rows in
+    // sub-threshold classes). A record in a class smaller than k is
+    // re-identifiable by its quasi-identifiers alone — the audit
+    // that must pass before a tabular corpus ships to training. One
+    // keyed aggregate + a 1-row totals scalar broadcast back onto
+    // the report; risk_rate is a raw double quotient of exact
+    // integers (engine-identical). At 100 TB: class cardinality is
+    // the generalized-key space (bounded by design — that is what
+    // generalization is FOR), and the totals row is aggregate-sized.
+    "x39_k_anonymity" -> ((s, d) => {
+      val classes = Tables.load(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+      val totals = classes.agg(
+        sum(col("class_size")).as("n_total"),
+        sum(when(col("class_size") < KAnonK, col("class_size"))
+          .otherwise(lit(0L))).as("n_at_risk"))
+      classes.crossJoin(broadcast(totals)) // 1-row totals scalar
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("class_size"),
+          (col("class_size") >= KAnonK).as("anonymous"),
+          col("n_at_risk"),
+          (col("n_at_risk").cast("double") / col("n_total")).as("risk_rate"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+    }),
+
     // x23 — SALTED SHUFFLE JOIN (ops.Skew.saltedJoin): the skew
     // remedy for a probe side hot on few key values when the build
     // side can't broadcast. l_returnflag is the engine's maximal-skew
@@ -2597,6 +2633,26 @@ object ExtQ {
 
     // the salted rewrite must reproduce the plain join exactly —
     // per-flag row counts unchanged (multiplicity preserved)
+    // x39: the classes, the k verdict, and the exposure totals all
+    // stated from source; risk_rate an unrounded integer quotient
+    "x39_k_anonymity" ->
+      s"""WITH classes AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |    COUNT(*) AS class_size
+         |  FROM customer
+         |  GROUP BY 1, 2, 3),
+         |totals AS (
+         |  SELECT CAST(SUM(class_size) AS BIGINT) AS n_total,
+         |    CAST(SUM(CASE WHEN class_size < $KAnonK THEN class_size ELSE 0 END)
+         |      AS BIGINT) AS n_at_risk
+         |  FROM classes)
+         |SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+         |  class_size >= $KAnonK AS anonymous, n_at_risk,
+         |  CAST(n_at_risk AS DOUBLE) / n_total AS risk_rate
+         |FROM classes CROSS JOIN totals
+         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+
     // the Bloom prune is exact after the equi join: plain aggregate
     "x38_bloom_join" ->
       """SELECT c_custkey, c_name, COUNT(*) AS n_orders,

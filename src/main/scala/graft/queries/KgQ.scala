@@ -518,6 +518,40 @@ object KgQ {
         .orderBy(col("node"))
     }),
 
+    // k20 — CO-OCCURRENCE LIFT (association strength over the KG
+    // edges): k4's co-occurrence counts weighted by how SURPRISING
+    // the pairing is — lift(a,b) = co(a,b)·N / (df(a)·df(b)), the
+    // PMI family's ratio with the log left off so every value is an
+    // exact quotient of exact integers (IEEE division of integers is
+    // correctly rounded in any engine — no libm-log parity bet, no
+    // rounding of a half-way digit). Chunk-frequent entity pairs
+    // score ~1 (independent); genuinely associated pairs score ≫1 —
+    // the edge-weighting step between raw co-occurrence (k4) and
+    // similarity/community analytics (k17/k14). Plan: one distinct
+    // per-chunk entity set (Derived-shared with k4/k12), a
+    // chunk-blocked pair join (never n² — the k4 generator's bound),
+    // two broadcast-joined marginal tables keyed by node, and a
+    // 1-row corpus-count scalar broadcast (the s4 pattern). At
+    // 100 TB df/co are the same keyed shuffles k4 already pays;
+    // marginals are node-cardinality-sized.
+    "k20_edge_lift" -> ((s, d) => {
+      val dpc = distinctEntsDf(s, d).select(col("chunk_id"), col("node_id"))
+      val nChunks = dpc.agg(countDistinct(col("chunk_id")).as("n_chunks"))
+      val dfm = dpc.groupBy(col("node_id")).agg(count(lit(1)).as("df"))
+      val a = dpc.select(col("chunk_id"), col("node_id").as("a_id"))
+      val b = dpc.select(col("chunk_id").as("cb"), col("node_id").as("b_id"))
+      val co = a.join(b, col("chunk_id") === col("cb") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= LiftMinCo)
+      co.join(dfm.select(col("node_id").as("a_id"), col("df").as("df_a")), Seq("a_id"))
+        .join(dfm.select(col("node_id").as("b_id"), col("df").as("df_b")), Seq("b_id"))
+        .crossJoin(broadcast(nChunks)) // 1-row corpus scalar
+        .select(col("a_id"), col("b_id"), col("n_co"), col("df_a"), col("df_b"),
+          ((col("n_co") * col("n_chunks")).cast("double") /
+            (col("df_a") * col("df_b"))).as("lift"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // k13 — LOCAL CLUSTERING COEFFICIENTS: per node, its undirected
     // degree, triangle membership count, and cc = 2·Δ/(deg·(deg−1)) —
     // the community-structure metric on top of k9's listing (k9
@@ -751,6 +785,9 @@ object KgQ {
     * scale-free (3 seeds at sf0.001, 30 at sf0.01, 300 at sf0.1). */
   val PprSeedMod = 50L
 
+  /** k20: minimum co-occurring chunks for a pair to be reported. */
+  val LiftMinCo = 2L
+
   /** k14 label-propagation round count, shared with the oracle. */
   val LpIters = 4
 
@@ -902,6 +939,26 @@ object KgQ {
   val oracles: Map[String, String] = Map(
     "k11_pagerank" -> pagerankOracle,
     "k19_personalized_pagerank" -> pprOracle,
+
+    // k20: dpc is the same distinct per-chunk entity set the edges
+    // CTE pairs; lift is a raw double quotient of exact integers —
+    // engine-identical with no rounding
+    "k20_edge_lift" ->
+      s"""$ctePrefix,
+         |n AS (SELECT COUNT(DISTINCT chunk_id) AS n_chunks FROM dpc),
+         |dfm AS (SELECT node_id, COUNT(*) AS df FROM dpc GROUP BY node_id),
+         |co AS (
+         |  SELECT a.node_id AS a_id, b.node_id AS b_id, COUNT(*) AS n_co
+         |  FROM dpc a JOIN dpc b
+         |    ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+         |  GROUP BY a.node_id, b.node_id
+         |  HAVING COUNT(*) >= $LiftMinCo)
+         |SELECT co.a_id, co.b_id, co.n_co, da.df AS df_a, db.df AS df_b,
+         |  CAST(co.n_co * n.n_chunks AS DOUBLE) / (da.df * db.df) AS lift
+         |FROM co CROSS JOIN n
+         |JOIN dfm da ON co.a_id = da.node_id
+         |JOIN dfm db ON co.b_id = db.node_id
+         |ORDER BY a_id, b_id""".stripMargin,
     "k14_label_prop" -> labelPropOracle,
 
     // reachability as transitive closure (d6's oracle pattern): the
