@@ -219,6 +219,12 @@ object Bench {
       "retime phase's slowdown verdict — the healed numbers were " +
       "measured there"
     val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("")
+    // The full auto_retimed name list (102 names in r8 ≈ 2.5 KB) goes in
+    // the DETAIL file only: it blew the driver's tail-capture buffer and
+    // left BENCH_r08.json with parsed:null. Headline carries the count.
+    val retimeJsonShort = retimeProbes.map { case (rb, ra) =>
+      f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f"""
+    }.getOrElse(f""","first_pass_contended":$firstPassContended""")
     val retimeJson = retimeProbes.map { case (rb, ra) =>
       f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"auto_retimed":${autoRetimed.map(graft.util.Jsons.quote).mkString("[", ",", "]")},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f"""
     }.getOrElse(f""","first_pass_contended":$firstPassContended""")
@@ -229,10 +235,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = finalResults.collect { case (_, v, None) => v }.sum
     val nErr = finalResults.count(_._3.isDefined)
+    val probeJsonShort =
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended$retimeJsonShort$v6Json"""
     val probeJson =
       f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJsonShort}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJson,"queries":$qs,"errors":$errs}"""
     // Clean line on the REAL stdout (build.sbt: run/outputStrategy =

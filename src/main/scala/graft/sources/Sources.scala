@@ -229,28 +229,44 @@ object Sources {
   * snapshot-isolation core of a lakehouse table format (the central
   * Delta/Iceberg idea reduced to its load-bearing parts):
   *
-  *  - a commit writes a NEW immutable version directory `v<N>/` and
-  *    only then records the version in the `_versions.json` log —
-  *    old version files are never touched, so a reader pinned to
-  *    version N is unaffected by any later commit (snapshot
-  *    isolation by construction, x24's oracle proves it as a hash
-  *    check);
-  *  - the log is the visibility point: a version exists iff its log
-  *    entry does, so a crashed half-written `v<N>` directory without
-  *    its entry is invisible garbage, never a torn read; the log
-  *    ITSELF is updated crash-atomically (write-temp-then-rename, see
-  *    [[commit]]) so a crash mid-commit can never truncate the
-  *    record of already-committed versions either;
-  *  - readers resolve `latest` (or an explicit `asOf`) from the log
-  *    — manifest-sized metadata, one small file read before the
-  *    scan.
+  *  - a commit writes a NEW immutable data directory `v<N>-<writer>/`
+  *    (writer-unique suffix: two racing commits can never scribble
+  *    into one directory) and only then publishes the per-version log
+  *    entry `_entry_v<N>.json` — old version files are never touched,
+  *    so a reader pinned to version N is unaffected by any later
+  *    commit (snapshot isolation by construction, x24's oracle proves
+  *    it as a hash check);
+  *  - the log is the SET of entry files and is the visibility point:
+  *    version N exists iff `_entry_v<N>.json` does, so a crashed
+  *    half-written data directory without its entry is invisible
+  *    garbage, never a torn read — and because entry publication is
+  *    CREATE-EXCLUSIVE (see [[tryPublishEntry]]), creating the entry
+  *    is a conditional put: whoever creates `_entry_v<N>.json` owns
+  *    version N, across threads AND across processes. This is the
+  *    Delta-log commit protocol (one immutable JSON per version,
+  *    claimed by atomic create) rather than a rewritten whole-log
+  *    file, which could lose entries under concurrent
+  *    read-modify-rename no matter how it was fenced;
+  *  - readers resolve `latest` (or an explicit `asOf`) from the
+  *    entry listing — manifest-sized metadata, one small listing
+  *    before the scan.
   *
-  * At 100 TB the version unit would be file-level deltas + atomic
-  * log-store appends (or conditional puts) rather than full directory
-  * rewrites + a local rename-committed log file; the visibility
-  * contract is identical. Writer concurrency is SINGLE WRITER here —
-  * the multi-writer story belongs to the log store, not this local
-  * reduction (SnapshotsSpec makes the contract executable).
+  * Concurrency contract (executable in SnapshotsSpec, not prose):
+  * plain commits from concurrent writers serialize by retrying the
+  * next version number until their entry create wins — all land, in
+  * some order; `expectedVersion` commits win iff they claim entry
+  * `expected+1`, else raise [[ConcurrentCommitException]] (lost-update
+  * detection with no shared JVM state — the old process-wide
+  * `commitMonitor` is gone because the filesystem primitive itself is
+  * the fence). Admin operations ([[publish]], [[vacuum]]) are
+  * single-admin by contract, as in production formats.
+  *
+  * At 100 TB the version unit would be file-level deltas rather than
+  * full directory rewrites, and entry publication maps onto the log
+  * store's native conditional put (HDFS create-no-overwrite is
+  * NameNode-atomic; S3 needs the commit-service/conditional-put
+  * shim every production Delta deployment uses); the visibility and
+  * claim contracts are identical.
   */
 /** Raised when a [[Snapshots.commit]] with `expectedVersion` loses an
   * optimistic-concurrency race: the log advanced past the version the
@@ -268,19 +284,105 @@ object Snapshots {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Parsed log entries, one per committed version (empty if no log). */
+  private val EntryName = """^_entry_v(\d+)\.json$""".r
+
+  /** Parsed log entries, one per committed version, ascending (empty
+    * if no table). The log is the set of `_entry_v<N>.json` files —
+    * temp files from crashed publications (`.tmp*` suffix) never
+    * match the entry pattern, so a torn publication is invisible by
+    * construction. One listing + one small read per entry; at 100 TB
+    * scale the listing is checkpointed (Delta's `_last_checkpoint`
+    * move), same contract. */
   private def logEntries(spark: SparkSession, dir: String)
       : Seq[com.fasterxml.jackson.databind.JsonNode] = {
     val (fs, p) = fsOf(spark, dir)
-    val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
-    if (!fs.exists(log)) Seq.empty
+    if (!fs.exists(p)) Seq.empty
     else {
-      val in = fs.open(log)
-      val text = try new String(
-        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      text.linesIterator.filter(_.nonEmpty).map(m.readTree).toSeq
+      fs.listStatus(p).toSeq
+        .filter(f => f.isFile && EntryName.findFirstIn(f.getPath.getName).isDefined)
+        .map { f =>
+          val in = fs.open(f.getPath)
+          try m.readTree(new String(
+            in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        }
+        .sortBy(_.get("version").asInt())
+    }
+  }
+
+  /** NIO path when the table lives on the local filesystem (the
+    * test/bench environment), None for remote stores. */
+  private def localDir(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): Option[java.nio.file.Path] =
+    if (fs.getScheme == "file")
+      Some(java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+    else None
+
+  /** CONDITIONAL PUT of one version's log entry: returns true iff
+    * THIS caller created `_entry_v<version>.json` — the atomic claim
+    * that makes commits multi-writer-safe across processes.
+    *
+    * Local FS: the entry text is written to a private temp file and
+    * published via `Files.createLink` — `link(2)` fails with EEXIST
+    * atomically in the kernel, so exactly one of any number of racing
+    * publishers (threads OR processes) wins, and the winner's entry
+    * appears fully written (the content rode in on the link; there is
+    * no moment where a claimed-but-torn entry exists). Hadoop's local
+    * `create(path, overwrite=false)` is check-then-create (a TOCTOU
+    * window) and a direct exclusive create+write could crash torn —
+    * the hardlink shape has neither hole.
+    *
+    * Remote stores: `fs.create(path, overwrite=false)` — on HDFS the
+    * exclusive create is a single NameNode transaction (the claim is
+    * atomic; a crash mid-write leaves a zero-or-partial entry that
+    * log repair handles, exactly Delta-on-HDFS's documented shape). */
+  private[graft] def tryPublishEntry(fs: org.apache.hadoop.fs.FileSystem,
+                                     p: org.apache.hadoop.fs.Path,
+                                     version: Int, json: String): Boolean = {
+    val name = s"_entry_v$version.json"
+    localDir(fs, p) match {
+      case Some(nioDir) =>
+        val tmp = nioDir.resolve(
+          name + ".tmp" + java.util.UUID.randomUUID().toString.take(8))
+        java.nio.file.Files.writeString(tmp, json)
+        try {
+          java.nio.file.Files.createLink(nioDir.resolve(name), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      case None =>
+        val entry = new org.apache.hadoop.fs.Path(p, name)
+        try {
+          val out = fs.create(entry, false)
+          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(entry) => false
+        }
+    }
+  }
+
+  /** Atomic REPLACEMENT of an existing entry's content (publish's
+    * metadata-only flip): write temp, rename over. Single-admin by
+    * contract — replacement is never a claim. */
+  private def replaceEntry(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           version: Int, json: String): Unit = {
+    val name = s"_entry_v$version.json"
+    val tmp = new org.apache.hadoop.fs.Path(p,
+      name + ".tmp" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val entry = new org.apache.hadoop.fs.Path(p, name)
+    if (!fs.rename(tmp, entry)) {
+      // some FileSystem impls refuse rename-onto-existing
+      fs.delete(entry, false)
+      require(fs.rename(tmp, entry), s"could not replace entry $entry")
     }
   }
 
@@ -314,11 +416,13 @@ object Snapshots {
     * re-read and, if any other writer advanced it, the staged files
     * are discarded and [[ConcurrentCommitException]] is raised —
     * never a silent last-wins overwrite of the interleaved commit.
-    * `expectedVersion = 0` commits only into an empty table. Within
-    * one JVM the check-and-publish step is atomic (a process-wide
-    * monitor); across processes this local reduction still documents
-    * single-writer — the 100 TB shape is the same protocol against a
-    * conditional-put log store. */
+    * `expectedVersion = 0` commits only into an empty table. The
+    * check-and-publish step is the create-exclusive claim of entry
+    * `expected+1` ([[tryPublishEntry]]) — atomic across threads AND
+    * processes, with no shared JVM state: two independent committers
+    * through two FileSystem instances yield exactly one winner
+    * (SnapshotsSpec proves it at the claim primitive and end to
+    * end). */
   def commit(df: DataFrame, dir: String, expectedVersion: Int): Int =
     writeVersion(df, dir, Nil, extraMeta = "",
       expected = Some(expectedVersion))
@@ -368,22 +472,20 @@ object Snapshots {
     writeVersion(df, dir, partitionBy, extraMeta = ""","staged":true""")
 
   /** Publish a staged version: flip its log entry's `staged` flag off
-    * (write-temp-then-rename — the same crash-atomicity as commit).
-    * Data files are untouched; publication is pure metadata. */
+    * (write-temp-then-rename over the ONE entry file — the same
+    * crash-atomicity as commit, and no other version's entry is even
+    * touched). Data files are untouched; publication is pure
+    * metadata. */
   def publish(spark: SparkSession, dir: String, version: Int): Unit = {
     val (fs, p) = fsOf(spark, dir)
-    val entries = logEntries(spark, dir)
-    val target = entries.find(_.get("version").asInt() == version)
+    val target = logEntries(spark, dir)
+      .find(_.get("version").asInt() == version)
     require(target.isDefined, s"version $version not in log under $dir")
     require(Option(target.get.get("staged")).exists(_.asBoolean()),
       s"version $version is not staged")
-    val text = entries.map { n =>
-      if (n.get("version").asInt() == version) {
-        val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        o.remove("staged"); o.toString
-      } else n.toString
-    }.mkString("", "\n", "\n")
-    replaceLog(fs, p, text)
+    val o = target.get.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    o.remove("staged")
+    replaceEntry(fs, p, version, o.toString)
   }
 
   /** LOG-NATIVE CHANGE FEED: the change rows INTRODUCED by `version`,
@@ -456,29 +558,8 @@ object Snapshots {
     else Some(writeVersion(df, dir, Nil, extraMeta = s""","epoch":$epochId"""))
   }
 
-  /** Crash-atomic whole-log replacement (write temp, rename over). */
-  private def replaceLog(fs: org.apache.hadoop.fs.FileSystem,
-                         p: org.apache.hadoop.fs.Path, text: String): Unit = {
-    val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
-    val tmp = new org.apache.hadoop.fs.Path(p, "_versions.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, log)) {
-      // some FileSystem impls refuse rename-onto-existing: take the
-      // delete+rename fallback (a narrower non-atomic window than an
-      // in-place rewrite, and never a partial file)
-      fs.delete(log, false)
-      require(fs.rename(tmp, log), s"could not commit version log $log")
-    }
-  }
-
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
-  /** Process-wide monitor making check-expected + rename + log-append
-    * atomic for same-JVM writers (the conditional-put reduction). */
-  private val commitMonitor = new Object
 
   private def writeVersion(df: DataFrame, dir: String,
                            partitionBy: Seq[String], extraMeta: String,
@@ -487,18 +568,19 @@ object Snapshots {
     val (fs, p) = fsOf(spark, dir)
     expected.foreach { e =>
       // cheap preflight: abort before the data write if the race is
-      // already lost (the authoritative check re-runs at the commit
-      // point below)
+      // already lost (the authoritative check is the entry claim
+      // itself at the commit point below)
       val cur = allVersions(spark, dir).lastOption.getOrElse(0)
       if (cur != e) throw new ConcurrentCommitException(
         s"commit planned against v$e but log is at v$cur under $dir")
     }
     // Stage the data files under a writer-unique directory: the
-    // expensive write happens OUTSIDE the commit critical section,
-    // and two concurrent writers can never scribble into the same
-    // version directory (underscore prefix: invisible to readers).
-    val stage = new org.apache.hadoop.fs.Path(p,
-      s"_stage_${java.util.UUID.randomUUID().toString.take(12)}")
+    // expensive write happens entirely OUTSIDE the commit step, and
+    // two concurrent writers can never scribble into the same
+    // directory (underscore prefix: invisible to readers; the final
+    // data dir keeps the writer suffix for the same reason).
+    val writer = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new org.apache.hadoop.fs.Path(p, s"_stage_$writer")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
@@ -509,47 +591,41 @@ object Snapshots {
     // partition-value re-inference (a numeric-looking pval coming
     // back int) can never diverge a version from what was committed.
     val files = dataFiles(fs, stage)
-    val schemaJson = jstr(df.schema.json)
-    commitMonitor.synchronized {
-      val cur = allVersions(spark, dir).lastOption.getOrElse(0)
-      expected.foreach { e =>
-        if (cur != e) {
-          fs.delete(stage, true)
-          throw new ConcurrentCommitException(
-            s"commit planned against v$e but log is at v$cur under $dir")
-        }
+    val meta = s""""n_files":${files.length},"bytes":${files.map(_.getLen).sum},"schema":${jstr(df.schema.json)}$extraMeta"""
+    // COMMIT LOOP — version N belongs to whoever CREATES
+    // `_entry_v<N>.json` ([[tryPublishEntry]]'s conditional put):
+    //  1. rename the staged data to `v<N>-<writer>` (unique name —
+    //     no cross-writer collision, and rename-before-publish means
+    //     an entry never points at data that is not fully in place;
+    //     a crash here leaves an UNclaimed orphan dir, invisible,
+    //     and version N stays free for the next committer — there is
+    //     no claim marker to leak, so no dead-claim livelock);
+    //  2. attempt the entry create. Winning = committed. Losing
+    //     means some other writer owns N: an `expectedVersion`
+    //     commit has then provably lost its race (v expected+1
+    //     exists) and raises; a plain commit renames its data dir
+    //     to the next number and retries — concurrent plain writers
+    //     all land, serialized by the claim order.
+    var dataDir: org.apache.hadoop.fs.Path = stage
+    var next = expected.map(_ + 1).getOrElse(
+      allVersions(spark, dir).lastOption.getOrElse(0) + 1)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      val vdir = new org.apache.hadoop.fs.Path(p, s"v$next-$writer")
+      require(fs.rename(dataDir, vdir), s"could not place $dataDir -> $vdir")
+      dataDir = vdir
+      val entry = s"""{"version":$next,"dir":${jstr(vdir.getName)},$meta}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+      if (expected.isDefined) {
+        fs.delete(dataDir, true)
+        throw new ConcurrentCommitException(
+          s"commit planned against v${expected.get} but v$next was committed concurrently under $dir")
       }
-      val next = cur + 1
-      val vdir = new org.apache.hadoop.fs.Path(p, s"v$next")
-      // a torn dir from a crashed half-commit may squat the slot; the
-      // log defines visibility, so it is garbage — clear and claim
-      if (fs.exists(vdir)) fs.delete(vdir, true)
-      require(fs.rename(stage, vdir), s"could not publish $stage -> $vdir")
-      val entry =
-        s"""{"version":$next,"n_files":${files.length},"bytes":${files.map(_.getLen).sum},"schema":$schemaJson$extraMeta}""" + "\n"
-      val log = new org.apache.hadoop.fs.Path(p, "_versions.json")
-      val prior = if (fs.exists(log)) {
-        val in = fs.open(log)
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      } else ""
-      // CRASH-ATOMIC log update ([[replaceLog]]): the full new log is
-      // written to a temp file and renamed over _versions.json —
-      // rename(2) on local FS and HDFS replaces the destination
-      // atomically, so a reader (or a crash at ANY point here) sees
-      // either the complete old log or the complete new one, never a
-      // truncation. An abandoned temp from a crashed commit is inert
-      // garbage the next commit simply overwrites and renames away.
-      // CONCURRENCY CONTRACT (tested in SnapshotsSpec, not just
-      // prose): plain commits are single-writer (concurrent plain
-      // committers still race read-modify-rename across PROCESSES);
-      // `expectedVersion` commits get lost-update detection, atomic
-      // within one JVM via [[commitMonitor]] — the 100 TB shape is
-      // the same check against an atomic-append / conditional-put
-      // log store.
-      replaceLog(fs, p, prior + entry)
-      next
+      next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }
+    -1 // unreachable
   }
 
   /** Read one version's files with the COMMITTED schema from its log
@@ -560,15 +636,21 @@ object Snapshots {
     * would otherwise break unionByName / pval comparisons on replace
     * versions. Entries from before schema recording fall back to
     * inference. */
+  /** A version's data directory, resolved from its log entry (the
+    * entry's `dir` field carries the writer-suffixed name). */
+  private def entryDataDir(n: com.fasterxml.jackson.databind.JsonNode): String =
+    Option(n.get("dir")).map(_.asText())
+      .getOrElse(s"v${n.get("version").asInt()}")
+
   private def readVersionDf(spark: SparkSession, dir: String,
                             n: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
-    val v = n.get("version").asInt()
+    val vdir = s"$dir/${entryDataDir(n)}"
     Option(n.get("schema")).map(_.asText()) match {
       case Some(sj) =>
         val st = org.apache.spark.sql.types.DataType.fromJson(sj)
           .asInstanceOf[StructType]
-        spark.read.schema(st).parquet(s"$dir/v$v")
-      case None => spark.read.parquet(s"$dir/v$v")
+        spark.read.schema(st).parquet(vdir)
+      case None => spark.read.parquet(vdir)
     }
   }
 
@@ -591,7 +673,9 @@ object Snapshots {
     * compaction left exactly one file per bin directory). */
   def filesPerDir(spark: SparkSession, dir: String, version: Int): Map[String, Int] = {
     val (fs, p) = fsOf(spark, dir)
-    dataFiles(fs, new org.apache.hadoop.fs.Path(p, s"v$version"))
+    val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
+    require(n.isDefined, s"version $version not in log under $dir")
+    dataFiles(fs, new org.apache.hadoop.fs.Path(p, entryDataDir(n.get)))
       .groupBy(_.getPath.getParent.toString).map { case (k, v) => k -> v.size }
   }
 
@@ -684,7 +768,9 @@ object Snapshots {
     * were never touched" is a checked fact, not prose. */
   def fileSignature(spark: SparkSession, dir: String, version: Int): Seq[(String, Long)] = {
     val (fs, p) = fsOf(spark, dir)
-    val vdir = new org.apache.hadoop.fs.Path(p, s"v$version")
+    val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
+    require(n.isDefined, s"version $version not in log under $dir")
+    val vdir = new org.apache.hadoop.fs.Path(p, entryDataDir(n.get))
     dataFiles(fs, vdir)
       .map(f => (f.getPath.toString.stripPrefix(vdir.toString), f.getLen))
       .sortBy(_._1)
@@ -698,12 +784,12 @@ object Snapshots {
     * kept logical commit
     * (deleting a DV's base would corrupt the DV's read path — the
     * reference-protection rule of every production table format).
-    * Ordering is crash-safe in the same direction as [[commit]]: the
-    * pruned log is renamed into place FIRST, then the dropped
-    * directories are deleted — a crash between the two leaves
-    * unreferenced garbage dirs (invisible, the log defines
-    * visibility), never a log entry pointing at deleted data. Reads
-    * of a vacuumed version fail loudly at log resolution.
+    * Ordering is crash-safe in the same direction as [[commit]]:
+    * each dropped version's entry file is deleted FIRST, then its
+    * data directory — a crash between the two leaves unreferenced
+    * garbage dirs (invisible, the log defines visibility), never a
+    * log entry pointing at deleted data. Reads of a vacuumed version
+    * fail loudly at log resolution.
     * Returns the dropped version numbers. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
@@ -736,19 +822,33 @@ object Snapshots {
     }
     val dropped = entries.map(_.get("version").asInt()).filterNot(keep)
     if (dropped.nonEmpty) {
-      val keptText = entries.filter(n => keep(n.get("version").asInt()))
-        .map(_.toString).mkString("", "\n", "\n")
-      replaceLog(fs, p, keptText)
-      dropped.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, s"v$v"), true))
+      // crash-safe in the same direction as commit: un-publish first
+      // (delete the entry file — the version vanishes from the log),
+      // THEN delete its data — a crash between leaves unreferenced
+      // garbage dirs (invisible; the log defines visibility), never a
+      // log entry pointing at deleted data. Per-version entry files
+      // mean kept versions' entries are not even touched.
+      val dirOf = entries.map(n => n.get("version").asInt() -> entryDataDir(n)).toMap
+      dropped.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"_entry_v$v.json"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(p, dirOf(v)), true)
+      }
     }
     dropped
   }
 
-  /** Whether a version's directory physically exists (vacuum
-    * evidence — visibility itself is always decided by the log). */
+  /** Whether a version's data directory physically exists (vacuum
+    * evidence — visibility itself is always decided by the log). A
+    * vacuumed version's entry is gone, so the check falls back to the
+    * listing: any `v<N>-*` dir still present. */
   def versionDirExists(spark: SparkSession, dir: String, version: Int): Boolean = {
     val (fs, p) = fsOf(spark, dir)
-    fs.exists(new org.apache.hadoop.fs.Path(p, s"v$version"))
+    logEntries(spark, dir).find(_.get("version").asInt() == version) match {
+      case Some(n) => fs.exists(new org.apache.hadoop.fs.Path(p, entryDataDir(n)))
+      case None =>
+        fs.exists(p) && fs.listStatus(p).exists(f =>
+          f.isDirectory && f.getPath.getName.startsWith(s"v$version-"))
+    }
   }
 
   /** Drop the whole table (all versions + log). */

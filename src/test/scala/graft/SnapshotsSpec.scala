@@ -52,29 +52,26 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
-  test("a torn log rewrite (crash before rename) never loses committed versions") {
+  test("a torn entry publication (crash before the link) never loses or fakes versions") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
     Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir)
-    // simulate a commit that crashed mid-log-write: a partial temp
-    // file exists, the rename never happened — the committed log must
-    // be byte-for-byte intact and the next commit must just work
-    val torn = java.nio.file.Paths.get(dir, "_versions.json.tmp")
+    // simulate a commit that crashed mid-publication: a partial entry
+    // temp file exists, the atomic link never happened — the log must
+    // be intact, v3 must not exist, and the next commit must land v3
+    val torn = java.nio.file.Paths.get(dir, "_entry_v3.json.tmpdeadbeef")
     java.nio.file.Files.writeString(torn, "{\"version\":3,\"n_fi")
     assert(Snapshots.versions(spark, dir) == Seq(1, 2),
       "a torn temp file must not affect the committed log")
     assert(Snapshots.read(spark, dir).count() == 1)
     val v3 = Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir)
     assert(v3 == 3 && Snapshots.versions(spark, dir) == Seq(1, 2, 3),
-      "the next commit must overwrite the abandoned temp and land v3")
+      "the crashed writer's temp must not block the next commit from landing v3")
     assert(Snapshots.read(spark, dir, Some(1)).count() == 1,
       "pre-crash versions stay readable after recovery")
   }
 
-  test("single-writer contract: sequential commits from one writer never drop entries") {
-    // the executable form of the documented contract: N sequential
-    // commits (the supported concurrency level) all appear in the
-    // log, each readable at its pinned version
+  test("sequential commits from one writer never drop entries") {
     val dir = freshDir()
     (1 to 5).foreach { i =>
       Snapshots.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), dir)
@@ -85,6 +82,64 @@ class SnapshotsSpec extends SparkSpec {
       assert(Snapshots.read(spark, dir, Some(i)).select("v").as[String].collect()
         .toSeq == Seq(s"r$i"))
     }
+  }
+
+  test("concurrent PLAIN commits all land: the entry claim serializes writers, no lost entries") {
+    // the old whole-file log was single-writer (read-modify-rename
+    // could drop a concurrent entry); per-version entry files make
+    // plain multi-writer safe — every committer lands, in claim order
+    val dir = freshDir()
+    Snapshots.commit(Seq((0L, "base")).toDF("id", "v"), dir)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        val df = Seq((i.toLong, s"w$i")).toDF("id", "v")
+        barrier.await()
+        got.add(Snapshots.commit(df, dir))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(got.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq == Seq(2, 3, 4, 5),
+      "all four racing plain commits must land distinct consecutive versions")
+    assert(Snapshots.versions(spark, dir) == (1 to 5),
+      "no concurrent commit may drop another's log entry")
+    // each version reads back exactly its writer's row
+    val seen = (2 to 5).map(v => Snapshots.read(spark, dir, Some(v))
+      .select("v").as[String].collect().toSeq)
+    assert(seen.flatten.sorted == Seq("w1", "w2", "w3", "w4"),
+      s"each landed version must hold exactly one writer's rows: $seen")
+  }
+
+  test("the entry claim is exclusive across two independent FileSystem instances (no shared JVM state)") {
+    // two committers that share NOTHING but the directory — separate
+    // FileSystem handles standing in for separate processes (the
+    // claim primitive is the kernel's link(2)/create-exclusive, so
+    // JVM-local monitors play no part): exactly one wins the version
+    val dir = freshDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsA = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri, conf)
+    val fsB = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri, conf)
+    assert(!(fsA eq fsB), "the test needs two distinct FileSystem instances")
+    fsA.mkdirs(p)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val racers = Seq(("A", fsA), ("B", fsB)).map { case (tag, fs) =>
+      new Thread(() => {
+        barrier.await()
+        if (Snapshots.tryPublishEntry(fs, p, 1,
+          s"""{"version":1,"dir":"v1-$tag","winner":"$tag"}""")) wins.add(tag)
+      })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(wins.size == 1, s"exactly one claim must win: $wins")
+    // the surviving entry is the winner's, fully written (never torn)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_entry_v1.json")))
+    assert(text.contains(s""""winner":"${wins.peek()}""""),
+      s"the entry content must be the claim winner's: $text")
+    fsA.close(); fsB.close()
   }
 
   test("partitioned commit: hive layout round-trips, listing counts files per dir") {
