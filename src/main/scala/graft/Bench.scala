@@ -125,6 +125,12 @@ object Bench {
     val v6FastOnly = if (only.isEmpty)
       Some(timeOne("v6_fast_only", (s, d) => graft.queries.ExtQ.v6FastPath(s, d))._1)
     else None
+    // Same pattern for x36: the declared query is audit mode (sketch
+    // + exact envelope legs); the production sketch-only single-scan
+    // plan is timed as its own field so the mode split is measured.
+    val x36ProdOnly = if (only.isEmpty)
+      Some(timeOne("x36_prod_only", (s, d) => graft.queries.ExtQ.x36SketchOnly(s, d))._1)
+    else None
     val probeAfter = math.min(probe(), probe())
     probeLog += probeAfter
     // First-pass contention verdict (rule below): decided NOW so a
@@ -218,7 +224,8 @@ object Bench {
       "warm probes (retime_probe_*), and `contended` is then that " +
       "retime phase's slowdown verdict — the healed numbers were " +
       "measured there"
-    val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("")
+    val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("") +
+      x36ProdOnly.map(t => f""","x36_prod_only_sec":$t%.3f""").getOrElse("")
     // The full auto_retimed name list (102 names in r8 ≈ 2.5 KB) goes in
     // the DETAIL file only: it blew the driver's tail-capture buffer and
     // left BENCH_r08.json with parsed:null. Headline carries the count.

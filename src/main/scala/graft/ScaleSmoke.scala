@@ -47,6 +47,16 @@ object ScaleSmoke {
     // x38's fact (orders) scales F×; customer rides verbatim — the
     // dim-bounded sketch vs growing-fact contract under test
     "x38_bloom_join",
+    // x40 reads only lineitem (fact F×, 3-row dim derived from it);
+    // the catalog ANALYZE of the scaled dir is part of its first-run
+    // cost — the honest write-once price
+    "x40_skew_planned_join",
+    // x41 merges two F×-scaled partition states (sketch union is
+    // register-wise max — state size constant while rows grow F×);
+    // x42 reads scaled orders, probes the same totalprice domain
+    // (copies don't change o_totalprice, so the disjoint probe stays
+    // catalog-pruned at any F)
+    "x41_incremental_analyze", "x42_catalog_prune",
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing
@@ -58,12 +68,16 @@ object ScaleSmoke {
     "k11_pagerank", "k14_label_prop", "k15_components", "k16_kcore",
     "k17_node_similarity", "k18_shortest_paths", "x23_salted_join",
     "k19_personalized_pagerank",
-    // k20 reads the scaled documents: copy-suffixed words give each
-    // copy a disjoint vocabulary, so the chunk-blocked pair rows
-    // (chunks × c² — the operator's linear quantity) replicate F×;
-    // x39 reads the verbatim customer dimension — exempt like
+    // k4 owns the chunk-blocked pair join that materializes the
+    // shared Derived edge intermediate; k20 runs AFTER it in the
+    // same dir pass, so its timing is the operator's true MARGINAL
+    // cost over the shared edges (one further groupBy + marginals) —
+    // the session shape, where k4/k12/k20 amortize one pair join.
+    // Copy-suffixed words give each copy a disjoint vocabulary, so
+    // the pair rows (chunks × c² — the linear quantity) replicate
+    // F×; x39 reads the verbatim customer dimension — exempt like
     // x30/x37
-    "k20_edge_lift")
+    "k4_kg_edges", "k20_edge_lift")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -79,14 +79,60 @@ object Analyze {
   def statsChosenJoin(left: DataFrame, leftStats: Array[org.apache.spark.sql.Row],
                       right: DataFrame, rightStats: Array[org.apache.spark.sql.Row],
                       cond: Column,
-                      maxBroadcastBytes: Long = 10L << 20): (DataFrame, String) = {
-    val lRows = leftStats.head.getAs[Long]("n_rows")
-    val rRows = rightStats.head.getAs[Long]("n_rows")
-    val (small, smallBytes, label) =
-      if (rRows <= lRows) (right, estBytes(rightStats), "right")
-      else (left, estBytes(leftStats), "left")
+                      maxBroadcastBytes: Long = 10L << 20): (DataFrame, String) =
+    chooseBroadcast(left, leftStats.head.getAs[Long]("n_rows"), estBytes(leftStats),
+      right, rightStats.head.getAs[Long]("n_rows"), estBytes(rightStats),
+      cond, maxBroadcastBytes)
+
+  /** [[statsChosenJoin]] reading the SHARED stats catalog's served
+    * shape ([[StatsCatalog.ColStats]]) instead of freshly collected
+    * ANALYZE rows — the planner path with zero profiling jobs. */
+  def statsChosenJoin(left: DataFrame, leftStats: Map[String, StatsCatalog.ColStats],
+                      right: DataFrame, rightStats: Map[String, StatsCatalog.ColStats],
+                      cond: Column,
+                      maxBroadcastBytes: Long): (DataFrame, String) =
+    chooseBroadcast(left, StatsCatalog.nRows(leftStats), StatsCatalog.estBytes(leftStats),
+      right, StatsCatalog.nRows(rightStats), StatsCatalog.estBytes(rightStats),
+      cond, maxBroadcastBytes)
+
+  private def chooseBroadcast(left: DataFrame, lRows: Long, lBytes: Long,
+                              right: DataFrame, rRows: Long, rBytes: Long,
+                              cond: Column, maxBroadcastBytes: Long): (DataFrame, String) = {
+    val rightSmall = rRows <= lRows
+    val (smallBytes, label) =
+      if (rightSmall) (rBytes, "right") else (lBytes, "left")
     if (smallBytes > maxBroadcastBytes) (left.join(right, cond), "none")
-    else if (small eq right) (left.join(broadcast(right), cond), label)
+    else if (rightSmall) (left.join(broadcast(right), cond), label)
     else (broadcast(left).join(right, cond), label)
   }
+
+  /** Decision threshold for [[skewChosenJoin]]: a key whose top value
+    * carries at least this share of the rows gets the salted rewrite.
+    * MUST exceed 1/(k+1) of the catalog's Misra–Gries candidate
+    * budget (k = 8 → 1/9 ≈ 0.111): above that line MG guarantees the
+    * true top value is among the recounted candidates, so the stored
+    * `top1_share` makes EXACTLY the decision exact counts would —
+    * below it the sketch may under-report, but then the true share is
+    * under the threshold too and the decision is still "shuffle".
+    * That inequality is what lets an oracle replay the verdict from
+    * exact SQL. */
+  val SkewShareThreshold = 0.2
+
+  /** The stats→planner loop's SECOND decision (x40): choose between
+    * the plain shuffle join and [[Skew.saltedJoin]]'s rewrite from
+    * the catalog's heavy-hitter share of the probe-side join key —
+    * no data is scanned to decide. A hot key (one value carrying ≥
+    * threshold of the fact) funnels that share of the corpus through
+    * ONE reducer in the plain plan; the salted rewrite spreads it
+    * over `shards` reducers at the cost of replicating the build side
+    * `shards`×. Spark's static planner cannot see value skew at all
+    * (AQE's skew-join covers only sort-merge shapes at runtime) —
+    * this is the catalog making the call declaratively.
+    * Returns (joined, "salted" | "shuffle"). */
+  def skewChosenJoin(probe: DataFrame, build: DataFrame, key: String,
+                     top1Share: Double, shards: Int, tieBreak: String,
+                     threshold: Double = SkewShareThreshold): (DataFrame, String) =
+    if (top1Share >= threshold)
+      (Skew.saltedJoin(probe, build, key, shards, tieBreak), "salted")
+    else (probe.join(build, Seq(key)), "shuffle")
 }

@@ -39,8 +39,47 @@ object ExtQ {
     * deviation; the hash-pinned envelope allows 3·rsd (3σ). */
   val X36Rsd = 0.02
 
+  /** Columns x36 profiles (both modes). */
+  val X36Cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  /** x36's PRODUCTION mode — the plan the operator exists for at
+    * 100 TB: EVERY column's NDV sketch from ONE corpus scan (C
+    * fixed-size HLL buffers updated side by side, merged map-side, C
+    * rows out) and NOTHING else — no exact-NDV envelope legs, which
+    * each pay x34's per-column value-cardinality shuffle and exist
+    * only so the declared audit-mode query can hash-pin the 3σ bound.
+    * Audit mode (`x36_table_stats_hll` in [[queries]]) = this sketch
+    * pass joined to the exact legs with the envelope verdict;
+    * production mode = this DataFrame alone. PlanShapeSpec pins the
+    * production plan at exactly one scan with no Expand/exact
+    * distinct; [[graft.Bench]] times it as `x36_prod_only_sec` so the
+    * mode split is a measurement, not prose. */
+  def x36SketchOnly(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+    li.agg(
+        approx_count_distinct(col(X36Cols.head), X36Rsd).as(X36Cols.head),
+        X36Cols.tail.map(c => approx_count_distinct(col(c), X36Rsd).as(c)): _*)
+      .select(explode(map(X36Cols.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("col_name", "ndv_est")))
+  }
+
   /** x39: minimum equivalence-class size for k-anonymity. */
   val KAnonK = 10L
+
+  /** x41 incremental ANALYZE: DataSketches-HLL log2(registers) and
+    * the matching relative standard deviation (1.04/√2^lgK); the
+    * hash-pinned envelope allows 3·rsd with a small absolute floor
+    * (sketches are exact at tiny cardinalities, the floor only
+    * guards the envelope arithmetic itself). */
+  val X41LgK = 12
+  val X41Rsd = 1.04 / math.sqrt(1 << X41LgK)
+
+  /** x42 catalog-pruned probes: one range inside the profiled
+    * o_totalprice domain, one provably above it at every SF. */
+  val X42InLo = 1000.0
+  val X42InHi = 2000.0
+  val X42OutLo = 9000000.0
+  val X42OutHi = 9900000.0
 
   /** v21 kNN self-join: neighbors kept per vector. */
   val KnnJoinK = 3
@@ -1035,19 +1074,17 @@ object ExtQ {
     // (|hll − exact| ≤ 3·rsd·exact, the standard-error band at 3σ),
     // so a sketch drifting out of its guarantee flips a hash-pinned
     // boolean instead of hiding in an approximate column.
+    // This is the AUDIT mode; the production (sketch-only, one-scan)
+    // mode is [[x36SketchOnly]] — same sketch pass, no exact legs.
     "x36_table_stats_hll" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
-      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val cols = X36Cols
       // EVERY column's sketch from ONE corpus scan — the wide-table
       // win itself: C fixed-size HLL buffers updated side by side
       // (never mixed into the exact legs' expand — the r8 smoke
       // measured the fused form 10× slower), merged map-side, C rows
       // out. The exact legs below exist only for the envelope check.
-      val hll = li.agg(
-          approx_count_distinct(col(cols.head), X36Rsd).as(cols.head),
-          cols.tail.map(c => approx_count_distinct(col(c), X36Rsd).as(c)): _*)
-        .select(explode(map(cols.flatMap(c => Seq(lit(c), col(c))): _*))
-          .as(Seq("col_name", "hll")))
+      val hll = x36SketchOnly(s, d).withColumnRenamed("ndv_est", "hll")
       def exact(c: String) = li.agg(
           count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col(c))).as("n_nulls"),
@@ -1063,43 +1100,121 @@ object ExtQ {
         .orderBy(col("col_name"))
     }),
 
+    // x41 — INCREMENTAL ANALYZE (stats maintenance under append):
+    // the catalog-freshness operator. A 100 TB table's stats cannot
+    // be recomputed over history per ingest batch — every component
+    // of the stored state must be MERGEABLE, so maintenance costs
+    // O(|Δ|): counts and null counts add, min/max combine, and NDV
+    // carries as a DataSketches HLL sketch whose union is the
+    // register-wise max (Agarwal et al., "Mergeable Summaries" —
+    // the x1/x36 family's missing update path). The query splits
+    // lineitem at a date cut, profiles base and delta SEPARATELY,
+    // merges the two states, and hash-checks the merge against the
+    // full table: exact fields (n_rows/n_nulls/min/max) must equal
+    // the one-shot recompute BY VALUE — the stats-merge identity,
+    // x12's monoid argument applied to ANALYZE — while the merged
+    // sketch's estimate stays behind a 3σ envelope verdict (x1's
+    // pattern; the estimate itself never reaches the hash). The
+    // exact-NDV leg exists only for the envelope, as in x36's audit
+    // mode.
+    "x41_incremental_analyze" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val base = li.filter(col("l_shipdate") < cut)
+      val delta = li.filter(col("l_shipdate") >= cut || col("l_shipdate").isNull)
+      // one mergeable state row per (partition, column)
+      def state(df: DataFrame, c: String, asNum: Option[Column]) = df.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          asNum.map(a => min(a).cast("double")).getOrElse(lit(null).cast("double"))
+            .as("min_num"),
+          asNum.map(a => max(a).cast("double")).getOrElse(lit(null).cast("double"))
+            .as("max_num"),
+          hll_sketch_agg(col(c), lit(X41LgK)).as("sk"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_num"), col("max_num"), col("sk"))
+      def merge(c: String, asNum: Option[Column]) =
+        state(base, c, asNum).unionByName(state(delta, c, asNum))
+          .groupBy(col("col_name"))
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+            min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+            hll_union_agg(col("sk"), lit(false)).as("sk"))
+      def exact(c: String) = li.agg(countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+      val cols = Seq("l_orderkey" -> Some(col("l_orderkey")),
+        "l_returnflag" -> None)
+      cols.map { case (c, a) => merge(c, a) }.reduce(_ unionByName _)
+        .join(broadcast(cols.map(c => exact(c._1)).reduce(_ unionByName _)),
+          Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_num"), col("max_num"), col("n_distinct"),
+          (abs(hll_sketch_estimate(col("sk")) - col("n_distinct")) <=
+            greatest(col("n_distinct") * lit(3 * X41Rsd), lit(8.0))).as("ndv_ok"))
+        .orderBy(col("col_name"))
+    }),
+
+    // x42 — CATALOG-PRUNED SCAN (segment elimination at table
+    // granularity): before planning a range probe, consult the
+    // shared stats catalog's committed [min, max] for the column —
+    // a probe DISJOINT with the domain compiles to a literal empty
+    // result with NO scan in the plan (PlanShapeSpec pins exactly
+    // one FileScan for the two probes together), the x21 zone-map
+    // move lifted from shard manifests to the catalog, decided with
+    // zero plan-time jobs. The pruned verdict is hash-pinned AND
+    // cross-checked: the engine derives it from the CATALOG, the
+    // oracle recomputes it from SOURCE min/max — a catalog serving
+    // stale bounds flips the column. At 100 TB this is the
+    // difference between touching a corpus to learn a predicate is
+    // vacuous and answering from metadata.
+    "x42_catalog_prune" -> ((s, d) => {
+      val st = graft.ops.StatsCatalog.stats(s, d, "orders")("o_totalprice")
+      val probes = Seq(("disjoint", X42OutLo, X42OutHi),
+        ("in_range", X42InLo, X42InHi))
+      probes.map { case (label, lo, hi) =>
+        val overlaps = st.minNum.exists(_ <= hi) && st.maxNum.exists(_ >= lo)
+        if (!overlaps)
+          s.range(1).select(lit(label).as("probe"), lit(true).as("pruned"),
+            lit(0L).as("n_rows"), lit(null).cast("double").as("sum_price"))
+        else
+          Tables.load(s, d, "orders")
+            .filter(col("o_totalprice").between(lo, hi))
+            .agg(count(lit(1)).as("n_rows"),
+              dsum2(col("o_totalprice")).as("sum_price"))
+            .select(lit(label).as("probe"), lit(false).as("pruned"),
+              col("n_rows"), col("sum_price"))
+      }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
+
     // x37 — the ANALYZE→PLANNER loop closed: the first planning
     // decision the engine makes FROM its own committed statistics.
-    // Both join inputs are profiled with x34's legs, the stats land
-    // as one Snapshots version (ANALYZE writes; planners read — the
-    // catalog shape), and the broadcast side of the declared
-    // customer⋈nation join is chosen from the committed row counts +
-    // widths (ops.Analyze.statsChosenJoin), not Spark's static file-
-    // size threshold — PlanShapeSpec pins that the hint alone
-    // produces the BroadcastHashJoin even with the static threshold
-    // disabled. The chosen side is PART OF THE OUTPUT, and the
-    // oracle replays the row-count comparison from source, so the
-    // planning decision itself is hash-checked. At 100 TB file size
-    // routinely mis-sizes a narrow projection of a wide table; stats
-    // size the join input.
+    // Both join inputs' stats come from the SHARED catalog
+    // (ops.StatsCatalog: ANALYZE profiles each fixture table ONCE,
+    // commits the rows as a Snapshots version under one canonical
+    // dir, and serves planners from the driver-side summary — write
+    // once, read many; x38's sketch sizing and x40's skew verdict
+    // read the same catalog, so no consumer re-profiles per query).
+    // The broadcast side of the declared customer⋈nation join is
+    // chosen from the catalog row counts + widths
+    // (ops.Analyze.statsChosenJoin), not Spark's static file-size
+    // threshold — PlanShapeSpec pins that the hint alone produces
+    // the BroadcastHashJoin even with the static threshold disabled.
+    // The chosen side is PART OF THE OUTPUT, and the oracle replays
+    // the row-count comparison from source, so the planning decision
+    // itself is hash-checked. At 100 TB file size routinely
+    // mis-sizes a narrow projection of a wide table; stats size the
+    // join input.
     "x37_stats_planned_join" -> ((s, d) => {
-      import graft.ops.Analyze
-      import graft.sources.Snapshots
-      val statsDir = s"target/x37_stats_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, statsDir) // deterministic version numbers per run
+      import graft.ops.{Analyze, StatsCatalog}
       val cust = Tables.load(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
           col("c_acctbal"))
       val nat = Tables.load(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"))
-      val stats = Analyze.numLeg(cust, "c_custkey", col("c_custkey"))
-        .unionByName(Analyze.strLeg(cust, "c_name"))
-        .select(lit("customer").as("tbl"), col("*"))
-        .unionByName(
-          Analyze.numLeg(nat, "n_nationkey", col("n_nationkey"))
-            .unionByName(Analyze.strLeg(nat, "n_name"))
-            .select(lit("nation").as("tbl"), col("*")))
-      Snapshots.commit(stats, statsDir)
-      val committed = Snapshots.read(s, statsDir).collect()
       val (joined, chosen) = Analyze.statsChosenJoin(
-        cust, committed.filter(_.getString(0) == "customer"),
-        nat, committed.filter(_.getString(0) == "nation"),
-        col("c_nationkey") === col("n_nationkey"))
+        cust, StatsCatalog.stats(s, d, "customer"),
+        nat, StatsCatalog.stats(s, d, "nation"),
+        col("c_nationkey") === col("n_nationkey"),
+        maxBroadcastBytes = 10L << 20)
       joined.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(28,2)")).cast("double")
@@ -1385,12 +1500,21 @@ object ExtQ {
     // (model-sized, fpp a build knob), rides to every task as a plan
     // constant, and the prune costs one hash probe per row in codegen
     // — the DPP/runtime-row-filter pattern declared as an operator.
+    // Sketch SIZING comes from the committed stats catalog (the
+    // second consumer of x37's ANALYZE loop): capacity = the
+    // catalog's exact NDV of c_custkey — an upper bound on the keys
+    // any filtered dim slice can hold, read from the driver-side
+    // summary with ZERO pre-jobs. The round-8 form ran dim.count()
+    // per plan construction (a second full dim scan) just to size
+    // the sketch; over-capacity only LOWERS the false-positive rate,
+    // and FPs never reach the output (the exact join removes them),
+    // so the hash is unchanged by construction.
     "x38_bloom_join" -> ((s, d) => {
       graft.functions.BloomContains.register(s)
       val dim = Tables.load(s, d, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"), col("c_name"))
-      val nDim = dim.count() // model-sized sketch sizing (d9 pattern)
+      val nDim = graft.ops.StatsCatalog.stats(s, d, "customer")("c_custkey").nDistinct
       val bf = dim.stat.bloomFilter("c_custkey", math.max(1000L, nDim), 0.01)
       val fact = Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_totalprice"))
@@ -1401,6 +1525,46 @@ object ExtQ {
           sum(col("o_totalprice").cast("decimal(28,2)")).cast("double")
             .as("spend"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // x40 — SKEW-PLANNED JOIN: the stats→planner loop's SECOND (and
+    // harder) decision. x37 chose a broadcast side from catalog row
+    // counts; here the planner reads the catalog's HEAVY-HITTER
+    // share of the probe-side join key (Misra–Gries candidates +
+    // exact recount, landed by ANALYZE — x10/x15's machinery in the
+    // stats table) and chooses between the plain shuffle join and
+    // x23's salted rewrite (Analyze.skewChosenJoin) with ZERO
+    // data-scanning jobs at plan time. l_returnflag is the engine's
+    // maximal-skew key (top value ≈ half the fact — a plain shuffle
+    // join funnels it through one reducer) → "salted";  the same
+    // verdict for l_orderkey (top share ~1e-4) → "shuffle" rides in
+    // the output, so ONE hashed result shows the strategy flipping
+    // on the stats. The oracle replays both verdicts from exact SQL
+    // — sound because the decision threshold exceeds MG's 1/(k+1)
+    // guarantee line (see Analyze.SkewShareThreshold's contract).
+    // SkewSpec/AnalyzeSpec pin the two plan shapes; at 100 TB this
+    // is the call AQE cannot make for non-SMJ shapes and static
+    // Spark cannot make at all.
+    "x40_skew_planned_join" -> ((s, d) => {
+      import graft.ops.{Analyze, StatsCatalog}
+      val liStats = StatsCatalog.stats(s, d, "lineitem")
+      def share(c: String) = liStats(c).top1Share.getOrElse(0.0)
+      val li = Tables.load(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(dsum2(col("l_extendedprice")).as("flag_total"))
+      val (joined, flagChoice) = Analyze.skewChosenJoin(
+        li.select(col("l_orderkey"), col("l_returnflag")), dim,
+        "l_returnflag", share("l_returnflag"),
+        shards = 8, tieBreak = "l_orderkey")
+      val orderkeyChoice =
+        if (share("l_orderkey") >= Analyze.SkewShareThreshold) "salted"
+        else "shuffle"
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), max(col("flag_total")).as("flag_total"))
+        .select(col("l_returnflag"), col("n_rows"), col("flag_total"),
+          lit(flagChoice).as("flag_choice"),
+          lit(orderkeyChoice).as("orderkey_choice"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // x39 — K-ANONYMITY AUDIT (privacy governance for training
@@ -2505,6 +2669,72 @@ object ExtQ {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // x41: the merged stats' exact fields stated as the one-shot
+    // recompute over the full table (the stats-merge identity); the
+    // sketch estimate stays behind its literal-true envelope verdict
+    "x41_incremental_analyze" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        |    CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+        |    COUNT(DISTINCT l_orderkey) AS n_distinct, true AS ndv_ok
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    COUNT(DISTINCT l_returnflag), true
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    // x42: the surviving probe's aggregate stated plainly; BOTH
+    // pruned verdicts recomputed from source min/max (the engine
+    // derives them from the catalog — the hash cross-checks the
+    // catalog's bounds against the data)
+    "x42_catalog_prune" ->
+      s"""WITH pr AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+         |            FROM orders)
+         |SELECT 'disjoint' AS probe,
+         |  NOT (mn <= $X42OutHi AND mx >= $X42OutLo) AS pruned,
+         |  CAST(0 AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS sum_price
+         |FROM pr
+         |UNION ALL
+         |SELECT 'in_range',
+         |  NOT (mn <= $X42InHi AND mx >= $X42InLo),
+         |  (SELECT COUNT(*) FROM orders
+         |   WHERE o_totalprice BETWEEN $X42InLo AND $X42InHi),
+         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |   FROM orders WHERE o_totalprice BETWEEN $X42InLo AND $X42InHi)
+         |FROM pr
+         |ORDER BY probe""".stripMargin,
+
+    // x40: the join-aggregate stated plainly, PLUS both skew
+    // verdicts replayed from EXACT top-1 shares — sound because the
+    // threshold sits above MG's 1/(k+1) line, so the catalog's
+    // sketch-then-recount share makes the same call exact SQL does
+    // (above threshold: MG provably holds the true top value; below:
+    // an under-report cannot cross the line). A planner that stops
+    // consulting the stats, or a stats pipeline feeding it garbage,
+    // flips a hash-pinned column.
+    "x40_skew_planned_join" ->
+      s"""WITH flag AS (
+         |  SELECT l_returnflag, COUNT(*) AS n_rows,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS flag_total
+         |  FROM lineitem GROUP BY l_returnflag),
+         |s1 AS (SELECT CAST(MAX(n_rows) AS DOUBLE) / SUM(n_rows) AS share
+         |       FROM flag),
+         |s2 AS (SELECT CAST(MAX(c) AS DOUBLE) / SUM(c) AS share
+         |       FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)),
+         |thr AS (SELECT ${graft.ops.Analyze.SkewShareThreshold} AS t)
+         |SELECT f.l_returnflag, f.n_rows, f.flag_total,
+         |  CASE WHEN s1.share >= thr.t THEN 'salted' ELSE 'shuffle' END
+         |    AS flag_choice,
+         |  CASE WHEN s2.share >= thr.t THEN 'salted' ELSE 'shuffle' END
+         |    AS orderkey_choice
+         |FROM flag f, s1, s2, thr
+         |ORDER BY f.l_returnflag""".stripMargin,
 
     // The IVM identity: the incremental plan must reproduce the
     // one-shot join-aggregate over everything, exactly.

@@ -527,22 +527,28 @@ object KgQ {
     // rounding of a half-way digit). Chunk-frequent entity pairs
     // score ~1 (independent); genuinely associated pairs score ≫1 —
     // the edge-weighting step between raw co-occurrence (k4) and
-    // similarity/community analytics (k17/k14). Plan: one distinct
-    // per-chunk entity set (Derived-shared with k4/k12), a
-    // chunk-blocked pair join (never n² — the k4 generator's bound),
-    // two broadcast-joined marginal tables keyed by node, and a
-    // 1-row corpus-count scalar broadcast (the s4 pattern). At
-    // 100 TB df/co are the same keyed shuffles k4 already pays;
-    // marginals are node-cardinality-sized.
+    // similarity/community analytics (k17/k14). Plan: n_co comes
+    // from the SHARED k4 edge aggregate (Derived "edges") — its
+    // weight is the pair's per-paper chunk count, so one further
+    // (src,tgt) groupBy over the paper-grained edges IS the corpus
+    // co-occurrence count. The C(n,2)-per-chunk pair join therefore
+    // materializes ONCE per session and k4/k12/k20 all read it —
+    // round 8's form regenerated it here and was the engine's
+    // heaviest operator at 20× (82.9 s); the marginals (node-keyed
+    // df) and the 1-row corpus scalar are linear passes over the
+    // distinct per-chunk set. At 100 TB the expensive shuffle exists
+    // once, amortized across the edge-consuming family.
     "k20_edge_lift" -> ((s, d) => {
       val dpc = distinctEntsDf(s, d).select(col("chunk_id"), col("node_id"))
       val nChunks = dpc.agg(countDistinct(col("chunk_id")).as("n_chunks"))
       val dfm = dpc.groupBy(col("node_id")).agg(count(lit(1)).as("df"))
-      val a = dpc.select(col("chunk_id"), col("node_id").as("a_id"))
-      val b = dpc.select(col("chunk_id").as("cb"), col("node_id").as("b_id"))
-      val co = a.join(b, col("chunk_id") === col("cb") && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_co"))
+      // per-(pair, paper) chunk counts are small exact integers in a
+      // double; their sum is far below 2^53, so the long cast is exact
+      val co = edgesDf(s, d)
+        .groupBy(col("src"), col("tgt"))
+        .agg(sum(col("weight")).cast("long").as("n_co"))
         .filter(col("n_co") >= LiftMinCo)
+        .select(col("src").as("a_id"), col("tgt").as("b_id"), col("n_co"))
       co.join(dfm.select(col("node_id").as("a_id"), col("df").as("df_a")), Seq("a_id"))
         .join(dfm.select(col("node_id").as("b_id"), col("df").as("df_b")), Seq("b_id"))
         .crossJoin(broadcast(nChunks)) // 1-row corpus scalar

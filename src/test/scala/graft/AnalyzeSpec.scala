@@ -67,6 +67,73 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("skewChosenJoin flips between salted and shuffle on the stats; results identical") {
+    // 60% of the probe rows share one key — the salted branch must
+    // carry the (key, _salt) exchange, the shuffle branch must not,
+    // and both must produce the same rows (the rewrite is
+    // semantics-preserving; only the distribution changes)
+    val probe = spark.range(1000).select(col("id"),
+      when(col("id") < 600, lit("hot")).otherwise(concat(lit("k"), col("id")))
+        .as("k"))
+    val build = probe.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (j1, c1) = Analyze.skewChosenJoin(probe, build, "k",
+        top1Share = 0.6, shards = 4, tieBreak = "id")
+      assert(c1 == "salted" &&
+        j1.queryExecution.executedPlan.toString.contains("_salt"),
+        "a hot key above threshold must take the salted rewrite")
+      val (j2, c2) = Analyze.skewChosenJoin(probe, build, "k",
+        top1Share = 0.01, shards = 4, tieBreak = "id")
+      assert(c2 == "shuffle" &&
+        !j2.queryExecution.executedPlan.toString.contains("_salt"),
+        "a uniform key must keep the plain shuffle join")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("k"), col("n")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(rows(j1) == rows(j2), "both branches must agree on the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("StatsCatalog serves exact profiles + heavy-hitter shares, memoized after one ANALYZE") {
+    import graft.ops.StatsCatalog
+    StatsCatalog.invalidate()
+    val st = StatsCatalog.stats(spark, Sf0001, "lineitem")
+    val li = Tables.load(spark, Sf0001, "lineitem")
+    val n = li.count()
+    assert(st("l_orderkey").nRows == n && st("l_quantity").nRows == n)
+    assert(st("l_orderkey").nDistinct ==
+      li.select(countDistinct(col("l_orderkey"))).collect().head.getLong(0))
+    // the skew signal: l_returnflag's top value share is EXACT (3
+    // values, all inside the MG candidate budget) and far above the
+    // decision threshold; l_orderkey's is far below it
+    val exactTop = li.groupBy(col("l_returnflag")).count()
+      .agg(max(col("count"))).collect().head.getLong(0).toDouble / n
+    assert(st("l_returnflag").top1Share.contains(exactTop))
+    assert(exactTop >= Analyze.SkewShareThreshold)
+    assert(st("l_orderkey").top1Share.exists(_ < Analyze.SkewShareThreshold))
+    // second read: memoized, and stable
+    assert(StatsCatalog.stats(spark, Sf0001, "lineitem") == st)
+  }
+
+  test("x41's merged stats equal the one-shot recompute; sketch envelope holds") {
+    val rows = SparkEntry.queries("x41_incremental_analyze")(spark, Sf0001)
+      .collect()
+    val n = Tables.load(spark, Sf0001, "lineitem").count()
+    assert(rows.length == 2 && rows.forall(_.getAs[Long]("n_rows") == n),
+      "base+delta row counts must merge to the full-table count")
+    assert(rows.forall(_.getAs[Boolean]("ndv_ok")),
+      "the merged HLL estimate must sit inside the 3-sigma envelope")
+  }
+
+  test("x42 prunes the disjoint probe from the catalog and answers the in-range one") {
+    val rows = SparkEntry.queries("x42_catalog_prune")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows == Map("disjoint" -> true, "in_range" -> false),
+      s"catalog bounds must prune exactly the disjoint probe: $rows")
+  }
+
   test("x36's sketch envelope holds on the fixture (every ndv_ok true)") {
     val rows = SparkEntry.queries("x36_table_stats_hll")(spark, Sf0001).collect()
     assert(rows.length == 4 && rows.forall(_.getBoolean(4)),

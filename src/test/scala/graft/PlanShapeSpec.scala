@@ -486,6 +486,69 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x36's production mode is ONE scan, sketch-only: no exact-NDV legs, no Expand") {
+    // audit mode (the declared query) carries exact countDistinct
+    // legs so the oracle can hash-pin the 3σ envelope; the production
+    // plan a 100 TB wide-table ANALYZE actually runs must be the
+    // sketch pass alone — C fixed-size HLL buffers off a single
+    // corpus scan
+    val p = graft.queries.ExtQ.x36SketchOnly(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1,
+      s"production mode must read the corpus exactly once, saw $scans scans:\n$p")
+    assert(p.contains("approx_count_distinct"),
+      "the sketch aggregate must be in the plan")
+    assert(!p.contains("Expand") && !p.contains("count(distinct"),
+      "no exact-NDV machinery may survive in production mode")
+  }
+
+  test("x38's Bloom sizing reads the stats catalog: construction runs only the sketch build, no sizing count") {
+    // round-8's form ran dim.count() per plan construction just to
+    // size the sketch — a second full dim scan. The capacity now
+    // comes from the committed catalog summary (zero jobs), so the
+    // only compute job building the DataFrame may run is the
+    // bloomFilter aggregate itself (the legitimate d9-pattern
+    // driver-side sketch build).
+    graft.ops.StatsCatalog.stats(spark, Sf0001, "customer") // catalog warm: write once, read many
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet()
+        seen.add(j.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("x38_bloom_join")(spark, Sf0001)
+      spark.range(1).count() // canary: FIFO listener delivery
+      val deadline = System.currentTimeMillis + 30000
+      while (counter.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(counter.get() >= 1, "canary job never arrived")
+      val stages = seen.toArray(Array.empty[String])
+      assert(!stages.exists(_.contains("count at ExtQ")),
+        s"the sizing count() must be gone, saw: ${stages.mkString("; ")}")
+      val compute = stages.filter(_.contains("ExtQ"))
+      assert(compute.size <= 1,
+        s"construction may run only the bloomFilter build, saw: ${compute.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("x42's disjoint probe is catalog-pruned: one FileScan serves both probes") {
+    // the pruned leg must be a literal empty result — a second scan
+    // in the plan means the catalog's min/max were never consulted
+    graft.ops.StatsCatalog.stats(spark, Sf0001, "orders") // warm
+    // executedPlan toString (FormattedMode renders scans differently)
+    val p = SparkEntry.queries("x42_catalog_prune")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1,
+      s"two probes, one scan: the disjoint range must not touch the table ($scans scans):\n$p")
+  }
+
   test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
     // ANALYZE over columnar files must cost one column per leg: if a
     // leg's scan reads the full row, stats collection pays table
