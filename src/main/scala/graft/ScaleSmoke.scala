@@ -55,8 +55,15 @@ object ScaleSmoke {
     // register-wise max — state size constant while rows grow F×);
     // x42 reads scaled orders, probes the same totalprice domain
     // (copies don't change o_totalprice, so the disjoint probe stays
-    // catalog-pruned at any F)
+    // catalog-pruned at any F); x43 is exempt like x37 — it reads
+    // part/supplier dims the generator does not carry
     "x41_incremental_analyze", "x42_catalog_prune",
+    // v22's candidate set is the label-filtered corpus (~F×/10 rows
+    // per label under verbatim labels) against a fixed query set
+    "v22_filtered_topk",
+    // x44 commits the F×-scaled docs twice (the write cost scales);
+    // the clone itself is one metadata entry at any F
+    "x44_zero_copy_clone",
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

@@ -135,4 +135,25 @@ object Analyze {
     if (top1Share >= threshold)
       (Skew.saltedJoin(probe, build, key, shards, tieBreak), "salted")
     else (probe.join(build, Seq(key)), "shuffle")
+
+  /** The stats→planner loop's THIRD decision (x43): JOIN ORDERING
+    * for a star fact. Dimensions join smallest-estimated-first —
+    * the greedy heuristic every CBO starts from: the most selective
+    * dimension shrinks the intermediate before the wider ones touch
+    * it, and at 100 TB the difference between probing the narrow dim
+    * first and last is the width of every row the later joins carry.
+    * Each dimension independently gets the x37 broadcast rule under
+    * `maxBroadcastBytes`. Requires a true star (every condition
+    * references only the fact and its own dim — reordering is then
+    * semantics-free). Returns (joined, comma-joined order label). */
+  def statsOrderedJoin(fact: DataFrame,
+                       dims: Seq[(String, DataFrame, Map[String, StatsCatalog.ColStats], Column)],
+                       maxBroadcastBytes: Long = 10L << 20): (DataFrame, String) = {
+    val ordered = dims.sortBy { case (_, _, st, _) => StatsCatalog.nRows(st) }
+    val joined = ordered.foldLeft(fact) { case (acc, (_, df, st, cond)) =>
+      if (StatsCatalog.estBytes(st) <= maxBroadcastBytes) acc.join(broadcast(df), cond)
+      else acc.join(df, cond)
+    }
+    (joined, ordered.map(_._1).mkString(","))
+  }
 }

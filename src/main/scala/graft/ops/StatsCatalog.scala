@@ -61,7 +61,9 @@ object StatsCatalog {
     "nation" -> ((Seq("n_nationkey"), Seq("n_name"), Nil)),
     "orders" -> ((Seq("o_orderkey", "o_custkey", "o_totalprice"), Nil, Nil)),
     "lineitem" -> ((Seq("l_orderkey", "l_quantity", "l_extendedprice"),
-      Seq("l_returnflag"), Seq("l_returnflag", "l_orderkey"))))
+      Seq("l_returnflag"), Seq("l_returnflag", "l_orderkey"))),
+    "part" -> ((Seq("p_partkey", "p_size", "p_retailprice"), Seq("p_brand"), Nil)),
+    "supplier" -> ((Seq("s_suppkey", "s_nationkey", "s_acctbal"), Seq("s_name"), Nil)))
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStats]]()

@@ -1185,6 +1185,78 @@ object ExtQ {
       }.reduce(_ unionByName _).orderBy(col("probe"))
     }),
 
+    // x44 — ZERO-COPY CLONE (shallow clone / table branching): the
+    // dev-branch primitive of a lakehouse. Source table commits v1
+    // (even docs), a CLONE lands in a second table as a PURE
+    // METADATA entry — no data file written, read, or copied; the
+    // zero_copy flag is the LISTING-checked empty file signature of
+    // the clone version (x27's witness pattern) — then the source
+    // advances to v2. The clone must keep serving the v1 state it
+    // pinned (branch isolation: the whole point of branching), while
+    // the source's latest serves v2; both states are hash-checked
+    // from source rows. At 100 TB an experiment branch costs one
+    // small JSON entry instead of a corpus copy, and the retention
+    // caveat (vacuuming the source below a clone breaks it loudly)
+    // is SnapshotsSpec-pinned.
+    "x44_zero_copy_clone" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val src = s"target/x44_src_${math.abs(d.hashCode)}"
+      val dst = s"target/x44_clone_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, src); Snapshots.drop(s, dst)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), src)
+      Snapshots.commitClone(s, dst, src, 1)
+      Snapshots.commit(docs, src) // the source refresh AFTER the clone
+      val zeroCopy = Snapshots.fileSignature(s, dst, 1).isEmpty
+      val cloned = Snapshots.readResolved(s, dst)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clone"),
+          sum(col("doc_id")).cast("long").as("idsum_clone"))
+      val latest = Snapshots.read(s, src)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src_latest"),
+          sum(col("doc_id")).cast("long").as("idsum_src_latest"))
+      cloned.join(latest, Seq("source"))
+        .select(col("source"), col("n_clone"), col("idsum_clone"),
+          col("n_src_latest"), col("idsum_src_latest"),
+          lit(zeroCopy).as("zero_copy"))
+        .orderBy(col("source"))
+    }),
+
+    // x43 — STATS-ORDERED STAR JOIN: the catalog's third planning
+    // decision (x37 chose a broadcast side, x40 a skew strategy —
+    // this one chooses JOIN ORDER). The lineitem fact joins its two
+    // dimensions smallest-estimated-first (supplier before part, per
+    // the catalog's row counts — the greedy CBO heuristic: the most
+    // selective dim shrinks the intermediate before wider rows ride
+    // through it), each dim broadcast under the x37 byte rule, with
+    // ZERO plan-time jobs. The chosen order is hash-pinned in the
+    // output and the oracle replays it from source counts; the plan
+    // nesting itself (supplier innermost) is pinned by
+    // PlanShapeSpec, and AnalyzeSpec proves the nesting follows the
+    // STATS by feeding statsOrderedJoin lying stats.
+    "x43_stats_join_order" -> ((s, d) => {
+      import graft.ops.{Analyze, StatsCatalog}
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val part = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val supp = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val (joined, order) = Analyze.statsOrderedJoin(li, Seq(
+        ("part", part, StatsCatalog.stats(s, d, "part"),
+          col("l_partkey") === col("p_partkey")),
+        ("supplier", supp, StatsCatalog.stats(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))))
+      joined.groupBy(col("p_brand"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum2(col("l_extendedprice")).as("sum_price"))
+        .select(col("p_brand"), col("s_nationkey"), col("n_items"),
+          col("sum_price"), lit(order).as("join_order"))
+        .orderBy(col("p_brand"), col("s_nationkey"))
+    }),
+
     // x37 — the ANALYZE→PLANNER loop closed: the first planning
     // decision the engine makes FROM its own committed statistics.
     // Both join inputs' stats come from the SHARED catalog
@@ -2669,6 +2741,41 @@ object ExtQ {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // x44: both branch states stated from source — the clone must
+    // serve the pinned v1 (even docs) even though the source
+    // advanced; zero_copy is the listing-checked literal (a clone
+    // that silently copied or re-wrote data flips it)
+    "x44_zero_copy_clone" ->
+      """WITH v1 AS (
+        |  SELECT source, COUNT(*) AS n_clone,
+        |    CAST(SUM(doc_id) AS BIGINT) AS idsum_clone
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+        |v2 AS (
+        |  SELECT source, COUNT(*) AS n_src_latest,
+        |    CAST(SUM(doc_id) AS BIGINT) AS idsum_src_latest
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_clone, idsum_clone, n_src_latest, idsum_src_latest,
+        |  true AS zero_copy
+        |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x43: the star-join aggregate stated plainly; the join order
+    // replayed from source row counts (smallest dim first) — a
+    // planner that stops consulting the catalog, or a catalog
+    // mis-counting a dimension, flips a hash-pinned column
+    "x43_stats_join_order" ->
+      """SELECT p_brand, s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CASE WHEN (SELECT COUNT(*) FROM supplier) <=
+        |            (SELECT COUNT(*) FROM part)
+        |       THEN 'supplier,part' ELSE 'part,supplier' END AS join_order
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY p_brand, s_nationkey""".stripMargin,
 
     // x41: the merged stats' exact fields stated as the one-shot
     // recompute over the full table (the stats-merge identity); the

@@ -35,6 +35,13 @@ object VectorQ {
     * them) — mirrored pass for pass by the unrolled oracle CTEs. */
   val PqPasses = 3
 
+  /** v22 filtered search: the metadata predicate (label equality)
+    * and the post-filter overfetch multiple (global top-(k·m) is
+    * filtered AFTER ranking — the recall-losing strategy the query
+    * quantifies against the exact pre-filter path). */
+  val V22Label = 3
+  val V22Overfetch = 2
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
@@ -311,6 +318,51 @@ object VectorQ {
       top.withColumn("nb_rank", row_number().over(w))
         .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
           round(col("raw"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v22 — FILTERED VECTOR SEARCH (metadata predicate + top-k): the
+    // design axis every production ANN system must choose on. The
+    // PRE-FILTER path restricts candidates to the predicate first and
+    // ranks inside it — exact, always k results if they exist; at
+    // scale it composes with the IVF family as per-bucket filtered
+    // probes (the predicate pushes into the bucket scan — selective
+    // filters make brute-force-within-filter CHEAPER than ANN over
+    // everything). The POST-FILTER path ranks globally, takes
+    // k·overfetch, then filters — the common bolt-on that silently
+    // loses recall when the predicate is selective: the output
+    // carries each query's post-filter survivor count next to the
+    // exact pre-filter top-k, so the recall loss is a hash-pinned
+    // MEASUREMENT (n_postfilter < k = the trap, quantified). Both
+    // paths broadcast the query set and keep the fact scan pruned.
+    "v22_filtered_topk" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val pre = {
+        val scored = e.filter(col("label") === V22Label)
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+        val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+          Seq(col("raw").desc, col("vec_id")), 3)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("raw").desc, col("vec_id"))
+        top.withColumn("nb_rank", row_number().over(w))
+      }
+      val nPost = {
+        val scoredAll = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("raw", VectorOps.dot(col("qe"), col("embedding")))
+        graft.plans.TopK.perKey(scoredAll, Seq("qid"),
+            Seq(col("raw").desc, col("vec_id")), 3 * V22Overfetch)
+          .filter(col("label") === V22Label)
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_postfilter"))
+      }
+      pre.join(nPost, Seq("qid"), "left")
+        .select(col("qid"), col("vec_id").as("nb_id"), col("nb_rank"),
+          round(col("raw"), 4).as("score"),
+          coalesce(col("n_postfilter"), lit(0L)).as("n_postfilter"))
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
@@ -1083,6 +1135,38 @@ object VectorQ {
         |ORDER BY vec_id""".stripMargin,
 
     "v4_knn_bruteforce" -> v4Oracle,
+
+    // v22: exact pre-filter top-k stated directly; the post-filter
+    // survivor count replays the global top-(k·overfetch) then the
+    // predicate — both over the same bit-exact dot products as v4
+    "v22_filtered_topk" ->
+      s"""WITH pre AS (
+         |  SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank,
+         |    round(raw, 4) AS score
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nb_id,
+         |      list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+         |                 e.vec_id) AS rn
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+         |      AND e.label = $V22Label) x
+         |  WHERE rn <= 3),
+         |post AS (
+         |  SELECT qid, COUNT(*) AS n_postfilter FROM (
+         |    SELECT q.vec_id AS qid, e.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+         |                 e.vec_id) AS rn
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
+         |  WHERE rn <= ${3 * V22Overfetch} AND label = $V22Label
+         |  GROUP BY qid)
+         |SELECT p.qid, p.nb_id, p.nb_rank, p.score,
+         |  COALESCE(post.n_postfilter, 0) AS n_postfilter
+         |FROM pre p LEFT JOIN post ON p.qid = post.qid
+         |ORDER BY p.qid, p.nb_rank""".stripMargin,
 
     "v5_knn_ivf" ->
       """WITH dims AS (

@@ -471,6 +471,44 @@ object Snapshots {
                    partitionBy: Seq[String] = Nil): Int =
     writeVersion(df, dir, partitionBy, extraMeta = ""","staged":true""")
 
+  /** ZERO-COPY (shallow) CLONE: land a new version in `dir` whose
+    * content IS another table's committed version `srcVersion` — a
+    * PURE METADATA commit. No data file is written, read, or copied
+    * (x44 proves it from the listing: the clone version has an empty
+    * file signature), which at 100 TB is the difference between a
+    * dev/experiment branch costing one small JSON entry and costing
+    * a corpus copy — Delta's shallow CLONE / Iceberg snapshot-ref
+    * reduced to its load-bearing parts. Reads resolve through the
+    * source table recursively (a clone of a deletion-vector version
+    * serves the resolved state). The claim uses the SAME
+    * create-exclusive entry publication as a data commit, so clones
+    * race safely with concurrent data commits.
+    *
+    * Retention contract (Delta's documented shallow-clone caveat):
+    * the clone pins its source version LOGICALLY, not physically —
+    * vacuuming the SOURCE below the cloned version breaks the
+    * clone's read path, which then fails loudly at log resolution;
+    * coordinating retention across clones is the deployment's job. */
+  def commitClone(spark: SparkSession, dir: String,
+                  srcDir: String, srcVersion: Int): Int = {
+    require(allVersions(spark, srcDir).contains(srcVersion),
+      s"clone source v$srcVersion not committed under $srcDir")
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    var next = allVersions(spark, dir).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      // the dir name is a never-created sentinel: zero data files is
+      // the contract, and every file-listing helper returns empty
+      val entry = s"""{"version":$next,"dir":${jstr(s"v$next-clone")},"n_files":0,"bytes":0,"kind":"clone","src_dir":${jstr(srcDir)},"src_version":$srcVersion}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+      next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
+    }
+    -1 // unreachable
+  }
+
   /** Publish a staged version: flip its log entry's `staged` flag off
     * (write-temp-then-rename over the ONE entry file — the same
     * crash-atomicity as commit, and no other version's entry is even
@@ -523,7 +561,7 @@ object Snapshots {
           .filter(col(pcol) === pval)
         graft.ops.Diff.snapshot(oldPart, vdf, keys)
           .select(col("op") +: keys.map(col): _*)
-      case "data" =>
+      case "data" | "clone" =>
         // the diff baseline is the latest PUBLISHED prior version: a
         // staged (unpublished) prior was never visible to any reader,
         // so diffing against it would emit a feed that reconstructs
@@ -531,7 +569,9 @@ object Snapshots {
         // commit v3 must feed v3 as diff-vs-v1). Baselines follow the
         // published chain as of THIS call — publishing a staged
         // version re-bases later feeds, which is the WAP contract:
-        // the feed describes what readers could see.
+        // the feed describes what readers could see. (A clone's vdf
+        // is already its resolved source state, so it feeds exactly
+        // like a data commit of that state.)
         val prior = entries
           .filterNot(e => Option(e.get("staged")).exists(_.asBoolean()))
           .map(_.get("version").asInt()).filter(_ < version)
@@ -644,6 +684,12 @@ object Snapshots {
 
   private def readVersionDf(spark: SparkSession, dir: String,
                             n: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    // a clone version has no files of its own: its content is the
+    // source table's version, resolved recursively (fails loudly if
+    // the source was vacuumed below it — the retention contract)
+    if (Option(n.get("kind")).map(_.asText()).contains("clone"))
+      return readResolved(spark, n.get("src_dir").asText(),
+        Some(n.get("src_version").asInt()))
     val vdir = s"$dir/${entryDataDir(n)}"
     Option(n.get("schema")).map(_.asText()) match {
       case Some(sj) =>
@@ -655,10 +701,12 @@ object Snapshots {
   }
 
   /** All data files under a version dir, recursively (partitioned
-    * layouts nest them one dir per partition value). */
+    * layouts nest them one dir per partition value). A missing dir
+    * is a METADATA-ONLY version (clone) — zero files by contract. */
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
                         vdir: org.apache.hadoop.fs.Path)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(vdir)) return Seq.empty
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     val it = fs.listFiles(vdir, true)
     while (it.hasNext) {
@@ -722,6 +770,7 @@ object Snapshots {
       val vdf = readVersionDf(spark, dir, n)
       Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
         case "data" => vdf
+        case "clone" => vdf // readVersionDf already resolved the source
         case "deletes" =>
           resolve(n.get("base").asInt()).join(vdf, vdf.columns.toSeq, "left_anti")
         case "replace" =>

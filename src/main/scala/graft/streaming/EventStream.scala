@@ -183,6 +183,55 @@ object EventStream {
     * compute), preserving drained-state == one-shot identity under
     * recovery instead of silently double-counting the delta. Returns
     * the committed version, or None for a replay skip. */
+  /** One mergeable ANALYZE state row (x41's shape): exact counters
+    * plus a DataSketches HLL sketch for NDV — every field merges, so
+    * catalog maintenance under an unbounded feed costs O(|Δ|) per
+    * batch, never a history rescan. */
+  def statsState(df: DataFrame, valueCol: String, keyCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(valueCol))).as("n_nulls"),
+      min(col(valueCol)).cast("double").as("min_num"),
+      max(col(valueCol)).cast("double").as("max_num"),
+      hll_sketch_agg(col(keyCol), lit(12)).as("key_sketch"))
+
+  /** Merge two one-row stats states: counts add, bounds combine,
+    * sketches union (register-wise max). */
+  def mergeStatsStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("n_nulls")).as("n_nulls"),
+      min(col("min_num")).as("min_num"),
+      max(col("max_num")).as("max_num"),
+      hll_union_agg(col("key_sketch"), lit(false)).as("key_sketch"))
+
+  /** STREAMING INCREMENTAL ANALYZE — x41's maintenance loop run per
+    * micro-batch: each arriving batch's stats state folds into the
+    * Snapshots-committed catalog state, epoch-tagged like [[ivmFold]]
+    * so an at-least-once replay merges nothing. Drained state equals
+    * the one-shot profile of everything (StreamingSpec pins the exact
+    * fields and the sketch's 3σ envelope) — how a 100 TB/day feed
+    * keeps its stats catalog fresh. */
+  def statsFold(batch: DataFrame, valueCol: String, keyCol: String,
+                stateDir: String, epochId: Long): Option[Int] = {
+    import graft.sources.Snapshots
+    val s = batch.sparkSession
+    val delta = statsState(batch, valueCol, keyCol)
+    val merged =
+      if (Snapshots.versions(s, stateDir).isEmpty) delta
+      else mergeStatsStates(Snapshots.read(s, stateDir), delta)
+    Snapshots.commitEpoch(merged, stateDir, epochId)
+  }
+
+  def statsSink(stream: DataFrame, valueCol: String, keyCol: String,
+                stateDir: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        statsFold(batch, valueCol, keyCol, stateDir, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   def ivmFold(batch: DataFrame, orders: DataFrame,
               stateDir: String, epochId: Long): Option[Int] = {
     import graft.ops.IncrementalAgg

@@ -134,6 +134,31 @@ class AnalyzeSpec extends SparkSpec {
       s"catalog bounds must prune exactly the disjoint probe: $rows")
   }
 
+  test("statsOrderedJoin nests by the STATS, not the data: lying stats flip the order") {
+    import graft.ops.StatsCatalog.ColStats
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def st(n: Long) = Map("k" -> ColStats(n, 0, n, None, None, None, None))
+    val fact = spark.range(100).select(col("id").as("ka"), col("id").as("kb"))
+    val dimA = spark.range(50).select(col("id").as("a_k"), lit("A").as("av"))
+    val dimB = spark.range(5).select(col("id").as("b_k"), lit("B").as("bv"))
+    def joinOrder(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin => j.condition.map(_.sql).getOrElse("")
+      }
+    val (j1, o1) = Analyze.statsOrderedJoin(fact, Seq(
+      ("a", dimA, st(50), col("ka") === col("a_k")),
+      ("b", dimB, st(5), col("kb") === col("b_k"))))
+    assert(o1 == "b,a" && joinOrder(j1).head.contains("a_k"),
+      s"the fewer-rows dim must join innermost: $o1 / ${joinOrder(j1)}")
+    // lying stats: tell it dimA is the small one — the nesting flips
+    val (j2, o2) = Analyze.statsOrderedJoin(fact, Seq(
+      ("a", dimA, st(5), col("ka") === col("a_k")),
+      ("b", dimB, st(50), col("kb") === col("b_k"))))
+    assert(o2 == "a,b" && joinOrder(j2).head.contains("b_k"),
+      s"the order must follow the stats, not the data: $o2 / ${joinOrder(j2)}")
+    assert(j1.count() == j2.count(), "reordering must be semantics-free")
+  }
+
   test("x36's sketch envelope holds on the fixture (every ndv_ok true)") {
     val rows = SparkEntry.queries("x36_table_stats_hll")(spark, Sf0001).collect()
     assert(rows.length == 4 && rows.forall(_.getBoolean(4)),

@@ -549,6 +549,21 @@ class PlanShapeSpec extends SparkSpec {
       s"two probes, one scan: the disjoint range must not touch the table ($scans scans):\n$p")
   }
 
+  test("x43's star joins nest smallest-dim-first (supplier innermost, per the catalog)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    graft.ops.StatsCatalog.stats(spark, Sf0001, "part")
+    graft.ops.StatsCatalog.stats(spark, Sf0001, "supplier") // warm
+    val joins = SparkEntry.queries("x43_stats_join_order")(spark, Sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case j: LJoin => j.condition.map(_.sql).getOrElse("")
+      }
+    assert(joins.size == 2, s"expected a two-dim star, got $joins")
+    // pre-order collect: the OUTER join prints first — part must be
+    // outer, supplier (fewer catalog rows) innermost
+    assert(joins.head.contains("p_partkey") && joins(1).contains("s_suppkey"),
+      s"supplier must join first (innermost), got order: $joins")
+  }
+
   test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
     // ANALYZE over columnar files must cost one column per leg: if a
     // leg's scan reads the full row, stats collection pays table

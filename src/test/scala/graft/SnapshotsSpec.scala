@@ -438,6 +438,44 @@ class SnapshotsSpec extends SparkSpec {
       "a zero-padded partition value must not round-trip as the int 7")
   }
 
+  test("zero-copy clone: metadata-only branch, isolated from source advances, loud on vacuumed source") {
+    val src = freshDir(); val dst = freshDir()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    val v = Snapshots.commitClone(spark, dst, src, 1)
+    assert(v == 1)
+    // pure metadata: the clone version owns zero data files
+    assert(Snapshots.fileSignature(spark, dst, 1).isEmpty,
+      "a shallow clone must not write or copy any data file")
+    // serves the pinned source state, through further source commits
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), src)
+    assert(Snapshots.readResolved(spark, dst).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "the clone must keep serving the version it pinned")
+    // a clone of a LOGICAL version resolves the chain
+    Snapshots.commitDeletes(Seq(1L).toDF("id"), src, base = 2)
+    val dst2 = freshDir()
+    Snapshots.commitClone(spark, dst2, src, 3)
+    assert(Snapshots.readResolved(spark, dst2).collect().map(_.getLong(0)).toSeq
+      == Seq(9L), "a clone of a DV version must serve the resolved state")
+    // the clone can keep evolving as its own branch
+    Snapshots.commit(Seq((7L, "branch")).toDF("id", "v"), dst)
+    assert(Snapshots.readResolved(spark, dst).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    assert(Snapshots.stepChanges(spark, dst, 1, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("I", 1L), ("I", 2L)), "a first clone version feeds as all-inserts")
+    // retention caveat: vacuuming the SOURCE below a clone's pinned
+    // version breaks that branch LOUDLY (dst pinned src v1; vacuum
+    // keeps v3 + its DV base v2, drops v1)
+    assert(Snapshots.vacuum(spark, src, keepLast = 1) == Seq(1))
+    intercept[Exception] {
+      Snapshots.readResolved(spark, dst, Some(1)).collect()
+    }
+    // dst2 pinned v3, which retention kept — its branch still reads
+    assert(Snapshots.readResolved(spark, dst2).collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

@@ -218,6 +218,48 @@ class StreamingSpec extends SparkSpec {
       "drained IVM state must equal the one-shot join aggregate")
   }
 
+  test("streaming incremental ANALYZE: drained mergeable stats equal the one-shot profile") {
+    // x41's streaming twin: per micro-batch the stats state folds
+    // into the catalog state; exact fields must merge to the
+    // one-shot recompute by value, the merged NDV sketch must land
+    // inside its 3σ envelope — catalog freshness under an unbounded
+    // feed without ever re-scanning history
+    import graft.sources.Snapshots
+    val src = java.nio.file.Files.createTempDirectory("st_src").toString
+    val state = java.nio.file.Files.createTempDirectory("st_state").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("st_ckpt").toString
+    Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val q = EventStream.statsSink(
+      EventStream.readLineitemStream(spark, src, maxFilesPerTrigger = Some(1)),
+      "l_extendedprice", "l_orderkey", state, ckpt).start()
+    try q.awaitTermination() finally q.stop()
+    assert(Snapshots.versions(spark, state).size > 1,
+      "the merge claim needs multiple micro-batches to be meaningful")
+    val r = Snapshots.read(spark, state)
+      .select(col("n_rows"), col("n_nulls"), col("min_num"), col("max_num"),
+        hll_sketch_estimate(col("key_sketch")).as("est"))
+      .collect().head
+    val full = spark.read.parquet(src)
+    val exactRow = full.agg(count(lit(1)), min(col("l_extendedprice")),
+      max(col("l_extendedprice")), countDistinct(col("l_orderkey"))).collect().head
+    assert(r.getLong(0) == exactRow.getLong(0) && r.getLong(1) == 0L,
+      "merged counts must equal the one-shot profile exactly")
+    assert(r.getDouble(2) == exactRow.getDouble(1) &&
+      r.getDouble(3) == exactRow.getDouble(2),
+      "merged bounds must equal the one-shot profile exactly")
+    val exactNdv = exactRow.getLong(3)
+    assert(math.abs(r.getLong(4) - exactNdv) <=
+      math.max(3 * (1.04 / math.sqrt(1 << 12)) * exactNdv, 8.0),
+      s"merged sketch estimate ${r.getLong(4)} outside the envelope of $exactNdv")
+    // replay safety: re-folding a committed epoch merges nothing
+    val before = Snapshots.versions(spark, state)
+    assert(EventStream.statsFold(full, "l_extendedprice", "l_orderkey",
+      state, epochId = 0).isEmpty)
+    assert(Snapshots.versions(spark, state) == before)
+  }
+
   test("IVM fold is epoch-idempotent: a replayed micro-batch never double-counts the delta") {
     // foreachBatch is at-least-once: a crash after the state commit
     // but before the checkpoint offset commit re-executes the same
