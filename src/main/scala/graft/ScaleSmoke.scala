@@ -61,9 +61,28 @@ object ScaleSmoke {
     // v22's candidate set is the label-filtered corpus (~F×/10 rows
     // per label under verbatim labels) against a fixed query set
     "v22_filtered_topk",
+    // v23's legs both scan the F×-scaled corpus (BM25 postings over
+    // documents, cosine over embeddings); fusion stays O(L) at any F
+    "v23_hybrid_rrf",
     // x44 commits the F×-scaled docs twice (the write cost scales);
     // the clone itself is one metadata entry at any F
     "x44_zero_copy_clone",
+    // x45 stages the F×-scaled corpus three times (half + dead-writer
+    // + refresh — the write cost scales); the atomic commit point is
+    // ONE marker create and repair is two entry rewrites at any F
+    "x45_multi_table_txn",
+    // x46 commits the F×-scaled corpus twice and aggregates it on the
+    // two misses; the replay hit is a metadata listing + a
+    // result-sized read at any F
+    "x46_result_cache",
+    // v24 commits the F×-scaled assignments table (the write scales)
+    // plus the model-sized centroids; the probe scans nprobe/k of the
+    // committed corpus, same curve as v8
+    "v24_index_persist",
+    // x47 splits + commits the F×-scaled corpus (predicate scan +
+    // write scale; the ~30% quarantine share is F-invariant under
+    // verbatim n_chars)
+    "x47_constrained_commit",
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

@@ -9,11 +9,15 @@ import graft.queries._
   *  - RelationalQ (q1–q20, q30, q32): SURVEY.md §2.1–2.8 relational
   *    inventory + window analytics (lead/lag/ntile, distribution
   *    ranks)
-  *  - VectorQ (v1–v20): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v24): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
   *    truncated-prefilter rerank, recall@k evaluation, MMR
-  *    re-ranking, radius search, incremental index append)
+  *    re-ranking, radius search, incremental index append, v22
+  *    filtered search with the pre-/post-filter recall trap
+  *    quantified, v23 hybrid BM25⊕cosine reciprocal-rank fusion,
+  *    v24 persisted vector index — IVF committed as lakehouse
+  *    tables in one transaction, searched by a cold process)
   *  - DedupQ (d1–d14, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, n-gram containment,
@@ -30,7 +34,7 @@ import graft.queries._
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths,
   *    co-occurrence lift) + skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x39, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x47, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -50,10 +54,16 @@ import graft.queries._
   *    x37 stats-driven broadcast planning (the ANALYZE→planner
   *    loop, the decision hash-pinned in the output), x38 Bloom
   *    runtime-filter join (dim-bounded sketch prunes the fact
-  *    before the exchange), x39 k-anonymity audit, q33
-  *    correlated EXISTS, s7 at-least-once delivery dedup, and v21
-  *    cluster-blocked kNN self-join at a corpus-derived cluster
-  *    count)
+  *    before the exchange), x39 k-anonymity audit, x40 skew-planned
+  *    join, x41 incremental (mergeable) ANALYZE, x42 catalog-pruned
+  *    scans, x43 stats-ordered star join, x44 zero-copy clone, x45
+  *    multi-table atomic transactions (one decision marker = the
+  *    cross-table commit point), x46 version-keyed result cache
+  *    (metadata-only hit/miss, free invalidation), x47 constrained
+  *    commit (CHECK constraints + atomic quarantine), q33 correlated
+  *    EXISTS, s7
+  *    at-least-once delivery dedup, and v21 cluster-blocked kNN
+  *    self-join at a corpus-derived cluster count)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four

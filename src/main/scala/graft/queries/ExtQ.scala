@@ -93,6 +93,13 @@ object ExtQ {
     * under fixed k vs 5.06M with k scaled). */
   val KnnBlockRows = 125L
 
+  /** x47's CHECK constraints: the length floor a real corpus gate
+    * enforces (~30% of the fixture quarantines) and the known-language
+    * allowlist (all-passing on the fixture — a gate that never fires
+    * must still hash-replay). */
+  val X47MinChars = 200L
+  val X47Langs = Seq("en", "fr", "de", "es", "zh")
+
   /** Scale-aware cluster count for [[queries]]' v21: `max(KmK,
     * n / KnnBlockRows)` — KmK floors small fixtures (sf0.01 keeps the
     * original k = 4 blocking), integer division matches the oracle's
@@ -1221,6 +1228,168 @@ object ExtQ {
         .select(col("source"), col("n_clone"), col("idsum_clone"),
           col("n_src_latest"), col("idsum_src_latest"),
           lit(zeroCopy).as("zero_copy"))
+        .orderBy(col("source"))
+    }),
+
+    // x47 — CONSTRAINED COMMIT (CHECK constraints + quarantine, the
+    // DLT-expectations ingest gate): the batch splits in ONE narrow
+    // pass into rows satisfying every named constraint and rows
+    // carrying the comma-joined names of each failed one; clean and
+    // quarantine land as two tables in ONE x45 transaction — the
+    // gate's invariant (the corpus holds only constraint-satisfying
+    // rows AND nothing was silently dropped) cannot be torn by a
+    // crash. Disjointness + completeness are recomputed from the
+    // committed tables and hash-pinned next to the atomicity probe;
+    // the oracle replays the split per source with the same
+    // predicates. At 100 TB the split is predicate work on the
+    // ingest scan, quarantine cost follows the violation count, and
+    // no post-hoc audit scan is ever needed.
+    "x47_constrained_commit" -> ((s, d) => {
+      import graft.ops.Expectations
+      import graft.sources.Snapshots
+      val cleanDir = s"target/x47_clean_${math.abs(d.hashCode)}"
+      val quarDir = s"target/x47_quar_${math.abs(d.hashCode)}"
+      val txnDir = s"target/x47_txn_${math.abs(d.hashCode)}"
+      Seq(cleanDir, quarDir, txnDir).foreach(Snapshots.drop(s, _))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val (clean, quar) = Expectations.split(docs, Seq(
+        "min_length" -> (col("n_chars") >= X47MinChars),
+        "lang_known" -> col("lang").isin(X47Langs.map(lit): _*),
+        "id_present" -> col("doc_id").isNotNull))
+      val t = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(clean, cleanDir, txnDir, t)
+      Snapshots.txnStage(quar, quarDir, txnDir, t)
+      val invisibleStaged = Snapshots.versions(s, cleanDir).isEmpty &&
+        Snapshots.versions(s, quarDir).isEmpty
+      Snapshots.txnCommit(s, txnDir, t, Seq(cleanDir, quarDir))
+      val landedC = Snapshots.read(s, cleanDir)
+      val landedQ = Snapshots.read(s, quarDir)
+      val nIn = docs.count(); val nC = landedC.count(); val nQ = landedQ.count()
+      val complete = nC + nQ == nIn && nQ > 0
+      val byC = landedC.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"),
+          min(col("n_chars")).cast("long").as("min_clean_chars"))
+      val byQ = landedQ.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_quar"),
+          sum(when(col("violations").contains("min_length"), 1)
+            .otherwise(0)).cast("long").as("n_short"))
+      byC.join(byQ, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("min_clean_chars"), lit(0L)).as("min_clean_chars"),
+          coalesce(col("n_quar"), lit(0L)).as("n_quar"),
+          coalesce(col("n_short"), lit(0L)).as("n_short"),
+          lit(invisibleStaged).as("atomic_gate"),
+          lit(complete).as("split_complete"))
+        .orderBy(col("source"))
+    }),
+
+    // x46 — VERSION-KEYED RESULT CACHE (Snowflake result reuse on the
+    // snapshot log): a repeated aggregate over a slow-changing corpus
+    // is served from a committed result iff (query id, exact input
+    // versions) match — hit/miss is ONE metadata listing, a hit scans
+    // only the result-sized cached version, and invalidation is free
+    // (a refreshed input has a new version number, so old
+    // fingerprints stop matching; no purge protocol). The query
+    // drives the cache's whole life cycle and hash-pins it: first run
+    // misses and stores (first_miss), the replay hits without
+    // recomputing (replay_hit — ResultCacheSpec proves the input is
+    // not even readable then), the corpus refresh changes the version
+    // and misses again (fresh_miss), and the served values are the
+    // exact aggregates of the version they were cached from (v1
+    // column vs final column, both oracle-stated). At 100 TB this is
+    // dashboard economics: metadata listing vs corpus scan.
+    "x46_result_cache" -> ((s, d) => {
+      import graft.ops.ResultCache
+      import graft.sources.Snapshots
+      val srcDir = s"target/x46_src_${math.abs(d.hashCode)}"
+      val cacheDir = s"target/x46_cache_${math.abs(d.hashCode)}"
+      Seq(srcDir, cacheDir).foreach(Snapshots.drop(s, _))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def bySource(df: DataFrame) = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), srcDir) // v1
+      val (r1, hit1) = ResultCache.getOrCompute(s, cacheDir, "by_source",
+        Seq(srcDir -> 1), bySource(Snapshots.read(s, srcDir, Some(1))))
+      val (_, hit2) = ResultCache.getOrCompute(s, cacheDir, "by_source",
+        Seq(srcDir -> 1), bySource(Snapshots.read(s, srcDir, Some(1))))
+      Snapshots.commit(docs, srcDir) // v2: the corpus refresh
+      val (r3, hit3) = ResultCache.getOrCompute(s, cacheDir, "by_source",
+        Seq(srcDir -> 2), bySource(Snapshots.read(s, srcDir, Some(2))))
+      r3.join(r1.select(col("source"), col("n_docs").as("n_docs_v1")),
+          Seq("source"))
+        .select(col("source"), col("n_docs"), col("chars"),
+          col("n_docs_v1"),
+          lit(!hit1).as("first_miss"), lit(hit2).as("replay_hit"),
+          lit(!hit3).as("fresh_miss"))
+        .orderBy(col("source"))
+    }),
+
+    // x45 — MULTI-TABLE ATOMIC TRANSACTION (Percolator/Nessie's
+    // primary-record commit on the Snapshots log): a corpus table and
+    // its stats table must refresh TOGETHER or not at all — the
+    // invariant every catalog-backed planner (x37/x38/x40/x43) relies
+    // on. Each participant stages a txn-tagged version (durable,
+    // reader-invisible); ONE create-exclusive decision-marker create
+    // is the atomic commit point across both tables. The query drives
+    // the three crash windows and hash-pins what each must show:
+    // (1) a writer dies mid-transaction → nothing visible
+    // (atomic_pending), the dead txn is fenced by abort; (2) a writer
+    // dies AFTER the marker but BEFORE log repair → everything
+    // visible already (atomic_commit); (3) after lazy repair the
+    // visible pair is consistent — stats stored by the transaction
+    // equal the aggregate recomputed from the docs it committed
+    // (pair_consistent per row). At 100 TB the marker create maps to
+    // the catalog store's conditional put; repair cost follows table
+    // count, never data size. Txn ids are UUIDs by contract (unique
+    // per attempt), so replays of this query are independent
+    // transactions.
+    "x45_multi_table_txn" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val docsDir = s"target/x45_docs_${math.abs(d.hashCode)}"
+      val statsDir = s"target/x45_stats_${math.abs(d.hashCode)}"
+      val txnDir = s"target/x45_txn_${math.abs(d.hashCode)}"
+      Seq(docsDir, statsDir, txnDir).foreach(Snapshots.drop(s, _))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      def statsOf(df: DataFrame) = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_stats"),
+          sum(col("n_chars")).cast("long").as("chars_stats"))
+      def id() = java.util.UUID.randomUUID().toString
+      // transaction 1: the half corpus + its stats land together
+      val t1 = id()
+      Snapshots.txnStage(half, docsDir, txnDir, t1)
+      Snapshots.txnStage(statsOf(half), statsDir, txnDir, t1)
+      Snapshots.txnCommit(s, txnDir, t1, Seq(docsDir, statsDir))
+      // crash window 1: the full-corpus refresh stages its docs side,
+      // then the writer dies — no marker, so NOTHING may be visible
+      val tDead = id()
+      Snapshots.txnStage(docs, docsDir, txnDir, tDead)
+      val atomicPending = Snapshots.versions(s, docsDir) == Seq(1) &&
+        Snapshots.versions(s, statsDir) == Seq(1)
+      Snapshots.txnAbort(s, txnDir, tDead) // fence the dead writer
+      // transaction 2: the refresh, crashing AFTER the atomic point
+      // but BEFORE any log repair — everything must already be visible
+      val t2 = id()
+      val dv = Snapshots.txnStage(docs, docsDir, txnDir, t2)
+      val sv = Snapshots.txnStage(statsOf(docs), statsDir, txnDir, t2)
+      Snapshots.txnCommit(s, txnDir, t2, repair = false)
+      val atomicCommit = Snapshots.versions(s, docsDir).lastOption.contains(dv) &&
+        Snapshots.versions(s, statsDir).lastOption.contains(sv)
+      Snapshots.txnRepair(s, txnDir, t2, Seq(docsDir, statsDir))
+      val liveDocs = Snapshots.read(s, docsDir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+      liveDocs.join(Snapshots.read(s, statsDir), Seq("source"))
+        .select(col("source"), col("n_docs"), col("chars"),
+          (col("n_docs") === col("n_docs_stats") &&
+            col("chars") === col("chars_stats")).as("pair_consistent"),
+          lit(atomicPending).as("atomic_pending"),
+          lit(atomicCommit).as("atomic_commit"))
         .orderBy(col("source"))
     }),
 
@@ -2758,6 +2927,69 @@ object ExtQ {
         |SELECT source, n_clone, idsum_clone, n_src_latest, idsum_src_latest,
         |  true AS zero_copy
         |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x47: the split replayed per source with the same predicates and
+    // the same null-is-violation reading (concat_ws skips the NULL
+    // arms exactly as array_join(filter(...)) does); the atomicity +
+    // completeness probes are literal-true
+    "x47_constrained_commit" ->
+      s"""WITH tagged AS (
+         |  SELECT source, n_chars,
+         |    concat_ws(',',
+         |      CASE WHEN NOT COALESCE(n_chars >= $X47MinChars, FALSE)
+         |           THEN 'min_length' END,
+         |      CASE WHEN NOT COALESCE(lang IN (${X47Langs.map(l => s"'$l'").mkString(", ")}), FALSE)
+         |           THEN 'lang_known' END,
+         |      CASE WHEN NOT COALESCE(doc_id IS NOT NULL, FALSE)
+         |           THEN 'id_present' END) AS violations
+         |  FROM documents),
+         |c AS (SELECT source, COUNT(*) AS n_clean,
+         |        CAST(MIN(n_chars) AS BIGINT) AS min_clean_chars
+         |      FROM tagged WHERE violations = '' GROUP BY source),
+         |q AS (SELECT source, COUNT(*) AS n_quar,
+         |        CAST(SUM(CASE WHEN violations LIKE '%min_length%'
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+         |      FROM tagged WHERE violations <> '' GROUP BY source)
+         |SELECT source,
+         |  COALESCE(n_clean, 0) AS n_clean,
+         |  COALESCE(min_clean_chars, 0) AS min_clean_chars,
+         |  COALESCE(n_quar, 0) AS n_quar,
+         |  COALESCE(n_short, 0) AS n_short,
+         |  true AS atomic_gate, true AS split_complete
+         |FROM c FULL OUTER JOIN q USING (source)
+         |ORDER BY source""".stripMargin,
+
+    // x46: both served aggregates stated from source (final = full
+    // corpus, v1 column = the half corpus the first result was cached
+    // from); the life-cycle flags are literal-true — a cache that
+    // recomputes on replay, serves stale results across a version
+    // bump, or fails to store flips one
+    "x46_result_cache" ->
+      """WITH v2 AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source),
+        |v1 AS (
+        |  SELECT source, COUNT(*) AS n_docs_v1
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source)
+        |SELECT source, n_docs, chars, n_docs_v1,
+        |  true AS first_miss, true AS replay_hit, true AS fresh_miss
+        |FROM v2 JOIN v1 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x45: the final visible pair stated from source (the full-corpus
+    // refresh won); the three atomicity probes are literal-true — a
+    // torn multi-table commit (one table refreshed without the other,
+    // a pending txn leaking, a marker that fails to make both sides
+    // visible) flips a hashed flag or the per-source consistency bit
+    "x45_multi_table_txn" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  true AS pair_consistent, true AS atomic_pending,
+        |  true AS atomic_commit
+        |FROM documents
+        |GROUP BY source
         |ORDER BY source""".stripMargin,
 
     // x43: the star-join aggregate stated plainly; the join order

@@ -75,6 +75,43 @@ object TextQ {
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** t10's BM25 scoring (k1=1.2, b=0.75) against [[BmQueryTerms]] as
+    * ONE definition over the corpus: (doc_id, n_terms, total_tf,
+    * bm25-rounded-4), un-ordered and un-limited. The declared t10
+    * wraps it with the deterministic top-10; v23's hybrid-RRF lexical
+    * leg ranks its top-[[graft.queries.VectorQ.RrfLegDepth]] — both
+    * retrieval surfaces share the identical inverted-index plan (term
+    * filter before the tf shuffle, broadcast df + corpus stats). */
+  private[graft] def bm25Frame(s: SparkSession, d: String): DataFrame = {
+    val qterms = BmQueryTerms
+    val (k1, b) = (1.2, 0.75)
+    val base = docs(s, d)
+      .select(col("doc_id"), TextFns.wordCount(col("text")).as("dl"),
+        TextFns.tokens(col("text")).as("w"))
+    val toks = base
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .filter(col("term").isin(qterms.map(lit): _*))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(df), Seq("term"))
+      .join(base.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("c",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum(col("tf")).as("total_tf"),
+        round(sum(col("c")), 4).as("bm25"))
+  }
+
   /** t20's Gopher keep-flag battery as ONE definition over any
     * (doc_id, text) frame — the declared batch query wraps it with
     * the deterministic ORDER BY, and the streaming quality gate
@@ -363,38 +400,13 @@ object TextQ {
     // postings are ever aggregated), df is a 3-row broadcast,
     // (n_docs, avgdl) a 1-row broadcast, and the only full-corpus
     // shuffle is the doc-length join on doc_id. Top-10 via
-    // TakeOrderedAndProject, never a global sort.
-    "t10_bm25" -> ((s, d) => {
-      val qterms = BmQueryTerms
-      val (k1, b) = (1.2, 0.75)
-      val base = docs(s, d)
-        .select(col("doc_id"), TextFns.wordCount(col("text")).as("dl"),
-          TextFns.tokens(col("text")).as("w"))
-      val toks = base
-        .select(col("doc_id"), explode(col("w")).as("tok"))
-        .select(col("doc_id"), lower(col("tok")).as("term"))
-        .filter(col("term").isin(qterms.map(lit): _*))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val stats = base.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val contrib = tf
-        .join(broadcast(df), Seq("term"))
-        .join(base.select(col("doc_id"), col("dl")), Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-        .withColumn("c",
-          col("idf") * (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      contrib.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_terms"),
-          sum(col("tf")).as("total_tf"),
-          round(sum(col("c")), 4).as("bm25"))
+    // TakeOrderedAndProject, never a global sort. Scoring lives in
+    // [[bm25Frame]] — ONE definition shared with v23's hybrid-RRF
+    // lexical leg, so the two can never drift.
+    "t10_bm25" -> ((s, d) =>
+      bm25Frame(s, d)
         .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(10)
-    }),
+        .limit(10)),
 
     // t11 — quality-weighted mixture sampling: per-source keep rates
     // (the data-mixture knob every pretraining corpus tunes), decided

@@ -42,6 +42,14 @@ object VectorQ {
   val V22Label = 3
   val V22Overfetch = 2
 
+  /** v23 hybrid retrieval: RRF constant (Cormack et al. 2009's
+    * k=60), per-leg candidate depth, and the integer scale that keeps
+    * the fused score exact — each leg contributes
+    * floor(RrfMicro / (RrfK + rank)), all-integer on both engines. */
+  val RrfK = 60
+  val RrfLegDepth = 20
+  val RrfMicro = 1000000L
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
@@ -244,6 +252,55 @@ object VectorQ {
         .orderBy(col("vec_id"))
     }),
 
+    // v23 — HYBRID retrieval (BM25 ⊕ cosine via reciprocal-rank
+    // fusion): the query every production RAG engine actually runs —
+    // lexical and vector legs retrieved independently, fused by rank,
+    // not by incomparable raw scores (RRF, Cormack et al. 2009). The
+    // lexical leg IS t10's scoring frame (TextQ.bm25Frame — one
+    // definition, zero drift) ranked to depth L; the vector leg is
+    // v1's broadcast-query cosine scan ranked to depth L; both legs
+    // end in TakeOrderedAndProject (distributed top-L heaps), and
+    // leg ranks come from the GlobalIndex operator over the ≤L-row
+    // survivors — never an unpartitioned window (the single-reducer
+    // anti-pattern PlanShapeSpec bans repo-wide). Fusion is a
+    // full-outer join of two ≤L-row sets with the all-integer score
+    // floor(1e6/(60+r_lex)) + floor(1e6/(60+r_vec)) — exact on both
+    // engines, so the fused ordering hash-checks with no float
+    // tolerance argument. The query document (doc 0, whose embedding
+    // is the vector-leg query) is excluded from both legs. At 100 TB
+    // the legs are the scale story (t10's pre-shuffle term filter,
+    // v1's broadcast query); fusion cost is O(L), corpus-independent.
+    "v23_hybrid_rrf" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val lexTop = graft.queries.TextQ.bm25Frame(s, d)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(RrfLegDepth)
+      val lex = graft.ops.GlobalIndex
+        .withGlobalIndex(lexTop, Seq(col("bm25").desc, col("doc_id")), "rl0")
+        .select(col("doc_id"), (col("rl0") + 1).cast("int").as("rank_lex"))
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("raw", cos(col("embedding"), col("qe")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .limit(RrfLegDepth)
+      val vec = graft.ops.GlobalIndex
+        .withGlobalIndex(vecTop, Seq(col("raw").desc, col("vec_id")), "rv0")
+        .select(col("vec_id").as("doc_id"), (col("rv0") + 1).cast("int").as("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(floor(lit(RrfMicro) / (lit(RrfK) + col("rank_lex"))).cast("long"), lit(0L)) +
+            coalesce(floor(lit(RrfMicro) / (lit(RrfK) + col("rank_vec"))).cast("long"), lit(0L)))
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0)).cast("int").as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0)).cast("int").as("rank_vec"),
+          col("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // v2 — V4: L2 norm + dimension audit of every vector.
     "v2_vector_norms" -> ((s, d) => {
       VectorOps.ensureRegistered(s)
@@ -439,6 +496,50 @@ object VectorQ {
       graft.ops.Ivf.probe(idx, q, nprobe = 2, topK = 3)
         .select(col("qid"), col("nb_id"), col("nb_rank"),
           round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v24 — PERSISTED VECTOR INDEX (index-as-a-table): the trained
+    // IVF index committed to the snapshot log — centroids and
+    // assignments as TWO lakehouse tables landed in ONE x45
+    // transaction (a torn index pair silently serves wrong
+    // neighbors; the decision marker makes torn impossible, and the
+    // query hash-pins the invisibility-then-atomic-landing probe) —
+    // then SEARCHED from the committed versions, not from session
+    // memory. Parquet round-trips doubles bit-exactly, so the
+    // persisted probe must reproduce v8's in-session result row for
+    // row (the oracle is v8's unrolled-training twin plus the
+    // atomicity flag). This is the production contract of every
+    // vector store on a lakehouse (LanceDB / FAISS-on-object-store):
+    // the index OUTLIVES the process that trained it, versioned and
+    // vacuum-managed like any table, and a searcher is a cold
+    // process that reads the log — at 100 TB the model-sized
+    // centroids broadcast from one small version read while the
+    // bucket scan prunes to nprobe/k of the corpus table.
+    "v24_index_persist" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val centDir = s"target/v24_cents_${math.abs(d.hashCode)}"
+      val asgDir = s"target/v24_asg_${math.abs(d.hashCode)}"
+      val txnDir = s"target/v24_txn_${math.abs(d.hashCode)}"
+      Seq(centDir, asgDir, txnDir).foreach(Snapshots.drop(s, _))
+      val idx = learnedIndex(s, d)
+      val t = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(idx.centroids, centDir, txnDir, t)
+      Snapshots.txnStage(idx.assigned, asgDir, txnDir, t)
+      val invisibleStaged = Snapshots.versions(s, centDir).isEmpty &&
+        Snapshots.versions(s, asgDir).isEmpty
+      Snapshots.txnCommit(s, txnDir, t, Seq(centDir, asgDir))
+      val landedAtomic = Snapshots.versions(s, centDir) == Seq(1) &&
+        Snapshots.versions(s, asgDir) == Seq(1)
+      // a cold searcher: the index is whatever the log serves
+      val loaded = graft.ops.Ivf.Index(
+        Snapshots.read(s, centDir), Snapshots.read(s, asgDir), "vec_id")
+      val q = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(loaded, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          lit(invisibleStaged && landedAtomic).as("index_atomic"))
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
@@ -1074,6 +1175,28 @@ object VectorQ {
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
+
+    // v24: v8's unrolled-training twin — the persisted index must
+    // serve exactly what the session-trained index serves (parquet
+    // round-trips doubles bit-exactly) — plus the literal atomicity
+    // flag (flips if the two index tables could land torn)
+    "v24_index_persist" ->
+      s"""WITH ${ivfTrainCtes("")},
+         |${ivfProbedCte("")},
+         |cands AS (
+         |  SELECT p.qid, a.vec_id AS nb_id,
+         |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
+         |  FROM probed p
+         |  JOIN asg$IvfIters a ON a.cluster_id = p.cluster_id
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score,
+         |  true AS index_atomic
+         |FROM (SELECT qid, nb_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+         |      FROM cands) x
+         |WHERE rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin,
     "v20_ivf_append" -> ivfAppendOracle,
     "v12_knn_ivfpq" -> ivfPqOracle,
 
@@ -1109,6 +1232,66 @@ object VectorQ {
          |SELECT vec_id, round(${cosSql("emb", "qe")}, 4) AS score
          |FROM e, q
          |ORDER BY ${cosSql("emb", "qe")} DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    // v23: the lexical CTEs replay t10's BM25 (same round(4)-grid
+    // stability argument), the vector CTE replays v1's bit-identical
+    // cosine fold; ranks are row_numbers over those proven-stable
+    // orderings and the fused score is all-integer — no new float
+    // tolerance is introduced by the fusion itself
+    "v23_hybrid_rrf" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, lower(unnest(w)) AS term FROM base),
+         |qt AS (
+         |  SELECT doc_id, term FROM toks
+         |  WHERE term IN (${graft.queries.TextQ.BmQueryTerms.map(t => s"'$t'").mkString(", ")})),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * base.dl / st.avgdl)) AS c
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN base USING (doc_id)
+         |  CROSS JOIN st),
+         |bm AS (SELECT doc_id, round(SUM(c), 4) AS bm25
+         |       FROM contrib GROUP BY doc_id),
+         |lex_top AS (
+         |  SELECT doc_id, bm25 FROM bm WHERE doc_id <> 0
+         |  ORDER BY bm25 DESC, doc_id LIMIT $RrfLegDepth),
+         |lex AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+         |  FROM lex_top),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+         |      FROM embeddings WHERE vec_id <> 0),
+         |vec_top AS (
+         |  SELECT vec_id AS doc_id, ${cosSql("emb", "qe")} AS raw
+         |  FROM e, q
+         |  ORDER BY raw DESC, doc_id LIMIT $RrfLegDepth),
+         |vec AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY raw DESC, doc_id) AS INT) AS rank_vec
+         |  FROM vec_top)
+         |SELECT doc_id,
+         |  CAST(COALESCE(rank_lex, 0) AS INT) AS rank_lex,
+         |  CAST(COALESCE(rank_vec, 0) AS INT) AS rank_vec,
+         |  COALESCE(CAST(FLOOR($RrfMicro.0 / ($RrfK + rank_lex)) AS BIGINT), 0)
+         |    + COALESCE(CAST(FLOOR($RrfMicro.0 / ($RrfK + rank_vec)) AS BIGINT), 0)
+         |    AS rrf_micro
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf_micro DESC, doc_id
          |LIMIT 10""".stripMargin,
 
     // identical fold order on both engines makes the >= boundary

@@ -277,6 +277,13 @@ object Sources {
 final class ConcurrentCommitException(msg: String)
   extends IllegalStateException(msg)
 
+/** Raised when [[Snapshots.txnCommit]] finds its transaction already
+  * decided ABORTED (or [[Snapshots.txnAbort]] finds it committed): the
+  * single marker file is the decision record, created exclusively, so
+  * exactly one outcome ever exists for a transaction id. */
+final class TxnDecidedException(msg: String)
+  extends IllegalStateException(msg)
+
 object Snapshots {
 
   private def fsOf(spark: SparkSession, dir: String) = {
@@ -339,8 +346,17 @@ object Snapshots {
     * log repair handles, exactly Delta-on-HDFS's documented shape). */
   private[graft] def tryPublishEntry(fs: org.apache.hadoop.fs.FileSystem,
                                      p: org.apache.hadoop.fs.Path,
-                                     version: Int, json: String): Boolean = {
-    val name = s"_entry_v$version.json"
+                                     version: Int, json: String): Boolean =
+    tryCreateExclusive(fs, p, s"_entry_v$version.json", json)
+
+  /** The underlying CONDITIONAL PUT of any one-shot metadata file
+    * (version entries, transaction decision markers): returns true iff
+    * THIS caller created `name` under `p` — see [[tryPublishEntry]]'s
+    * scaladoc for why the local-FS path uses `link(2)` and remote
+    * stores use exclusive create. */
+  private[graft] def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                        p: org.apache.hadoop.fs.Path,
+                                        name: String, json: String): Boolean = {
     localDir(fs, p) match {
       case Some(nioDir) =>
         val tmp = nioDir.resolve(
@@ -388,10 +404,12 @@ object Snapshots {
 
   /** PUBLISHED version numbers, ascending (empty if no log). Staged
     * (write-audit-publish) versions are excluded — to every reader
-    * they do not exist until [[publish]] flips the flag. */
+    * they do not exist until [[publish]] flips the flag — and a
+    * txn-staged version counts published exactly when its
+    * transaction's decision marker says committed. */
   def versions(spark: SparkSession, dir: String): Seq[Int] =
     logEntries(spark, dir)
-      .filterNot(n => Option(n.get("staged")).exists(_.asBoolean()))
+      .filter(isPublishedEntry(spark, _))
       .map(_.get("version").asInt()).sorted
 
   /** Every version in the log, staged included (the writer's view;
@@ -526,6 +544,161 @@ object Snapshots {
     replaceEntry(fs, p, version, o.toString)
   }
 
+  // ------------------------------------------------------------------
+  // MULTI-TABLE ATOMIC TRANSACTIONS (x45) — the Percolator/Nessie
+  // primary-record shape reduced to its load-bearing parts. A
+  // transaction stages one new version per participating table
+  // ([[txnStage]]: durable data, reader-invisible — exactly a
+  // write-audit-publish staged entry, plus the txn tag), then commits
+  // with ONE create-exclusive decision marker in the txn dir
+  // ([[txnCommit]]). That single file creation is the atomic commit
+  // point ACROSS TABLES: readers resolve a txn-tagged staged entry as
+  // published iff its transaction's marker says committed, so a crash
+  // anywhere leaves either no table changed (no marker — the staged
+  // versions are inert WAP ghosts vacuum collects) or all tables
+  // changed (marker exists — every participant is visible even before
+  // its entry is repaired). Entry repair ([[txnRepair]]) then flips
+  // the staged flags off lazily — Percolator's secondary-write
+  // cleanup — after which reads never consult the marker again.
+  // Decision markers are immutable once created (create-exclusive:
+  // commit and abort race to write the SAME file, one winner), so
+  // their status is cached process-wide. At 100 TB this is the
+  // catalog-level transaction of Nessie/Iceberg: the marker create
+  // maps to the catalog store's conditional put, and per-table log
+  // repair cost follows the transaction's table count, never data
+  // size.
+  // ------------------------------------------------------------------
+
+  /** Stage `df` as a participant of transaction `txnId`: the version
+    * is durable and owns its number, but no reader resolving `latest`
+    * sees it until the transaction's decision marker says committed.
+    * Returns the staged version number (pin it for [[txnRepair]] /
+    * audit reads, which may name it explicitly like any WAP stage). */
+  def txnStage(df: DataFrame, dir: String, txnDir: String, txnId: String,
+               partitionBy: Seq[String] = Nil): Int =
+    writeVersion(df, dir, partitionBy,
+      extraMeta = s""","staged":true,"txn":${jstr(txnId)},"txn_dir":${jstr(txnDir)}""")
+
+  /** [[txnStage]] carrying an EPOCH tag — the multi-table exactly-once
+    * streaming sink's stage: replay detection asks
+    * [[epochCommitted]], which counts only reader-visible versions,
+    * so the invisible ghosts of a crashed attempt can never suppress
+    * the retry that must land the epoch. (A table fed this way uses
+    * epoch tags through its txn sink exclusively — mixing with
+    * [[commitEpoch]]'s own tags on one table would let a ghost
+    * suppress a commitEpoch retry, which checks all entries.) */
+  def txnStageEpoch(df: DataFrame, dir: String, txnDir: String, txnId: String,
+                    epochId: Long): Int =
+    writeVersion(df, dir, Nil,
+      extraMeta = s""","staged":true,"txn":${jstr(txnId)},"txn_dir":${jstr(txnDir)},"epoch":$epochId""")
+
+  /** Whether a reader-VISIBLE version of `dir` carries `epoch` — the
+    * replay test for the multi-table epoch sink (crashed attempts'
+    * undecided ghosts do not count; the successfully committed epoch
+    * does, repaired or not). */
+  def epochCommitted(spark: SparkSession, dir: String, epochId: Long): Boolean =
+    logEntries(spark, dir).exists(n =>
+      Option(n.get("epoch")).exists(_.asLong() == epochId) &&
+        isPublishedEntry(spark, n))
+
+  /** COMMIT the transaction: create its decision marker with status
+    * `committed` — the one atomic action that makes every staged
+    * participant visible at once. Losing the marker race to an abort
+    * raises [[TxnDecidedException]]; finding the marker already
+    * committed is an idempotent success (the crash-retry path). With
+    * `repair` (default), participating tables' entries are flipped
+    * non-staged afterwards; a crash mid-repair changes nothing
+    * observable — visibility came from the marker, and repair is
+    * idempotent. */
+  def txnCommit(spark: SparkSession, txnDir: String, txnId: String,
+                tables: Seq[String] = Nil, repair: Boolean = true): Unit = {
+    decideTxn(spark, txnDir, txnId, "committed")
+    if (repair) txnRepair(spark, txnDir, txnId, tables)
+  }
+
+  /** ABORT the transaction: create its decision marker with status
+    * `aborted`. Every staged participant becomes a permanent ghost
+    * (inert until vacuum ages it out). Raises [[TxnDecidedException]]
+    * iff the transaction already committed; aborting an aborted
+    * transaction is idempotent. Anyone may abort a transaction whose
+    * writer died — that is how stale pending transactions are fenced
+    * before their writer could wake up and commit. */
+  def txnAbort(spark: SparkSession, txnDir: String, txnId: String): Unit =
+    decideTxn(spark, txnDir, txnId, "aborted")
+
+  private def decideTxn(spark: SparkSession, txnDir: String, txnId: String,
+                        want: String): Unit = {
+    val (fs, p) = fsOf(spark, txnDir)
+    fs.mkdirs(p)
+    val json = s"""{"txn":${jstr(txnId)},"status":${jstr(want)}}"""
+    if (!tryCreateExclusive(fs, p, s"_txn_$txnId.json", json)) {
+      val got = txnStatus(spark, txnDir, txnId)
+      if (got != want) throw new TxnDecidedException(
+        s"transaction $txnId already decided $got")
+    }
+  }
+
+  /** Decision-marker cache: a marker is created exclusively and never
+    * rewritten, so a status once read is true forever ("pending" is
+    * the one non-final answer and is never cached). */
+  private val txnStatusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The transaction's decided status: `committed`, `aborted`, or
+    * `pending` (no marker yet). */
+  def txnStatus(spark: SparkSession, txnDir: String, txnId: String): String = {
+    val key = s"$txnDir|$txnId"
+    val cached = txnStatusCache.get(key)
+    if (cached != null) return cached
+    val (fs, p) = fsOf(spark, txnDir)
+    val marker = new org.apache.hadoop.fs.Path(p, s"_txn_$txnId.json")
+    if (!fs.exists(marker)) "pending"
+    else {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val st = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt).get("status").asText()
+      txnStatusCache.put(key, st)
+      st
+    }
+  }
+
+  /** Lazy log repair after a committed transaction: flip each
+    * participating table's txn-staged entries non-staged (keeping the
+    * txn fields as provenance), so later reads resolve them without
+    * consulting the marker. Idempotent; requires the transaction to
+    * actually be committed. */
+  def txnRepair(spark: SparkSession, txnDir: String, txnId: String,
+                tables: Seq[String]): Unit = {
+    require(txnStatus(spark, txnDir, txnId) == "committed",
+      s"cannot repair undecided/aborted transaction $txnId")
+    tables.foreach { dir =>
+      val (fs, p) = fsOf(spark, dir)
+      logEntries(spark, dir)
+        .filter(n => Option(n.get("txn")).exists(_.asText() == txnId))
+        .filter(n => Option(n.get("staged")).exists(_.asBoolean()))
+        .foreach { n =>
+          val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.remove("staged")
+          replaceEntry(fs, p, n.get("version").asInt(), o.toString)
+        }
+    }
+  }
+
+  /** Whether a log entry is visible to readers resolving `latest`: a
+    * plain entry is; a staged entry is not — unless it is txn-tagged
+    * and its transaction's decision marker says committed (the
+    * not-yet-repaired window after [[txnCommit]]'s atomic point). */
+  private def isPublishedEntry(spark: SparkSession,
+                               n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    if (!Option(n.get("staged")).exists(_.asBoolean())) true
+    else Option(n.get("txn")).map(_.asText()) match {
+      case Some(id) =>
+        txnStatus(spark, n.get("txn_dir").asText(), id) == "committed"
+      case None => false
+    }
+
   /** LOG-NATIVE CHANGE FEED: the change rows INTRODUCED by `version`,
     * derived from the version's log entry — the point is what each
     * commit kind does NOT have to scan:
@@ -573,7 +746,7 @@ object Snapshots {
         // is already its resolved source state, so it feeds exactly
         // like a data commit of that state.)
         val prior = entries
-          .filterNot(e => Option(e.get("staged")).exists(_.asBoolean()))
+          .filter(isPublishedEntry(spark, _))
           .map(_.get("version").asInt()).filter(_ < version)
         if (prior.isEmpty) sel(lit("I"), vdf)
         else graft.ops.Diff.snapshot(
@@ -582,6 +755,22 @@ object Snapshots {
       case other => sys.error(s"unknown version kind '$other' at v$version")
     }
   }
+
+  /** Commit `df` tagged with an opaque cache/lookup KEY (x46's result
+    * cache rides this): the key lands in the version's log entry, so
+    * [[findKeyed]] can resolve it metadata-only. Duplicate keys are
+    * benign by contract (cached results are deterministic functions
+    * of their key — racing writers store equal content; lookup takes
+    * the newest). */
+  def commitKeyed(df: DataFrame, dir: String, key: String): Int =
+    writeVersion(df, dir, Nil, extraMeta = s""","key":${jstr(key)}""")
+
+  /** The newest version carrying `key`, metadata-only (one log
+    * listing, no data touched). */
+  def findKeyed(spark: SparkSession, dir: String, key: String): Option[Int] =
+    logEntries(spark, dir)
+      .filter(n => Option(n.get("key")).exists(_.asText() == key))
+      .map(_.get("version").asInt()).sorted.lastOption
 
   /** IDEMPOTENT epoch commit — the exactly-once streaming sink
     * primitive: each micro-batch commits as a version tagged with its
@@ -734,7 +923,7 @@ object Snapshots {
   def read(spark: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
     val entries = logEntries(spark, dir)
     val vs = entries
-      .filterNot(n => Option(n.get("staged")).exists(_.asBoolean()))
+      .filter(isPublishedEntry(spark, _))
       .map(_.get("version").asInt()).sorted
     val v = asOf.getOrElse {
       require(vs.nonEmpty, s"no committed versions under $dir")
@@ -845,8 +1034,11 @@ object Snapshots {
     val (fs, p) = fsOf(spark, dir)
     val entries = logEntries(spark, dir).sortBy(_.get("version").asInt())
     val byV = entries.map(n => n.get("version").asInt() -> n).toMap
+    // txn-aware: a committed-but-unrepaired txn version counts
+    // published (it holds a retention slot); an undecided or aborted
+    // txn version is a staged ghost like any failed-audit WAP stage
     def isStaged(n: com.fasterxml.jackson.databind.JsonNode) =
-      Option(n.get("staged")).exists(_.asBoolean())
+      !isPublishedEntry(spark, n)
     // The retention window counts PUBLISHED versions only: a staged
     // (reader-invisible) latest must never displace the published
     // version readers actually resolve — keepLast=1 with a staged

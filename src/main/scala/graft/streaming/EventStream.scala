@@ -232,6 +232,44 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** EXACTLY-ONCE MULTI-TABLE STREAMING SINK — x45's transaction run
+    * per micro-batch: each epoch appends the batch's documents AND
+    * folds their stats into the catalog table ATOMICALLY (one
+    * decision marker), so no reader ever observes documents from an
+    * epoch whose stats have not landed, or vice versa — the
+    * docs+stats consistency x45 guarantees batch-side, held under an
+    * unbounded feed. Idempotence: a replayed epoch finds a VISIBLE
+    * version carrying its tag ([[graft.sources.Snapshots
+    * .epochCommitted]]) and stages nothing; a crashed attempt's
+    * staged ghosts are undecided (attempt-unique txn ids), invisible
+    * forever, and never suppress the retry that must land the epoch
+    * — vacuum ages them out. Returns false on a replay skip. */
+  def txnFold(batch: DataFrame, docsDir: String, statsDir: String,
+              txnDir: String, epochId: Long): Boolean = {
+    import graft.sources.{Snapshots, TxnDecidedException}
+    val s = batch.sparkSession
+    if (Snapshots.epochCommitted(s, docsDir, epochId)) return false
+    val txnId = s"epoch-$epochId-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val delta = statsState(batch, "n_chars", "doc_id")
+    val mergedStats =
+      if (Snapshots.versions(s, statsDir).isEmpty) delta
+      else mergeStatsStates(Snapshots.read(s, statsDir), delta)
+    Snapshots.txnStageEpoch(batch, docsDir, txnDir, txnId, epochId)
+    Snapshots.txnStageEpoch(mergedStats, statsDir, txnDir, txnId, epochId)
+    try { Snapshots.txnCommit(s, txnDir, txnId, Seq(docsDir, statsDir)); true }
+    catch { case _: TxnDecidedException => false }
+  }
+
+  def txnSink(stream: DataFrame, docsDir: String, statsDir: String,
+              txnDir: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        txnFold(batch, docsDir, statsDir, txnDir, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   def ivmFold(batch: DataFrame, orders: DataFrame,
               stateDir: String, epochId: Long): Option[Int] = {
     import graft.ops.IncrementalAgg

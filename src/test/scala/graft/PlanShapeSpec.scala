@@ -564,6 +564,17 @@ class PlanShapeSpec extends SparkSpec {
       s"supplier must join first (innermost), got order: $joins")
   }
 
+  test("v23's legs are distributed top-L heaps, never a global corpus sort") {
+    // hybrid RRF must rank each leg via TakeOrderedAndProject (the
+    // lexical top-L, the vector top-L, and the fused top-10) — a
+    // corpus-wide Sort-then-limit or an unpartitioned rank window
+    // would be the single-reducer shape the operator exists to avoid
+    val p = plan("v23_hybrid_rrf")
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(heaps >= 3, s"expected the two leg heaps + fused heap, got $heaps:\n$p")
+    assert(!p.contains("Window"), "v23 must not plan any window")
+  }
+
   test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
     // ANALYZE over columnar files must cost one column per leg: if a
     // leg's scan reads the full row, stats collection pays table

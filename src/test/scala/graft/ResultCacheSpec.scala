@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ResultCache
+import graft.sources.Snapshots
+
+/** x46's correctness backbone: hit/miss is decided by (query id,
+  * exact input versions) alone, a hit never touches the input, and a
+  * version bump is the entire invalidation story. */
+class ResultCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("rcache").toString + "/t"
+
+  test("miss computes and stores; replay hits with identical content") {
+    val (src, cache) = (freshDir(), freshDir())
+    Snapshots.commit(Seq((1L, 10L), (2L, 5L)).toDF("k", "n"), src)
+    def agg = Snapshots.read(spark, src, Some(1))
+      .agg(sum(col("n")).cast("long").as("total"))
+    val (r1, hit1) = ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1), agg)
+    val (r2, hit2) = ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1), agg)
+    assert(!hit1 && hit2)
+    assert(r1.head.getLong(0) == 15L && r2.head.getLong(0) == 15L)
+  }
+
+  test("a hit never touches the input: serve after the input is DELETED") {
+    val (src, cache) = (freshDir(), freshDir())
+    Snapshots.commit(Seq((1L, 7L)).toDF("k", "n"), src)
+    ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1),
+      Snapshots.read(spark, src).agg(sum(col("n")).cast("long").as("total")))
+    Snapshots.drop(spark, src) // the input table no longer exists at all
+    val (served, hit) = ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1),
+      sys.error("cache hit must not evaluate the compute thunk"))
+    assert(hit && served.head.getLong(0) == 7L)
+  }
+
+  test("fingerprint sensitivity: version bump and query id both miss") {
+    val (src, cache) = (freshDir(), freshDir())
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "n"), src)
+    Snapshots.commit(Seq((1L, 1L), (2L, 2L)).toDF("k", "n"), src)
+    def aggOf(v: Int) = Snapshots.read(spark, src, Some(v))
+      .agg(sum(col("n")).cast("long").as("total"))
+    val (a, h1) = ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1), aggOf(1))
+    val (b, h2) = ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 2), aggOf(2))
+    val (c, h3) = ResultCache.getOrCompute(spark, cache, "q2", Seq(src -> 2), aggOf(2))
+    assert(!h1 && !h2 && !h3, "each distinct fingerprint is its own entry")
+    assert(a.head.getLong(0) == 1L && b.head.getLong(0) == 3L && c.head.getLong(0) == 3L)
+    // and all three now hit independently
+    assert(ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1),
+      sys.error("hit")) ._2)
+    assert(ResultCache.getOrCompute(spark, cache, "q2", Seq(src -> 2),
+      sys.error("hit"))._2)
+  }
+
+  test("duplicate keys are benign; lookup takes the newest") {
+    val (cache) = freshDir()
+    Snapshots.commitKeyed(Seq((1L, "old")).toDF("k", "v"), cache, "fp")
+    val v2 = Snapshots.commitKeyed(Seq((1L, "new")).toDF("k", "v"), cache, "fp")
+    assert(Snapshots.findKeyed(spark, cache, "fp").contains(v2))
+    assert(Snapshots.findKeyed(spark, cache, "nope").isEmpty)
+  }
+}

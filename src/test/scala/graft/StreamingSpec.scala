@@ -260,6 +260,54 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.versions(spark, state) == before)
   }
 
+  test("multi-table txn sink: docs+stats land atomically per epoch; replay and torn attempts safe") {
+    // x45's streaming twin: every micro-batch commits its documents
+    // AND the folded stats catalog under ONE decision marker — a
+    // reader can never see one without the other, across an
+    // unbounded feed with at-least-once replays
+    import graft.sources.Snapshots
+    val src = java.nio.file.Files.createTempDirectory("tx_src").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("tx_docs").toString + "/t"
+    val statsDir = java.nio.file.Files.createTempDirectory("tx_stats").toString + "/t"
+    val txnDir = java.nio.file.Files.createTempDirectory("tx_txn").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("tx_ckpt").toString
+    Tables.load(spark, Sf0001, "documents")
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val q = EventStream.txnSink(
+      EventStream.readDocStream(spark, src, maxFilesPerTrigger = Some(1)),
+      docsDir, statsDir, txnDir, ckpt).start()
+    try q.awaitTermination() finally q.stop()
+    val dv = Snapshots.versions(spark, docsDir)
+    val sv = Snapshots.versions(spark, statsDir)
+    assert(dv.size > 1, "atomicity across epochs needs multiple micro-batches")
+    assert(dv.size == sv.size, "every epoch lands docs AND stats or neither")
+    // the appended doc versions reassemble the exact source corpus
+    val total = dv.map(v => Snapshots.read(spark, docsDir, Some(v)).count()).sum
+    val full = spark.read.parquet(src)
+    assert(total == full.count())
+    // the latest stats state is the one-shot profile of everything
+    val r = Snapshots.read(spark, statsDir)
+      .select(col("n_rows"), col("min_num"), col("max_num")).collect().head
+    val exact = full.agg(count(lit(1)), min(col("n_chars").cast("double")),
+      max(col("n_chars").cast("double"))).collect().head
+    assert(r.getLong(0) == exact.getLong(0) &&
+      r.getDouble(1) == exact.getDouble(1) && r.getDouble(2) == exact.getDouble(2),
+      "drained stats must equal the one-shot profile")
+    // replay of a committed epoch stages nothing
+    assert(!EventStream.txnFold(full, docsDir, statsDir, txnDir, epochId = 0))
+    assert(Snapshots.versions(spark, docsDir) == dv)
+    // a torn attempt (crashed after staging docs, before the marker)
+    // must not suppress the retry, and its ghost stays invisible
+    Snapshots.txnStageEpoch(full.limit(1), docsDir, txnDir,
+      "epoch-99-deadbeef", epochId = 99)
+    assert(!Snapshots.epochCommitted(spark, docsDir, 99))
+    assert(EventStream.txnFold(full.limit(2), docsDir, statsDir, txnDir,
+      epochId = 99), "the retry must land epoch 99")
+    assert(Snapshots.versions(spark, docsDir).size == dv.size + 1,
+      "exactly the retry's version is visible — the ghost is not")
+    assert(!EventStream.txnFold(full, docsDir, statsDir, txnDir, epochId = 99))
+  }
+
   test("IVM fold is epoch-idempotent: a replayed micro-batch never double-counts the delta") {
     // foreachBatch is at-least-once: a crash after the state commit
     // but before the checkpoint offset commit re-executes the same
