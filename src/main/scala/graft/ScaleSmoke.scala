@@ -83,6 +83,12 @@ object ScaleSmoke {
     // write scale; the ~30% quarantine share is F-invariant under
     // verbatim n_chars)
     "x47_constrained_commit",
+    // q34's daily rollup absorbs the F× order volume; the window then
+    // walks the calendar-sized daily frame (constant in F)
+    "q34_range_window",
+    // x48 commits the F×-scaled corpus under both layouts (the write
+    // scales); layout metadata and pruning are directory-count-sized
+    "x48_partition_evolution",
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

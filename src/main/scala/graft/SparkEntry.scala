@@ -6,9 +6,9 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query groups (full inventory in SURVEY.md §2.13 / COVERAGE.md):
-  *  - RelationalQ (q1–q20, q30, q32): SURVEY.md §2.1–2.8 relational
-  *    inventory + window analytics (lead/lag/ntile, distribution
-  *    ranks)
+  *  - RelationalQ (q1–q20, q30, q32, q34): SURVEY.md §2.1–2.8
+  *    relational inventory + window analytics (lead/lag/ntile,
+  *    distribution ranks, value-based RANGE frames)
   *  - VectorQ (v1–v24): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
@@ -34,7 +34,7 @@ import graft.queries._
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths,
   *    co-occurrence lift) + skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x47, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x48, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -60,8 +60,9 @@ import graft.queries._
   *    multi-table atomic transactions (one decision marker = the
   *    cross-table commit point), x46 version-keyed result cache
   *    (metadata-only hit/miss, free invalidation), x47 constrained
-  *    commit (CHECK constraints + atomic quarantine), q33 correlated
-  *    EXISTS, s7
+  *    commit (CHECK constraints + atomic quarantine), x48 partition
+  *    evolution (per-version layout, pruning on the evolved key),
+  *    q33 correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)
   *

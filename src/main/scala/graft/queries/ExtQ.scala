@@ -1231,6 +1231,46 @@ object ExtQ {
         .orderBy(col("source"))
     }),
 
+    // x48 — PARTITION EVOLUTION (Iceberg's flagship): the table's
+    // physical layout changes BETWEEN versions (v1 hive-partitioned
+    // by source, v2 by lang) with no migration rewrite of history —
+    // each version's log entry records its own layout + schema, so
+    // readers are layout-independent: the SAME per-lang aggregate
+    // must come back identical whether lang is a data column (v1) or
+    // a partition column restored from directory names (v2) — the
+    // hive type-reinference trap x31 documents, here hash-checked
+    // across layouts. The listing-derived layout flag pins that the
+    // two versions really do carry different partitionings, and
+    // PlanShapeSpec pins that a lang filter on v2 prunes at the
+    // PartitionFilters level (scans one lang's directories only).
+    // At 100 TB this is how a table re-partitions as its query mix
+    // shifts: new data gets the new layout, old versions stay valid,
+    // nobody rewrites a corpus.
+    "x48_partition_evolution" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x48_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      Snapshots.commit(docs, dir, partitionBy = Seq("source"))
+      Snapshots.commit(docs, dir, partitionBy = Seq("lang"))
+      val evolved =
+        Snapshots.filesPerDir(s, dir, 1).keys.forall(_.contains("source=")) &&
+          Snapshots.filesPerDir(s, dir, 2).keys.forall(_.contains("lang="))
+      def byLang(v: Int, nc: String, cc: String) =
+        Snapshots.read(s, dir, Some(v)).groupBy(col("lang"))
+          .agg(count(lit(1)).as(nc),
+            sum(col("n_chars")).cast("long").as(cc))
+      byLang(1, "n_v1", "chars_v1").join(byLang(2, "n_v2", "chars_v2"),
+          Seq("lang"))
+        .select(col("lang"), col("n_v1"), col("chars_v1"),
+          col("n_v2"), col("chars_v2"),
+          (col("n_v1") === col("n_v2") &&
+            col("chars_v1") === col("chars_v2")).as("layout_independent"),
+          lit(evolved).as("layout_evolved"))
+        .orderBy(col("lang"))
+    }),
+
     // x47 — CONSTRAINED COMMIT (CHECK constraints + quarantine, the
     // DLT-expectations ingest gate): the batch splits in ONE narrow
     // pass into rows satisfying every named constraint and rows
@@ -2928,6 +2968,21 @@ object ExtQ {
         |  true AS zero_copy
         |FROM v1 JOIN v2 USING (source)
         |ORDER BY source""".stripMargin,
+
+    // x48: one per-lang aggregate stated twice from source — the two
+    // layouts must serve identical numbers (a partition column coming
+    // back re-typed or mis-parsed flips the equality bit); layout
+    // flags are listing-derived literals
+    "x48_partition_evolution" ->
+      """WITH a AS (
+        |  SELECT lang, COUNT(*) AS n_v1,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_v1
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_v1, chars_v1,
+        |  n_v1 AS n_v2, chars_v1 AS chars_v2,
+        |  true AS layout_independent, true AS layout_evolved
+        |FROM a
+        |ORDER BY lang""".stripMargin,
 
     // x47: the split replayed per source with the same predicates and
     // the same null-is-violation reading (concat_ws skips the NULL

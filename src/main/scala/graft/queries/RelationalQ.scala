@@ -334,6 +334,34 @@ object RelationalQ {
           round(col("o_totalprice"), 2).as("total"),
           col("rnk_dense"), col("pct_rank"), col("cume"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // q34 — §2.5 RANGE-frame window (value-based sliding interval):
+    // the trailing-7-day revenue per priority tier — a frame defined
+    // by VALUE distance (RANGE BETWEEN 6 PRECEDING on an integer day
+    // key), not row count: days with no orders still shrink the
+    // window, which a ROWS frame gets wrong. Pre-aggregating to one
+    // row per (priority, day) first means the window walks ~2.4k
+    // distinct days per tier instead of every order — the daily
+    // rollup absorbs the volume, the window cost is calendar-sized
+    // (the 100 TB shape: window buffers bounded by the date domain,
+    // not the fact count). Day sums ride decimal through the frame
+    // sum, so the trailing total is exact before the final double.
+    "q34_range_window" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day_int"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).as("_sd"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("day_int")).rangeBetween(-6, 0)
+      daily
+        .withColumn("n_7d", sum(col("n_orders")).over(w).cast("long"))
+        .withColumn("sum_7d", sum(col("_sd")).over(w).cast("double"))
+        .select(col("o_orderpriority"), col("day_int"), col("n_orders"),
+          col("n_7d"), col("sum_7d"))
+        .orderBy(col("o_orderpriority"), col("day_int"))
     })
   )
 
@@ -548,6 +576,25 @@ object RelationalQ {
         |  round(cume_dist() OVER w, 4) AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // q34: the same daily rollup then a value-based RANGE frame over
+    // the integer day key; the frame sum stays decimal until the
+    // final double cast, so the trailing totals agree bit-for-bit
+    "q34_range_window" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day_int,
+        |    COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS sd
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day_int, n_orders,
+        |  CAST(SUM(n_orders) OVER w AS BIGINT) AS n_7d,
+        |  CAST(SUM(sd) OVER w AS DOUBLE) AS sum_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_int
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, day_int""".stripMargin
   )
 }

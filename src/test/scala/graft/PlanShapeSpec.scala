@@ -575,6 +575,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "v23 must not plan any window")
   }
 
+  test("x48's evolved layout prunes on the new partition key") {
+    // after evolution, a lang filter on the v2 layout must land in
+    // PartitionFilters (directory pruning), not as a row-level filter
+    // over a full scan — the entire point of re-partitioning
+    SparkEntry.queries("x48_partition_evolution")(spark, Sf0001).collect()
+    val dir = s"target/x48_${math.abs(Sf0001.hashCode)}"
+    val p = graft.sources.Snapshots.read(spark, dir, Some(2))
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters: ["))
+    assert(pf.exists(l => l.contains("lang") && l.contains("= en")),
+      s"lang filter must prune partitions on the evolved layout:\n$p")
+  }
+
   test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
     // ANALYZE over columnar files must cost one column per leg: if a
     // leg's scan reads the full row, stats collection pays table
