@@ -86,6 +86,12 @@ object ScaleSmoke {
     // q34's daily rollup absorbs the F× order volume; the window then
     // walks the calendar-sized daily frame (constant in F)
     "q34_range_window",
+    // x49 commits the F×-scaled corpus three times (write scales);
+    // checkpoint + prune are entry-count-sized metadata at any F
+    "x49_log_checkpoint",
+    // k21's per-seed BFS state is (seeds × reached) pairs over the
+    // F×-scaled date-windowed graph — the k·n linear estimator shape
+    "k21_harmonic_closeness",
     // x48 commits the F×-scaled corpus under both layouts (the write
     // scales); layout metadata and pruning are directory-count-sized
     "x48_partition_evolution",

@@ -28,13 +28,14 @@ import graft.queries._
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, NFC normalization, multimodal (binary metadata, decode +
   *    frame sampling, frame-overlap dedup), windowed events
-  *  - KgQ (k1–k20): chunker / knowledge-graph pipeline + flagship
+  *  - KgQ (k1–k21): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, personalized
   *    PageRank, triangles, clustering coefficients,
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths,
-  *    co-occurrence lift) + skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x48, v6, v14, v21):
+  *    co-occurrence lift, seed-set harmonic closeness) +
+  *    skew-capped edge generation
+  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x49, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -62,6 +63,7 @@ import graft.queries._
   *    (metadata-only hit/miss, free invalidation), x47 constrained
   *    commit (CHECK constraints + atomic quarantine), x48 partition
   *    evolution (per-version layout, pruning on the evolved key),
+  *    x49 log checkpointing (one-file rollup, O(Δ) log reads),
   *    q33 correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)

@@ -1231,6 +1231,47 @@ object ExtQ {
         .orderBy(col("source"))
     }),
 
+    // x49 — LOG CHECKPOINTING (Delta's `_last_checkpoint` contract):
+    // the version log's OWN scale story. A long-lived table's log is
+    // one entry file per commit — O(history) listing+reads per log
+    // resolution, the real pain of a version-per-epoch streaming
+    // sink. checkpointLog rolls every entry into ONE file;
+    // pruneLogEntries deletes the files it covers verbatim (a
+    // republished entry differs and survives to overlay the stale
+    // copy); readers then pay one checkpoint read + the tail. The
+    // query drives the full life cycle and hash-pins it: three
+    // commits, checkpoint at 3, ALL three entry files pruned, a
+    // post-prune commit that must claim version 4 against the
+    // checkpointed log, and per-source aggregates of three versions
+    // read THROUGH the checkpoint (pinned v1 + pre-prune latest v3 +
+    // post-prune latest v4). LogCheckpointSpec adds the adversarial
+    // cases: publish-after-checkpoint overlay, vacuum rewriting the
+    // checkpoint so dropped versions cannot resurrect.
+    "x49_log_checkpoint" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x49_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs.filter(col("doc_id") % 3 === 0), dir)
+      Snapshots.commit(docs.filter(col("doc_id") % 3 <= 1), dir)
+      Snapshots.commit(docs, dir)
+      val ckptAt = Snapshots.checkpointLog(s, dir)
+      val pruned = Snapshots.pruneLogEntries(s, dir)
+      val v4 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), dir)
+      def by(v: Int, alias: String) =
+        Snapshots.read(s, dir, Some(v)).groupBy(col("source"))
+          .agg(count(lit(1)).as(alias))
+      by(1, "n_v1")
+        .join(by(3, "n_v3"), Seq("source"))
+        .join(by(4, "n_v4"), Seq("source"))
+        .select(col("source"), col("n_v1"), col("n_v3"), col("n_v4"),
+          lit(ckptAt == 3).as("ckpt_at_head"),
+          lit(pruned == 3).as("log_pruned"),
+          lit(v4 == 4).as("post_ckpt_commit"))
+        .orderBy(col("source"))
+    }),
+
     // x48 — PARTITION EVOLUTION (Iceberg's flagship): the table's
     // physical layout changes BETWEEN versions (v1 hive-partitioned
     // by source, v2 by lang) with no migration rewrite of history —
@@ -2967,6 +3008,25 @@ object ExtQ {
         |SELECT source, n_clone, idsum_clone, n_src_latest, idsum_src_latest,
         |  true AS zero_copy
         |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x49: the three version states replayed from source; the
+    // life-cycle flags are literal-true (a checkpoint misplacing the
+    // head, a prune leaving files, or a post-prune commit claiming
+    // the wrong version flips one; versions read through the
+    // checkpoint hash-check against source)
+    "x49_log_checkpoint" ->
+      """WITH v1 AS (
+        |  SELECT source, COUNT(*) AS n_v1 FROM documents
+        |  WHERE doc_id % 3 = 0 GROUP BY source),
+        |v3 AS (
+        |  SELECT source, COUNT(*) AS n_v3 FROM documents GROUP BY source),
+        |v4 AS (
+        |  SELECT source, COUNT(*) AS n_v4 FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY source)
+        |SELECT source, n_v1, n_v3, n_v4,
+        |  true AS ckpt_at_head, true AS log_pruned, true AS post_ckpt_commit
+        |FROM v1 JOIN v3 USING (source) JOIN v4 USING (source)
         |ORDER BY source""".stripMargin,
 
     // x48: one per-lang aggregate stated twice from source — the two

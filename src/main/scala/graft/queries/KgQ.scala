@@ -757,20 +757,7 @@ object KgQ {
     // than [[BfsRounds]] hops are absent from both sides by
     // construction.
     "k18_shortest_paths" -> ((s, d) => {
-      val eo = Tables.load(s, d, "orders")
-        .filter(col("o_orderdate").between("1995-03-01", "1995-03-14"))
-        .select(col("o_orderkey"), col("o_custkey"))
-      val e0 = eo.join(
-          Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("a"),
-          (col("l_suppkey") + 1000000L).as("b"))
-        .distinct()
-      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-        .union(e0.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
-      val seeds = edges.select(col("src").as("node")).distinct()
-        .filter(col("node") < 1000000L && col("node") % 3 === 0)
+      val (edges, seeds) = bfsGraph(s, d)
       var dist = seeds.withColumn("d", lit(0))
       for (_ <- 1 to BfsRounds) {
         val nxt = dist.as("t")
@@ -780,8 +767,60 @@ object KgQ {
       }
       dist.select(col("node"), col("d").cast("int").as("hops"))
         .orderBy(col("node"))
+    }),
+
+    // k21 — SEED-SET HARMONIC CLOSENESS (the Eppstein–Wang sampled
+    // estimator's exact inner computation): per (seed, node) the min
+    // hop distance over k18's graph and seed set, aggregated per
+    // node to Σ floor(1e6/d) — k20's exact-integer-quotient trick
+    // applied to 1/d, so no libm parity bet and the hash is exact.
+    // State is (seeds × reached) pairs — the published estimator
+    // bounds seeds (a fixed sample), so state grows k·n LINEARLY in
+    // the corpus, the same per-round one-join one-min-shuffle
+    // Pregel shape as k18 with a seed key added to the state. The
+    // round cap is the oracle's recursive-CTE depth (k15/k16's
+    // unrolling trick).
+    "k21_harmonic_closeness" -> ((s, d) => {
+      val (edges, seeds) = bfsGraph(s, d)
+      var dist = seeds.select(col("node").as("seed"), col("node"),
+        lit(0).as("d"))
+      for (_ <- 1 to BfsRounds) {
+        val nxt = dist.as("t")
+          .join(edges.as("e"), col("t.node") === col("e.src"))
+          .select(col("t.seed"), col("e.dst").as("node"),
+            (col("t.d") + 1).as("d"))
+        dist = dist.union(nxt)
+          .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+      }
+      dist.filter(col("d") > 0)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_seeds_reaching"),
+          sum(floor(lit(1000000) / col("d")).cast("long"))
+            .as("harmonic_micro"))
+        .orderBy(col("node"))
     })
   )
+
+  /** The k18/k21 date-windowed bipartite graph + seed set: ONE
+    * definition (edges eagerly checkpointed once per call site), so
+    * the two traversals can never disagree on the graph. */
+  private def bfsGraph(s: SparkSession, d: String) = {
+    val eo = Tables.load(s, d, "orders")
+      .filter(col("o_orderdate").between("1995-03-01", "1995-03-14"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e0 = eo.join(
+        Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + 1000000L).as("b"))
+      .distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < 1000000L && col("node") % 3 === 0)
+    (edges, seeds)
+  }
 
   /** PageRank constants, shared with the oracle builder. */
   val PrDamping = 0.85
@@ -1035,6 +1074,32 @@ object KgQ {
          |  JOIN edges e ON e.src = b.node WHERE b.d < ${BfsRounds})
          |SELECT node, CAST(MIN(d) AS INT) AS hops
          |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    // k21: the per-seed BFS unrolled as a (seed, node, d) recursion
+    // over the identical graph; 1/d rides the exact integer quotient
+    // floor(1e6/d), so the harmonic sum carries no float at all
+    "k21_harmonic_closeness" ->
+      s"""WITH RECURSIVE eo AS (
+         |  SELECT o_orderkey, o_custkey FROM orders
+         |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-14'),
+         |e0 AS (
+         |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
+         |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM e0
+         |          UNION SELECT b, a FROM e0),
+         |seeds AS (SELECT DISTINCT src AS node FROM edges
+         |          WHERE src < 1000000 AND src % 3 = 0),
+         |bfs(seed, node, d) AS (
+         |  SELECT node, node, 0 FROM seeds
+         |  UNION
+         |  SELECT b.seed, e.dst, b.d + 1 FROM bfs b
+         |  JOIN edges e ON e.src = b.node WHERE b.d < ${BfsRounds}),
+         |sp AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+         |SELECT node, COUNT(*) AS n_seeds_reaching,
+         |  CAST(SUM(CAST(FLOOR(1000000.0 / d) AS BIGINT)) AS BIGINT)
+         |    AS harmonic_micro
+         |FROM sp WHERE d > 0
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     // naive closed-wedge triangle enumeration: src<tgt is already the
     // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle

@@ -292,29 +292,49 @@ object Snapshots {
   }
 
   private val EntryName = """^_entry_v(\d+)\.json$""".r
+  private val CkptName = """^_ckpt_v(\d+)\.json$""".r
 
   /** Parsed log entries, one per committed version, ascending (empty
     * if no table). The log is the set of `_entry_v<N>.json` files —
     * temp files from crashed publications (`.tmp*` suffix) never
     * match the entry pattern, so a torn publication is invisible by
-    * construction. One listing + one small read per entry; at 100 TB
-    * scale the listing is checkpointed (Delta's `_last_checkpoint`
-    * move), same contract. */
+    * construction — OVERLAID on the newest CHECKPOINT if one exists
+    * (x49, Delta's `_last_checkpoint` contract): the checkpoint
+    * carries every entry up to its version in one file, individual
+    * entry files above it (or republished below it) are read
+    * per-file, and a live entry FILE always beats the checkpoint's
+    * copy of the same version (publish flips entries after a
+    * checkpoint; the file is fresher). After [[pruneLogEntries]] the
+    * per-read cost is one checkpoint read + the tail — O(Δ) instead
+    * of O(history). */
   private def logEntries(spark: SparkSession, dir: String)
       : Seq[com.fasterxml.jackson.databind.JsonNode] = {
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      fs.listStatus(p).toSeq
-        .filter(f => f.isFile && EntryName.findFirstIn(f.getPath.getName).isDefined)
-        .map { f =>
-          val in = fs.open(f.getPath)
-          try m.readTree(new String(
-            in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-          finally in.close()
+      def readJson(f: org.apache.hadoop.fs.Path) = {
+        val in = fs.open(f)
+        try m.readTree(new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+      val listing = fs.listStatus(p).toSeq.filter(_.isFile)
+      val fileEntries = listing
+        .filter(f => EntryName.findFirstIn(f.getPath.getName).isDefined)
+        .map(f => readJson(f.getPath))
+      val ckpts = listing
+        .flatMap(f => CkptName.findFirstMatchIn(f.getPath.getName)
+          .map(mm => mm.group(1).toInt -> f.getPath))
+      val fromCkpt =
+        if (ckpts.isEmpty) Seq.empty
+        else {
+          val have = fileEntries.map(_.get("version").asInt()).toSet
+          val arr = readJson(ckpts.maxBy(_._1)._2).get("entries")
+          (0 until arr.size).map(arr.get)
+            .filterNot(n => have.contains(n.get("version").asInt()))
         }
-        .sortBy(_.get("version").asInt())
+      (fromCkpt ++ fileEntries).sortBy(_.get("version").asInt())
     }
   }
 
@@ -387,8 +407,12 @@ object Snapshots {
     * contract — replacement is never a claim. */
   private def replaceEntry(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path,
-                           version: Int, json: String): Unit = {
-    val name = s"_entry_v$version.json"
+                           version: Int, json: String): Unit =
+    replaceEntryFile(fs, p, s"_entry_v$version.json", json)
+
+  private def replaceEntryFile(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path,
+                               name: String, json: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(p,
       name + ".tmp" + java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
@@ -1014,6 +1038,66 @@ object Snapshots {
       .sortBy(_._1)
   }
 
+  /** CHECKPOINT the log (x49, Delta's `_last_checkpoint` move):
+    * write `_ckpt_v<N>.json` carrying EVERY current entry (N = the
+    * newest version), atomically replacing any older checkpoint.
+    * Readers then resolve the log from one checkpoint read plus the
+    * per-file tail; entry files the checkpoint covers become
+    * redundant and [[pruneLogEntries]] may delete them. Metadata
+    * only — no data file is touched; single-admin by contract (like
+    * [[publish]]/[[vacuum]]). Returns N (-1 for an empty log). */
+  def checkpointLog(spark: SparkSession, dir: String): Int = {
+    val entries = logEntries(spark, dir)
+    if (entries.isEmpty) return -1
+    val (fs, p) = fsOf(spark, dir)
+    val n = entries.map(_.get("version").asInt()).max
+    val json = entries.map(_.toString)
+      .mkString(s"""{"version":$n,"entries":[""", ",", "]}")
+    // atomic replace (same shape as replaceEntry), then drop older
+    // checkpoints — a crash in between leaves two, newest-N wins
+    replaceEntryFile(fs, p, s"_ckpt_v$n.json", json)
+    fs.listStatus(p).toSeq.filter(_.isFile)
+      .flatMap(f => CkptName.findFirstMatchIn(f.getPath.getName)
+        .map(mm => mm.group(1).toInt -> f.getPath))
+      .filter(_._1 < n)
+      .foreach(c => fs.delete(c._2, false))
+    n
+  }
+
+  /** Delete entry FILES the newest checkpoint makes redundant — only
+    * those whose content the checkpoint carries verbatim (an entry
+    * republished AFTER the checkpoint differs file-vs-copy and must
+    * keep its file, which overlays the stale copy). Returns the
+    * number of files pruned. Requires a checkpoint. */
+  def pruneLogEntries(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ckpts = fs.listStatus(p).toSeq.filter(_.isFile)
+      .flatMap(f => CkptName.findFirstMatchIn(f.getPath.getName)
+        .map(mm => mm.group(1).toInt -> f.getPath))
+    require(ckpts.nonEmpty, s"pruneLogEntries needs a checkpoint under $dir")
+    val in = fs.open(ckpts.maxBy(_._1)._2)
+    val arr = try m.readTree(new String(
+      in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)).get("entries")
+    finally in.close()
+    val copies = (0 until arr.size).map(arr.get)
+      .map(n => n.get("version").asInt() -> n.toString).toMap
+    var pruned = 0
+    fs.listStatus(p).toSeq.filter(_.isFile)
+      .filter(f => EntryName.findFirstIn(f.getPath.getName).isDefined)
+      .foreach { f =>
+        val e = fs.open(f.getPath)
+        val txt = try new String(e.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally e.close()
+        val node = m.readTree(txt)
+        val v = node.get("version").asInt()
+        if (copies.get(v).contains(node.toString)) {
+          fs.delete(f.getPath, false); pruned += 1
+        }
+      }
+    pruned
+  }
+
   /** VACUUM: physically remove versions outside the retention window.
     * Keeps the newest `keepLast` PUBLISHED versions (staged ghosts
     * never consume retention slots; newer-than-window staged versions
@@ -1063,6 +1147,25 @@ object Snapshots {
     }
     val dropped = entries.map(_.get("version").asInt()).filterNot(keep)
     if (dropped.nonEmpty) {
+      // a checkpoint carrying dropped versions would RESURRECT them
+      // once their entry files go — rewrite it from the survivors
+      // FIRST (a crash right after leaves entry files overlaying the
+      // new checkpoint with identical content: harmless, vacuum
+      // re-runs)
+      val hasCkpt = fs.listStatus(p).toSeq.filter(_.isFile)
+        .exists(f => CkptName.findFirstIn(f.getPath.getName).isDefined)
+      if (hasCkpt) {
+        val survivors = entries.filter(n => keep(n.get("version").asInt()))
+        val n = survivors.map(_.get("version").asInt()).max
+        val json = survivors.map(_.toString)
+          .mkString(s"""{"version":$n,"entries":[""", ",", "]}")
+        replaceEntryFile(fs, p, s"_ckpt_v$n.json", json)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .flatMap(f => CkptName.findFirstMatchIn(f.getPath.getName)
+            .map(mm => mm.group(1).toInt -> f.getPath))
+          .filter(_._1 > n)
+          .foreach(c => fs.delete(c._2, false))
+      }
       // crash-safe in the same direction as commit: un-publish first
       // (delete the entry file — the version vanishes from the log),
       // THEN delete its data — a crash between leaves unreferenced
