@@ -92,6 +92,14 @@ object ScaleSmoke {
     // k21's per-seed BFS state is (seeds × reached) pairs over the
     // F×-scaled date-windowed graph — the k·n linear estimator shape
     "k21_harmonic_closeness",
+    // x50 rewrites the F×-scaled 3-version history — cost is
+    // history-sized BY DESIGN (the honest GDPR price the operator
+    // exists to state); the purge set stays fixed
+    "x50_purge_history",
+    // s8's outer join scans the F×-scaled events on both sides;
+    // user-keyed shuffle, time-banded state — s3's curve plus the
+    // unmatched-purchase null rows
+    "s8_outer_interval_join",
     // x48 commits the F×-scaled corpus under both layouts (the write
     // scales); layout metadata and pruning are directory-count-sized
     "x48_partition_evolution",

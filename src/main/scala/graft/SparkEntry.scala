@@ -35,7 +35,7 @@ import graft.queries._
   *    (p,q)-core peeling, node similarity, BFS shortest paths,
   *    co-occurrence lift, seed-set harmonic closeness) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s7, q21–q27, q29, q33, x1–x49, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s8, q21–q27, q29, q33, x1–x50, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -64,6 +64,7 @@ import graft.queries._
   *    commit (CHECK constraints + atomic quarantine), x48 partition
   *    evolution (per-version layout, pruning on the evolved key),
   *    x49 log checkpointing (one-file rollup, O(Δ) log reads),
+  *    x50 right-to-be-forgotten purge (physical history rewrite),
   *    q33 correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)

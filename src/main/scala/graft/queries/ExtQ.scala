@@ -366,6 +366,19 @@ object ExtQ {
         .orderBy(col("p_id"), col("v_id"))
     }),
 
+    // s8 — the LEFT-OUTER stream-stream interval join's batch twin:
+    // every purchase emits, null view columns for purchases with no
+    // prior-hour view. The outer semantics are the streaming-hard
+    // part (null rows may only emit once the watermark proves no
+    // future match — EventStream.purchaseViewOuterJoin, parity in
+    // StreamingSpec); the batch twin is what the driver's hash gate
+    // can pin. Same user-keyed shuffle-partitionable shape as s3.
+    "s8_outer_interval_join" -> ((s, d) => {
+      graft.streaming.EventStream.purchaseViewOuterJoin(
+          Tables.load(s, d, "events"))
+        .orderBy(col("p_id"), col("v_id"))
+    }),
+
     // q21 — exact interpolated percentiles per group (sort-based, so
     // engine-order independent; matches DuckDB quantile_cont) behind
     // the BOUNDED-MEMORY switchover (ops.Percentiles): a count-only
@@ -1228,6 +1241,50 @@ object ExtQ {
         .select(col("source"), col("n_clone"), col("idsum_clone"),
           col("n_src_latest"), col("idsum_src_latest"),
           lit(zeroCopy).as("zero_copy"))
+        .orderBy(col("source"))
+    }),
+
+    // x50 — RIGHT-TO-BE-FORGOTTEN PURGE (physical history rewrite):
+    // x27's logical delete hides rows from the LATEST resolution
+    // while time travel still serves them — true GDPR erasure must
+    // rewrite history. purgeKeys rewrites every version (data
+    // versions AND the deletes-version's key set, which would
+    // otherwise still NAME the purged users) crash-safely
+    // (filtered rewrite → atomic entry re-point → old dir delete).
+    // The query builds a 3-version history with a DV delete in the
+    // middle, purges a deterministic user set, and hash-pins: the
+    // purged users are gone from EVERY version including the
+    // resolved DV state (gone_everywhere), every version was
+    // physically rewritten (purged_all_versions), and the surviving
+    // rows of each version are intact (per-source counts replayed
+    // from source). Cost is history-sized — the honest price, run
+    // per retention cycle with a batched purge set at 100 TB.
+    "x50_purge_history" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x50_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs, dir) // v1
+      Snapshots.commitDeletes(
+        docs.filter(col("doc_id") === 1L).select(col("doc_id")), dir, base = 1)
+      Snapshots.commit(docs, dir) // v3: the refresh
+      val targets = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      val purged = Snapshots.purgeKeys(s, dir, targets)
+      val leftovers =
+        Snapshots.read(s, dir, Some(1)).filter(col("doc_id") % 97 === 0).count() +
+          Snapshots.read(s, dir, Some(3)).filter(col("doc_id") % 97 === 0).count() +
+          Snapshots.readResolved(s, dir, Some(2))
+            .filter(col("doc_id") % 97 === 0).count()
+      def by(df: DataFrame, alias: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(alias))
+      by(Snapshots.read(s, dir, Some(1)), "n_v1")
+        .join(by(Snapshots.readResolved(s, dir, Some(2)), "n_v2_resolved"),
+          Seq("source"))
+        .join(by(Snapshots.read(s, dir, Some(3)), "n_v3"), Seq("source"))
+        .select(col("source"), col("n_v1"), col("n_v2_resolved"), col("n_v3"),
+          lit(leftovers == 0L).as("gone_everywhere"),
+          lit(purged == Seq(1, 2, 3)).as("purged_all_versions"))
         .orderBy(col("source"))
     }),
 
@@ -2690,6 +2747,18 @@ object ExtQ {
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_id, v_id""".stripMargin,
 
+    // s8: the same interval condition as a LEFT JOIN — the view-side
+    // type predicate must live in the ON clause (in the WHERE it
+    // would silently turn the join back into an inner one)
+    "s8_outer_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts,
+        |  v.event_id AS v_id, v.ts AS v_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_id, v_id""".stripMargin,
+
     // The HLL estimate itself can't be replayed by DuckDB; the oracle
     // states the exact side (distinct count, row count) and literal
     // true for the envelope check the Spark side computed — a hash
@@ -3008,6 +3077,22 @@ object ExtQ {
         |SELECT source, n_clone, idsum_clone, n_src_latest, idsum_src_latest,
         |  true AS zero_copy
         |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x50: every post-purge version state replayed from source (docs
+    // minus the deterministic target set; the DV-resolved middle
+    // state additionally minus the deleted doc); the erasure and
+    // rewrite probes are literal-true
+    "x50_purge_history" ->
+      """WITH kept AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0),
+        |v1 AS (SELECT source, COUNT(*) AS n_v1 FROM kept GROUP BY source),
+        |v2 AS (SELECT source, COUNT(*) AS n_v2_resolved FROM kept
+        |       WHERE doc_id <> 1 GROUP BY source),
+        |v3 AS (SELECT source, COUNT(*) AS n_v3 FROM kept GROUP BY source)
+        |SELECT source, n_v1, n_v2_resolved, n_v3,
+        |  true AS gone_everywhere, true AS purged_all_versions
+        |FROM v1 JOIN v2 USING (source) JOIN v3 USING (source)
         |ORDER BY source""".stripMargin,
 
     // x49: the three version states replayed from source; the

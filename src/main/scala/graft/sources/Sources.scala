@@ -1038,6 +1038,72 @@ object Snapshots {
       .sortBy(_._1)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN PURGE (x50): physically rewrite EVERY
+    * version of the table so that no data file contains the given
+    * keys — including the key-sets of `deletes` versions, which
+    * would otherwise still name the purged rows. This is the honest
+    * GDPR cost x27's merge-on-read delete deliberately does NOT pay:
+    * a logical delete hides rows from the latest resolution while
+    * TIME TRAVEL still serves them; true erasure must rewrite
+    * history (Delta's REORG TABLE ... APPLY (PURGE) contract).
+    * Versions whose schema lacks the key columns cannot contain the
+    * keys and are skipped, as are metadata-only clones (purge the
+    * clone's SOURCE table — the clone serves whatever its source
+    * resolves to). Hive-partitioned versions are rewritten in their
+    * own layout (partition columns re-derived from the committed
+    * schema's restored columns). Crash-safe per version: the
+    * filtered rewrite lands in a fresh writer-unique dir, the entry
+    * is atomically re-pointed, THEN the old dir is deleted — a crash
+    * in between leaves an unreferenced orphan, never an entry naming
+    * missing data. Cost is proportional to the HISTORY size — which
+    * is the point; at 100 TB you run it per retention cycle, not per
+    * request, batching the accumulated purge set. Returns the
+    * rewritten version numbers. */
+  def purgeKeys(spark: SparkSession, dir: String, keys: DataFrame): Seq[Int] = {
+    val keyCols = keys.columns.toSeq
+    val (fs, p) = fsOf(spark, dir)
+    val rewritten = Seq.newBuilder[Int]
+    logEntries(spark, dir).foreach { n =>
+      val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
+      val v = n.get("version").asInt()
+      if (kind != "clone") {
+        val df = readVersionDf(spark, dir, n)
+        if (keyCols.forall(df.columns.contains)) {
+          // partition layout re-derived from the version's directory
+          // names (one `pcol=val` level per partition column)
+          val vdir = new org.apache.hadoop.fs.Path(p, entryDataDir(n))
+          var probe = vdir
+          val parts = Seq.newBuilder[String]
+          var descending = true
+          while (descending) {
+            val subs = fs.listStatus(probe).filter(_.isDirectory)
+              .filter(_.getPath.getName.contains("="))
+            if (subs.isEmpty) descending = false
+            else {
+              parts += subs.head.getPath.getName.split("=", 2)(0)
+              probe = subs.head.getPath
+            }
+          }
+          val writer = java.util.UUID.randomUUID().toString.take(8)
+          val stage = new org.apache.hadoop.fs.Path(p, s"v$v-purge$writer")
+          val w = df.join(keys, keyCols, "left_anti")
+            .write.mode(SaveMode.Overwrite)
+          val pb = parts.result()
+          (if (pb.nonEmpty) w.partitionBy(pb: _*) else w).parquet(stage.toString)
+          val files = dataFiles(fs, stage)
+          val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.put("dir", stage.getName)
+          o.put("n_files", files.length)
+          o.put("bytes", files.map(_.getLen).sum)
+          replaceEntry(fs, p, v, o.toString)
+          fs.delete(vdir, true)
+          rewritten += v
+        }
+      }
+    }
+    rewritten.result()
+  }
+
   /** CHECKPOINT the log (x49, Delta's `_last_checkpoint` move):
     * write `_ckpt_v<N>.json` carrying EVERY current entry (N = the
     * newest version), atomically replacing any older checkpoint.

@@ -101,6 +101,39 @@ object EventStream {
       .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — every purchase emits:
+    * matched to the user's prior-hour views when they exist, with
+    * null view columns otherwise. The OUTER side is what makes this
+    * semantically distinct in streaming: an unmatched purchase is
+    * held in state and its null row emitted ONLY once the watermark
+    * passes the join window's end — the engine must prove no future
+    * view can still match before it commits to the null (the classic
+    * "late outer emission" of Structured Streaming). State eviction
+    * bounds are identical to [[purchaseViewJoin]]'s inner form; on
+    * batch inputs the LEFT JOIN decides immediately — the parity
+    * twin StreamingSpec drains against. Operational pitfall (proved
+    * in the spec): the global watermark is the MIN across BOTH
+    * sides' watermark nodes, and each side sees only its own event
+    * type — a feed whose view side goes quiet stalls the purchase
+    * side's null emissions (and vice versa) by the watermark delay,
+    * so production feeds need heartbeat events on every side. */
+  def purchaseViewOuterJoin(events: DataFrame,
+                            watermark: String = "10 minutes"): DataFrame = {
+    val wm = (df: DataFrame, tsCol: String) =>
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts")), "ts")
+    val views = wm(events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts")), "v_ts")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("ts"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
+  }
+
   /** Stream-static ENRICHMENT join — the most common production
     * streaming shape after windowed aggregation: an unbounded event
     * stream joined to a bounded dimension (user profile, device

@@ -120,6 +120,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT-OUTER interval join emits its null rows only after the watermark proves them") {
+    // the streaming-hard part of s8: an unmatched purchase's null row
+    // may only emit once the watermark passes its join window — on a
+    // finite source that takes a watermark-advancing flush event
+    // (matching nothing: a view for an impossible user), after which
+    // the drained output must equal the batch LEFT JOIN exactly
+    val dir = java.nio.file.Files.createTempDirectory("osjoin").toString
+    val events = Tables.load(spark, Sf0001, "events")
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.purchaseViewOuterJoin(EventStream.readStream(spark, dir))
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("osjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val beforeFlush = spark.table("osjoin_out").count()
+      val maxTs = events.agg(org.apache.spark.sql.functions.max(col("ts")))
+        .collect().head.getTimestamp(0)
+      // two flush batches, each carrying BOTH event types: the global
+      // watermark is the MIN across the two sides' watermark nodes,
+      // and each side only sees its own type — a view-only flush
+      // leaves the purchase side's watermark 10 minutes behind max
+      // ts, permanently holding the newest purchase's null row (found
+      // the hard way: event 999). The second batch gives the state
+      // store a trigger against the already-advanced watermark.
+      for (h <- Seq(3L, 4L); et <- Seq("view", "purchase")) {
+        events.limit(1)
+          .withColumn("ts", org.apache.spark.sql.functions.lit(
+            new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000)))
+          .withColumn("event_type", org.apache.spark.sql.functions.lit(et))
+          .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val got = spark.table("osjoin_out")
+        .filter(col("user_id") =!= -1L) // drop the flush rows' own output
+        .orderBy("p_id", "v_id").collect()
+      val batch = EventStream.purchaseViewOuterJoin(
+          spark.read.parquet(dir).filter(col("user_id") =!= -1L))
+        .orderBy("p_id", "v_id").collect()
+      assert(got.length == batch.length && got.length > 0)
+      assert(got.length > beforeFlush.toInt,
+        "the flush must have released watermark-held null rows")
+      assert(got.exists(_.isNullAt(3)), "unmatched purchases must carry null views")
+      assert(got.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals batch twin and keeps no state") {
     val dir = java.nio.file.Files.createTempDirectory("enrich").toString
     Tables.load(spark, Sf0001, "events").write.mode("overwrite").parquet(dir)
