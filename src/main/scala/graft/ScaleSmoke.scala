@@ -90,7 +90,9 @@ object ScaleSmoke {
     // checkpoint + prune are entry-count-sized metadata at any F
     "x49_log_checkpoint",
     // k21's per-seed BFS state is (seeds × reached) pairs over the
-    // F×-scaled date-windowed graph — the k·n linear estimator shape
+    // F×-scaled date-windowed graph with a FIXED-K seed sample
+    // (HcSeedK hash-ranked nodes — |seeds| is 32 at any F), so state
+    // grows K·n linearly — the r9 `% 3` rule grew it quadratically
     "k21_harmonic_closeness",
     // x50 rewrites the F×-scaled 3-version history — cost is
     // history-sized BY DESIGN (the honest GDPR price the operator

@@ -136,6 +136,35 @@ object Analyze {
       (Skew.saltedJoin(probe, build, key, shards, tieBreak), "salted")
     else (probe.join(build, Seq(key)), "shuffle")
 
+  /** BETWEEN selectivity estimated from a committed EQUI-DEPTH
+    * histogram, in SIXTEENTHS — a pure integer both engines compute
+    * identically (no float ratio ever reaches a decision):
+    * #boundaries ≤ hi minus #boundaries < lo. Equi-depth boundaries
+    * are exact order statistics, so the true fraction inside
+    * [lo, hi] differs from est/16 by at most one bucket at each end
+    * — any decision threshold with a > 2-bucket margin on its probes
+    * therefore decides exactly as exact counts would (x40's
+    * Misra–Gries soundness argument, histogram edition), which is
+    * what keeps x53's planner verdict oracle-replayable. */
+  def histSelectivity16(hist: Seq[Double], lo: Double, hi: Double): Int =
+    hist.count(_ <= hi) - hist.count(_ < lo)
+
+  /** The stats→planner loop's FOURTH decision (x53): is a
+    * range-FILTERED fact side broadcast-joinable? Spark's static
+    * threshold sizes the FILE — it cannot see that a predicate keeps
+    * 2% of a huge table, so at 100 TB it shuffles both facts where a
+    * selective filter left a broadcast-sized slice. The histogram
+    * estimate (in sixteenths, [[histSelectivity16]]) makes the call
+    * from committed metadata with zero plan-time jobs: est ≤
+    * `maxSixteenths` broadcasts the filtered side, anything wider
+    * stays a shuffle join (replicating an unselective slice to every
+    * task would be worse than the exchange). Returns
+    * (joined, "broadcast" | "shuffle"). */
+  def histChosenJoin(probe: DataFrame, filtered: DataFrame, cond: Column,
+                     est16: Int, maxSixteenths: Int): (DataFrame, String) =
+    if (est16 <= maxSixteenths) (probe.join(broadcast(filtered), cond), "broadcast")
+    else (probe.join(filtered, cond), "shuffle")
+
   /** The stats→planner loop's THIRD decision (x43): JOIN ORDERING
     * for a star fact. Dimensions join smallest-estimated-first —
     * the greedy heuristic every CBO starts from: the most selective

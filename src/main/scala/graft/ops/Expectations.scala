@@ -26,6 +26,9 @@ object Expectations {
     * `violations`, the failed names comma-joined). */
   def split(df: DataFrame,
             constraints: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(!df.columns.contains("violations"),
+      "split would overwrite the input's own 'violations' column " +
+        "(and drop it from the clean side) — rename it first")
     val failed = array(constraints.map { case (name, c) =>
       when(!coalesce(c, lit(false)), lit(name))
     }: _*)

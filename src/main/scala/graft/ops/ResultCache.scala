@@ -48,4 +48,25 @@ object ResultCache {
         (Snapshots.read(spark, cacheDir, Some(v)), false)
     }
   }
+
+  /** [[getOrCompute]] with the version pin taken HERE, exactly once:
+    * each input's latest published version is resolved a single time,
+    * and those SAME versions key the fingerprint AND feed `compute`
+    * (as version-pinned frames, immutable by the snapshot contract) —
+    * carried through to the entry commit. An input commit racing the
+    * materialization can therefore neither change what is computed
+    * nor key the result to a version it was not computed from: the
+    * racer's new version simply makes the NEXT lookup miss, and this
+    * entry stays a correctly old-keyed hit (ResultCacheSpec
+    * interleaves a commit inside `compute` to prove all three).
+    * Returns (result, cacheHit, the pinned versions). */
+  def getOrComputeLatest(spark: SparkSession, cacheDir: String, queryId: String,
+                         inputDirs: Seq[String])
+                        (compute: Seq[DataFrame] => DataFrame)
+      : (DataFrame, Boolean, Seq[(String, Int)]) = {
+    val pinned = inputDirs.map(d => d -> Snapshots.versions(spark, d).last)
+    val frames = pinned.map { case (d, v) => Snapshots.read(spark, d, Some(v)) }
+    val (df, hit) = getOrCompute(spark, cacheDir, queryId, pinned, compute(frames))
+    (df, hit, pinned)
+  }
 }

@@ -81,6 +81,18 @@ object ExtQ {
   val X42OutLo = 9000000.0
   val X42OutHi = 9900000.0
 
+  /** x53 probes on the o_totalprice domain (near-uniform on
+    * [1e3, 5e5] at every SF): the narrow slice holds ~4% of orders
+    * (histogram estimate 0/16), the wide one ~56% (~9/16) — both
+    * sit > 2 equi-depth buckets from [[X53MaxSixteenths]], so the
+    * ±1-bucket-per-end histogram envelope cannot flip either
+    * decision (Analyze.histSelectivity16's soundness line). */
+  val X53NarrowLo = 1000.0
+  val X53NarrowHi = 20000.0
+  val X53WideLo = 20000.0
+  val X53WideHi = 300000.0
+  val X53MaxSixteenths = 4
+
   /** v21 kNN self-join: neighbors kept per vector. */
   val KnnJoinK = 3
 
@@ -1173,6 +1185,49 @@ object ExtQ {
         .orderBy(col("col_name"))
     }),
 
+    // x53 — HISTOGRAM-PLANNED FILTER JOIN: the stats→planner loop's
+    // FOURTH decision, and the catalog's first HISTOGRAM consumer.
+    // x42 answers probes DISJOINT with the committed [min,max]; the
+    // real planning question is the overlapping ones — how much of
+    // the fact does a BETWEEN keep, and is the filtered slice worth
+    // broadcasting into the fact⋈fact join? Spark's static threshold
+    // sizes files, so it cannot see a 4%-selective predicate; the
+    // committed 16-bucket equi-depth histogram of o_totalprice
+    // (exact order statistics — see StatsCatalog.equiDepth) answers
+    // in integer SIXTEENTHS with zero plan-time jobs. The narrow
+    // probe (est 0/16) broadcasts the filtered orders side under
+    // lineitem's join; the wide one (est ~9/16) stays a shuffle
+    // join. Both estimates AND both decisions are hash-pinned, the
+    // oracle recomputes boundaries/estimates/verdicts from exact
+    // SQL (ROW_NUMBER ranks → the same ceil(i·n/16) order
+    // statistics), and the ±1-bucket equi-depth envelope plus the
+    // > 2-bucket probe margins make the replay sound, not lucky —
+    // x40's MG argument, histogram edition. PlanShapeSpec pins the
+    // two plan shapes with the static threshold disabled.
+    "x53_hist_planned_join" -> ((s, d) => {
+      import graft.ops.{Analyze, StatsCatalog}
+      val hist = StatsCatalog.stats(s, d, "orders")("o_totalprice")
+        .histogram.get
+      val probes = Seq(("narrow", X53NarrowLo, X53NarrowHi),
+        ("wide", X53WideLo, X53WideHi))
+      probes.map { case (label, lo, hi) =>
+        val est16 = Analyze.histSelectivity16(hist, lo, hi)
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val fo = Tables.load(s, d, "orders")
+          .filter(col("o_totalprice").between(lo, hi))
+          .select(col("o_orderkey"))
+        val (joined, strategy) = Analyze.histChosenJoin(
+          li, fo, col("l_orderkey") === col("o_orderkey"),
+          est16, X53MaxSixteenths)
+        joined.agg(count(lit(1)).as("n_items"),
+            dsum2(col("l_extendedprice")).as("sum_price"))
+          .select(lit(label).as("probe"),
+            lit(est16).as("est_sixteenths"), lit(strategy).as("strategy"),
+            col("n_items"), col("sum_price"))
+      }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
+
     // x42 — CATALOG-PRUNED SCAN (segment elimination at table
     // granularity): before planning a range probe, consult the
     // shared stats catalog's committed [min, max] for the column —
@@ -1450,13 +1505,16 @@ object ExtQ {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("chars"))
       Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), srcDir) // v1
-      val (r1, hit1) = ResultCache.getOrCompute(s, cacheDir, "by_source",
-        Seq(srcDir -> 1), bySource(Snapshots.read(s, srcDir, Some(1))))
-      val (_, hit2) = ResultCache.getOrCompute(s, cacheDir, "by_source",
-        Seq(srcDir -> 1), bySource(Snapshots.read(s, srcDir, Some(1))))
+      // the pin is taken INSIDE getOrComputeLatest, once — fingerprint
+      // and computed frames can never disagree on the version, even
+      // against a racing input commit (ResultCacheSpec interleaves one)
+      val (r1, hit1, _) = ResultCache.getOrComputeLatest(
+        s, cacheDir, "by_source", Seq(srcDir))(f => bySource(f.head))
+      val (_, hit2, _) = ResultCache.getOrComputeLatest(
+        s, cacheDir, "by_source", Seq(srcDir))(f => bySource(f.head))
       Snapshots.commit(docs, srcDir) // v2: the corpus refresh
-      val (r3, hit3) = ResultCache.getOrCompute(s, cacheDir, "by_source",
-        Seq(srcDir -> 2), bySource(Snapshots.read(s, srcDir, Some(2))))
+      val (r3, hit3, _) = ResultCache.getOrComputeLatest(
+        s, cacheDir, "by_source", Seq(srcDir))(f => bySource(f.head))
       r3.join(r1.select(col("source"), col("n_docs").as("n_docs_v1")),
           Seq("source"))
         .select(col("source"), col("n_docs"), col("chars"),
@@ -3246,6 +3304,44 @@ object ExtQ {
          |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |   FROM orders WHERE o_totalprice BETWEEN $X42InLo AND $X42InHi)
          |FROM pr
+         |ORDER BY probe""".stripMargin,
+
+    // x53: the filter-join aggregates stated plainly, PLUS the
+    // equi-depth boundaries / selectivity estimates / strategy
+    // verdicts recomputed from exact SQL — boundary i is the value
+    // at ROW_NUMBER rank ceil(i·n/16) in o_totalprice order, the
+    // identical order statistic the catalog's GlobalIndex pass
+    // takes, and the estimate is the same integer boundary count.
+    // A catalog serving a stale or wrong histogram flips the
+    // hash-pinned est/strategy columns.
+    "x53_hist_planned_join" ->
+      s"""WITH n AS (SELECT COUNT(o_totalprice) AS c FROM orders),
+         |ranked AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         |    ROW_NUMBER() OVER (ORDER BY o_totalprice) AS r
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |bounds AS (SELECT i,
+         |    (SELECT v FROM ranked, n WHERE r = (i * c + 15) // 16) AS b
+         |  FROM range(1, 16) t(i)),
+         |probes(probe, lo, hi) AS (VALUES
+         |  ('narrow', $X53NarrowLo, $X53NarrowHi),
+         |  ('wide', $X53WideLo, $X53WideHi)),
+         |est AS (SELECT p.probe, p.lo, p.hi,
+         |    CAST((SELECT COUNT(*) FROM bounds WHERE b <= p.hi) -
+         |         (SELECT COUNT(*) FROM bounds WHERE b < p.lo) AS INT)
+         |      AS est_sixteenths
+         |  FROM probes p),
+         |agg AS (SELECT e.probe, COUNT(*) AS n_items,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS sum_price
+         |  FROM est e
+         |  JOIN orders o ON o.o_totalprice BETWEEN e.lo AND e.hi
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY e.probe)
+         |SELECT e.probe, e.est_sixteenths,
+         |  CASE WHEN e.est_sixteenths <= $X53MaxSixteenths
+         |       THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+         |  a.n_items, a.sum_price
+         |FROM est e JOIN agg a USING (probe)
          |ORDER BY probe""".stripMargin,
 
     // x40: the join-aggregate stated plainly, PLUS both skew

@@ -771,18 +771,22 @@ object KgQ {
 
     // k21 — SEED-SET HARMONIC CLOSENESS (the Eppstein–Wang sampled
     // estimator's exact inner computation): per (seed, node) the min
-    // hop distance over k18's graph and seed set, aggregated per
-    // node to Σ floor(1e6/d) — k20's exact-integer-quotient trick
-    // applied to 1/d, so no libm parity bet and the hash is exact.
-    // State is (seeds × reached) pairs — the published estimator
-    // bounds seeds (a fixed sample), so state grows k·n LINEARLY in
-    // the corpus, the same per-round one-join one-min-shuffle
-    // Pregel shape as k18 with a seed key added to the state. The
-    // round cap is the oracle's recursive-CTE depth (k15/k16's
-    // unrolling trick).
+    // hop distance over k18's graph, aggregated per node to
+    // Σ floor(1e6/d) — k20's exact-integer-quotient trick applied to
+    // 1/d, so no libm parity bet and the hash is exact. State is
+    // (seeds × reached) pairs, so the seed set MUST be CONSTANT-SIZE
+    // for the published estimator's k·n linear state claim to hold
+    // (a fixed-fraction rule like k18's `% 3` would make it n²/3 —
+    // the v21 fixed-k-at-scale trap, caught in round 9): seeds are
+    // the [[HcSeedK]] customer nodes with the smallest Lehmer hash
+    // rank ([[hcSeeds]] — integer-only, oracle-replayed verbatim, a
+    // TakeOrdered top-K, never a data-sized sort). Per round the
+    // shape is k18's one-join one-min-shuffle Pregel with a seed key
+    // added to the state; the round cap is the oracle's
+    // recursive-CTE depth (k15/k16's unrolling trick).
     "k21_harmonic_closeness" -> ((s, d) => {
-      val (edges, seeds) = bfsGraph(s, d)
-      var dist = seeds.select(col("node").as("seed"), col("node"),
+      val (edges, _) = bfsGraph(s, d)
+      var dist = hcSeeds(edges).select(col("node").as("seed"), col("node"),
         lit(0).as("d"))
       for (_ <- 1 to BfsRounds) {
         val nxt = dist.as("t")
@@ -804,7 +808,7 @@ object KgQ {
   /** The k18/k21 date-windowed bipartite graph + seed set: ONE
     * definition (edges eagerly checkpointed once per call site), so
     * the two traversals can never disagree on the graph. */
-  private def bfsGraph(s: SparkSession, d: String) = {
+  private[graft] def bfsGraph(s: SparkSession, d: String) = {
     val eo = Tables.load(s, d, "orders")
       .filter(col("o_orderdate").between("1995-03-01", "1995-03-14"))
       .select(col("o_orderkey"), col("o_custkey"))
@@ -821,6 +825,28 @@ object KgQ {
       .filter(col("node") < 1000000L && col("node") % 3 === 0)
     (edges, seeds)
   }
+
+  /** k21's CONSTANT-SIZE seed sample: the [[HcSeedK]] customer nodes
+    * with the smallest Lehmer hash rank `(node % 100003) · 48271 %
+    * 100003` (node-tie-broken) — pure int64 arithmetic with no
+    * overflow (< 100003 · 48271 ≈ 4.8e9), so the oracle replays the
+    * selection verbatim, and a deterministic pseudo-random sample
+    * independent of the id layout (a plain `ORDER BY node LIMIT K`
+    * would sample the lowest ids — correlated with fixture age). The
+    * plan is orderBy+limit = TakeOrderedAndProject over the distinct
+    * customer nodes: per-partition top-K heaps, never a global sort,
+    * and |seeds| stays K as the corpus grows — BFS state is K·n. */
+  private[graft] def hcSeeds(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < 1000000L)
+      .orderBy((col("node") % 100003L) * 48271L % 100003L, col("node"))
+      .limit(HcSeedK)
+      .select(col("node"))
+
+  /** k21 seed-sample size — FIXED as the corpus grows (the
+    * Eppstein–Wang estimator's k), shared with the oracle's LIMIT. */
+  val HcSeedK = 32
 
   /** PageRank constants, shared with the oracle builder. */
   val PrDamping = 0.85
@@ -1076,8 +1102,10 @@ object KgQ {
          |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
 
     // k21: the per-seed BFS unrolled as a (seed, node, d) recursion
-    // over the identical graph; 1/d rides the exact integer quotient
-    // floor(1e6/d), so the harmonic sum carries no float at all
+    // over the identical graph; the CONSTANT-SIZE seed sample is the
+    // same Lehmer-rank top-K the plan takes, and 1/d rides the exact
+    // integer quotient floor(1e6/d), so the harmonic sum carries no
+    // float at all
     "k21_harmonic_closeness" ->
       s"""WITH RECURSIVE eo AS (
          |  SELECT o_orderkey, o_custkey FROM orders
@@ -1087,8 +1115,9 @@ object KgQ {
          |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
          |edges AS (SELECT a AS src, b AS dst FROM e0
          |          UNION SELECT b, a FROM e0),
-         |seeds AS (SELECT DISTINCT src AS node FROM edges
-         |          WHERE src < 1000000 AND src % 3 = 0),
+         |seeds AS (SELECT node FROM (
+         |    SELECT DISTINCT src AS node FROM edges WHERE src < 1000000)
+         |  ORDER BY (node % 100003) * 48271 % 100003, node LIMIT $HcSeedK),
          |bfs(seed, node, d) AS (
          |  SELECT node, node, 0 FROM seeds
          |  UNION

@@ -390,14 +390,23 @@ object Snapshots {
         } finally java.nio.file.Files.deleteIfExists(tmp)
       case None =>
         val entry = new org.apache.hadoop.fs.Path(p, name)
+        val out =
+          try fs.create(entry, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+            case _: java.io.IOException if fs.exists(entry) => return false
+          }
+        // The claim succeeded the moment create returned; a failure
+        // writing/closing AFTER that would otherwise leave a torn
+        // entry squatting this name forever (no log repair exists) —
+        // claim-then-clean: delete the entry THIS caller created and
+        // rethrow, so the name is free for the next attempt.
         try {
-          val out = fs.create(entry, false)
           try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           true
         } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.io.IOException if fs.exists(entry) => false
+          case e: Throwable => fs.delete(entry, false); throw e
         }
     }
   }
@@ -1055,10 +1064,17 @@ object Snapshots {
     * filtered rewrite lands in a fresh writer-unique dir, the entry
     * is atomically re-pointed, THEN the old dir is deleted — a crash
     * in between leaves an unreferenced orphan, never an entry naming
-    * missing data. Cost is proportional to the HISTORY size — which
-    * is the point; at 100 TB you run it per retention cycle, not per
-    * request, batching the accumulated purge set. Returns the
-    * rewritten version numbers. */
+    * missing data. Because that orphan still HOLDS the purged keys,
+    * every purge ends with an orphan sweep: any `v<N>-*` directory
+    * whose version's entry names a DIFFERENT directory is deleted
+    * (that shape only arises from a purge's own re-point — an
+    * in-flight commit's staged dir has no entry yet, but targets a
+    * version ABOVE the log head, so purge is single-admin like
+    * [[vacuum]] by contract). Re-running a purge after a crash thus
+    * guarantees physical erasure. Cost is proportional to the
+    * HISTORY size — which is the point; at 100 TB you run it per
+    * retention cycle, not per request, batching the accumulated
+    * purge set. Returns the rewritten version numbers. */
   def purgeKeys(spark: SparkSession, dir: String, keys: DataFrame): Seq[Int] = {
     val keyCols = keys.columns.toSeq
     val (fs, p) = fsOf(spark, dir)
@@ -1099,6 +1115,20 @@ object Snapshots {
           fs.delete(vdir, true)
           rewritten += v
         }
+      }
+    }
+    // orphan sweep: erase pre-purge dirs a crashed earlier purge left
+    // behind (entry re-pointed, old dir delete never ran) — they still
+    // hold the purged keys, so the sweep is part of the erasure
+    // guarantee, not housekeeping
+    val referenced = logEntries(spark, dir).map(entryDataDir).toSet
+    val VDir = """^v(\d+)-.*$""".r
+    fs.listStatus(p).filter(_.isDirectory).foreach { f =>
+      f.getPath.getName match {
+        case VDir(v) if !referenced.contains(f.getPath.getName) &&
+          referenced.exists(_.startsWith(s"v$v-")) =>
+          fs.delete(f.getPath, true)
+        case _ => ()
       }
     }
     rewritten.result()

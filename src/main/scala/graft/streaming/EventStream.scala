@@ -134,6 +134,48 @@ object EventStream {
       .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
   }
 
+  /** [[purchaseViewOuterJoin]] with PER-SIDE WATERMARK HEARTBEATS —
+    * the shipped mitigation for the quiet-side stall the outer
+    * join's scaladoc documents (and StreamingSpec proves): the
+    * global watermark is the MIN across both sides' watermark nodes,
+    * and each side sees only its own event type, so a feed whose
+    * view side goes quiet holds every unmatched purchase's null row
+    * forever. Here each side's watermark node additionally sees
+    * EVERY event of the feed as a sentinel row with an impossible
+    * key (user -1 on the purchase side, -2 on the view side — they
+    * never match real rows and never cross-match each other), so
+    * each side's watermark follows overall FEED time instead of its
+    * own type's arrivals: a view-quiet feed still drains null rows
+    * on the feed's schedule. Sentinel purchases would emit null
+    * rows of their own (they ride the outer side) — the output
+    * filters them; sentinel views sit on the inner side and never
+    * emit. Join state additionally buffers the sentinels, bounded by
+    * the same watermark horizon as real rows. Batch inputs take the
+    * identical path (sentinels add nothing to the output), keeping
+    * the one-definition parity the spec drains against. */
+  def purchaseViewOuterJoinHeartbeat(events: DataFrame,
+                                     watermark: String = "10 minutes"): DataFrame = {
+    val wm = (df: DataFrame, tsCol: String) =>
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    def heartbeat(idCol: String, user: Long, userCol: String, tsCol: String) =
+      events.select(lit(-1L).as(idCol), lit(user).as(userCol),
+        col("ts").as(tsCol))
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      .unionByName(heartbeat("p_id", -1L, "user_id", "ts")), "ts")
+    val views = wm(events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .unionByName(heartbeat("v_id", -2L, "v_user", "v_ts")), "v_ts")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("ts"),
+      "left_outer")
+      .filter(col("user_id") =!= -1L) // the purchase-side sentinels
+      .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
+  }
+
   /** Stream-static ENRICHMENT join — the most common production
     * streaming shape after windowed aggregation: an unbounded event
     * stream joined to a bounded dimension (user profile, device
@@ -205,17 +247,6 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
-  /** One micro-batch's fold of [[ivmSink]], exposed so the replay
-    * contract is directly testable: the delta-join state merges into
-    * the stored state and commits EPOCH-TAGGED
-    * ([[graft.sources.Snapshots.commitEpoch]]). foreachBatch is
-    * at-least-once — a crash after the state commit but before the
-    * checkpoint offset commit re-executes the same epoch — and a
-    * replayed epoch finds its tag already in the version log and
-    * folds NOTHING (the merge plan is lazy, so the skip costs no
-    * compute), preserving drained-state == one-shot identity under
-    * recovery instead of silently double-counting the delta. Returns
-    * the committed version, or None for a replay skip. */
   /** One mergeable ANALYZE state row (x41's shape): exact counters
     * plus a DataSketches HLL sketch for NDV — every field merges, so
     * catalog maintenance under an unbounded feed costs O(|Δ|) per
@@ -303,6 +334,17 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** One micro-batch's fold of [[ivmSink]], exposed so the replay
+    * contract is directly testable: the delta-join state merges into
+    * the stored state and commits EPOCH-TAGGED
+    * ([[graft.sources.Snapshots.commitEpoch]]). foreachBatch is
+    * at-least-once — a crash after the state commit but before the
+    * checkpoint offset commit re-executes the same epoch — and a
+    * replayed epoch finds its tag already in the version log and
+    * folds NOTHING (the merge plan is lazy, so the skip costs no
+    * compute), preserving drained-state == one-shot identity under
+    * recovery instead of silently double-counting the delta. Returns
+    * the committed version, or None for a replay skip. */
   def ivmFold(batch: DataFrame, orders: DataFrame,
               stateDir: String, epochId: Long): Option[Int] = {
     import graft.ops.IncrementalAgg

@@ -117,6 +117,72 @@ class AnalyzeSpec extends SparkSpec {
     assert(StatsCatalog.stats(spark, Sf0001, "lineitem") == st)
   }
 
+  test("ANALYZE is schema-derived: a table in no map profiles, with the declared HH rule") {
+    import graft.ops.StatsCatalog
+    val dir = java.nio.file.Files.createTempDirectory("anyTable").toString
+    spark.range(200).selectExpr(
+        "id AS w_id", "CAST(id % 7 AS DOUBLE) AS w_price",
+        "concat('tag_', id % 3) AS w_tag",
+        "repeat('lorem ipsum ', 20) AS w_payload")
+      .write.mode("overwrite").parquet(s"$dir/widgets.parquet")
+    val st = StatsCatalog.stats(spark, dir, "widgets")
+    assert(st.keySet == Set("w_id", "w_price", "w_tag", "w_payload"))
+    assert(st("w_id").nRows == 200 && st("w_id").nDistinct == 200)
+    assert(st("w_price").minNum.contains(0.0) && st("w_price").maxNum.contains(6.0))
+    // histograms on numerics only; exact equi-depth over w_price
+    assert(st("w_id").histogram.exists(_.size == 15) &&
+      st("w_tag").histogram.isEmpty)
+    // HH candidates: integral + SHORT strings; the payload column is
+    // excluded by the declared width rule (never ship document-sized
+    // recount literals into a plan)
+    assert(st("w_tag").top1Share.exists(s => math.abs(s - 67.0 / 200) < 1e-12))
+    assert(st("w_id").top1Share.isDefined && st("w_payload").top1Share.isEmpty)
+    assert(st("w_price").top1Share.isEmpty, "a double measure is not a key")
+  }
+
+  test("histogram boundaries are the exact ceil(i·n/16) order statistics") {
+    import graft.ops.StatsCatalog
+    val st = StatsCatalog.stats(spark, Sf0001, "lineitem")
+    val hist = st("l_quantity").histogram.get
+    val sorted = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_quantity").cast("double")).collect().map(_.getDouble(0)).sorted
+    val n = sorted.length.toLong
+    val want = (1 until StatsCatalog.HistBuckets)
+      .map(i => sorted(((i * n + StatsCatalog.HistBuckets - 1) /
+        StatsCatalog.HistBuckets - 1).toInt))
+    assert(hist == want, s"boundaries must be exact order statistics: $hist vs $want")
+    assert(hist == hist.sorted && hist.head >= st("l_quantity").minNum.get &&
+      hist.last <= st("l_quantity").maxNum.get)
+  }
+
+  test("regenerated data is re-ANALYZEd within one JVM (memoized hit re-checks the fingerprint)") {
+    import graft.ops.StatsCatalog
+    val dir = java.nio.file.Files.createTempDirectory("regen").toString
+    spark.range(10).selectExpr("id AS k").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    assert(StatsCatalog.stats(spark, dir, "t")("k").nRows == 10)
+    spark.range(25).selectExpr("id AS k").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    assert(StatsCatalog.stats(spark, dir, "t")("k").nRows == 25,
+      "a memoized hit must never serve stats for data that changed")
+  }
+
+  test("histSelectivity16 + histChosenJoin: the strategy follows the histogram, results identical") {
+    // a uniform 16-boundary histogram over [0, 160)
+    val hist = (1 to 15).map(i => i * 10.0)
+    assert(Analyze.histSelectivity16(hist, 0.0, 25.0) == 2)
+    assert(Analyze.histSelectivity16(hist, 20.0, 110.0) == 10) // {10..110} minus {10}
+    assert(Analyze.histSelectivity16(hist, 10.0, 10.0) == 1, "closed on both ends")
+    val fact = spark.range(160).select(col("id").as("k"), (col("id") * 2).as("m"))
+    val dim = spark.range(160).select(col("id").as("fk"))
+    def run(est: Int) = Analyze.histChosenJoin(
+      fact, dim.filter(col("fk") < 25), col("k") === col("fk"), est, 4)
+    val (jB, sB) = run(2)
+    val (jS, sS) = run(9)
+    assert(sB == "broadcast" && sS == "shuffle")
+    assert(jB.count() == jS.count(), "the strategy must never change the result")
+  }
+
   test("x41's merged stats equal the one-shot recompute; sketch envelope holds") {
     val rows = SparkEntry.queries("x41_incremental_analyze")(spark, Sf0001)
       .collect()

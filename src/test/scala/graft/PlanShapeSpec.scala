@@ -486,6 +486,23 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x53's strategies follow the histogram: narrow probe broadcasts, wide shuffles (threshold off)") {
+    // with the static file-size threshold disabled, only the
+    // histogram-driven hint can broadcast — the narrow probe's
+    // filtered orders side must build a BroadcastHashJoin, and the
+    // wide probe must stay a shuffle join in the SAME unioned plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("x53_hist_planned_join")(spark, Sf0001)
+      val p = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+        s"exactly the narrow probe must broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"the wide probe must remain a shuffle join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("x36's production mode is ONE scan, sketch-only: no exact-NDV legs, no Expand") {
     // audit mode (the declared query) carries exact countDistinct
     // legs so the oracle can hash-pin the 3σ envelope; the production

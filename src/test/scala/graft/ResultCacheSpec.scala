@@ -53,6 +53,32 @@ class ResultCacheSpec extends SparkSpec {
       sys.error("hit"))._2)
   }
 
+  test("a racing input commit during materialization cannot publish a stale-keyed result") {
+    val (src, cache) = (freshDir(), freshDir())
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "n"), src) // v1: total 10
+    def total(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("n")).cast("long").as("total"))
+    val (r, hit, pinned) =
+      ResultCache.getOrComputeLatest(spark, cache, "q", Seq(src)) { frames =>
+        // the race: another writer lands v2 WHILE the result materializes
+        Snapshots.commit(Seq((1L, 10L), (2L, 90L)).toDF("k", "n"), src)
+        total(frames.head)
+      }
+    assert(!hit && pinned == Seq(src -> 1),
+      "the pin must be the version read, taken before the race")
+    assert(r.head.getLong(0) == 10L,
+      "the result must be computed from the PINNED v1, not the racer's v2")
+    // latest is now v2: the next read must MISS — never a stale hit
+    // serving v1's numbers under v2's key
+    val (r2, hit2, p2) =
+      ResultCache.getOrComputeLatest(spark, cache, "q", Seq(src))(f => total(f.head))
+    assert(!hit2 && p2 == Seq(src -> 2) && r2.head.getLong(0) == 100L)
+    // and the raced entry is a correctly OLD-keyed hit, not corrupt
+    val (r3, hit3) = ResultCache.getOrCompute(spark, cache, "q", Seq(src -> 1),
+      sys.error("the v1 entry must hit without recomputing"))
+    assert(hit3 && r3.head.getLong(0) == 10L)
+  }
+
   test("duplicate keys are benign; lookup takes the newest") {
     val (cache) = freshDir()
     Snapshots.commitKeyed(Seq((1L, "old")).toDF("k", "v"), cache, "fp")

@@ -167,6 +167,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heartbeats release the outer join's null rows when one side stalls") {
+    // the shipped mitigation for the stall the previous test works
+    // around by hand: after the base drain the view side goes QUIET
+    // FOREVER — only purchases keep arriving — yet the held null rows
+    // must drain, because the heartbeat variant advances BOTH sides'
+    // watermark nodes from every event of the feed
+    val dir = java.nio.file.Files.createTempDirectory("hbjoin").toString
+    val events = Tables.load(spark, Sf0001, "events")
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.purchaseViewOuterJoinHeartbeat(
+      EventStream.readStream(spark, dir))
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hbjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val beforeStall = spark.table("hbjoin_out")
+        .filter(col("user_id") =!= -3L).count()
+      val maxTs = events.agg(org.apache.spark.sql.functions.max(col("ts")))
+        .collect().head.getTimestamp(0)
+      // PURCHASE-ONLY continuation (the stalled-view feed); two
+      // batches so the state store gets a trigger against the
+      // already-advanced watermark
+      for (h <- Seq(3L, 4L)) {
+        events.limit(1)
+          .withColumn("ts", org.apache.spark.sql.functions.lit(
+            new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000)))
+          .withColumn("event_type", org.apache.spark.sql.functions.lit("purchase"))
+          .withColumn("user_id", org.apache.spark.sql.functions.lit(-3L))
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val got = spark.table("hbjoin_out")
+        .filter(col("user_id") =!= -3L) // drop the continuation's own rows
+        .orderBy("p_id", "v_id").collect()
+      assert(got.length > beforeStall.toInt,
+        "purchase-only progress must have released watermark-held null rows")
+      assert(got.exists(_.isNullAt(3)), "unmatched purchases must carry null views")
+      // full parity on the base events against BOTH batch twins: the
+      // heartbeat variant adds nothing to a batch result
+      val base = spark.read.parquet(dir).filter(col("user_id") =!= -3L)
+      val batch = EventStream.purchaseViewOuterJoin(base)
+        .orderBy("p_id", "v_id").collect()
+      val batchHb = EventStream.purchaseViewOuterJoinHeartbeat(base)
+        .orderBy("p_id", "v_id").collect()
+      assert(batch.sameElements(batchHb), "heartbeats must not change batch semantics")
+      assert(got.length == batch.length && got.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals batch twin and keeps no state") {
     val dir = java.nio.file.Files.createTempDirectory("enrich").toString
     Tables.load(spark, Sf0001, "events").write.mode("overwrite").parquet(dir)
