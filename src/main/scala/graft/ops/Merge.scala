@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed SCD-1 merge — `MERGE INTO` semantics over immutable
@@ -39,6 +39,62 @@ object Merge {
       .groupBy(col(key))
       .agg(max_by(struct((payload.map(col) :+ col(opCol)): _*), col("_v")).as("_r"))
       .filter(col(s"_r.$opCol") =!= "D")
+      .select(col(key) +: payload.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  /** General four-arm `MERGE INTO` — the lakehouse's primary write
+    * verb (Delta/Iceberg MERGE), over same-schema frames:
+    *
+    *   WHEN MATCHED AND matchedDelete(t, s)            THEN DELETE
+    *   WHEN MATCHED AND matchedUpdate(t, s)            THEN UPDATE SET *  (source row wins)
+    *   WHEN MATCHED                     (fallthrough)  → keep the target row
+    *   WHEN NOT MATCHED AND notMatchedInsert(s)        THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE AND bySourceDelete(t) THEN DELETE
+    *   WHEN NOT MATCHED BY SOURCE       (fallthrough)  → keep the target row
+    *
+    * Arm conditions receive the matched rows as STRUCT columns
+    * (`t("c")` / `s("c")` field access), evaluated in the order
+    * above — delete outranks update, mirroring SQL MERGE's
+    * first-matching-clause rule. Contract: `source` carries at most
+    * one row per key (SQL MERGE raises on multi-match; pre-reduce
+    * upstream, e.g. latest-wins per key) and exactly the target's
+    * columns.
+    *
+    * Plan: ONE full-outer equi join on the key — each side shuffles
+    * once on its own key partitioning (Catalyst broadcasts a small
+    * source instead) — then a narrow per-row arm select; nothing
+    * data-sized happens twice. This is copy-on-write over the whole
+    * frame, the right shape when the source touches a wide key
+    * range; a tiny delete-only source is better served by the
+    * merge-on-read deletion-vector path
+    * ([[graft.sources.Snapshots.commitDeletes]], x27).
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+      matchedDelete: (Column, Column) => Column = (_, _) => lit(false),
+      matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
+      notMatchedInsert: Column => Column = _ => lit(true),
+      bySourceDelete: Column => Column = _ => lit(false)): DataFrame = {
+    val payload = target.columns.filterNot(_ == key).toIndexedSeq
+    require(payload.nonEmpty, "target needs at least one non-key column")
+    val missing = (key +: payload).filterNot(source.columns.contains)
+    require(missing.isEmpty, s"source is missing columns: ${missing.mkString(", ")}")
+    val t2 = target.select(col(key), struct(payload.map(col): _*).as("_t"))
+    val s2 = source.select(col(key), struct(payload.map(col): _*).as("_s"))
+    val (tc, sc) = (col("_t"), col("_s"))
+    // Arms collapse to one action code per row; survivors read their
+    // payload from whichever struct the action names. Both selects
+    // are codegen'd CASE chains over the join output — no second
+    // pass, no driver-side row handling.
+    val action =
+      when(tc.isNull, when(notMatchedInsert(sc), "I").otherwise("X"))
+        .when(sc.isNull, when(bySourceDelete(tc), "X").otherwise("K"))
+        .otherwise(when(matchedDelete(tc, sc), "X")
+          .when(matchedUpdate(tc, sc), "U")
+          .otherwise("K"))
+    t2.join(s2, Seq(key), "full_outer")
+      .withColumn("_a", action)
+      .filter(col("_a") =!= "X")
+      .withColumn("_r", when(col("_a") === "K", tc).otherwise(sc))
       .select(col(key) +: payload.map(c => col(s"_r.$c").as(c)): _*)
   }
 }

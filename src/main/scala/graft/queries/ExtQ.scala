@@ -93,6 +93,14 @@ object ExtQ {
   val X53WideHi = 300000.0
   val X53MaxSixteenths = 4
 
+  /** x51 merge arms: the account-closure line (a restated balance
+    * below it deletes the row; it also gates the insert arm so the
+    * insert CONDITION is exercised, not just the arm) and the key
+    * shift that makes branch-account rows provably unmatched
+    * (custkeys stay far below it at every SF — x30's maxKey move). */
+  val X51CloseBelow = 30000.0
+  val X51KeyShift = 1000000L
+
   /** v21 kNN self-join: neighbors kept per vector. */
   val KnnJoinK = 3
 
@@ -1226,6 +1234,61 @@ object ExtQ {
             lit(est16).as("est_sixteenths"), lit(strategy).as("strategy"),
             col("n_items"), col("sum_price"))
       }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
+
+    // x51 — GENERAL MERGE INTO (ops.Merge.mergeInto): the lakehouse's
+    // primary write verb, all four arms live in ONE statement landing
+    // as ONE optimistic-concurrency snapshot commit. Target: the
+    // customer balance table, committed as v1 — the state the merge
+    // is planned against. Source: a CDC-shaped restatement — each
+    // customer's latest 1997+ order restates their balance, and
+    // customers with key % 31 == 0 also open a branch account under
+    // a shifted key (guaranteed unmatched). Arms: WHEN MATCHED AND
+    // restated < [[X51CloseBelow]] THEN DELETE (account closure),
+    // WHEN MATCHED THEN UPDATE (source wins), WHEN NOT MATCHED AND
+    // restated >= the line THEN INSERT (the branch accounts, gated by
+    // the same line so the insert CONDITION is live too), WHEN NOT
+    // MATCHED BY SOURCE AND balance < 0 THEN DELETE (dormant
+    // negative-balance purge). The merged state commits with
+    // expectedVersion = 1 — the CAS that SnapshotsSpec races against
+    // an interleaved writer — and the output reads the COMMITTED v2
+    // back, so the hash proves merge semantics AND the commit
+    // round-trip at once. Plan: one full-outer join on the key +
+    // narrow arm select (see mergeInto's scaladoc) — at 100 TB this
+    // is the nightly-upsert shape; a tiny delete-only source would
+    // take x27's deletion-vector path instead of copy-on-write.
+    "x51_merge_into" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x51_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val target = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      Snapshots.commit(target, dir)
+      val wl = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val restated = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1)
+        .join(target.select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("o_totalprice").as("c_acctbal"))
+      val source = restated.unionByName(
+        restated.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + X51KeyShift).as("c_custkey"),
+            concat(lit("branch of "), col("c_name")).as("c_name"),
+            col("c_acctbal")))
+      val merged = graft.ops.Merge.mergeInto(target, source, "c_custkey",
+        matchedDelete = (_, sr) => sr("c_acctbal") < X51CloseBelow,
+        notMatchedInsert = sr => sr("c_acctbal") >= X51CloseBelow,
+        bySourceDelete = t => t("c_acctbal") < 0)
+      Snapshots.commit(merged, dir, expectedVersion = 1)
+      Snapshots.read(s, dir, Some(2))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"),
+          lit(Snapshots.versions(s, dir).size).as("n_versions"))
+        .orderBy(col("c_custkey"))
     }),
 
     // x42 — CATALOG-PRUNED SCAN (segment elimination at table
@@ -3343,6 +3406,42 @@ object ExtQ {
          |  a.n_items, a.sum_price
          |FROM est e JOIN agg a USING (probe)
          |ORDER BY probe""".stripMargin,
+
+    // x51: the four merge arms stated as three UNION legs (matched
+    // rows surviving the closure line take the source payload;
+    // unmatched targets keep unless negative; unmatched source keys
+    // insert above the line); CAST(2 AS INT) pins the commit count.
+    "x51_merge_into" ->
+      s"""WITH latest AS (
+         |  SELECT o_custkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+         |restated AS (
+         |  SELECT c.c_custkey, c.c_name, l.o_totalprice AS c_acctbal
+         |  FROM latest l JOIN customer c ON l.o_custkey = c.c_custkey
+         |  WHERE l.rn = 1),
+         |src AS (
+         |  SELECT c_custkey, c_name, c_acctbal FROM restated
+         |  UNION ALL
+         |  SELECT c_custkey + $X51KeyShift, 'branch of ' || c_name, c_acctbal
+         |  FROM restated WHERE c_custkey % 31 = 0),
+         |merged AS (
+         |  SELECT s.c_custkey, s.c_name, s.c_acctbal
+         |  FROM src s JOIN customer t ON s.c_custkey = t.c_custkey
+         |  WHERE s.c_acctbal >= $X51CloseBelow
+         |  UNION ALL
+         |  SELECT t.c_custkey, t.c_name, t.c_acctbal
+         |  FROM customer t LEFT JOIN src s ON s.c_custkey = t.c_custkey
+         |  WHERE s.c_custkey IS NULL AND t.c_acctbal >= 0
+         |  UNION ALL
+         |  SELECT s.c_custkey, s.c_name, s.c_acctbal
+         |  FROM src s LEFT JOIN customer t ON s.c_custkey = t.c_custkey
+         |  WHERE t.c_custkey IS NULL AND s.c_acctbal >= $X51CloseBelow)
+         |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         |  CAST(2 AS INT) AS n_versions
+         |FROM merged ORDER BY c_custkey""".stripMargin,
 
     // x40: the join-aggregate stated plainly, PLUS both skew
     // verdicts replayed from EXACT top-1 shares — sound because the

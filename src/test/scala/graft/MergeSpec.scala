@@ -54,4 +54,69 @@ class MergeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortmerge"), s"unexpected sort-merge join:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
+
+  // ---- mergeInto: the general four-arm MERGE INTO ----
+
+  private def tgt = Seq(
+    (1L, "alice", 10.0),  // matched, source says delete (bal < 0 signal)
+    (2L, "bob", 20.0),    // matched, update-cond true  → source row
+    (3L, "carol", 30.0),  // matched, update-cond false → kept as-is
+    (4L, "dave", -5.0),   // not matched by source, negative → deleted
+    (5L, "erin", 50.0)    // not matched by source, kept
+  ).toDF("id", "name", "bal")
+
+  private def src = Seq(
+    (1L, "alice", -1.0),  // matched-delete arm (negative restatement)
+    (2L, "bob", 99.0),    // matched-update arm
+    (3L, "carol", 30.5),  // matched but below the update line → keep target
+    (6L, "frank", 60.0),  // not matched, insert-cond true
+    (7L, "grace", 0.5)    // not matched, insert-cond false → dropped
+  ).toDF("id", "name", "bal")
+
+  test("mergeInto drives all six arm outcomes in one pass") {
+    val out = Merge.mergeInto(tgt, src, "id",
+        matchedDelete = (_, s) => s("bal") < 0,
+        matchedUpdate = (_, s) => s("bal") >= 50,
+        notMatchedInsert = s => s("bal") >= 1,
+        bySourceDelete = t => t("bal") < 0)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (2L, "bob", 99.0),    // updated
+      (3L, "carol", 30.0),  // matched fallthrough: target kept
+      (5L, "erin", 50.0),   // by-source fallthrough: target kept
+      (6L, "frank", 60.0))) // inserted
+  }
+
+  test("mergeInto defaults are upsert semantics: update all matched, insert all new, delete nothing") {
+    val out = Merge.mergeInto(tgt, src, "id")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alice", -1.0), (2L, "bob", 99.0), (3L, "carol", 30.5),
+      (4L, "dave", -5.0), (5L, "erin", 50.0),
+      (6L, "frank", 60.0), (7L, "grace", 0.5)))
+  }
+
+  test("mergeInto: delete outranks update when both matched arms fire") {
+    val out = Merge.mergeInto(tgt, src, "id",
+        matchedDelete = (_, s) => s("bal") > 90,  // bob qualifies for both
+        matchedUpdate = (_, s) => s("bal") > 0)
+      .filter($"id" === 2L).count()
+    assert(out == 0L)
+  }
+
+  test("mergeInto preserves target column order and fails fast on missing source columns") {
+    assert(Merge.mergeInto(tgt, src, "id").columns.toSeq == Seq("id", "name", "bal"))
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeInto(tgt, Seq((1L, "x")).toDF("id", "name"), "id")
+    }
+    assert(e.getMessage.contains("missing columns"))
+  }
+
+  test("mergeInto plans one join, no window, no extra data pass") {
+    val plan = Merge.mergeInto(tgt, src, "id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert("(?i)join".r.findAllIn(plan).size >= 1)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"non-equi join shape:\n$plan")
+  }
 }

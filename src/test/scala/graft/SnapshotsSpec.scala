@@ -376,6 +376,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 1)
   }
 
+  test("a MERGE planned against v1 conflicts with an interleaved commit, then lands re-planned") {
+    import graft.sources.ConcurrentCommitException
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), dir)
+    def merge(base: Int) = graft.ops.Merge.mergeInto(
+      Snapshots.read(spark, dir, Some(base)),
+      Seq((2L, 99.0), (3L, 30.0)).toDF("id", "bal"), "id")
+    val planned = merge(base = 1)
+    // an interleaved writer advances the table between plan and commit
+    Snapshots.commit(Seq((1L, 11.0), (2L, 20.0)).toDF("id", "bal"), dir)
+    intercept[ConcurrentCommitException] {
+      Snapshots.commit(planned, dir, expectedVersion = 1)
+    }
+    // the interleaved update was not clobbered (no lost write) …
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir).filter(col("id") === 1L)
+      .select("bal").as[Double].head() == 11.0)
+    // … and the re-planned merge sees it and lands
+    assert(Snapshots.commit(merge(base = 2), dir, expectedVersion = 2) == 3)
+    assert(Snapshots.read(spark, dir).orderBy("id").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 11.0), (2L, 99.0), (3L, 30.0)))
+  }
+
   test("stepChanges baselines a data commit on the published chain, skipping staged priors") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
