@@ -1291,6 +1291,29 @@ object ExtQ {
         .orderBy(col("c_custkey"))
     }),
 
+    // x52 — Z-ORDER LAYOUT EXECUTED (x19's report made physical —
+    // Delta/Iceberg OPTIMIZE ZORDER end to end): the events are
+    // z-RANKED through GlobalIndexExec (range shuffle + local sorts,
+    // no single reducer — the k1 global-index operator reused as the
+    // clustering writer), cut into [[ZExecFiles]] equal-row rank
+    // slices (what an OPTIMIZE job actually writes; x19's equal-
+    // z-span files were the report's simulation), and COMMITTED as a
+    // snapshot version with one data file per slice (listing-checked,
+    // x26's witness). The 2-D box query then runs off the committed
+    // layout: the bit-aligned box is ONE contiguous z interval
+    // ([[zOf]]), the per-file zone maps pick the overlapping files —
+    // `pruned` pins that files were really skipped — and the exact
+    // ub/tb BETWEEN runs as a residual pushed into the parquet scan
+    // of the survivors (pruning is a superset selection, never a
+    // correctness dependency). File sizing reads the committed stats
+    // catalog's row count — zero plan-time jobs (the x38 rule).
+    // PlanShapeSpec pins the skip ratio and the pushed residual. At
+    // 100 TB this is the difference between scanning a corpus for a
+    // 2-D predicate and opening ~p·files of it: the rank write is one
+    // range exchange, the zone maps ride in the write's manifest, and
+    // the probe is driver-side metadata.
+    "x52_zorder_exec" -> ((s, d) => x52Frame(s, d)._1),
+
     // x42 — CATALOG-PRUNED SCAN (segment elimination at table
     // granularity): before planning a range probe, consult the
     // shared stats catalog's committed [min, max] for the column —
@@ -2502,6 +2525,79 @@ object ExtQ {
   val ZBoxLo = 4
   val ZBoxHi = 7
 
+  /** x52: the executed layout's file count (matches x19's 16-file
+    * report granularity — but files here are equal-ROW rank slices
+    * of the z order, the shape an OPTIMIZE job actually writes, not
+    * x19's equal-z-span simulation). */
+  val ZExecFiles = 16
+
+  /** x52: [[zInterleave]]'s bit math in plain Scala, for turning the
+    * bit-aligned query box into its ONE contiguous z interval on the
+    * driver. A box aligned to a power-of-two grid maps to a single z
+    * range ([zOf(lo,lo), zOf(hi,hi)]); a general box decomposes into
+    * a short list of such aligned sub-boxes (the BIGMIN/LITMAX
+    * range-splitting of the z-order-curve literature) probed the
+    * same way — the interval count is a planner constant either way,
+    * never data-sized. */
+  def zOf(ub: Int, tb: Int): Int =
+    (0 until 4).map(i => ((ub >> i) & 1) * (1 << (2 * i + 1)) +
+      ((tb >> i) & 1) * (1 << (2 * i))).sum
+
+  /** x52 shared frame (declared query + PlanShapeSpec): execute the
+    * z-order layout end to end — z-rank the events through
+    * GlobalIndexExec, commit the 16-file layout as a snapshot
+    * version, zone-map it, and answer the 2-D box query scanning
+    * only the overlapping files. Returns (result, files scanned,
+    * files total, one-file-per-dir) so the spec can pin the skip
+    * ratio the query's `pruned` flag summarizes. */
+  def x52Frame(s: SparkSession, d: String): (DataFrame, Int, Int, Boolean) = {
+    import graft.sources.Snapshots
+    val dir = s"target/x52_snap_${math.abs(d.hashCode)}"
+    Snapshots.drop(s, dir) // deterministic version numbers per run
+    // file sizing reads the committed stats catalog — no plan-time
+    // count job (the x38 rule)
+    val n = graft.ops.StatsCatalog.nRows(
+      graft.ops.StatsCatalog.stats(s, d, "events"))
+    val ev = Tables.load(s, d, "events")
+      .withColumn("ub", (col("user_id") % 16).cast("int"))
+      .withColumn("tb",
+        expr("cast((hour(ts) * 60 + minute(ts)) div 90 as int)"))
+      .withColumn("z", expr(zInterleave("div")).cast("int"))
+      .select(col("event_id"), col("ub"), col("tb"), col("z"))
+    // dense global rank in z order (range shuffle + local sorts, no
+    // single reducer) → equal-row file slices, contiguous in z
+    val laid = graft.ops.GlobalIndex.withGlobalIndex(
+        ev, Seq(col("z"), col("event_id")), "_zrank")
+      .withColumn("zfile",
+        expr(s"cast((_zrank * $ZExecFiles) div $n as int)"))
+      .drop("_zrank")
+    Snapshots.commit(laid.repartition(col("zfile")), dir,
+      partitionBy = Seq("zfile"))
+    val oneFile = Snapshots.filesPerDir(s, dir, 1).values.forall(_ == 1)
+    // the OPTIMIZE job's stats pass: per-file zone maps on z —
+    // manifest-sized (ZExecFiles rows), computed once off the
+    // committed layout (at 100 TB they land in the write's manifest,
+    // the x21 pattern)
+    val zones = Snapshots.read(s, dir, Some(1))
+      .groupBy(col("zfile"))
+      .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val (zLo, zHi) = (zOf(ZBoxLo, ZBoxLo), zOf(ZBoxHi, ZBoxHi))
+    val scan = zones.collect {
+      case (f, zmin, zmax) if zmax >= zLo && zmin <= zHi => f
+    }.toIndexedSeq
+    val res = Snapshots.read(s, dir, Some(1))
+      .filter(col("zfile").isin(scan: _*)) // partition pruning: unscanned dirs never listed
+      .filter(col("ub").between(ZBoxLo, ZBoxHi)
+        && col("tb").between(ZBoxLo, ZBoxHi)) // residual → pushed to the parquet scan
+      .select(col("event_id"), col("ub"), col("tb"), col("z"),
+        lit(scan.length < zones.length).as("pruned"),
+        lit(oneFile).as("one_file_per_dir"))
+      .orderBy(col("event_id"))
+    (res, scan.length, zones.length, oneFile)
+  }
+
   /** x20: compaction target size (chars stand in for bytes at
     * fixture scale) and the micro-file granularity — BASE values for
     * the smallest fixtures; [[compactKnobs]] scales both with the
@@ -3442,6 +3538,24 @@ object ExtQ {
          |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
          |  CAST(2 AS INT) AS n_versions
          |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    // x52: the box query stated plainly over the same z math; the
+    // literal-true flags pin that pruning happened and the layout
+    // landed one file per slice (both listing-checked on the Spark
+    // side — a layout or zone-map bug flips a column).
+    "x52_zorder_exec" ->
+      s"""WITH e AS (SELECT event_id,
+         |  CAST(user_id % 16 AS INT) AS ub,
+         |  CAST((hour(ts) * 60 + minute(ts)) // 90 AS INT) AS tb
+         |  FROM events),
+         |z AS (SELECT event_id, ub, tb,
+         |  CAST(${zInterleave("//")} AS INT) AS z FROM e)
+         |SELECT event_id, ub, tb, z, true AS pruned,
+         |  true AS one_file_per_dir
+         |FROM z
+         |WHERE ub BETWEEN $ZBoxLo AND $ZBoxHi
+         |  AND tb BETWEEN $ZBoxLo AND $ZBoxHi
+         |ORDER BY event_id""".stripMargin,
 
     // x40: the join-aggregate stated plainly, PLUS both skew
     // verdicts replayed from EXACT top-1 shares — sound because the

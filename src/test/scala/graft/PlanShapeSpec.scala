@@ -291,6 +291,31 @@ class PlanShapeSpec extends SparkSpec {
       "residual range filter must reach the parquet scan")
   }
 
+  test("x52's zone maps skip committed z-order files; the residual box filter reaches the scan") {
+    import org.apache.spark.sql.functions._
+    val (df, filesRead, filesTotal, oneFile) = queries.ExtQ.x52Frame(spark, Sf0001)
+    // the bit-aligned box is 16 of 256 z values; equal-row rank
+    // slices put it in a handful of CONSECUTIVE files — the point is
+    // the ratio, not the constant
+    assert(filesTotal == queries.ExtQ.ZExecFiles
+        && filesRead < filesTotal && filesRead <= 4,
+      s"expected a real skip ratio, got $filesRead/$filesTotal")
+    assert(oneFile, "the committed layout must land one data file per rank slice")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // superset selection needs the exact box residual ON the scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ub"),
+      "residual box filter must be pushed to the parquet scan")
+    // the zfile probe must prune at LISTING time (partition filter),
+    // not as a post-scan residual
+    assert(p.contains("PartitionFilters") && p.replaceAll(
+        "(?s).*PartitionFilters: (\\[[^\\]]*\\]).*", "$1").contains("zfile"),
+      "zfile membership must be a partition filter")
+    // execution-level witness: every result row comes from a scanned file
+    val touched = df.select(input_file_name()).distinct().count()
+    assert(touched <= filesRead, s"read $touched files for $filesRead scanned")
+  }
+
   test("v19's radius search is a broadcast + narrow filter scan (no corpus sort before the filter)") {
     val p = plan("v19_radius_search")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
