@@ -1314,6 +1314,35 @@ object ExtQ {
     // the probe is driver-side metadata.
     "x52_zorder_exec" -> ((s, d) => x52Frame(s, d)._1),
 
+    // x54 — TIME TRAVEL ON THE SQL SURFACE (q29's S8 script runner ×
+    // x24's warehouse contract): the same two-version balance table,
+    // but the pinned reads are issued from PURE SQL TEXT via the
+    // snapshot_at('<dir>', v) table binding (util.SqlRunner) —
+    // `VERSION AS OF` for the Snapshots log, previously reachable
+    // only through the Scala API. The script holds v2 and v1 of ONE
+    // table side by side in one join; the compared output and the
+    // oracle are x24's BY DESIGN — hash equality with the same
+    // oracle IS the claim: the SQL surface's pinned reads reproduce
+    // the Scala API's byte for byte. Costs nothing extra at scale:
+    // the binding is a per-reference metadata rewrite; the data-sized
+    // work is the same two pinned scans x24 plans.
+    "x54_sql_time_travel" -> ((s, d) => {
+      val dir = s"target/x54_snap_${math.abs(d.hashCode)}"
+      commitBalanceVersions(s, d, dir)
+      val script =
+        s"""-- S8 surface + snapshot_at(dir, version) time travel
+           |CREATE OR REPLACE TEMPORARY VIEW x54_hist AS
+           |SELECT l.o_custkey,
+           |  v.balance AS bal_v1, v.n_orders AS n_orders_v1,
+           |  l.balance AS bal_latest, l.n_orders AS n_orders_latest
+           |FROM snapshot_at('$dir', 2) l
+           |LEFT JOIN snapshot_at('$dir', 1) v USING (o_custkey);
+           |SELECT o_custkey, bal_v1, n_orders_v1, bal_latest,
+           |  n_orders_latest, CAST(2 AS INT) AS n_versions
+           |FROM x54_hist ORDER BY o_custkey""".stripMargin
+      graft.util.SqlRunner.runScriptWithSnapshots(s, script).last
+    }),
+
     // x42 — CATALOG-PRUNED SCAN (segment elimination at table
     // granularity): before planning a range probe, consult the
     // shared stats catalog's committed [min, max] for the column —
@@ -2168,14 +2197,7 @@ object ExtQ {
     "x24_time_travel" -> ((s, d) => {
       import graft.sources.Snapshots
       val dir = s"target/x24_snap_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, dir) // deterministic version numbers per run
-      val orders = Tables.load(s, d, "orders")
-      val cut = lit("1997-01-01").cast("timestamp")
-      def balances(o: DataFrame) = o.groupBy(col("o_custkey"))
-        .agg(dsum2(col("o_totalprice")).as("balance"),
-          count(lit(1)).as("n_orders"))
-      Snapshots.commit(balances(orders.filter(col("o_orderdate") < cut)), dir)
-      Snapshots.commit(balances(orders), dir)
+      commitBalanceVersions(s, d, dir)
       val v1 = Snapshots.read(s, dir, Some(1))
         .select(col("o_custkey"), col("balance").as("bal_v1"),
           col("n_orders").as("n_orders_v1"))
@@ -2542,6 +2564,41 @@ object ExtQ {
   def zOf(ub: Int, tb: Int): Int =
     (0 until 4).map(i => ((ub >> i) & 1) * (1 << (2 * i + 1)) +
       ((tb >> i) & 1) * (1 << (2 * i))).sum
+
+  /** x24/x54 shared oracle: both versions of the balance table stated
+    * straight from orders. x54 shares the STRING deliberately — the
+    * SQL-surface run must hash-match the Scala API's pinned reads. */
+  val X24OracleSql: String =
+    """WITH v1 AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_v1,
+      |    COUNT(*) AS n_orders_v1
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1),
+      |latest AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_latest,
+      |    COUNT(*) AS n_orders_latest
+      |  FROM orders GROUP BY 1)
+      |SELECT l.o_custkey, v.bal_v1, v.n_orders_v1,
+      |  l.bal_latest, l.n_orders_latest, CAST(2 AS INT) AS n_versions
+      |FROM latest l LEFT JOIN v1 v USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** x24/x54 shared frame: (re)commit the customer balance table as
+    * exactly two versions under `dir` — v1 over pre-1997 orders, v2
+    * over all — so both queries pin reads against a known log. */
+  private def commitBalanceVersions(s: SparkSession, d: String, dir: String): Unit = {
+    import graft.sources.Snapshots
+    Snapshots.drop(s, dir) // deterministic version numbers per run
+    val orders = Tables.load(s, d, "orders")
+    val cut = lit("1997-01-01").cast("timestamp")
+    def balances(o: DataFrame) = o.groupBy(col("o_custkey"))
+      .agg(dsum2(col("o_totalprice")).as("balance"),
+        count(lit(1)).as("n_orders"))
+    Snapshots.commit(balances(orders.filter(col("o_orderdate") < cut)), dir)
+    Snapshots.commit(balances(orders), dir)
+  }
 
   /** x52 shared frame (declared query + PlanShapeSpec): execute the
     * z-order layout end to end — z-rank the events through
@@ -3761,22 +3818,12 @@ object ExtQ {
     // though v2 was committed in between (snapshot isolation as a
     // hash check); customers first active in 1997+ carry null v1
     // columns through the left join on both engines.
-    "x24_time_travel" ->
-      """WITH v1 AS (
-        |  SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_v1,
-        |    COUNT(*) AS n_orders_v1
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
-        |  GROUP BY 1),
-        |latest AS (
-        |  SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal_latest,
-        |    COUNT(*) AS n_orders_latest
-        |  FROM orders GROUP BY 1)
-        |SELECT l.o_custkey, v.bal_v1, v.n_orders_v1,
-        |  l.bal_latest, l.n_orders_latest, CAST(2 AS INT) AS n_versions
-        |FROM latest l LEFT JOIN v1 v USING (o_custkey)
-        |ORDER BY o_custkey""".stripMargin,
+    "x24_time_travel" -> X24OracleSql,
+
+    // x54: x24's oracle VERBATIM — the SQL-surface run must reproduce
+    // the Scala API's pinned reads byte for byte; sharing the oracle
+    // string is the claim, not a shortcut.
+    "x54_sql_time_travel" -> X24OracleSql,
 
     // broadcast left join to a unique-keyed dimension — no row
     // multiplication, absent users keep null segments

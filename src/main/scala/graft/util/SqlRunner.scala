@@ -20,4 +20,30 @@ object SqlRunner {
 
   def runScript(spark: SparkSession, script: String): Seq[DataFrame] =
     splitStatements(script).map(spark.sql)
+
+  private val SnapshotAt =
+    """(?i)snapshot_at\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
+
+  /** Time travel on the SQL surface (x24's warehouse contract made
+    * reachable from pure SQL text): every occurrence of the
+    * TVF-style table reference `snapshot_at('<table dir>', <v>)` is
+    * bound to a temp view backed by the pinned snapshot read
+    * ([[graft.sources.Snapshots.read]] with `asOf`) before the
+    * script runs — `VERSION AS OF` for the Snapshots log, so one SQL
+    * script can hold two versions of one table side by side. The
+    * binding is textual because Spark exposes no user table-function
+    * extension point on the pure-SQL surface; the view name is
+    * deterministic in (dir, version), so repeated references
+    * collapse to one view over one pinned plan, and an unknown
+    * version fails loudly at bind time, before any SQL runs. */
+  def runScriptWithSnapshots(spark: SparkSession, script: String): Seq[DataFrame] = {
+    val bound = SnapshotAt.replaceAllIn(script, m => {
+      val (dir, v) = (m.group(1), m.group(2).toInt)
+      val view = s"snapshot_${Integer.toHexString(dir.hashCode)}_v$v"
+      graft.sources.Snapshots.read(spark, dir, Some(v))
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    runScript(spark, bound)
+  }
 }

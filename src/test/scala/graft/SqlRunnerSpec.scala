@@ -21,4 +21,43 @@ class SqlRunnerSpec extends SparkSpec {
       "SELECT count(*) AS n FROM region; SELECT count(DISTINCT r_name) AS m FROM region")
     assert(out.map(_.head.getLong(0)).toSeq == Seq(5L, 5L))
   }
+
+  test("snapshot_at binds pinned versions into pure SQL text") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString + "/t"
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), dir)
+    Snapshots.commit(Seq((1L, 11L), (2L, 20L), (3L, 30L)).toDF("id", "n"), dir)
+    val out = SqlRunner.runScriptWithSnapshots(spark,
+      s"""-- two versions of ONE table, side by side, from SQL text
+         |SELECT b.id, a.n AS n_v1, b.n AS n_v2
+         |FROM snapshot_at('$dir', 2) b
+         |LEFT JOIN snapshot_at('$dir', 1) a USING (id)
+         |ORDER BY b.id""".stripMargin).last
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSeq
+    assert(out == Seq((1L, Some(10L), 11L), (2L, Some(20L), 20L), (3L, None, 30L)))
+  }
+
+  test("repeated snapshot_at references collapse to one deterministic view") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString + "/t"
+    Snapshots.commit(Seq((1L, 5L)).toDF("id", "n"), dir)
+    val out = SqlRunner.runScriptWithSnapshots(spark,
+      s"""SELECT a.n + b.n AS s
+         |FROM snapshot_at('$dir', 1) a CROSS JOIN snapshot_at('$dir', 1) b""".stripMargin)
+      .last.head.getLong(0)
+    assert(out == 10L)
+  }
+
+  test("an unknown version fails at bind time, before any SQL runs") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString + "/t"
+    Snapshots.commit(Seq((1L, 5L)).toDF("id", "n"), dir)
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"SELECT * FROM snapshot_at('$dir', 9)")
+    }
+  }
 }
