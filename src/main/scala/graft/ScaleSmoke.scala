@@ -105,6 +105,25 @@ object ScaleSmoke {
     // x48 commits the F×-scaled corpus under both layouts (the write
     // scales); layout metadata and pruning are directory-count-sized
     "x48_partition_evolution",
+    // x51's changeset derives from the F×-scaled orders (window +
+    // join scale); the merge's full-outer join is fact-vs-dim —
+    // customer rides verbatim, so the copy-on-write output is
+    // dim-bounded at any F (x38's fact-grows/dim-doesn't contract)
+    "x51_merge_into",
+    // x52 z-ranks the F×-scaled events (range exchange scales; the
+    // first run pays the scaled dir's ANALYZE, x40's honest
+    // write-once price); zone maps stay 16 rows and the box read
+    // scans ~p·files of the scaled layout at any F
+    "x52_zorder_exec",
+    // x54 commits the F×-scaled balance table twice (the write
+    // scales); the snapshot_at binding is per-reference metadata and
+    // the pinned reads scan what x24 would
+    "x54_sql_time_travel",
+    // x55 commits the F×-scaled base once and the delta twice
+    // (unsorted append + OPTIMIZE re-land — the writes scale with
+    // the CHURN); zone maps stay 32 rows and the box reads scan
+    // ~p·files at any F
+    "x55_incremental_zorder",
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

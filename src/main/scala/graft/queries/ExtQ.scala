@@ -1314,6 +1314,26 @@ object ExtQ {
     // the probe is driver-side metadata.
     "x52_zorder_exec" -> ((s, d) => x52Frame(s, d)._1),
 
+    // x55 — INCREMENTAL Z-ORDER MAINTENANCE (x52 × the append kind —
+    // OPTIMIZE for a table that keeps growing): v1 commits the
+    // z-ordered table (x52's 16 rank slices); tonight's batch lands
+    // as an APPEND (Snapshots.commitAppend — the most common
+    // lakehouse commit: one unsorted bucket, NO base file touched,
+    // read, or rewritten, witnessed by the file listing). The
+    // unsorted bucket's zone map spans the whole z domain, so every
+    // 2-D box query rescans the entire delta — the measurable decay
+    // OPTIMIZE exists to fix. The incremental OPTIMIZE then re-lands
+    // ONLY the delta, z-ranked into its own 16 slices, as a
+    // dataChange=false append against the SAME base (Delta's
+    // OPTIMIZE commit shape): state is unchanged, the change feed
+    // skips it (stepChanges), the base rides by reference, and the
+    // box query now prunes BOTH file families. All four protocol
+    // facts ride as hash-pinned flags; the rows are the plain box
+    // answer. At 100 TB this is the difference between re-sorting a
+    // corpus nightly and sorting each day's delta once — OPTIMIZE
+    // cost tracks the CHURN, scan cost stays ~p·files forever.
+    "x55_incremental_zorder" -> ((s, d) => x55Frame(s, d)._1),
+
     // x54 — TIME TRAVEL ON THE SQL SURFACE (q29's S8 script runner ×
     // x24's warehouse contract): the same two-version balance table,
     // but the pinned reads are issued from PURE SQL TEXT via the
@@ -2600,6 +2620,30 @@ object ExtQ {
     Snapshots.commit(balances(orders), dir)
   }
 
+  /** x52/x55: the events with their 4-bit query buckets and z-value
+    * (x19's exact integer interleave). */
+  private def zEvents(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .withColumn("ub", (col("user_id") % 16).cast("int"))
+      .withColumn("tb",
+        expr("cast((hour(ts) * 60 + minute(ts)) div 90 as int)"))
+      .withColumn("z", expr(zInterleave("div")).cast("int"))
+      .select(col("event_id"), col("ub"), col("tb"), col("z"))
+
+  /** x52/x55: dense global rank in z order (GlobalIndexExec — range
+    * shuffle + local sorts, no single reducer) cut into
+    * [[ZExecFiles]] equal-row slices numbered from `firstFile`.
+    * `nEst` may be an estimate (catalog-derived): the `least` cap
+    * keeps slice ids in range; a slightly uneven last slice costs
+    * nothing — zone maps, not slice equality, drive the pruning. */
+  private def zRankSlices(df: DataFrame, nEst: Long, firstFile: Int): DataFrame =
+    graft.ops.GlobalIndex.withGlobalIndex(
+        df, Seq(col("z"), col("event_id")), "_zrank")
+      .withColumn("zfile",
+        least(lit(firstFile) + expr(s"(_zrank * $ZExecFiles) div $nEst"),
+          lit(firstFile + ZExecFiles - 1)).cast("int"))
+      .drop("_zrank")
+
   /** x52 shared frame (declared query + PlanShapeSpec): execute the
     * z-order layout end to end — z-rank the events through
     * GlobalIndexExec, commit the 16-file layout as a snapshot
@@ -2615,19 +2659,7 @@ object ExtQ {
     // count job (the x38 rule)
     val n = graft.ops.StatsCatalog.nRows(
       graft.ops.StatsCatalog.stats(s, d, "events"))
-    val ev = Tables.load(s, d, "events")
-      .withColumn("ub", (col("user_id") % 16).cast("int"))
-      .withColumn("tb",
-        expr("cast((hour(ts) * 60 + minute(ts)) div 90 as int)"))
-      .withColumn("z", expr(zInterleave("div")).cast("int"))
-      .select(col("event_id"), col("ub"), col("tb"), col("z"))
-    // dense global rank in z order (range shuffle + local sorts, no
-    // single reducer) → equal-row file slices, contiguous in z
-    val laid = graft.ops.GlobalIndex.withGlobalIndex(
-        ev, Seq(col("z"), col("event_id")), "_zrank")
-      .withColumn("zfile",
-        expr(s"cast((_zrank * $ZExecFiles) div $n as int)"))
-      .drop("_zrank")
+    val laid = zRankSlices(zEvents(s, d), n, firstFile = 0)
     Snapshots.commit(laid.repartition(col("zfile")), dir,
       partitionBy = Seq("zfile"))
     val oneFile = Snapshots.filesPerDir(s, dir, 1).values.forall(_ == 1)
@@ -2653,6 +2685,70 @@ object ExtQ {
         lit(oneFile).as("one_file_per_dir"))
       .orderBy(col("event_id"))
     (res, scan.length, zones.length, oneFile)
+  }
+
+  /** x55 shared frame (declared query + PlanShapeSpec): the
+    * incremental-OPTIMIZE life cycle. Returns (result, pre-optimize
+    * scan set size, post-optimize scan set size, total files) so the
+    * spec can pin that optimizing the delta shrank the box query's
+    * scan set without touching the base. */
+  def x55Frame(s: SparkSession, d: String): (DataFrame, Int, Int, Int) = {
+    import graft.sources.Snapshots
+    val dir = s"target/x55_snap_${math.abs(d.hashCode)}"
+    Snapshots.drop(s, dir) // deterministic version numbers per run
+    val n = graft.ops.StatsCatalog.nRows(
+      graft.ops.StatsCatalog.stats(s, d, "events"))
+    val ev = zEvents(s, d)
+    val base = ev.filter(col("event_id") % 8 =!= 0)
+    val delta = ev.filter(col("event_id") % 8 === 0)
+    // slice sizing from the catalog row count — estimates are fine
+    // (zRankSlices caps), no plan-time count jobs
+    val nDeltaEst = math.max(1L, (n + 7L) / 8L)
+    val nBaseEst = math.max(1L, n - nDeltaEst)
+    // v1: the z-ordered table (x52's layout, files 0..15)
+    Snapshots.commit(
+      zRankSlices(base, nBaseEst, firstFile = 0).repartition(col("zfile")),
+      dir, partitionBy = Seq("zfile"))
+    val sig1 = Snapshots.fileSignature(s, dir, 1)
+    // v2: tonight's batch lands as an APPEND — one unsorted bucket
+    // (zfile = -1), no base file touched, read, or rewritten
+    Snapshots.commitAppend(
+      delta.withColumn("zfile", lit(-1)).repartition(col("zfile")),
+      dir, base = 1, partitionBy = Seq("zfile"))
+    def zones(v: Int) = Snapshots.readResolved(s, dir, Some(v))
+      .groupBy(col("zfile"))
+      .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val (zLo, zHi) = (zOf(ZBoxLo, ZBoxLo), zOf(ZBoxHi, ZBoxHi))
+    def scanSet(zs: Array[(Int, Int, Int)]) =
+      zs.collect { case (f, lo, hi) if hi >= zLo && lo <= zHi => f }.toIndexedSeq
+    // pre-optimize: the unsorted bucket's zone map spans ~the whole z
+    // domain, so EVERY box query rescans the entire delta
+    val preScan = scanSet(zones(2))
+    val deltaRescanBefore = preScan.contains(-1)
+    // v3: incremental OPTIMIZE — re-land ONLY the delta z-ranked
+    // (files 16..31) as a dataChange=false append against the SAME
+    // base; state is v2's, the change feed skips it, the base rides
+    // by reference
+    Snapshots.commitAppend(
+      zRankSlices(delta, nDeltaEst, firstFile = ZExecFiles)
+        .repartition(col("zfile")),
+      dir, base = 1, partitionBy = Seq("zfile"), dataChange = false)
+    val baseUntouched = Snapshots.fileSignature(s, dir, 1) == sig1
+    val zs3 = zones(3)
+    val scan3 = scanSet(zs3)
+    val deltaPrunedAfter = scan3.count(_ >= ZExecFiles) < ZExecFiles
+    val res = Snapshots.readResolved(s, dir, Some(3))
+      .filter(col("zfile").isin(scan3: _*))
+      .filter(col("ub").between(ZBoxLo, ZBoxHi)
+        && col("tb").between(ZBoxLo, ZBoxHi))
+      .select(col("event_id"), col("ub"), col("tb"), col("z"),
+        lit(scan3.length < zs3.length).as("pruned"),
+        lit(baseUntouched).as("base_files_untouched"),
+        lit(deltaRescanBefore).as("delta_rescanned_before"),
+        lit(deltaPrunedAfter).as("delta_pruned_after"))
+      .orderBy(col("event_id"))
+    (res, preScan.length, scan3.length, zs3.length)
   }
 
   /** x20: compaction target size (chars stand in for bytes at
@@ -3609,6 +3705,25 @@ object ExtQ {
          |  CAST(${zInterleave("//")} AS INT) AS z FROM e)
          |SELECT event_id, ub, tb, z, true AS pruned,
          |  true AS one_file_per_dir
+         |FROM z
+         |WHERE ub BETWEEN $ZBoxLo AND $ZBoxHi
+         |  AND tb BETWEEN $ZBoxLo AND $ZBoxHi
+         |ORDER BY event_id""".stripMargin,
+
+    // x55: the box answer stated plainly (x52's frame); the four
+    // literal-true flags pin the append/OPTIMIZE protocol facts the
+    // Spark side derives from file listings and zone maps.
+    "x55_incremental_zorder" ->
+      s"""WITH e AS (SELECT event_id,
+         |  CAST(user_id % 16 AS INT) AS ub,
+         |  CAST((hour(ts) * 60 + minute(ts)) // 90 AS INT) AS tb
+         |  FROM events),
+         |z AS (SELECT event_id, ub, tb,
+         |  CAST(${zInterleave("//")} AS INT) AS z FROM e)
+         |SELECT event_id, ub, tb, z, true AS pruned,
+         |  true AS base_files_untouched,
+         |  true AS delta_rescanned_before,
+         |  true AS delta_pruned_after
          |FROM z
          |WHERE ub BETWEEN $ZBoxLo AND $ZBoxHi
          |  AND tb BETWEEN $ZBoxLo AND $ZBoxHi

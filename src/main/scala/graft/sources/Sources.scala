@@ -494,6 +494,26 @@ object Snapshots {
     writeVersion(keys, dir, Nil, extraMeta = s""","kind":"deletes","base":$base""")
   }
 
+  /** Commit an APPEND: `df` holds ONLY the new rows; version `base`'s
+    * whole state rides along logically — THE most common lakehouse
+    * commit (a nightly ingest lands its batch without touching,
+    * reading, or rewriting any existing file; x55 proves base
+    * immutability from the file listing). Readers resolve through
+    * [[readResolved]] (base ∪ appended rows). `partitionBy` lays out
+    * the appended files independently of the base's layout — which is
+    * exactly what incremental OPTIMIZE exploits: re-landing the same
+    * logical rows in a better layout is just another append against
+    * the same base (the dataChange=false commit of Delta's OPTIMIZE),
+    * never a base rewrite. */
+  def commitAppend(df: DataFrame, dir: String, base: Int,
+                   partitionBy: Seq[String] = Nil,
+                   dataChange: Boolean = true): Int = {
+    require(versions(df.sparkSession, dir).contains(base),
+      s"append base v$base not committed under $dir")
+    writeVersion(df, dir, partitionBy,
+      extraMeta = s""","kind":"append","base":$base,"dataChange":$dataChange""")
+  }
+
   /** Commit a PARTITION OVERWRITE: `df` holds ONLY the rows of the
     * partition `pcol = pval`; every other partition of version `base`
     * rides along logically (INSERT OVERWRITE ... PARTITION /
@@ -760,6 +780,15 @@ object Snapshots {
       df.select(op.as("op") +: keys.map(col): _*)
     Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
       case "deletes" => sel(lit("D"), vdf)
+      // an append's feed is its own rows as inserts — by construction,
+      // no diff job (the O(Δ) change feed ingest pipelines want). A
+      // dataChange=false append (incremental OPTIMIZE re-landing
+      // existing rows in a better layout) feeds NOTHING: readers of
+      // the change feed must never see a layout commit as new data.
+      case "append" =>
+        if (Option(n.get("dataChange")).forall(_.asBoolean(true)))
+          sel(lit("I"), vdf)
+        else sel(lit("I"), vdf).limit(0)
       case "replace" =>
         val pcol = n.get("pcol").asText()
         val pval = n.get("pval").asText()
@@ -1000,6 +1029,8 @@ object Snapshots {
           val pval = n.get("pval").asText()
           resolve(n.get("base").asInt())
             .filter(col(pcol) =!= pval).unionByName(vdf)
+        case "append" =>
+          resolve(n.get("base").asInt()).unionByName(vdf)
         case other => sys.error(s"unknown version kind '$other' at v$v")
       }
     }

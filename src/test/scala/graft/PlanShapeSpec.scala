@@ -316,6 +316,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(touched <= filesRead, s"read $touched files for $filesRead scanned")
   }
 
+  test("x55's incremental OPTIMIZE shrinks the box scan set without touching the base") {
+    val (df, preScan, postScan, filesTotal) = queries.ExtQ.x55Frame(spark, Sf0001)
+    // pre-optimize the unsorted delta bucket is ALWAYS in the scan
+    // set; post-optimize the box reads a few slices of each family
+    assert(filesTotal == 2 * queries.ExtQ.ZExecFiles,
+      s"expected both file families zone-mapped, got $filesTotal")
+    assert(postScan < filesTotal && postScan <= 8,
+      s"expected a real skip ratio after OPTIMIZE, got $postScan/$filesTotal")
+    // the pre-optimize scan set is base slices + the whole delta; the
+    // post-optimize one replaces the whole-delta bucket with slices
+    assert(preScan <= queries.ExtQ.ZExecFiles + 1,
+      s"pre-optimize scan should be base slices + 1 bucket, got $preScan")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ub"),
+      "residual box filter must be pushed to the parquet scans")
+    assert(p.contains("PartitionFilters") && p.replaceAll(
+        "(?s).*PartitionFilters: (\\[[^\\]]*\\]).*", "$1").contains("zfile"),
+      "zfile membership must prune at listing time on both legs")
+  }
+
   test("v19's radius search is a broadcast + narrow filter scan (no corpus sort before the filter)") {
     val p = plan("v19_radius_search")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),

@@ -376,6 +376,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 1)
   }
 
+  test("append commits: base rides by reference, feed is O(Δ), layout re-lands feed nothing") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val sig1 = Snapshots.fileSignature(spark, dir, 1)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), dir, base = 1)
+    // resolution = base ∪ appended; the base's files were not touched
+    assert(Snapshots.readResolved(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Snapshots.fileSignature(spark, dir, 1) == sig1,
+      "an append must never rewrite its base")
+    // the append's change feed is its own rows as inserts — no diff job
+    assert(Snapshots.stepChanges(spark, dir, 2, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("I", 3L)))
+    // a dataChange=false append (layout-only OPTIMIZE re-land of the
+    // same logical rows) keeps the state and feeds NOTHING
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), dir, base = 1,
+      dataChange = false)
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    assert(Snapshots.stepChanges(spark, dir, 3, Seq("id")).isEmpty,
+      "a layout commit must not re-feed existing rows as new data")
+    // vacuum's transitive chain pinning protects the append's base
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).toSet == Set(2))
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+  }
+
   test("a MERGE planned against v1 conflicts with an interleaved commit, then lands re-planned") {
     import graft.sources.ConcurrentCommitException
     val dir = freshDir()
