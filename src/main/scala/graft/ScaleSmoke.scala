@@ -124,6 +124,10 @@ object ScaleSmoke {
     // the CHURN); zone maps stay 32 rows and the box reads scan
     // ~p·files at any F
     "x55_incremental_zorder",
+    // x56 is deliberately absent: its data-sized work IS x33's
+    // (measured above) — the table_changes binding adds only a
+    // per-reference metadata rewrite, so a second row would time the
+    // same commits twice and claim nothing new
     // x30, q33 and x37 are deliberately absent: all read dimensions
     // (customer/nation) this generator keeps verbatim (see the
     // customer note in generate()) — a 10× row would measure nothing

@@ -1052,20 +1052,7 @@ object ExtQ {
     "x33_log_changes" -> ((s, d) => {
       import graft.sources.Snapshots
       val dir = s"target/x33_snap_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, dir) // deterministic version numbers per run
-      val docs = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      Snapshots.commit(docs, dir)
-      val takedown = docs.filter(
-          graft.ops.TextFns.hash60(concat(lit("gdpr|"),
-            col("doc_id").cast("string"))) % 20 === 0)
-        .select(col("doc_id"))
-      Snapshots.commitDeletes(takedown, dir, base = 1)
-      val rescored = Snapshots.readResolved(s, dir, Some(2))
-        .filter(col("source") === X28Pval && col("n_chars") >= X32MinChars)
-        .withColumn("n_chars", col("n_chars") * 2)
-      Snapshots.commitReplace(rescored, dir, base = 2,
-        pcol = "source", pval = X28Pval)
+      x33CommitHistory(s, d, dir)
       (1 to 3).map(v =>
           Snapshots.stepChanges(s, dir, v, Seq("doc_id"))
             .withColumn("to_version", lit(v)))
@@ -1333,6 +1320,34 @@ object ExtQ {
     // corpus nightly and sorting each day's delta once — OPTIMIZE
     // cost tracks the CHURN, scan cost stays ~p·files forever.
     "x55_incremental_zorder" -> ((s, d) => x55Frame(s, d)._1),
+
+    // x56 — CHANGE FEED ON THE SQL SURFACE (x33's log-native feed ×
+    // x54's binding pattern): the same three-kind history (data / DV
+    // / partition replace), but every per-version feed is read from
+    // PURE SQL via table_changes('<dir>', v, 'doc_id') — Delta's CDC
+    // TVF for the Snapshots log, so downstream CDC consumers are
+    // plain SQL scripts. Output and oracle are x33's BY DESIGN: the
+    // hash equality proves the SQL surface serves the identical O(Δ)
+    // feed (the DV step still reads only the DV, the replace step
+    // still prunes to one partition — the binding is metadata, the
+    // plan is stepChanges').
+    "x56_sql_change_feed" -> ((s, d) => {
+      val dir = s"target/x56_snap_${math.abs(d.hashCode)}"
+      x33CommitHistory(s, d, dir)
+      val script =
+        s"""-- CDC consumption in pure SQL over the per-version feeds
+           |CREATE OR REPLACE TEMPORARY VIEW x56_feed AS
+           |SELECT 1 AS to_version, op, doc_id
+           |FROM table_changes('$dir', 1, 'doc_id')
+           |UNION ALL SELECT 2, op, doc_id
+           |FROM table_changes('$dir', 2, 'doc_id')
+           |UNION ALL SELECT 3, op, doc_id
+           |FROM table_changes('$dir', 3, 'doc_id');
+           |SELECT to_version, op, count(*) AS n, sum(doc_id) AS keysum
+           |FROM x56_feed GROUP BY to_version, op
+           |ORDER BY to_version, op""".stripMargin
+      graft.util.SqlRunner.runScriptWithSnapshots(s, script).last
+    }),
 
     // x54 — TIME TRAVEL ON THE SQL SURFACE (q29's S8 script runner ×
     // x24's warehouse contract): the same two-version balance table,
@@ -2605,6 +2620,54 @@ object ExtQ {
       |FROM latest l LEFT JOIN v1 v USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  /** x33/x56 shared oracle: all three per-version feeds stated from
+    * source (insert flood, DV keys, replace-partition diff). x56
+    * shares the STRING deliberately — the SQL-surface feed must
+    * hash-match the Scala API's. */
+  val X33OracleSql: String =
+    s"""WITH del AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE CAST(('0x' || substr(md5('gdpr|' || doc_id::VARCHAR), 1, 15))
+       |    AS BIGINT) % 20 = 0),
+       |s3 AS (
+       |  SELECT doc_id, n_chars FROM documents d
+       |  WHERE source = '$X28Pval'
+       |    AND NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)),
+       |allc AS (
+       |  SELECT CAST(1 AS INT) AS to_version, 'I' AS op, doc_id
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT), 'D', doc_id FROM del
+       |  UNION ALL
+       |  SELECT CAST(3 AS INT),
+       |    CASE WHEN n_chars < $X32MinChars THEN 'D' ELSE 'U' END, doc_id
+       |  FROM s3)
+       |SELECT to_version, op, COUNT(*) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS keysum
+       |FROM allc GROUP BY to_version, op
+       |ORDER BY to_version, op""".stripMargin
+
+  /** x33/x56 shared frame: (re)commit the three-kind change history —
+    * v1 data (full corpus), v2 deletion vector (GDPR takedown keys),
+    * v3 partition replace (one source rescored) — under `dir`. */
+  private def x33CommitHistory(s: SparkSession, d: String, dir: String): Unit = {
+    import graft.sources.Snapshots
+    Snapshots.drop(s, dir) // deterministic version numbers per run
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    Snapshots.commit(docs, dir)
+    val takedown = docs.filter(
+        graft.ops.TextFns.hash60(concat(lit("gdpr|"),
+          col("doc_id").cast("string"))) % 20 === 0)
+      .select(col("doc_id"))
+    Snapshots.commitDeletes(takedown, dir, base = 1)
+    val rescored = Snapshots.readResolved(s, dir, Some(2))
+      .filter(col("source") === X28Pval && col("n_chars") >= X32MinChars)
+      .withColumn("n_chars", col("n_chars") * 2)
+    Snapshots.commitReplace(rescored, dir, base = 2,
+      pcol = "source", pval = X28Pval)
+  }
+
   /** x24/x54 shared frame: (re)commit the customer balance table as
     * exactly two versions under `dir` — v1 over pre-1997 orders, v2
     * over all — so both queries pin reads against a known log. */
@@ -3338,28 +3401,11 @@ object ExtQ {
     // surviving replaced partition into D (fails the length gate)
     // and U (kept and rescored; n_chars > 0 so the doubled value
     // always differs)
-    "x33_log_changes" ->
-      s"""WITH del AS (
-         |  SELECT doc_id FROM documents
-         |  WHERE CAST(('0x' || substr(md5('gdpr|' || doc_id::VARCHAR), 1, 15))
-         |    AS BIGINT) % 20 = 0),
-         |s3 AS (
-         |  SELECT doc_id, n_chars FROM documents d
-         |  WHERE source = '$X28Pval'
-         |    AND NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)),
-         |allc AS (
-         |  SELECT CAST(1 AS INT) AS to_version, 'I' AS op, doc_id
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT CAST(2 AS INT), 'D', doc_id FROM del
-         |  UNION ALL
-         |  SELECT CAST(3 AS INT),
-         |    CASE WHEN n_chars < $X32MinChars THEN 'D' ELSE 'U' END, doc_id
-         |  FROM s3)
-         |SELECT to_version, op, COUNT(*) AS n,
-         |  CAST(SUM(doc_id) AS BIGINT) AS keysum
-         |FROM allc GROUP BY to_version, op
-         |ORDER BY to_version, op""".stripMargin,
+    "x33_log_changes" -> X33OracleSql,
+
+    // x56: x33's oracle VERBATIM (the x54 pattern) — the SQL-surface
+    // feed must aggregate identically to the Scala API's.
+    "x56_sql_change_feed" -> X33OracleSql,
 
     // Each column's stats stated directly, one SELECT per column —
     // the same union-of-legs shape as the Spark plan, so the hash

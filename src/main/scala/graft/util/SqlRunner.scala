@@ -44,6 +44,22 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    runScript(spark, bound)
+    val bound2 = TableChanges.replaceAllIn(bound, m => {
+      val (dir, v) = (m.group(1), m.group(2).toInt)
+      val keys = m.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val view = s"changes_${Integer.toHexString((dir + keys.mkString(",")).hashCode)}_v$v"
+      graft.sources.Snapshots.stepChanges(spark, dir, v, keys)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    runScript(spark, bound2)
   }
+
+  /** Change-feed twin of [[SnapshotAt]] (Delta's `table_changes`
+    * TVF): `table_changes('<dir>', <v>, '<key[,key…]>')` binds the
+    * O(Δ) per-version feed ([[graft.sources.Snapshots.stepChanges]]
+    * — op + key columns) as a temp view, so downstream CDC consumers
+    * can be written in pure SQL. */
+  private val TableChanges =
+    """(?i)table_changes\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)""".r
 }

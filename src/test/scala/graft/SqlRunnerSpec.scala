@@ -50,6 +50,20 @@ class SqlRunnerSpec extends SparkSpec {
     assert(out == 10L)
   }
 
+  test("table_changes binds the per-version feed into pure SQL text") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString + "/t"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Snapshots.commitDeletes(Seq(2L).toDF("id"), dir, base = 1)
+    val out = SqlRunner.runScriptWithSnapshots(spark,
+      s"""SELECT op, id FROM table_changes('$dir', 1, 'id')
+         |UNION ALL SELECT op, id FROM table_changes('$dir', 2, 'id')
+         |ORDER BY id, op""".stripMargin).last
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("I", 1L), ("D", 2L), ("I", 2L)))
+  }
+
   test("an unknown version fails at bind time, before any SQL runs") {
     import spark.implicits._
     import graft.sources.Snapshots
