@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -292,6 +292,52 @@ object EventStream {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         statsFold(batch, valueCol, keyCol, stateDir, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** One micro-batch's CDC-MERGE fold — the streaming twin of x51's
+    * general MERGE INTO: the batch is a changeset (pre-reduced
+    * latest-wins on `seqCol` per key, mergeInto's at-most-one-row
+    * contract), merged into the stored snapshot with the same
+    * [[graft.ops.Merge.mergeInto]] arms the batch operator uses, and
+    * committed EPOCH-TAGGED ([[graft.sources.Snapshots.commitEpoch]])
+    * — a replayed micro-batch finds its tag in the log and merges
+    * nothing (the merge plan is lazy; the skip costs no compute), so
+    * at-least-once delivery yields exactly-once state. The per-batch
+    * folds COMPOSE to the one-shot merge of the global latest-wins
+    * changeset provided the arms are seq-consistent (a delete signal
+    * must not insert: pass a `notMatchedInsert` that rejects it —
+    * StreamingSpec pins the equivalence). Returns the committed
+    * version, or None for a replay skip. */
+  def mergeFold(batch: DataFrame, stateDir: String, key: String,
+                seqCol: String,
+                matchedDelete: (Column, Column) => Column,
+                notMatchedInsert: Column => Column,
+                epochId: Long): Option[Int] = {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val latest = batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", seqCol)
+    val target =
+      if (Snapshots.versions(s, stateDir).isEmpty) latest.limit(0)
+      else Snapshots.read(s, stateDir)
+    val merged = graft.ops.Merge.mergeInto(target, latest, key,
+      matchedDelete = matchedDelete, notMatchedInsert = notMatchedInsert)
+    Snapshots.commitEpoch(merged, stateDir, epochId)
+  }
+
+  def mergeSink(stream: DataFrame, stateDir: String, key: String,
+                seqCol: String,
+                matchedDelete: (Column, Column) => Column,
+                notMatchedInsert: Column => Column,
+                checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        mergeFold(batch, stateDir, key, seqCol,
+          matchedDelete, notMatchedInsert, epochId); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

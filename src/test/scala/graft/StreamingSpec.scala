@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
@@ -426,6 +427,44 @@ class StreamingSpec extends SparkSpec {
     // the next real epoch still folds
     assert(EventStream.ivmFold(batch, orders, state, epochId = 1) == Some(2))
     assert(Snapshots.read(spark, state).agg(sum("n")).head.getLong(0) == 400)
+  }
+
+  test("streaming MERGE folds compose to the one-shot merge and replay-skip (x51 twin)") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val state = java.nio.file.Files.createTempDirectory("mrg_state").toString + "/t"
+    // seq-consistent arms: a negative balance is a delete signal —
+    // it must delete when matched and NEVER insert when unmatched
+    val del = (_: Column, s: Column) => s("bal") < 0
+    val ins = (s: Column) => s("bal") >= 0
+    def fold(rows: Seq[(Long, Double, Long)], epoch: Long) =
+      EventStream.mergeFold(rows.toDF("id", "bal", "seq"), state,
+        "id", "seq", del, ins, epoch)
+    // batch 0: inserts + an in-batch latest-wins reduce (id 2)
+    assert(fold(Seq((1L, 10.0, 1L), (2L, 5.0, 2L), (2L, 20.0, 3L)), 0) == Some(1))
+    // batch 1: update 1, delete 2, delete-signal for absent 3 (no-op)
+    assert(fold(Seq((1L, 11.0, 4L), (2L, -1.0, 5L), (3L, -9.0, 6L)), 1) == Some(2))
+    // batch 2: re-insert 2 after its delete
+    assert(fold(Seq((2L, 7.0, 7L)), 2) == Some(3))
+    val drained = Snapshots.read(spark, state).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(drained == Seq((1L, 11.0), (2L, 7.0)))
+    // the drained state == one-shot mergeInto of the GLOBAL
+    // latest-wins changeset into an empty target
+    val all = Seq((1L, 10.0, 1L), (2L, 5.0, 2L), (2L, 20.0, 3L),
+      (1L, 11.0, 4L), (2L, -1.0, 5L), (3L, -9.0, 6L), (2L, 7.0, 7L))
+      .toDF("id", "bal", "seq")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"seq".desc)
+    val latest = all.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1).drop("_rn", "seq")
+    val oneShot = graft.ops.Merge.mergeInto(latest.limit(0), latest, "id",
+        matchedDelete = del, notMatchedInsert = ins)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(oneShot == drained, "per-batch folds must compose to the one-shot merge")
+    // failure recovery replays epoch 2: no new version, state unchanged
+    assert(fold(Seq((2L, 7.0, 7L)), 2).isEmpty)
+    assert(Snapshots.versions(spark, state) == Seq(1, 2, 3))
   }
 
   test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
