@@ -124,6 +124,11 @@ object ScaleSmoke {
     // the CHURN); zone maps stay 32 rows and the box reads scan
     // ~p·files at any F
     "x55_incremental_zorder",
+    // x57 probes each F×-scaled order against the 15 committed
+    // boundaries (narrow codegen HOF — no range exchange, no
+    // sampling pass) + one hash colocation shuffle for the write;
+    // first run pays the scaled dir's orders ANALYZE
+    "x57_hist_range_partition",
     // x56 is deliberately absent: its data-sized work IS x33's
     // (measured above) — the table_changes binding adds only a
     // per-reference metadata rewrite, so a second row would time the

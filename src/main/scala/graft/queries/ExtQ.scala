@@ -1321,6 +1321,49 @@ object ExtQ {
     // cost tracks the CHURN, scan cost stays ~p·files forever.
     "x55_incremental_zorder" -> ((s, d) => x55Frame(s, d)._1),
 
+    // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
+    // histogram's SECOND consumer — x53 planned a join with it; x57
+    // WRITES with it): Spark's repartitionByRange samples the data,
+    // so its boundaries are neither bit-stable across runs nor free
+    // (a sampling pass per write — writeShards documents the
+    // consumers-must-reread-the-manifest consequence). The committed
+    // 16-bucket equi-depth histogram IS a range partitioner: its
+    // boundaries are exact order statistics, so shard = #boundaries
+    // ≤ value is a zero-job, sample-free, run-stable assignment
+    // (a codegen'd 15-element HOF probe per row — no range exchange,
+    // no global sort, embarrassingly parallel) with balance
+    // GUARANTEED by the equi-depth construction instead of hoped-for
+    // from a sample. The layout commits one file per shard
+    // (listing-checked) and the per-shard counts/bounds/keysums are
+    // hash-pinned — the oracle recomputes the same boundaries from
+    // ROW_NUMBER ranks, so a catalog drift breaks the hash. At
+    // 100 TB this turns every delivery write into a deterministic,
+    // repeatable layout whose balance came from ANALYZE, written
+    // once, not re-sampled per job.
+    "x57_hist_range_partition" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x57_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val bounds = graft.ops.StatsCatalog.stats(s, d, "orders")("o_totalprice")
+        .histogram.get
+      val laid = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("shard", size(filter(array(bounds.map(lit): _*),
+          b => col("o_totalprice") >= b)).cast("int"))
+      Snapshots.commit(laid.repartition(col("shard")), dir,
+        partitionBy = Seq("shard"))
+      val oneFile = Snapshots.filesPerDir(s, dir, 1).values.forall(_ == 1)
+      Snapshots.read(s, dir, Some(1))
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("min_v"),
+          max(col("o_totalprice")).as("max_v"),
+          sum(col("o_orderkey")).as("keysum"))
+        .withColumn("one_file_per_shard", lit(oneFile))
+        .orderBy(col("shard"))
+    }),
+
     // x56 — CHANGE FEED ON THE SQL SURFACE (x33's log-native feed ×
     // x54's binding pattern): the same three-kind history (data / DV
     // / partition replace), but every per-version feed is read from
@@ -2620,6 +2663,19 @@ object ExtQ {
       |FROM latest l LEFT JOIN v1 v USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  /** x53/x57 shared oracle CTE: the 15 equi-depth boundaries of
+    * o_totalprice recomputed from exact ROW_NUMBER ranks — the same
+    * ceil(i·n/16) order statistics StatsCatalog.equiDepth commits, so
+    * a consumer's replay can never drift from the catalog. */
+  val HistBoundsCte: String =
+    """n AS (SELECT COUNT(o_totalprice) AS c FROM orders),
+      |ranked AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+      |    ROW_NUMBER() OVER (ORDER BY o_totalprice) AS r
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |bounds AS (SELECT i,
+      |    (SELECT v FROM ranked, n WHERE r = (i * c + 15) // 16) AS b
+      |  FROM range(1, 16) t(i))""".stripMargin
+
   /** x33/x56 shared oracle: all three per-version feeds stated from
     * source (insert flood, DV keys, replace-partition diff). x56
     * shares the STRING deliberately — the SQL-surface feed must
@@ -3673,13 +3729,7 @@ object ExtQ {
     // A catalog serving a stale or wrong histogram flips the
     // hash-pinned est/strategy columns.
     "x53_hist_planned_join" ->
-      s"""WITH n AS (SELECT COUNT(o_totalprice) AS c FROM orders),
-         |ranked AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
-         |    ROW_NUMBER() OVER (ORDER BY o_totalprice) AS r
-         |  FROM orders WHERE o_totalprice IS NOT NULL),
-         |bounds AS (SELECT i,
-         |    (SELECT v FROM ranked, n WHERE r = (i * c + 15) // 16) AS b
-         |  FROM range(1, 16) t(i)),
+      s"""WITH $HistBoundsCte,
          |probes(probe, lo, hi) AS (VALUES
          |  ('narrow', $X53NarrowLo, $X53NarrowHi),
          |  ('wide', $X53WideLo, $X53WideHi)),
@@ -3755,6 +3805,21 @@ object ExtQ {
          |WHERE ub BETWEEN $ZBoxLo AND $ZBoxHi
          |  AND tb BETWEEN $ZBoxLo AND $ZBoxHi
          |ORDER BY event_id""".stripMargin,
+
+    // x57: the shard assignment replayed from the recomputed exact
+    // boundaries (count of b <= value); literal true pins the
+    // one-file-per-shard layout the Spark side listing-checks.
+    "x57_hist_range_partition" ->
+      s"""WITH $HistBoundsCte,
+         |sh AS (SELECT o_orderkey, o_totalprice,
+         |    CAST((SELECT COUNT(*) FROM bounds
+         |          WHERE b <= o.o_totalprice) AS INT) AS shard
+         |  FROM orders o WHERE o_totalprice IS NOT NULL)
+         |SELECT shard, COUNT(*) AS n_rows,
+         |  MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS keysum,
+         |  true AS one_file_per_shard
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     // x55: the box answer stated plainly (x52's frame); the four
     // literal-true flags pin the append/OPTIMIZE protocol facts the

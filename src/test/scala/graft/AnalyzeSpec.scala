@@ -155,6 +155,31 @@ class AnalyzeSpec extends SparkSpec {
       hist.last <= st("l_quantity").maxNum.get)
   }
 
+  test("x57's histogram partitioner balances within the equi-depth guarantee, no range exchange") {
+    val out = SparkEntry.queries("x57_hist_range_partition")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out.map(_._1) == (0 until 16), "all 16 shards populated, in order")
+    val counts = out.map(_._2)
+    // exact order-statistic boundaries ⇒ shard sizes are n/16 ±1 up
+    // to boundary-duplicate ties (o_totalprice is near-unique)
+    assert(counts.max - counts.min <= 2,
+      s"equi-depth balance violated: $counts")
+    // the WRITE path (assignment + colocation) must be a narrow HOF
+    // probe + one hash exchange — no sampled range exchange
+    val bounds = graft.ops.StatsCatalog
+      .stats(spark, Sf0001, "orders")("o_totalprice").histogram.get
+    val laid = Tables.load(spark, Sf0001, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("shard", size(filter(array(bounds.map(lit): _*),
+        b => col("o_totalprice") >= b)).cast("int"))
+      .repartition(col("shard"))
+    val p = laid.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("rangepartitioning") && p.contains("hashpartitioning"),
+      s"catalog boundaries must replace the sampled range exchange:\n$p")
+  }
+
   test("regenerated data is re-ANALYZEd within one JVM (memoized hit re-checks the fingerprint)") {
     import graft.ops.StatsCatalog
     val dir = java.nio.file.Files.createTempDirectory("regen").toString
