@@ -129,6 +129,10 @@ object ScaleSmoke {
     // sampling pass) + one hash colocation shuffle for the write;
     // first run pays the scaled dir's orders ANALYZE
     "x57_hist_range_partition",
+    // x58's arm evaluation scans the F×-scaled changeset against the
+    // verbatim dim (x51's curve), but the WRITES are delta-sized —
+    // a key DV + new images — instead of x51's copy-on-write output
+    "x58_merge_on_read",
     // x56 is deliberately absent: its data-sized work IS x33's
     // (measured above) — the table_changes binding adds only a
     // per-reference metadata rewrite, so a second row would time the

@@ -35,7 +35,7 @@ import graft.queries._
   *    (p,q)-core peeling, node similarity, BFS shortest paths,
   *    co-occurrence lift, seed-set harmonic closeness) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s8, q21–q27, q29, q33, x1–x57, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s8, q21–q27, q29, q33, x1–x58, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -72,7 +72,8 @@ import graft.queries._
   *    (snapshot_at bindings), x55 incremental z-order maintenance
   *    (append kind + dataChange=false OPTIMIZE re-land), x56
   *    SQL-surface change feed (table_changes bindings), x57
-  *    catalog-driven deterministic range partitioner, q33
+  *    catalog-driven deterministic range partitioner, x58
+  *    merge-on-read MERGE (staged DV + atomic append publish), q33
   *    correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)

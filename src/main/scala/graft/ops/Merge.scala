@@ -74,6 +74,53 @@ object Merge {
       matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
       notMatchedInsert: Column => Column = _ => lit(true),
       bySourceDelete: Column => Column = _ => lit(false)): DataFrame = {
+    val (joined, payload) = mergedFrame(target, source, key,
+      matchedDelete, matchedUpdate, notMatchedInsert, bySourceDelete)
+    joined.filter(col("_a") =!= "X")
+      .withColumn("_r", when(col("_a") === "K", col("_t")).otherwise(col("_s")))
+      .select(col(key) +: payload.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  /** The same four-arm MERGE as [[mergeInto]], expressed as DELTAS for
+    * the merge-on-read path (x58): returns (maskKeys, newImages) where
+    * `maskKeys` are the TARGET rows the merge removes or supersedes
+    * (matched deletes + matched updates + by-source deletes — a
+    * deletion vector against the base) and `newImages` are the rows
+    * the merge adds (updated images + inserts — an append). Base
+    * anti-join maskKeys ∪ newImages ≡ mergeInto's output (MergeSpec
+    * pins the identity). At 100 TB a low-churn MERGE lands as
+    * key-sized DV + delta-sized append instead of a copy-on-write
+    * table rewrite — Delta's merge-with-deletion-vectors shape. */
+  def mergeDeltas(target: DataFrame, source: DataFrame, key: String,
+      matchedDelete: (Column, Column) => Column = (_, _) => lit(false),
+      matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
+      notMatchedInsert: Column => Column = _ => lit(true),
+      bySourceDelete: Column => Column = _ => lit(false)): (DataFrame, DataFrame) = {
+    val (joined, payload) = mergedFrame(target, source, key,
+      matchedDelete, matchedUpdate, notMatchedInsert, bySourceDelete)
+    // each delta plans the join independently ON PURPOSE: Catalyst
+    // prunes each pass to the columns its projection needs (maskKeys
+    // reads only key + arm inputs), and two pruned scans of the
+    // target beat materializing the table-sized join that a shared
+    // cut would force — the deltas, not the join, are churn-sized
+    val maskKeys = joined
+      .filter(col("_t").isNotNull && col("_a").isin("X", "U"))
+      .select(col(key))
+    val newImages = joined.filter(col("_a").isin("I", "U"))
+      .select(col(key) +: payload.map(c => col(s"_s.$c").as(c)): _*)
+    (maskKeys, newImages)
+  }
+
+  /** Shared arm evaluation: the full-outer join with one action code
+    * per row (`_a` ∈ I/U/K/X) next to both payload structs. Arms
+    * collapse to codegen'd CASE chains over the join output — no
+    * second pass, no driver-side row handling; delete outranks
+    * update, mirroring SQL MERGE's first-matching-clause rule. */
+  private def mergedFrame(target: DataFrame, source: DataFrame, key: String,
+      matchedDelete: (Column, Column) => Column,
+      matchedUpdate: (Column, Column) => Column,
+      notMatchedInsert: Column => Column,
+      bySourceDelete: Column => Column): (DataFrame, IndexedSeq[String]) = {
     val payload = target.columns.filterNot(_ == key).toIndexedSeq
     require(payload.nonEmpty, "target needs at least one non-key column")
     val missing = (key +: payload).filterNot(source.columns.contains)
@@ -81,20 +128,12 @@ object Merge {
     val t2 = target.select(col(key), struct(payload.map(col): _*).as("_t"))
     val s2 = source.select(col(key), struct(payload.map(col): _*).as("_s"))
     val (tc, sc) = (col("_t"), col("_s"))
-    // Arms collapse to one action code per row; survivors read their
-    // payload from whichever struct the action names. Both selects
-    // are codegen'd CASE chains over the join output — no second
-    // pass, no driver-side row handling.
     val action =
       when(tc.isNull, when(notMatchedInsert(sc), "I").otherwise("X"))
         .when(sc.isNull, when(bySourceDelete(tc), "X").otherwise("K"))
         .otherwise(when(matchedDelete(tc, sc), "X")
           .when(matchedUpdate(tc, sc), "U")
           .otherwise("K"))
-    t2.join(s2, Seq(key), "full_outer")
-      .withColumn("_a", action)
-      .filter(col("_a") =!= "X")
-      .withColumn("_r", when(col("_a") === "K", tc).otherwise(sc))
-      .select(col(key) +: payload.map(c => col(s"_r.$c").as(c)): _*)
+    (t2.join(s2, Seq(key), "full_outer").withColumn("_a", action), payload)
   }
 }

@@ -1248,25 +1248,10 @@ object ExtQ {
       import graft.sources.Snapshots
       val dir = s"target/x51_snap_${math.abs(d.hashCode)}"
       Snapshots.drop(s, dir) // deterministic version numbers per run
-      val target = Tables.load(s, d, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val target = x51Target(s, d)
       Snapshots.commit(target, dir)
-      val wl = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      val restated = Tables.load(s, d, "orders")
-        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
-        .withColumn("rn", row_number().over(wl))
-        .filter(col("rn") === 1)
-        .join(target.select(col("c_custkey"), col("c_name")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"),
-          col("o_totalprice").as("c_acctbal"))
-      val source = restated.unionByName(
-        restated.filter(col("c_custkey") % 31 === 0)
-          .select((col("c_custkey") + X51KeyShift).as("c_custkey"),
-            concat(lit("branch of "), col("c_name")).as("c_name"),
-            col("c_acctbal")))
-      val merged = graft.ops.Merge.mergeInto(target, source, "c_custkey",
+      val merged = graft.ops.Merge.mergeInto(target, x51Changeset(s, d, target),
+        "c_custkey",
         matchedDelete = (_, sr) => sr("c_acctbal") < X51CloseBelow,
         notMatchedInsert = sr => sr("c_acctbal") >= X51CloseBelow,
         bySourceDelete = t => t("c_acctbal") < 0)
@@ -1320,6 +1305,45 @@ object ExtQ {
     // corpus nightly and sorting each day's delta once — OPTIMIZE
     // cost tracks the CHURN, scan cost stays ~p·files forever.
     "x55_incremental_zorder" -> ((s, d) => x55Frame(s, d)._1),
+
+    // x58 — MERGE-ON-READ MERGE (x51's statement, x27's physics):
+    // the SAME four-arm changeset, but landed as DELTAS instead of a
+    // copy-on-write rewrite — Merge.mergeDeltas derives the mask DV
+    // (matched deletes + superseded updates + by-source deletes) and
+    // the new images (updates + inserts) from one arm evaluation;
+    // the DV commits STAGED (invisible to latest), then ONE append
+    // whose base chain runs through it publishes — the append's
+    // entry is the atomic commit point, so no reader ever sees the
+    // masks without the images (SnapshotsSpec pins the torn-state
+    // window shut). base_files_untouched states the v1 listing is
+    // byte-identical after the whole merge — the claim x51's
+    // copy-on-write cannot make — and the resolved state hash-matches
+    // x51's oracle CTE verbatim (same merge, different physics). At
+    // 100 TB a low-churn nightly MERGE costs a key-sized DV + a
+    // delta-sized append + a broadcast-able anti-join at read,
+    // instead of rewriting the table.
+    "x58_merge_on_read" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x58_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val target = x51Target(s, d)
+      Snapshots.commit(target, dir)
+      val sig1 = Snapshots.fileSignature(s, dir, 1)
+      val (mask, images) = graft.ops.Merge.mergeDeltas(
+        target, x51Changeset(s, d, target), "c_custkey",
+        matchedDelete = (_, sr) => sr("c_acctbal") < X51CloseBelow,
+        notMatchedInsert = sr => sr("c_acctbal") >= X51CloseBelow,
+        bySourceDelete = t => t("c_acctbal") < 0)
+      val dv = Snapshots.commitDeletes(mask, dir, base = 1, staged = true)
+      Snapshots.commitAppend(images, dir, base = dv)
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sig1
+      Snapshots.readResolved(s, dir)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"),
+          lit(Snapshots.versions(s, dir).size).as("n_versions"),
+          lit(untouched).as("base_files_untouched"))
+        .orderBy(col("c_custkey"))
+    }),
 
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
@@ -2663,6 +2687,69 @@ object ExtQ {
       |FROM latest l LEFT JOIN v1 v USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  /** x51/x58 shared oracle CTE: the four merge arms stated as three
+    * UNION legs over the replayed changeset — matched rows surviving
+    * the closure line take the source payload, unmatched targets keep
+    * unless negative, unmatched source keys insert above the line.
+    * x58 shares the STRING deliberately: merge-on-read must
+    * reproduce copy-on-write row for row. */
+  val X51MergedCte: String =
+    s"""latest AS (
+       |  SELECT o_custkey, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+       |restated AS (
+       |  SELECT c.c_custkey, c.c_name, l.o_totalprice AS c_acctbal
+       |  FROM latest l JOIN customer c ON l.o_custkey = c.c_custkey
+       |  WHERE l.rn = 1),
+       |src AS (
+       |  SELECT c_custkey, c_name, c_acctbal FROM restated
+       |  UNION ALL
+       |  SELECT c_custkey + $X51KeyShift, 'branch of ' || c_name, c_acctbal
+       |  FROM restated WHERE c_custkey % 31 = 0),
+       |merged AS (
+       |  SELECT s.c_custkey, s.c_name, s.c_acctbal
+       |  FROM src s JOIN customer t ON s.c_custkey = t.c_custkey
+       |  WHERE s.c_acctbal >= $X51CloseBelow
+       |  UNION ALL
+       |  SELECT t.c_custkey, t.c_name, t.c_acctbal
+       |  FROM customer t LEFT JOIN src s ON s.c_custkey = t.c_custkey
+       |  WHERE s.c_custkey IS NULL AND t.c_acctbal >= 0
+       |  UNION ALL
+       |  SELECT s.c_custkey, s.c_name, s.c_acctbal
+       |  FROM src s LEFT JOIN customer t ON s.c_custkey = t.c_custkey
+       |  WHERE t.c_custkey IS NULL AND s.c_acctbal >= $X51CloseBelow)""".stripMargin
+
+  /** x51/x58 shared target: the customer balance table. */
+  private def x51Target(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** x51/x58 shared changeset: each customer's latest 1997+ order
+    * restates their balance (one row per key — mergeInto's
+    * contract), and key % 31 customers also open a branch account
+    * under a shifted, provably-unmatched key. */
+  private def x51Changeset(s: SparkSession, d: String,
+                           target: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val restated = Tables.load(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .join(target.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+    restated.unionByName(
+      restated.filter(col("c_custkey") % 31 === 0)
+        .select((col("c_custkey") + X51KeyShift).as("c_custkey"),
+          concat(lit("branch of "), col("c_name")).as("c_name"),
+          col("c_acctbal")))
+  }
+
   /** x53/x57 shared oracle CTE: the 15 equi-depth boundaries of
     * o_totalprice recomputed from exact ROW_NUMBER ranks — the same
     * ceil(i·n/16) order statistics StatsCatalog.equiDepth commits, so
@@ -3757,35 +3844,19 @@ object ExtQ {
     // unmatched targets keep unless negative; unmatched source keys
     // insert above the line); CAST(2 AS INT) pins the commit count.
     "x51_merge_into" ->
-      s"""WITH latest AS (
-         |  SELECT o_custkey, o_totalprice,
-         |    row_number() OVER (PARTITION BY o_custkey
-         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-         |  FROM orders
-         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
-         |restated AS (
-         |  SELECT c.c_custkey, c.c_name, l.o_totalprice AS c_acctbal
-         |  FROM latest l JOIN customer c ON l.o_custkey = c.c_custkey
-         |  WHERE l.rn = 1),
-         |src AS (
-         |  SELECT c_custkey, c_name, c_acctbal FROM restated
-         |  UNION ALL
-         |  SELECT c_custkey + $X51KeyShift, 'branch of ' || c_name, c_acctbal
-         |  FROM restated WHERE c_custkey % 31 = 0),
-         |merged AS (
-         |  SELECT s.c_custkey, s.c_name, s.c_acctbal
-         |  FROM src s JOIN customer t ON s.c_custkey = t.c_custkey
-         |  WHERE s.c_acctbal >= $X51CloseBelow
-         |  UNION ALL
-         |  SELECT t.c_custkey, t.c_name, t.c_acctbal
-         |  FROM customer t LEFT JOIN src s ON s.c_custkey = t.c_custkey
-         |  WHERE s.c_custkey IS NULL AND t.c_acctbal >= 0
-         |  UNION ALL
-         |  SELECT s.c_custkey, s.c_name, s.c_acctbal
-         |  FROM src s LEFT JOIN customer t ON s.c_custkey = t.c_custkey
-         |  WHERE t.c_custkey IS NULL AND s.c_acctbal >= $X51CloseBelow)
+      s"""WITH $X51MergedCte
          |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
          |  CAST(2 AS INT) AS n_versions
+         |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    // x58: the SAME merged CTE (merge-on-read must equal
+    // copy-on-write row for row); literal true pins the
+    // base-immutability listing check.
+    "x58_merge_on_read" ->
+      s"""WITH $X51MergedCte
+         |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         |  CAST(2 AS INT) AS n_versions,
+         |  true AS base_files_untouched
          |FROM merged ORDER BY c_custkey""".stripMargin,
 
     // x52: the box query stated plainly over the same z math; the

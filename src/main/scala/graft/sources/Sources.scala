@@ -487,11 +487,21 @@ object Snapshots {
     * corpus rewrite. Readers resolve the version through
     * [[readResolved]] (base anti-join keys) — the merge-on-read
     * contract of Delta deletion vectors / Iceberg equality deletes
-    * reduced to its load-bearing parts. */
-  def commitDeletes(keys: DataFrame, dir: String, base: Int): Int = {
-    require(versions(keys.sparkSession, dir).contains(base),
+    * reduced to its load-bearing parts.
+    *
+    * `staged = true` lands the DV invisible to `latest` (the WAP
+    * flag): x58's merge-on-read MERGE stages its mask DV and then
+    * publishes ONE append whose base chain runs through it — the
+    * append's entry is the atomic commit point, so no reader ever
+    * sees the deletes without the new images. A crash in between
+    * leaves an invisible staged ghost for [[vacuum]]. */
+  def commitDeletes(keys: DataFrame, dir: String, base: Int,
+                    staged: Boolean = false): Int = {
+    require(allVersions(keys.sparkSession, dir).contains(base),
       s"delete base v$base not committed under $dir")
-    writeVersion(keys, dir, Nil, extraMeta = s""","kind":"deletes","base":$base""")
+    writeVersion(keys, dir, Nil, extraMeta =
+      s""","kind":"deletes","base":$base""" +
+        (if (staged) ""","staged":true""" else ""))
   }
 
   /** Commit an APPEND: `df` holds ONLY the new rows; version `base`'s
@@ -508,7 +518,9 @@ object Snapshots {
   def commitAppend(df: DataFrame, dir: String, base: Int,
                    partitionBy: Seq[String] = Nil,
                    dataChange: Boolean = true): Int = {
-    require(versions(df.sparkSession, dir).contains(base),
+    // allVersions: an append may chain through a STAGED base (x58's
+    // merge-on-read publish point rides a staged DV)
+    require(allVersions(df.sparkSession, dir).contains(base),
       s"append base v$base not committed under $dir")
     writeVersion(df, dir, partitionBy,
       extraMeta = s""","kind":"append","base":$base,"dataChange":$dataChange""")

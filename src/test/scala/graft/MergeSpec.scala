@@ -112,6 +112,21 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("missing columns"))
   }
 
+  test("mergeDeltas: base anti-join mask, union images ≡ mergeInto (the MoR identity)") {
+    val del = (_: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) => s("bal") < 0
+    val upd = (_: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) => s("bal") >= 50
+    val ins = (s: org.apache.spark.sql.Column) => s("bal") >= 1
+    val bys = (t: org.apache.spark.sql.Column) => t("bal") < 0
+    val (mask, images) = Merge.mergeDeltas(tgt, src, "id", del, upd, ins, bys)
+    val mor = tgt.join(mask, Seq("id"), "left_anti").unionByName(images)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    val cow = Merge.mergeInto(tgt, src, "id", del, upd, ins, bys)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(mor == cow, "merge-on-read must equal copy-on-write row for row")
+    // the mask holds exactly the removed-or-superseded TARGET keys
+    assert(mask.orderBy("id").as[Long].collect().toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("mergeInto plans one join, no window, no extra data pass") {
     val plan = Merge.mergeInto(tgt, src, "id").queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")

@@ -402,6 +402,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readResolved(spark, dir).count() == 3)
   }
 
+  test("merge-on-read publish: the staged DV is invisible until the append lands (no torn state)") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), dir)
+    // stage the mask DV: key 2 is superseded by an update
+    val dv = Snapshots.commitDeletes(Seq(2L).toDF("id"), dir, base = 1,
+      staged = true)
+    // the torn window: latest must still serve the PRE-merge state
+    assert(Snapshots.readResolved(spark, dir).orderBy("id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 10.0), (2L, 20.0)),
+      "a reader between the DV and the append must see v1, not the mask alone")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    // ONE append through the staged base is the atomic commit point
+    Snapshots.commitAppend(Seq((2L, 99.0), (3L, 30.0)).toDF("id", "bal"),
+      dir, base = dv)
+    assert(Snapshots.readResolved(spark, dir).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    // the base's files were never rewritten — the MoR claim
+    assert(Snapshots.fileSignature(spark, dir, 1).nonEmpty)
+  }
+
   test("a MERGE planned against v1 conflicts with an interleaved commit, then lands re-planned") {
     import graft.sources.ConcurrentCommitException
     val dir = freshDir()
