@@ -133,6 +133,9 @@ object ScaleSmoke {
     // verbatim dim (x51's curve), but the WRITES are delta-sized —
     // a key DV + new images — instead of x51's copy-on-write output
     "x58_merge_on_read",
+    // v25 is deliberately absent: its data-sized work IS v20's
+    // append assignment (measured above, shared Derived index);
+    // the drift math after it is two model-sized aggregates
     // x56 is deliberately absent: its data-sized work IS x33's
     // (measured above) — the table_changes binding adds only a
     // per-reference metadata rewrite, so a second row would time the

@@ -9,7 +9,7 @@ import graft.queries._
   *  - RelationalQ (q1–q20, q30, q32, q34): SURVEY.md §2.1–2.8
   *    relational inventory + window analytics (lead/lag/ntile,
   *    distribution ranks, value-based RANGE frames)
-  *  - VectorQ (v1–v24): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v25): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
   *    truncated-prefilter rerank, recall@k evaluation, MMR
@@ -17,7 +17,9 @@ import graft.queries._
   *    filtered search with the pre-/post-filter recall trap
   *    quantified, v23 hybrid BM25⊕cosine reciprocal-rank fusion,
   *    v24 persisted vector index — IVF committed as lakehouse
-  *    tables in one transaction, searched by a cold process)
+  *    tables in one transaction, searched by a cold process —
+  *    and v25 index drift monitoring: the metadata-sized
+  *    retrain trigger over batch-vs-stored cluster shares)
   *  - DedupQ (d1–d14, x14): dedup suite (exact, Jaccard, MinHash,
   *    SimHash, Hamming pairs, embedding, clustering, edit distance,
   *    exact + fuzzy decontamination, n-gram containment,

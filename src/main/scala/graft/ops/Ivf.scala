@@ -86,6 +86,37 @@ object Ivf {
         .unionByName(assignedNew), id, index.vecCol)
   }
 
+  /** v25's drift monitor: per-cluster share (parts-per-256, exact
+    * integer quotients) of the stored corpus vs the appended batch,
+    * with the global rebuild verdict (any cluster's share moved
+    * more than `threshold256`/256). Everything after the
+    * assignment's own groupBy is model-sized — shares, drift, and
+    * verdict cost two tiny aggregates and two broadcasts, never a
+    * vector pass; the index fleet's retrain scheduler reads THIS,
+    * not a recall probe job. */
+  def shareDrift(assigned: DataFrame, isHist: org.apache.spark.sql.Column,
+                 threshold256: Int): DataFrame = {
+    val counts = assigned
+      .select(col("cluster_id").cast("int").as("cluster_id"), isHist.as("_h"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(when(col("_h"), 1L).otherwise(0L)).as("n_hist"),
+        sum(when(col("_h"), 0L).otherwise(1L)).as("n_batch"))
+    val tot = counts.agg(sum(col("n_hist")).as("nh"),
+      sum(col("n_batch")).as("nb"))
+    val shared = counts.crossJoin(broadcast(tot))
+      .withColumn("share_hist_256",
+        expr("cast((n_hist * 256) div nh as int)"))
+      .withColumn("share_batch_256",
+        expr("cast((n_batch * 256) div nb as int)"))
+      .withColumn("drift_256",
+        expr("cast(abs((n_hist * 256) div nh - (n_batch * 256) div nb) as int)"))
+    val verdict = shared.agg(max(col("drift_256")).as("max_drift"))
+    shared.crossJoin(broadcast(verdict))
+      .select(col("cluster_id"), col("n_hist"), col("n_batch"),
+        col("share_hist_256"), col("share_batch_256"), col("drift_256"),
+        (col("max_drift") > threshold256).as("rebuild"))
+  }
+
   private def bucket(vectors: DataFrame, idCol: String, vecCol: String,
                      cents: DataFrame, assign: DataFrame): Index = {
     val v = vectors.select(col(idCol),

@@ -71,6 +71,14 @@ object VectorQ {
   val AppendSplitMod = 10
   val AppendHistMax = 8
 
+  /** v25: a cluster whose batch share moved more than this many
+    * parts-per-256 (= 12.5 percentage points) from its stored share
+    * marks the partitioner stale. The verdict is REPLAYED by the
+    * oracle from the same integer quotients, so the hash pins
+    * whatever the data says at each SF; IvfSpec drives a
+    * deliberately biased batch over the line. */
+  val DriftMax256 = 32
+
   /** Session-memoized history-split index for v20 (same
     * Derived-paired pattern as [[learnedIndex]]): exact-trained on
     * the stored 80%, so the whole append-then-probe path replays in
@@ -542,6 +550,28 @@ object VectorQ {
           lit(invisibleStaged && landedAtomic).as("index_atomic"))
         .orderBy(col("qid"), col("nb_rank"))
     }),
+
+    // v25 — IVF INDEX DRIFT MONITOR (the maintenance POLICY between
+    // v20's append and a rebuild): an IVF partitioner trained on
+    // yesterday's distribution decays as the corpus drifts — recall
+    // erodes because new vectors crowd into clusters the probe
+    // budget under-visits. Measuring recall directly needs
+    // ground-truth brute-force probes (v17 — expensive); the
+    // OPERATIONAL signal is free: compare the BATCH's cluster-share
+    // distribution against the stored corpus's, both read from the
+    // assignment metadata (cluster-count frames — model-sized, no
+    // vector math beyond the append's own assignment). Shares and
+    // their drift are exact integers in parts-per-256; the rebuild
+    // verdict fires when any cluster's share shifted more than
+    // [[DriftMax256]]/256 — hash-pinned per cluster AND as the
+    // global decision, with the oracle replaying the same unrolled
+    // assignment chain (v20's CTEs) and the same integer quotients.
+    // At 100 TB this is how an index fleet schedules retrains:
+    // from metadata-sized counts per append, not from probe jobs.
+    "v25_index_drift" -> ((s, d) =>
+      graft.ops.Ivf.shareDrift(x25AppendedIndex(s, d).assigned,
+          col("vec_id") % AppendSplitMod < AppendHistMax, DriftMax256)
+        .orderBy(col("cluster_id"))),
 
     // v11 — ANN over SCALAR-QUANTIZED codes (ops.Sq): float32 →
     // int8 + one scale per vector, 4× compression with NO training
@@ -1198,6 +1228,33 @@ object VectorQ {
          |WHERE rn <= 3
          |ORDER BY qid, nb_rank""".stripMargin,
     "v20_ivf_append" -> ivfAppendOracle,
+
+    // v25: the unrolled append-assignment chain (v20's CTEs) counted
+    // per cluster and side; shares/drift/verdict are integer
+    // quotients both engines compute identically.
+    "v25_index_drift" ->
+      s"""WITH $appendAssignCtes,
+         |c AS (
+         |  SELECT cluster_id,
+         |    CAST(SUM(CASE WHEN vec_id % $AppendSplitMod < $AppendHistMax
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hist,
+         |    CAST(SUM(CASE WHEN vec_id % $AppendSplitMod < $AppendHistMax
+         |                  THEN 0 ELSE 1 END) AS BIGINT) AS n_batch
+         |  FROM allasg GROUP BY cluster_id),
+         |tot AS (SELECT CAST(SUM(n_hist) AS BIGINT) AS nh,
+         |               CAST(SUM(n_batch) AS BIGINT) AS nb FROM c),
+         |sh AS (
+         |  SELECT cluster_id, n_hist, n_batch,
+         |    CAST((n_hist * 256) // nh AS INT) AS share_hist_256,
+         |    CAST((n_batch * 256) // nb AS INT) AS share_batch_256,
+         |    CAST(ABS((n_hist * 256) // nh - (n_batch * 256) // nb) AS INT)
+         |      AS drift_256
+         |  FROM c CROSS JOIN tot)
+         |SELECT CAST(cluster_id AS INT) AS cluster_id, n_hist, n_batch,
+         |  share_hist_256, share_batch_256, drift_256,
+         |  (SELECT MAX(drift_256) FROM sh) > $DriftMax256 AS rebuild
+         |FROM sh ORDER BY cluster_id""".stripMargin,
+
     "v12_knn_ivfpq" -> ivfPqOracle,
 
     // Sq.encode + Sq.score term for term: max|x|/127 scale,

@@ -92,4 +92,23 @@ class IvfSpec extends SparkSpec {
     assert(appended.assigned.count() == vecs.count())
     assert(appended.assigned.select("vec_id").distinct().count() == vecs.count())
   }
+
+  test("shareDrift: an unbiased batch stays under the line, a biased one flips rebuild") {
+    import spark.implicits._
+    // stored corpus 50/50 across two clusters; batch with the same mix
+    val unbiased = (0L until 40L).map(i => (i, (i % 2).toInt, i >= 32))
+      .toDF("vec_id", "cluster_id", "is_batch")
+    val ok = Ivf.shareDrift(unbiased, !col("is_batch"), threshold256 = 32)
+    assert(!ok.select("rebuild").head().getBoolean(0))
+    assert(ok.select(max(col("drift_256"))).head().getInt(0) == 0)
+    // distribution shift: the whole batch crowds into cluster 0
+    val biased = ((0L until 32L).map(i => (i, (i % 2).toInt, false)) ++
+        (32L until 40L).map(i => (i, 0, true)))
+      .toDF("vec_id", "cluster_id", "is_batch")
+    val r = Ivf.shareDrift(biased, !col("is_batch"), threshold256 = 32)
+      .orderBy("cluster_id").collect()
+    // cluster 0: hist 128/256 vs batch 256/256; cluster 1: 128 vs 0
+    assert(r.map(_.getInt(5)).toSeq == Seq(128, 128))
+    assert(r.forall(_.getBoolean(6)), "a 50-point share shift must demand a rebuild")
+  }
 }
