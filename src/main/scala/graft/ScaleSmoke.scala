@@ -160,7 +160,12 @@ object ScaleSmoke {
     // the pair rows (chunks × c² — the linear quantity) replicate
     // F×; x39 reads the verbatim customer dimension — exempt like
     // x30/x37
-    "k4_kg_edges", "k20_edge_lift")
+    "k4_kg_edges", "k20_edge_lift",
+    // k22 runs AFTER k21 in the same dir pass: its timing is the
+    // marginal cost over the shared Derived BFS distances (the
+    // k4/k20 amortization shape) — a hop-table aggregate + two
+    // broadcast scalars
+    "k22_effective_diameter")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -30,12 +30,13 @@ import graft.queries._
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, NFC normalization, multimodal (binary metadata, decode +
   *    frame sampling, frame-overlap dedup), windowed events
-  *  - KgQ (k1–k21): chunker / knowledge-graph pipeline + flagship
+  *  - KgQ (k1–k22): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, personalized
   *    PageRank, triangles, clustering coefficients,
   *    label-propagation communities, connected components,
   *    (p,q)-core peeling, node similarity, BFS shortest paths,
-  *    co-occurrence lift, seed-set harmonic closeness) +
+  *    co-occurrence lift, seed-set harmonic closeness, effective
+  *    diameter via the sampled neighborhood function) +
   *    skew-capped edge generation
   *  - ExtQ (j5, p6, s2–s8, q21–q27, q29, q33, x1–x58, v6, v14, v21):
   *    §2.5–2.13

@@ -784,7 +784,89 @@ object KgQ {
     // shape is k18's one-join one-min-shuffle Pregel with a seed key
     // added to the state; the round cap is the oracle's
     // recursive-CTE depth (k15/k16's unrolling trick).
-    "k21_harmonic_closeness" -> ((s, d) => {
+    "k21_harmonic_closeness" -> ((s, d) =>
+      hcDistances(s, d)
+        .filter(col("d") > 0)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_seeds_reaching"),
+          sum(floor(lit(1000000) / col("d")).cast("long"))
+            .as("harmonic_micro"))
+        .orderBy(col("node"))),
+
+    // k22 — EFFECTIVE DIAMETER via the seed-sampled NEIGHBORHOOD
+    // FUNCTION (HyperANF's published quantity, computed exactly on
+    // k21's Eppstein–Wang seed sample): N(h) = #(seed, node) pairs
+    // within h hops, h = 0..[[BfsRounds]]; the effective diameter is
+    // the smallest h whose N(h) covers ≥ 90% of N(cap) — the
+    // standard 90th-percentile rule, in EXACT integers (×10 vs ×9,
+    // never a float share). The data-sized work is the SAME shared
+    // distance frame k21 aggregates (one BFS, two consumers — the
+    // k20/v23 pattern); everything after it is a [[BfsRounds]]+1-row
+    // hop table: the cumulative sum is a ≤5×5 triangular self-join
+    // and the verdict two broadcast scalars — deliberately NOT a
+    // window (the global-window single-reducer ban holds even on
+    // 5 rows; the plan shape must stay exemplary). At 100 TB the
+    // full-graph N(h) needs per-node HLL counters (HyperANF); the
+    // seed-sampled variant keeps K·n state and integer-exact values,
+    // which is precisely what the published estimator reports.
+    "k22_effective_diameter" -> ((s, d) => {
+      val sp = hcDistances(s, d)
+      val byHop = sp.groupBy(col("d").cast("int").as("h"))
+        .agg(count(lit(1)).as("n_at_hop"))
+      val total = sp.agg(count(lit(1)).as("n_total"))
+      val cum = byHop.as("a")
+        .join(byHop.select(col("h").as("h2"), col("n_at_hop").as("n2")),
+          col("h2") <= col("h"))
+        .groupBy(col("h"), col("n_at_hop"))
+        .agg(sum(col("n2")).as("n_within"))
+      val eff = cum.crossJoin(broadcast(total))
+        .withColumn("reaches90",
+          col("n_within") * 10 >= col("n_total") * 9)
+      val diam = eff.filter(col("reaches90"))
+        .agg(min(col("h")).as("eff_diameter"))
+      eff.crossJoin(broadcast(diam))
+        .select(col("h"), col("n_at_hop"), col("n_within"),
+          col("n_total"), col("reaches90"), col("eff_diameter"))
+        .orderBy(col("h"))
+    })
+  )
+
+  /** k21/k22 shared oracle CTE (use after `WITH RECURSIVE`): the
+    * seed-sampled BFS distances `sp(seed, node, d)` — graph, Lehmer
+    * seed sample, and depth cap replayed verbatim. Lazy: it reads
+    * [[HcSeedK]]/[[BfsRounds]], which initialize later in the
+    * object body. */
+  private lazy val HcDistCte: String =
+    s"""eo AS (
+       |  SELECT o_orderkey, o_custkey FROM orders
+       |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-14'),
+       |e0 AS (
+       |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
+       |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM e0
+       |          UNION SELECT b, a FROM e0),
+       |seeds AS (SELECT node FROM (
+       |    SELECT DISTINCT src AS node FROM edges WHERE src < 1000000)
+       |  ORDER BY (node % 100003) * 48271 % 100003, node LIMIT $HcSeedK),
+       |bfs(seed, node, d) AS (
+       |  SELECT node, node, 0 FROM seeds
+       |  UNION
+       |  SELECT b.seed, e.dst, b.d + 1 FROM bfs b
+       |  JOIN edges e ON e.src = b.node WHERE b.d < ${BfsRounds}),
+       |sp AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)""".stripMargin
+
+  /** k21/k22 shared frame: per-(seed, node) min hop distance over the
+    * date-windowed graph — the Eppstein–Wang seed-sampled BFS (K·n
+    * state; per round one equi join + one (seed,node) min shuffle,
+    * k18's Pregel shape with the seed key in the state). ONE
+    * definition feeds both the harmonic aggregate and the
+    * neighborhood function, so the two can never disagree on the
+    * distances — and it is Derived-persisted so a session running
+    * both pays for the BFS ONCE (the k4/k12/k20 amortization
+    * lesson: a shared frame that silently recomputes per consumer
+    * is the r8 k20 bug shape). */
+  private def hcDistances(s: SparkSession, d: String): DataFrame =
+    Derived.of(s, d, "hc_distances") {
       val (edges, _) = bfsGraph(s, d)
       var dist = hcSeeds(edges).select(col("node").as("seed"), col("node"),
         lit(0).as("d"))
@@ -796,14 +878,8 @@ object KgQ {
         dist = dist.union(nxt)
           .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
       }
-      dist.filter(col("d") > 0)
-        .groupBy(col("node"))
-        .agg(count(lit(1)).as("n_seeds_reaching"),
-          sum(floor(lit(1000000) / col("d")).cast("long"))
-            .as("harmonic_micro"))
-        .orderBy(col("node"))
-    })
-  )
+      dist
+    }
 
   /** The k18/k21 date-windowed bipartite graph + seed set: ONE
     * definition (edges eagerly checkpointed once per call site), so
@@ -1107,28 +1183,30 @@ object KgQ {
     // integer quotient floor(1e6/d), so the harmonic sum carries no
     // float at all
     "k21_harmonic_closeness" ->
-      s"""WITH RECURSIVE eo AS (
-         |  SELECT o_orderkey, o_custkey FROM orders
-         |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-14'),
-         |e0 AS (
-         |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
-         |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
-         |edges AS (SELECT a AS src, b AS dst FROM e0
-         |          UNION SELECT b, a FROM e0),
-         |seeds AS (SELECT node FROM (
-         |    SELECT DISTINCT src AS node FROM edges WHERE src < 1000000)
-         |  ORDER BY (node % 100003) * 48271 % 100003, node LIMIT $HcSeedK),
-         |bfs(seed, node, d) AS (
-         |  SELECT node, node, 0 FROM seeds
-         |  UNION
-         |  SELECT b.seed, e.dst, b.d + 1 FROM bfs b
-         |  JOIN edges e ON e.src = b.node WHERE b.d < ${BfsRounds}),
-         |sp AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+      s"""WITH RECURSIVE $HcDistCte
          |SELECT node, COUNT(*) AS n_seeds_reaching,
          |  CAST(SUM(CAST(FLOOR(1000000.0 / d) AS BIGINT)) AS BIGINT)
          |    AS harmonic_micro
          |FROM sp WHERE d > 0
          |GROUP BY node ORDER BY node""".stripMargin,
+
+    // k22: the SAME distance CTE, aggregated to the hop table; the
+    // cumulative join, the ×10/×9 rule, and the min-hop verdict are
+    // integer-exact on both engines.
+    "k22_effective_diameter" ->
+      s"""WITH RECURSIVE $HcDistCte,
+         |hop AS (SELECT CAST(d AS INT) AS h, COUNT(*) AS n_at_hop
+         |        FROM sp GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sp),
+         |cum AS (SELECT a.h, a.n_at_hop,
+         |          CAST(SUM(b.n_at_hop) AS BIGINT) AS n_within
+         |        FROM hop a JOIN hop b ON b.h <= a.h
+         |        GROUP BY a.h, a.n_at_hop)
+         |SELECT c.h, c.n_at_hop, c.n_within, t.n_total,
+         |  c.n_within * 10 >= t.n_total * 9 AS reaches90,
+         |  (SELECT CAST(MIN(h) AS INT) FROM cum CROSS JOIN tot
+         |   WHERE n_within * 10 >= n_total * 9) AS eff_diameter
+         |FROM cum c CROSS JOIN tot t ORDER BY c.h""".stripMargin,
 
     // naive closed-wedge triangle enumeration: src<tgt is already the
     // canonical order, so a.src<a.tgt=b.src<b.tgt gives each triangle

@@ -49,4 +49,24 @@ class HarmonicClosenessSpec extends SparkSpec {
         s"node $node sum below the max-hop floor")
     }
   }
+
+  test("k22's neighborhood function is monotone and the verdict IS the 90% rule") {
+    val rows = SparkEntry.queries("k22_effective_diameter")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getInt(5)))
+    assert(rows.map(_._1).toSeq == (0 to KgQ.BfsRounds),
+      "one row per hop from 0 to the round cap")
+    // N(h) is a running sum of the per-hop counts, ending at the total
+    val within = rows.map(_._3).toSeq
+    assert(within == rows.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    assert(within.last == rows.head._4)
+    // the verdict column replays the x10/x9 integer rule per row, and
+    // eff_diameter is the first hop that satisfies it
+    rows.foreach { case (_, _, w, tot, r90, _) =>
+      assert(r90 == (w * 10 >= tot * 9))
+    }
+    val eff = rows.head._6
+    assert(rows.filter(_._5).map(_._1).min == eff)
+    assert(rows.forall(_._6 == eff), "the verdict is one global scalar")
+  }
 }
