@@ -32,6 +32,28 @@ class PurgeSpec extends SparkSpec {
       .toSeq == Seq(4L))
   }
 
+  test("purge reaches append versions AND staged DV key sets (the x58 chain)") {
+    val dir = freshDir()
+    // the merge-on-read shape: data v1, STAGED mask DV v2, append v3
+    Snapshots.commit(Seq((1L, "a"), (97L, "b")).toDF("k", "v"), dir)
+    val dv = Snapshots.commitDeletes(Seq(Tuple1(97L)).toDF("k"), dir,
+      base = 1, staged = true)
+    Snapshots.commitAppend(Seq((97L, "b2"), (4L, "d")).toDF("k", "v"),
+      dir, base = dv)
+    val purged = Snapshots.purgeKeys(spark, dir, Seq(Tuple1(97L)).toDF("k"))
+    assert(purged == Seq(1, 2, 3),
+      "the staged DV and the append hold the key column too")
+    // the appended rows no longer carry the purged user …
+    assert(Snapshots.read(spark, dir, Some(3)).collect().map(_.getLong(0))
+      .toSeq == Seq(4L))
+    // … the STAGED DV no longer names them (erasure covers staged
+    // ghosts — they are invisible, not gone) …
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 0)
+    // … and the resolved merge state is the survivors only
+    assert(Snapshots.readResolved(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("partitioned versions are rewritten in their own layout") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "x"), (2L, "x"), (97L, "y")).toDF("k", "pv"),
