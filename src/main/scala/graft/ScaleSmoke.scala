@@ -133,6 +133,9 @@ object ScaleSmoke {
     // verbatim dim (x51's curve), but the WRITES are delta-sized —
     // a key DV + new images — instead of x51's copy-on-write output
     "x58_merge_on_read",
+    // x59 is deliberately absent: it is metadata-only BY CONSTRUCTION
+    // (PlanShapeSpec pins zero compute jobs) — there is nothing
+    // data-sized to measure beyond the one-time ANALYZE other rows pay
     // v25 is deliberately absent: its data-sized work IS v20's
     // append assignment (measured above, shared Derived index);
     // the drift math after it is two model-sized aggregates

@@ -93,6 +93,12 @@ object ExtQ {
   val X53WideHi = 300000.0
   val X53MaxSixteenths = 4
 
+  /** x59 shuffle sizing: bytes per target shuffle partition at
+    * fixture scale (stands in for the production ~128 MiB) and the
+    * partition-count ceiling (task-overhead guard). */
+  val X59TargetBytes = 1L << 20
+  val X59MaxParts = 64
+
   /** x51 merge arms: the account-closure line (a restated balance
     * below it deletes the row; it also gates the insert arm so the
     * insert CONDITION is exercised, not just the arm) and the key
@@ -1343,6 +1349,48 @@ object ExtQ {
           lit(Snapshots.versions(s, dir).size).as("n_versions"),
           lit(untouched).as("base_files_untouched"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // x59 — CATALOG-DRIVEN SHUFFLE SIZING (the planner loop's sixth
+    // decision, and the most operational knob it owns): choosing
+    // spark.sql.shuffle.partitions is the first thing every Spark
+    // job tunes by hand — too few partitions spill/OOM, too many
+    // drown in task overhead, and AQE can coalesce or split-skew but
+    // only from whatever initial count the plan asked for. The
+    // catalog answers it with ZERO scans: est_bytes = rows × an
+    // integer row width (8 per non-string column, floor(avg_len)+4
+    // per string — x37's estBytes rule, integer-pinned so the oracle
+    // replays it exactly), n_parts = clamp(ceil(est/target), 1,
+    // [[X59MaxParts]]). The whole declared query is METADATA — the
+    // driver-side summary plus the schema; `parts_applied` then
+    // pins that a keyed exchange built with the decision really has
+    // that partition count (a plan property, no job). Target is
+    // [[X59TargetBytes]] at fixture scale standing in for the
+    // production ~128 MiB. At 100 TB this is the difference between
+    // one global partitions knob for every query and a per-exchange
+    // size derived from what ANALYZE measured.
+    "x59_stats_shuffle_plan" -> ((s, d) => {
+      import org.apache.spark.sql.types.StringType
+      Seq("lineitem", "orders").map { t =>
+        val st = graft.ops.StatsCatalog.stats(s, d, t)
+        val nRows = graft.ops.StatsCatalog.nRows(st)
+        val schema = Tables.load(s, d, t).schema
+        val width = schema.fields.map { f =>
+          if (f.dataType == StringType)
+            math.floor(st(f.name).avgLen.get).toLong + 4L
+          else 8L
+        }.sum
+        val est = nRows * width
+        val nParts = math.min(X59MaxParts.toLong, math.max(1L,
+          (est + X59TargetBytes - 1) / X59TargetBytes)).toInt
+        val applied = Tables.load(s, d, t)
+          .repartition(nParts, col(schema.fields.head.name))
+          .rdd.getNumPartitions == nParts
+        s.range(1).select(lit(t).as("table_name"),
+          lit(nRows).as("n_rows"), lit(width).as("width_bytes"),
+          lit(est).as("est_bytes"), lit(nParts).as("n_parts"),
+          lit(applied).as("parts_applied"))
+      }.reduce(_ unionByName _).orderBy(col("table_name"))
     }),
 
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
@@ -3876,6 +3924,35 @@ object ExtQ {
          |WHERE ub BETWEEN $ZBoxLo AND $ZBoxHi
          |  AND tb BETWEEN $ZBoxLo AND $ZBoxHi
          |ORDER BY event_id""".stripMargin,
+
+    // x59: rows/width/est/parts restated from the data with the same
+    // integer arithmetic (FLOOR over the identical IEEE division for
+    // avg_len; 1 MiB ceil-div; LEAST/GREATEST clamp); literal true
+    // pins the plan-property check.
+    "x59_stats_shuffle_plan" ->
+      s"""WITH li AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(72 + 4 + FLOOR(SUM(LENGTH(l_returnflag)) * 1.0
+         |                        / COUNT(l_returnflag))
+         |            + 4 + FLOOR(SUM(LENGTH(l_linestatus)) * 1.0
+         |                        / COUNT(l_linestatus)) AS BIGINT)
+         |      AS width_bytes
+         |  FROM lineitem),
+         |ord AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(32 + 4 + FLOOR(SUM(LENGTH(o_orderstatus)) * 1.0
+         |                        / COUNT(o_orderstatus))
+         |            + 4 + FLOOR(SUM(LENGTH(o_orderpriority)) * 1.0
+         |                        / COUNT(o_orderpriority)) AS BIGINT)
+         |      AS width_bytes
+         |  FROM orders),
+         |t AS (SELECT 'lineitem' AS table_name, n_rows, width_bytes FROM li
+         |      UNION ALL SELECT 'orders', n_rows, width_bytes FROM ord)
+         |SELECT table_name, n_rows, width_bytes,
+         |  n_rows * width_bytes AS est_bytes,
+         |  CAST(LEAST($X59MaxParts, GREATEST(1,
+         |    (n_rows * width_bytes + ${X59TargetBytes - 1}) // $X59TargetBytes))
+         |    AS INT) AS n_parts,
+         |  true AS parts_applied
+         |FROM t ORDER BY table_name""".stripMargin,
 
     // x57: the shard assignment replayed from the recomputed exact
     // boundaries (count of b <= value); literal true pins the

@@ -517,6 +517,47 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("x59's shuffle sizing is pure metadata: no compute job, decisions applied and exact") {
+    // warm the catalog first — the one-time ANALYZE is x59's declared
+    // dependency, not part of its own cost
+    graft.ops.StatsCatalog.stats(spark, Sf0001, "lineitem")
+    graft.ops.StatsCatalog.stats(spark, Sf0001, "orders")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet()
+        seen.add(j.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val df =
+      try {
+        val df0 = SparkEntry.queries("x59_stats_shuffle_plan")(spark, Sf0001)
+        spark.range(1).count() // canary (see d14's test)
+        val deadline = System.currentTimeMillis + 30000
+        while (counter.get() < 1 && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+        assert(counter.get() >= 1, "canary job never arrived")
+        // parquet footer/listing jobs (Tables.load schema reads) are
+        // the metadata noise every construction pays (d14's test);
+        // a COMPUTE job would point into the query's own code
+        val compute = seen.toArray(Array.empty[String])
+          .filter(s => s.contains("ExtQ") || s.contains("StatsCatalog"))
+        assert(compute.isEmpty,
+          s"the sizing must read only the catalog summary, saw: ${compute.mkString("; ")}")
+        df0
+      } finally spark.sparkContext.removeSparkListener(l)
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.forall(_.getBoolean(5)),
+      "the chosen count must be a real plan property of the keyed exchange")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * r.getLong(2), "est = rows × width")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= queries.ExtQ.X59MaxParts)
+    }
+  }
+
   test("x37's broadcast comes from the committed stats, not the static threshold") {
     // with Spark's file-size threshold disabled, only the
     // stats-driven hint can produce a broadcast — and it must build
