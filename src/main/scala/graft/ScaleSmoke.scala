@@ -133,6 +133,10 @@ object ScaleSmoke {
     // verbatim dim (x51's curve), but the WRITES are delta-sized —
     // a key DV + new images — instead of x51's copy-on-write output
     "x58_merge_on_read",
+    // x60 adds one predicate pass + a churn-sized quarantine write +
+    // one txn marker on top of x51's merge — the gate's marginal
+    // cost over the same F× changeset
+    "x60_gated_merge",
     // x59 is deliberately absent: it is metadata-only BY CONSTRUCTION
     // (PlanShapeSpec pins zero compute jobs) — there is nothing
     // data-sized to measure beyond the one-time ANALYZE other rows pay

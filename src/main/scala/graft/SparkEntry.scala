@@ -38,7 +38,7 @@ import graft.queries._
   *    co-occurrence lift, seed-set harmonic closeness, effective
   *    diameter via the sampled neighborhood function) +
   *    skew-capped edge generation
-  *  - ExtQ (j5, p6, s2–s8, q21–q27, q29, q33, x1–x59, v6, v14, v21):
+  *  - ExtQ (j5, p6, s2–s8, q21–q27, q29, q33, x1–x60, v6, v14, v21):
   *    §2.5–2.13
   *    extensions (sketches, range/as-of joins, packing, merge, SCD-2,
   *    incremental aggregation, exact k-means, semantic dedup, funnel,
@@ -77,7 +77,9 @@ import graft.queries._
   *    SQL-surface change feed (table_changes bindings), x57
   *    catalog-driven deterministic range partitioner, x58
   *    merge-on-read MERGE (staged DV + atomic append publish),
-  *    x59 catalog-driven shuffle sizing (metadata-only), q33
+  *    x59 catalog-driven shuffle sizing (metadata-only), x60
+  *    expectations-gated MERGE (quality gate + quarantine under
+  *    one txn marker), q33
   *    correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)

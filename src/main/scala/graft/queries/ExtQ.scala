@@ -99,6 +99,12 @@ object ExtQ {
   val X59TargetBytes = 1L << 20
   val X59MaxParts = 64
 
+  /** x60 admission constraint: a restated balance above this is a
+    * suspicious restatement — quarantined for audit, never merged.
+    * Sits inside the o_totalprice domain so real violations exist at
+    * every SF (the domain tops out near 555k). */
+  val X60MaxBal = 400000.0
+
   /** x51 merge arms: the account-closure line (a restated balance
     * below it deletes the row; it also gates the insert arm so the
     * insert CONDITION is exercised, not just the arm) and the key
@@ -1348,6 +1354,56 @@ object ExtQ {
           round(col("c_acctbal"), 2).as("c_acctbal"),
           lit(Snapshots.versions(s, dir).size).as("n_versions"),
           lit(untouched).as("base_files_untouched"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // x60 — EXPECTATIONS-GATED MERGE (x51's statement × x47's
+    // quality gate, landed atomically): the production nightly-merge
+    // path is never "merge whatever arrived" — malformed changeset
+    // rows must be rejected WITHOUT blocking the batch, and the
+    // reject set must be auditable the moment the merge is visible.
+    // The changeset splits on a CHECK constraint (suspicious
+    // restatements above [[X60MaxBal]] quarantine with their named
+    // violations); only the clean rows drive the four-arm merge; the
+    // merged state and the quarantine table stage under ONE txn
+    // marker (x45's commit point), so no reader ever sees a merge
+    // whose rejects are not yet auditable, or vice versa. The oracle
+    // replays the same CTE with the constraint folded into the
+    // changeset (`src0` → `src`), plus the quarantine count and the
+    // protocol flags. At 100 TB this is the ingest contract: quality
+    // gates cost one predicate pass, quarantine is churn-sized, and
+    // atomicity is one marker create — none of it rescans the
+    // target.
+    "x60_gated_merge" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val mergeDir = s"target/x60_merge_${math.abs(d.hashCode)}"
+      val quarDir = s"target/x60_quar_${math.abs(d.hashCode)}"
+      val txnDir = s"target/x60_txn_${math.abs(d.hashCode)}"
+      Seq(mergeDir, quarDir, txnDir).foreach(Snapshots.drop(s, _))
+      val target = x51Target(s, d)
+      Snapshots.commit(target, mergeDir)
+      val (clean, quar) = graft.ops.Expectations.split(
+        x51Changeset(s, d, target),
+        Seq("bal_in_domain" -> (col("c_acctbal") <= X60MaxBal)))
+      val merged = graft.ops.Merge.mergeInto(target, clean, "c_custkey",
+        matchedDelete = (_, sr) => sr("c_acctbal") < X51CloseBelow,
+        notMatchedInsert = sr => sr("c_acctbal") >= X51CloseBelow,
+        bySourceDelete = t => t("c_acctbal") < 0)
+      val t = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(merged, mergeDir, txnDir, t)
+      Snapshots.txnStage(quar, quarDir, txnDir, t)
+      // the torn window, witnessed: the merge table still serves v1
+      // and the quarantine does not exist until the marker lands
+      val gate = Snapshots.versions(s, mergeDir) == Seq(1) &&
+        Snapshots.versions(s, quarDir).isEmpty
+      Snapshots.txnCommit(s, txnDir, t, Seq(mergeDir, quarDir))
+      val nQuar = Snapshots.read(s, quarDir).count()
+      Snapshots.read(s, mergeDir)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"),
+          lit(nQuar).as("n_quarantined"),
+          lit(gate).as("atomic_gate"),
+          lit(Snapshots.versions(s, mergeDir).size).as("n_versions"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -2735,13 +2791,15 @@ object ExtQ {
       |FROM latest l LEFT JOIN v1 v USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
-  /** x51/x58 shared oracle CTE: the four merge arms stated as three
-    * UNION legs over the replayed changeset — matched rows surviving
-    * the closure line take the source payload, unmatched targets keep
-    * unless negative, unmatched source keys insert above the line.
-    * x58 shares the STRING deliberately: merge-on-read must
-    * reproduce copy-on-write row for row. */
-  val X51MergedCte: String =
+  /** x51/x58/x60 shared oracle CTE: the four merge arms stated as
+    * three UNION legs over the replayed changeset — matched rows
+    * surviving the closure line take the source payload, unmatched
+    * targets keep unless negative, unmatched source keys insert
+    * above the line. x58 shares the STRING deliberately
+    * (merge-on-read must reproduce copy-on-write row for row); x60
+    * narrows the changeset with its constraint via `srcCond` —
+    * `src0` is the raw changeset, `src` what the merge admits. */
+  def x51MergedCte(srcCond: String): String =
     s"""latest AS (
        |  SELECT o_custkey, o_totalprice,
        |    row_number() OVER (PARTITION BY o_custkey
@@ -2752,11 +2810,12 @@ object ExtQ {
        |  SELECT c.c_custkey, c.c_name, l.o_totalprice AS c_acctbal
        |  FROM latest l JOIN customer c ON l.o_custkey = c.c_custkey
        |  WHERE l.rn = 1),
-       |src AS (
+       |src0 AS (
        |  SELECT c_custkey, c_name, c_acctbal FROM restated
        |  UNION ALL
        |  SELECT c_custkey + $X51KeyShift, 'branch of ' || c_name, c_acctbal
        |  FROM restated WHERE c_custkey % 31 = 0),
+       |src AS (SELECT * FROM src0 WHERE $srcCond),
        |merged AS (
        |  SELECT s.c_custkey, s.c_name, s.c_acctbal
        |  FROM src s JOIN customer t ON s.c_custkey = t.c_custkey
@@ -3892,7 +3951,7 @@ object ExtQ {
     // unmatched targets keep unless negative; unmatched source keys
     // insert above the line); CAST(2 AS INT) pins the commit count.
     "x51_merge_into" ->
-      s"""WITH $X51MergedCte
+      s"""WITH ${x51MergedCte("TRUE")}
          |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
          |  CAST(2 AS INT) AS n_versions
          |FROM merged ORDER BY c_custkey""".stripMargin,
@@ -3901,7 +3960,7 @@ object ExtQ {
     // copy-on-write row for row); literal true pins the
     // base-immutability listing check.
     "x58_merge_on_read" ->
-      s"""WITH $X51MergedCte
+      s"""WITH ${x51MergedCte("TRUE")}
          |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
          |  CAST(2 AS INT) AS n_versions,
          |  true AS base_files_untouched
@@ -3924,6 +3983,18 @@ object ExtQ {
          |WHERE ub BETWEEN $ZBoxLo AND $ZBoxHi
          |  AND tb BETWEEN $ZBoxLo AND $ZBoxHi
          |ORDER BY event_id""".stripMargin,
+
+    // x60: the merged CTE with the constraint folded into the
+    // changeset; the quarantine count is the complement's scalar;
+    // literal true pins the marker-gated visibility probe.
+    "x60_gated_merge" ->
+      s"""WITH ${x51MergedCte(s"c_acctbal <= $X60MaxBal")}
+         |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         |  (SELECT COUNT(*) FROM src0 WHERE NOT (c_acctbal <= $X60MaxBal))
+         |    AS n_quarantined,
+         |  true AS atomic_gate,
+         |  CAST(2 AS INT) AS n_versions
+         |FROM merged ORDER BY c_custkey""".stripMargin,
 
     // x59: rows/width/est/parts restated from the data with the same
     // integer arithmetic (FLOOR over the identical IEEE division for
