@@ -137,6 +137,10 @@ object ScaleSmoke {
     // one txn marker on top of x51's merge — the gate's marginal
     // cost over the same F× changeset
     "x60_gated_merge",
+    // x61 commits the F×-scaled balance table twice (x54's write
+    // curve); the restore itself is ONE metadata entry at any F and
+    // the feed diff is a full-outer join of the two key-sized states
+    "x61_restore",
     // x59 is deliberately absent: it is metadata-only BY CONSTRUCTION
     // (PlanShapeSpec pins zero compute jobs) — there is nothing
     // data-sized to measure beyond the one-time ANALYZE other rows pay

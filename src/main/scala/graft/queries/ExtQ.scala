@@ -1449,6 +1449,43 @@ object ExtQ {
       }.reduce(_ unionByName _).orderBy(col("table_name"))
     }),
 
+    // x61 — RESTORE / ROLLBACK (Snapshots.commitRestore): the
+    // lakehouse's undo verb. A bad batch landed (v2 refreshed the
+    // balances with post-1997 orders); RESTORE re-points latest at
+    // v1 with a METADATA-ONLY commit — nothing rewritten, nothing
+    // lost (v2 stays time-travelable for forensics), and the entry's
+    // `base` pointer means vacuum's chain closure protects the
+    // restore target automatically (SnapshotsSpec pins both). The
+    // output fuses three proofs into one hashed frame: the resolved
+    // latest IS the v1 state (balances), the restore wrote ZERO data
+    // files (fileSignature from the listing), and the change feed of
+    // the restore step is the exact v2→v1 diff (op per customer —
+    // 'D' for customers only the bad batch introduced, 'U' where it
+    // changed a balance), which the oracle restates entirely from
+    // orders. CDC consumers therefore see a rollback as ordinary
+    // change rows — the property that makes restoring under live
+    // downstream pipelines safe. At 100 TB: Delta's RESTORE TABLE
+    // ... VERSION AS OF is this exact shape — one catalog entry, no
+    // data movement, O(changed keys) downstream work.
+    "x61_restore" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x61_restore_${math.abs(d.hashCode)}"
+      commitBalanceVersions(s, d, dir) // v1 pre-1997, v2 refresh
+      val v3 = Snapshots.commitRestore(s, dir, 1)
+      val feed = Snapshots.stepChanges(s, dir, v3, Seq("o_custkey"))
+        .select(col("o_custkey"), col("op"))
+      val latest = Snapshots.read(s, dir)
+      val zeroFiles = Snapshots.fileSignature(s, dir, v3).isEmpty
+      latest.join(feed, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          col("balance").as("bal_restored"),
+          col("n_orders").as("n_orders_restored"),
+          coalesce(col("op"), lit("=")).as("op"),
+          lit(Snapshots.versions(s, dir).size).as("n_versions"),
+          lit(zeroFiles).as("restore_zero_files"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -4024,6 +4061,34 @@ object ExtQ {
          |    AS INT) AS n_parts,
          |  true AS parts_applied
          |FROM t ORDER BY table_name""".stripMargin,
+
+    // x61: both table states restated from orders; the op column is
+    // the v2→v1 diff (restore direction: new = v1), '=' for rows the
+    // bad batch never touched; literal 3/true pin the version count
+    // and the zero-data-file restore the Spark side listing-checks.
+    "x61_restore" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(v1.o_custkey, v2.o_custkey) AS o_custkey,
+        |  v1.bal AS bal_restored,
+        |  v1.n AS n_orders_restored,
+        |  CASE WHEN v1.o_custkey IS NULL THEN 'D'
+        |       WHEN v2.o_custkey IS NULL THEN 'I'
+        |       WHEN v1.bal <> v2.bal OR v1.n <> v2.n THEN 'U'
+        |       ELSE '=' END AS op,
+        |  CAST(3 AS INT) AS n_versions,
+        |  TRUE AS restore_zero_files
+        |FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     // x57: the shard assignment replayed from the recomputed exact
     // boundaries (count of b <= value); literal true pins the

@@ -592,6 +592,41 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** RESTORE (rollback, x61): re-point `latest` at prior PUBLISHED
+    * version `toVersion` of the SAME table with a metadata-only
+    * commit — Delta's `RESTORE TABLE ... TO VERSION AS OF` shape.
+    * Nothing is rewritten and nothing is lost: the bad versions stay
+    * in the log (time travel still serves them for forensics), the
+    * restore is one small JSON entry, and readers of `latest`
+    * resolve the restored state through the `base` pointer. Because
+    * the entry carries `base`, [[vacuum]]'s transitive chain closure
+    * protects the restore target automatically — unlike a
+    * cross-table clone, a restore can never be orphaned by its own
+    * table's retention. The claim uses the same create-exclusive
+    * entry publication as a data commit, so restores race safely
+    * with concurrent commits (the restore's content is pinned by
+    * version NUMBER, so a lost race changes nothing it meant).
+    * [[stepChanges]] feeds the restore as a diff against the prior
+    * published latest — downstream CDC consumers see the rollback as
+    * ordinary change rows, which is what makes restoring under live
+    * consumers safe. */
+  def commitRestore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    require(versions(spark, dir).contains(toVersion),
+      s"restore target v$toVersion not published under $dir")
+    val (fs, p) = fsOf(spark, dir)
+    var next = allVersions(spark, dir).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      // never-created sentinel dir name: zero data files by contract
+      val entry = s"""{"version":$next,"dir":${jstr(s"v$next-restore")},"n_files":0,"bytes":0,"kind":"restore","base":$toVersion}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+      next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
+    }
+    -1 // unreachable
+  }
+
   /** Publish a staged version: flip its log entry's `staged` flag off
     * (write-temp-then-rename over the ONE entry file — the same
     * crash-atomicity as commit, and no other version's entry is even
@@ -808,7 +843,7 @@ object Snapshots {
           .filter(col(pcol) === pval)
         graft.ops.Diff.snapshot(oldPart, vdf, keys)
           .select(col("op") +: keys.map(col): _*)
-      case "data" | "clone" =>
+      case "data" | "clone" | "restore" =>
         // the diff baseline is the latest PUBLISHED prior version: a
         // staged (unpublished) prior was never visible to any reader,
         // so diffing against it would emit a feed that reconstructs
@@ -953,6 +988,10 @@ object Snapshots {
     if (Option(n.get("kind")).map(_.asText()).contains("clone"))
       return readResolved(spark, n.get("src_dir").asText(),
         Some(n.get("src_version").asInt()))
+    // a restore is a same-table clone: content = its base version,
+    // resolved recursively (the base may itself be logical)
+    if (Option(n.get("kind")).map(_.asText()).contains("restore"))
+      return readResolved(spark, dir, Some(n.get("base").asInt()))
     val vdir = s"$dir/${entryDataDir(n)}"
     Option(n.get("schema")).map(_.asText()) match {
       case Some(sj) =>
@@ -1034,6 +1073,7 @@ object Snapshots {
       Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
         case "data" => vdf
         case "clone" => vdf // readVersionDf already resolved the source
+        case "restore" => vdf // readVersionDf already resolved the base
         case "deletes" =>
           resolve(n.get("base").asInt()).join(vdf, vdf.columns.toSeq, "left_anti")
         case "replace" =>
@@ -1125,7 +1165,10 @@ object Snapshots {
     logEntries(spark, dir).foreach { n =>
       val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
       val v = n.get("version").asInt()
-      if (kind != "clone") {
+      // clone/restore versions hold no data of their own: a clone's
+      // content lives in its (separately purged) source table, a
+      // restore's in its same-log base — which this loop rewrites
+      if (kind != "clone" && kind != "restore") {
         val df = readVersionDf(spark, dir, n)
         if (keyCols.forall(df.columns.contains)) {
           // partition layout re-derived from the version's directory

@@ -254,6 +254,51 @@ class SnapshotsSpec extends SparkSpec {
       !Snapshots.versionDirExists(spark, dir, 2))
   }
 
+  test("restore: metadata-only rollback, vacuum protects the target, history stays travelable") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "good"), (2L, "good")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((1L, "BAD"), (2L, "BAD"), (3L, "BAD")).toDF("id", "v"), dir)
+    val v3 = Snapshots.commitRestore(spark, dir, 1)
+    assert(v3 == 3)
+    // latest resolves to the v1 state through the restore pointer
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "good"), (2L, "good")))
+    // the restore wrote no data file, and the bad version is still
+    // time-travelable (forensics: nothing is lost by a rollback)
+    assert(Snapshots.fileSignature(spark, dir, v3).isEmpty)
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 3)
+    // the change feed of the restore step is the v2→v1 diff
+    val feed = Snapshots.stepChanges(spark, dir, v3, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("U", 1L), ("U", 2L), ("D", 3L)))
+    // vacuum's base-chain closure protects the restore target: only
+    // the bad middle version is collectible
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).sorted == Seq(2))
+    assert(Snapshots.versions(spark, dir) == Seq(1, 3))
+    assert(Snapshots.read(spark, dir).count() == 2)
+    // restoring to an unpublished version fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRestore(spark, dir, 99)
+    }
+  }
+
+  test("purge skips restore versions but reaches their base (erasure through the pointer)") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "keep"), (7L, "secret")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((1L, "keep2"), (7L, "secret2")).toDF("id", "v"), dir)
+    val v3 = Snapshots.commitRestore(spark, dir, 1)
+    val rewritten = Snapshots.purgeKeys(spark, dir, Seq(7L).toDF("id"))
+    // both data versions rewrote; the restore (no data of its own)
+    // was skipped, yet its resolved content no longer holds the key
+    assert(rewritten.sorted == Seq(1, 2))
+    assert(Snapshots.fileSignature(spark, dir, v3).isEmpty)
+    (1 to 3).foreach { v =>
+      assert(Snapshots.readResolved(spark, dir, Some(v))
+        .filter(col("id") === 7L).count() == 0, s"v$v still holds the key")
+    }
+  }
+
   test("aligned reads serve old versions through the latest schema; drops/type-changes fail loudly") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "grp"), dir)
