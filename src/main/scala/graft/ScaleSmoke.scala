@@ -141,6 +141,11 @@ object ScaleSmoke {
     // curve); the restore itself is ONE metadata entry at any F and
     // the feed diff is a full-outer join of the two key-sized states
     "x61_restore",
+    // x62 commits the F×-scaled month-partitioned orders (the write
+    // dominates) + one bloom-sized index aggregate; the probe is a
+    // driver pass over a CONSTANT file count (months don't grow with
+    // F) and the three point reads scan only surviving partitions
+    "x62_bloom_skip",
     // x59 is deliberately absent: it is metadata-only BY CONSTRUCTION
     // (PlanShapeSpec pins zero compute jobs) — there is nothing
     // data-sized to measure beyond the one-time ANALYZE other rows pay

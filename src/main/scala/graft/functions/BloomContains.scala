@@ -91,4 +91,30 @@ object BloomContains {
   /** Column helper: `contains(hash_col, filter)`. */
   def contains(v: Column, bf: BloomFilter): Column =
     call_function("graft_bloom_contains", v, lit(serialize(bf)))
+
+  /** Per-GROUP Bloom build (the x62 index pass): Catalyst's own
+    * `BloomFilterAggregate` — a TypedImperativeAggregate, so each map
+    * task folds its rows into a LOCAL filter and only bloom-sized
+    * partial states cross the exchange (never the keys themselves).
+    * One pass over a file-partitioned table therefore yields one
+    * filter PER FILE at manifest-sized total cost. The serialized
+    * bytes round-trip through [[BloomFilter.readFrom]], so index
+    * consumers probe with the same sketch library the build used. */
+  def registerAgg(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_bloom_agg(value, est_items, num_bits) expects 3 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      },
+      "scala_udf")
+
+  /** Column helper: one serialized Bloom filter per group. */
+  def bloomAgg(v: Column, estItems: Long, numBits: Long): Column =
+    call_function("graft_bloom_agg", v, lit(estItems), lit(numBits))
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 }

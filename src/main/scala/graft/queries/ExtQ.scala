@@ -1486,6 +1486,64 @@ object ExtQ {
         .orderBy(col("o_custkey"))
     }),
 
+    // x62 — PER-FILE BLOOM DATA-SKIPPING INDEX (Delta's bloom filter
+    // index / Parquet column-bloom shape): the skipping case zone
+    // maps CANNOT serve. The fact table is laid out by time
+    // (month-partitioned orders — the universal 100 TB fact layout),
+    // and the lookup column o_custkey is SCATTERED: every file's
+    // [min,max] spans the whole key domain, so x19/x52-style zone
+    // maps prune nothing. The index: ONE aggregate pass groups by
+    // file and folds each file's keys into a Bloom filter — a
+    // TypedImperativeAggregate, so map tasks emit bloom-sized
+    // partial states, never keys; the landed index is n_files ×
+    // filter bytes = MANIFEST-sized at any corpus size (at 100 TB it
+    // rides in the write's manifest, the x21 pattern). A point
+    // lookup probes the collected index on the DRIVER (zero jobs
+    // over data), lists the surviving months, and reads ONLY those
+    // partitions — partition pruning skips unlisted dirs, the exact
+    // key filter is pushed to the surviving scans. False positives
+    // cost extra files, never wrong rows (no false negatives), so
+    // the aggregate is exact and the oracle is the plain filtered
+    // SQL; n_true_files (months genuinely holding the key) rides in
+    // the output to show per-key locality, and the hash match IS the
+    // no-false-negative proof. Filter sizing follows the x38 rule:
+    // capacity = the committed catalog's exact NDV of o_custkey (an
+    // upper bound on any one file's key set; over-capacity only
+    // lowers fpp), 16 bits/key ≈ 0.5% fpp — zero plan-time jobs.
+    "x62_bloom_skip" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import graft.functions.BloomContains
+      BloomContains.registerAgg(s)
+      val dir = s"target/x62_bloom_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val orders = Tables.load(s, d, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      Snapshots.commit(orders.repartition(col("o_month")), dir,
+        partitionBy = Seq("o_month"))
+      val cap = math.max(1000L,
+        graft.ops.StatsCatalog.stats(s, d, "orders")("o_custkey").nDistinct)
+      val idx = Snapshots.read(s, dir, Some(1))
+        .groupBy(col("o_month"))
+        .agg(BloomContains.bloomAgg(
+          col("o_custkey").cast("long"), cap, cap * 16).as("bloom"))
+        .collect() // manifest-sized: n_files × filter bytes
+        .map(r => (r.getString(0), BloomContains.deserialize(r.getAs[Array[Byte]](1))))
+      val nFiles = idx.length
+      val keys = Seq(7L, 88L, 133L) // present at every fixture SF
+      keys.map { k =>
+        val hit = idx.collect { case (m, bf) if bf.mightContainLong(k) => m }.toIndexedSeq
+        Snapshots.read(s, dir, Some(1))
+          .filter(col("o_month").isin(hit: _*)) // partition pruning: skipped files never listed
+          .filter(col("o_custkey") === k) // exact residual, pushed to the surviving scans
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("spend"),
+            countDistinct(col("o_month")).as("n_true_files"))
+          .withColumn("n_files", lit(nFiles.toLong))
+          .withColumn("files_pruned", lit(hit.length < nFiles))
+      }.reduce(_ unionByName _).orderBy(col("o_custkey"))
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -4089,6 +4147,24 @@ object ExtQ {
         |  TRUE AS restore_zero_files
         |FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    // x62: the plain filtered aggregate — a Bloom false NEGATIVE
+    // would drop orders and break this hash, so the match is the
+    // index-soundness proof; n_true_files restates per-key month
+    // locality, n_files the total file count, and the TRUE literal
+    // pins that the index skipped at least one file per key.
+    "x62_bloom_skip" ->
+      """WITH f AS (
+        |  SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_files
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend,
+        |  COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_true_files,
+        |  (SELECT n_files FROM f) AS n_files,
+        |  TRUE AS files_pruned
+        |FROM orders WHERE o_custkey IN (7, 88, 133)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // x57: the shard assignment replayed from the recomputed exact
     // boundaries (count of b <= value); literal true pins the
