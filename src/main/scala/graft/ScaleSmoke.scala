@@ -146,6 +146,9 @@ object ScaleSmoke {
     // driver pass over a CONSTANT file count (months don't grow with
     // F) and the three point reads scan only surviving partitions
     "x62_bloom_skip",
+    // x63 is deliberately absent: its data-sized work IS x61's (the
+    // same two balance commits, measured above); TIMESTAMP AS OF
+    // resolution itself is a driver pass over the manifest-sized log
     // x59 is deliberately absent: it is metadata-only BY CONSTRUCTION
     // (PlanShapeSpec pins zero compute jobs) — there is nothing
     // data-sized to measure beyond the one-time ANALYZE other rows pay

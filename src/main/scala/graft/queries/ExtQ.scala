@@ -1544,6 +1544,37 @@ object ExtQ {
       }.reduce(_ unionByName _).orderBy(col("o_custkey"))
     }),
 
+    // x63 — TIMESTAMP AS OF time travel (Delta's second time-travel
+    // axis, next to x54's VERSION AS OF): commits carry an EXPLICIT
+    // caller-supplied commit timestamp in the log entry (commitAt —
+    // strictly increasing, loud otherwise), and an AS OF read
+    // resolves to the latest published version at-or-before the
+    // query instant. Three probes pin the resolution semantics into
+    // ONE hashed frame: at exactly T1 (boundary inclusive → v1),
+    // midway between the commits (still v1 — the log, not the
+    // clock, defines visibility), and after T2 (→ v2); each row
+    // carries the version the instant resolved to. Caller-supplied
+    // ts is what makes this REPRODUCIBLE — Delta resolves from file
+    // mtimes and needs adjustment machinery; a log-carried ts is
+    // exact at any scale and costs one JSON field. Resolution reads
+    // the manifest-sized log on the driver: zero jobs over data,
+    // like every Snapshots metadata verb. SnapshotsSpec pins the
+    // monotonic guard, the timed-throughout contract, and the
+    // predates-first-commit failure.
+    "x63_time_as_of" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x63_snap_${math.abs(d.hashCode)}"
+      val (t1, t2) = (1704067200000L, 1706745600000L) // 2024-01-01, 2024-02-01 UTC
+      commitBalanceVersions(s, d, dir, ts = Some((t1, t2)))
+      Seq(("at_v1", t1), ("between", (t1 + t2) / 2), ("after_v2", t2 + 3600000L))
+        .map { case (label, at) =>
+          val v = Snapshots.versionAsOf(s, dir, at)
+          Snapshots.read(s, dir, Some(v)).select(
+            lit(label).as("as_of"), col("o_custkey"), col("balance"),
+            col("n_orders"), lit(v).as("resolved_version"))
+        }.reduce(_ unionByName _).orderBy(col("as_of"), col("o_custkey"))
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -3016,7 +3047,8 @@ object ExtQ {
   /** x24/x54 shared frame: (re)commit the customer balance table as
     * exactly two versions under `dir` — v1 over pre-1997 orders, v2
     * over all — so both queries pin reads against a known log. */
-  private def commitBalanceVersions(s: SparkSession, d: String, dir: String): Unit = {
+  private def commitBalanceVersions(s: SparkSession, d: String, dir: String,
+                                    ts: Option[(Long, Long)] = None): Unit = {
     import graft.sources.Snapshots
     Snapshots.drop(s, dir) // deterministic version numbers per run
     val orders = Tables.load(s, d, "orders")
@@ -3024,8 +3056,14 @@ object ExtQ {
     def balances(o: DataFrame) = o.groupBy(col("o_custkey"))
       .agg(dsum2(col("o_totalprice")).as("balance"),
         count(lit(1)).as("n_orders"))
-    Snapshots.commit(balances(orders.filter(col("o_orderdate") < cut)), dir)
-    Snapshots.commit(balances(orders), dir)
+    val v1 = balances(orders.filter(col("o_orderdate") < cut))
+    val v2 = balances(orders)
+    ts match {
+      case Some((t1, t2)) =>
+        Snapshots.commitAt(v1, dir, t1); Snapshots.commitAt(v2, dir, t2)
+      case None =>
+        Snapshots.commit(v1, dir); Snapshots.commit(v2, dir)
+    }
   }
 
   /** x52/x55: the events with their 4-bit query buckets and z-value
@@ -4165,6 +4203,30 @@ object ExtQ {
         |  TRUE AS files_pruned
         |FROM orders WHERE o_custkey IN (7, 88, 133)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x63: both table states restated from orders; the boundary and
+    // midway instants resolve to v1 (commit ts <= query ts, log-
+    // defined visibility), the post-T2 instant to v2 — the literal
+    // resolved_version per label pins the resolution rule.
+    "x63_time_as_of" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |    COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT 'at_v1' AS as_of, o_custkey, balance, n_orders,
+        |  CAST(1 AS INT) AS resolved_version FROM v1
+        |UNION ALL
+        |SELECT 'between', o_custkey, balance, n_orders, CAST(1 AS INT) FROM v1
+        |UNION ALL
+        |SELECT 'after_v2', o_custkey, balance, n_orders, CAST(2 AS INT) FROM v2
+        |ORDER BY as_of, o_custkey""".stripMargin,
 
     // x57: the shard assignment replayed from the recomputed exact
     // boundaries (count of b <= value); literal true pins the

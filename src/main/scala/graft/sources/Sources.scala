@@ -627,6 +627,57 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** TIMED commit (x63): land `df` as the next version carrying an
+    * EXPLICIT commit timestamp in the log entry — the second
+    * time-travel axis (Delta's `TIMESTAMP AS OF` next to x54's
+    * `VERSION AS OF`). The caller supplies the timestamp rather than
+    * the wall clock stamping it, which is what makes `AS OF` reads
+    * reproducible across reruns (and what Delta's
+    * timestamp-adjustment machinery only approximates from file
+    * mtimes). Timestamps must be strictly increasing along the log —
+    * a commit timed at-or-before its predecessor would make
+    * [[versionAsOf]] ambiguous, so it fails loudly here. The check
+    * is a semantic guard on the caller's clock, not a concurrency
+    * primitive — the atomic claim is [[tryPublishEntry]]'s, same as
+    * any commit. */
+  def commitAt(df: DataFrame, dir: String, tsMillis: Long,
+               partitionBy: Seq[String] = Nil): Int = {
+    val prior = logEntries(df.sparkSession, dir)
+      .flatMap(n => Option(n.get("ts")).map(_.asLong()))
+    require(prior.forall(_ < tsMillis),
+      s"commit ts $tsMillis must exceed every prior commit ts under $dir " +
+        s"(max prior: ${prior.maxOption.getOrElse(0L)})")
+    writeVersion(df, dir, partitionBy, extraMeta = s""","ts":$tsMillis""")
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST published version whose
+    * commit ts is ≤ `tsMillis` — the state a reader at that instant
+    * would have seen. Requires every published entry to carry a ts (a
+    * timed table is timed throughout; mixing timed and untimed
+    * commits would silently mis-resolve, so it fails loudly instead),
+    * and fails loudly on a ts that predates the first commit — there
+    * was no table to read then. */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val entries = logEntries(spark, dir).filter(isPublishedEntry(spark, _))
+    require(entries.nonEmpty, s"no published versions under $dir")
+    val timed = entries.map { n =>
+      val v = n.get("version").asInt()
+      val t = Option(n.get("ts")).map(_.asLong())
+      require(t.isDefined,
+        s"TIMESTAMP AS OF needs a commit ts on every published version; v$v has none")
+      (v, t.get)
+    }
+    val visible = timed.filter(_._2 <= tsMillis)
+    require(visible.nonEmpty,
+      s"ts $tsMillis predates the first commit (${timed.map(_._2).min}) under $dir")
+    visible.maxBy(_._2)._1
+  }
+
+  /** Read the table as it stood at `tsMillis` ([[versionAsOf]] +
+    * pinned [[read]]). */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)))
+
   /** Publish a staged version: flip its log entry's `staged` flag off
     * (write-temp-then-rename over the ONE entry file — the same
     * crash-atomicity as commit, and no other version's entry is even

@@ -299,6 +299,32 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("timed commits: AS OF resolves at-or-before, guards monotonicity and timed-throughout") {
+    val dir = freshDir()
+    Snapshots.commitAt(Seq((1L, "v1")).toDF("id", "v"), dir, 1000L)
+    Snapshots.commitAt(Seq((1L, "v2")).toDF("id", "v"), dir, 2000L)
+    // boundary inclusive, between-commits stays on the older version
+    assert(Snapshots.versionAsOf(spark, dir, 1000L) == 1)
+    assert(Snapshots.versionAsOf(spark, dir, 1999L) == 1)
+    assert(Snapshots.versionAsOf(spark, dir, 2000L) == 2)
+    assert(Snapshots.readAsOf(spark, dir, 1500L).collect()
+      .map(_.getString(1)).toSeq == Seq("v1"))
+    // a ts that predates the first commit has no state to read
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, dir, 999L)
+    }
+    // the log must stay monotonic in ts — equal or older fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAt(Seq((1L, "x")).toDF("id", "v"), dir, 2000L)
+    }
+    // a timed table is timed THROUGHOUT: an untimed commit poisons
+    // AS OF resolution loudly, never silently mis-resolves
+    Snapshots.commit(Seq((1L, "v3")).toDF("id", "v"), dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, dir, 5000L)
+    }
+  }
+
   test("aligned reads serve old versions through the latest schema; drops/type-changes fail loudly") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "grp"), dir)
