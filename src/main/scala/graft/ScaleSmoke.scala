@@ -146,6 +146,10 @@ object ScaleSmoke {
     // driver pass over a CONSTANT file count (months don't grow with
     // F) and the three point reads scan only surviving partitions
     "x62_bloom_skip",
+    // x64 is ONE scan of the F×-scaled orders folding two theta
+    // sketches (sketch-sized exchange, never keys); the set algebra
+    // after it is scalar — time must follow the scan, nothing else
+    "x64_sketch_set_algebra",
     // x63 is deliberately absent: its data-sized work IS x61's (the
     // same two balance commits, measured above); TIMESTAMP AS OF
     // resolution itself is a driver pass over the manifest-sized log

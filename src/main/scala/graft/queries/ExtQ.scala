@@ -1575,6 +1575,53 @@ object ExtQ {
         }.reduce(_ unionByName _).orderBy(col("as_of"), col("o_custkey"))
     }),
 
+    // x64 — SKETCH SET ALGEBRA (theta sketches: the distinct-count
+    // algebra HLL cannot do): year-over-year customer retention /
+    // churn as |1996|, |1997|, |∪|, |∩|, |1996∖1997|, |1997∖1996|
+    // and an exact-integer Jaccard, all from ONE scan of orders.
+    // Two sketches build side by side in a single aggregate (the
+    // conditional-input trick — null rows are skipped by the agg),
+    // each a TypedImperativeAggregate: map tasks fold locally and
+    // only sketch-sized states cross the exchange, never keys. The
+    // set operations are then SCALAR expressions over the two
+    // binary columns — no second scan, no distinct shuffle, no
+    // self-join; at 100 TB the same query is one pass + bytes,
+    // where six exact COUNT(DISTINCT)s would be six shuffles of the
+    // key stream (or one giant pivoted one). EXACT-MODE CONTRACT
+    // (what makes the exact-SQL oracle sound): a theta sketch
+    // retains every hash until its nominal-entry capacity, so below
+    // 2^lgk distinct keys estimates — and their unions/intersections/
+    // differences — are exact integers; lgk=20 (1M entries) keeps
+    // every fixture SF in exact mode, and the production dial is
+    // lowering lgk (12 → ±1.6% at 16 KB/sketch) once corpora dwarf
+    // memory. The ppm Jaccard is integer math off two exact counts —
+    // no float drift in the hash.
+    "x64_sketch_set_algebra" -> ((s, d) => {
+      val yr = year(col("o_orderdate"))
+      val orders = Tables.load(s, d, "orders")
+        .filter(yr.isin(1996, 1997))
+        .select(col("o_custkey"), yr.as("y"))
+      val lg = lit(20)
+      orders.agg(
+        call_function("theta_sketch_agg",
+          when(col("y") === 1996, col("o_custkey")), lg).as("a"),
+        call_function("theta_sketch_agg",
+          when(col("y") === 1997, col("o_custkey")), lg).as("b"))
+        .select(
+          call_function("theta_sketch_estimate", col("a")).as("n_1996"),
+          call_function("theta_sketch_estimate", col("b")).as("n_1997"),
+          call_function("theta_sketch_estimate",
+            call_function("theta_union", col("a"), col("b"))).as("n_union"),
+          call_function("theta_sketch_estimate",
+            call_function("theta_intersection", col("a"), col("b"))).as("n_retained"),
+          call_function("theta_sketch_estimate",
+            call_function("theta_difference", col("a"), col("b"))).as("n_churned"),
+          call_function("theta_sketch_estimate",
+            call_function("theta_difference", col("b"), col("a"))).as("n_new"))
+        .withColumn("jaccard_ppm",
+          floor(lit(1000000L) * col("n_retained") / col("n_union")))
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -4227,6 +4274,24 @@ object ExtQ {
         |UNION ALL
         |SELECT 'after_v2', o_custkey, balance, n_orders, CAST(2 AS INT) FROM v2
         |ORDER BY as_of, o_custkey""".stripMargin,
+
+    // x64: every count replayed EXACTLY (the sketches are in exact
+    // mode below 2^20 distinct keys — see the query's contract note);
+    // the ppm Jaccard is integer math off two of those counts.
+    "x64_sketch_set_algebra" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE EXTRACT(year FROM o_orderdate) = 1996),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE EXTRACT(year FROM o_orderdate) = 1997),
+        |c AS (SELECT
+        |  (SELECT COUNT(*) FROM a) AS n_1996,
+        |  (SELECT COUNT(*) FROM b) AS n_1997,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_retained,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_churned,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_new)
+        |SELECT *, CAST(FLOOR(1000000 * n_retained / n_union) AS BIGINT) AS jaccard_ppm
+        |FROM c""".stripMargin,
 
     // x57: the shard assignment replayed from the recomputed exact
     // boundaries (count of b <= value); literal true pins the
