@@ -150,9 +150,10 @@ object ScaleSmoke {
     // sketches (sketch-sized exchange, never keys); the set algebra
     // after it is scalar — time must follow the scan, nothing else
     "x64_sketch_set_algebra",
-    // x63 is deliberately absent: its data-sized work IS x61's (the
-    // same two balance commits, measured above); TIMESTAMP AS OF
-    // resolution itself is a driver pass over the manifest-sized log
+    // x63/x65 are deliberately absent: their data-sized work IS
+    // x61's (the same two balance commits, measured above);
+    // TIMESTAMP AS OF resolution — Scala or SQL-bound — is a driver
+    // pass over the manifest-sized log
     // x59 is deliberately absent: it is metadata-only BY CONSTRUCTION
     // (PlanShapeSpec pins zero compute jobs) — there is nothing
     // data-sized to measure beyond the one-time ANALYZE other rows pay

@@ -1622,6 +1622,37 @@ object ExtQ {
           floor(lit(1000000L) * col("n_retained") / col("n_union")))
     }),
 
+    // x65 — TIMESTAMP AS OF on the SQL SURFACE (x63's twin through
+    // the S8 script runner, completing the x54/x56 symmetry: every
+    // time-travel verb reachable from pure SQL text): the script
+    // reads the timed table at the SAME three instants through
+    // `snapshot_at_time('<dir>', <millis>)`, which binds each
+    // reference to the version the instant resolves to at BIND time
+    // (versionAsOf — so the timed-throughout and predates-first-
+    // commit guards fire before any SQL runs). The resolved_version
+    // labels are script literals; the PROOF of correct resolution is
+    // the state columns — a misbound instant would surface v2
+    // balances under 'between' and break the shared x63 oracle hash.
+    "x65_sql_time_as_of" -> ((s, d) => {
+      val dir = s"target/x65_snap_${math.abs(d.hashCode)}"
+      val (t1, t2) = (1704067200000L, 1706745600000L)
+      commitBalanceVersions(s, d, dir, ts = Some((t1, t2)))
+      val mid = (t1 + t2) / 2
+      val script =
+        s"""-- S8 surface + snapshot_at_time(dir, millis) time travel
+           |SELECT 'at_v1' AS as_of, o_custkey, balance, n_orders,
+           |  CAST(1 AS INT) AS resolved_version
+           |FROM snapshot_at_time('$dir', $t1)
+           |UNION ALL
+           |SELECT 'between', o_custkey, balance, n_orders, CAST(1 AS INT)
+           |FROM snapshot_at_time('$dir', $mid)
+           |UNION ALL
+           |SELECT 'after_v2', o_custkey, balance, n_orders, CAST(2 AS INT)
+           |FROM snapshot_at_time('$dir', ${t2 + 3600000L})
+           |ORDER BY as_of, o_custkey""".stripMargin
+      graft.util.SqlRunner.runScriptWithSnapshots(s, script).last
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -2947,6 +2978,26 @@ object ExtQ {
   /** x24/x54 shared oracle: both versions of the balance table stated
     * straight from orders. x54 shares the STRING deliberately — the
     * SQL-surface run must hash-match the Scala API's pinned reads. */
+  val X63OracleSql: String =
+    """WITH v1 AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+      |    COUNT(*) AS n_orders
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1),
+      |v2 AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT 'at_v1' AS as_of, o_custkey, balance, n_orders,
+      |  CAST(1 AS INT) AS resolved_version FROM v1
+      |UNION ALL
+      |SELECT 'between', o_custkey, balance, n_orders, CAST(1 AS INT) FROM v1
+      |UNION ALL
+      |SELECT 'after_v2', o_custkey, balance, n_orders, CAST(2 AS INT) FROM v2
+      |ORDER BY as_of, o_custkey""".stripMargin
+
   val X24OracleSql: String =
     """WITH v1 AS (
       |  SELECT o_custkey,
@@ -4254,26 +4305,12 @@ object ExtQ {
     // x63: both table states restated from orders; the boundary and
     // midway instants resolve to v1 (commit ts <= query ts, log-
     // defined visibility), the post-T2 instant to v2 — the literal
-    // resolved_version per label pins the resolution rule.
-    "x63_time_as_of" ->
-      """WITH v1 AS (
-        |  SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
-        |    COUNT(*) AS n_orders
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
-        |  GROUP BY 1),
-        |v2 AS (
-        |  SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
-        |    COUNT(*) AS n_orders
-        |  FROM orders GROUP BY 1)
-        |SELECT 'at_v1' AS as_of, o_custkey, balance, n_orders,
-        |  CAST(1 AS INT) AS resolved_version FROM v1
-        |UNION ALL
-        |SELECT 'between', o_custkey, balance, n_orders, CAST(1 AS INT) FROM v1
-        |UNION ALL
-        |SELECT 'after_v2', o_custkey, balance, n_orders, CAST(2 AS INT) FROM v2
-        |ORDER BY as_of, o_custkey""".stripMargin,
+    // resolved_version per label pins the resolution rule. Shared
+    // with x65 (the SQL-surface twin reading the SAME instants
+    // through snapshot_at_time — a wrong bind breaks the state
+    // columns' hash).
+    "x63_time_as_of" -> X63OracleSql,
+    "x65_sql_time_as_of" -> X63OracleSql,
 
     // x64: every count replayed EXACTLY (the sketches are in exact
     // mode below 2^20 distinct keys — see the query's contract note);

@@ -24,6 +24,9 @@ object SqlRunner {
   private val SnapshotAt =
     """(?i)snapshot_at\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
 
+  private val SnapshotAtTime =
+    """(?i)snapshot_at_time\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
+
   /** Time travel on the SQL surface (x24's warehouse contract made
     * reachable from pure SQL text): every occurrence of the
     * TVF-style table reference `snapshot_at('<table dir>', <v>)` is
@@ -44,7 +47,20 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    val bound2 = TableChanges.replaceAllIn(bound, m => {
+    // TIMESTAMP AS OF twin (x63/x65): `snapshot_at_time('<dir>',
+    // <epoch millis>)` binds to the version the instant resolves to
+    // — same textual mechanism, resolution via versionAsOf so the
+    // timed-throughout and predates-first-commit guards fire at bind
+    // time, before any SQL runs.
+    val boundT = SnapshotAtTime.replaceAllIn(bound, m => {
+      val (dir, ts) = (m.group(1), m.group(2).toLong)
+      val v = graft.sources.Snapshots.versionAsOf(spark, dir, ts)
+      val view = s"snapshot_${Integer.toHexString(dir.hashCode)}_t${ts}_v$v"
+      graft.sources.Snapshots.read(spark, dir, Some(v))
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    val bound2 = TableChanges.replaceAllIn(boundT, m => {
       val (dir, v) = (m.group(1), m.group(2).toInt)
       val keys = m.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val view = s"changes_${Integer.toHexString((dir + keys.mkString(",")).hashCode)}_v$v"

@@ -64,6 +64,24 @@ class SqlRunnerSpec extends SparkSpec {
     assert(out == Seq(("I", 1L), ("D", 2L), ("I", 2L)))
   }
 
+  test("snapshot_at_time binds the instant's resolved version; guards fire at bind time") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString + "/t"
+    Snapshots.commitAt(Seq((1L, "v1")).toDF("id", "v"), dir, 1000L)
+    Snapshots.commitAt(Seq((1L, "v2")).toDF("id", "v"), dir, 2000L)
+    val out = SqlRunner.runScriptWithSnapshots(spark,
+      s"""SELECT a.v, b.v FROM snapshot_at_time('$dir', 1500) a
+         |CROSS JOIN snapshot_at_time('$dir', 2500) b""".stripMargin)
+      .last.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("v1", "v2")))
+    // an instant before the first commit fails at BIND time
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"SELECT * FROM snapshot_at_time('$dir', 500)")
+    }
+  }
+
   test("an unknown version fails at bind time, before any SQL runs") {
     import spark.implicits._
     import graft.sources.Snapshots
