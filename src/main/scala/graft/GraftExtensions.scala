@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: users writing the portable HOF dot product get
     // the fused codegen'd expression automatically.
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+    // Optimizer rule: registered materialized views answer matching
+    // aggregates over their fact table (containment + freshness
+    // gated; no-op while the MV catalog is empty).
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // Physical strategy for the TopKPerKey logical operator (bounded
     // per-key heaps instead of a per-group sort).
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

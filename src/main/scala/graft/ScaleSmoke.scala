@@ -150,6 +150,14 @@ object ScaleSmoke {
     // sketches (sketch-sized exchange, never keys); the set algebra
     // after it is scalar — time must follow the scan, nothing else
     "x64_sketch_set_algebra",
+    // x66 commits the F×-scaled fact + builds the MV (both scale —
+    // the write-once price); the REWRITTEN query is MV-sized at any
+    // F, which is the operator's whole claim. x68 pays a second
+    // fact commit and its declined query re-scans the F×-scaled
+    // fact — the honest staleness price. x67 is deliberately
+    // absent: its data-sized work IS x66's (same fact commit + MV
+    // build; the rollup re-aggregates the group-cardinality MV)
+    "x66_mv_rewrite", "x68_mv_staleness",
     // x63/x65 are deliberately absent: their data-sized work IS
     // x61's (the same two balance commits, measured above);
     // TIMESTAMP AS OF resolution — Scala or SQL-bound — is a driver

@@ -1653,6 +1653,83 @@ object ExtQ {
       graft.util.SqlRunner.runScriptWithSnapshots(s, script).last
     }),
 
+    // x66 — AUTOMATIC MV QUERY REWRITE (the read half x12/x35/x41's
+    // maintenance story was missing): a registered materialized view
+    // answers plain SQL that only names the FACT table. MatView
+    // commits the per-(status,priority) partials of the snapshot-
+    // committed fact, MvRewrite (an injected optimizer rule) matches
+    // the Aggregate-over-fact shape and re-aggregates the MV instead
+    // — exact containment only (grouping ⊆ keys, every aggregate
+    // derivable from the stored partials, freshness gate), refusal
+    // otherwise. The `used_mv` flag is read off the OPTIMIZED plan
+    // (MV scanned, fact not) and hashed, so the oracle pins both the
+    // values AND the plan decision: a silently-declined rewrite
+    // flips the flag; a semantically wrong one breaks the aggregate
+    // columns. At 100 TB the fact-sized scan+shuffle becomes an
+    // MV-sized one; the decision is a driver-side registry probe
+    // plus one manifest-sized log read.
+    "x66_mv_rewrite" -> ((s, d) => {
+      val (factDir, mvDir) = x66Setup(s, d, "a")
+      graft.sources.Snapshots.read(s, factDir)
+        .createOrReplaceTempView("orders_x66")
+      val q = s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders,
+          |  MIN(o_totalprice) AS min_price,
+          |  MAX(o_totalprice) AS max_price
+          |FROM orders_x66
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // x67 — MV GROUP ROLLUP (algebraic containment, not equality):
+    // the SAME (status,priority) view serves a status-only rollup —
+    // SUM/COUNT re-sum, MIN re-mins, and AVG arrives as the repo-
+    // standard SUM/COUNT division so each AggregateExpression maps
+    // independently and the Divide stays put (no decimal-average
+    // scale drift to reconcile). Same plan-decision pin as x66.
+    "x67_mv_rollup" -> ((s, d) => {
+      val (factDir, mvDir) = x66Setup(s, d, "b")
+      graft.sources.Snapshots.read(s, factDir)
+        .createOrReplaceTempView("orders_x67")
+      val q = s.sql(
+        """SELECT o_orderstatus,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          |  MIN(o_totalprice) AS min_price
+          |FROM orders_x67
+          |GROUP BY o_orderstatus""".stripMargin)
+      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // x68 — MV STALENESS FALLBACK (the gate that makes x66 safe to
+    // trust): after the MV is built on v1, the fact advances to v2;
+    // the SAME SQL text must now REFUSE the rewrite and answer from
+    // the live fact scan. The hashed output pins both halves — the
+    // aggregates carry v2's numbers (a stale-served MV would still
+    // show v1's) and `used_mv` pins the declined plan. This is the
+    // x46 result-cache discipline applied to the rewrite path:
+    // version-fingerprinted reads, never trust-by-recency.
+    "x68_mv_staleness" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val (factDir, mvDir) = x66Setup(s, d, "c")
+      // the input commit that outdates the view: v2 = ALL orders
+      Snapshots.commit(x66Fact(s, d, allRows = true), factDir)
+      Snapshots.read(s, factDir).createOrReplaceTempView("orders_x68")
+      val q = s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders
+          |FROM orders_x68
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -3145,6 +3222,52 @@ object ExtQ {
   /** x24/x54 shared frame: (re)commit the customer balance table as
     * exactly two versions under `dir` — v1 over pre-1997 orders, v2
     * over all — so both queries pin reads against a known log. */
+  /** x66/x67/x68 fact frame: the governed orders table the MV is
+    * declared over — v1 is the pre-1997 slice, v2 (x68's outdating
+    * commit) everything. */
+  private def x66Fact(s: SparkSession, d: String, allRows: Boolean): DataFrame = {
+    val o = Tables.load(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+    if (allRows) o
+    else o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+  }
+
+  /** x66/x67/x68 shared setup: commit the fact (v1), build + commit
+    * the (status, priority) MV over it, register it for MvRewrite
+    * with freshness = "the fact's published log is still exactly
+    * what the view was built from". Per-query dirs (`tag`) keep the
+    * three declared queries order-independent. */
+  private def x66Setup(s: SparkSession, d: String, tag: String): (String, String) = {
+    import graft.sources.Snapshots
+    val factDir = s"target/x66_fact_${tag}_${math.abs(d.hashCode)}"
+    val mvDir = s"target/x66_mv_${tag}_${math.abs(d.hashCode)}"
+    Snapshots.drop(s, factDir)
+    Snapshots.commit(x66Fact(s, d, allRows = false), factDir)
+    val fact = Snapshots.read(s, factDir)
+    val v0 = Snapshots.versions(s, factDir)
+    graft.plans.MatView.create(s, s"x66_$tag", fact, factDir, mvDir,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
+      minMaxCols = Seq("price" -> col("o_totalprice")),
+      isFresh = () => Snapshots.versions(s, factDir) == v0)
+    (factDir, mvDir)
+  }
+
+  /** The hashed plan-decision flag: true iff the optimized plan
+    * scans the MV and NOT the fact — a declined (or half-applied)
+    * rewrite can't fake it. */
+  private def x66UsedMv(q: DataFrame, mvDir: String, factDir: String): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val paths = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir))
+  }
+
   private def commitBalanceVersions(s: SparkSession, d: String, dir: String,
                                     ts: Option[(Long, Long)] = None): Unit = {
     import graft.sources.Snapshots
@@ -4311,6 +4434,39 @@ object ExtQ {
     // columns' hash).
     "x63_time_as_of" -> X63OracleSql,
     "x65_sql_time_as_of" -> X63OracleSql,
+
+    // x66/x67: the aggregate restated straight from orders (the MV's
+    // defining query composed with the user query — containment made
+    // executable); used_mv = TRUE is the plan decision the flag pins.
+    // x68: v2's numbers (ALL orders) with used_mv = FALSE — a stale-
+    // served MV would hash v1's rows instead.
+    "x66_mv_rewrite" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  TRUE AS used_mv
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x67_mv_rollup" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  TRUE AS used_mv
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x68_mv_staleness" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  FALSE AS used_mv
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // x64: every count replayed EXACTLY (the sketches are in exact
     // mode below 2^20 distinct keys — see the query's contract note);

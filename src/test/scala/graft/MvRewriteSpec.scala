@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import graft.plans.{MatView, MvCatalog, MvRewrite}
+import graft.sources.Snapshots
+
+/** The MV rewrite's contract: serve only when containment AND
+  * freshness hold, refuse otherwise, and never change a result
+  * either way. */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def fixture(tag: String): (String, String, DataFrame) = {
+    val root = java.nio.file.Files.createTempDirectory(s"mv$tag").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    Snapshots.commit(
+      Seq(("a", "x", 10L, 1.5), ("a", "y", 20L, 2.5), ("b", "x", 30L, 3.5),
+        ("b", "x", 40L, 4.5), ("b", "y", 50L, 5.5))
+        .toDF("g1", "g2", "qty", "price"),
+      factDir)
+    val fact = Snapshots.read(spark, factDir)
+    val v0 = Snapshots.versions(spark, factDir)
+    MatView.create(spark, s"spec_$tag", fact, factDir, mvDir,
+      groupCols = Seq("g1", "g2"),
+      sumCols = Seq("qty" -> col("qty")),
+      countCols = Seq("price" -> col("price")),
+      minMaxCols = Seq("price" -> col("price")),
+      isFresh = () => Snapshots.versions(spark, factDir) == v0)
+    (factDir, mvDir, fact)
+  }
+
+  test("exact-group aggregate rewrites onto the MV, values unchanged") {
+    val (factDir, mvDir, fact) = fixture("a")
+    val q = fact.groupBy($"g1", $"g2").agg(
+      sum($"qty").as("s"), count(lit(1)).as("n"),
+      min($"price").as("lo"), max($"price").as("hi"))
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains(mvDir)), "rewritten plan must scan the MV")
+    assert(!paths.exists(_.contains(factDir)), "rewritten plan must not scan the fact")
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    MvCatalog.clear()
+    val want = q.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want, "rewrite must not change the result")
+  }
+
+  test("coarser grouping rolls up the MV; COUNT(col) uses the stored cnt") {
+    val (factDir, mvDir, fact) = fixture("b")
+    val q = fact.groupBy($"g1").agg(
+      sum($"qty").as("s"), count($"price").as("n"), min($"price").as("lo"))
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir)))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSet ==
+      Set(("a", 30L, 2L, 1.5), ("b", 120L, 3L, 3.5)))
+    MvCatalog.clear()
+  }
+
+  test("a fact commit after the MV build makes the rewrite refuse (stale gate)") {
+    val (factDir, mvDir, _) = fixture("c")
+    Snapshots.commit(Seq(("c", "z", 100L, 9.0)).toDF("g1", "g2", "qty", "price"),
+      factDir)
+    val fact2 = Snapshots.read(spark, factDir)
+    val q = fact2.groupBy($"g1", $"g2").agg(sum($"qty").as("s"))
+    val paths = scanPaths(q)
+    assert(!paths.exists(_.contains(mvDir)), "a stale MV must never serve")
+    assert(paths.exists(_.contains(factDir)))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      .contains(("c", 100L)), "the live scan must see v2's rows")
+    MvCatalog.clear()
+  }
+
+  test("containment violations refuse: unregistered agg, filter, non-key group, distinct") {
+    val (factDir, mvDir, fact) = fixture("d")
+    def refused(df: DataFrame): Boolean = {
+      val p = scanPaths(df)
+      p.exists(_.contains(factDir)) && !p.exists(_.contains(mvDir))
+    }
+    assert(refused(fact.groupBy($"g1").agg(sum($"price").as("s"))),
+      "sum over an unregistered column must scan the fact")
+    assert(refused(fact.filter($"qty" > 15).groupBy($"g1").agg(sum($"qty").as("s"))),
+      "a filter between aggregate and scan changes the input — refuse")
+    assert(refused(fact.groupBy($"qty").agg(count(lit(1)).as("n"))),
+      "grouping outside the MV key set must scan the fact")
+    assert(refused(fact.groupBy($"g1").agg(countDistinct($"qty").as("n"))),
+      "DISTINCT is not derivable from the stored partials — refuse")
+    MvCatalog.clear()
+  }
+
+  test("aggregates inside expression trees map independently (SUM/COUNT divide)") {
+    val (factDir, mvDir, fact) = fixture("e")
+    fact.createOrReplaceTempView("mv_spec_fact_e")
+    val q = spark.sql(
+      """SELECT g1, CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM mv_spec_fact_e GROUP BY g1""".stripMargin)
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir)))
+    assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("a", 15.0), ("b", 40.0)))
+    MvCatalog.clear()
+  }
+
+  test("the rewritten plan preserves output names, types AND ExprIds") {
+    val (factDir, mvDir, fact) = fixture("f")
+    val q = fact.groupBy($"g1").agg(sum($"qty").as("s"), count(lit(1)).as("n"))
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir)))
+    // the invisibility contract that lets parent operators re-bind
+    // with zero plan surgery: the optimized (rewritten) output is
+    // attribute-for-attribute the analyzed one
+    val orig = q.queryExecution.analyzed.output.map(a => (a.name, a.exprId, a.dataType))
+    val opt = q.queryExecution.optimizedPlan.output.map(a => (a.name, a.exprId, a.dataType))
+    assert(opt == orig, "rewrite must preserve the aggregate's output attributes")
+    MvCatalog.clear()
+  }
+}
