@@ -1,0 +1,238 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions.{col, hash, month, pmod, year}
+import org.apache.spark.sql.types.TimestampType
+
+/** HIDDEN PARTITIONING — partition TRANSFORMS instead of partition
+  * COLUMNS. The classic hive-layout trap at scale: the table is
+  * partitioned on a derived column (`order_month`), users filter on
+  * the SOURCE column (`o_orderdate`), and the scan walks every
+  * partition because the engine can't connect the two — pruning
+  * works only for queries written against the layout's private
+  * vocabulary. Here the transform is table METADATA: writes derive
+  * the partition value from a declared transform, reads hide the
+  * derived column entirely, and [[HiddenPartitionRule]] (an injected
+  * optimizer rule, [[MvRewrite]]'s sibling) translates raw-column
+  * predicates into partition predicates automatically:
+  *
+  *  - `Month(src)`: value = year·12+month−1; range/equality
+  *    predicates on `src` become closed month-index bounds (the
+  *    bound is computed driver-side from the literal — strict `<` /
+  *    `>` still map to the inclusive month containing the endpoint,
+  *    which over-selects by at most one partition and can never
+  *    under-select).
+  *  - `Bucket(src, n)`: value = pmod(hash(src), n) — murmur3, the
+  *    same expression the write derived, so the injected
+  *    `_p = pmod(hash(lit), n)` is foldable and EXACT; equality and
+  *    IN-lists translate, ranges deliberately don't (bucket order is
+  *    meaningless).
+  *
+  * Soundness rule: every translation must be IMPLIED BY the user
+  * predicate (month(x) ∈ [month(lo), month(hi)] whenever
+  * x ∈ [lo, hi]); the raw predicate always stays in the plan as the
+  * residual, so a missed translation costs a wider scan, never a
+  * wrong row. The injected conjunct lands directly above the
+  * LogicalRelation — exactly where FileSourceStrategy splits
+  * partition filters from data filters — so directory pruning
+  * happens at listing time and the residual rides pushed into the
+  * surviving files' scans.
+  *
+  * 100 TB: a month×bucket layout turns "six months of one customer
+  * shard" from a full-table listing+scan into ≤ months·buckets
+  * directories, and the contract survives query authors who have
+  * never heard of the layout — the point of hiding it.
+  */
+object HiddenPartitioning {
+
+  sealed trait Transform {
+    def source: String
+    def partCol: String
+  }
+  /** Calendar-month transform: partition value = year·12+month−1. */
+  final case class Month(source: String) extends Transform {
+    val partCol = s"_p_${source}_m"
+  }
+  /** Hash-bucket transform: partition value = pmod(murmur3(src), n). */
+  final case class Bucket(source: String, n: Int) extends Transform {
+    val partCol = s"_p_${source}_b"
+  }
+
+  private val registry =
+    new scala.collection.concurrent.TrieMap[String, Seq[Transform]]
+  private[plans] def specFor(paths: Seq[String]): Option[Seq[Transform]] =
+    registry.collectFirst {
+      case (dir, ts) if paths.exists(_.contains(dir)) => ts
+    }
+  def clear(): Unit = registry.clear()
+  /** Targeted de-registration — what tests should use (the registry
+    * is process-wide; a global clear() races parallel suites). */
+  def remove(dir: String): Unit = registry.remove(dir)
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  private def derivedCol(t: Transform) = t match {
+    case Month(src) => year(col(src)) * 12 + month(col(src)) - 1
+    case Bucket(src, n) => pmod(hash(col(src)), org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Commit `df` under the declared transforms: derive the partition
+    * values, hive-partition the version on them, persist the spec as
+    * table metadata (`_hidden_spec.json`), register for the rule. */
+  def write(spark: SparkSession, df: DataFrame, dir: String,
+            transforms: Seq[Transform]): Int = {
+    import graft.sources.Snapshots
+    val withCols = transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.partCol, derivedCol(t)))
+    // co-locate each partition's rows before the write: without this
+    // every write task touches every directory and the layout lands
+    // as tasks×dirs small files — the hive-commit cost explodes and
+    // reads pay the file-count forever. One shuffle, one file per
+    // directory (split further only by maxRecordsPerFile-style policy
+    // at real scale).
+    val colocated = withCols.repartition(transforms.map(t => col(t.partCol)): _*)
+    val v = Snapshots.commit(colocated, dir, partitionBy = transforms.map(_.partCol))
+    val spec = transforms.map {
+      case Month(s) => s"""{"kind":"month","source":"$s"}"""
+      case Bucket(s, n) => s"""{"kind":"bucket","source":"$s","n":$n}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_hidden_spec.json"),
+      spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    registry.put(dir, transforms)
+    HiddenPartitionRule.ensureInstalled(spark)
+    v
+  }
+
+  /** The user-facing read: partition columns HIDDEN (that's the
+    * feature), spec re-registered from the sidecar so a fresh
+    * session prunes without the writer's help. */
+  def table(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val specPath = java.nio.file.Paths.get(dir, "_hidden_spec.json")
+    if (!registry.contains(dir) && java.nio.file.Files.exists(specPath)) {
+      val txt = new String(java.nio.file.Files.readAllBytes(specPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(txt)
+      val ts: Seq[Transform] = (0 until node.size()).map(node.get).map { o =>
+        o.get("kind").asText() match {
+          case "month" => Month(o.get("source").asText())
+          case "bucket" => Bucket(o.get("source").asText(), o.get("n").asInt())
+        }
+      }
+      registry.put(dir, ts)
+    }
+    HiddenPartitionRule.ensureInstalled(spark)
+    val ts = registry.getOrElse(dir,
+      throw new IllegalArgumentException(s"no hidden-partition spec under $dir"))
+    Snapshots.read(spark, dir).drop(ts.map(_.partCol): _*)
+  }
+
+  /** Partition directories the plan will actually list — the
+    * pruning witness declared queries and specs pin. */
+  def partitionsScanned(df: DataFrame): Int = {
+    def walk(p: SparkPlan): Seq[Int] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s.selectedPartitions.partitionCount)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).sum
+  }
+}
+
+/** The translation rule: for each registered table, every conjunct
+  * of a Filter sitting on its scan is offered to each transform; the
+  * implied partition predicates (if any) are conjoined in. Skips
+  * tables whose condition already names a partition column — both
+  * the fixed-point guard and the "user knows the layout" escape. */
+object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
+  import HiddenPartitioning._
+
+  def ensureInstalled(spark: SparkSession): Unit =
+    RuleInstaller.install(spark, HiddenPartitionRule)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (HiddenPartitioning.isEmpty) plan
+    else plan.transformUp {
+      case f @ Filter(cond, rel: LogicalRelation) =>
+        val paths = rel.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        specFor(paths) match {
+          case Some(ts)
+            if !cond.references.exists(r => ts.exists(_.partCol == r.name)) =>
+            val derived = splitConjunctivePredicates(cond).flatMap(p =>
+              ts.flatMap(t => translate(t, p, rel)))
+            if (derived.isEmpty) f
+            else Filter(derived.foldLeft(cond)(And), rel)
+          case _ => f
+        }
+    }
+
+  /** Time-typed literals the month transform understands: LTZ and
+    * NTZ timestamps (micros — the session timezone is pinned UTC
+    * throughout the repo, so they agree) and dates (epoch days). */
+  private def isTime(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType ||
+      dt == org.apache.spark.sql.types.DateType
+
+  /** Month index of a time literal, UTC. */
+  private def monthIdx(l: Literal): Int = {
+    val d = l.dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)
+      case _ =>
+        java.time.Instant
+          .ofEpochSecond(Math.floorDiv(l.value.asInstanceOf[Long], 1000000L))
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    }
+    d.getYear * 12 + d.getMonthValue - 1
+  }
+
+  private def bucketOf(l: Literal, n: Int): Expression =
+    Pmod(new Murmur3Hash(Seq(l)), Literal(n))
+
+  /** The implied partition predicate for one conjunct, or None.
+    * Only implications are emitted — the raw conjunct remains as the
+    * residual, so None is always safe. */
+  private def translate(t: Transform, p: Expression,
+                        rel: LogicalRelation): Option[Expression] = {
+    val pAttr = rel.output.find(_.name == t.partCol).getOrElse(return None)
+    def src(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(t.source)
+      case _ => false
+    }
+    t match {
+      case Month(_) => p match {
+        case GreaterThanOrEqual(a, l: Literal) if src(a) && isTime(l.dataType) =>
+          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case GreaterThan(a, l: Literal) if src(a) && isTime(l.dataType) =>
+          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case LessThanOrEqual(a, l: Literal) if src(a) && isTime(l.dataType) =>
+          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case LessThan(a, l: Literal) if src(a) && isTime(l.dataType) =>
+          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case EqualTo(a, l: Literal) if src(a) && isTime(l.dataType) =>
+          Some(EqualTo(pAttr, Literal(monthIdx(l))))
+        case EqualTo(l: Literal, a) if src(a) && isTime(l.dataType) =>
+          Some(EqualTo(pAttr, Literal(monthIdx(l))))
+        case _ => None
+      }
+      case Bucket(_, n) => p match {
+        case EqualTo(a, l: Literal) if src(a) => Some(EqualTo(pAttr, bucketOf(l, n)))
+        case EqualTo(l: Literal, a) if src(a) => Some(EqualTo(pAttr, bucketOf(l, n)))
+        case In(a, vs) if src(a) && vs.forall(_.isInstanceOf[Literal]) =>
+          Some(In(pAttr, vs.map(v => bucketOf(v.asInstanceOf[Literal], n))))
+        case _ => None
+      }
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.{HiddenPartitioning => HP}
+import graft.sources.Snapshots
+
+/** Hidden partitioning's contract: raw-column predicates prune the
+  * transform-partitioned layout, translations are implications only
+  * (never a dropped row), and a fresh session recovers the spec from
+  * the table's own metadata. */
+class HiddenPartitioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"hp$tag").toString + "/t"
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i % 37).toLong,
+        java.sql.Timestamp.valueOf(f"199${6 + i % 2}-${1 + i % 12}%02d-15 00:00:00"),
+        i * 1.5)
+    }
+    HP.write(spark, rows.toDF("id", "k", "ts", "v"), dir,
+      Seq(HP.Month("ts"), HP.Bucket("k", 4)))
+    dir
+  }
+
+  test("range + equality predicates on raw columns prune the layout") {
+    val dir = fixture("a")
+    val t = HP.table(spark, dir)
+    assert(!t.columns.exists(_.startsWith("_p_")), "partition columns stay hidden")
+    val q = t.filter($"ts" >= lit("1996-03-01").cast("timestamp") &&
+      $"ts" <= lit("1996-05-31").cast("timestamp") && $"k" === 7L)
+    val scanned = HP.partitionsScanned(q)
+    val total = HP.partitionsScanned(t)
+    assert(scanned <= 3, s"3 months x 1 bucket, got $scanned")
+    assert(total >= 24, s"24 month x bucket directories expected, got $total")
+    // no dropped rows: the pruned answer is the brute-force answer
+    HP.remove(dir)
+    val want = Snapshots.read(spark, dir)
+      .filter($"ts" >= lit("1996-03-01").cast("timestamp") &&
+        $"ts" <= lit("1996-05-31").cast("timestamp") && $"k" === 7L)
+      .select($"id").as[Long].collect().toSet
+    assert(q.select($"id").as[Long].collect().toSet == want)
+  }
+
+  test("IN-lists translate to bucket lists; untranslatable shapes widen, never wrong") {
+    val dir = fixture("b")
+    val t = HP.table(spark, dir)
+    val total = HP.partitionsScanned(t)
+    val inQ = t.filter($"k".isin(3L, 5L))
+    assert(HP.partitionsScanned(inQ) < total, "IN must prune buckets")
+    // a bucket RANGE is meaningless — must not prune (and must not fire)
+    val rangeQ = t.filter($"k" > 30L)
+    assert(HP.partitionsScanned(rangeQ) == total,
+      "range on a bucket column has no implication — full listing")
+    assert(rangeQ.count() == Snapshots.read(spark, dir).filter($"k" > 30L).count())
+    HP.remove(dir)
+  }
+
+  test("a fresh registry recovers the spec from the table's sidecar metadata") {
+    val dir = fixture("c")
+    HP.remove(dir) // simulate a new session/process
+    val t = HP.table(spark, dir) // re-registers from _hidden_spec.json
+    val q = t.filter($"ts" === lit("1996-04-15").cast("timestamp"))
+    assert(HP.partitionsScanned(q) <= 1, "month equality must prune to one month")
+    HP.remove(dir)
+  }
+
+  test("a query that already names the partition column is left alone") {
+    val dir = fixture("d")
+    val raw = Snapshots.read(spark, dir) // layout-aware reader
+    val q = raw.filter(col("_p_ts_m") === lit(23955))
+    // no double-injection, still prunes via the explicit predicate
+    assert(HP.partitionsScanned(q) <= 4)
+    HP.remove(dir)
+  }
+
+  test("strict bounds map to inclusive month bounds (over-select, never under)") {
+    val dir = fixture("e")
+    val t = HP.table(spark, dir)
+    val q = t.filter($"ts" > lit("1996-03-20").cast("timestamp") &&
+      $"ts" < lit("1996-04-10").cast("timestamp"))
+    HP.remove(dir)
+    val want = Snapshots.read(spark, dir)
+      .filter($"ts" > lit("1996-03-20").cast("timestamp") &&
+        $"ts" < lit("1996-04-10").cast("timestamp"))
+      .select($"id").as[Long].collect().toSet
+    assert(q.select($"id").as[Long].collect().toSet == want,
+      "the residual predicate must keep strict-bound semantics exact")
+  }
+}
