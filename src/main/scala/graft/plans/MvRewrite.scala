@@ -66,24 +66,28 @@ object MvRewrite extends Rule[LogicalPlan] {
     * optimizer (the "User Provided Optimizers" batch — runs after
     * view inlining, project collapse and column pruning, so the
     * Aggregate-over-scan shape below is what actually arrives). */
-  def ensureInstalled(spark: SparkSession): Unit = synchronized {
-    if (!spark.experimental.extraOptimizations.exists(_ eq MvRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ MvRewrite
+  def ensureInstalled(spark: SparkSession): Unit =
+    RuleInstaller.install(spark, MvRewrite)
+
+  /** Canonical signature of one leaf scan (its sorted root paths) —
+    * the unit of the COVERAGE match below. */
+  private[plans] def sig(l: LogicalRelation): String = l.relation match {
+    case h: HadoopFsRelation => h.location.rootPaths.map(_.toString).sorted.mkString("|")
+    case _ => ""
   }
 
-  /** The fact scan under an Aggregate, looking through pure column
-    * pruning only — a Filter (or anything else) in between changes
-    * the aggregate's input and must block the rewrite. */
-  private def factScan(p: LogicalPlan): Option[LogicalRelation] = p match {
-    case l: LogicalRelation => Some(l)
-    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) => factScan(c)
+  /** The leaf-scan signatures under an Aggregate, looking through
+    * pure column pruning and UNION only (the shape of a resolved
+    * append: base files ∪ delta files). A Filter — or anything else
+    * — between the aggregate and its scans changes the input and
+    * must block the rewrite. */
+  private def leafSigs(p: LogicalPlan): Option[Seq[String]] = p match {
+    case l: LogicalRelation => Some(Seq(sig(l)))
+    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) => leafSigs(c)
+    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+      val parts = u.children.map(leafSigs)
+      if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
     case _ => None
-  }
-
-  private def scanPaths(l: LogicalRelation): Seq[String] = l.relation match {
-    case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
-    case _ => Nil
   }
 
   /** Structural expression equality with attributes matched by NAME
@@ -101,10 +105,14 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-    val scan = factScan(agg.child).getOrElse(return None)
-    val paths = scanPaths(scan)
+    val sigs = leafSigs(agg.child).getOrElse(return None)
+    // EXACT coverage, as a multiset: every covered leaf read exactly
+    // once, nothing else read. A partial read (one version of a
+    // refreshed table), a self-union, or an extra relation all fail
+    // the bijection — each would make the stored aggregate the wrong
+    // answer.
     val d = MvCatalog.all
-      .find(m => paths.exists(_.contains(m.factFragment)))
+      .find(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted)
       .getOrElse(return None)
     // grouping must be plain fact attributes within the MV's key set
     val groupAttrs = agg.groupingExpressions.map {
@@ -180,14 +188,31 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 }
 
+/** ONE lock for every injected-rule installation: two rules each
+  * guarding the read-modify-write of the SAME
+  * `spark.experimental.extraOptimizations` var with their own locks
+  * is a lost-update race — an install could silently drop the other
+  * rule. */
+private[plans] object RuleInstaller {
+  private val lock = new Object
+  def install(spark: SparkSession, rule: Rule[LogicalPlan]): Unit =
+    lock.synchronized {
+      if (!spark.experimental.extraOptimizations.exists(_ eq rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
+}
+
 /** The registered-MV registry [[MvRewrite]] consults. Process-wide
   * (the rule object is a singleton); definitions are keyed by name
-  * and matched to scans by fact-path fragment, so distinct tables
-  * can never cross-serve. */
+  * and matched to queries by EXACT leaf-scan coverage — the query
+  * must read precisely the files the view aggregates (as a
+  * multiset), so distinct tables, partial version reads, and
+  * self-unions can never be cross-served. */
 object MvCatalog {
   final case class MvDef(
       name: String,
-      factFragment: String,
+      coverage: Seq[String], // leaf-scan signatures the view covers
       groupCols: Seq[String],
       sums: Seq[(String, Expression)],
       counts: Seq[(String, Expression)],
@@ -195,11 +220,16 @@ object MvCatalog {
       maxs: Seq[(String, Expression)],
       rowCountCol: String,
       mvRead: () => LogicalPlan,
-      isFresh: () => Boolean)
+      isFresh: () => Boolean,
+      // the defining Column specs, kept so refresh() can restate the
+      // partials over a DELTA frame (same names → same layout)
+      specs: MatView.Specs = MatView.Specs(Nil, Nil, Nil),
+      mvDir: String = "")
 
   private val defs = new scala.collection.concurrent.TrieMap[String, MvDef]
   def register(d: MvDef): Unit = defs.put(d.name, d)
   def remove(name: String): Unit = defs.remove(name)
+  def get(name: String): Option[MvDef] = defs.get(name)
   def clear(): Unit = defs.clear()
   def isEmpty: Boolean = defs.isEmpty
   def all: Seq[MvDef] = defs.values.toSeq
@@ -215,11 +245,39 @@ object MvCatalog {
   * de-registered FIRST so the build's own groupBy can never be
   * served by the previous index generation. */
 object MatView {
+  /** The defining aggregate-column specs, reusable over any frame
+    * with the fact's column names (create's full build, refresh's
+    * delta partials). */
+  final case class Specs(
+      sumCols: Seq[(String, Column)],
+      countCols: Seq[(String, Column)],
+      minMaxCols: Seq[(String, Column)])
+
+  /** The MV layout's defining aggregate over `df` — per value column
+    * `n`: `sum_n`/`cnt_n` (+ `min_n`/`max_n`) plus `n_rows`. */
+  private def partials(df: DataFrame, groupCols: Seq[String],
+                       s: Specs): DataFrame = {
+    val aggs: Seq[Column] =
+      s.sumCols.map { case (n, c) => sum(c).as(s"sum_$n") } ++
+        s.countCols.map { case (n, c) => count(c).as(s"cnt_$n") } ++
+        s.minMaxCols.flatMap { case (n, c) =>
+          Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n")) } :+
+        count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Leaf-scan signatures of a frame — what a matching query must
+    * read, exactly (see tryRewrite's coverage bijection). */
+  private def coverageOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        MvRewrite.sig(l)
+    }
+
   def create(
       spark: SparkSession,
       name: String,
       fact: DataFrame,
-      factFragment: String,
       mvDir: String,
       groupCols: Seq[String],
       sumCols: Seq[(String, Column)] = Nil,
@@ -229,13 +287,8 @@ object MatView {
     import graft.sources.Snapshots
     MvCatalog.remove(name)
     Snapshots.drop(spark, mvDir)
-    val aggs: Seq[Column] =
-      sumCols.map { case (n, c) => sum(c).as(s"sum_$n") } ++
-        countCols.map { case (n, c) => count(c).as(s"cnt_$n") } ++
-        minMaxCols.flatMap { case (n, c) =>
-          Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n")) } :+
-        count(lit(1)).as("n_rows")
-    val mv = fact.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val specs = Specs(sumCols, countCols, minMaxCols)
+    val mv = partials(fact, groupCols, specs)
     Snapshots.commit(mv, mvDir)
     // the registered match targets, resolved against the fact's own
     // schema (the rule compares them to query expressions by name)
@@ -247,7 +300,7 @@ object MatView {
       }
     MvCatalog.register(MvCatalog.MvDef(
       name = name,
-      factFragment = factFragment,
+      coverage = coverageOf(fact),
       groupCols = groupCols.map(_.toLowerCase),
       sums = sumCols.map { case (n, c) => (s"sum_$n", resolved(c)) },
       counts = countCols.map { case (n, c) => (s"cnt_$n", resolved(c)) },
@@ -255,8 +308,79 @@ object MatView {
       maxs = minMaxCols.map { case (n, c) => (s"max_$n", resolved(c)) },
       rowCountCol = "n_rows",
       mvRead = () => Snapshots.read(spark, mvDir).queryExecution.analyzed,
-      isFresh = isFresh))
+      isFresh = isFresh,
+      specs = specs,
+      mvDir = mvDir))
     MvRewrite.ensureInstalled(spark)
     mv
+  }
+
+  /** INCREMENTAL REFRESH — the x12/x35 maintenance identity applied
+    * to the rewrite path: fold ONLY the delta's partials into the
+    * stored view (full-outer merge on the group keys; sums and
+    * counts add, min/max combine — every stored column is a monoid
+    * by construction) and commit the result as the NEXT MV version,
+    * re-registering freshness. Cost is O(|Δ| scan) + O(|MV| merge) —
+    * the fact's history is never re-read; x70's oracle hash proves
+    * merge(MV(v1), partials(Δ)) == MV(v1 ∪ Δ) group for group. */
+  /** The refresh's merged frame: stored view ⊕ delta partials — a
+    * full-outer monoid merge on the group keys (sums/counts add,
+    * min/max combine), types restored to the stored layout. */
+  private def mergedFrame(spark: SparkSession, d: MvCatalog.MvDef,
+                          delta: DataFrame): DataFrame = {
+    import graft.sources.Snapshots
+    val cur = Snapshots.read(spark, d.mvDir)
+    val dp0 = partials(delta, d.groupCols, d.specs)
+    // suffix the delta's value columns so the merged frame states
+    // each fold explicitly, then restore the stored layout and types
+    val valueCols = cur.columns.filterNot(d.groupCols.contains(_)).toSeq
+    val dp = valueCols.foldLeft(dp0)((x, c) => x.withColumnRenamed(c, s"${c}_d"))
+    val j = cur.join(dp, d.groupCols, "full_outer")
+    def both(c: String)(f: (Column, Column) => Column): Column =
+      f(col(c), col(s"${c}_d")).cast(cur.schema(c).dataType).as(c)
+    j.select(d.groupCols.map(col) ++ valueCols.map { c =>
+      if (c.startsWith("min_")) both(c)(org.apache.spark.sql.functions.least(_, _))
+      else if (c.startsWith("max_")) both(c)(org.apache.spark.sql.functions.greatest(_, _))
+      else both(c)((a, b) =>
+        org.apache.spark.sql.functions.coalesce(a + b, a, b))
+    }: _*)
+  }
+
+  def refresh(
+      spark: SparkSession,
+      name: String,
+      delta: DataFrame,
+      isFresh: () => Boolean): Int = {
+    import graft.sources.Snapshots
+    val d = MvCatalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no registered MV named $name"))
+    val merged = mergedFrame(spark, d, delta)
+    val v = Snapshots.commit(merged, d.mvDir)
+    // mvRead already serves the latest version; the refreshed view
+    // now covers base ∪ delta, so a matching query must read BOTH
+    // (and a v1-only read can no longer be served — it would get Δ's
+    // rows folded in)
+    MvCatalog.register(d.copy(
+      coverage = d.coverage ++ coverageOf(delta), isFresh = isFresh))
+    v
+  }
+
+  /** EPOCH-TAGGED refresh — the streaming twin's fold: same merged
+    * frame, committed via commitEpoch so a replayed micro-batch
+    * folds NOTHING (at-least-once delivery, exactly-once state —
+    * the x12/mergeFold discipline). Registry coverage/freshness are
+    * deliberately untouched: the streaming fold maintains state; the
+    * batch-side refresh() is what re-arms the rewrite. Returns None
+    * on a replay skip. */
+  def refreshEpoch(
+      spark: SparkSession,
+      name: String,
+      delta: DataFrame,
+      epochId: Long): Option[Int] = {
+    import graft.sources.Snapshots
+    val d = MvCatalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no registered MV named $name"))
+    if (Snapshots.epochCommitted(spark, d.mvDir, epochId)) None
+    else Snapshots.commitEpoch(mergedFrame(spark, d, delta), d.mvDir, epochId)
   }
 }

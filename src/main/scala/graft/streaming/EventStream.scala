@@ -342,6 +342,23 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** STREAMING MV MAINTENANCE — x70's twin: each micro-batch is a
+    * fact delta whose partials fold into the registered materialized
+    * view through the same full-outer monoid merge the batch-side
+    * refresh runs ([[graft.plans.MatView.refreshEpoch]]), committed
+    * epoch-tagged so replays fold nothing. Folds compose to the
+    * one-shot refresh of the global delta because every stored
+    * column is a commutative monoid (StreamingSpec pins it). */
+  def mvRefreshSink(stream: DataFrame, mvName: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.plans.MatView.refreshEpoch(
+          batch.sparkSession, mvName, batch, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** EXACTLY-ONCE MULTI-TABLE STREAMING SINK — x45's transaction run
     * per micro-batch: each epoch appends the batch's documents AND
     * folds their stats into the catalog table ATOMICALLY (one

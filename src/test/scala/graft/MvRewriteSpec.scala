@@ -31,7 +31,7 @@ class MvRewriteSpec extends SparkSpec {
       factDir)
     val fact = Snapshots.read(spark, factDir)
     val v0 = Snapshots.versions(spark, factDir)
-    MatView.create(spark, s"spec_$tag", fact, factDir, mvDir,
+    MatView.create(spark, s"spec_$tag", fact, mvDir,
       groupCols = Seq("g1", "g2"),
       sumCols = Seq("qty" -> col("qty")),
       countCols = Seq("price" -> col("price")),
@@ -51,7 +51,7 @@ class MvRewriteSpec extends SparkSpec {
     val got = q.collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5))).toSet
-    MvCatalog.clear()
+    MvCatalog.remove("spec_a")
     val want = q.collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5))).toSet
@@ -67,7 +67,7 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getDouble(3))).toSet ==
       Set(("a", 30L, 2L, 1.5), ("b", 120L, 3L, 3.5)))
-    MvCatalog.clear()
+    MvCatalog.remove("spec_b")
   }
 
   test("a fact commit after the MV build makes the rewrite refuse (stale gate)") {
@@ -81,7 +81,7 @@ class MvRewriteSpec extends SparkSpec {
     assert(paths.exists(_.contains(factDir)))
     assert(q.collect().map(r => (r.getString(0), r.getLong(2))).toSet
       .contains(("c", 100L)), "the live scan must see v2's rows")
-    MvCatalog.clear()
+    MvCatalog.remove("spec_c")
   }
 
   test("containment violations refuse: unregistered agg, filter, non-key group, distinct") {
@@ -98,7 +98,7 @@ class MvRewriteSpec extends SparkSpec {
       "grouping outside the MV key set must scan the fact")
     assert(refused(fact.groupBy($"g1").agg(countDistinct($"qty").as("n"))),
       "DISTINCT is not derivable from the stored partials — refuse")
-    MvCatalog.clear()
+    MvCatalog.remove("spec_d")
   }
 
   test("aggregates inside expression trees map independently (SUM/COUNT divide)") {
@@ -111,7 +111,43 @@ class MvRewriteSpec extends SparkSpec {
     assert(paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir)))
     assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
       Set(("a", 15.0), ("b", 40.0)))
-    MvCatalog.clear()
+    MvCatalog.remove("spec_e")
+  }
+
+  test("refresh folds the delta in; union read serves, partial read refuses") {
+    val (factDir, mvDir, _) = fixture("g")
+    val delta = Seq(("b", "y", 7L, 0.5), ("c", "z", 100L, 9.0))
+      .toDF("g1", "g2", "qty", "price")
+    Snapshots.commitAppend(delta, factDir, base = 1)
+    MatView.refresh(spark, "spec_g",
+      Snapshots.read(spark, factDir, Some(2)), isFresh = () => true)
+    // the resolved read (base ∪ delta) is exactly what the view covers
+    val full = Snapshots.readResolved(spark, factDir)
+      .groupBy($"g1").agg(sum($"qty").as("s"), count(lit(1)).as("n"))
+    val paths = scanPaths(full)
+    assert(paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir)),
+      "the refreshed view must serve the resolved read")
+    assert(full.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("a", 30L, 2L), ("b", 127L, 4L), ("c", 100L, 1L)),
+      "merge(MV(v1), partials(delta)) must equal MV(v1 union delta)")
+    // a v1-only read no longer matches the coverage — serving it the
+    // refreshed view would fold delta rows into a v1 answer
+    val v1only = Snapshots.read(spark, factDir, Some(1))
+      .groupBy($"g1").agg(sum($"qty").as("s"))
+    assert(!scanPaths(v1only).exists(_.contains(mvDir)),
+      "a partial (v1-only) read must not be served the refreshed view")
+    MvCatalog.remove("spec_g")
+  }
+
+  test("a self-union of the fact fails the coverage bijection (would double-count)") {
+    val (factDir, mvDir, fact) = fixture("h")
+    val doubled = fact.unionAll(Snapshots.read(spark, factDir))
+      .groupBy($"g1").agg(sum($"qty").as("s"))
+    assert(!scanPaths(doubled).exists(_.contains(mvDir)),
+      "two reads of the same files are not the view's aggregate")
+    assert(doubled.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 60L), ("b", 240L)))
+    MvCatalog.remove("spec_h")
   }
 
   test("the rewritten plan preserves output names, types AND ExprIds") {
@@ -125,6 +161,6 @@ class MvRewriteSpec extends SparkSpec {
     val orig = q.queryExecution.analyzed.output.map(a => (a.name, a.exprId, a.dataType))
     val opt = q.queryExecution.optimizedPlan.output.map(a => (a.name, a.exprId, a.dataType))
     assert(opt == orig, "rewrite must preserve the aggregate's output attributes")
-    MvCatalog.clear()
+    MvCatalog.remove("spec_f")
   }
 }

@@ -467,6 +467,39 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.versions(spark, state) == Seq(1, 2, 3))
   }
 
+  test("streaming MV-refresh folds compose to the one-shot refresh and replay-skip (x70 twin)") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    import graft.plans.{MatView, MvCatalog}
+    val root = java.nio.file.Files.createTempDirectory("mvstream").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    val base = Seq(("a", 10L, 2.0), ("b", 20L, 4.0)).toDF("g", "qty", "price")
+    Snapshots.commit(base, factDir)
+    MatView.create(spark, "spec_stream_mv", Snapshots.read(spark, factDir),
+      mvDir, groupCols = Seq("g"),
+      sumCols = Seq("qty" -> col("qty")),
+      minMaxCols = Seq("price" -> col("price")))
+    def fold(rows: Seq[(String, Long, Double)], epoch: Long) =
+      graft.plans.MatView.refreshEpoch(spark, "spec_stream_mv",
+        rows.toDF("g", "qty", "price"), epoch)
+    assert(fold(Seq(("a", 5L, 1.0), ("c", 7L, 9.0)), 0) == Some(2))
+    assert(fold(Seq(("b", 1L, 0.5)), 1) == Some(3))
+    // replayed epoch folds nothing — no version, state unchanged
+    assert(fold(Seq(("b", 1L, 0.5)), 1).isEmpty)
+    assert(Snapshots.versions(spark, mvDir) == Seq(1, 2, 3))
+    val drained = Snapshots.read(spark, mvDir)
+      .select($"g", $"sum_qty", $"min_price", $"max_price", $"n_rows")
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    // == the one-shot refresh of the GLOBAL delta over the base view
+    assert(drained == Set(
+      ("a", 15L, 1.0, 2.0, 2L),
+      ("b", 21L, 0.5, 4.0, 2L),
+      ("c", 7L, 9.0, 9.0, 1L)),
+      "per-batch folds must compose to the one-shot refresh")
+    MvCatalog.remove("spec_stream_mv")
+  }
+
   test("idempotent foreachBatch sink: replayed epochs do not duplicate") {
     val src = java.nio.file.Files.createTempDirectory("idem_src").toString
     val out = java.nio.file.Files.createTempDirectory("idem_out").toString
