@@ -86,6 +86,17 @@ object ScaleSmoke {
     // q34's daily rollup absorbs the F× order volume; the window then
     // walks the calendar-sized daily frame (constant in F)
     "q34_range_window",
+    // q35's Expand triples the F×-scaled mapper rows before ONE hash
+    // aggregate (map-side partials) — the exchange still carries only
+    // per-level group cardinalities; q36 is one conditional aggregate
+    // over the same scan (3-row output at any F). q37 is deliberately
+    // absent: its data-sized work IS q36's (the unpivot is a Generate
+    // over q36's 3 rows)
+    "q35_rollup", "q36_pivot",
+    // q38's three decorrelated subqueries are joins over ONE grouped
+    // pass of the F×-scaled orders against the verbatim customer dim
+    // — the curve must follow the fact scan, never cust×fact
+    "q38_subqueries",
     // x49 commits the F×-scaled corpus three times (write scales);
     // checkpoint + prune are entry-count-sized metadata at any F
     "x49_log_checkpoint",
@@ -158,6 +169,16 @@ object ScaleSmoke {
     // absent: its data-sized work IS x66's (same fact commit + MV
     // build; the rollup re-aggregates the group-cardinality MV)
     "x66_mv_rewrite", "x68_mv_staleness",
+    // x69 commits the F×-scaled orders under the month×bucket layout
+    // (the write scales; directory count does NOT — months are
+    // calendar-fixed and buckets declared); the pruned read lists
+    // the same ≤36 directories at any F and scans only their files
+    "x69_hidden_partitioning",
+    // x70 pays x66's fact commit + MV build, then an F×-scaled DELTA
+    // append + the refresh fold (delta scan + MV-sized full-outer
+    // merge — the fact's history is never re-read); the served query
+    // is MV-sized at any F
+    "x70_mv_refresh",
     // x63/x65 are deliberately absent: their data-sized work IS
     // x61's (the same two balance commits, measured above);
     // TIMESTAMP AS OF resolution — Scala or SQL-bound — is a driver

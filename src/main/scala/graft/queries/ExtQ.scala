@@ -1730,6 +1730,92 @@ object ExtQ {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // x70 — INCREMENTAL MV REFRESH (closing the x66/x68 loop): the
+    // nightly append lands as a delta-only fact commit (v2 = v1 ∪ Δ,
+    // base files untouched), MatView.refresh folds ONLY the delta's
+    // partials into the stored view (full-outer monoid merge on the
+    // group keys — O(|Δ|) + O(|MV|), the fact's history never
+    // re-read) and commits MV v2, re-registering freshness. The SAME
+    // SQL text that x68 showed declining now rewrites again — onto a
+    // view no full rebuild ever touched. The oracle restates the
+    // aggregate over v1 ∪ Δ from orders, so the hash proves the IVM
+    // identity merge(MV(v1), partials(Δ)) == MV(v1 ∪ Δ) group for
+    // group, AND used_mv pins that the refreshed view actually
+    // serves.
+    "x70_mv_refresh" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val (factDir, mvDir) = x66Setup(s, d, "r")
+      // the nightly batch: H1-1997 orders, appended delta-only
+      val delta = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      Snapshots.commitAppend(delta, factDir, base = 1)
+      val v2 = Snapshots.versions(s, factDir)
+      graft.plans.MatView.refresh(s, "x66_r",
+        Snapshots.read(s, factDir, Some(2)), // the append's OWN rows
+        isFresh = () => Snapshots.versions(s, factDir) == v2)
+      Snapshots.readResolved(s, factDir)
+        .createOrReplaceTempView("orders_x70")
+      val q = s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders,
+          |  MIN(o_totalprice) AS min_price,
+          |  MAX(o_totalprice) AS max_price
+          |FROM orders_x70
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // x69 — HIDDEN PARTITIONING (partition TRANSFORMS as table
+    // metadata): orders land month(o_orderdate) × bucket8(o_custkey)
+    // hive-partitioned, but readers never see — or name — the derived
+    // columns. HiddenPartitionRule (MvRewrite's injected sibling)
+    // translates the RAW-column predicates into the implied partition
+    // predicates (date range → closed month-index bounds; custkey
+    // IN-list → foldable pmod(hash(lit),8) bucket list), so directory
+    // pruning fires for a query written with zero layout knowledge —
+    // the trap this kills at 100 TB is the derived-column layout only
+    // its author can prune. Soundness: only implications are
+    // injected and the raw predicate stays as the residual (pushed
+    // into the surviving files' scans), so a missed translation
+    // widens the scan, never the answer. `pruned` pins the listing
+    // witness: ≤ months×|IN| of the ~80×8 directories actually
+    // scanned.
+    "x69_hidden_partitioning" -> ((s, d) => {
+      import graft.plans.HiddenPartitioning
+      val dir = s"target/x69_hidden_${math.abs(d.hashCode)}"
+      graft.sources.Snapshots.drop(s, dir)
+      // one retention year of the fact: 12 months × 8 buckets = 96
+      // directories — enough layout to make the prune witness real
+      // without x26-class per-directory committer overhead drowning
+      // the measurement (the commit is one co-located shuffle + one
+      // file per directory either way; dirs, not rows, set its cost)
+      HiddenPartitioning.write(s,
+        Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"),
+            col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+        dir,
+        Seq(HiddenPartitioning.Month("o_orderdate"),
+          HiddenPartitioning.Bucket("o_custkey", 8)))
+      val t = HiddenPartitioning.table(s, dir)
+      val q = t.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-06-30 23:59:59").cast("timestamp") &&
+          col("o_custkey").isin(0L, 2L, 3L, 4L, 5L, 6L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+      val scanned = HiddenPartitioning.partitionsScanned(q)
+      val total = HiddenPartitioning.partitionsScanned(t)
+      q.withColumn("pruned", lit(scanned < total && scanned <= 36))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
     // histogram's SECOND consumer — x53 planned a join with it; x57
     // WRITES with it): Spark's repartitionByRange samples the data,
@@ -3246,7 +3332,7 @@ object ExtQ {
     Snapshots.commit(x66Fact(s, d, allRows = false), factDir)
     val fact = Snapshots.read(s, factDir)
     val v0 = Snapshots.versions(s, factDir)
-    graft.plans.MatView.create(s, s"x66_$tag", fact, factDir, mvDir,
+    graft.plans.MatView.create(s, s"x66_$tag", fact, mvDir,
       groupCols = Seq("o_orderstatus", "o_orderpriority"),
       sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
       minMaxCols = Seq("price" -> col("o_totalprice")),
@@ -4467,6 +4553,33 @@ object ExtQ {
         |  FALSE AS used_mv
         |FROM orders
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x70: the aggregate over v1 ∪ Δ restated from orders — the hash
+    // proves merge(MV(v1), partials(Δ)) == MV(v1 ∪ Δ) group for
+    // group, and used_mv=TRUE pins that the refreshed view serves.
+    "x70_mv_refresh" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  TRUE AS used_mv
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x69: rows restated straight from orders (the layout must be
+    // invisible to the answer); pruned = TRUE is the listing witness
+    // — a translation that dropped a matching partition would drop
+    // rows, one that failed to fire would flip the flag.
+    "x69_hidden_partitioning" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
+        |  AND o_custkey IN (0, 2, 3, 4, 5, 6)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // x64: every count replayed EXACTLY (the sketches are in exact
     // mode below 2^20 distinct keys — see the query's contract note);

@@ -362,6 +362,91 @@ object RelationalQ {
         .select(col("o_orderpriority"), col("day_int"), col("n_orders"),
           col("n_7d"), col("sum_7d"))
         .orderBy(col("o_orderpriority"), col("day_int"))
+    }),
+
+    // q35 — ROLLUP with GROUPING indicators: the three aggregation
+    // levels (status×priority, status, grand total) from ONE scan.
+    // Spark plans this as Expand (3 rows per input) feeding a single
+    // hash aggregate with map-side partials — one shuffle for all
+    // levels, vs three scans + a union by hand. GROUPING() disambi-
+    // guates a real NULL key from a rollup subtotal — the classic
+    // rollup-reading bug, pinned in the hash. At 100 TB the expand
+    // triples the mapper-side rows but the exchange still carries
+    // only per-level group cardinalities.
+    "q35_rollup" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_q35")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders
+          |FROM orders_q35
+          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+          |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
+    // q36 — PIVOT (long → wide): per-status order counts and revenue
+    // as COLUMNS keyed by the declared priority list. Declared pivot
+    // values make the output schema static — the 100 TB rule: never
+    // let a distinct-scan decide the column set (Spark's pivot
+    // without values does exactly that scan). Planned as one
+    // hash aggregate over (status) with conditional partials — no
+    // per-value scans.
+    "q36_pivot" -> ((s, d) => {
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", pr)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+        .toDF(Seq("o_orderstatus") ++ pr.flatMap(p =>
+          Seq(s"n_${p.take(1)}", s"rev_${p.take(1)}")): _*)
+        // empty cells: COUNT semantics say 0, not the null pivot fills
+        .na.fill(0L, pr.map(p => s"n_${p.take(1)}"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // q37 — UNPIVOT (wide → long): the q36 frame melted back to
+    // (status, priority, measure) rows via stack() — a Generate, one
+    // pass, no shuffle beyond q36's own. Round-tripping through the
+    // oracle's plain GROUP BY pins that pivot ∘ unpivot loses
+    // nothing.
+    "q37_unpivot" -> ((s, d) => {
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = defs("q36_pivot")(s, d)
+      val stackArgs = pr.map(p =>
+        s"'$p', n_${p.take(1)}, rev_${p.take(1)}").mkString(", ")
+      wide.select(col("o_orderstatus"),
+          expr(s"stack(${pr.length}, $stackArgs) AS (o_orderpriority, n_orders, revenue)"))
+        .filter(col("n_orders").isNotNull)
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // q38 — CORRELATED SUBQUERIES, all three SQL-surface shapes in
+    // one text: EXISTS in WHERE (→ left-semi join), EXISTS in SELECT
+    // (→ existence join), correlated scalar aggregate (→ grouped
+    // aggregate + left-outer join). The point is Catalyst's
+    // DECORRELATION: every shape plans as ONE join over ONE grouped
+    // pass of orders — never a per-customer re-execution, which is
+    // the difference between O(|orders|) and O(|cust|·|orders|) at
+    // 100 TB. n>0 customers only, so the scalar's null arm is
+    // unreachable by construction (kept NOT-coalesced to pin that).
+    "q38_subqueries" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_q38")
+      t(s, d, "orders").createOrReplaceTempView("orders_q38")
+      s.sql(
+        """SELECT c.c_custkey, c.c_mktsegment,
+          |  (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE)
+          |   FROM orders_q38 o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+          |  EXISTS(SELECT 1 FROM orders_q38 o
+          |         WHERE o.o_custkey = c.c_custkey
+          |           AND o.o_orderdate >= TIMESTAMP '1998-01-01') AS active_98
+          |FROM customer_q38 c
+          |WHERE EXISTS (SELECT 1 FROM orders_q38 o
+          |              WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c.c_custkey""".stripMargin)
     })
   )
 
@@ -595,6 +680,54 @@ object RelationalQ {
         |FROM daily
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_int
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderpriority, day_int""".stripMargin
+        |ORDER BY o_orderpriority, day_int""".stripMargin,
+
+    // q35: DuckDB speaks ROLLUP + GROUPING natively — the subtotal
+    // rows' null keys and the GROUPING disambiguation bits must both
+    // hash-match.
+    "q35_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+
+    // q36: the pivot restated as conditional aggregation — COUNT
+    // FILTER is 0 (not null) for empty cells, matching the engine's
+    // explicit zero-fill of count cells (sums stay null).
+    "q36_pivot" ->
+      ("""SELECT o_orderstatus, """ +
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").map(p =>
+          s"""COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS n_${p.take(1)},
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |  FILTER (WHERE o_orderpriority = '$p') AS DOUBLE) AS rev_${p.take(1)}""".stripMargin)
+          .mkString(", ") +
+        """ FROM orders GROUP BY 1 ORDER BY 1"""),
+
+    // q37: pivot ∘ unpivot must land back on the plain GROUP BY —
+    // groups with no rows are dropped on both sides.
+    "q37_unpivot" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q38: the same three subquery shapes verbatim — DuckDB
+    // decorrelates them the same way, so the hash pins semantics,
+    // not plans.
+    "q38_subqueries" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price,
+        |  EXISTS(SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_orderdate >= TIMESTAMP '1998-01-01') AS active_98
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin
   )
 }
