@@ -172,8 +172,15 @@ object ScaleSmoke {
     // x69 commits the F×-scaled orders under the month×bucket layout
     // (the write scales; directory count does NOT — months are
     // calendar-fixed and buckets declared); the pruned read lists
-    // the same ≤36 directories at any F and scans only their files
+    // the same ≤36 directories at any F and scans only their files.
+    // x71 is deliberately absent: its data-sized work IS x69's (the
+    // same layout commit); the hidden_table binding is per-reference
+    // metadata resolved at bind time
     "x69_hidden_partitioning",
+    // x72's three anti-join legs: two broadcast (map-side over the
+    // F×-scaled facts, dims verbatim) and one fact↔fact key shuffle
+    // — the curve follows the fact scans
+    "x72_fk_audit",
     // x70 pays x66's fact commit + MV build, then an F×-scaled DELTA
     // append + the refresh fold (delta scan + MV-sized full-outer
     // merge — the fact's history is never re-read); the served query

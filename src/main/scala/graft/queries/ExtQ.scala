@@ -1770,6 +1770,46 @@ object ExtQ {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // x72 — REFERENTIAL-INTEGRITY AUDIT (the FK half of x47's CHECK
+    // constraints — a training-data pipeline's join keys are only as
+    // good as this report): per relationship, orphans = ONE left-anti
+    // join — BROADCAST against bounded dims (customer: map-side, the
+    // fact never shuffles) and a key shuffle only for fact↔fact
+    // (lineitem→orders). Three legs: two clean fixtures (0 orphans,
+    // hash-pinned — "no violations" is a claim, not an absence) and
+    // a staging batch whose every-97th custkey was corrupted
+    // upstream, so both arms of the report carry real numbers. ppm
+    // in integer math; min/max offender keys bound the blast radius
+    // without shipping row samples.
+    "x72_fk_audit" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer").select(col("c_custkey"))
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val lineitem = Tables.load(s, d, "lineitem").select(col("l_orderkey"))
+      val staging = orders.select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"))
+      def leg(rel: String, fact: DataFrame, fkey: String,
+              dim: DataFrame, dkey: String, bcast: Boolean): DataFrame = {
+        val dimSide = if (bcast) broadcast(dim) else dim
+        fact.join(dimSide, fact(fkey) === dimSide(dkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            min(col(fkey)).as("min_bad"), max(col(fkey)).as("max_bad"))
+          .crossJoin(fact.agg(count(lit(1)).as("n_rows")))
+          .select(lit(rel).as("rel"), col("n_rows"), col("n_orphans"),
+            expr("n_orphans * 1000000 div n_rows").as("orphan_ppm"),
+            col("min_bad"), col("max_bad"),
+            (col("n_orphans") === 0).as("ok"))
+      }
+      leg("lineitem->orders", lineitem, "l_orderkey",
+          orders.select(col("o_orderkey")), "o_orderkey", bcast = false)
+        .unionByName(leg("orders->customer", orders, "o_custkey",
+          cust, "c_custkey", bcast = true))
+        .unionByName(leg("staging->customer", staging, "o_custkey",
+          cust, "c_custkey", bcast = true))
+        .orderBy(col("rel"))
+    }),
+
     // x69 — HIDDEN PARTITIONING (partition TRANSFORMS as table
     // metadata): orders land month(o_orderdate) × bucket8(o_custkey)
     // hive-partitioned, but readers never see — or name — the derived
@@ -1787,22 +1827,7 @@ object ExtQ {
     // scanned.
     "x69_hidden_partitioning" -> ((s, d) => {
       import graft.plans.HiddenPartitioning
-      val dir = s"target/x69_hidden_${math.abs(d.hashCode)}"
-      graft.sources.Snapshots.drop(s, dir)
-      // one retention year of the fact: 12 months × 8 buckets = 96
-      // directories — enough layout to make the prune witness real
-      // without x26-class per-directory committer overhead drowning
-      // the measurement (the commit is one co-located shuffle + one
-      // file per directory either way; dirs, not rows, set its cost)
-      HiddenPartitioning.write(s,
-        Tables.load(s, d, "orders")
-          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-          .select(col("o_orderkey"),
-            col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
-        dir,
-        Seq(HiddenPartitioning.Month("o_orderdate"),
-          HiddenPartitioning.Bucket("o_custkey", 8)))
+      val dir = x69Layout(s, d, "a")
       val t = HiddenPartitioning.table(s, dir)
       val q = t.filter(
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1814,6 +1839,34 @@ object ExtQ {
       val total = HiddenPartitioning.partitionsScanned(t)
       q.withColumn("pruned", lit(scanned < total && scanned <= 36))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // x71 — HIDDEN PARTITIONING ON THE SQL SURFACE (x69's twin
+    // through the S8 script runner, the x54/x56/x65 symmetry rule:
+    // every engine verb reachable from pure SQL text):
+    // `hidden_table('<dir>')` binds the layout-hiding view — spec
+    // recovered from the table's own sidecar, rule installed at bind
+    // time — so a script's raw-column WHERE prunes directories
+    // without its author ever seeing a partition column. Shares
+    // x69's oracle: same rows, and the SAME listing witness hashed
+    // (a binding that lost the translation would flip `pruned`).
+    "x71_sql_hidden_partitioning" -> ((s, d) => {
+      import graft.plans.HiddenPartitioning
+      val dir = x69Layout(s, d, "b")
+      val script =
+        s"""-- S8 surface + hidden_table(dir) layout-transparent read
+           |SELECT o_orderkey, o_custkey,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+           |FROM hidden_table('$dir')
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
+           |  AND o_custkey IN (0, 2, 3, 4, 5, 6)
+           |ORDER BY o_orderkey""".stripMargin
+      val q = graft.util.SqlRunner.runScriptWithSnapshots(s, script).last
+      val scanned = HiddenPartitioning.partitionsScanned(q)
+      val total = HiddenPartitioning.partitionsScanned(
+        HiddenPartitioning.table(s, dir))
+      q.withColumn("pruned", lit(scanned < total && scanned <= 36))
     }),
 
     // x57 — CATALOG-DRIVEN DETERMINISTIC RANGE PARTITIONER (the
@@ -3161,6 +3214,21 @@ object ExtQ {
       |SELECT 'after_v2', o_custkey, balance, n_orders, CAST(2 AS INT) FROM v2
       |ORDER BY as_of, o_custkey""".stripMargin
 
+  /** x69/x71 shared oracle: rows restated straight from orders (the
+    * layout must be invisible to the answer); pruned = TRUE is the
+    * listing witness — a translation that dropped a matching
+    * partition would drop rows, one that failed to fire would flip
+    * the flag. */
+  val X69OracleSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  TRUE AS pruned
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
+      |  AND o_custkey IN (0, 2, 3, 4, 5, 6)
+      |ORDER BY o_orderkey""".stripMargin
+
   val X24OracleSql: String =
     """WITH v1 AS (
       |  SELECT o_custkey,
@@ -3352,6 +3420,30 @@ object ExtQ {
       }
     }.flatten
     paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir))
+  }
+
+  /** x69/x71 shared layout: one retention year of orders landed
+    * month(o_orderdate) × bucket8(o_custkey) — 12 × 8 = 96
+    * directories, enough layout to make the prune witness real
+    * without x26-class per-directory committer overhead drowning the
+    * measurement (the commit is one co-located shuffle + one file
+    * per directory either way; dirs, not rows, set its cost).
+    * Per-query dirs (`tag`) keep the declared queries
+    * order-independent. */
+  private def x69Layout(s: SparkSession, d: String, tag: String): String = {
+    import graft.plans.HiddenPartitioning
+    val dir = s"target/x69_hidden_${tag}_${math.abs(d.hashCode)}"
+    graft.sources.Snapshots.drop(s, dir)
+    HiddenPartitioning.write(s,
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+      dir,
+      Seq(HiddenPartitioning.Month("o_orderdate"),
+        HiddenPartitioning.Bucket("o_custkey", 8)))
+    dir
   }
 
   private def commitBalanceVersions(s: SparkSession, d: String, dir: String,
@@ -4571,15 +4663,49 @@ object ExtQ {
     // invisible to the answer); pruned = TRUE is the listing witness
     // — a translation that dropped a matching partition would drop
     // rows, one that failed to fire would flip the flag.
-    "x69_hidden_partitioning" ->
-      """SELECT o_orderkey, o_custkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
-        |  TRUE AS pruned
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
-        |  AND o_custkey IN (0, 2, 3, 4, 5, 6)
-        |ORDER BY o_orderkey""".stripMargin,
+    "x69_hidden_partitioning" -> X69OracleSql,
+    // x71: x69's oracle verbatim — the SQL-surface binding must
+    // produce the same rows AND the same listing witness.
+    "x71_sql_hidden_partitioning" -> X69OracleSql,
+
+    // x72: each leg restated as NOT EXISTS; clean legs hash their
+    // zeros, the staging leg its exact corruption arithmetic.
+    "x72_fk_audit" ->
+      """WITH staging AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders),
+        |leg1 AS (
+        |  SELECT 'lineitem->orders' AS rel,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        |    COUNT(*) AS n_orphans,
+        |    MIN(l_orderkey) AS min_bad, MAX(l_orderkey) AS max_bad
+        |  FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)),
+        |leg2 AS (
+        |  SELECT 'orders->customer' AS rel,
+        |    (SELECT COUNT(*) FROM orders) AS n_rows,
+        |    COUNT(*) AS n_orphans,
+        |    MIN(o_custkey) AS min_bad, MAX(o_custkey) AS max_bad
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)),
+        |leg3 AS (
+        |  SELECT 'staging->customer' AS rel,
+        |    (SELECT COUNT(*) FROM staging) AS n_rows,
+        |    COUNT(*) AS n_orphans,
+        |    MIN(o_custkey) AS min_bad, MAX(o_custkey) AS max_bad
+        |  FROM staging st
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = st.o_custkey))
+        |SELECT rel, n_rows, n_orphans,
+        |  n_orphans * 1000000 // n_rows AS orphan_ppm,
+        |  min_bad, max_bad, n_orphans = 0 AS ok
+        |FROM (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+        |      UNION ALL SELECT * FROM leg3)
+        |ORDER BY rel""".stripMargin,
 
     // x64: every count replayed EXACTLY (the sketches are in exact
     // mode below 2^20 distinct keys — see the query's contract note);

@@ -68,8 +68,26 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    runScript(spark, bound2)
+    // hidden-partitioned tables (x69/x71): the view hides the layout,
+    // registration installs the translation rule, so a raw-column
+    // WHERE in the pure-SQL script still prunes directories
+    val bound3 = HiddenTable.replaceAllIn(bound2, m => {
+      val dir = m.group(1)
+      val view = s"hidden_${Integer.toHexString(dir.hashCode)}"
+      graft.plans.HiddenPartitioning.table(spark, dir)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    runScript(spark, bound3)
   }
+
+  /** Hidden-partitioning twin: `hidden_table('<dir>')` binds the
+    * layout-hiding read ([[graft.plans.HiddenPartitioning.table]] —
+    * spec recovered from the table's own sidecar metadata), so SQL
+    * scripts filter on raw columns and still get directory pruning
+    * through the injected translation rule. */
+  private val HiddenTable =
+    """(?i)hidden_table\(\s*'([^']+)'\s*\)""".r
 
   /** Change-feed twin of [[SnapshotAt]] (Delta's `table_changes`
     * TVF): `table_changes('<dir>', <v>, '<key[,key…]>')` binds the

@@ -693,6 +693,37 @@ class PlanShapeSpec extends SparkSpec {
       s"lang filter must prune partitions on the evolved layout:\n$p")
   }
 
+  test("x72's dim-side orphan checks broadcast; its fact-fact leg may shuffle") {
+    // an FK audit against a bounded dimension must be map-side: a
+    // shuffle there shuffles the whole fact per relationship audited
+    val p = plan("x72_fk_audit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "dim-side orphan detection must be a broadcast left-anti join")
+    // the customer legs must NOT sort-merge (only lineitem->orders,
+    // a fact-fact key match, is allowed a shuffle)
+    assert(p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftAnti")) <= 1,
+      "only the fact-fact leg may shuffle-anti")
+  }
+
+  test("x69's hidden-partition query scans only translated directories") {
+    import graft.plans.HiddenPartitioning
+    val df = SparkEntry.queries("x69_hidden_partitioning")(spark, Sf0001)
+    df.collect() // the pruned flag is computed inside; re-derive here
+    val dir = s"target/x69_hidden_a_${math.abs(Sf0001.hashCode)}"
+    val t = HiddenPartitioning.table(spark, dir)
+    val q = t.filter(
+      org.apache.spark.sql.functions.col("o_orderdate") >=
+        org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp"))
+    val scanned = HiddenPartitioning.partitionsScanned(q)
+    val total = HiddenPartitioning.partitionsScanned(t)
+    assert(scanned == total, "a full-year bound covers every month dir")
+    val q2 = t.filter(org.apache.spark.sql.functions.col("o_orderdate") ===
+      org.apache.spark.sql.functions.lit("1996-03-15").cast("timestamp"))
+    assert(HiddenPartitioning.partitionsScanned(q2) <= 8,
+      "a point date must scan at most one month's buckets")
+  }
+
   test("x34's per-column stat legs each scan exactly one column (ReadSchema pruned)") {
     // ANALYZE over columnar files must cost one column per leg: if a
     // leg's scan reads the full row, stats collection pays table

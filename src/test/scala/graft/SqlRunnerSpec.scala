@@ -82,6 +82,22 @@ class SqlRunnerSpec extends SparkSpec {
     }
   }
 
+  test("hidden_table binds the layout-hiding view; raw-column WHERE prunes") {
+    import spark.implicits._
+    import graft.plans.{HiddenPartitioning => HP}
+    val dir = java.nio.file.Files.createTempDirectory("sqlhp").toString + "/t"
+    val rows = (0 until 120).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"1996-${1 + i % 12}%02d-10 00:00:00")))
+    HP.write(spark, rows.toDF("id", "ts"), dir, Seq(HP.Month("ts")))
+    HP.remove(dir) // the script must recover the spec from the sidecar
+    val q = SqlRunner.runScriptWithSnapshots(spark,
+      s"""SELECT id FROM hidden_table('$dir')
+         |WHERE ts = TIMESTAMP '1996-04-10 00:00:00' ORDER BY id""".stripMargin).last
+    assert(HP.partitionsScanned(q) <= 1, "month equality must prune to one dir")
+    assert(q.as[Long].collect().toSeq == (0 until 120).filter(_ % 12 == 3).map(_.toLong))
+    HP.remove(dir)
+  }
+
   test("an unknown version fails at bind time, before any SQL runs") {
     import spark.implicits._
     import graft.sources.Snapshots
