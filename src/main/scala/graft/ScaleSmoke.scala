@@ -186,6 +186,14 @@ object ScaleSmoke {
     // merge — the fact's history is never re-read); the served query
     // is MV-sized at any F
     "x70_mv_refresh",
+    // x73 builds the filtered MV over the F×-scaled orders (one
+    // filtered aggregate — the write-once price); the defining probe
+    // is MV-sized, the refused wider probe honestly re-scans F×.
+    // x74 is deliberately absent: metadata-only BY CONSTRUCTION (its
+    // data-sized work IS x61/x63's balance commits, measured above;
+    // the history binding reads the manifest-sized log, zero data
+    // files at any F)
+    "x73_filtered_mv",
     // x63/x65 are deliberately absent: their data-sized work IS
     // x61's (the same two balance commits, measured above);
     // TIMESTAMP AS OF resolution — Scala or SQL-bound — is a driver

@@ -76,18 +76,60 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => ""
   }
 
-  /** The leaf-scan signatures under an Aggregate, looking through
-    * pure column pruning and UNION only (the shape of a resolved
-    * append: base files ∪ delta files). A Filter — or anything else
-    * — between the aggregate and its scans changes the input and
-    * must block the rewrite. */
-  private def leafSigs(p: LogicalPlan): Option[Seq[String]] = p match {
-    case l: LogicalRelation => Some(Seq(sig(l)))
-    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) => leafSigs(c)
-    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-      val parts = u.children.map(leafSigs)
-      if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
-    case _ => None
+  /** The (leaf-scan signatures, filter conjuncts) under an
+    * Aggregate, looking through pure column pruning, UNION (the
+    * shape of a resolved append: base files ∪ delta files) and
+    * Filter nodes — the collected conjuncts must then match the
+    * view's DEFINING filter exactly (tryRewrite), so a filter the
+    * view doesn't carry still blocks the rewrite. Anything else
+    * changes the input and blocks it outright. */
+  private[plans] def shapeOf(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] =
+    p match {
+      case l: LogicalRelation => Some((Seq(sig(l)), Nil))
+      case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        shapeOf(c)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+        shapeOf(c).map { case (s, f) =>
+          (s, splitConjuncts(cond) ++ f)
+        }
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        val parts = u.children.map(shapeOf)
+        if (parts.forall(_.isDefined))
+          Some((parts.flatMap(_.get._1), parts.flatMap(_.get._2)))
+        else None
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Drop IsNotNull conjuncts the remaining comparisons already
+    * imply (the optimizer infers them; a `x < lit` filters nulls by
+    * itself) — a BARE IsNotNull with no other conjunct naming the
+    * column is semantic and stays. */
+  private def dropInferredNotNull(fs: Seq[Expression]): Seq[Expression] =
+    fs.filter {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+        !fs.exists {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(_) => false
+          case other => other.references.exists(_.name.equalsIgnoreCase(a.name))
+        }
+      case _ => true
+    }
+
+  /** Multiset equality of filter conjuncts under the structural
+    * compare — the query's filter must BE the view's defining
+    * filter, nothing weaker or stronger. */
+  private def sameFilters(a: Seq[Expression], b: Seq[Expression]): Boolean = {
+    val an = dropInferredNotNull(a)
+    val bn = scala.collection.mutable.ArrayBuffer(dropInferredNotNull(b): _*)
+    an.length == bn.length && an.forall { x =>
+      val i = bn.indexWhere(y => same(x, y))
+      if (i >= 0) { bn.remove(i); true } else false
+    }
   }
 
   /** Structural expression equality with attributes matched by NAME
@@ -105,14 +147,16 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-    val sigs = leafSigs(agg.child).getOrElse(return None)
+    val (sigs, qFilters) = shapeOf(agg.child).getOrElse(return None)
     // EXACT coverage, as a multiset: every covered leaf read exactly
     // once, nothing else read. A partial read (one version of a
     // refreshed table), a self-union, or an extra relation all fail
     // the bijection — each would make the stored aggregate the wrong
-    // answer.
+    // answer. The query's filter must BE the view's defining filter
+    // (empty for an unfiltered view).
     val d = MvCatalog.all
-      .find(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted)
+      .find(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted &&
+        sameFilters(qFilters, m.filters))
       .getOrElse(return None)
     // grouping must be plain fact attributes within the MV's key set
     val groupAttrs = agg.groupingExpressions.map {
@@ -224,7 +268,10 @@ object MvCatalog {
       // the defining Column specs, kept so refresh() can restate the
       // partials over a DELTA frame (same names → same layout)
       specs: MatView.Specs = MatView.Specs(Nil, Nil, Nil),
-      mvDir: String = "")
+      mvDir: String = "",
+      // the view's DEFINING filter conjuncts (empty = unfiltered);
+      // a matching query must carry exactly these
+      filters: Seq[Expression] = Nil)
 
   private val defs = new scala.collection.concurrent.TrieMap[String, MvDef]
   def register(d: MvDef): Unit = defs.put(d.name, d)
@@ -266,13 +313,16 @@ object MatView {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Leaf-scan signatures of a frame — what a matching query must
-    * read, exactly (see tryRewrite's coverage bijection). */
-  private def coverageOf(df: DataFrame): Seq[String] =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        MvRewrite.sig(l)
-    }
+  /** (Leaf-scan signatures, defining-filter conjuncts) of a frame —
+    * what a matching query must read and filter, exactly (see
+    * tryRewrite's coverage bijection). Taken from the OPTIMIZED plan
+    * so literals arrive folded exactly as they will in queries. */
+  private def shapeOfFrame(df: DataFrame): (Seq[String], Seq[Expression]) =
+    // a defining frame the matcher can't parse registers with EMPTY
+    // coverage — the view maintains and serves explicit reads but
+    // never auto-rewrites (mis-registering a filtered frame as
+    // unfiltered would serve wrong answers; refusal is just slower)
+    MvRewrite.shapeOf(df.queryExecution.optimizedPlan).getOrElse((Nil, Nil))
 
   def create(
       spark: SparkSession,
@@ -298,9 +348,11 @@ object MatView {
         case a: Alias => a.child
         case e => e
       }
+    val (cov, defFilters) = shapeOfFrame(fact)
     MvCatalog.register(MvCatalog.MvDef(
       name = name,
-      coverage = coverageOf(fact),
+      coverage = cov,
+      filters = defFilters,
       groupCols = groupCols.map(_.toLowerCase),
       sums = sumCols.map { case (n, c) => (s"sum_$n", resolved(c)) },
       counts = countCols.map { case (n, c) => (s"cnt_$n", resolved(c)) },
@@ -361,7 +413,7 @@ object MatView {
     // (and a v1-only read can no longer be served — it would get Δ's
     // rows folded in)
     MvCatalog.register(d.copy(
-      coverage = d.coverage ++ coverageOf(delta), isFresh = isFresh))
+      coverage = d.coverage ++ shapeOfFrame(delta)._1, isFresh = isFresh))
     v
   }
 

@@ -1770,6 +1770,73 @@ object ExtQ {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // x74 — DESCRIBE HISTORY on the SQL surface: the commit log
+    // itself as a queryable frame (version, kind, x63's explicit
+    // instant, the base a logical commit chains to, publication
+    // state) through `table_history('<dir>')` — the audit surface
+    // every other time-travel verb (x54/x56/x63/x65) presumes a
+    // human already has. The fixture history is two TIMED data
+    // commits plus a RESTORE re-point, so the hash pins kind
+    // classification, ts propagation, base chaining, and that the
+    // restore's sentinel carries no instant. Driver-side and
+    // manifest-sized: the log IS the table — zero data files read at
+    // any corpus size.
+    "x74_table_history" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x74_hist_${math.abs(d.hashCode)}"
+      val (t1, t2) = (1704067200000L, 1706745600000L)
+      commitBalanceVersions(s, d, dir, ts = Some((t1, t2)))
+      Snapshots.commitRestore(s, dir, 1)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""-- S8 surface + table_history(dir) commit-log audit
+           |SELECT version, kind, ts, base, published
+           |FROM table_history('$dir')
+           |ORDER BY version""".stripMargin).last
+    }),
+
+    // x73 — FILTERED-MV CONTAINMENT (the predicate half of x66's
+    // algebra): the view is DEFINED over a filtered fact (pre-1997
+    // orders of the RAW parquet table — no lakehouse required), and
+    // the matcher now demands the query's filter BE the defining
+    // filter, conjunct for conjunct (optimizer-inferred IsNotNulls
+    // stripped when implied; structural compare, so the SQL text's
+    // TIMESTAMP literal meets the DF-API's folded cast). Two probes,
+    // one hashed output: the defining filter rewrites (MV-sized
+    // read), a WIDER cut must refuse — serving it the filtered view
+    // would silently drop 1997's orders, the classic filtered-MV
+    // wrong-answer. Both decisions ride the hash.
+    "x73_filtered_mv" -> ((s, d) => {
+      val mvDir = s"target/x73_mv_${math.abs(d.hashCode)}"
+      val factFile = s"$d/orders.parquet"
+      def fp(): String = {
+        val p = java.nio.file.Paths.get(factFile)
+        s"${java.nio.file.Files.size(p)}_${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }
+      val orders = Tables.load(s, d, "orders")
+      val defining = orders.filter(
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val f0 = fp()
+      graft.plans.MatView.create(s, "x73", defining, mvDir,
+        groupCols = Seq("o_orderpriority"),
+        sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
+        isFresh = () => fp() == f0)
+      orders.createOrReplaceTempView("orders_x73")
+      def probe(label: String, cut: String) = {
+        val q = s.sql(
+          s"""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_orders
+             |FROM orders_x73
+             |WHERE o_orderdate < TIMESTAMP '$cut'
+             |GROUP BY o_orderpriority""".stripMargin)
+        q.withColumn("probe", lit(label))
+          .withColumn("used_mv", lit(x66UsedMv(q, mvDir, factFile)))
+      }
+      probe("defining", "1997-01-01")
+        .unionByName(probe("wider", "1998-01-01"))
+        .orderBy(col("probe"), col("o_orderpriority"))
+    }),
+
     // x72 — REFERENTIAL-INTEGRITY AUDIT (the FK half of x47's CHECK
     // constraints — a training-data pipeline's join keys are only as
     // good as this report): per relationship, orphans = ONE left-anti
@@ -4667,6 +4734,37 @@ object ExtQ {
     // x71: x69's oracle verbatim — the SQL-surface binding must
     // produce the same rows AND the same listing witness.
     "x71_sql_hidden_partitioning" -> X69OracleSql,
+
+    // x74: the literal history — two timed data commits, one
+    // instant-less restore chained to v1, all published.
+    "x74_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), 'data', CAST(1704067200000 AS BIGINT),
+        |   CAST(NULL AS INT), TRUE),
+        |  (CAST(2 AS INT), 'data', CAST(1706745600000 AS BIGINT),
+        |   CAST(NULL AS INT), TRUE),
+        |  (CAST(3 AS INT), 'restore', CAST(NULL AS BIGINT),
+        |   CAST(1 AS INT), TRUE)
+        |) t(version, kind, ts, base, published)
+        |ORDER BY version""".stripMargin,
+
+    // x73: both probes restated straight from orders; used_mv TRUE
+    // only for the defining cut — a matcher that served the wider
+    // probe would also break its aggregate columns (1997 missing).
+    "x73_filtered_mv" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  'defining' AS probe, TRUE AS used_mv
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  COUNT(*), 'wider', FALSE
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY probe, o_orderpriority""".stripMargin,
 
     // x72: each leg restated as NOT EXISTS; clean legs hash their
     // zeros, the staging leg its exact corruption arithmetic.

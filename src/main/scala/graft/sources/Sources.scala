@@ -627,6 +627,25 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** DESCRIBE HISTORY (x74): the commit log itself as a queryable
+    * frame — version, commit kind, the x63 explicit timestamp (null
+    * for untimed commits), the base version logical commits chain to
+    * (append/restore/deletes/replace), and publication state (WAP
+    * staging visible as published=false). Driver-side and
+    * manifest-sized by construction: the log IS the table. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = logEntries(spark, dir).map { n =>
+      (n.get("version").asInt(),
+        Option(n.get("kind")).map(_.asText()).getOrElse("data"),
+        Option(n.get("ts")).map(_.asLong()),
+        Option(n.get("base")).map(_.asInt()),
+        isPublishedEntry(spark, n))
+    }.sortBy(_._1)
+    val s = spark
+    import s.implicits._
+    rows.toDF("version", "kind", "ts", "base", "published")
+  }
+
   /** TIMED commit (x63): land `df` as the next version carrying an
     * EXPLICIT commit timestamp in the log entry — the second
     * time-travel axis (Delta's `TIMESTAMP AS OF` next to x54's

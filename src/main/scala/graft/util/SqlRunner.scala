@@ -78,8 +78,21 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    runScript(spark, bound3)
+    // DESCRIBE HISTORY (x74): the commit log as a queryable view
+    val bound4 = TableHistory.replaceAllIn(bound3, m => {
+      val dir = m.group(1)
+      val view = s"history_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Snapshots.history(spark, dir)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    runScript(spark, bound4)
   }
+
+  /** `table_history('<dir>')` binds the manifest-sized commit log
+    * (version, kind, ts, base, published) for pure-SQL audits. */
+  private val TableHistory =
+    """(?i)table_history\(\s*'([^']+)'\s*\)""".r
 
   /** Hidden-partitioning twin: `hidden_table('<dir>')` binds the
     * layout-hiding read ([[graft.plans.HiddenPartitioning.table]] —

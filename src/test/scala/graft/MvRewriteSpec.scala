@@ -150,6 +150,34 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.remove("spec_h")
   }
 
+  test("a filtered view serves exactly its defining filter — wider, narrower, none refuse") {
+    val root = java.nio.file.Files.createTempDirectory("mvfilt").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    Snapshots.commit(
+      (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "e" else "o", i.toLong))
+        .toDF("id", "par", "qty"),
+      factDir)
+    val fact = Snapshots.read(spark, factDir)
+    MatView.create(spark, "spec_filt", fact.filter($"id" <= 20), mvDir,
+      groupCols = Seq("par"), sumCols = Seq("qty" -> col("qty")))
+    def q(df: DataFrame) = df.groupBy($"par").agg(sum($"qty").as("s"))
+    val hit = q(Snapshots.read(spark, factDir).filter($"id" <= 20))
+    assert(scanPaths(hit).exists(_.contains(mvDir)),
+      "the defining filter must rewrite")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("e", 110L), ("o", 100L)))
+    for ((label, miss) <- Seq(
+      "wider" -> q(Snapshots.read(spark, factDir).filter($"id" <= 30)),
+      "none" -> q(Snapshots.read(spark, factDir)),
+      "extra" -> q(Snapshots.read(spark, factDir)
+        .filter($"id" <= 20 && $"qty" > 5)))) {
+      assert(!scanPaths(miss).exists(_.contains(mvDir)),
+        s"the $label filter must refuse — it is not the defining filter")
+    }
+    MvCatalog.remove("spec_filt")
+  }
+
   test("the rewritten plan preserves output names, types AND ExprIds") {
     val (factDir, mvDir, fact) = fixture("f")
     val q = fact.groupBy($"g1").agg(sum($"qty").as("s"), count(lit(1)).as("n"))
