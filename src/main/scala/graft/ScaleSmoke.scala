@@ -194,6 +194,11 @@ object ScaleSmoke {
     // the history binding reads the manifest-sized log, zero data
     // files at any F)
     "x73_filtered_mv",
+    // x75 pays x66's fact commit + TWO MV builds (both one-pass
+    // aggregates over the F×-scaled fact); the cost-ordered choice
+    // is a driver-side manifest read and the served query re-
+    // aggregates the 5-row narrow view at any F
+    "x75_mv_choice",
     // x63/x65 are deliberately absent: their data-sized work IS
     // x61's (the same two balance commits, measured above);
     // TIMESTAMP AS OF resolution — Scala or SQL-bound — is a driver

@@ -153,11 +153,20 @@ object MvRewrite extends Rule[LogicalPlan] {
     // refreshed table), a self-union, or an extra relation all fail
     // the bijection — each would make the stored aggregate the wrong
     // answer. The query's filter must BE the view's defining filter
-    // (empty for an unfiltered view).
-    val d = MvCatalog.all
-      .find(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted &&
+    // (empty for an unfiltered view). When SEVERAL views qualify,
+    // the candidates are COST-ORDERED by stored bytes (the commit
+    // log's accounting — a driver-side manifest read, the x37-x43
+    // catalog discipline) so the narrowest sufficient view serves;
+    // name breaks ties deterministically. A candidate whose later
+    // containment checks fail falls through to the next.
+    val candidates = MvCatalog.all
+      .filter(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted &&
         sameFilters(qFilters, m.filters))
-      .getOrElse(return None)
+      .sortBy(m => (m.sizeHint(), m.name))
+    candidates.view.flatMap(m => rewriteWith(agg, m)).headOption
+  }
+
+  private def rewriteWith(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
     // grouping must be plain fact attributes within the MV's key set
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if d.groupCols.contains(a.name.toLowerCase) => a
@@ -271,7 +280,10 @@ object MvCatalog {
       mvDir: String = "",
       // the view's DEFINING filter conjuncts (empty = unfiltered);
       // a matching query must carry exactly these
-      filters: Seq[Expression] = Nil)
+      filters: Seq[Expression] = Nil,
+      // stored-bytes cost signal for multi-candidate choice (x75);
+      // a manifest-sized driver read, never a data scan
+      sizeHint: () => Long = () => Long.MaxValue)
 
   private val defs = new scala.collection.concurrent.TrieMap[String, MvDef]
   def register(d: MvDef): Unit = defs.put(d.name, d)
@@ -362,7 +374,8 @@ object MatView {
       mvRead = () => Snapshots.read(spark, mvDir).queryExecution.analyzed,
       isFresh = isFresh,
       specs = specs,
-      mvDir = mvDir))
+      mvDir = mvDir,
+      sizeHint = () => Snapshots.latestBytes(spark, mvDir)))
     MvRewrite.ensureInstalled(spark)
     mv
   }

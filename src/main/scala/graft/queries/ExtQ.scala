@@ -1770,6 +1770,57 @@ object ExtQ {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // x75 — COST-BASED VIEW CHOICE (the planner step that makes an
+    // MV CATALOG, not just an MV, useful): two views over the same
+    // fact both contain a priority-only rollup — the wide
+    // (status,priority) view and the narrow (priority) view. The
+    // matcher cost-orders candidates by the commit log's stored
+    // bytes (driver-side manifest read, the x37–x43 catalog
+    // discipline) and the NARROW view must serve. `served_by` reads
+    // which MV directory the optimized plan actually scans and rides
+    // the hash — values alone couldn't tell the two apart (both are
+    // correct), which is exactly why the choice needs its own pin.
+    "x75_mv_choice" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val factDir = s"target/x66_fact_w_${math.abs(d.hashCode)}"
+      val mvWide = s"target/x75_mv_wide_${math.abs(d.hashCode)}"
+      val mvNarrow = s"target/x75_mv_narrow_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, factDir)
+      Snapshots.commit(x66Fact(s, d, allRows = false), factDir)
+      val fact = Snapshots.read(s, factDir)
+      val v0 = Snapshots.versions(s, factDir)
+      val fresh = () => Snapshots.versions(s, factDir) == v0
+      graft.plans.MatView.create(s, "x75_wide", fact, mvWide,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
+        isFresh = fresh)
+      graft.plans.MatView.create(s, "x75_narrow", fact, mvNarrow,
+        groupCols = Seq("o_orderpriority"),
+        sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
+        isFresh = fresh)
+      Snapshots.read(s, factDir).createOrReplaceTempView("orders_x75")
+      val q = s.sql(
+        """SELECT o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders
+          |FROM orders_x75
+          |GROUP BY o_orderpriority""".stripMargin)
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val servedBy =
+        if (paths.exists(_.contains(mvNarrow))) "narrow"
+        else if (paths.exists(_.contains(mvWide))) "wide"
+        else "fact"
+      q.withColumn("served_by", lit(servedBy))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // x74 — DESCRIBE HISTORY on the SQL surface: the commit log
     // itself as a queryable frame (version, kind, x63's explicit
     // instant, the base a logical commit chains to, publication
@@ -4734,6 +4785,17 @@ object ExtQ {
     // x71: x69's oracle verbatim — the SQL-surface binding must
     // produce the same rows AND the same listing witness.
     "x71_sql_hidden_partitioning" -> X69OracleSql,
+
+    // x75: the rollup restated from orders; served_by='narrow' pins
+    // the cost-ordered choice (both views would hash identical
+    // values — only the plan decision separates them).
+    "x75_mv_choice" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  'narrow' AS served_by
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // x74: the literal history — two timed data commits, one
     // instant-less restore chained to v1, all published.

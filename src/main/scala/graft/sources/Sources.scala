@@ -627,6 +627,17 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** Stored bytes of the latest published version — the x75 view-
+    * choice cost signal. Driver-side, manifest-sized (the log entry
+    * records the write's accounting). */
+  def latestBytes(spark: SparkSession, dir: String): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    logEntries(spark, dir)
+      .find(_.get("version").asInt() == vs.last)
+      .map(n => n.get("bytes").asLong()).getOrElse(0L)
+  }
+
   /** DESCRIBE HISTORY (x74): the commit log itself as a queryable
     * frame — version, commit kind, the x63 explicit timestamp (null
     * for untimed commits), the base version logical commits chain to

@@ -178,6 +178,33 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.remove("spec_filt")
   }
 
+  test("multi-candidate choice is cost-ordered; a lying size hint flips it") {
+    val root = java.nio.file.Files.createTempDirectory("mvchoice").toString
+    val factDir = s"$root/fact"
+    Snapshots.commit(
+      Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 30L), ("b", "y", 40L))
+        .toDF("g1", "g2", "qty"),
+      factDir)
+    val fact = Snapshots.read(spark, factDir)
+    MatView.create(spark, "spec_ch_wide", fact, s"$root/wide",
+      groupCols = Seq("g1", "g2"), sumCols = Seq("qty" -> col("qty")))
+    MatView.create(spark, "spec_ch_narrow", fact, s"$root/narrow",
+      groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")))
+    def served(): String = {
+      val p = scanPaths(Snapshots.read(spark, factDir)
+        .groupBy($"g1").agg(sum($"qty").as("s")))
+      if (p.exists(_.contains(s"$root/narrow"))) "narrow"
+      else if (p.exists(_.contains(s"$root/wide"))) "wide" else "fact"
+    }
+    assert(served() == "narrow", "the smaller sufficient view must serve")
+    // the decision follows the COST SIGNAL, not registration order:
+    // lie about the narrow view's size and the wide one takes over
+    MvCatalog.register(
+      MvCatalog.get("spec_ch_narrow").get.copy(sizeHint = () => Long.MaxValue))
+    assert(served() == "wide", "the choice must follow the size hint")
+    MvCatalog.remove("spec_ch_wide"); MvCatalog.remove("spec_ch_narrow")
+  }
+
   test("the rewritten plan preserves output names, types AND ExprIds") {
     val (factDir, mvDir, fact) = fixture("f")
     val q = fact.groupBy($"g1").agg(sum($"qty").as("s"), count(lit(1)).as("n"))
