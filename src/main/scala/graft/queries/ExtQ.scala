@@ -1970,7 +1970,11 @@ object ExtQ {
     // (a binding that lost the translation would flip `pruned`).
     "x71_sql_hidden_partitioning" -> ((s, d) => {
       import graft.plans.HiddenPartitioning
-      val dir = x69Layout(s, d, "b")
+      // 4 buckets (48 dirs): the binding under test is the SQL
+      // surface, not the layout — x69 already pays the richer
+      // 96-dir witness; halving the directory count halves the
+      // committer-bound setup without weakening the prune pin
+      val dir = x69Layout(s, d, "b", buckets = 4)
       val script =
         s"""-- S8 surface + hidden_table(dir) layout-transparent read
            |SELECT o_orderkey, o_custkey,
@@ -3548,7 +3552,8 @@ object ExtQ {
     * per directory either way; dirs, not rows, set its cost).
     * Per-query dirs (`tag`) keep the declared queries
     * order-independent. */
-  private def x69Layout(s: SparkSession, d: String, tag: String): String = {
+  private def x69Layout(s: SparkSession, d: String, tag: String,
+                        buckets: Int = 8): String = {
     import graft.plans.HiddenPartitioning
     val dir = s"target/x69_hidden_${tag}_${math.abs(d.hashCode)}"
     graft.sources.Snapshots.drop(s, dir)
@@ -3560,7 +3565,7 @@ object ExtQ {
           col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
       dir,
       Seq(HiddenPartitioning.Month("o_orderdate"),
-        HiddenPartitioning.Bucket("o_custkey", 8)))
+        HiddenPartitioning.Bucket("o_custkey", buckets)))
     dir
   }
 
