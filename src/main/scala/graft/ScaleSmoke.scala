@@ -97,6 +97,10 @@ object ScaleSmoke {
     // pass of the F×-scaled orders against the verbatim customer dim
     // — the curve must follow the fact scan, never cust×fact
     "q38_subqueries",
+    // q39's one window spec = one key shuffle + per-key sorts over
+    // the F×-scaled orders; q40's null-safe join probes the F×/50
+    // slice against a 4-row broadcast probe set (linear by design)
+    "q39_positional_window", "q40_null_semantics",
     // x49 commits the F×-scaled corpus three times (write scales);
     // checkpoint + prune are entry-count-sized metadata at any F
     "x49_log_checkpoint",
@@ -234,6 +238,10 @@ object ScaleSmoke {
     // F×; x39 reads the verbatim customer dimension — exempt like
     // x30/x37
     "k4_kg_edges", "k20_edge_lift",
+    // k23 runs AFTER k4 in the same dir pass: its timing is the
+    // marginal cost over the shared Derived edges — one union-all
+    // degree groupBy + one degree-cardinality-sized histogram groupBy
+    "k23_degree_histogram",
     // k22 runs AFTER k21 in the same dir pass: its timing is the
     // marginal cost over the shared Derived BFS distances (the
     // k4/k20 amortization shape) — a hop-table aggregate + two

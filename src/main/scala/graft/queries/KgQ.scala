@@ -793,6 +793,24 @@ object KgQ {
             .as("harmonic_micro"))
         .orderBy(col("node"))),
 
+    // k23 — DEGREE DISTRIBUTION over the shared undirected edge set
+    // (the first thing anyone plots about a graph, and the input to
+    // every power-law / hub-detection decision): node degrees from
+    // ONE union-all + groupBy over the session-shared Derived edges
+    // (k4/k12/k20's amortized pair join — k23's marginal cost is two
+    // key shuffles, the second degree-cardinality-sized, never a new
+    // edge materialization). Exact (degree, n_nodes) pairs — tiny at
+    // any corpus because distinct degrees grow ~log-ish while nodes
+    // grow linearly.
+    "k23_degree_histogram" -> ((s, d) => {
+      val e = edgesDf(s, d).select(col("src"), col("tgt")).distinct()
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("tgt").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // k22 — EFFECTIVE DIAMETER via the seed-sampled NEIGHBORHOOD
     // FUNCTION (HyperANF's published quantity, computed exactly on
     // k21's Eppstein–Wang seed sample): N(h) = #(seed, node) pairs
@@ -1264,6 +1282,18 @@ object KgQ {
          |SELECT src AS source_node_id, tgt AS target_node_id, paper_id, weight
          |FROM edges
          |ORDER BY source_node_id, target_node_id, paper_id""".stripMargin,
+
+    // k23: degrees restated over the same distinct edge set.
+    "k23_degree_histogram" ->
+      s"""$ctePrefix,
+         |uedges AS (SELECT DISTINCT src, tgt FROM edges),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS degree FROM (
+         |    SELECT src AS node FROM uedges
+         |    UNION ALL SELECT tgt AS node FROM uedges)
+         |  GROUP BY node)
+         |SELECT degree, COUNT(*) AS n_nodes FROM deg
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // df-cap before the per-chunk rank, rank by first occurrence
     // (unique within a chunk: each ord is one occurrence), C(cap,2)

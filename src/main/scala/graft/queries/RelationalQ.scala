@@ -447,6 +447,53 @@ object RelationalQ {
           |WHERE EXISTS (SELECT 1 FROM orders_q38 o
           |              WHERE o.o_custkey = c.c_custkey)
           |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    // q39 — positional window functions: NTILE quartiles plus
+    // FIRST/LAST/NTH_VALUE over one key-partitioned, totally-ordered
+    // window (the tiebreak makes every position — and the hash —
+    // deterministic). LAST/NTH ride the full frame explicitly; the
+    // default RANGE..CURRENT frame silently returns the CURRENT row
+    // for LAST_VALUE, the classic positional-window bug this pins.
+    // One window spec → one shuffle + one sort, never per-function.
+    "q39_positional_window" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_q39")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+          |  LAST_VALUE(o_orderkey) OVER wf AS priciest_key,
+          |  COALESCE(NTH_VALUE(o_orderkey, 2) OVER wf, -1) AS second_key
+          |FROM orders_q39
+          |WINDOW
+          |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+          |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
+    // q40 — NULL semantics pinned cross-engine: nulls enter via
+    // NULLIF, then (a) a GROUP BY key carrying a null group, (b) a
+    // null-safe join (IS NOT DISTINCT FROM) against the DISTINCT
+    // probe set — null meets null, each fact row matches exactly one
+    // probe, so the join is LINEAR with a broadcast-sized build
+    // side, (c) COUNT(col) vs COUNT(*) divergence under nulls.
+    // DuckDB replays the same text, so the hash proves the two
+    // engines agree on every null rule at once.
+    "q40_null_semantics" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_q40")
+      s.sql(
+        """WITH t AS (
+          |  SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+          |    o_totalprice
+          |  FROM orders_q40 WHERE o_orderkey % 50 = 0),
+          |probes AS (SELECT DISTINCT st FROM t)
+          |SELECT p.st AS st, COUNT(*) AS n_matched,
+          |  COUNT(a.st) AS n_nonnull,
+          |  CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_matched
+          |FROM t a JOIN probes p ON a.st IS NOT DISTINCT FROM p.st
+          |GROUP BY p.st
+          |ORDER BY st NULLS FIRST""".stripMargin)
     })
   )
 
@@ -728,6 +775,35 @@ object RelationalQ {
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    // q39: same text — the total order (price, key tiebreak) makes
+    // NTILE boundaries and every positional value deterministic.
+    "q39_positional_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+        |  LAST_VALUE(o_orderkey) OVER wf AS priciest_key,
+        |  COALESCE(NTH_VALUE(o_orderkey, 2) OVER wf, -1) AS second_key
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // q40: same text — null group, null-safe join, COUNT divergence.
+    "q40_null_semantics" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |probes AS (SELECT DISTINCT st FROM t)
+        |SELECT p.st AS st, COUNT(*) AS n_matched,
+        |  COUNT(a.st) AS n_nonnull,
+        |  CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_matched
+        |FROM t a JOIN probes p ON a.st IS NOT DISTINCT FROM p.st
+        |GROUP BY p.st
+        |ORDER BY st NULLS FIRST""".stripMargin
   )
 }
