@@ -65,10 +65,25 @@ object HiddenPartitioning {
 
   private val registry =
     new scala.collection.concurrent.TrieMap[String, Seq[Transform]]
+
+  /** Component-boundary containment: `dir` must match a whole path
+    * segment run — a bare substring test would let table `t`'s spec
+    * serve table `t2` (same prefix, different transforms) and prune
+    * away that table's matching directories. Longest (most specific)
+    * registered dir wins for nested layouts. */
+  private def covers(p: String, dir: String): Boolean = {
+    // scan root paths arrive as URIs (file:/…) while dirs register
+    // as plain paths — anchor the dir on both sides with separators
+    // (its own leading '/' anchors the left for absolute dirs)
+    val a = if (dir.startsWith("/")) dir else "/" + dir
+    p == dir || p.startsWith(dir + "/") ||
+      p.contains(a + "/") || p.endsWith(a)
+  }
   private[plans] def specFor(paths: Seq[String]): Option[Seq[Transform]] =
-    registry.collectFirst {
-      case (dir, ts) if paths.exists(_.contains(dir)) => ts
-    }
+    registry.toSeq
+      .filter { case (dir, _) => paths.exists(covers(_, dir)) }
+      .sortBy { case (dir, _) => -dir.length }
+      .headOption.map(_._2)
   def clear(): Unit = registry.clear()
   /** Targeted de-registration — what tests should use (the registry
     * is process-wide; a global clear() races parallel suites). */
@@ -224,6 +239,15 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
           Some(EqualTo(pAttr, Literal(monthIdx(l))))
         case EqualTo(l: Literal, a) if src(a) && isTime(l.dataType) =>
           Some(EqualTo(pAttr, Literal(monthIdx(l))))
+        // commuted spellings: lit OP col ≡ col flipped-OP lit
+        case GreaterThanOrEqual(l: Literal, a) if src(a) && isTime(l.dataType) =>
+          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case GreaterThan(l: Literal, a) if src(a) && isTime(l.dataType) =>
+          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case LessThanOrEqual(l: Literal, a) if src(a) && isTime(l.dataType) =>
+          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
+        case LessThan(l: Literal, a) if src(a) && isTime(l.dataType) =>
+          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
         case _ => None
       }
       case Bucket(_, n) => p match {

@@ -107,23 +107,31 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   /** Drop IsNotNull conjuncts the remaining comparisons already
-    * imply (the optimizer infers them; a `x < lit` filters nulls by
-    * itself) — a BARE IsNotNull with no other conjunct naming the
-    * column is semantic and stays. */
-  private def dropInferredNotNull(fs: Seq[Expression]): Seq[Expression] =
+    * imply (the optimizer infers them) — implication demands a
+    * NULL-REJECTING conjunct over exactly that column (a binary
+    * comparison or IN, where a null input yields null → filtered).
+    * Merely REFERENCING the column is not enough: `a = 5 OR b = 6`
+    * passes rows with a IS NULL, so IsNotNull(a) next to it is
+    * semantic and stays. */
+  private def dropInferredNotNull(fs: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, In, IsNotNull}
+    def rejectsNullOf(e: Expression, name: String): Boolean = e match {
+      case _: BinaryComparison | _: In =>
+        e.references.nonEmpty &&
+          e.references.forall(_.name.equalsIgnoreCase(name))
+      case _ => false
+    }
     fs.filter {
-      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
-        !fs.exists {
-          case org.apache.spark.sql.catalyst.expressions.IsNotNull(_) => false
-          case other => other.references.exists(_.name.equalsIgnoreCase(a.name))
-        }
+      case IsNotNull(a: AttributeReference) =>
+        !fs.exists(rejectsNullOf(_, a.name))
       case _ => true
     }
+  }
 
   /** Multiset equality of filter conjuncts under the structural
     * compare — the query's filter must BE the view's defining
     * filter, nothing weaker or stronger. */
-  private def sameFilters(a: Seq[Expression], b: Seq[Expression]): Boolean = {
+  private[plans] def sameFilters(a: Seq[Expression], b: Seq[Expression]): Boolean = {
     val an = dropInferredNotNull(a)
     val bn = scala.collection.mutable.ArrayBuffer(dropInferredNotNull(b): _*)
     an.length == bn.length && an.forall { x =>
@@ -143,8 +151,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ =>
       a.getClass == b.getClass && a.dataType == b.dataType &&
         a.children.length == b.children.length &&
+        nonChildParams(a) == nonChildParams(b) &&
         a.children.zip(b.children).forall { case (c, d) => same(c, d) }
   }
+
+  /** Constructor parameters that are NOT child expressions (LIKE's
+    * escape char, eval modes, …) — semantic state the child-wise
+    * recursion would otherwise ignore, letting e.g. two LIKEs with
+    * different escape characters compare equal. */
+  private def nonChildParams(e: Expression): Seq[Any] =
+    e.productIterator.filter {
+      case _: Expression => false
+      case s: scala.collection.Seq[_] if s.forall(_.isInstanceOf[Expression]) => false
+      case Some(_: Expression) => false
+      case _ => true
+    }.toList
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
     val (sigs, qFilters) = shapeOf(agg.child).getOrElse(return None)
@@ -398,7 +419,11 @@ object MatView {
     val dp0 = partials(delta, d.groupCols, d.specs)
     // suffix the delta's value columns so the merged frame states
     // each fold explicitly, then restore the stored layout and types
-    val valueCols = cur.columns.filterNot(d.groupCols.contains(_)).toSeq
+    // (group-column comparison case-insensitive — groupCols were
+    // lowercased at registration, the stored layout keeps the
+    // fact's original case)
+    val valueCols =
+      cur.columns.filterNot(c => d.groupCols.contains(c.toLowerCase)).toSeq
     val dp = valueCols.foldLeft(dp0)((x, c) => x.withColumnRenamed(c, s"${c}_d"))
     val j = cur.join(dp, d.groupCols, "full_outer")
     def both(c: String)(f: (Column, Column) => Column): Column =
@@ -419,6 +444,19 @@ object MatView {
     import graft.sources.Snapshots
     val d = MvCatalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"no registered MV named $name"))
+    // the fold is unconditional but SERVING must stay sound, so the
+    // delta has to be parseable (else coverage can't grow and a
+    // base-only read would be served delta-folded sums) and must
+    // carry exactly the view's defining filter (else out-of-filter
+    // delta rows inflate — or pre-filtered deltas starve — the
+    // stored partials relative to what matching queries read)
+    val (deltaCov, deltaFilters) = shapeOfFrame(delta)
+    require(deltaCov.nonEmpty,
+      s"MV refresh delta for '$name' must be a parseable scan frame " +
+        "(scans/filters/unions only) — coverage cannot be extended otherwise")
+    require(MvRewrite.sameFilters(deltaFilters, d.filters),
+      s"MV refresh delta for '$name' must carry the view's defining " +
+        "filter exactly (pass delta.filter(<defining predicate>))")
     val merged = mergedFrame(spark, d, delta)
     val v = Snapshots.commit(merged, d.mvDir)
     // mvRead already serves the latest version; the refreshed view
@@ -426,16 +464,19 @@ object MatView {
     // (and a v1-only read can no longer be served — it would get Δ's
     // rows folded in)
     MvCatalog.register(d.copy(
-      coverage = d.coverage ++ shapeOfFrame(delta)._1, isFresh = isFresh))
+      coverage = d.coverage ++ deltaCov, isFresh = isFresh))
     v
   }
 
   /** EPOCH-TAGGED refresh — the streaming twin's fold: same merged
     * frame, committed via commitEpoch so a replayed micro-batch
     * folds NOTHING (at-least-once delivery, exactly-once state —
-    * the x12/mergeFold discipline). Registry coverage/freshness are
-    * deliberately untouched: the streaming fold maintains state; the
-    * batch-side refresh() is what re-arms the rewrite. Returns None
+    * the x12/mergeFold discipline). The fold DISARMS auto-rewrite
+    * (coverage cleared): the stored view now includes stream rows
+    * the registered coverage doesn't name, so serving any coverage-
+    * matching read would over-count — the view keeps maintaining and
+    * serving EXPLICIT reads, and the batch-side refresh()/create()
+    * is what re-arms the rewrite with correct coverage. Returns None
     * on a replay skip. */
   def refreshEpoch(
       spark: SparkSession,
@@ -446,6 +487,10 @@ object MatView {
     val d = MvCatalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"no registered MV named $name"))
     if (Snapshots.epochCommitted(spark, d.mvDir, epochId)) None
-    else Snapshots.commitEpoch(mergedFrame(spark, d, delta), d.mvDir, epochId)
+    else {
+      val v = Snapshots.commitEpoch(mergedFrame(spark, d, delta), d.mvDir, epochId)
+      if (v.isDefined) MvCatalog.register(d.copy(coverage = Nil))
+      v
+    }
   }
 }

@@ -1805,14 +1805,7 @@ object ExtQ {
           |  COUNT(*) AS n_orders
           |FROM orders_x75
           |GROUP BY o_orderpriority""".stripMargin)
-      val paths = q.queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          l.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toString)
-            case _ => Nil
-          }
-      }.flatten
+      val paths = scanRoots(q)
       val servedBy =
         if (paths.exists(_.contains(mvNarrow))) "narrow"
         else if (paths.exists(_.contains(mvWide))) "wide"
@@ -3530,17 +3523,24 @@ object ExtQ {
     (factDir, mvDir)
   }
 
-  /** The hashed plan-decision flag: true iff the optimized plan
-    * scans the MV and NOT the fact — a declined (or half-applied)
-    * rewrite can't fake it. */
-  private def x66UsedMv(q: DataFrame, mvDir: String, factDir: String): Boolean = {
+  /** Root paths of every file scan in the optimized plan — the one
+    * collector behind every MV plan-decision pin (x66UsedMv, x75's
+    * served_by); one definition so the pins can't drift. */
+  private def scanRoots(q: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val paths = q.queryExecution.optimizedPlan.collect {
+    q.queryExecution.optimizedPlan.collect {
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
         case _ => Nil
       }
     }.flatten
+  }
+
+  /** The hashed plan-decision flag: true iff the optimized plan
+    * scans the MV and NOT the fact — a declined (or half-applied)
+    * rewrite can't fake it. */
+  private def x66UsedMv(q: DataFrame, mvDir: String, factDir: String): Boolean = {
+    val paths = scanRoots(q)
     paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir))
   }
 

@@ -419,7 +419,9 @@ object RelationalQ {
         s"'$p', n_${p.take(1)}, rev_${p.take(1)}").mkString(", ")
       wide.select(col("o_orderstatus"),
           expr(s"stack(${pr.length}, $stackArgs) AS (o_orderpriority, n_orders, revenue)"))
-        .filter(col("n_orders").isNotNull)
+        // q36 zero-fills empty count cells, so emptiness is n=0 (not
+        // null) — this is what restores GROUP BY's no-empty-groups
+        .filter(col("n_orders") > 0)
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 

@@ -75,6 +75,32 @@ class HiddenPartitioningSpec extends SparkSpec {
     HP.remove(dir)
   }
 
+  test("a table whose path merely extends another's name is never cross-served") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hpx").toString
+    val rows = (0 until 64).map(i => (i.toLong, i.toLong % 16))
+    // same source column, DIFFERENT bucket counts — t's spec applied
+    // to t2 would prune directories holding matching rows
+    HP.write(spark, rows.toDF("id", "k"), s"$root/t", Seq(HP.Bucket("k", 8)))
+    HP.write(spark, rows.toDF("id", "k"), s"$root/t2", Seq(HP.Bucket("k", 4)))
+    val q = HP.table(spark, s"$root/t2").filter($"k" === 7L)
+    assert(q.select($"id").as[Long].collect().toSet ==
+      (0 until 64).filter(_ % 16 == 7).map(_.toLong).toSet,
+      "t2 must be pruned with ITS transform, never t's")
+    HP.remove(s"$root/t"); HP.remove(s"$root/t2")
+  }
+
+  test("commuted literal-first range spellings still prune") {
+    import spark.implicits._
+    val dir = fixture("f")
+    val t = HP.table(spark, dir)
+    val q = t.filter(lit("1996-03-01").cast("timestamp") <= $"ts" &&
+      lit("1996-03-31").cast("timestamp") >= $"ts")
+    assert(HP.partitionsScanned(q) <= 4,
+      "lit <= col must translate like col >= lit")
+    HP.remove(dir)
+  }
+
   test("strict bounds map to inclusive month bounds (over-select, never under)") {
     val dir = fixture("e")
     val t = HP.table(spark, dir)

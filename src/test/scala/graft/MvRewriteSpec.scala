@@ -205,6 +205,45 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.remove("spec_ch_wide"); MvCatalog.remove("spec_ch_narrow")
   }
 
+  test("the rewrite decision is driver-only: optimizing a matching query runs zero jobs") {
+    val (factDir, mvDir, _) = fixture("z") // build jobs land here, before the window
+    // jobs are attributed by JOB GROUP (AQE submits stages from a
+    // pool, erasing call sites, but local properties ride along) so
+    // parallel suites' jobs can't pollute the count
+    val planJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawCanary = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
+        if (g == "mv_zero_plan") { planJobs.incrementAndGet(); () }
+        else if (g == "mv_zero_canary") sawCanary.set(true)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup("mv_zero_plan", "rewrite decision", false)
+      val q = Snapshots.read(spark, factDir)
+        .groupBy($"g1").agg(sum($"qty").as("s"))
+      // force the full optimization: coverage match, freshness log
+      // read, mvRead — all must stay driver-side metadata
+      assert(scanPaths(q).exists(_.contains(mvDir)))
+      spark.sparkContext.setJobGroup("mv_zero_canary", "canary", false)
+      spark.range(1).count() // canary: FIFO listener delivery
+      val deadline = System.currentTimeMillis + 30000
+      while (!sawCanary.get() && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(sawCanary.get(), "canary job never arrived")
+      assert(planJobs.get() == 0,
+        s"the rewrite decision must launch no Spark jobs, saw ${planJobs.get()}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    MvCatalog.remove("spec_z")
+  }
+
   test("the rewritten plan preserves output names, types AND ExprIds") {
     val (factDir, mvDir, fact) = fixture("f")
     val q = fact.groupBy($"g1").agg(sum($"qty").as("s"), count(lit(1)).as("n"))

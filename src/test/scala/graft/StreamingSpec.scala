@@ -497,6 +497,22 @@ class StreamingSpec extends SparkSpec {
       ("b", 21L, 0.5, 4.0, 2L),
       ("c", 7L, 9.0, 9.0, 1L)),
       "per-batch folds must compose to the one-shot refresh")
+    // the fold DISARMS auto-rewrite: the stored view now holds stream
+    // rows the registered coverage never named, so a coverage-shaped
+    // read must NOT be served the view (it would over-count)
+    val baseAgg = Snapshots.read(spark, factDir)
+      .groupBy($"g").agg(sum($"qty").as("s"))
+    val served = baseAgg.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten.exists(_.contains(mvDir))
+    assert(!served, "a streaming-folded view must not auto-serve")
+    assert(baseAgg.as[(String, Long)].collect().toSet ==
+      Set(("a", 10L), ("b", 20L)), "the base read answers from its own scan")
     MvCatalog.remove("spec_stream_mv")
   }
 
