@@ -32,9 +32,20 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   *    rewrites naturally (each AggregateExpression in the tree maps
   *    independently; the Divide stays put), which sidesteps decimal
   *    average scale drift entirely.
-  *  - DISTINCT, FILTER clauses, filters between Aggregate and scan,
-  *    or any unregistered aggregate → refuse (scan the fact). A
-  *    wrong rewrite is a wrong answer; refusal is merely slower.
+  *  - the query must read EXACTLY the files the view aggregates — an
+  *    exact leaf-scan coverage bijection through Project/Union (so a
+  *    resolved append's base ∪ delta matches, but a partial version
+  *    read or a self-union never can);
+  *  - the query's filter must BE the view's DEFINING filter,
+  *    conjunct for conjunct (x73 — optimizer-inferred IsNotNulls
+  *    stripped only when a null-rejecting comparison implies them);
+  *  - DISTINCT, aggregate FILTER clauses, or any unregistered
+  *    aggregate → refuse (scan the fact). A wrong rewrite is a wrong
+  *    answer; refusal is merely slower.
+  *
+  * When several registered views qualify, candidates are COST-ORDERED
+  * by stored bytes from the commit log (x75) — the narrowest
+  * sufficient view serves.
   *
   * FRESHNESS is a hard gate, checked at rewrite time against the
   * fact's Snapshots log (`isFresh`, typically "latest published
