@@ -1610,8 +1610,14 @@ object ExtQ {
         .select(
           call_function("theta_sketch_estimate", col("a")).as("n_1996"),
           call_function("theta_sketch_estimate", col("b")).as("n_1997"),
+          // the UNION carries its own nominal-entries cap (defaults
+          // to lgk=12 = 4096): two exact inputs fold through an
+          // under-sized union into ESTIMATION mode — pass the same
+          // lgk so the exact-mode contract survives the operator,
+          // not just the inputs (caught by the sf0.1 oracle sweep:
+          // 14,300 distinct keys → 14,198 "exact" union)
           call_function("theta_sketch_estimate",
-            call_function("theta_union", col("a"), col("b"))).as("n_union"),
+            call_function("theta_union", col("a"), col("b"), lg)).as("n_union"),
           call_function("theta_sketch_estimate",
             call_function("theta_intersection", col("a"), col("b"))).as("n_retained"),
           call_function("theta_sketch_estimate",

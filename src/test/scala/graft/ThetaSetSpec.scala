@@ -42,6 +42,28 @@ class ThetaSetSpec extends SparkSpec {
     assert(algebra(8) == expected)
   }
 
+  test("the union carries its OWN capacity: above 4096 keys a default union estimates") {
+    // two exact lgk=20 sketches folded through theta_union's default
+    // lgk=12 (4096 nominal entries) drop into estimation — the trap
+    // the sf0.1 oracle sweep caught in x64 (14,300 keys → 14,198)
+    val df = spark.range(0, 15000).select(
+      when(col("id") % 2 === 0, col("id")).as("a_k"),
+      when(col("id") % 2 === 1, col("id")).as("b_k"))
+    val ag = df.agg(
+      call_function("theta_sketch_agg", col("a_k"), lit(20)).as("a"),
+      call_function("theta_sketch_agg", col("b_k"), lit(20)).as("b"))
+    val r = ag.select(
+      call_function("theta_sketch_estimate",
+        call_function("theta_union", col("a"), col("b"))),
+      call_function("theta_sketch_estimate",
+        call_function("theta_union", col("a"), col("b"), lit(20))))
+      .collect().head
+    assert(r.getLong(1) == 15000L,
+      "a capacity-matched union of exact inputs must be exact")
+    assert(r.getLong(0) != 15000L,
+      "the default-capacity union estimates — pass lgk through the union")
+  }
+
   test("conditional input skips nulls: a when() with no otherwise adds nothing") {
     val df = spark.range(0, 100)
     val n = df.agg(
