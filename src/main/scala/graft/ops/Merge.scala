@@ -69,11 +69,26 @@ object Merge {
     * merge-on-read deletion-vector path
     * ([[graft.sources.Snapshots.commitDeletes]], x27).
     */
+  /** Enforce the at-most-one-source-row-per-key contract EAGERLY —
+    * SQL MERGE (and Delta/Iceberg) raise on a multi-match source; a
+    * silent pass would emit duplicate output rows. One source-sized
+    * (churn-sized, not table-sized) groupBy; opt-in via the merge
+    * verbs' `checkUniqueSource` flag so the hot path stays one job. */
+  def requireUniqueKeys(source: DataFrame, key: String): Unit = {
+    val dup = source.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source violates the one-row-per-key contract: key " +
+        s"'$key' value ${dup.head.get(0)} appears ${dup.head.getLong(1)} times")
+  }
+
   def mergeInto(target: DataFrame, source: DataFrame, key: String,
       matchedDelete: (Column, Column) => Column = (_, _) => lit(false),
       matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
       notMatchedInsert: Column => Column = _ => lit(true),
-      bySourceDelete: Column => Column = _ => lit(false)): DataFrame = {
+      bySourceDelete: Column => Column = _ => lit(false),
+      checkUniqueSource: Boolean = false): DataFrame = {
+    if (checkUniqueSource) requireUniqueKeys(source, key)
     val (joined, payload) = mergedFrame(target, source, key,
       matchedDelete, matchedUpdate, notMatchedInsert, bySourceDelete)
     joined.filter(col("_a") =!= "X")
@@ -95,7 +110,9 @@ object Merge {
       matchedDelete: (Column, Column) => Column = (_, _) => lit(false),
       matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
       notMatchedInsert: Column => Column = _ => lit(true),
-      bySourceDelete: Column => Column = _ => lit(false)): (DataFrame, DataFrame) = {
+      bySourceDelete: Column => Column = _ => lit(false),
+      checkUniqueSource: Boolean = false): (DataFrame, DataFrame) = {
+    if (checkUniqueSource) requireUniqueKeys(source, key)
     val (joined, payload) = mergedFrame(target, source, key,
       matchedDelete, matchedUpdate, notMatchedInsert, bySourceDelete)
     // each delta plans the join independently ON PURPOSE: Catalyst

@@ -58,26 +58,53 @@ object HiddenPartitioning {
   final case class Month(source: String) extends Transform {
     val partCol = s"_p_${source}_m"
   }
-  /** Hash-bucket transform: partition value = pmod(murmur3(src), n). */
+  /** Hash-bucket transform: partition value = pmod(murmur3(src), n).
+    * The bucket COUNT is encoded in the column name: a same-source
+    * table written under a different modulus carries a different
+    * partition column, so a mismatched spec can never inject its own
+    * n against that table's layout. */
   final case class Bucket(source: String, n: Int) extends Transform {
-    val partCol = s"_p_${source}_b"
+    val partCol = s"_p_${source}_b$n"
+  }
+  /** Calendar-day transform: partition value = epoch day (UTC) —
+    * Iceberg's `day()` sibling of [[Month]], for tables whose query
+    * grain is daily (event logs, CDC feeds). */
+  final case class Day(source: String) extends Transform {
+    val partCol = s"_p_${source}_d"
   }
 
   private val registry =
     new scala.collection.concurrent.TrieMap[String, Seq[Transform]]
 
-  /** Component-boundary containment: `dir` must match a whole path
-    * segment run — a bare substring test would let table `t`'s spec
-    * serve table `t2` (same prefix, different transforms) and prune
-    * away that table's matching directories. Longest (most specific)
-    * registered dir wins for nested layouts. */
+  /** Exact-root-or-descendant containment on NORMALIZED paths: the
+    * scan root (a URI, `file:/…`) must BE the registered dir or live
+    * under it. A looser segment-substring test would let a different
+    * table whose path merely embeds a registered dir name (e.g. a
+    * relocated copy written under an older spec) borrow this spec's
+    * modulus and under-select its partitions. */
+  private def normalize(p: String): String = {
+    // strip URI scheme (file:, hdfs://host) down to the path part,
+    // collapse a trailing slash
+    val noScheme = p.indexOf(":/") match {
+      case -1 => p
+      case i =>
+        val rest = p.substring(i + 1)
+        if (rest.startsWith("//")) rest.substring(rest.indexOf('/', 2).max(2))
+        else rest
+    }
+    if (noScheme.length > 1 && noScheme.endsWith("/")) noScheme.dropRight(1)
+    else noScheme
+  }
   private def covers(p: String, dir: String): Boolean = {
-    // scan root paths arrive as URIs (file:/…) while dirs register
-    // as plain paths — anchor the dir on both sides with separators
-    // (its own leading '/' anchors the left for absolute dirs)
-    val a = if (dir.startsWith("/")) dir else "/" + dir
-    p == dir || p.startsWith(dir + "/") ||
-      p.contains(a + "/") || p.endsWith(a)
+    val np = normalize(p)
+    // a dir registered as a relative path is the same table the FS
+    // qualified against the working directory — absolutize before
+    // comparing (scan roots always arrive absolute)
+    val nd0 = normalize(dir)
+    val nd =
+      if (nd0.startsWith("/")) nd0
+      else normalize(new java.io.File(nd0).getAbsolutePath)
+    np == nd || np.startsWith(nd + "/")
   }
   private[plans] def specFor(paths: Seq[String]): Option[Seq[Transform]] =
     registry.toSeq
@@ -92,6 +119,9 @@ object HiddenPartitioning {
 
   private def derivedCol(t: Transform) = t match {
     case Month(src) => year(col(src)) * 12 + month(col(src)) - 1
+    case Day(src) => // epoch day, UTC (session timezone pinned UTC)
+      org.apache.spark.sql.functions.unix_date(
+        col(src).cast(org.apache.spark.sql.types.DateType))
     case Bucket(src, n) => pmod(hash(col(src)), org.apache.spark.sql.functions.lit(n))
   }
 
@@ -113,6 +143,7 @@ object HiddenPartitioning {
     val v = Snapshots.commit(colocated, dir, partitionBy = transforms.map(_.partCol))
     val spec = transforms.map {
       case Month(s) => s"""{"kind":"month","source":"$s"}"""
+      case Day(s) => s"""{"kind":"day","source":"$s"}"""
       case Bucket(s, n) => s"""{"kind":"bucket","source":"$s","n":$n}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(
@@ -137,6 +168,7 @@ object HiddenPartitioning {
       val ts: Seq[Transform] = (0 until node.size()).map(node.get).map { o =>
         o.get("kind").asText() match {
           case "month" => Month(o.get("source").asText())
+          case "day" => Day(o.get("source").asText())
           case "bucket" => Bucket(o.get("source").asText(), o.get("n").asInt())
         }
       }
@@ -199,18 +231,25 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
       dt == org.apache.spark.sql.types.TimestampNTZType ||
       dt == org.apache.spark.sql.types.DateType
 
+  /** A time literal as a UTC LocalDate. */
+  private def localDate(l: Literal): java.time.LocalDate = l.dataType match {
+    case org.apache.spark.sql.types.DateType =>
+      java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)
+    case _ =>
+      java.time.Instant
+        .ofEpochSecond(Math.floorDiv(l.value.asInstanceOf[Long], 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+  }
+
   /** Month index of a time literal, UTC. */
   private def monthIdx(l: Literal): Int = {
-    val d = l.dataType match {
-      case org.apache.spark.sql.types.DateType =>
-        java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)
-      case _ =>
-        java.time.Instant
-          .ofEpochSecond(Math.floorDiv(l.value.asInstanceOf[Long], 1000000L))
-          .atZone(java.time.ZoneOffset.UTC).toLocalDate
-    }
+    val d = localDate(l)
     d.getYear * 12 + d.getMonthValue - 1
   }
+
+  /** Epoch day of a time literal, UTC — [[HiddenPartitioning.Day]]'s
+    * partition value. */
+  private def dayIdx(l: Literal): Int = localDate(l).toEpochDay.toInt
 
   private def bucketOf(l: Literal, n: Int): Expression =
     Pmod(new Murmur3Hash(Seq(l)), Literal(n))
@@ -225,31 +264,42 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
       case a: AttributeReference => a.name.equalsIgnoreCase(t.source)
       case _ => false
     }
+    // shared arm for both time transforms (Month/Day) — `idx` maps a
+    // time literal to the transform's partition index. Strict </>
+    // still map to the inclusive index containing the endpoint:
+    // over-selects by at most one partition, never under-selects.
+    def timeArm(idx: Literal => Int): Option[Expression] = p match {
+      case GreaterThanOrEqual(a, l: Literal) if src(a) && isTime(l.dataType) =>
+        Some(GreaterThanOrEqual(pAttr, Literal(idx(l))))
+      case GreaterThan(a, l: Literal) if src(a) && isTime(l.dataType) =>
+        Some(GreaterThanOrEqual(pAttr, Literal(idx(l))))
+      case LessThanOrEqual(a, l: Literal) if src(a) && isTime(l.dataType) =>
+        Some(LessThanOrEqual(pAttr, Literal(idx(l))))
+      case LessThan(a, l: Literal) if src(a) && isTime(l.dataType) =>
+        Some(LessThanOrEqual(pAttr, Literal(idx(l))))
+      case EqualTo(a, l: Literal) if src(a) && isTime(l.dataType) =>
+        Some(EqualTo(pAttr, Literal(idx(l))))
+      case EqualTo(l: Literal, a) if src(a) && isTime(l.dataType) =>
+        Some(EqualTo(pAttr, Literal(idx(l))))
+      // IN-list of time literals: x ∈ {d1,d2} ⇒ idx(x) ∈ {idx(d1),idx(d2)}
+      case In(a, vs) if src(a) &&
+          vs.forall { case l: Literal => isTime(l.dataType); case _ => false } =>
+        Some(In(pAttr,
+          vs.map(v => Literal(idx(v.asInstanceOf[Literal]))).distinct))
+      // commuted spellings: lit OP col ≡ col flipped-OP lit
+      case GreaterThanOrEqual(l: Literal, a) if src(a) && isTime(l.dataType) =>
+        Some(LessThanOrEqual(pAttr, Literal(idx(l))))
+      case GreaterThan(l: Literal, a) if src(a) && isTime(l.dataType) =>
+        Some(LessThanOrEqual(pAttr, Literal(idx(l))))
+      case LessThanOrEqual(l: Literal, a) if src(a) && isTime(l.dataType) =>
+        Some(GreaterThanOrEqual(pAttr, Literal(idx(l))))
+      case LessThan(l: Literal, a) if src(a) && isTime(l.dataType) =>
+        Some(GreaterThanOrEqual(pAttr, Literal(idx(l))))
+      case _ => None
+    }
     t match {
-      case Month(_) => p match {
-        case GreaterThanOrEqual(a, l: Literal) if src(a) && isTime(l.dataType) =>
-          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case GreaterThan(a, l: Literal) if src(a) && isTime(l.dataType) =>
-          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case LessThanOrEqual(a, l: Literal) if src(a) && isTime(l.dataType) =>
-          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case LessThan(a, l: Literal) if src(a) && isTime(l.dataType) =>
-          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case EqualTo(a, l: Literal) if src(a) && isTime(l.dataType) =>
-          Some(EqualTo(pAttr, Literal(monthIdx(l))))
-        case EqualTo(l: Literal, a) if src(a) && isTime(l.dataType) =>
-          Some(EqualTo(pAttr, Literal(monthIdx(l))))
-        // commuted spellings: lit OP col ≡ col flipped-OP lit
-        case GreaterThanOrEqual(l: Literal, a) if src(a) && isTime(l.dataType) =>
-          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case GreaterThan(l: Literal, a) if src(a) && isTime(l.dataType) =>
-          Some(LessThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case LessThanOrEqual(l: Literal, a) if src(a) && isTime(l.dataType) =>
-          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case LessThan(l: Literal, a) if src(a) && isTime(l.dataType) =>
-          Some(GreaterThanOrEqual(pAttr, Literal(monthIdx(l))))
-        case _ => None
-      }
+      case Month(_) => timeArm(monthIdx)
+      case Day(_) => timeArm(dayIdx)
       case Bucket(_, n) => p match {
         case EqualTo(a, l: Literal) if src(a) => Some(EqualTo(pAttr, bucketOf(l, n)))
         case EqualTo(l: Literal, a) if src(a) => Some(EqualTo(pAttr, bucketOf(l, n)))

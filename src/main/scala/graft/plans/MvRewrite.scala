@@ -96,7 +96,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     * changes the input and blocks it outright. */
   private[plans] def shapeOf(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] =
     p match {
-      case l: LogicalRelation => Some((Seq(sig(l)), Nil))
+      // an unrecognized relation kind has no file signature — refuse
+      // rather than emit "": two distinct non-file relations would
+      // otherwise compare equal and cross-serve each other's MVs
+      case l: LogicalRelation =>
+        val s = sig(l)
+        if (s.isEmpty) None else Some((Seq(s), Nil))
       case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
         shapeOf(c)
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
@@ -125,8 +130,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     * passes rows with a IS NULL, so IsNotNull(a) next to it is
     * semantic and stays. */
   private def dropInferredNotNull(fs: Seq[Expression]): Seq[Expression] = {
-    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, In, IsNotNull}
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, In, IsNotNull}
     def rejectsNullOf(e: Expression, name: String): Boolean = e match {
+      // <=> is the one BinaryComparison that is NOT null-rejecting
+      // (`a <=> NULL` passes only null rows), so an IsNotNull next to
+      // it is semantic and must stay
+      case _: EqualNullSafe => false
       case _: BinaryComparison | _: In =>
         e.references.nonEmpty &&
           e.references.forall(_.name.equalsIgnoreCase(name))
@@ -221,7 +230,10 @@ object MvRewrite extends Rule[LogicalPlan] {
             val s = resumFn(n)
             if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
           }
-        case Count(Seq(_: Literal)) => Some(zeroIfEmpty(resumFn(d.rowCountCol)))
+        // non-null literal only: COUNT(NULL) is always 0, not the row
+        // count, and the optimizer does not reliably fold it away
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(zeroIfEmpty(resumFn(d.rowCountCol)))
         case Count(Seq(c)) =>
           d.counts.collectFirst { case (n, e) if same(c, e) => zeroIfEmpty(resumFn(n)) }
         case Min(c) =>
@@ -357,6 +369,48 @@ object MatView {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sentinel default for `create`'s `isFresh`: replaced at create
+    * time with a version-fingerprint gate over the defining frame's
+    * sources. An unguarded `() => true` default would serve forever,
+    * stale or not — the one API where a wrong default silently
+    * serves wrong answers. Callers keep the explicit override. */
+  private val UseDefaultGate: () => Boolean = () => true
+
+  /** Version fingerprint of the defining frame's sources, the
+    * DEFAULT freshness gate's state: a coverage path whose parent is
+    * a Snapshots table pins that table's published version list (one
+    * manifest-sized log read per freshness check); any other path
+    * pins a recursive file listing (name, length, mtime — exact
+    * under immutable-file semantics). Any source change ⇒ stale ⇒
+    * the rewrite declines until refresh()/create() re-arms.
+    * Conservative by construction: a false stale is merely slower,
+    * never wrong. */
+  private def sourceFingerprint(spark: SparkSession, coverage: Seq[String]): String = {
+    import graft.sources.Snapshots
+    val paths = coverage.flatMap(_.split('|').toSeq)
+      .filter(_.nonEmpty).distinct.sorted
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val parent = hp.getParent
+      val vs =
+        if (parent == null) Nil else Snapshots.versions(spark, parent.toString)
+      if (vs.nonEmpty) s"$parent=v${vs.mkString(",")}"
+      else {
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hp)) s"$p=absent"
+        else {
+          val it = fs.listFiles(hp, true)
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            b += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+          }
+          s"$p=${b.result().sorted.mkString(";").hashCode}"
+        }
+      }
+    }.mkString("&")
+  }
+
   /** (Leaf-scan signatures, defining-filter conjuncts) of a frame —
     * what a matching query must read and filter, exactly (see
     * tryRewrite's coverage bijection). Taken from the OPTIMIZED plan
@@ -377,7 +431,7 @@ object MatView {
       sumCols: Seq[(String, Column)] = Nil,
       countCols: Seq[(String, Column)] = Nil,
       minMaxCols: Seq[(String, Column)] = Nil,
-      isFresh: () => Boolean = () => true): DataFrame = {
+      isFresh: () => Boolean = UseDefaultGate): DataFrame = {
     import graft.sources.Snapshots
     MvCatalog.remove(name)
     Snapshots.drop(spark, mvDir)
@@ -393,6 +447,11 @@ object MatView {
         case e => e
       }
     val (cov, defFilters) = shapeOfFrame(fact)
+    val gate =
+      if (isFresh eq UseDefaultGate) {
+        val f0 = sourceFingerprint(spark, cov)
+        () => sourceFingerprint(spark, cov) == f0
+      } else isFresh
     MvCatalog.register(MvCatalog.MvDef(
       name = name,
       coverage = cov,
@@ -404,7 +463,7 @@ object MatView {
       maxs = minMaxCols.map { case (n, c) => (s"max_$n", resolved(c)) },
       rowCountCol = "n_rows",
       mvRead = () => Snapshots.read(spark, mvDir).queryExecution.analyzed,
-      isFresh = isFresh,
+      isFresh = gate,
       specs = specs,
       mvDir = mvDir,
       sizeHint = () => Snapshots.latestBytes(spark, mvDir)))

@@ -101,6 +101,77 @@ class HiddenPartitioningSpec extends SparkSpec {
     HP.remove(dir)
   }
 
+  test("an IN-list of dates on a Month-transformed column prunes to those months") {
+    val dir = fixture("g")
+    val t = HP.table(spark, dir)
+    val total = HP.partitionsScanned(t)
+    val q = t.filter($"ts".isin(
+      java.sql.Timestamp.valueOf("1996-03-15 00:00:00"),
+      java.sql.Timestamp.valueOf("1997-06-15 00:00:00")))
+    val scanned = HP.partitionsScanned(q)
+    assert(scanned <= 8, s"2 months x 4 buckets expected, got $scanned")
+    assert(scanned < total)
+    // no dropped rows: the pruned answer is the brute-force answer
+    HP.remove(dir)
+    val want = Snapshots.read(spark, dir)
+      .filter($"ts".isin(
+        java.sql.Timestamp.valueOf("1996-03-15 00:00:00"),
+        java.sql.Timestamp.valueOf("1997-06-15 00:00:00")))
+      .select($"id").as[Long].collect().toSet
+    assert(q.select($"id").as[Long].collect().toSet == want)
+  }
+
+  test("Day transform: ranges, equality and IN-lists prune to day directories") {
+    val dir = java.nio.file.Files.createTempDirectory("hpday").toString + "/t"
+    val rows = (0 until 240).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"1996-03-${1 + i % 30}%02d 12:00:00"),
+        i * 2.0)
+    }
+    HP.write(spark, rows.toDF("id", "ts", "v"), dir, Seq(HP.Day("ts")))
+    val t = HP.table(spark, dir)
+    val total = HP.partitionsScanned(t)
+    assert(total >= 30, s"one directory per day expected, got $total")
+    val rangeQ = t.filter($"ts" >= lit("1996-03-10").cast("timestamp") &&
+      $"ts" < lit("1996-03-13").cast("timestamp"))
+    assert(HP.partitionsScanned(rangeQ) <= 4, "3-day range must prune to <=4 days")
+    val inQ = t.filter($"ts".isin(
+      java.sql.Timestamp.valueOf("1996-03-05 12:00:00"),
+      java.sql.Timestamp.valueOf("1996-03-25 12:00:00")))
+    assert(HP.partitionsScanned(inQ) <= 2, "2-day IN must prune to 2 days")
+    // exactness: the residual keeps strict/equality semantics
+    HP.remove(dir)
+    val raw = Snapshots.read(spark, dir)
+    assert(rangeQ.select($"id").as[Long].collect().toSet ==
+      raw.filter($"ts" >= lit("1996-03-10").cast("timestamp") &&
+        $"ts" < lit("1996-03-13").cast("timestamp"))
+        .select($"id").as[Long].collect().toSet)
+    assert(inQ.select($"id").as[Long].collect().toSet ==
+      raw.filter($"ts".isin(
+        java.sql.Timestamp.valueOf("1996-03-05 12:00:00"),
+        java.sql.Timestamp.valueOf("1996-03-25 12:00:00")))
+        .select($"id").as[Long].collect().toSet)
+  }
+
+  test("a relocated copy whose path embeds a registered dir never borrows its spec") {
+    val dirA = java.nio.file.Files.createTempDirectory("hpcovA").toString + "/t"
+    val rows = (0 until 64).map(i => (i.toLong, i.toLong % 16))
+    HP.write(spark, rows.toDF("id", "k"), dirA, Seq(HP.Bucket("k", 8)))
+    // the "backup" path embeds dirA's ABSOLUTE path as a trailing
+    // segment run — written under an older spec (different modulus),
+    // its own registration then lost (new process, no sidecar read)
+    val dirB = java.nio.file.Files.createTempDirectory("hpcovB").toString + dirA
+    HP.write(spark, rows.toDF("id", "k"), dirB, Seq(HP.Bucket("k", 4)))
+    HP.remove(dirB)
+    val q = Snapshots.read(spark, dirB).filter($"k" === 7L)
+    assert(HP.partitionsScanned(q) ==
+      HP.partitionsScanned(Snapshots.read(spark, dirB)),
+      "no spec covers dirB — nothing may inject a borrowed modulus")
+    assert(q.select($"id").as[Long].collect().toSet ==
+      (0 until 64).filter(_ % 16 == 7).map(_.toLong).toSet)
+    HP.remove(dirA)
+  }
+
   test("strict bounds map to inclusive month bounds (over-select, never under)") {
     val dir = fixture("e")
     val t = HP.table(spark, dir)

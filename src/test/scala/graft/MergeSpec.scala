@@ -104,6 +104,23 @@ class MergeSpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("checkUniqueSource raises on a multi-match source (SQL MERGE's contract)") {
+    val dup = Seq((2L, "bob", 1.0), (2L, "bob", 2.0), (6L, "frank", 60.0))
+      .toDF("id", "name", "bal")
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeInto(tgt, dup, "id", checkUniqueSource = true)
+    }
+    assert(e.getMessage.contains("one-row-per-key"))
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.mergeDeltas(tgt, dup, "id", checkUniqueSource = true)
+    }
+    assert(e2.getMessage.contains("one-row-per-key"))
+    // a unique source passes the gate and merges normally
+    val ok = Merge.mergeInto(tgt, dup.dropDuplicates("id"), "id",
+      checkUniqueSource = true)
+    assert(ok.filter($"id" === 6L).count() == 1L)
+  }
+
   test("mergeInto preserves target column order and fails fast on missing source columns") {
     assert(Merge.mergeInto(tgt, src, "id").columns.toSeq == Seq("id", "name", "bal"))
     val e = intercept[IllegalArgumentException] {

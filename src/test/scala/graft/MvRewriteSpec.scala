@@ -244,6 +244,112 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.remove("spec_z")
   }
 
+  test("an MV created with NO explicit gate declines after a fact commit (default gate)") {
+    val root = java.nio.file.Files.createTempDirectory("mvdef").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    Snapshots.commit(Seq(("a", 10L), ("b", 20L)).toDF("g1", "qty"), factDir)
+    val fact = Snapshots.read(spark, factDir)
+    // no isFresh argument — the default must be a version-pinned
+    // gate, not serve-forever
+    MatView.create(spark, "spec_defgate", fact, mvDir,
+      groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")))
+    def q() = Snapshots.read(spark, factDir).groupBy($"g1").agg(sum($"qty").as("s"))
+    assert(scanPaths(q()).exists(_.contains(mvDir)),
+      "fresh by default: the rewrite must serve before any commit")
+    Snapshots.commit(Seq(("c", 99L)).toDF("g1", "qty"), factDir)
+    val after = q()
+    assert(!scanPaths(after).exists(_.contains(mvDir)),
+      "a fact commit must flip the DEFAULT gate stale — never serve-forever")
+    assert(after.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      .contains(("c", 99L)))
+    MvCatalog.remove("spec_defgate")
+  }
+
+  test("COUNT(NULL) is not served as the row count (always 0, not n_rows)") {
+    // NullPropagation normally folds COUNT(NULL) to 0 before the MV
+    // rule ever sees it (and a no-aggregate rollup IS servable);
+    // exclude it in a cloned session so the unfolded Count(null)
+    // reaches mapFn — the guard must refuse, never map it to n_rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.NullPropagation")
+    val root = java.nio.file.Files.createTempDirectory("mvcn").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    Snapshots.commit(
+      s2.createDataFrame(Seq(("a", 10L), ("a", 20L), ("b", 30L)))
+        .toDF("g1", "qty"),
+      factDir)
+    val fact = Snapshots.read(s2, factDir)
+    MatView.create(s2, "spec_cn", fact, mvDir,
+      groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")))
+    fact.createOrReplaceTempView("mv_spec_fact_cn")
+    val q = s2.sql(
+      "SELECT g1, COUNT(NULL) AS n FROM mv_spec_fact_cn GROUP BY g1")
+    assert(!scanPaths(q).exists(_.contains(mvDir)),
+      "COUNT(NULL) is not derivable from n_rows — refuse")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 0L), ("b", 0L)), "COUNT(NULL) is always 0")
+    MvCatalog.remove("spec_cn")
+  }
+
+  test("IsNotNull next to <=> is semantic — not dropped, so the filters differ") {
+    val root = java.nio.file.Files.createTempDirectory("mvens").toString
+    val factDir = s"$root/fact"
+    Snapshots.commit(
+      Seq((Some("a"), 10L), (None, 20L), (None, 30L))
+        .toDF("g1", "qty"),
+      factDir)
+    val fact = Snapshots.read(spark, factDir)
+    // view defined over `g1 <=> NULL` — passes ONLY null rows
+    MatView.create(spark, "spec_ens", fact.filter($"g1" <=> lit(null)),
+      s"$root/mv", groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")))
+    // query adds IS NOT NULL, which <=> NULL does NOT imply — the
+    // combined filter passes nothing; serving the view would return
+    // the null group's 50
+    val q = Snapshots.read(spark, factDir)
+      .filter(($"g1" <=> lit(null)) && $"g1".isNotNull)
+      .groupBy($"g1").agg(sum($"qty").as("s"))
+    assert(!scanPaths(q).exists(_.contains(s"$root/mv")),
+      "the extra IsNotNull is semantic next to <=> — filters differ, refuse")
+    assert(q.collect().isEmpty, "the contradictory filter passes no rows")
+    MvCatalog.remove("spec_ens")
+  }
+
+  test("non-file relations have no coverage signature — never registered, never served") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g1", StringType), StructField("qty", LongType)))
+    def rel(rows: Seq[Row]) =
+      spark.baseRelationToDataFrame(
+        new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext = spark.sqlContext
+          override def schema: StructType =
+            StructType(Seq(StructField("g1", StringType),
+              StructField("qty", LongType)))
+          override def buildScan() =
+            spark.sparkContext.parallelize(rows)
+        })
+    val relA = rel(Seq(Row("a", 10L)))
+    val relB = rel(Seq(Row("b", 999L)))
+    val mvDir = java.nio.file.Files.createTempDirectory("mvnf").toString + "/mv"
+    // registering over a signature-less relation must leave coverage
+    // empty — two distinct non-file relations are indistinguishable,
+    // so serving ANY of them would be a cross-serve
+    MatView.create(spark, "spec_nf", relA, mvDir,
+      groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")))
+    assert(MvCatalog.get("spec_nf").get.coverage.isEmpty,
+      "an unrecognized relation kind must register with empty coverage")
+    val got = relB.groupBy($"g1").agg(sum($"qty").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 999L)),
+      "relB's aggregate must come from relB, never relA's MV")
+    MvCatalog.remove("spec_nf")
+  }
+
   test("the rewritten plan preserves output names, types AND ExprIds") {
     val (factDir, mvDir, fact) = fixture("f")
     val q = fact.groupBy($"g1").agg(sum($"qty").as("s"), count(lit(1)).as("n"))
