@@ -66,6 +66,15 @@ object Bench {
     // to the contention window that inflated it.
     val ProbeEvery = 20
     val probeLog = scala.collection.mutable.ArrayBuffer[Double](probeBefore)
+    // Storage-memory occupancy at each probe checkpoint (MB of cached
+    // blocks): the r10 q-cluster regression ran right after the
+    // k-family filled the shared Derived persist cache, and the
+    // timing probes alone can't separate "host drift" from "cache
+    // pressure". This rides in the detail JSON so an inflated segment
+    // can be matched to the occupancy it ran under.
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
+    val storageLog = scala.collection.mutable.ArrayBuffer[Long](storageMb())
     // Debug/repro knob: SPARK_GRAFT_ONLY=q3_...,q6_... times just that
     // subset (fresh-JVM single-query repro of bench anomalies).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -77,7 +86,10 @@ object Bench {
       // probe inherits the GC debt of whatever heavy query just
       // finished and reads as fake host drift; the min of two
       // back-to-back probes is the steady-state cost
-      if (i > 0 && i % ProbeEvery == 0) probeLog += math.min(probe(), probe())
+      if (i > 0 && i % ProbeEvery == 0) {
+        probeLog += math.min(probe(), probe())
+        storageLog += storageMb()
+      }
       val (sec, err) = timeOne(name, fn)
       (name, sec, err)
       // Shared derived tables (queries.Derived) stay cached across
@@ -133,6 +145,7 @@ object Bench {
     else None
     val probeAfter = math.min(probe(), probe())
     probeLog += probeAfter
+    storageLog += storageMb()
     // First-pass contention verdict (rule below): decided NOW so a
     // contended sweep can SELF-HEAL by re-timing the inflated
     // queries under quiet probes instead of shipping the bad number
@@ -209,6 +222,7 @@ object Bench {
       case None => firstPassContended
     }
     val probeSegs = probeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val storageSegs = storageLog.mkString("[", ",", "]")
     // the decision rule rides IN the JSON so a driver run and a
     // builder run can never disagree about what `contended` means on
     // identical probe data
@@ -245,7 +259,7 @@ object Bench {
     val probeJsonShort =
       f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended$retimeJsonShort$v6Json"""
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"storage_mb_segments":$storageSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJsonShort}"""
     val detail =
