@@ -113,6 +113,13 @@ object ScaleSmoke {
     // history-sized BY DESIGN (the honest GDPR price the operator
     // exists to state); the purge set stays fixed
     "x50_purge_history",
+    // x76 pays x50's history rewrite on the source PLUS each derived
+    // artifact's own size: group-cardinality MV partials, one
+    // result-sized cache entry, the data-sized assignment rewrite
+    // (one row per source row — the honest propagation price), and a
+    // catalog-sized stats re-land; the exposure scans re-read every
+    // version once
+    "x76_purge_propagation",
     // s8's outer join scans the F×-scaled events on both sides;
     // user-keyed shuffle, time-banded state — s3's curve plus the
     // unmatched-purchase null rows

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Snapshots
+
+/** LINEAGE-WIDE RIGHT-TO-BE-FORGOTTEN PURGE (x76) — the propagation
+  * layer over [[Snapshots.purgeKeys]]. A table-local purge rewrites
+  * one table's history, but the purged key survives in everything
+  * DERIVED from it: materialized-view partials whose group key is the
+  * purged column, result-cache entries computed from pre-purge
+  * versions, persisted index assignment tables keyed by the purged
+  * id, and committed statistics whose min/max/histogram boundaries
+  * were order statistics of the purged rows. GDPR erasure is
+  * lineage-wide or it is not erasure.
+  *
+  * The registry names each source table's derived artifacts by CLASS,
+  * and `purge` applies the class-appropriate erasure:
+  *  - [[MvPartials]]: if the purge key is a subset of the view's
+  *    group columns, the stored partials are purged history-wide with
+  *    the same [[Snapshots.purgeKeys]] machinery (dropping the purged
+  *    groups IS the rebuilt view — the other groups' monoid partials
+  *    are untouched by removing a group's rows from the fact);
+  *    otherwise the key was aggregated INTO the partials (e.g. a
+  *    min/max over it) and surgical removal is impossible — the view
+  *    table is dropped. Either way the definition is DE-REGISTERED:
+  *    its coverage names pre-purge files that no longer exist, so
+  *    auto-rewrite must stop until the caller re-creates the view
+  *    over the purged fact.
+  *  - [[CacheEntries]]: every cache version whose fingerprint pins
+  *    ANY version of the purged source is physically dropped
+  *    ([[Snapshots.dropKeyedVersions]]) — version-exact keying only
+  *    ages stale results out of SERVING; the bytes stay until
+  *    something deletes them. Entries keyed to other inputs survive.
+  *  - [[KeyedTable]]: a derived table that carries the key under a
+  *    (possibly renamed) column — IVF assignment tables, projections,
+  *    CDC mirrors — purged history-wide after the rename.
+  *  - [[Reland]]: artifacts DERIVED FROM but not KEYED BY the rows —
+  *    statistics profiles — cannot be filtered; the rebuild thunk
+  *    re-lands a fresh version from the post-purge source, then
+  *    `vacuum(keepLast = 1)` physically erases every prior version
+  *    (whose boundaries could still name the purged values).
+  *
+  * `exposureCount` is the PROOF obligation: a value-level scan of a
+  * table's FULL version history (staged included) counting rows in
+  * which any atomic or array column equals a purged key value (each
+  * key cast to the column's own type, so `97` matches a DOUBLE 97.0
+  * histogram boundary). x76 pins exposure = 0 across the source and
+  * every registered derived dir after the purge; PurgeSpec drives
+  * each artifact class through a positive BEFORE-scan too.
+  *
+  * 100 TB: propagation cost is each artifact's own size — MV partials
+  * are group-cardinality, cache entries result-sized, the assignment
+  * table is the one honest data-sized rewrite (it has one row per
+  * vector), stats re-land at catalog size. Like purgeKeys itself this
+  * runs per retention cycle with a batched key set, single-admin by
+  * contract. Reference anchor: the reference app's ingestion derives
+  * chunk/entity tables from documents (CS_5542_Lab_6
+  * data/ingestion.py) — deleting a paper there would have to cascade
+  * the same way.
+  */
+object Purge {
+
+  sealed trait Artifact
+  /** A registered materialized view ([[graft.plans.MvCatalog]]). */
+  final case class MvPartials(name: String) extends Artifact
+  /** A [[ResultCache]] table — entries are keyed versions. */
+  final case class CacheEntries(cacheDir: String) extends Artifact
+  /** A derived Snapshots table carrying the key, columns renamed via
+    * `keyRename` (source key column → derived column). */
+  final case class KeyedTable(dir: String,
+                              keyRename: Map[String, String] = Map.empty)
+    extends Artifact
+  /** A derived table that must be REBUILT from the purged source
+    * (stats profiles): `rebuild` re-lands the fresh version; prior
+    * versions are then vacuumed away. */
+  final case class Reland(dir: String, rebuild: SparkSession => Unit)
+    extends Artifact
+
+  /** One propagation step's receipt. */
+  final case class Action(artifact: String, dir: String, action: String,
+                          detail: String)
+
+  private val registry =
+    new scala.collection.concurrent.TrieMap[String, Vector[Artifact]]
+
+  def register(sourceDir: String, a: Artifact): Unit =
+    registry.updateWith(sourceDir)(v => Some(v.getOrElse(Vector.empty) :+ a))
+
+  /** Targeted de-registration (the registry is process-wide and test
+    * suites run in parallel — remove your own, never clear()). */
+  def deregister(sourceDir: String): Unit = { registry.remove(sourceDir); () }
+
+  def artifactsOf(sourceDir: String): Seq[Artifact] =
+    registry.getOrElse(sourceDir, Vector.empty)
+
+  /** Purge `keys` from the source table's full history AND from every
+    * registered derived artifact. Returns one receipt per step. */
+  def purge(spark: SparkSession, sourceDir: String, keys: DataFrame): Seq[Action] = {
+    val srcVersions = Snapshots.purgeKeys(spark, sourceDir, keys)
+    val head = Action("source", sourceDir, "history_rewritten",
+      srcVersions.mkString(","))
+    head +: artifactsOf(sourceDir).map {
+      case MvPartials(name) =>
+        graft.plans.MvCatalog.get(name) match {
+          case None => Action("mv", "", "absent", name)
+          case Some(d) =>
+            val canPurge = keys.columns.forall(c =>
+              d.groupCols.contains(c.toLowerCase))
+            val act =
+              if (canPurge) {
+                // the MV table keeps the fact's original column case;
+                // groupCols were lowercased at registration
+                val byLower = Snapshots.read(spark, d.mvDir).columns
+                  .map(c => c.toLowerCase -> c).toMap
+                val renamed = keys.columns.foldLeft(keys)((k, c) =>
+                  k.withColumnRenamed(c, byLower(c.toLowerCase)))
+                val vs = Snapshots.purgeKeys(spark, d.mvDir, renamed)
+                Action("mv", d.mvDir, "partials_purged",
+                  s"$name:${vs.mkString(",")}")
+              } else {
+                // the key was aggregated INTO the partials — surgical
+                // removal impossible, drop the view table
+                Snapshots.drop(spark, d.mvDir)
+                Action("mv", d.mvDir, "dropped", name)
+              }
+            graft.plans.MvCatalog.remove(name)
+            act
+        }
+      case CacheEntries(cacheDir) =>
+        val vs = Snapshots.dropKeyedVersions(spark, cacheDir,
+          _.contains(sourceDir + "@"))
+        Action("result_cache", cacheDir, "entries_dropped", vs.mkString(","))
+      case KeyedTable(dir, ren) =>
+        val renamed = ren.foldLeft(keys) { case (k, (from, to)) =>
+          k.withColumnRenamed(from, to) }
+        val vs = Snapshots.purgeKeys(spark, dir, renamed)
+        Action("keyed_table", dir, "history_rewritten", vs.mkString(","))
+      case Reland(dir, rebuild) =>
+        rebuild(spark)
+        val dropped = Snapshots.vacuum(spark, dir, keepLast = 1)
+        Action("stats", dir, "relanded", s"vacuumed:${dropped.mkString(",")}")
+    }
+  }
+
+  /** Rows across a table's FULL version history (staged included) in
+    * which a scanned column — or any element of a scanned array
+    * column — equals one of the purged key values, each value cast to
+    * the column's own type. `cols` names the IDENTIFIER-BEARING
+    * columns to scan (empty = every column): a cardinality column
+    * (`n_rows`) or an unrelated measure coincidentally equal to a key
+    * NUMBER is not the purged identifier, and scanning it would make
+    * the witness flap — the caller names where the identifier can
+    * live; value-derived stats (min/max/histogram boundaries) count,
+    * row counts don't. The erasure witness: 0 after a correct purge. */
+  def exposureCount(spark: SparkSession, dir: String, keys: DataFrame,
+                    cols: Seq[String] = Nil): Long = {
+    val keyVals = keys.distinct().collect().map(r => String.valueOf(r.get(0))).toSeq
+    if (keyVals.isEmpty) return 0L
+    val wanted = cols.map(_.toLowerCase).toSet
+    Snapshots.allVersions(spark, dir).map { v =>
+      val df = Snapshots.read(spark, dir, Some(v))
+      val scanned = df.schema.fields.toSeq
+        .filter(f => wanted.isEmpty || wanted(f.name.toLowerCase))
+      val conds = scanned.flatMap { f =>
+        f.dataType match {
+          case _: NumericType | StringType =>
+            Some(col(f.name).isin(keyVals.map(k => lit(k).cast(f.dataType)): _*))
+          case ArrayType(et, _) if et.isInstanceOf[NumericType] || et == StringType =>
+            Some(arrays_overlap(col(f.name),
+              array(keyVals.map(k => lit(k).cast(et)): _*)))
+          case _ => None
+        }
+      }
+      if (conds.isEmpty) 0L else df.filter(conds.reduce(_ || _)).count()
+    }.sum
+  }
+}

@@ -2205,6 +2205,102 @@ object ExtQ {
         .orderBy(col("source"))
     }),
 
+    // x76 — LINEAGE-WIDE RTBF PURGE PROPAGATION (x50's missing half):
+    // purgeKeys rewrites ONE table's history, but the purged key
+    // survives in everything derived from it — MV partials whose
+    // group key is the purged column, result-cache entries computed
+    // from pre-purge versions, a persisted assignment table keyed by
+    // the purged id, and committed stats whose min/max were order
+    // statistics of the purged rows. ops.Purge registers each
+    // artifact by CLASS and propagates: partials purged history-wide
+    // + definition de-registered, matching cache versions physically
+    // dropped (dropKeyedVersions), the keyed table rewritten under
+    // its renamed column, stats re-landed from the purged source and
+    // prior versions vacuumed. The proof is a value-level scan of
+    // EVERY registered dir's FULL version history over the
+    // identifier-bearing columns: exposure > 0 before (positive
+    // control — the scan can see the key), exposure = 0 after; the
+    // re-created MV and refilled cache entry are clean too. All
+    // hash-pinned next to per-source counts replayed from source.
+    "x76_purge_propagation" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import graft.ops.{Analyze, Purge, ResultCache}
+      val tag = math.abs(d.hashCode)
+      val srcDir = s"target/x76_src_$tag"
+      val mvDir = s"target/x76_mv_$tag"
+      val cacheDir = s"target/x76_cache_$tag"
+      val asgDir = s"target/x76_asg_$tag"
+      val statsDir = s"target/x76_stats_$tag"
+      val mvName = s"x76_mv_$tag"
+      Seq(srcDir, mvDir, cacheDir, asgDir, statsDir).foreach(Snapshots.drop(s, _))
+      Purge.deregister(srcDir); graft.plans.MvCatalog.remove(mvName)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), srcDir) // v1
+      Snapshots.commit(docs, srcDir) // v2: the refresh
+      val src = Snapshots.read(s, srcDir)
+      // the four derived-artifact classes, all naming doc_id values
+      graft.plans.MatView.create(s, mvName, src, mvDir,
+        groupCols = Seq("doc_id"), sumCols = Seq("n_chars" -> col("n_chars")))
+      ResultCache.getOrComputeLatest(s, cacheDir, "x76_q", Seq(srcDir))(fs =>
+        fs.head.select(col("doc_id"), col("n_chars")))
+      Snapshots.commit(src.select(col("doc_id").as("id"),
+        pmod(hash(col("doc_id")), lit(8)).as("bucket")), asgDir)
+      def profile(sp: SparkSession): Unit = {
+        val cur = Snapshots.read(sp, srcDir)
+        Snapshots.commit(Analyze.numLeg(cur, "doc_id", col("doc_id"))
+          .unionByName(Analyze.numLeg(cur, "n_chars", col("n_chars"))), statsDir)
+        ()
+      }
+      profile(s)
+      Purge.register(srcDir, Purge.MvPartials(mvName))
+      Purge.register(srcDir, Purge.CacheEntries(cacheDir))
+      Purge.register(srcDir, Purge.KeyedTable(asgDir, Map("doc_id" -> "id")))
+      Purge.register(srcDir, Purge.Reland(statsDir, profile))
+      val targets = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      // identifier-bearing columns per artifact (a row count equal to
+      // a key NUMBER is not the identifier; min/max of doc_id are)
+      def exposure(): Seq[Long] = Seq(
+        Purge.exposureCount(s, srcDir, targets, Seq("doc_id")),
+        Purge.exposureCount(s, mvDir, targets, Seq("doc_id")),
+        Purge.exposureCount(s, cacheDir, targets, Seq("doc_id")),
+        Purge.exposureCount(s, asgDir, targets, Seq("id")),
+        Purge.exposureCount(s, statsDir, targets, Seq("min_num", "max_num")))
+      val preExposed = exposure().forall(_ > 0L) // positive control
+      val actions = Purge.purge(s, srcDir, targets)
+      def act(artifact: String) = actions.find(_.artifact == artifact).get
+      // post-purge lifecycle: the cache MISSES and refills clean; the
+      // re-created MV serves the purged fact
+      val (refilled, refillHit, _) =
+        ResultCache.getOrComputeLatest(s, cacheDir, "x76_q", Seq(srcDir))(fs =>
+          fs.head.select(col("doc_id"), col("n_chars")))
+      val purged = Snapshots.read(s, srcDir)
+      val mv2 = graft.plans.MatView.create(s, mvName, purged, mvDir,
+        groupCols = Seq("doc_id"), sumCols = Seq("n_chars" -> col("n_chars")))
+      val mvRebuilt = mv2.count() == purged.count() // one group per kept doc
+      val goneEverywhere = exposure().forall(_ == 0L) &&
+        refilled.filter(col("doc_id") % 97 === 0).count() == 0L
+      val mvProp = act("mv").action == "partials_purged" &&
+        graft.plans.MvCatalog.get(mvName).isDefined // re-armed by the rebuild
+      val cacheProp = act("result_cache").action == "entries_dropped" &&
+        act("result_cache").detail.nonEmpty && !refillHit
+      val idxProp = act("keyed_table").action == "history_rewritten"
+      val statsProp = act("stats").action == "relanded" &&
+        Snapshots.allVersions(s, statsDir) == Seq(2) // prior version vacuumed
+      graft.plans.MvCatalog.remove(mvName); Purge.deregister(srcDir)
+      purged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+        .select(col("source"), col("n_kept"), col("chars_kept"),
+          lit(preExposed).as("pre_exposed"),
+          lit(goneEverywhere && mvRebuilt).as("gone_everywhere"),
+          lit(mvProp).as("mv_propagated"),
+          lit(cacheProp).as("cache_propagated"),
+          lit(idxProp).as("index_propagated"),
+          lit(statsProp).as("stats_propagated"))
+        .orderBy(col("source"))
+    }),
+
     // x49 — LOG CHECKPOINTING (Delta's `_last_checkpoint` contract):
     // the version log's OWN scale story. A long-lived table's log is
     // one entry file per commit — O(history) listing+reads per log
@@ -4420,6 +4516,24 @@ object ExtQ {
         |SELECT source, n_v1, n_v2_resolved, n_v3,
         |  true AS gone_everywhere, true AS purged_all_versions
         |FROM v1 JOIN v2 USING (source) JOIN v3 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x76: the post-purge survivors replayed from source (docs minus
+    // the deterministic target set); all six propagation probes are
+    // literal-true — a purged key surviving in ANY registered derived
+    // dir's history (value-level scan of the identifier columns), a
+    // cache hit served across the purge, an un-relanded stats
+    // version, or a scan that could not see the key pre-purge
+    // (positive control) flips one
+    "x76_purge_propagation" ->
+      """WITH kept AS (
+        |  SELECT source, n_chars FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+        |  true AS pre_exposed, true AS gone_everywhere,
+        |  true AS mv_propagated, true AS cache_propagated,
+        |  true AS index_propagated, true AS stats_propagated
+        |FROM kept GROUP BY source
         |ORDER BY source""".stripMargin,
 
     // x49: the three version states replayed from source; the

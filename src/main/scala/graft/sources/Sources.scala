@@ -962,6 +962,58 @@ object Snapshots {
       .filter(n => Option(n.get("key")).exists(_.asText() == key))
       .map(_.get("version").asInt()).sorted.lastOption
 
+  /** PHYSICALLY drop every keyed version whose key matches `pred` —
+    * the surgical result-cache invalidation the RTBF purge needs
+    * (x76): entries computed from pre-purge versions of a source
+    * still CONTAIN the purged rows, and version-exact keying only
+    * ages them out of SERVING, not off disk. Crash-safe in vacuum's
+    * direction (un-publish the entry, then delete its data — a crash
+    * between leaves an unreferenced dir, never an entry naming
+    * missing data) and checkpoint-aware (a checkpoint carrying a
+    * dropped version would resurrect it; rewrite from survivors
+    * first). Un-keyed versions are never touched; a matched version
+    * that a survivor references as its `base` refuses loudly
+    * (caches commit plain data versions, so this only fires on
+    * misuse). Returns the dropped version numbers. */
+  def dropKeyedVersions(spark: SparkSession, dir: String,
+                        pred: String => Boolean): Seq[Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    val entries = logEntries(spark, dir)
+    val dropped = entries
+      .filter(n => Option(n.get("key")).exists(k => pred(k.asText())))
+      .map(_.get("version").asInt()).sorted
+    if (dropped.isEmpty) return Nil
+    val droppedSet = dropped.toSet
+    val survivors = entries.filterNot(n => droppedSet(n.get("version").asInt()))
+    survivors.foreach { n =>
+      Option(n.get("base")).map(_.asInt()).foreach { b =>
+        require(!droppedSet(b),
+          s"version v${n.get("version").asInt()} references dropped v$b as its base")
+      }
+    }
+    val ckpts = fs.listStatus(p).toSeq.filter(_.isFile)
+      .flatMap(f => CkptName.findFirstMatchIn(f.getPath.getName)
+        .map(mm => mm.group(1).toInt -> f.getPath))
+    if (ckpts.nonEmpty) {
+      // a checkpoint carrying only dropped versions is deleted
+      // outright — leaving it would resurrect them
+      if (survivors.isEmpty) ckpts.foreach(c => fs.delete(c._2, false))
+      else {
+        val n = survivors.map(_.get("version").asInt()).max
+        val json = survivors.map(_.toString)
+          .mkString(s"""{"version":$n,"entries":[""", ",", "]}")
+        replaceEntryFile(fs, p, s"_ckpt_v$n.json", json)
+        ckpts.filter(_._1 > n).foreach(c => fs.delete(c._2, false))
+      }
+    }
+    val dirOf = entries.map(n => n.get("version").asInt() -> entryDataDir(n)).toMap
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"_entry_v$v.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(p, dirOf(v)), true)
+    }
+    dropped
+  }
+
   /** IDEMPOTENT epoch commit — the exactly-once streaming sink
     * primitive: each micro-batch commits as a version tagged with its
     * epoch id, and a REPLAYED epoch (failure recovery re-executes the

@@ -1,11 +1,16 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.ops.{Purge, ResultCache}
+import graft.plans.{MatView, MvCatalog}
 import graft.sources.Snapshots
 
-/** x50's erasure contract: after purgeKeys no version — pinned,
-  * resolved, or the deletes-version's own key set — can produce the
-  * purged keys; everything else is byte-for-byte intact semantics. */
+/** x50's erasure contract AND x76's propagation layer: after
+  * purgeKeys no version — pinned, resolved, or the deletes-version's
+  * own key set — can produce the purged keys; after Purge.purge the
+  * same holds for every registered DERIVED artifact, each class
+  * erased the class-appropriate way and proven by the value-level
+  * exposure scan over the artifact's full version history. */
 class PurgeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -81,5 +86,149 @@ class PurgeSpec extends SparkSpec {
       Seq(Tuple1(97L)).toDF("k")).isEmpty, "clone versions carry no files")
     // and it now serves the purged source state (documented contract)
     assert(Snapshots.readResolved(spark, cloneDir, Some(1)).count() == 0)
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"purge$tag").toString
+
+  private def commitSource(root: String): String = {
+    val dir = s"$root/src"
+    Snapshots.commit(
+      (0 until 60).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+        .toDF("uid", "grp", "amount"),
+      dir)
+    Snapshots.commit(
+      (0 until 80).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+        .toDF("uid", "grp", "amount"),
+      dir)
+    dir
+  }
+
+  private def targets = Seq(0L, 7L, 14L).toDF("uid")
+
+  test("MvPartials keyed by the purged column: partials purged history-wide, view de-registered") {
+    val root = freshRoot("mv")
+    val src = commitSource(root)
+    val mvDir = s"$root/mv"
+    MatView.create(spark, "purge_spec_mv", Snapshots.read(spark, src), mvDir,
+      groupCols = Seq("uid"), sumCols = Seq("amount" -> col("amount")))
+    Purge.register(src, Purge.MvPartials("purge_spec_mv"))
+    assert(Purge.exposureCount(spark, mvDir, targets, Seq("uid")) > 0L)
+    val actions = Purge.purge(spark, src, targets)
+    assert(actions.exists(a => a.artifact == "mv" && a.action == "partials_purged"))
+    assert(MvCatalog.get("purge_spec_mv").isEmpty,
+      "the definition must stop serving — its coverage names pre-purge files")
+    assert(Purge.exposureCount(spark, mvDir, targets, Seq("uid")) == 0L,
+      "no committed MV file may still name a purged uid")
+    // surgical: the other groups' partials survive untouched
+    assert(Snapshots.read(spark, mvDir).count() == 80 - 3)
+    Purge.deregister(src)
+  }
+
+  test("MvPartials with the key aggregated INTO the partials: table dropped, not served") {
+    val root = freshRoot("mvagg")
+    val src = commitSource(root)
+    val mvDir = s"$root/mv"
+    // uid is a MIN/MAX value column here — the stored partials embed
+    // uid values under a non-key column, surgical removal impossible
+    MatView.create(spark, "purge_spec_mvagg", Snapshots.read(spark, src), mvDir,
+      groupCols = Seq("grp"), minMaxCols = Seq("uid" -> col("uid")))
+    Purge.register(src, Purge.MvPartials("purge_spec_mvagg"))
+    assert(Purge.exposureCount(spark, mvDir, targets, Seq("min_uid")) > 0L,
+      "min_uid of group 'a' is 0 — a purged value, the scan must see it")
+    val actions = Purge.purge(spark, src, targets)
+    assert(actions.exists(a => a.artifact == "mv" && a.action == "dropped"))
+    assert(MvCatalog.get("purge_spec_mvagg").isEmpty)
+    assert(Snapshots.allVersions(spark, mvDir).isEmpty, "the view table is gone")
+    Purge.deregister(src)
+  }
+
+  test("CacheEntries: entries pinned to the purged source drop; other inputs' entries survive") {
+    val root = freshRoot("cache")
+    val src = commitSource(root)
+    val other = s"$root/other"
+    Snapshots.commit(Seq((1L, "x")).toDF("k", "v"), other)
+    val cacheDir = s"$root/cache"
+    ResultCache.getOrComputeLatest(spark, cacheDir, "q_src", Seq(src))(fs =>
+      fs.head.select(col("uid"), col("amount")))
+    ResultCache.getOrComputeLatest(spark, cacheDir, "q_other", Seq(other))(fs =>
+      fs.head)
+    Purge.register(src, Purge.CacheEntries(cacheDir))
+    assert(Purge.exposureCount(spark, cacheDir, targets, Seq("uid")) > 0L)
+    Purge.purge(spark, src, targets)
+    assert(Purge.exposureCount(spark, cacheDir, targets, Seq("uid")) == 0L)
+    // the unrelated entry still serves as a hit
+    val (_, hitOther, _) =
+      ResultCache.getOrComputeLatest(spark, cacheDir, "q_other", Seq(other))(fs =>
+        fs.head)
+    assert(hitOther, "an entry keyed to a different input must survive")
+    // the purged source's entry is gone — next lookup recomputes
+    val (refill, hitSrc, _) =
+      ResultCache.getOrComputeLatest(spark, cacheDir, "q_src", Seq(src))(fs =>
+        fs.head.select(col("uid"), col("amount")))
+    assert(!hitSrc, "the dropped entry must miss")
+    assert(refill.filter(col("uid").isin(0L, 7L, 14L)).count() == 0L)
+    Purge.deregister(src)
+  }
+
+  test("KeyedTable: the derived table is purged history-wide under its renamed column") {
+    val root = freshRoot("keyed")
+    val src = commitSource(root)
+    val asgDir = s"$root/asg"
+    val s1 = Snapshots.read(spark, src, Some(1))
+    Snapshots.commit(s1.select(col("uid").as("member_id"), col("grp")), asgDir)
+    Snapshots.commit(Snapshots.read(spark, src)
+      .select(col("uid").as("member_id"), col("grp")), asgDir)
+    Purge.register(src, Purge.KeyedTable(asgDir, Map("uid" -> "member_id")))
+    assert(Purge.exposureCount(spark, asgDir, targets, Seq("member_id")) > 0L)
+    val actions = Purge.purge(spark, src, targets)
+    assert(actions.exists(a =>
+      a.artifact == "keyed_table" && a.action == "history_rewritten"))
+    assert(Purge.exposureCount(spark, asgDir, targets, Seq("member_id")) == 0L,
+      "both versions of the assignment table must be rewritten")
+    assert(Snapshots.read(spark, asgDir, Some(1)).count() == 60 - 3)
+    Purge.deregister(src)
+  }
+
+  test("Reland: stats re-landed from the purged source, prior versions vacuumed away") {
+    val root = freshRoot("stats")
+    val src = commitSource(root)
+    val statsDir = s"$root/stats"
+    def profile(sp: org.apache.spark.sql.SparkSession): Unit = {
+      Snapshots.commit(graft.ops.Analyze.numLeg(
+        Snapshots.read(sp, src), "uid", col("uid")), statsDir)
+      ()
+    }
+    profile(spark)
+    Purge.register(src, Purge.Reland(statsDir, profile))
+    // min_num(uid) = 0.0 — a purged value; the scan must match the
+    // LONG key 0 against the DOUBLE stats column
+    assert(Purge.exposureCount(spark, statsDir, targets, Seq("min_num")) > 0L)
+    val actions = Purge.purge(spark, src, targets)
+    assert(actions.exists(a => a.artifact == "stats" && a.action == "relanded"))
+    assert(Snapshots.allVersions(spark, statsDir) == Seq(2),
+      "the pre-purge stats version must be physically vacuumed")
+    assert(Purge.exposureCount(spark, statsDir, targets,
+      Seq("min_num", "max_num")) == 0L)
+    // the re-landed profile reflects the purged table: min uid is now 1
+    assert(Snapshots.read(spark, statsDir).select(col("min_num"))
+      .as[Double].head() == 1.0)
+    Purge.deregister(src)
+  }
+
+  test("dropKeyedVersions rewrites a checkpoint so dropped entries cannot resurrect") {
+    val root = freshRoot("ckpt")
+    val dir = s"$root/cache"
+    Snapshots.commitKeyed(Seq((1L, "a")).toDF("k", "v"), dir, "keep|t@v1")
+    Snapshots.commitKeyed(Seq((2L, "b")).toDF("k", "v"), dir, "drop|s@v1")
+    Snapshots.checkpointLog(spark, dir)
+    Snapshots.pruneLogEntries(spark, dir)
+    val dropped = Snapshots.dropKeyedVersions(spark, dir, _.contains("s@"))
+    assert(dropped == Seq(2))
+    assert(Snapshots.versions(spark, dir) == Seq(1),
+      "the checkpoint must be rewritten from survivors — v2 may not resurrect")
+    assert(Snapshots.findKeyed(spark, dir, "drop|s@v1").isEmpty)
+    assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
   }
 }
