@@ -205,6 +205,12 @@ object ScaleSmoke {
     // the history binding reads the manifest-sized log, zero data
     // files at any F)
     "x73_filtered_mv",
+    // x77 builds the unfiltered (priority,status) MV over the
+    // F×-scaled orders (one aggregate pass — the write-once price);
+    // the served probe filters the group-cardinality partials
+    // (constant-size at any F, the containment payoff) and the
+    // refused value-column probe honestly re-scans F×
+    "x77_mv_containment",
     // x75 pays x66's fact commit + TWO MV builds (both one-pass
     // aggregates over the F×-scaled fact); the cost-ordered choice
     // is a driver-side manifest read and the served query re-

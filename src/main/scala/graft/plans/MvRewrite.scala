@@ -36,9 +36,15 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   *    exact leaf-scan coverage bijection through Project/Union (so a
   *    resolved append's base ∪ delta matches, but a partial version
   *    read or a self-union never can);
-  *  - the query's filter must BE the view's DEFINING filter,
+  *  - the query's filter must CONTAIN the view's DEFINING filter,
   *    conjunct for conjunct (x73 — optimizer-inferred IsNotNulls
   *    stripped only when a null-rejecting comparison implies them);
+  *    EXTRA query conjuncts are servable only when each references
+  *    grouping keys alone (deterministic, subquery-free) — they then
+  *    apply as a residual Filter above the MV scan (x77); an extra
+  *    conjunct over a value column refuses (it filters rows already
+  *    aggregated into the partials), and a MISSING view conjunct
+  *    always refuses (the wider query needs rows the view dropped);
   *  - DISTINCT, aggregate FILTER clauses, or any unregistered
   *    aggregate → refuse (scan the fact). A wrong rewrite is a wrong
   *    answer; refusal is merely slower.
@@ -151,13 +157,27 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Multiset equality of filter conjuncts under the structural
     * compare — the query's filter must BE the view's defining
     * filter, nothing weaker or stronger. */
-  private[plans] def sameFilters(a: Seq[Expression], b: Seq[Expression]): Boolean = {
-    val an = dropInferredNotNull(a)
-    val bn = scala.collection.mutable.ArrayBuffer(dropInferredNotNull(b): _*)
-    an.length == bn.length && an.forall { x =>
-      val i = bn.indexWhere(y => same(x, y))
-      if (i >= 0) { bn.remove(i); true } else false
+  private[plans] def sameFilters(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    filterResidual(a, b).exists(_.isEmpty)
+
+  /** Filter CONTAINMENT (x77): match every view conjunct against the
+    * query's, one-for-one, and return the query's EXTRA conjuncts —
+    * None when some view conjunct is unmatched (the query is WIDER
+    * than the view: serving it would drop rows the view filtered
+    * away, the classic filtered-MV wrong answer). An extra conjunct
+    * is only servable when it references GROUPING KEYS alone
+    * (tryRewrite checks that): each fact row maps to exactly one
+    * group carrying its own key values, so filtering the MV's rows by
+    * a group-key predicate before re-aggregation is identical to
+    * filtering the fact rows by it. */
+  private[plans] def filterResidual(q: Seq[Expression],
+                                    v: Seq[Expression]): Option[Seq[Expression]] = {
+    val qn = scala.collection.mutable.ArrayBuffer(dropInferredNotNull(q): _*)
+    val matched = dropInferredNotNull(v).forall { x =>
+      val i = qn.indexWhere(y => same(x, y))
+      if (i >= 0) { qn.remove(i); true } else false
     }
+    if (matched) Some(qn.toSeq) else None
   }
 
   /** Structural expression equality with attributes matched by NAME
@@ -201,13 +221,29 @@ object MvRewrite extends Rule[LogicalPlan] {
     // name breaks ties deterministically. A candidate whose later
     // containment checks fail falls through to the next.
     val candidates = MvCatalog.all
-      .filter(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted &&
-        sameFilters(qFilters, m.filters))
-      .sortBy(m => (m.sizeHint(), m.name))
-    candidates.view.flatMap(m => rewriteWith(agg, m)).headOption
+      .filter(m => m.coverage.nonEmpty && m.coverage.sorted == sigs.sorted)
+      .flatMap { m =>
+        filterResidual(qFilters, m.filters).flatMap { extra =>
+          // every EXTRA conjunct must be a deterministic,
+          // subquery-free predicate over the view's grouping keys
+          // alone — then it commutes with the grouping and can be
+          // applied above the MV scan (x77); anything else refuses
+          val ok = extra.forall(e =>
+            e.deterministic &&
+              e.references.nonEmpty &&
+              e.references.forall(r => m.groupCols.contains(r.name.toLowerCase)) &&
+              e.find(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty)
+          if (ok) Some((m, extra)) else None
+        }
+      }
+      .sortBy { case (m, _) => (m.sizeHint(), m.name) }
+    candidates.view.flatMap { case (m, extra) =>
+      rewriteWith(agg, m, extra) }.headOption
   }
 
-  private def rewriteWith(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
+  private def rewriteWith(agg: Aggregate, d: MvCatalog.MvDef,
+                          residual: Seq[Expression]): Option[Aggregate] = {
     // grouping must be plain fact attributes within the MV's key set
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if d.groupCols.contains(a.name.toLowerCase) => a
@@ -278,10 +314,22 @@ object MvRewrite extends Rule[LogicalPlan] {
     val used = mvPlan.output.filter(a =>
       newGroups.exists(_.exprId == a.exprId) ||
         newAggExprs.exists(_.references.contains(a)))
+    // the query's EXTRA group-key conjuncts (x77) land as a Filter
+    // directly on the MV scan, their references re-bound by name —
+    // a group-key predicate on the partials filters exactly the fact
+    // rows it would have filtered (each row's group carries its own
+    // key values); the Project above still prunes the ReadSchema
+    val mvScan =
+      if (residual.isEmpty) mvPlan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        residual.map(_.transformUp {
+          case a: AttributeReference => mvByName(a.name.toLowerCase)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And),
+        mvPlan)
     // the explicit Project keeps the MV scan's ReadSchema pruned —
     // the user batch runs after column pruning, which can no longer
     // do it for us
-    Some(Aggregate(newGroups, newAggExprs, Project(used, mvPlan)))
+    Some(Aggregate(newGroups, newAggExprs, Project(used, mvScan)))
   }
 }
 

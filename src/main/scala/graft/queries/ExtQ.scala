@@ -1887,6 +1887,53 @@ object ExtQ {
         .orderBy(col("probe"), col("o_orderpriority"))
     }),
 
+    // x77 — MV FILTER CONTAINMENT (serving the STRICTER query —
+    // x73's complement): x73 pinned that a WIDER filter refuses;
+    // here the query carries the view's defining filter (none) PLUS
+    // an extra conjunct. When that conjunct references GROUPING KEYS
+    // alone (o_orderstatus — a key the query doesn't even group by),
+    // the rewrite serves the MV with the conjunct applied as a
+    // residual above the MV scan: each fact row maps to exactly one
+    // group carrying its own key values, so filtering the
+    // group-cardinality partials is identical to filtering the fact
+    // — an MV-sized read where the old multiset-equality matcher
+    // paid a fact scan. When the extra conjunct touches a VALUE
+    // column (o_totalprice — already aggregated into the partials),
+    // no residual can unmix it and the rewrite refuses. Both
+    // decisions ride the hash next to values replayed from exact
+    // SQL.
+    "x77_mv_containment" -> ((s, d) => {
+      val mvDir = s"target/x77_mv_${math.abs(d.hashCode)}"
+      val factFile = s"$d/orders.parquet"
+      def fp(): String = {
+        val p = java.nio.file.Paths.get(factFile)
+        s"${java.nio.file.Files.size(p)}_${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }
+      val orders = Tables.load(s, d, "orders")
+      val f0 = fp()
+      graft.plans.MatView.create(s, "x77", orders, mvDir,
+        groupCols = Seq("o_orderpriority", "o_orderstatus"),
+        sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
+        isFresh = () => fp() == f0)
+      orders.createOrReplaceTempView("orders_x77")
+      def probe(label: String, where: String) = {
+        val q = s.sql(
+          s"""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_orders
+             |FROM orders_x77
+             |WHERE $where
+             |GROUP BY o_orderpriority""".stripMargin)
+        q.withColumn("probe", lit(label))
+          .withColumn("used_mv", lit(x66UsedMv(q, mvDir, factFile)))
+      }
+      val out = probe("group_key", "o_orderstatus = 'F'")
+        .unionByName(probe("value_col", "o_totalprice > 50000"))
+        .orderBy(col("probe"), col("o_orderpriority"))
+      graft.plans.MvCatalog.remove("x77")
+      out
+    }),
+
     // x72 — REFERENTIAL-INTEGRITY AUDIT (the FK half of x47's CHECK
     // constraints — a training-data pipeline's join keys are only as
     // good as this report): per relationship, orphans = ONE left-anti
@@ -4950,6 +4997,26 @@ object ExtQ {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
         |  COUNT(*), 'wider', FALSE
         |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY probe, o_orderpriority""".stripMargin,
+
+    // x77: both probes restated straight from orders; used_mv TRUE
+    // only for the grouping-key conjunct — a matcher that served the
+    // value-column probe could not produce its numbers (the partials
+    // cannot be re-filtered by o_totalprice), and one that refused
+    // the group-key probe flips its flag.
+    "x77_mv_containment" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  'group_key' AS probe, TRUE AS used_mv
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  COUNT(*), 'value_col', FALSE
+        |FROM orders WHERE o_totalprice > 50000
         |GROUP BY 1
         |ORDER BY probe, o_orderpriority""".stripMargin,
 

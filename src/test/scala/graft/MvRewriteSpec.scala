@@ -244,6 +244,28 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.remove("spec_z")
   }
 
+  test("x77: an extra grouping-key conjunct serves with a residual; a value-column one refuses") {
+    val (factDir, mvDir, fact) = fixture("ct") // view groups (g1,g2), unfiltered
+    // the extra conjunct is on g2 — a grouping key the query does not
+    // even group by; the residual must still apply on the MV scan
+    val hit = fact.filter($"g2" === "x").groupBy($"g1").agg(sum($"qty").as("s"))
+    val p = scanPaths(hit)
+    assert(p.exists(_.contains(mvDir)) && !p.exists(_.contains(factDir)),
+      "a group-key-only extra conjunct must serve from the MV")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 10L), ("b", 70L)),
+      "the residual must filter the MV's groups exactly like the fact rows")
+    // the same shape over a VALUE column refuses — those rows are
+    // already aggregated into the partials, no residual can unmix them
+    val miss = fact.filter($"price" > 3.0).groupBy($"g1").agg(sum($"qty").as("s"))
+    val p2 = scanPaths(miss)
+    assert(!p2.exists(_.contains(mvDir)) && p2.exists(_.contains(factDir)),
+      "a value-column extra conjunct must refuse")
+    assert(miss.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("b", 120L)))
+    MvCatalog.remove("spec_ct")
+  }
+
   test("an MV created with NO explicit gate declines after a fact commit (default gate)") {
     val root = java.nio.file.Files.createTempDirectory("mvdef").toString
     val factDir = s"$root/fact"
@@ -306,14 +328,18 @@ class MvRewriteSpec extends SparkSpec {
     MatView.create(spark, "spec_ens", fact.filter($"g1" <=> lit(null)),
       s"$root/mv", groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")))
     // query adds IS NOT NULL, which <=> NULL does NOT imply — the
-    // combined filter passes nothing; serving the view would return
-    // the null group's 50
+    // combined filter passes nothing. Pre-fix the IsNotNull was
+    // DROPPED as optimizer-inferred, the filters compared equal, and
+    // the view served the null group's 50. Now the IsNotNull is kept
+    // as semantic: either the rewrite refuses, or (x77) it serves
+    // WITH the IsNotNull applied as a group-key residual — both
+    // produce the correct empty result, never the null group's rows
     val q = Snapshots.read(spark, factDir)
       .filter(($"g1" <=> lit(null)) && $"g1".isNotNull)
       .groupBy($"g1").agg(sum($"qty").as("s"))
-    assert(!scanPaths(q).exists(_.contains(s"$root/mv")),
-      "the extra IsNotNull is semantic next to <=> — filters differ, refuse")
-    assert(q.collect().isEmpty, "the contradictory filter passes no rows")
+    assert(q.collect().isEmpty,
+      "the contradictory filter passes no rows — the null group's 50 " +
+        "appearing means the semantic IsNotNull was dropped")
     MvCatalog.remove("spec_ens")
   }
 
