@@ -184,7 +184,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * (registration and query resolve against different plan
     * instances, so ExprIds can never agree). Strict by construction:
     * an unrecognized mismatch refuses the rewrite, never forces it. */
-  private def same(a: Expression, b: Expression): Boolean = (a, b) match {
+  private[plans] def same(a: Expression, b: Expression): Boolean = (a, b) match {
     case (x: AttributeReference, y: AttributeReference) =>
       x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType
     case (x: Literal, y: Literal) => x == y
@@ -517,6 +517,88 @@ object MatView {
       sizeHint = () => Snapshots.latestBytes(spark, mvDir)))
     MvRewrite.ensureInstalled(spark)
     mv
+  }
+
+  /** CREATE MATERIALIZED VIEW from pure SQL TEXT (x78 — the DDL the
+    * S8 script surface needs): the defining statement is analyzed,
+    * its top-level Aggregate decomposed into the frame-based
+    * [[create]] call — group keys from the grouping expressions
+    * (plain columns only), SUM/COUNT/MIN/MAX select items to the
+    * matching spec lists (COUNT(*) rides the always-stored n_rows;
+    * MIN/MAX over the same expression share one stored pair), the
+    * fact frame re-entered from the Aggregate's child plan. DISTINCT,
+    * FILTER clauses, computed group keys, or any other aggregate
+    * refuse loudly at CREATE time — a definition the rewrite could
+    * not serve exactly must not register. The freshness gate is
+    * create's default source fingerprint (no explicit gate is
+    * expressible from SQL text). */
+  def createFromSql(spark: SparkSession, name: String, mvDir: String,
+                    definingSql: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    val analyzed = spark.sql(definingSql).queryExecution.analyzed
+    val agg = analyzed match {
+      case a: Aggregate => a
+      case Project(pl, a: Aggregate) if pl.forall(_.isInstanceOf[AttributeReference]) => a
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW requires a grouped aggregate SELECT, got ${other.nodeName}")
+    }
+    val groupCols = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case e => throw new IllegalArgumentException(
+        s"MV group keys must be plain columns, got ${e.sql}")
+    }
+    val fact = org.apache.spark.sql.graft.Bridge.ofRows(spark, agg.child)
+    // spec columns are rebuilt from SQL TEXT, not the resolved
+    // expressions: the fact frame re-enters the Dataset API with its
+    // own attribute instances, so a captured ExprId would dangle —
+    // name-based re-resolution against `fact` is the stable path
+    def asCol(e: Expression): Column = org.apache.spark.sql.functions.expr(e.sql)
+    val sums = Seq.newBuilder[(String, Column)]
+    val counts = Seq.newBuilder[(String, Column)]
+    val minMax = scala.collection.mutable.ArrayBuffer[(String, Expression)]()
+    def addMinMax(alias: String, e: Expression): Unit =
+      if (!minMax.exists(p => MvRewrite.same(p._2, e))) { minMax += alias -> e; () }
+    agg.aggregateExpressions.foreach {
+      case a: AttributeReference =>
+        require(groupCols.contains(a.name),
+          s"non-aggregate select item ${a.name} must be a group key")
+      case al: Alias => al.child match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Sum(e, _) => sums += al.name -> asCol(e); ()
+            case Count(Seq(l: Literal)) if l.value != null => () // n_rows
+            case Count(Seq(e)) => counts += al.name -> asCol(e); ()
+            case Min(e) => addMinMax(al.name, e)
+            case Max(e) => addMinMax(al.name, e)
+            case f: AggregateFunction => throw new IllegalArgumentException(
+              s"aggregate ${f.prettyName} is not derivable from stored MV partials")
+          }
+        case other => throw new IllegalArgumentException(
+          s"MV select items must be group keys or plain aggregates, got ${other.sql}")
+      }
+      case e => throw new IllegalArgumentException(
+        s"unsupported MV select item ${e.sql}")
+    }
+    create(spark, name, fact, mvDir, groupCols,
+      sumCols = sums.result(),
+      countCols = counts.result(),
+      minMaxCols = minMax.toSeq.map { case (n, e) => n -> asCol(e) })
+  }
+
+  /** REFRESH MATERIALIZED VIEW from SQL text: the delta statement's
+    * frame folds through [[refresh]]; the re-registered freshness
+    * gate is the source fingerprint of the view's WIDENED coverage
+    * (base ∪ delta), taken at refresh time — the same default
+    * discipline as createFromSql's. */
+  def refreshFromSql(spark: SparkSession, name: String, deltaSql: String): Int = {
+    val delta = spark.sql(deltaSql)
+    val d = MvCatalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no registered MV named $name"))
+    val (deltaCov, _) = shapeOfFrame(delta)
+    val cov = d.coverage ++ deltaCov
+    val f0 = sourceFingerprint(spark, cov)
+    refresh(spark, name, delta,
+      isFresh = () => sourceFingerprint(spark, cov) == f0)
   }
 
   /** INCREMENTAL REFRESH — the x12/x35 maintenance identity applied

@@ -1934,6 +1934,73 @@ object ExtQ {
       out
     }),
 
+    // x78 — MV DDL ON THE SQL SURFACE (the x54/x56/x65/x71/x74
+    // symmetry rule applied to x66/x70: every engine verb reachable
+    // from pure SQL text): `CREATE MATERIALIZED VIEW <name> AT
+    // '<dir>' AS <select>` analyzes the defining statement and
+    // decomposes its Aggregate into the frame-based MatView.create
+    // (group keys, SUM/COUNT/MIN/MAX partials, default source-
+    // fingerprint freshness), `REFRESH MATERIALIZED VIEW <name> AS
+    // <delta select>` folds the delta through the x70 monoid merge —
+    // so a script declares the view, a LATER script's plain GROUP BY
+    // gets rewritten, and after the nightly append a pure-SQL
+    // refresh re-arms it, Scala never in sight. Both consumers'
+    // used_mv decisions ride the hash next to x66/x70's aggregate
+    // values replayed from orders.
+    "x78_sql_mv_ddl" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val factDir = s"target/x78_fact_${math.abs(d.hashCode)}"
+      val mvDir = s"target/x78_mv_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, factDir); Snapshots.drop(s, mvDir)
+      graft.plans.MvCatalog.remove("x78_mv")
+      Snapshots.commit(x66Fact(s, d, allRows = false), factDir)
+      val consumer =
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders,
+          |  MIN(o_totalprice) AS min_price,
+          |  MAX(o_totalprice) AS max_price""".stripMargin
+      val scriptA =
+        s"""-- pure-SQL MV DDL: declare the view, then consume it via
+           |-- the rewrite — the consumer only ever names the fact
+           |CREATE MATERIALIZED VIEW x78_mv AT '$mvDir' AS
+           |SELECT o_orderstatus, o_orderpriority,
+           |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
+           |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           |FROM snapshot_at('$factDir', 1)
+           |GROUP BY o_orderstatus, o_orderpriority;
+           |$consumer
+           |FROM snapshot_at('$factDir', 1)
+           |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+      val q1 = graft.util.SqlRunner.runScriptWithSnapshots(s, scriptA).last
+      val served1 = x66UsedMv(q1, mvDir, factDir)
+      // the nightly append (x70's H1-1997 batch), delta-only commit
+      val delta = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      Snapshots.commitAppend(delta, factDir, base = 1)
+      val scriptB =
+        s"""-- pure-SQL refresh folds the append's own rows, then the
+           |-- resolved read (base UNION ALL delta) is served again
+           |REFRESH MATERIALIZED VIEW x78_mv AS
+           |SELECT * FROM snapshot_at('$factDir', 2);
+           |$consumer
+           |FROM (SELECT * FROM snapshot_at('$factDir', 1)
+           |      UNION ALL SELECT * FROM snapshot_at('$factDir', 2)) u
+           |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+      val q2 = graft.util.SqlRunner.runScriptWithSnapshots(s, scriptB).last
+      val served2 = x66UsedMv(q2, mvDir, factDir)
+      val out = q1
+        .withColumn("probe", lit("created")).withColumn("used_mv", lit(served1))
+        .unionByName(q2
+          .withColumn("probe", lit("refreshed")).withColumn("used_mv", lit(served2)))
+        .orderBy(col("probe"), col("o_orderstatus"), col("o_orderpriority"))
+      graft.plans.MvCatalog.remove("x78_mv")
+      out
+    }),
+
     // x72 — REFERENTIAL-INTEGRITY AUDIT (the FK half of x47's CHECK
     // constraints — a training-data pipeline's join keys are only as
     // good as this report): per relationship, orphans = ONE left-anti
@@ -4999,6 +5066,29 @@ object ExtQ {
         |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1
         |ORDER BY probe, o_orderpriority""".stripMargin,
+
+    // x78: x66's aggregate for the created probe (<1997) and x70's
+    // for the refreshed one (v1 ∪ Δ = <1997-07-01), both used_mv
+    // TRUE — a DDL binding that failed to register, a consumer the
+    // rewrite declined, or a refresh that didn't re-arm flips a
+    // flag; wrong partials break the values.
+    "x78_sql_mv_ddl" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  'created' AS probe, TRUE AS used_mv
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+        |  'refreshed', TRUE
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY probe, o_orderstatus, o_orderpriority""".stripMargin,
 
     // x77: both probes restated straight from orders; used_mv TRUE
     // only for the grouping-key conjunct — a matcher that served the

@@ -86,8 +86,31 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    runScript(spark, bound4)
+    // MV DDL (x78): CREATE/REFRESH MATERIALIZED VIEW are whole
+    // STATEMENTS (not table references), dispatched to MatView's SQL
+    // entry points — a pure-SQL script can declare a view, and a
+    // later script's plain GROUP BY over the fact gets rewritten by
+    // the injected rule with no Scala in sight. Table-reference
+    // bindings above run FIRST, so the defining/delta SQL may itself
+    // use snapshot_at(...) etc.
+    splitStatements(bound4).map {
+      case CreateMv(name, dir, sql) =>
+        graft.plans.MatView.createFromSql(spark, name, dir, sql)
+      case RefreshMv(name, sql) =>
+        val v = graft.plans.MatView.refreshFromSql(spark, name, sql)
+        spark.sql(s"SELECT $v AS mv_version")
+      case st => spark.sql(st)
+    }
   }
+
+  /** `CREATE MATERIALIZED VIEW <name> AT '<dir>' AS <select…>` —
+    * the defining aggregate runs to the end of the statement. */
+  private val CreateMv =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
+
+  /** `REFRESH MATERIALIZED VIEW <name> AS <delta select…>`. */
+  private val RefreshMv =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$""".r
 
   /** `table_history('<dir>')` binds the manifest-sized commit log
     * (version, kind, ts, base, published) for pure-SQL audits. */
