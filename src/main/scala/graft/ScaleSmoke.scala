@@ -211,6 +211,12 @@ object ScaleSmoke {
     // (constant-size at any F, the containment payoff) and the
     // refused value-column probe honestly re-scans F×
     "x77_mv_containment",
+    // x78 pays x70's lifecycle THROUGH THE SQL SURFACE (fact commit,
+    // DDL-built MV = one aggregate pass, F×-scaled delta append,
+    // refresh fold) PLUS the post-DROP consumer's honest F×-scaled
+    // fact re-scan — the drop probe's price is exactly x68's
+    // staleness-fallback curve
+    "x78_sql_mv_ddl",
     // x75 pays x66's fact commit + TWO MV builds (both one-pass
     // aggregates over the F×-scaled fact); the cost-ordered choice
     // is a driver-side manifest read and the served query re-

@@ -548,11 +548,16 @@ object MatView {
         s"MV group keys must be plain columns, got ${e.sql}")
     }
     val fact = org.apache.spark.sql.graft.Bridge.ofRows(spark, agg.child)
-    // spec columns are rebuilt from SQL TEXT, not the resolved
+    // spec columns are rebuilt NAME-ONLY, not from the resolved
     // expressions: the fact frame re-enters the Dataset API with its
     // own attribute instances, so a captured ExprId would dangle —
-    // name-based re-resolution against `fact` is the stable path
-    def asCol(e: Expression): Column = org.apache.spark.sql.functions.expr(e.sql)
+    // and e.sql renders temp-view-QUALIFIED names (snapshot_…_v1.c)
+    // that can never re-resolve against a refresh delta bound to a
+    // different view, so every AttributeReference drops to a bare
+    // UnresolvedAttribute(name) before the Column is stored
+    def asCol(e: Expression): Column = org.apache.spark.sql.graft.Bridge.column(
+      e.transform { case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name)) })
     val sums = Seq.newBuilder[(String, Column)]
     val counts = Seq.newBuilder[(String, Column)]
     val minMax = scala.collection.mutable.ArrayBuffer[(String, Expression)]()
@@ -583,6 +588,20 @@ object MatView {
       sumCols = sums.result(),
       countCols = counts.result(),
       minMaxCols = minMax.toSeq.map { case (n, e) => n -> asCol(e) })
+  }
+
+  /** DROP MATERIALIZED VIEW (the lifecycle's third verb): de-register
+    * the rewrite definition — later matching consumers scan the fact
+    * again — and remove the stored partials' snapshot dir. Returns
+    * whether a definition was registered under the name (DROP of an
+    * unknown view is a no-op, matching SQL's IF EXISTS temper). */
+  def drop(spark: SparkSession, name: String,
+           dropStorage: Boolean = true): Boolean = {
+    val d = MvCatalog.get(name)
+    MvCatalog.remove(name)
+    if (dropStorage) d.filter(_.mvDir.nonEmpty)
+      .foreach(dd => graft.sources.Snapshots.drop(spark, dd.mvDir))
+    d.nonEmpty
   }
 
   /** REFRESH MATERIALIZED VIEW from SQL text: the delta statement's

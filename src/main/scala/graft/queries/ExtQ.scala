@@ -1992,10 +1992,24 @@ object ExtQ {
            |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
       val q2 = graft.util.SqlRunner.runScriptWithSnapshots(s, scriptB).last
       val served2 = x66UsedMv(q2, mvDir, factDir)
+      // DDL lifecycle's third verb: DROP de-registers and removes the
+      // stored partials, so the SAME consumer re-runs against the fact
+      // (used_mv must flip FALSE, values identical — refusal is merely
+      // slower, never wrong)
+      val scriptC =
+        s"""DROP MATERIALIZED VIEW x78_mv;
+           |$consumer
+           |FROM (SELECT * FROM snapshot_at('$factDir', 1)
+           |      UNION ALL SELECT * FROM snapshot_at('$factDir', 2)) u
+           |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+      val q3 = graft.util.SqlRunner.runScriptWithSnapshots(s, scriptC).last
+      val served3 = x66UsedMv(q3, mvDir, factDir)
       val out = q1
         .withColumn("probe", lit("created")).withColumn("used_mv", lit(served1))
         .unionByName(q2
           .withColumn("probe", lit("refreshed")).withColumn("used_mv", lit(served2)))
+        .unionByName(q3
+          .withColumn("probe", lit("dropped")).withColumn("used_mv", lit(served3)))
         .orderBy(col("probe"), col("o_orderstatus"), col("o_orderpriority"))
       graft.plans.MvCatalog.remove("x78_mv")
       out
@@ -5071,7 +5085,9 @@ object ExtQ {
     // for the refreshed one (v1 ∪ Δ = <1997-07-01), both used_mv
     // TRUE — a DDL binding that failed to register, a consumer the
     // rewrite declined, or a refresh that didn't re-arm flips a
-    // flag; wrong partials break the values.
+    // flag; wrong partials break the values. The 'dropped' probe
+    // repeats the refreshed aggregate AFTER DROP MATERIALIZED VIEW:
+    // same values straight from the fact, used_mv FALSE.
     "x78_sql_mv_ddl" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -5086,6 +5102,13 @@ object ExtQ {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
         |  COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
         |  'refreshed', TRUE
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+        |  'dropped', FALSE
         |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
         |GROUP BY 1, 2
         |ORDER BY probe, o_orderstatus, o_orderpriority""".stripMargin,

@@ -99,6 +99,9 @@ object SqlRunner {
       case RefreshMv(name, sql) =>
         val v = graft.plans.MatView.refreshFromSql(spark, name, sql)
         spark.sql(s"SELECT $v AS mv_version")
+      case DropMv(name) =>
+        val existed = graft.plans.MatView.drop(spark, name)
+        spark.sql(s"SELECT $existed AS mv_dropped")
       case st => spark.sql(st)
     }
   }
@@ -111,6 +114,10 @@ object SqlRunner {
   /** `REFRESH MATERIALIZED VIEW <name> AS <delta select…>`. */
   private val RefreshMv =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$""".r
+
+  /** `DROP MATERIALIZED VIEW <name>` — de-register + drop storage. */
+  private val DropMv =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
 
   /** `table_history('<dir>')` binds the manifest-sized commit log
     * (version, kind, ts, base, published) for pure-SQL audits. */

@@ -389,4 +389,71 @@ class MvRewriteSpec extends SparkSpec {
     assert(opt == orig, "rewrite must preserve the aggregate's output attributes")
     MvCatalog.remove("spec_f")
   }
+
+  test("x78: SQL DDL lifecycle — createFromSql binds, refreshFromSql re-resolves " +
+    "across a DIFFERENT snapshot view, drop de-registers") {
+    // the qualifier round-trip that broke r11: CREATE's defining SQL
+    // resolves against the snapshot_at(dir,1) temp view, REFRESH's
+    // delta against the DIFFERENT snapshot_at(dir,2) view — the
+    // stored spec columns must survive the view-name change
+    val root = java.nio.file.Files.createTempDirectory("mvddl").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    Snapshots.commit(
+      Seq(("a", 10L, 1.5), ("b", 30L, 3.5)).toDF("g1", "qty", "price"), factDir)
+    graft.util.SqlRunner.runScriptWithSnapshots(spark,
+      s"""CREATE MATERIALIZED VIEW spec_ddl AT '$mvDir' AS
+         |SELECT g1, SUM(qty) AS s, COUNT(price) AS c,
+         |  MIN(price) AS lo, MAX(price) AS hi
+         |FROM snapshot_at('$factDir', 1) GROUP BY g1""".stripMargin)
+    assert(MvCatalog.get("spec_ddl").nonEmpty, "CREATE must register")
+    Snapshots.commitAppend(
+      Seq(("a", 5L, 0.5)).toDF("g1", "qty", "price"), factDir, base = 1)
+    // the refresh delta binds to snapshot_…_v2 — with qualified spec
+    // columns this raised UNRESOLVED_COLUMN on the _v1 name
+    graft.util.SqlRunner.runScriptWithSnapshots(spark,
+      s"""REFRESH MATERIALIZED VIEW spec_ddl AS
+         |SELECT * FROM snapshot_at('$factDir', 2)""".stripMargin)
+    def consumer() = graft.util.SqlRunner.runScriptWithSnapshots(spark,
+      s"""SELECT g1, SUM(qty) AS s, COUNT(price) AS c,
+         |  MIN(price) AS lo, MAX(price) AS hi
+         |FROM (SELECT * FROM snapshot_at('$factDir', 1)
+         |      UNION ALL SELECT * FROM snapshot_at('$factDir', 2)) u
+         |GROUP BY g1""".stripMargin).last
+    val served = consumer()
+    assert(scanPaths(served).exists(_.contains(mvDir)),
+      "post-refresh consumer must serve from the MV")
+    assert(served.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet == Set(("a", 15L, 2L, 0.5, 1.5), ("b", 30L, 1L, 3.5, 3.5)),
+      "refreshed partials must fold the delta exactly")
+    val status = graft.util.SqlRunner.runScriptWithSnapshots(spark,
+      "DROP MATERIALIZED VIEW spec_ddl").last
+    assert(status.collect().head.getBoolean(0), "DROP must report the view existed")
+    assert(MvCatalog.get("spec_ddl").isEmpty, "DROP must de-register")
+    val after = consumer()
+    assert(!scanPaths(after).exists(_.contains(mvDir)),
+      "post-drop consumer must scan the fact again")
+    assert(after.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet == Set(("a", 15L, 2L, 0.5, 1.5), ("b", 30L, 1L, 3.5, 3.5)),
+      "values must be identical either way — refusal is slower, never wrong")
+  }
+
+  test("x78: createFromSql refuses underivable definitions loudly") {
+    val root = java.nio.file.Files.createTempDirectory("mvddlr").toString
+    val factDir = s"$root/fact"
+    Snapshots.commit(Seq(("a", 10L)).toDF("g1", "qty"), factDir)
+    def attempt(sql: String) = intercept[IllegalArgumentException] {
+      MatView.createFromSql(spark, "spec_ddl_bad", s"$root/mv", sql)
+    }
+    Snapshots.read(spark, factDir).createOrReplaceTempView("spec_ddl_fact")
+    attempt("SELECT g1, AVG(qty) AS a FROM spec_ddl_fact GROUP BY g1")
+    attempt("SELECT g1, COUNT(DISTINCT qty) AS d FROM spec_ddl_fact GROUP BY g1")
+    attempt("SELECT upper(g1) AS u, SUM(qty) AS s FROM spec_ddl_fact GROUP BY 1")
+    attempt("SELECT g1, qty FROM spec_ddl_fact")
+    assert(MvCatalog.get("spec_ddl_bad").isEmpty,
+      "a refused definition must never register")
+    spark.catalog.dropTempView("spec_ddl_fact")
+  }
 }
