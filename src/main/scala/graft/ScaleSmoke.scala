@@ -58,6 +58,11 @@ object ScaleSmoke {
     // catalog-pruned at any F); x43 is exempt like x37 — it reads
     // part/supplier dims the generator does not carry
     "x41_incremental_analyze", "x42_catalog_prune",
+    // x79 pays the F×-scaled base commit + delta append (the write
+    // price other rows share) PLUS exactly two hook profiles: one
+    // full scan of the landed base, one O(Δ) scan of the delta —
+    // the fold itself is a columns-sized sketch merge at any F
+    "x79_auto_analyze",
     // v22's candidate set is the label-filtered corpus (~F×/10 rows
     // per label under verbatim labels) against a fixed query set
     "v22_filtered_topk",

@@ -1192,6 +1192,72 @@ object ExtQ {
         .orderBy(col("col_name"))
     }),
 
+    // x79 — AUTO-ANALYZE ON COMMIT (the stats catalog's write loop
+    // closed; x41's merge identity productionized as a Snapshots
+    // commit hook): enable(dir) opts the table in, a full commit
+    // profiles the landed version, an APPEND folds the delta's
+    // mergeable state at O(|Δ|) — counts add, min/max combine, NDV
+    // unions register-wise — and every maintenance re-lands a
+    // catalog version plus a zero-job planner summary. The declared
+    // probes: exact merged fields per column (BY VALUE against the
+    // oracle's one-shot recompute — the stats-merge identity), the
+    // NDV estimate behind x41's 3σ envelope, FRESH after the hooked
+    // commits with no manual ANALYZE anywhere, x37's broadcast
+    // decision taken from the auto-maintained stats, and a deletes
+    // commit (not foldable — sketches cannot subtract) flipping the
+    // staleness verdict: detected, never silently served.
+    "x79_auto_analyze" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import graft.ops.{Analyze, AutoAnalyze, StatsCatalog}
+      val factDir = s"target/x79_fact_${math.abs(d.hashCode)}"
+      AutoAnalyze.dropState(s, factDir)
+      Snapshots.drop(s, factDir)
+      AutoAnalyze.enable(factDir)
+      val orders = Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("o_orderdate"))
+      val cut0 = lit("1997-01-01").cast("timestamp")
+      val cut1 = lit("1997-07-01").cast("timestamp")
+      Snapshots.commit(
+        orders.filter(col("o_orderdate") < cut0).drop("o_orderdate"), factDir)
+      Snapshots.commitAppend(
+        orders.filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1)
+          .drop("o_orderdate"), factDir, base = 1)
+      val served = AutoAnalyze.stats(s, factDir).getOrElse(
+        throw new IllegalStateException("hooked commits must leave stats"))
+      val fresh = AutoAnalyze.isFresh(s, factDir)
+      // x37's decision over the auto-maintained stats — zero manual
+      // ANALYZE of the fact anywhere in this query
+      val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"))
+      val (_, strategy) = Analyze.statsChosenJoin(
+        li, StatsCatalog.stats(s, d, "lineitem"),
+        Snapshots.readResolved(s, factDir), served.cols,
+        col("l_orderkey") === col("o_orderkey"), maxBroadcastBytes = 10L << 20)
+      // deletes are not foldable: the staleness verdict must flip
+      Snapshots.commitDeletes(
+        Snapshots.read(s, factDir).select(col("o_orderkey")).limit(1),
+        factDir, base = 2)
+      val staleDetected = !AutoAnalyze.isFresh(s, factDir)
+      AutoAnalyze.disable(factDir)
+      // exact NDV legs for the envelope only (x41/x36's audit shape)
+      val profiled = served.cols.keys.toSeq.sorted
+      val fact = Snapshots.readResolved(s, factDir, asOf = Some(2))
+      val exact = fact.select(
+        profiled.map(c => countDistinct(col(c)).as(s"nd_$c")): _*).collect().head
+      val rows = profiled.map { c =>
+        val st = served.cols(c)
+        val nd = exact.getAs[Long](s"nd_$c")
+        val ndvOk = math.abs(st.nDistinct.toDouble - nd) <=
+          math.max(3 * AutoAnalyze.Rsd * nd, 8.0)
+        (c, st.nRows, st.nNulls, st.minNum, st.maxNum, st.avgLen,
+          ndvOk, fresh, strategy, staleDetected)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+          "avg_len", "ndv_ok", "fresh", "strategy", "stale_detected")
+        .orderBy(col("col_name"))
+    }),
+
     // x53 — HISTOGRAM-PLANNED FILTER JOIN: the stats→planner loop's
     // FOURTH decision, and the catalog's first HISTOGRAM consumer.
     // x42 answers probes DISJOINT with the committed [min,max]; the
@@ -4794,6 +4860,42 @@ object ExtQ {
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |    COUNT(DISTINCT l_returnflag), true
         |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    // x79: the auto-maintained stats' exact fields restated as a
+    // one-shot recompute over the fact's resolved rows (base ∪ Δ =
+    // < 1997-07-01) — the stats-merge identity BY VALUE; ndv_ok /
+    // fresh / strategy / stale_detected are the contract verdicts
+    // (an unfired hook, a wrong fold, a mis-sized broadcast, or a
+    // silently-served post-delete state each flips one).
+    "x79_auto_analyze" ->
+      """WITH f AS (SELECT * FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1997-07-01')
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS DOUBLE) AS avg_len,
+        |    TRUE AS ndv_ok, TRUE AS fresh, 'right' AS strategy,
+        |    TRUE AS stale_detected
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |    CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), TRUE, TRUE, 'right', TRUE
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    CAST(SUM(strlen(o_orderpriority)) AS DOUBLE)
+        |      / COUNT(o_orderpriority), TRUE, TRUE, 'right', TRUE
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), TRUE, TRUE, 'right', TRUE
+        |  FROM f)
         |ORDER BY col_name""".stripMargin,
 
     // x42: the surviving probe's aggregate stated plainly; BOTH

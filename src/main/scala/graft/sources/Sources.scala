@@ -457,8 +457,14 @@ object Snapshots {
     * recursively so partitioned and flat commits carry the same
     * accounting. */
   def commit(df: DataFrame, dir: String,
-             partitionBy: Seq[String] = Nil): Int =
-    writeVersion(df, dir, partitionBy, extraMeta = "")
+             partitionBy: Seq[String] = Nil): Int = {
+    val v = writeVersion(df, dir, partitionBy, extraMeta = "")
+    // opt-in auto-ANALYZE (x79): a full commit recomputes the stats
+    // state from the version's own landed files — no-op unless the
+    // dir is registered
+    graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v, base = None)
+    v
+  }
 
   /** OPTIMISTIC-CONCURRENCY commit: land `df` as the next version
     * ONLY if the log still ends at `expectedVersion` (the version this
@@ -474,9 +480,12 @@ object Snapshots {
     * through two FileSystem instances yield exactly one winner
     * (SnapshotsSpec proves it at the claim primitive and end to
     * end). */
-  def commit(df: DataFrame, dir: String, expectedVersion: Int): Int =
-    writeVersion(df, dir, Nil, extraMeta = "",
+  def commit(df: DataFrame, dir: String, expectedVersion: Int): Int = {
+    val v = writeVersion(df, dir, Nil, extraMeta = "",
       expected = Some(expectedVersion))
+    graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v, base = None)
+    v
+  }
 
   /** Commit a DELETION VECTOR: `keys` (any key-column subset of the
     * base's schema) names the rows logically deleted from version
@@ -522,8 +531,13 @@ object Snapshots {
     // merge-on-read publish point rides a staged DV)
     require(allVersions(df.sparkSession, dir).contains(base),
       s"append base v$base not committed under $dir")
-    writeVersion(df, dir, partitionBy,
+    val v = writeVersion(df, dir, partitionBy,
       extraMeta = s""","kind":"append","base":$base,"dataChange":$dataChange""")
+    // opt-in auto-ANALYZE (x79): an append folds the delta's
+    // mergeable state — O(|Δ|), the base is never re-read
+    graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
+      base = Some(base), dataChange = dataChange)
+    v
   }
 
   /** Commit a PARTITION OVERWRITE: `df` holds ONLY the rows of the
@@ -1133,6 +1147,20 @@ object Snapshots {
         spark.read.schema(st).parquet(vdir)
       case None => spark.read.parquet(vdir)
     }
+  }
+
+  /** A version's OWN landed rows with the committed schema — never a
+    * resolved chain (an append version yields just its delta). The
+    * commit-hook profiling input: what this commit physically wrote,
+    * one scan of the written bytes, no upstream lineage re-run. A
+    * metadata-only version (clone/restore) is rejected loudly. */
+  def readVersionOwn(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
+    require(n.isDefined, s"version $version not in log under $dir")
+    val kind = Option(n.get.get("kind")).map(_.asText())
+    require(!kind.exists(k => k == "clone" || k == "restore"),
+      s"version $version under $dir is metadata-only ($kind) — no own files")
+    readVersionDf(spark, dir, n.get)
   }
 
   /** All data files under a version dir, recursively (partitioned

@@ -255,4 +255,106 @@ class AnalyzeSpec extends SparkSpec {
     assert(rows.length == 4 && rows.forall(_.getBoolean(4)),
       "HLL estimates must sit inside the 3-sigma envelope")
   }
+
+  private def autoFixture(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"auto$tag").toString + "/t"
+    graft.ops.AutoAnalyze.dropState(spark, dir)
+    dir
+  }
+
+  test("x79: a hooked commit leaves stats FRESH and x37's decision correct, no manual ANALYZE") {
+    import graft.ops.{Analyze, AutoAnalyze}
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("a")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(
+      Seq((1L, "x", 2.0), (2L, "y", 4.0), (3L, null.asInstanceOf[String], 6.0))
+        .toDF("k", "s", "v"), dir)
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(AutoAnalyze.isFresh(spark, dir), "hooked commit must leave stats fresh")
+    assert(st.cols("k").nRows == 3 && st.cols("s").nNulls == 1)
+    assert(st.cols("v").minNum.contains(2.0) && st.cols("v").maxNum.contains(6.0))
+    assert(st.cols("s").avgLen.contains(1.0))
+    // the broadcast decision from auto stats alone: 3 rows → right
+    val big = (1L to 1000L).map(i => (i, i)).toDF("bk", "bv")
+    val bigStats = big.columns.toSeq.map(c =>
+      c -> graft.ops.StatsCatalog.ColStats(1000, 0, 1000, Some(1), Some(1000), None, None)).toMap
+    val (joined, side) = Analyze.statsChosenJoin(
+      big, bigStats, Snapshots.readResolved(spark, dir), st.cols,
+      col("bk") === col("k"), maxBroadcastBytes = 10L << 20)
+    assert(side == "right", "3-row auto-profiled side must broadcast")
+    assert(joined.count() == 3)
+    AutoAnalyze.dropState(spark, dir)
+  }
+
+  test("x79: an append FOLDS at O(Δ) — the base version's files are never re-read") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("b")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir)
+    // erase the base version's DATA files from disk: a fold that
+    // re-scanned history would now fail; the O(Δ) fold must not care
+    val root = java.nio.file.Paths.get(dir)
+    val v1 = java.nio.file.Files.list(root).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.startsWith("v1-")).get
+    java.nio.file.Files.list(v1).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete)
+    Snapshots.commitAppend(Seq((3L, 30.0)).toDF("k", "v"), dir, base = 1)
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(st.version == 2 && AutoAnalyze.isFresh(spark, dir))
+    assert(st.cols("k").nRows == 3, "fold must be base-state + delta, not a rescan")
+    assert(st.cols("v").minNum.contains(10.0) && st.cols("v").maxNum.contains(30.0))
+    assert(st.cols("k").nDistinct == 3)
+    AutoAnalyze.dropState(spark, dir)
+  }
+
+  test("x79: unfoldable verbs flip the staleness verdict; layout-only appends re-stamp it") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("c")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir)
+    // a deletes commit cannot fold (sketches don't subtract) → stale
+    Snapshots.commitDeletes(Seq(Tuple1(1L)).toDF("k"), dir, base = 1)
+    assert(!AutoAnalyze.isFresh(spark, dir),
+      "a delete must flip the verdict stale — detected, never silently served")
+    assert(AutoAnalyze.stats(spark, dir).get.version == 1,
+      "the stored state must still be the last sound profile")
+    AutoAnalyze.dropState(spark, dir)
+    // dataChange=false (OPTIMIZE re-land): same logical rows — the
+    // summary re-stamps to the new version WITHOUT double-counting
+    val dir2 = autoFixture("c2")
+    AutoAnalyze.enable(dir2)
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir2)
+    Snapshots.commitAppend(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir2,
+      base = 1, dataChange = false)
+    val st2 = AutoAnalyze.stats(spark, dir2).get
+    assert(st2.version == 2 && AutoAnalyze.isFresh(spark, dir2))
+    assert(st2.cols("k").nRows == 2, "a layout re-land must not double-count")
+    AutoAnalyze.dropState(spark, dir2)
+  }
+
+  test("x79: enabling mid-history falls back to ONE full profile, then folds") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("d")
+    Snapshots.commit(Seq((1L, 10.0)).toDF("k", "v"), dir) // unhooked
+    AutoAnalyze.enable(dir)
+    assert(AutoAnalyze.stats(spark, dir).isEmpty, "no state before the first hooked commit")
+    Snapshots.commitAppend(Seq((2L, 20.0)).toDF("k", "v"), dir, base = 1)
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(st.version == 2 && st.cols("k").nRows == 2,
+      "mid-history enable must profile the resolved state once")
+    Snapshots.commitAppend(Seq((3L, 30.0)).toDF("k", "v"), dir, base = 2)
+    assert(AutoAnalyze.stats(spark, dir).get.cols("k").nRows == 3)
+    AutoAnalyze.dropState(spark, dir)
+  }
 }
