@@ -35,6 +35,12 @@ object ScaleSmoke {
     "x19_zorder_layout", "v18_mmr_rerank", "d13_containment",
     "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events",
     "d14_phash_dedup", "v20_ivf_append", "m3_frame_dedup",
+    // v26 pays ONE exact retrain over the F×-scaled post-drift
+    // corpus (the verdict-gated rebuild price — the loop's whole
+    // point is paying it only when drift demands), the two-table txn
+    // commit, and the nprobe/k-bounded probe; the verdict itself is
+    // metadata-sized at any F (v25's counts)
+    "v26_retrain_loop",
     "t25_repetition", "x25_pipeline_snapshot", "x26_compaction_exec",
     "x27_deletion_vectors", "x28_partition_overwrite", "x29_vacuum",
     "s7_at_least_once_dedup", "v21_knn_join", "t26_strip_invisible",

@@ -72,8 +72,10 @@ object Merge {
   /** Enforce the at-most-one-source-row-per-key contract EAGERLY —
     * SQL MERGE (and Delta/Iceberg) raise on a multi-match source; a
     * silent pass would emit duplicate output rows. One source-sized
-    * (churn-sized, not table-sized) groupBy; opt-in via the merge
-    * verbs' `checkUniqueSource` flag so the hot path stays one job. */
+    * (churn-sized, not table-sized) groupBy — ON BY DEFAULT, matching
+    * SQL MERGE / Delta / Iceberg semantics; a hot path that has
+    * already deduplicated (e.g. a latest-wins reduce) may opt out via
+    * `checkUniqueSource = false` to stay one job. */
   def requireUniqueKeys(source: DataFrame, key: String): Unit = {
     val dup = source.groupBy(col(key)).count()
       .filter(col("count") > 1).limit(1).collect()
@@ -87,7 +89,7 @@ object Merge {
       matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
       notMatchedInsert: Column => Column = _ => lit(true),
       bySourceDelete: Column => Column = _ => lit(false),
-      checkUniqueSource: Boolean = false): DataFrame = {
+      checkUniqueSource: Boolean = true): DataFrame = {
     if (checkUniqueSource) requireUniqueKeys(source, key)
     val (joined, payload) = mergedFrame(target, source, key,
       matchedDelete, matchedUpdate, notMatchedInsert, bySourceDelete)
@@ -111,7 +113,7 @@ object Merge {
       matchedUpdate: (Column, Column) => Column = (_, _) => lit(true),
       notMatchedInsert: Column => Column = _ => lit(true),
       bySourceDelete: Column => Column = _ => lit(false),
-      checkUniqueSource: Boolean = false): (DataFrame, DataFrame) = {
+      checkUniqueSource: Boolean = true): (DataFrame, DataFrame) = {
     if (checkUniqueSource) requireUniqueKeys(source, key)
     val (joined, payload) = mergedFrame(target, source, key,
       matchedDelete, matchedUpdate, notMatchedInsert, bySourceDelete)

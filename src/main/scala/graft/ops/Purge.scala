@@ -129,8 +129,21 @@ object Purge {
             act
         }
       case CacheEntries(cacheDir) =>
-        val vs = Snapshots.dropKeyedVersions(spark, cacheDir,
-          _.contains(sourceDir + "@"))
+        // parse the fingerprint's `qid|dir@vN,dir@vN` inputs
+        // (ResultCache.fingerprint's format) and compare NORMALIZED
+        // dirs for exact equality — a substring test would drop an
+        // unrelated table whose path merely ends with sourceDir, and
+        // a relative-vs-absolute registration mismatch would MISS
+        // entries (an erasure hole, not just a perf loss)
+        val want = normDir(sourceDir)
+        val vs = Snapshots.dropKeyedVersions(spark, cacheDir, fp =>
+          fp.split('|') match {
+            case Array(_, inputs) => inputs.split(',').exists { tok =>
+              val i = tok.lastIndexOf("@v")
+              i > 0 && normDir(tok.substring(0, i)) == want
+            }
+            case _ => false
+          })
         Action("result_cache", cacheDir, "entries_dropped", vs.mkString(","))
       case KeyedTable(dir, ren) =>
         val renamed = ren.foldLeft(keys) { case (k, (from, to)) =>
@@ -145,35 +158,61 @@ object Purge {
   }
 
   /** Rows across a table's FULL version history (staged included) in
-    * which a scanned column — or any element of a scanned array
-    * column — equals one of the purged key values, each value cast to
-    * the column's own type. `cols` names the IDENTIFIER-BEARING
+    * which a scanned column — or any element of a scanned array, any
+    * field of a scanned struct (recursively), or any key/value of a
+    * scanned map — equals one of the purged key values, each value
+    * cast to the leaf's own type. Every column of a MULTI-column key
+    * set contributes its values. `cols` names the IDENTIFIER-BEARING
     * columns to scan (empty = every column): a cardinality column
     * (`n_rows`) or an unrelated measure coincidentally equal to a key
     * NUMBER is not the purged identifier, and scanning it would make
     * the witness flap — the caller names where the identifier can
     * live; value-derived stats (min/max/histogram boundaries) count,
-    * row counts don't. The erasure witness: 0 after a correct purge. */
+    * row counts don't. The erasure witness: 0 after a correct purge —
+    * and it CANNOT lie by omission: a named column that never matches
+    * any version's schema, or whose type has no scannable leaf,
+    * raises instead of vacuously reporting 0. */
   def exposureCount(spark: SparkSession, dir: String, keys: DataFrame,
                     cols: Seq[String] = Nil): Long = {
-    val keyVals = keys.distinct().collect().map(r => String.valueOf(r.get(0))).toSeq
+    val keyVals = keys.distinct().collect()
+      .flatMap(r => (0 until r.length).filterNot(r.isNullAt)
+        .map(i => String.valueOf(r.get(i)))).distinct.toSeq
     if (keyVals.isEmpty) return 0L
     val wanted = cols.map(_.toLowerCase).toSet
-    Snapshots.allVersions(spark, dir).map { v =>
+    // every scannable-leaf condition under one top-level column
+    def leafConds(path: org.apache.spark.sql.Column,
+                  dt: DataType): Seq[org.apache.spark.sql.Column] = dt match {
+      case _: NumericType | StringType =>
+        Seq(path.isin(keyVals.map(k => lit(k).cast(dt)): _*))
+      case ArrayType(et, _) if et.isInstanceOf[NumericType] || et == StringType =>
+        Seq(arrays_overlap(path, array(keyVals.map(k => lit(k).cast(et)): _*)))
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => leafConds(path.getField(f.name), f.dataType))
+      case MapType(kt, vt, _) =>
+        leafConds(map_keys(path), ArrayType(kt)) ++
+          leafConds(map_values(path), ArrayType(vt))
+      case _ => Nil
+    }
+    val matchedNames = scala.collection.mutable.Set[String]()
+    val total = Snapshots.allVersions(spark, dir).map { v =>
       val df = Snapshots.read(spark, dir, Some(v))
-      val scanned = df.schema.fields.toSeq
+      val conds = df.schema.fields.toSeq
         .filter(f => wanted.isEmpty || wanted(f.name.toLowerCase))
-      val conds = scanned.flatMap { f =>
-        f.dataType match {
-          case _: NumericType | StringType =>
-            Some(col(f.name).isin(keyVals.map(k => lit(k).cast(f.dataType)): _*))
-          case ArrayType(et, _) if et.isInstanceOf[NumericType] || et == StringType =>
-            Some(arrays_overlap(col(f.name),
-              array(keyVals.map(k => lit(k).cast(et)): _*)))
-          case _ => None
+        .flatMap { f =>
+          val cs = leafConds(col(s"`${f.name}`"), f.dataType)
+          if (cs.nonEmpty) matchedNames += f.name.toLowerCase
+          cs
         }
-      }
       if (conds.isEmpty) 0L else df.filter(conds.reduce(_ || _)).count()
     }.sum
+    val unscanned = wanted -- matchedNames
+    require(unscanned.isEmpty,
+      s"exposureCount: named column(s) ${unscanned.toSeq.sorted.mkString(", ")} " +
+        s"were never scanned under $dir (absent from every version's schema " +
+        "or no scannable leaf) — the witness would be vacuous")
+    total
   }
+
+  private def normDir(d: String): String =
+    java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
 }

@@ -53,6 +53,13 @@ object HiddenPartitioning {
   sealed trait Transform {
     def source: String
     def partCol: String
+    /** Column names a table written under an OLDER spec layout may
+      * carry for this transform — [[table]] hides them and
+      * [[HiddenPartitionRule]] falls back to them when the current
+      * name is absent from the relation (the sidecar spec travels
+      * with the table, so its parameters are authoritative for the
+      * legacy column too). */
+    def legacyCols: Seq[String] = Nil
   }
   /** Calendar-month transform: partition value = year·12+month−1. */
   final case class Month(source: String) extends Transform {
@@ -65,6 +72,8 @@ object HiddenPartitioning {
     * n against that table's layout. */
   final case class Bucket(source: String, n: Int) extends Transform {
     val partCol = s"_p_${source}_b$n"
+    // pre-suffix layout (before n was encoded in the name)
+    override val legacyCols = Seq(s"_p_${source}_b")
   }
   /** Calendar-day transform: partition value = epoch day (UTC) —
     * Iceberg's `day()` sibling of [[Month]], for tables whose query
@@ -177,7 +186,8 @@ object HiddenPartitioning {
     HiddenPartitionRule.ensureInstalled(spark)
     val ts = registry.getOrElse(dir,
       throw new IllegalArgumentException(s"no hidden-partition spec under $dir"))
-    Snapshots.read(spark, dir).drop(ts.map(_.partCol): _*)
+    Snapshots.read(spark, dir)
+      .drop(ts.flatMap(t => t.partCol +: t.legacyCols): _*)
   }
 
   /** Partition directories the plan will actually list — the
@@ -214,7 +224,8 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
         }
         specFor(paths) match {
           case Some(ts)
-            if !cond.references.exists(r => ts.exists(_.partCol == r.name)) =>
+            if !cond.references.exists(r => ts.exists(t =>
+              (t.partCol +: t.legacyCols).contains(r.name))) =>
             val derived = splitConjunctivePredicates(cond).flatMap(p =>
               ts.flatMap(t => translate(t, p, rel)))
             if (derived.isEmpty) f
@@ -259,7 +270,9 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
     * residual, so None is always safe. */
   private def translate(t: Transform, p: Expression,
                         rel: LogicalRelation): Option[Expression] = {
-    val pAttr = rel.output.find(_.name == t.partCol).getOrElse(return None)
+    val pAttr = (t.partCol +: t.legacyCols).view
+      .flatMap(n => rel.output.find(_.name == n))
+      .headOption.getOrElse(return None)
     def src(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name.equalsIgnoreCase(t.source)
       case _ => false

@@ -573,6 +573,79 @@ object VectorQ {
           col("vec_id") % AppendSplitMod < AppendHistMax, DriftMax256)
         .orderBy(col("cluster_id"))),
 
+    // v26 — DRIFT-TRIGGERED RETRAIN LOOP (v25's verdict finally gets
+    // its consumer — the index fleet's full maintenance cycle in one
+    // declared query): a DRIFTED nightly batch (every vector
+    // collapsed toward a far corner: x·0.1 + 3.0 per dimension —
+    // deterministic double math both engines replay) is admitted by
+    // v20's append; the drift monitor reads the appended assignment
+    // METADATA and fires the rebuild verdict (the blob crowds one
+    // gen-1 bucket, so max drift blows the threshold at any SF);
+    // the verdict — and only the verdict — gates an exact retrain
+    // over the post-drift corpus, the new generation lands as
+    // centroids + assignments in ONE x45 txn (v24's torn-index
+    // discipline), and a COLD searcher resumes v20 appends against
+    // the committed generation (two fresh vectors assigned at gen-2
+    // centroids with no retrain) before serving v8's probe. The
+    // oracle replays the whole loop: drifted corpus CTE → unrolled
+    // gen-2 training → append assignment → nprobe-2 probe —
+    // rebuild_fired and index_atomic ride the hash next to the
+    // neighbor rows, so a verdict that failed to fire, a torn
+    // landing, or a mis-assigned resumed append each breaks it.
+    "v26_retrain_loop" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val hist = e.filter(col("vec_id") % AppendSplitMod < AppendHistMax)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val drifted = e.filter(col("vec_id") % AppendSplitMod >= AppendHistMax)
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.1) + lit(3.0)).as("embedding"))
+      // 1. admit the drifted batch the cheap way first (v20's append)
+      val appended = graft.ops.Ivf.append(historyIndex(s, d), drifted, "embedding")
+      // 2. the monitor's verdict, read from assignment metadata only
+      val rebuild = graft.ops.Ivf.shareDrift(appended.assigned,
+          col("vec_id") % AppendSplitMod < AppendHistMax, DriftMax256)
+        .select(col("rebuild")).limit(1).collect().head.getBoolean(0)
+      // 3. verdict-gated retrain over the post-drift corpus; an
+      // unfired verdict keeps serving the appended gen-1 (and flips
+      // the hash-pinned flag)
+      val gen2 =
+        if (rebuild) graft.ops.Ivf.buildExact(hist.unionByName(drifted),
+          "vec_id", "embedding", k = IvfClusters, assignPasses = IvfIters)
+        else appended
+      // 4. the new generation lands atomically (v24's txn shape)
+      val centDir = s"target/v26_cents_${math.abs(d.hashCode)}"
+      val asgDir = s"target/v26_asg_${math.abs(d.hashCode)}"
+      val txnDir = s"target/v26_txn_${math.abs(d.hashCode)}"
+      Seq(centDir, asgDir, txnDir).foreach(Snapshots.drop(s, _))
+      val t = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(gen2.centroids, centDir, txnDir, t)
+      Snapshots.txnStage(gen2.assigned, asgDir, txnDir, t)
+      val invisibleStaged = Snapshots.versions(s, centDir).isEmpty &&
+        Snapshots.versions(s, asgDir).isEmpty
+      Snapshots.txnCommit(s, txnDir, t, Seq(centDir, asgDir))
+      val landedAtomic = Snapshots.versions(s, centDir) == Seq(1) &&
+        Snapshots.versions(s, asgDir) == Seq(1)
+      // 5. a cold searcher resumes v20 appends against gen 2 —
+      // assignment at the COMMITTED centroids, no retrain
+      val loaded = graft.ops.Ivf.Index(
+        Snapshots.read(s, centDir), Snapshots.read(s, asgDir), "vec_id")
+      val resumedBatch = e.filter(col("vec_id") < 2)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(0.5)).as("embedding"))
+      val resumed = graft.ops.Ivf.append(loaded, resumedBatch, "embedding")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(resumed, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          lit(rebuild).as("rebuild_fired"),
+          lit(invisibleStaged && landedAtomic).as("index_atomic"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     // v11 — ANN over SCALAR-QUANTIZED codes (ops.Sq): float32 →
     // int8 + one scale per vector, 4× compression with NO training
     // (contrast v9's PQ codebooks) — encode is a narrow map, so it
@@ -998,17 +1071,18 @@ object VectorQ {
     * centroids) and `${p}asg$IvfIters` (final bucket assignment).
     * `where` restricts the TRAINING SET (v20 trains on the history
     * split only; '' = the whole corpus). */
-  private def ivfTrainCtes(p: String, where: String = ""): String = {
+  private def ivfTrainCtes(p: String, where: String = "",
+                           src: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb.append(
       s"""${p}seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
          |         embedding::DOUBLE[] AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings $where ORDER BY vec_id LIMIT $IvfClusters) s),
+         |  FROM (SELECT vec_id, embedding FROM $src $where ORDER BY vec_id LIMIT $IvfClusters) s),
          |${p}dims AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          |         unnest(embedding)::DOUBLE AS x
-         |  FROM embeddings $where),
+         |  FROM $src $where),
          |${p}cent0 AS (SELECT cluster_id, cvec FROM ${p}seeds)""".stripMargin)
     def asgSql(i: Int): String =
       s""",
@@ -1020,7 +1094,7 @@ object VectorQ {
          |          + list_dot_product(c.cvec, c.cvec)
          |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
          |        c.cluster_id) AS rn
-         |    FROM (SELECT * FROM embeddings $where) e CROSS JOIN ${p}cent${i - 1} c) t
+         |    FROM (SELECT * FROM $src $where) e CROSS JOIN ${p}cent${i - 1} c) t
          |  WHERE rn = 1)""".stripMargin
     for (i <- 1 to IvfIters) {
       sb.append(asgSql(i))
@@ -1254,6 +1328,50 @@ object VectorQ {
          |  share_hist_256, share_batch_256, drift_256,
          |  (SELECT MAX(drift_256) FROM sh) > $DriftMax256 AS rebuild
          |FROM sh ORDER BY cluster_id""".stripMargin,
+
+    // v26: the whole retrain loop replayed — drifted corpus CTE
+    // (hist raw ∪ batch collapsed by x·0.1+3.0, double math both
+    // engines share), gen-2 training unrolled over it, the resumed
+    // append's rows assigned at the final centroids, nprobe-2 probe
+    // over the union; rebuild_fired/index_atomic as pinned verdicts.
+    "v26_retrain_loop" ->
+      s"""WITH dcorpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+         |  WHERE vec_id % $AppendSplitMod < $AppendHistMax
+         |  UNION ALL
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x * 0.1 + 3.0)
+         |  FROM embeddings WHERE vec_id % $AppendSplitMod >= $AppendHistMax),
+         |rcorpus AS (
+         |  SELECT * FROM dcorpus
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+         |  FROM embeddings WHERE vec_id < 2),
+         |${ivfTrainCtes("r", src = "dcorpus")},
+         |allasg AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.embedding, e.embedding)
+         |          + list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.embedding, c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM rcorpus e CROSS JOIN rcent${IvfIters - 1} c) t
+         |  WHERE rn = 1),
+         |${ivfProbedCte("r")},
+         |cands AS (
+         |  SELECT p.qid, a.vec_id AS nb_id,
+         |    list_dot_product(p.qe, e.embedding) AS score
+         |  FROM rprobed p
+         |  JOIN allasg a ON a.cluster_id = p.cluster_id
+         |  JOIN rcorpus e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score,
+         |  TRUE AS rebuild_fired, TRUE AS index_atomic
+         |FROM (SELECT qid, nb_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+         |      FROM cands) x
+         |WHERE rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin,
 
     "v12_knn_ivfpq" -> ivfPqOracle,
 

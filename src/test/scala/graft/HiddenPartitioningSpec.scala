@@ -185,4 +185,30 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(q.select($"id").as[Long].collect().toSet == want,
       "the residual predicate must keep strict-bound semantics exact")
   }
+
+  test("a legacy pre-suffix bucket layout still hides its column and prunes") {
+    // a table written when Bucket's column was `_p_<src>_b` (no n
+    // suffix): its sidecar spec parses to Bucket(k,4) whose current
+    // partCol is `_p_k_b4` — absent from the relation. The legacy
+    // fallback must (a) keep `_p_k_b` out of the user-visible schema
+    // and (b) keep pruning on it, instead of silently disabling both.
+    val dir = java.nio.file.Files.createTempDirectory("hpleg").toString + "/t"
+    val rows = (0 until 64).map(i => (i.toLong, (i % 16).toLong)).toDF("id", "k")
+      .withColumn("_p_k_b", pmod(hash($"k"), lit(4)))
+    Snapshots.commit(rows.repartition($"_p_k_b"), dir,
+      partitionBy = Seq("_p_k_b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_hidden_spec.json"),
+      """[{"kind":"bucket","source":"k","n":4}]""".getBytes("UTF-8"))
+    val t = HP.table(spark, dir)
+    assert(!t.columns.contains("_p_k_b"),
+      "the legacy partition column must stay hidden")
+    val total = HP.partitionsScanned(t)
+    val q = t.filter($"k" === 7L)
+    assert(HP.partitionsScanned(q) < total,
+      "equality on the raw column must still prune the legacy layout")
+    assert(q.select($"id").as[Long].collect().toSet ==
+      (0 until 64).filter(_ % 16 == 7).map(_.toLong).toSet)
+    HP.remove(dir)
+  }
 }

@@ -111,4 +111,70 @@ class IvfSpec extends SparkSpec {
     assert(r.map(_.getInt(5)).toSeq == Seq(128, 128))
     assert(r.forall(_.getBoolean(6)), "a 50-point share shift must demand a rebuild")
   }
+
+  test("v26: the retrain loop — verdict gates the rebuild, gen-2 serves exactly, " +
+    "cold searcher + resumed append land on the committed generation") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    // two interleaved blobs (seeds 0,1 hit one each), k=2 exact index
+    def blob(ids: Range, cx: Double, cy: Double) =
+      ids.map(i => (i.toLong, Array(cx + 0.01 * i, cy - 0.01 * i)))
+    val hist = (blob(0 until 20 by 2, 0, 0) ++ blob(1 until 20 by 2, 10, 10))
+      .toDF("vec_id", "embedding")
+    val gen1 = Ivf.buildExact(hist, "vec_id", "embedding", k = 2)
+    // an identically-distributed batch must NOT fire the verdict
+    val calm = (blob(20 until 24 by 2, 0, 0) ++ blob(21 until 24 by 2, 10, 10))
+      .toDF("vec_id", "embedding")
+    val calmAppended = Ivf.append(gen1, calm, "embedding")
+    assert(!Ivf.shareDrift(calmAppended.assigned, col("vec_id") < 20, 64)
+      .head().getBoolean(6), "a same-mix batch must keep gen-1")
+    // the drifted batch: a third blob far away, crowding one bucket
+    val drifted = blob(20 until 28, 50, 50).toDF("vec_id", "embedding")
+    val driftedAppended = Ivf.append(gen1, drifted, "embedding")
+    assert(Ivf.shareDrift(driftedAppended.assigned, col("vec_id") < 20, 64)
+      .head().getBoolean(6), "the collapsed batch must demand a rebuild")
+    // gen-2 over the post-drift corpus; k=3 so the new blob gets a bucket
+    val corpus = hist.unionByName(drifted)
+    val gen2 = Ivf.buildExact(corpus, "vec_id", "embedding", k = 3)
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // exact-probe anchor on the NEW generation: nprobe = k ≡ brute force
+    val all = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def brute(q: Long): Seq[(Long, Long)] =
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => id -> all(q).zip(v).map(p => p._1 * p._2).sum }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }
+    val exact = Ivf.probe(gen2, queries, nprobe = 3, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == (0L until 3L).flatMap(q =>
+      brute(q).map { case (id, rk) => (q, id, rk.toInt) }).toSet,
+      "gen-2 must serve the post-drift corpus exactly at nprobe = k")
+    // one-txn landing + cold search: committed generation ≡ in-session
+    val root = java.nio.file.Files.createTempDirectory("v26").toString
+    val (centDir, asgDir, txnDir) = (s"$root/c", s"$root/a", s"$root/t")
+    val t = java.util.UUID.randomUUID().toString
+    Snapshots.txnStage(gen2.centroids, centDir, txnDir, t)
+    Snapshots.txnStage(gen2.assigned, asgDir, txnDir, t)
+    Snapshots.txnCommit(spark, txnDir, t, Seq(centDir, asgDir))
+    val loaded = Ivf.Index(
+      Snapshots.read(spark, centDir), Snapshots.read(spark, asgDir), "vec_id")
+    val cold = Ivf.probe(loaded, queries, nprobe = 3, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cold == exact, "the committed generation must serve byte-identically")
+    // resumed v20 append against gen-2: new rows land in their nearest
+    // committed bucket, stored rows untouched
+    val resumedBatch = Seq((100L, Array(50.05, 49.95))).toDF("vec_id", "embedding")
+    val resumed = Ivf.append(loaded, resumedBatch, "embedding")
+    val cents = gen2.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(v: Array[Double], c: Array[Double]) =
+      v.zip(c).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    val want = cents.minBy { case (_, c) => d2(Array(50.05, 49.95), c) }._1
+    val got = resumed.assigned.filter(col("vec_id") === 100L)
+      .select("cluster_id").head().getInt(0)
+    assert(got == want, "a resumed append must assign at the committed centroids")
+    assert(resumed.assigned.count() == corpus.count() + 1)
+  }
 }

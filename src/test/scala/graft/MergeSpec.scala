@@ -104,21 +104,23 @@ class MergeSpec extends SparkSpec {
     assert(out == 0L)
   }
 
-  test("checkUniqueSource raises on a multi-match source (SQL MERGE's contract)") {
+  test("a multi-match source raises BY DEFAULT (SQL MERGE's contract); opt-out is explicit") {
     val dup = Seq((2L, "bob", 1.0), (2L, "bob", 2.0), (6L, "frank", 60.0))
       .toDF("id", "name", "bal")
     val e = intercept[IllegalArgumentException] {
-      Merge.mergeInto(tgt, dup, "id", checkUniqueSource = true)
+      Merge.mergeInto(tgt, dup, "id")
     }
     assert(e.getMessage.contains("one-row-per-key"))
     val e2 = intercept[IllegalArgumentException] {
-      Merge.mergeDeltas(tgt, dup, "id", checkUniqueSource = true)
+      Merge.mergeDeltas(tgt, dup, "id")
     }
     assert(e2.getMessage.contains("one-row-per-key"))
     // a unique source passes the gate and merges normally
-    val ok = Merge.mergeInto(tgt, dup.dropDuplicates("id"), "id",
-      checkUniqueSource = true)
+    val ok = Merge.mergeInto(tgt, dup.dropDuplicates("id"), "id")
     assert(ok.filter($"id" === 6L).count() == 1L)
+    // the pre-deduplicated hot path may opt out — caller's contract
+    assert(Merge.mergeInto(tgt, dup, "id", checkUniqueSource = false)
+      .filter($"id" === 2L).count() == 2L)
   }
 
   test("mergeInto preserves target column order and fails fast on missing source columns") {

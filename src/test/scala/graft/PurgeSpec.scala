@@ -156,7 +156,6 @@ class PurgeSpec extends SparkSpec {
     Purge.register(src, Purge.CacheEntries(cacheDir))
     assert(Purge.exposureCount(spark, cacheDir, targets, Seq("uid")) > 0L)
     Purge.purge(spark, src, targets)
-    assert(Purge.exposureCount(spark, cacheDir, targets, Seq("uid")) == 0L)
     // the unrelated entry still serves as a hit
     val (_, hitOther, _) =
       ResultCache.getOrComputeLatest(spark, cacheDir, "q_other", Seq(other))(fs =>
@@ -168,6 +167,10 @@ class PurgeSpec extends SparkSpec {
         fs.head.select(col("uid"), col("amount")))
     assert(!hitSrc, "the dropped entry must miss")
     assert(refill.filter(col("uid").isin(0L, 7L, 14L)).count() == 0L)
+    // erasure witness over the refilled state (the purge dropped the
+    // only uid-carrying version whole; the refilled entry carries the
+    // column again, so the scan is non-vacuous)
+    assert(Purge.exposureCount(spark, cacheDir, targets, Seq("uid")) == 0L)
     Purge.deregister(src)
   }
 
@@ -230,5 +233,65 @@ class PurgeSpec extends SparkSpec {
     assert(Snapshots.findKeyed(spark, dir, "drop|s@v1").isEmpty)
     assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq ==
       Seq((1L, "a")))
+  }
+
+  test("exposureCount cannot lie by omission: a never-scanned named column raises") {
+    val root = freshRoot("vac")
+    val dir = s"$root/t"
+    Snapshots.commit(Seq((1L, "x")).toDF("uid", "v"), dir)
+    // misspelled / absent column: 0 would be a vacuous witness
+    val e = intercept[IllegalArgumentException] {
+      Purge.exposureCount(spark, dir, targets, Seq("uid_misspelled"))
+    }
+    assert(e.getMessage.contains("never scanned"))
+    // a named column whose type has no scannable leaf raises too
+    Snapshots.commit(
+      Seq((1L, Array(Array(1L)))).toDF("uid2", "nested"), s"$root/t2")
+    val e2 = intercept[IllegalArgumentException] {
+      Purge.exposureCount(spark, s"$root/t2", targets, Seq("nested"))
+    }
+    assert(e2.getMessage.contains("never scanned"))
+  }
+
+  test("exposureCount reaches struct fields, map values, and every key column") {
+    val root = freshRoot("deep")
+    val dir = s"$root/t"
+    import org.apache.spark.sql.functions.{map => smap}
+    Snapshots.commit(
+      Seq((1L, "ok"), (7L, "hit")).toDF("id", "tag")
+        .select(struct(col("id").as("inner_id"), col("tag")).as("s"),
+          smap(lit("owner"), col("id").cast("string")).as("m")),
+      dir)
+    // the identifier tucked inside a struct is found
+    assert(Purge.exposureCount(spark, dir, targets, Seq("s")) == 1L)
+    // ...and inside map values (string-typed: the cast matches)
+    assert(Purge.exposureCount(spark, dir, targets, Seq("m")) == 1L)
+    // a MULTI-column key set contributes every column's values: 99
+    // appears only via the second key column
+    val multi = Seq((0L, 99L)).toDF("uid", "alt_uid")
+    val dir2 = s"$root/t3"
+    Snapshots.commit(Seq((99L, "z")).toDF("ref", "v"), dir2)
+    assert(Purge.exposureCount(spark, dir2, multi, Seq("ref")) == 1L,
+      "the second key column's values must be scanned too")
+  }
+
+  test("CacheEntries fingerprint match is exact-dir, not substring") {
+    val root = freshRoot("fpx")
+    val src = commitSource(root)
+    // an UNRELATED table whose path ends with the source's relative
+    // suffix — a substring test would drop its entries
+    val decoy = s"$root/decoy/${src.split('/').last}"
+    Snapshots.commit(Seq((1L, "d")).toDF("k", "v"), decoy)
+    val cacheDir = s"$root/cache"
+    ResultCache.getOrComputeLatest(spark, cacheDir, "q_decoy", Seq(decoy))(fs =>
+      fs.head)
+    Purge.register(src, Purge.CacheEntries(cacheDir))
+    Purge.purge(spark, src, targets)
+    val (_, hitDecoy, _) =
+      ResultCache.getOrComputeLatest(spark, cacheDir, "q_decoy", Seq(decoy))(fs =>
+        fs.head)
+    assert(hitDecoy,
+      "an entry keyed to a path that merely ends with the source dir must survive")
+    Purge.deregister(src)
   }
 }
