@@ -243,6 +243,13 @@ object ScaleSmoke {
     // v25 is deliberately absent: its data-sized work IS v20's
     // append assignment (measured above, shared Derived index);
     // the drift math after it is two model-sized aggregates
+    // v27 is deliberately absent: its data-sized work IS v8's
+    // (same learned index, measured above); the eligibility join is
+    // assignment-partitioned and the probe scans nprobe/k of the
+    // FILTERED corpus — strictly less than v8's scan at any F
+    // x80 is deliberately absent: its data-sized work IS x79's (the
+    // same hooked commit + fold, measured above); the auto_stats
+    // binding reads the driver-side summary — zero jobs at any F
     // x56 is deliberately absent: its data-sized work IS x33's
     // (measured above) — the table_changes binding adds only a
     // per-reference metadata rewrite, so a second row would time the

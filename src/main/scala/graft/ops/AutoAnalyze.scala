@@ -216,4 +216,19 @@ object AutoAnalyze {
   def isFresh(spark: SparkSession, dir: String): Boolean =
     stats(spark, dir).exists(s =>
       graft.sources.Snapshots.versions(spark, dir).lastOption.contains(s.version))
+
+  /** The served summary as a FRAME (x80's SQL binding): one row per
+    * profiled column plus the catalog's freshness verdict — built
+    * from the driver-side summary, zero data-sized jobs. */
+  def frame(spark: SparkSession, dir: String): DataFrame = {
+    val s = stats(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"no auto-stats state under $dir — enable() + commit first"))
+    val fresh = isFresh(spark, dir)
+    import spark.implicits._
+    s.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      (c, cs.nRows, cs.nNulls, cs.minNum, cs.maxNum, cs.avgLen,
+        cs.nDistinct, s.version, fresh)
+    }.toDF("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+      "avg_len", "ndv_est", "stats_version", "fresh")
+  }
 }

@@ -1258,6 +1258,37 @@ object ExtQ {
         .orderBy(col("col_name"))
     }),
 
+    // x80 — AUTO-STATS ON THE SQL SURFACE (the x54/x71/x74/x78
+    // symmetry rule applied to x79: every engine artifact reachable
+    // from pure SQL text): `auto_stats('<dir>')` binds the commit
+    // hook's served summary — profiled fields + the freshness
+    // verdict — so a pure-SQL audit (or an external planner) reads
+    // what the hook maintains, zero data-sized jobs at bind time.
+    // The script runs after a hooked base commit + delta fold; exact
+    // fields replay from orders and fresh=TRUE pins the re-stamp.
+    "x80_sql_auto_stats" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import graft.ops.AutoAnalyze
+      val factDir = s"target/x80_fact_${math.abs(d.hashCode)}"
+      AutoAnalyze.dropState(s, factDir); Snapshots.drop(s, factDir)
+      AutoAnalyze.enable(factDir)
+      val orders = Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      val cut0 = lit("1997-01-01").cast("timestamp")
+      val cut1 = lit("1997-07-01").cast("timestamp")
+      Snapshots.commit(
+        orders.filter(col("o_orderdate") < cut0).drop("o_orderdate"), factDir)
+      Snapshots.commitAppend(
+        orders.filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1)
+          .drop("o_orderdate"), factDir, base = 1)
+      val out = graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT col_name, n_rows, n_nulls, min_num, max_num, fresh
+           |FROM auto_stats('$factDir') ORDER BY col_name""".stripMargin).last
+      AutoAnalyze.disable(factDir)
+      out
+    }),
+
     // x53 — HISTOGRAM-PLANNED FILTER JOIN: the stats→planner loop's
     // FOURTH decision, and the catalog's first HISTOGRAM consumer.
     // x42 answers probes DISJOINT with the committed [min,max]; the
@@ -4138,6 +4169,21 @@ object ExtQ {
        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= $SemTau
        |ORDER BY keep_id, drop_id""".stripMargin
 
+  /** The MV family's shared consumer aggregate restated from orders:
+    * (status, priority) group, revenue/n_orders (+ min/max), an
+    * optional WHERE cut, and pinned extras (probe/used_mv flags). */
+  private def mvConsumerSql(where: String, extras: String,
+                            minMax: Boolean = true): String = {
+    val mm =
+      if (minMax) ",\n  MIN(o_totalprice) AS min_price,\n  MAX(o_totalprice) AS max_price"
+      else ""
+    s"""SELECT o_orderstatus, o_orderpriority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders$mm$extras
+FROM orders $where
+GROUP BY 1, 2"""
+  }
+
   val oracles: Map[String, String] = Map(
     "x11_kmeans_exact" -> kmeansExactOracle,
 
@@ -4868,35 +4914,43 @@ object ExtQ {
     // fresh / strategy / stale_detected are the contract verdicts
     // (an unfired hook, a wrong fold, a mis-sized broadcast, or a
     // silently-served post-delete state each flips one).
-    "x79_auto_analyze" ->
-      """WITH f AS (SELECT * FROM orders
-        |           WHERE o_orderdate < TIMESTAMP '1997-07-01')
-        |SELECT * FROM (
-        |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
-        |    COUNT(*) - COUNT(o_custkey) AS n_nulls,
-        |    CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
-        |    CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
-        |    CAST(NULL AS DOUBLE) AS avg_len,
-        |    TRUE AS ndv_ok, TRUE AS fresh, 'right' AS strategy,
-        |    TRUE AS stale_detected
-        |  FROM f
-        |  UNION ALL
-        |  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
-        |    CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
-        |    CAST(NULL AS DOUBLE), TRUE, TRUE, 'right', TRUE
-        |  FROM f
-        |  UNION ALL
-        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
-        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-        |    CAST(SUM(strlen(o_orderpriority)) AS DOUBLE)
-        |      / COUNT(o_orderpriority), TRUE, TRUE, 'right', TRUE
-        |  FROM f
-        |  UNION ALL
-        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
-        |    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
-        |    CAST(NULL AS DOUBLE), TRUE, TRUE, 'right', TRUE
-        |  FROM f)
-        |ORDER BY col_name""".stripMargin,
+    "x79_auto_analyze" -> {
+      val arms = Seq("o_custkey" -> true, "o_orderkey" -> true,
+          "o_orderpriority" -> false, "o_totalprice" -> true)
+        .map { case (c, numeric) =>
+          val mn = if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val al = if (numeric) "CAST(NULL AS DOUBLE)"
+            else s"CAST(SUM(strlen($c)) AS DOUBLE) / COUNT($c)"
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+    COUNT(*) - COUNT($c) AS n_nulls, $mn AS min_num, $mx AS max_num,
+    $al AS avg_len, TRUE AS ndv_ok, TRUE AS fresh,
+    'right' AS strategy, TRUE AS stale_detected
+  FROM f""" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH f AS (SELECT * FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-07-01')
+SELECT * FROM (
+  $arms)
+ORDER BY col_name"""
+    },
+
+    // x80: x79's exact-field replay, read back through the pure-SQL
+    // auto_stats binding — a binding serving stale or wrong fields
+    // breaks the values; an un-re-stamped fold flips fresh.
+    "x80_sql_auto_stats" -> {
+      val arms = Seq("o_custkey", "o_orderkey", "o_totalprice").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+    COUNT(*) - COUNT($c) AS n_nulls,
+    CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+    TRUE AS fresh
+  FROM f""" }.mkString("\n  UNION ALL\n  ")
+      s"""WITH f AS (SELECT * FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-07-01')
+SELECT * FROM (
+  $arms)
+ORDER BY col_name"""
+    },
 
     // x42: the surviving probe's aggregate stated plainly; BOTH
     // pruned verdicts recomputed from source min/max (the engine
@@ -5092,14 +5146,8 @@ object ExtQ {
     // x68: v2's numbers (ALL orders) with used_mv = FALSE — a stale-
     // served MV would hash v1's rows instead.
     "x66_mv_rewrite" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders,
-        |  MIN(o_totalprice) AS min_price,
-        |  MAX(o_totalprice) AS max_price,
-        |  TRUE AS used_mv
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      (mvConsumerSql("WHERE o_orderdate < TIMESTAMP '1997-01-01'",
+        ",\n  TRUE AS used_mv") + "\nORDER BY 1, 2"),
 
     "x67_mv_rollup" ->
       """SELECT o_orderstatus,
@@ -5112,25 +5160,15 @@ object ExtQ {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x68_mv_staleness" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders,
-        |  FALSE AS used_mv
-        |FROM orders
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      (mvConsumerSql("", ",\n  FALSE AS used_mv", minMax = false) +
+        "\nORDER BY 1, 2"),
 
     // x70: the aggregate over v1 ∪ Δ restated from orders — the hash
     // proves merge(MV(v1), partials(Δ)) == MV(v1 ∪ Δ) group for
     // group, and used_mv=TRUE pins that the refreshed view serves.
     "x70_mv_refresh" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders,
-        |  MIN(o_totalprice) AS min_price,
-        |  MAX(o_totalprice) AS max_price,
-        |  TRUE AS used_mv
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      (mvConsumerSql("WHERE o_orderdate < TIMESTAMP '1997-07-01'",
+        ",\n  TRUE AS used_mv") + "\nORDER BY 1, 2"),
 
     // x69: rows restated straight from orders (the layout must be
     // invisible to the answer); pruned = TRUE is the listing witness
@@ -5191,29 +5229,14 @@ object ExtQ {
     // repeats the refreshed aggregate AFTER DROP MATERIALIZED VIEW:
     // same values straight from the fact, used_mv FALSE.
     "x78_sql_mv_ddl" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders,
-        |  MIN(o_totalprice) AS min_price,
-        |  MAX(o_totalprice) AS max_price,
-        |  'created' AS probe, TRUE AS used_mv
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY 1, 2
-        |UNION ALL
-        |SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
-        |  COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
-        |  'refreshed', TRUE
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
-        |GROUP BY 1, 2
-        |UNION ALL
-        |SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
-        |  COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
-        |  'dropped', FALSE
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
-        |GROUP BY 1, 2
-        |ORDER BY probe, o_orderstatus, o_orderpriority""".stripMargin,
+      (Seq(("created", "1997-01-01", "TRUE"),
+          ("refreshed", "1997-07-01", "TRUE"),
+          ("dropped", "1997-07-01", "FALSE"))
+        .map { case (probe, cut, used) =>
+          mvConsumerSql(s"WHERE o_orderdate < TIMESTAMP '$cut'",
+            s",\n  '$probe' AS probe, $used AS used_mv") }
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY probe, o_orderstatus, o_orderpriority")),
 
     // x77: both probes restated straight from orders; used_mv TRUE
     // only for the grouping-key conjunct — a matcher that served the

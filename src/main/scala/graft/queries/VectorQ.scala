@@ -507,6 +507,34 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v27 — FILTERED ANN (metadata predicate + vector search — the
+    // filtered-search shape every production vector store serves:
+    // "nearest neighbors among label-1 vectors"). The predicate
+    // restricts the CANDIDATE SET before top-k — post-filtering a
+    // finished top-k under-fills k whenever the predicate is
+    // selective (at ~10% selectivity a post-filtered top-3 is
+    // usually empty) and mis-ranks what survives. The allowed-id
+    // set joins the bucket-partitioned assignment table (at 100 TB
+    // the label column lives ON the assignment rows, so this is a
+    // pushed filter with zero extra shuffle); centroid ranking and
+    // probe budget are unchanged, so the scan still reads nprobe/k
+    // of the (filtered) corpus. Exact-trained index ⇒ the same
+    // unrolled-training hash oracle with the predicate in the
+    // candidate stage.
+    "v27_filtered_knn" -> ((s, d) => {
+      val idx = learnedIndex(s, d)
+      val allowed = Tables.load(s, d, "embeddings")
+        .filter(col("label") === 1).select(col("vec_id"))
+      val fidx = graft.ops.Ivf.Index(idx.centroids,
+        idx.assigned.join(allowed, "vec_id"), "vec_id")
+      val q = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(fidx, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     // v24 — PERSISTED VECTOR INDEX (index-as-a-table): the trained
     // IVF index committed to the snapshot log — centroids and
     // assignments as TWO lakehouse tables landed in ONE x45
@@ -1048,13 +1076,7 @@ object VectorQ {
        |  WHERE a.vec_id <> l.qid
        |  GROUP BY l.qid, a.vec_id)""".stripMargin
 
-  private def pqTopSelect(p: String): String =
-    s"""SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
-       |FROM (SELECT qid, nb_id, score,
-       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
-       |      FROM ${p}scored) x
-       |WHERE rn <= 3
-       |ORDER BY qid, nb_rank""".stripMargin
+  private def pqTopSelect(p: String): String = topkTail(s"${p}scored")
 
   private def pqOracle: String =
     s"""WITH ${pqTrainCtes("")},
@@ -1125,22 +1147,47 @@ object VectorQ {
        |    WHERE q.vec_id < 5) t
        |  WHERE brn <= 2)""".stripMargin
 
+  /** The shared top-3 probe tail: rank candidates per query, emit
+    * (qid, nb_id, nb_rank, rounded score[, pinned extras]). */
+  private def topkTail(src: String, extras: String = ""): String =
+    s"""SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score$extras
+       |FROM (SELECT qid, nb_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+       |      FROM $src) x
+       |WHERE rn <= 3
+       |ORDER BY qid, nb_rank""".stripMargin
+
+  /** Full-width scoring of probed buckets against `src`'s vectors;
+    * `extraWhere` restricts the candidate set (filtered search). */
+  private def candsCte(probed: String, asg: String, src: String,
+                       extraWhere: String = ""): String =
+    s"""cands AS (
+       |  SELECT p.qid, a.vec_id AS nb_id,
+       |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
+       |  FROM $probed p
+       |  JOIN $asg a ON a.cluster_id = p.cluster_id
+       |  JOIN $src e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid$extraWhere)""".stripMargin
+
+  /** Every vector of `src` assigned at the `${p}cent` final centroids
+    * with training's exact expression and tie-break. */
+  private def assignAllCte(name: String, src: String, p: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cluster_id FROM (
+       |    SELECT e.vec_id, c.cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |          + list_dot_product(c.cvec, c.cvec)
+       |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
+       |        c.cluster_id) AS rn
+       |    FROM $src e CROSS JOIN ${p}cent${IvfIters - 1} c) t
+       |  WHERE rn = 1)""".stripMargin
+
   private def ivfProbe2Oracle: String =
     s"""WITH ${ivfTrainCtes("")},
        |${ivfProbedCte("")},
-       |cands AS (
-       |  SELECT p.qid, a.vec_id AS nb_id,
-       |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
-       |  FROM probed p
-       |  JOIN asg$IvfIters a ON a.cluster_id = p.cluster_id
-       |  JOIN embeddings e ON e.vec_id = a.vec_id
-       |  WHERE a.vec_id <> p.qid)
-       |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
-       |FROM (SELECT qid, nb_id, score,
-       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
-       |      FROM cands) x
-       |WHERE rn <= 3
-       |ORDER BY qid, nb_rank""".stripMargin
+       |${candsCte("probed", s"asg$IvfIters", "embeddings")}
+       |${topkTail("cands")}""".stripMargin
 
   /** The v20 oracle: the FULL REBUILD at fixed centroids — train on
     * the history split (the same unrolled chain as v8's, restricted
@@ -1158,33 +1205,13 @@ object VectorQ {
     * store: restricted to the history split it is v1, whole it is v2. */
   private[queries] lazy val appendAssignCtes: String =
     s"""${ivfTrainCtes("h", s"WHERE vec_id % $AppendSplitMod < $AppendHistMax")},
-       |allasg AS (
-       |  SELECT vec_id, cluster_id FROM (
-       |    SELECT e.vec_id, c.cluster_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
-       |          + list_dot_product(c.cvec, c.cvec)
-       |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
-       |        c.cluster_id) AS rn
-       |    FROM embeddings e CROSS JOIN hcent${IvfIters - 1} c) t
-       |  WHERE rn = 1)""".stripMargin
+       |${assignAllCte("allasg", "embeddings", "h")}""".stripMargin
 
   private def ivfAppendOracle: String =
     s"""WITH $appendAssignCtes,
        |${ivfProbedCte("h")},
-       |cands AS (
-       |  SELECT p.qid, a.vec_id AS nb_id,
-       |    list_dot_product(p.qe, e.embedding::DOUBLE[]) AS score
-       |  FROM hprobed p
-       |  JOIN allasg a ON a.cluster_id = p.cluster_id
-       |  JOIN embeddings e ON e.vec_id = a.vec_id
-       |  WHERE a.vec_id <> p.qid)
-       |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score
-       |FROM (SELECT qid, nb_id, score,
-       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
-       |      FROM cands) x
-       |WHERE rn <= 3
-       |ORDER BY qid, nb_rank""".stripMargin
+       |${candsCte("hprobed", "allasg", "embeddings")}
+       |${topkTail("cands")}""".stripMargin
 
   /** The v12 oracle: BOTH exact training chains composed — IVF
     * buckets pick the candidate pairs (nprobe = 2), the PQ codes
@@ -1280,6 +1307,14 @@ object VectorQ {
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
 
+    // v27: v8's chain with the label predicate in the candidate
+    // stage — eligibility applies BEFORE ranking, both engines.
+    "v27_filtered_knn" ->
+      s"""WITH ${ivfTrainCtes("")},
+         |${ivfProbedCte("")},
+         |${candsCte("probed", s"asg$IvfIters", "embeddings", " AND e.label = 1")}
+         |${topkTail("cands")}""".stripMargin,
+
     // v24: v8's unrolled-training twin — the persisted index must
     // serve exactly what the session-trained index serves (parquet
     // round-trips doubles bit-exactly) — plus the literal atomicity
@@ -1347,31 +1382,10 @@ object VectorQ {
          |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
          |  FROM embeddings WHERE vec_id < 2),
          |${ivfTrainCtes("r", src = "dcorpus")},
-         |allasg AS (
-         |  SELECT vec_id, cluster_id FROM (
-         |    SELECT e.vec_id, c.cluster_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_dot_product(e.embedding, e.embedding)
-         |          + list_dot_product(c.cvec, c.cvec)
-         |          - 2 * list_dot_product(e.embedding, c.cvec),
-         |        c.cluster_id) AS rn
-         |    FROM rcorpus e CROSS JOIN rcent${IvfIters - 1} c) t
-         |  WHERE rn = 1),
+         |${assignAllCte("allasg", "rcorpus", "r")},
          |${ivfProbedCte("r")},
-         |cands AS (
-         |  SELECT p.qid, a.vec_id AS nb_id,
-         |    list_dot_product(p.qe, e.embedding) AS score
-         |  FROM rprobed p
-         |  JOIN allasg a ON a.cluster_id = p.cluster_id
-         |  JOIN rcorpus e ON e.vec_id = a.vec_id
-         |  WHERE a.vec_id <> p.qid)
-         |SELECT qid, nb_id, CAST(rn AS INT) AS nb_rank, round(score, 4) AS score,
-         |  TRUE AS rebuild_fired, TRUE AS index_atomic
-         |FROM (SELECT qid, nb_id, score,
-         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
-         |      FROM cands) x
-         |WHERE rn <= 3
-         |ORDER BY qid, nb_rank""".stripMargin,
+         |${candsCte("rprobed", "allasg", "rcorpus")}
+         |${topkTail("cands", ", TRUE AS rebuild_fired, TRUE AS index_atomic")}""".stripMargin,
 
     "v12_knn_ivfpq" -> ivfPqOracle,
 

@@ -79,11 +79,21 @@ object SqlRunner {
       scala.util.matching.Regex.quoteReplacement(view)
     })
     // DESCRIBE HISTORY (x74): the commit log as a queryable view
-    val bound4 = TableHistory.replaceAllIn(bound3, m => {
+    val bound4a = TableHistory.replaceAllIn(bound3, m => {
       val dir = m.group(1)
       val view = s"history_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Snapshots.history(spark, dir)
         .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    // auto-maintained stats catalog (x80): the commit hook's served
+    // summary + freshness verdict as a queryable view — pure-SQL
+    // audits and planners read what the hook maintains, zero
+    // data-sized jobs at bind time
+    val bound4 = AutoStats.replaceAllIn(bound4a, m => {
+      val dir = m.group(1)
+      val view = s"autostats_${Integer.toHexString(dir.hashCode)}"
+      graft.ops.AutoAnalyze.frame(spark, dir).createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
     // MV DDL (x78): CREATE/REFRESH MATERIALIZED VIEW are whole
@@ -118,6 +128,11 @@ object SqlRunner {
   /** `DROP MATERIALIZED VIEW <name>` — de-register + drop storage. */
   private val DropMv =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+
+  /** `auto_stats('<dir>')` binds the commit hook's served summary
+    * (one row per profiled column + the freshness verdict). */
+  private val AutoStats =
+    """(?i)auto_stats\(\s*'([^']+)'\s*\)""".r
 
   /** `table_history('<dir>')` binds the manifest-sized commit log
     * (version, kind, ts, base, published) for pure-SQL audits. */

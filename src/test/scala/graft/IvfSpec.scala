@@ -177,4 +177,40 @@ class IvfSpec extends SparkSpec {
     assert(got == want, "a resumed append must assign at the committed centroids")
     assert(resumed.assigned.count() == corpus.count() + 1)
   }
+
+  test("v27: filtered search ranks among ELIGIBLE vectors only — " +
+    "post-filtering a finished top-k is the wrong answer") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array(math.cos(i * 0.7), math.sin(i * 0.7)), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val idx = Ivf.buildExact(vecs, "vec_id", "embedding", k = 4)
+    val allowed = vecs.filter(col("label") === 1).select(col("vec_id"))
+    val fidx = Ivf.Index(idx.centroids, idx.assigned.join(allowed, "vec_id"),
+      "vec_id")
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // nprobe = k ⇒ exact among the eligible set
+    val got = Ivf.probe(fidx, queries, nprobe = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = vecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2))).toSeq
+    def brute(q: Long) = {
+      val qv = all.find(_._1 == q).get._2
+      all.filter(v => v._3 == 1 && v._1 != q)
+        .map(v => v._1 -> v._2.zip(qv).map(p => p._1 * p._2).sum)
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }
+    assert(got == (0L until 2L).flatMap(brute).toSet,
+      "filtered probe must equal brute force over the eligible subset")
+    assert(got.forall { case (_, nb, _) => nb % 4 == 1 },
+      "every served neighbor must satisfy the predicate")
+    // the wrong way (filter AFTER top-k) under-fills: at 25%
+    // selectivity an unfiltered top-3 rarely survives intact
+    val post = Ivf.probe(idx, queries, nprobe = 4, topK = 3)
+      .filter(col("nb_id") % 4 === 1).count()
+    assert(post < got.size,
+      "post-filtering must lose neighbors the filtered scan keeps")
+  }
 }

@@ -108,4 +108,31 @@ class SqlRunnerSpec extends SparkSpec {
         s"SELECT * FROM snapshot_at('$dir', 9)")
     }
   }
+
+  test("x80: auto_stats binds the hook's summary; staleness rides the view") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    import graft.ops.AutoAnalyze
+    val dir = java.nio.file.Files.createTempDirectory("sqlas").toString + "/t"
+    // unprofiled dir: the binding fails loudly at bind time
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"SELECT * FROM auto_stats('$dir')")
+    }
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v"), dir)
+    val rows = SqlRunner.runScriptWithSnapshots(spark,
+      s"""SELECT col_name, n_rows, min_num, max_num, fresh
+         |FROM auto_stats('$dir') ORDER BY col_name""".stripMargin)
+      .last.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("k", "v"))
+    assert(rows.forall(r => r.getLong(1) == 2L && r.getBoolean(4)))
+    assert(rows.find(_.getString(0) == "v").get.getDouble(3) == 4.0)
+    // an unfoldable delete flips the served verdict
+    Snapshots.commitDeletes(Seq(Tuple1(1L)).toDF("k"), dir, base = 1)
+    val stale = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT fresh FROM auto_stats('$dir') LIMIT 1").last.collect()
+    assert(!stale.head.getBoolean(0), "the view must serve the stale verdict")
+    AutoAnalyze.dropState(spark, dir)
+  }
 }
