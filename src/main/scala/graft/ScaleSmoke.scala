@@ -32,6 +32,9 @@ object ScaleSmoke {
     "t16_boilerplate", "t17_perplexity", "d12_span_dedup",
     "v14_semdedup", "t19_dsir_weights", "t20_gopher_rules",
     "t21_profile", "t22_ccnet_buckets", "t23_weighted_sample",
+    // t27 runs t20's gate pass over the F×-scaled corpus (one scan,
+    // narrow maps) and the heap shuffle carries survivors only
+    "t27_gated_sample",
     "x19_zorder_layout", "v18_mmr_rerank", "d13_containment",
     "t24_nfc_normalize", "v19_radius_search", "s6_enrich_events",
     "d14_phash_dedup", "v20_ivf_append", "m3_frame_dedup",
@@ -243,6 +246,10 @@ object ScaleSmoke {
     // v25 is deliberately absent: its data-sized work IS v20's
     // append assignment (measured above, shared Derived index);
     // the drift math after it is two model-sized aggregates
+    // v28 is deliberately absent: its data-sized work IS v12's
+    // (same two trained indexes + ADC scan, measured above); the
+    // refine stage joins R=10 rows per query against the corpus by
+    // id — lookup-sized at any F
     // v27 is deliberately absent: its data-sized work IS v8's
     // (same learned index, measured above); the eligibility join is
     // assignment-partitioned and the probe scans nprobe/k of the

@@ -41,6 +41,37 @@ object TextQ {
   /** t13: exact per-stratum sample size. */
   val StratN = 20
 
+  /** t20's gate CTEs (t, g) — shared by the t20 oracle and every
+    * oracle that composes the Gopher gate (t27). */
+  private lazy val gopherGateCtes: String =
+    s"""t AS (SELECT doc_id, text,
+       |  list_transform(string_split_regex(trim(text), '\\s+'),
+       |    x -> lower(x)) AS w FROM documents),
+       |g AS (SELECT doc_id, text, w,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END
+       |    AS INT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+       |    AS BIGINT) AS sum_len,
+       |  CAST(length(text) - length(replace(text, '#', ''))
+       |     + (length(text) - length(replace(text, '...', ''))) / 3
+       |    AS BIGINT) AS n_sym,
+       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |    AS BIGINT) AS n_alpha,
+       |  CAST(len(list_intersect(list_distinct(w),
+       |    [${GopherStops.map(x => s"'$x'").mkString(", ")}]))
+       |    AS BIGINT) AS n_stops
+       |FROM t)""".stripMargin
+
+  /** The keep predicate over g's columns — the single source of the
+    * gate's thresholds on the oracle side. */
+  private val gopherKeepSql: String =
+    """CASE WHEN n_words >= 5 AND n_words <= 100000
+      |        AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+      |        AND n_sym * 10 <= n_words
+      |        AND n_alpha * 5 >= n_words * 4
+      |        AND n_stops >= 2
+      |       THEN 1 ELSE 0 END""".stripMargin
+
   /** t15 hashed-feature space size. 64 buckets is fixture-sized; the
     * shape is bucket-count-independent (the weight lives in an
     * expression, not a join). */
@@ -480,6 +511,30 @@ object TextQ {
       val h = TextFns.hash60(concat(lit("strat|"), col("doc_id").cast("string")))
       val ranked = docs(s, d).select(col("doc_id"), col("lang"))
         .withColumn("h", h)
+      val top = graft.plans.TopK.perKey(ranked, Seq("lang"),
+        Seq(col("h"), col("doc_id")), StratN)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // t27 — QUALITY-GATED STRATIFIED SAMPLE (the curation pipeline's
+    // real sampling shape, t20 × t13): sampling FIRST wastes budget
+    // on rejects, and gating a FINISHED sample under-fills strata —
+    // so t20's Gopher battery decides eligibility and t13's
+    // salted-hash order ranks ONLY survivors per language, each
+    // stratum filling its budget deterministically. The gate is
+    // map-side narrow expressions over one scan; the heap shuffle
+    // then carries survivors' (lang, hash, id) triples only — at
+    // 100 TB the reject share never reaches the exchange.
+    "t27_gated_sample" -> ((s, d) => {
+      val eligible = gopherBattery(docs(s, d))
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val h = TextFns.hash60(concat(lit("gated|"), col("doc_id").cast("string")))
+      val ranked = docs(s, d).select(col("doc_id"), col("lang"))
+        .join(eligible, "doc_id").withColumn("h", h)
       val top = graft.plans.TopK.perKey(ranked, Seq("lang"),
         Seq(col("h"), col("doc_id")), StratN)
       val w = org.apache.spark.sql.expressions.Window
@@ -1138,33 +1193,26 @@ object TextQ {
     // every keep rule is an integer comparison — no float threshold
     // can flip between engines; ratios are display-rounded only
     "t20_gopher_rules" ->
-      s"""WITH t AS (SELECT doc_id, text,
-         |  list_transform(string_split_regex(trim(text), '\\s+'),
-         |    x -> lower(x)) AS w FROM documents),
-         |g AS (SELECT doc_id, text, w,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END
-         |    AS INT) AS n_words,
-         |  CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
-         |    AS BIGINT) AS sum_len,
-         |  CAST(length(text) - length(replace(text, '#', ''))
-         |     + (length(text) - length(replace(text, '...', ''))) / 3
-         |    AS BIGINT) AS n_sym,
-         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-         |    AS BIGINT) AS n_alpha,
-         |  CAST(len(list_intersect(list_distinct(w),
-         |    [${GopherStops.map(x => s"'$x'").mkString(", ")}]))
-         |    AS BIGINT) AS n_stops
-         |FROM t)
+      s"""WITH $gopherGateCtes
          |SELECT doc_id, n_words, sum_len, n_sym, n_alpha, n_stops,
          |  CASE WHEN n_words > 0 THEN round(sum_len * 1.0 / n_words, 4)
          |       ELSE 0.0 END AS mean_word_len,
-         |  CASE WHEN n_words >= 5 AND n_words <= 100000
-         |        AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
-         |        AND n_sym * 10 <= n_words
-         |        AND n_alpha * 5 >= n_words * 4
-         |        AND n_stops >= 2
-         |       THEN 1 ELSE 0 END AS keep
+         |  $gopherKeepSql AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // t27: the same gate CTEs, survivors ranked by the salted hash
+    // per language — the gate and the sample replay as one text.
+    "t27_gated_sample" ->
+      s"""WITH $gopherGateCtes,
+         |k AS (SELECT doc_id FROM g WHERE $gopherKeepSql = 1)
+         |SELECT lang, CAST(rn AS INT) AS rank, doc_id FROM (
+         |  SELECT d.lang, d.doc_id,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY
+         |      CAST(('0x' || substr(md5('gated|' || d.doc_id::VARCHAR), 1, 15)) AS BIGINT),
+         |      d.doc_id) AS rn
+         |  FROM documents d JOIN k USING (doc_id)) t2
+         |WHERE rn <= $StratN
+         |ORDER BY lang, rank""".stripMargin,
 
     "q31_grouping_sets" ->
       """SELECT coalesce(source, 'ALL') AS source,

@@ -47,6 +47,10 @@ object VectorQ {
     * the fused score exact — each leg contributes
     * floor(RrfMicro / (RrfK + rank)), all-integer on both engines. */
   val RrfK = 60
+  /** v28 refine shortlist depth: the ADC stage keeps R ≫ k
+    * candidates; the exact re-rank reads only these R per query. */
+  val RefineR = 10
+
   val RrfLegDepth = 20
   val RrfMicro = 1000000L
 
@@ -725,6 +729,43 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v28 — TWO-STAGE REFINE (FAISS's IndexRefine / the re-rank
+    // stage every compressed-index deployment runs): the ADC scan is
+    // cheap but QUANTIZED — its scores carry codebook error, so its
+    // top-3 can misorder near-ties. Production shape: take a WIDER
+    // ADC shortlist (R=10 ≫ k=3, still candidate-bounded), then
+    // re-rank just those R rows with FULL-WIDTH vectors — exact
+    // scores for a 10-row-per-query join against the corpus (id
+    // lookups, never a scan), so the served top-3 has exact ranks at
+    // compressed-scan cost. Both trainers are decimal-exact, so the
+    // whole composition — coarse probe, ADC shortlist, exact
+    // re-rank — carries a full hash oracle.
+    "v28_pq_refine" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val ivf = learnedIndex(s, d)
+      val pq = pqIndex(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = graft.ops.Ivf.probeCandidatePairs(ivf, q, nprobe = 2)
+      val shortlist = graft.ops.Pq.searchAmong(pq, q, cands, topK = RefineR)
+        .select(col("qid"), col("nb_id"))
+      val scored = shortlist
+        .join(e.select(col("vec_id").as("nb_id"),
+          col("embedding").cast("array<double>").as("_nv")), "nb_id")
+        .join(broadcast(q.select(col("qid"),
+          col("qvec").cast("array<double>").as("_q"))), "qid")
+        .withColumn("score", VectorOps.dot(col("_q"), col("_nv")))
+      val top = graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(col("score").desc, col("nb_id")), 3)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("nb_id"))
+      top.withColumn("nb_rank", row_number().over(w))
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     // v9 — ANN over PRODUCT-QUANTIZED codes (ops.Pq): 64-dim float
     // vectors compressed to 4 codes of 4 bits; queries score
     // candidates via a broadcast (m × k) lookup table — m array
@@ -1388,6 +1429,35 @@ object VectorQ {
          |${topkTail("cands", ", TRUE AS rebuild_fired, TRUE AS index_atomic")}""".stripMargin,
 
     "v12_knn_ivfpq" -> ivfPqOracle,
+
+    // v28: v12's composed chain with a 10-deep ADC shortlist CTE,
+    // then the exact full-width re-rank of just those rows — both
+    // stages' tie-breaks identical to the engine's.
+    "v28_pq_refine" ->
+      s"""WITH ${ivfTrainCtes("i")},
+         |${pqTrainCtes("p")},
+         |${ivfProbedCte("i")},
+         |cand AS (
+         |  SELECT pr.qid, a.vec_id
+         |  FROM iprobed pr
+         |  JOIN iasg$IvfIters a ON a.cluster_id = pr.cluster_id
+         |  WHERE a.vec_id <> pr.qid),
+         |${pqScoreCtes("p",
+        "JOIN cand c ON c.vec_id = a.vec_id",
+        " AND l.qid = c.qid")},
+         |shortlist AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT qid, nb_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb_id) AS rn
+         |    FROM pscored) t
+         |  WHERE rn <= $RefineR),
+         |refined AS (
+         |  SELECT sl.qid, sl.nb_id,
+         |    list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+         |  FROM shortlist sl
+         |  JOIN embeddings q ON q.vec_id = sl.qid
+         |  JOIN embeddings e ON e.vec_id = sl.nb_id)
+         |${topkTail("refined")}""".stripMargin,
 
     // Sq.encode + Sq.score term for term: max|x|/127 scale,
     // floor(x/s + 0.5) codes (floor, not round — round's half-case

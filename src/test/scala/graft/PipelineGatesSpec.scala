@@ -94,4 +94,29 @@ class PipelineGatesSpec extends SparkSpec {
         lit("1996-12-31").cast("timestamp")).count() == 0)
     } finally hist.unpersist(): Unit
   }
+
+  test("t27: gated sampling never serves a reject, strata stay within budget, " +
+    "and an under-filled stratum is NOT padded with rejects") {
+    val good = "The quick brown fox and the lazy dog have agreed to " +
+      "share all of that fine food with everyone present today"
+    // lang 'xx' has ONE eligible doc among rejects: the sample must
+    // return exactly that one row, never pad to the budget
+    val dir = tmpDocs(
+      (1L to 30L).map(i => (i, good + s" extra$i", "en", "web")) ++ Seq(
+        (100L, good, "xx", "web"),
+        (101L, "too short", "xx", "web"),
+        (102L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk", "xx", "web")))
+    val out = SparkEntry.queries("t27_gated_sample")(spark, dir).collect()
+    val eligible = graft.queries.TextQ.gopherBattery(
+      Tables.load(spark, dir, "documents"))
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => eligible(r.getAs[Long]("doc_id"))),
+      "every sampled doc must pass the gate")
+    val byLang = out.groupBy(_.getString(0)).map { case (l, rs) => l -> rs.length }
+    assert(byLang.values.forall(_ <= graft.queries.TextQ.StratN))
+    assert(byLang("xx") == 1, "an under-filled stratum serves its survivors only")
+    assert(out.filter(_.getString(0) == "xx").head.getAs[Long]("doc_id") == 100L)
+    assert(byLang("en") == math.min(30, graft.queries.TextQ.StratN))
+  }
 }

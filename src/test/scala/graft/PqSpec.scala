@@ -106,4 +106,29 @@ class PqSpec extends SparkSpec {
     val finer = Pq.build(emb, "vec_id", "embedding", dim = 64, m = 8, k = K, iters = 3)
     assert(mse(finer) < mse(index))
   }
+
+  test("v28: the refine stage serves EXACT scores, exactly ranked, from within the shortlist") {
+    VectorOps.ensureRegistered(spark)
+    val out = SparkEntry.queries("v28_pq_refine")(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    // every served score is the FULL-WIDTH dot product — quantization
+    // error may pick the shortlist but never the served numbers
+    out.foreach { r =>
+      val exact = dot(vecs(r.getAs[Long]("qid")), vecs(r.getAs[Long]("nb_id")))
+      assert(math.abs(r.getAs[Double]("score") -
+        math.rint(exact * 10000) / 10000) < 1e-9,
+        s"served score must be the exact dot product for $r")
+    }
+    // ranks are dense from 1 and scores non-increasing per query
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("nb_rank"))
+      assert(sorted.map(_.getAs[Int]("nb_rank")).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 ||
+        p(0).getAs[Double]("score") >= p(1).getAs[Double]("score")))
+    }
+  }
 }
