@@ -123,6 +123,11 @@ object ScaleSmoke {
     // (HcSeedK hash-ranked nodes — |seeds| is 32 at any F), so state
     // grows K·n linearly — the r9 `% 3` rule grew it quadratically
     "k21_harmonic_closeness",
+    // k24 runs min-label clustering over the F×-scaled one-week
+    // windowed bipartite graph (k15's frame — O(log diameter) rounds,
+    // per-round bounded shuffle); the histogram output is bounded by
+    // distinct component sizes at any F
+    "k24_component_sizes",
     // x50 rewrites the F×-scaled 3-version history — cost is
     // history-sized BY DESIGN (the honest GDPR price the operator
     // exists to state); the purge set stays fixed

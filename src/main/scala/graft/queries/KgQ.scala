@@ -124,6 +124,22 @@ object KgQ {
     Derived.of(s, d, "tri_edges")(
       edgesDf(s, d).select(col("src"), col("tgt")).distinct())
 
+  /** k15/k24's shared frame: min-label components of the one-week
+    * date-windowed bipartite graph, (node, component). */
+  private def windowComponents(s: SparkSession, d: String): DataFrame = {
+    val eo = Tables.load(s, d, "orders")
+      .filter(col("o_orderdate").between("1995-03-01", "1995-03-07"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val edges = eo.join(
+        Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a_id"),
+        (col("l_suppkey") + 1000000L).as("b_id"))
+      .distinct()
+    graft.ops.DedupCluster.clusters(edges)
+      .select(col("doc_id").as("node"), col("rep_id").as("component"))
+  }
+
   /** Full bipartite customer–supplier co-purchase graph: distinct
     * (o_custkey, l_suppkey + 1e6) pairs over ALL orders — the shared
     * input of the whole-graph analytics family (k11 PageRank, k14
@@ -165,6 +181,25 @@ object KgQ {
   // ── DuckDB CTE prefix ──────────────────────────────────────────────
   // Plain (non-interpolated) string: `$` appears in regexes. Params are
   // patched in via @TOKENS@.
+
+  /** k15/k24's shared oracle chain: recursive reachability over the
+    * one-week windowed bipartite graph, min label per node, sizes. */
+  private val compCtes: String =
+    """WITH RECURSIVE eo AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-07'),
+      |e0 AS (
+      |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
+      |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
+      |edges AS (SELECT a AS s, b AS t FROM e0 UNION SELECT b, a FROM e0),
+      |reach(node, r) AS (
+      |  SELECT s, t FROM (SELECT s, t FROM edges
+      |                    UNION SELECT s, s FROM edges) base
+      |  UNION
+      |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.t),
+      |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      |sizes AS (SELECT component, COUNT(*) AS n_members FROM comp
+      |          GROUP BY component)""".stripMargin
 
   private val ctePrefixTemplate =
     """WITH papers AS (
@@ -656,22 +691,26 @@ object KgQ {
     // replays reachability as a recursive-CTE transitive closure, so
     // the hash match is exact, not approximate.
     "k15_components" -> ((s, d) => {
-      val eo = Tables.load(s, d, "orders")
-        .filter(col("o_orderdate").between("1995-03-01", "1995-03-07"))
-        .select(col("o_orderkey"), col("o_custkey"))
-      val edges = eo.join(
-          Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("a_id"),
-          (col("l_suppkey") + 1000000L).as("b_id"))
-        .distinct()
-      val comp = graft.ops.DedupCluster.clusters(edges)
-        .select(col("doc_id").as("node"), col("rep_id").as("component"))
+      val comp = windowComponents(s, d)
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
       comp.join(sizes, "component")
         .select(col("node"), col("component"), col("n_members"))
         .orderBy(col("node"))
     }),
+
+    // k24 — COMPONENT SIZE DISTRIBUTION (the connectivity summary
+    // next to k23's degree histogram: one giant component or
+    // fragments?): k15's min-label components rolled to (size,
+    // n_components, n_nodes) — two component-cardinality-sized
+    // groupBys over the SAME clusters frame; output is bounded by
+    // distinct sizes at any corpus, never nodes.
+    "k24_component_sizes" -> ((s, d) =>
+      windowComponents(s, d)
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .select(col("size"), col("n_components"),
+          (col("size") * col("n_components")).cast("long").as("n_nodes"))
+        .orderBy(col("size"))),
 
     // k16 — (p,q)-CORE DECOMPOSITION of the bipartite customer⋈
     // supplier graph (the bipartite generalization of k-core, Ahmed
@@ -1129,24 +1168,18 @@ object KgQ {
     // reachability as transitive closure (d6's oracle pattern): the
     // component of a node is min over everything it can reach
     "k15_components" ->
-      """WITH RECURSIVE eo AS (
-        |  SELECT o_orderkey, o_custkey FROM orders
-        |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-07'),
-        |e0 AS (
-        |  SELECT DISTINCT eo.o_custkey AS a, l.l_suppkey + 1000000 AS b
-        |  FROM eo JOIN lineitem l ON l.l_orderkey = eo.o_orderkey),
-        |edges AS (SELECT a AS s, b AS t FROM e0 UNION SELECT b, a FROM e0),
-        |reach(node, r) AS (
-        |  SELECT s, t FROM (SELECT s, t FROM edges
-        |                    UNION SELECT s, s FROM edges) base
-        |  UNION
-        |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.t),
-        |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
-        |sizes AS (SELECT component, COUNT(*) AS n_members FROM comp
-        |          GROUP BY component)
+      s"""$compCtes
         |SELECT c.node, c.component, s.n_members
         |FROM comp c JOIN sizes s USING (component)
         |ORDER BY node""".stripMargin,
+
+    // k24: the same recursive-reach chain, sizes rolled to the
+    // distribution — size arithmetic exact integers both engines.
+    "k24_component_sizes" ->
+      s"""$compCtes
+        |SELECT n_members AS size, COUNT(*) AS n_components,
+        |  CAST(n_members * COUNT(*) AS BIGINT) AS n_nodes
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "k16_kcore" -> kcoreOracle,
 

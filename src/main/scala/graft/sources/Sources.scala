@@ -737,6 +737,12 @@ object Snapshots {
     val o = target.get.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     o.remove("staged")
     replaceEntry(fs, p, version, o.toString)
+    // opt-in auto-ANALYZE (x79): a published plain staged version is
+    // the table's new full state — profile its own files now that
+    // readers can see it (kinded versions — DVs, chained appends —
+    // stay staleness-detected instead)
+    if (Option(o.get("kind")).isEmpty)
+      graft.ops.AutoAnalyze.afterCommit(spark, dir, version, base = None)
   }
 
   // ------------------------------------------------------------------

@@ -341,6 +341,26 @@ class AnalyzeSpec extends SparkSpec {
     AutoAnalyze.dropState(spark, dir2)
   }
 
+  test("x79: a staged version folds nothing until PUBLISH makes it servable") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("e")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0)).toDF("k", "v"), dir)
+    val v1 = AutoAnalyze.stats(spark, dir).get
+    val staged = Snapshots.commitStaged(Seq((2L, 20.0), (3L, 30.0)).toDF("k", "v"), dir)
+    assert(AutoAnalyze.stats(spark, dir).get == v1,
+      "a reader-invisible staged write must not move the served stats")
+    assert(AutoAnalyze.isFresh(spark, dir),
+      "staged versions are invisible to latest — the verdict stays fresh")
+    Snapshots.publish(spark, dir, staged)
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(st.version == staged && AutoAnalyze.isFresh(spark, dir))
+    assert(st.cols("k").nRows == 2, "publish must profile the published state")
+    AutoAnalyze.dropState(spark, dir)
+  }
+
   test("x79: enabling mid-history falls back to ONE full profile, then folds") {
     import graft.ops.AutoAnalyze
     import graft.sources.Snapshots

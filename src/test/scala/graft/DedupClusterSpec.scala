@@ -54,4 +54,17 @@ class DedupClusterSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(reps == Set(0L)) // docs 0,1,2 cluster; doc 3 has no pairs
   }
+
+  test("k24: the size distribution tiles k15's node set exactly") {
+    val hist = SparkEntry.queries("k24_component_sizes")(spark, Sf0001).collect()
+    val comp = SparkEntry.queries("k15_components")(spark, Sf0001)
+    val nNodes = comp.count()
+    val nComponents = comp.select("component").distinct().count()
+    assert(hist.map(r => r.getAs[Long]("n_nodes")).sum == nNodes,
+      "size × count must tile the node set with no gap or overlap")
+    assert(hist.map(_.getAs[Long]("n_components")).sum == nComponents)
+    assert(hist.forall(r =>
+      r.getAs[Long]("n_nodes") ==
+        r.getAs[Long]("size") * r.getAs[Long]("n_components")))
+  }
 }
