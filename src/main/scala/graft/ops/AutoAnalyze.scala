@@ -120,6 +120,24 @@ object AutoAnalyze {
     }
   }
 
+  /** Post-purge re-profile (dispatched by Snapshots.purgeKeys): a
+    * purge rewrites version files IN PLACE, so the stamped version
+    * number alone cannot detect the change — recompute the state
+    * from the resolved latest and re-stamp. No-op unless registered
+    * (or never profiled). */
+  def afterPurge(spark: SparkSession, dir: String): Unit = {
+    val key = norm(dir)
+    if (!registry.contains(key) || stats(spark, dir).isEmpty) return
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      import graft.sources.Snapshots
+      val latest = Snapshots.versions(spark, dir).lastOption.getOrElse(return)
+      val state = stateFrame(Snapshots.readResolved(spark, dir))
+      val catDir = catalogDirFor(dir)
+      Snapshots.commit(state, catDir)
+      writeSummary(spark, dir, Snapshots.read(spark, catDir), latest)
+    }
+  }
+
   /** One mergeable state row per profiled column, from ONE scan of
     * `df` (all measures in a single aggregate, reshaped to rows —
     * never a pass per column). NDV values go through a string cast:

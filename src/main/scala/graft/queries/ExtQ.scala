@@ -1773,18 +1773,15 @@ object ExtQ {
     // plus one manifest-sized log read.
     "x66_mv_rewrite" -> ((s, d) => {
       val (factDir, mvDir) = x66Setup(s, d, "a")
-      graft.sources.Snapshots.read(s, factDir)
-        .createOrReplaceTempView("orders_x66")
-      val q = s.sql(
+      x66Consume(s, graft.sources.Snapshots.read(s, factDir), "orders_x66",
         """SELECT o_orderstatus, o_orderpriority,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           |  COUNT(*) AS n_orders,
           |  MIN(o_totalprice) AS min_price,
           |  MAX(o_totalprice) AS max_price
           |FROM orders_x66
-          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
-      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
-        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+        mvDir, factDir, "o_orderstatus", "o_orderpriority")
     }),
 
     // x67 — MV GROUP ROLLUP (algebraic containment, not equality):
@@ -1795,18 +1792,15 @@ object ExtQ {
     // scale drift to reconcile). Same plan-decision pin as x66.
     "x67_mv_rollup" -> ((s, d) => {
       val (factDir, mvDir) = x66Setup(s, d, "b")
-      graft.sources.Snapshots.read(s, factDir)
-        .createOrReplaceTempView("orders_x67")
-      val q = s.sql(
+      x66Consume(s, graft.sources.Snapshots.read(s, factDir), "orders_x67",
         """SELECT o_orderstatus,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           |  COUNT(*) AS n_orders,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
           |  MIN(o_totalprice) AS min_price
           |FROM orders_x67
-          |GROUP BY o_orderstatus""".stripMargin)
-      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
-        .orderBy(col("o_orderstatus"))
+          |GROUP BY o_orderstatus""".stripMargin,
+        mvDir, factDir, "o_orderstatus")
     }),
 
     // x68 — MV STALENESS FALLBACK (the gate that makes x66 safe to
@@ -1822,15 +1816,13 @@ object ExtQ {
       val (factDir, mvDir) = x66Setup(s, d, "c")
       // the input commit that outdates the view: v2 = ALL orders
       Snapshots.commit(x66Fact(s, d, allRows = true), factDir)
-      Snapshots.read(s, factDir).createOrReplaceTempView("orders_x68")
-      val q = s.sql(
+      x66Consume(s, Snapshots.read(s, factDir), "orders_x68",
         """SELECT o_orderstatus, o_orderpriority,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           |  COUNT(*) AS n_orders
           |FROM orders_x68
-          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
-      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
-        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+        mvDir, factDir, "o_orderstatus", "o_orderpriority")
     }),
 
     // x70 — INCREMENTAL MV REFRESH (closing the x66/x68 loop): the
@@ -1859,18 +1851,15 @@ object ExtQ {
       graft.plans.MatView.refresh(s, "x66_r",
         Snapshots.read(s, factDir, Some(2)), // the append's OWN rows
         isFresh = () => Snapshots.versions(s, factDir) == v2)
-      Snapshots.readResolved(s, factDir)
-        .createOrReplaceTempView("orders_x70")
-      val q = s.sql(
+      x66Consume(s, Snapshots.readResolved(s, factDir), "orders_x70",
         """SELECT o_orderstatus, o_orderpriority,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           |  COUNT(*) AS n_orders,
           |  MIN(o_totalprice) AS min_price,
           |  MAX(o_totalprice) AS max_price
           |FROM orders_x70
-          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
-      q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
-        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+        mvDir, factDir, "o_orderstatus", "o_orderpriority")
     }),
 
     // x75 — COST-BASED VIEW CHOICE (the planner step that makes an
@@ -3866,6 +3855,18 @@ object ExtQ {
   /** The hashed plan-decision flag: true iff the optimized plan
     * scans the MV and NOT the fact — a declined (or half-applied)
     * rewrite can't fake it. */
+  /** The MV family's shared consumer mechanics: bind the fact read
+    * as a view, run the aggregate text, pin the plan decision
+    * (used_mv) and the total order. */
+  private def x66Consume(s: SparkSession, fact: DataFrame, view: String,
+                         sql: String, mvDir: String, factDir: String,
+                         order: String*): DataFrame = {
+    fact.createOrReplaceTempView(view)
+    val q = s.sql(sql)
+    q.withColumn("used_mv", lit(x66UsedMv(q, mvDir, factDir)))
+      .orderBy(order.map(col): _*)
+  }
+
   private def x66UsedMv(q: DataFrame, mvDir: String, factDir: String): Boolean = {
     val paths = scanRoots(q)
     paths.exists(_.contains(mvDir)) && !paths.exists(_.contains(factDir))

@@ -1384,7 +1384,13 @@ object Snapshots {
         case _ => ()
       }
     }
-    rewritten.result()
+    val out = rewritten.result()
+    // opt-in auto-ANALYZE (x79): a purge rewrites version files IN
+    // PLACE, so version-number freshness alone would serve the
+    // pre-purge stats as fresh — recompute from the resolved state
+    // (no-op unless the dir is registered)
+    if (out.nonEmpty) graft.ops.AutoAnalyze.afterPurge(spark, dir)
+    out
   }
 
   /** CHECKPOINT the log (x49, Delta's `_last_checkpoint` move):

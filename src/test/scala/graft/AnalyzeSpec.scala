@@ -361,6 +361,40 @@ class AnalyzeSpec extends SparkSpec {
     AutoAnalyze.dropState(spark, dir)
   }
 
+  test("x79: a purge re-profiles in place — version freshness alone cannot see it") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("p")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0), (7L, 70.0)).toDF("k", "v"), dir)
+    Snapshots.purgeKeys(spark, dir, Seq(Tuple1(7L)).toDF("k"))
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(AutoAnalyze.isFresh(spark, dir))
+    assert(st.cols("k").nRows == 2 && st.cols("v").maxNum.contains(20.0),
+      "post-purge stats must describe the purged state, not the pre-purge one")
+    AutoAnalyze.dropState(spark, dir)
+  }
+
+  test("x79: a SECOND append on the same base falls back to the resolved state") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("r")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0)).toDF("k", "v"), dir)
+    Snapshots.commitAppend(Seq((2L, 20.0)).toDF("k", "v"), dir, base = 1)
+    // a sibling append chains v1 again: latest resolves to v1 ∪ THIS
+    // delta only — folding onto v2's state would be wrong, so the
+    // base mismatch must trigger the honest full re-profile
+    Snapshots.commitAppend(Seq((3L, 30.0)).toDF("k", "v"), dir, base = 1)
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(st.version == 3 && AutoAnalyze.isFresh(spark, dir))
+    assert(st.cols("k").nRows == 2 && st.cols("v").maxNum.contains(30.0),
+      "the sibling chain's stats are v1 ∪ delta2 — never a three-way fold")
+    AutoAnalyze.dropState(spark, dir)
+  }
+
   test("x79: enabling mid-history falls back to ONE full profile, then folds") {
     import graft.ops.AutoAnalyze
     import graft.sources.Snapshots
