@@ -135,6 +135,10 @@ object AutoAnalyze {
       val catDir = catalogDirFor(dir)
       Snapshots.commit(state, catDir)
       writeSummary(spark, dir, Snapshots.read(spark, catDir), latest)
+      // erasure discipline (x76's Reland rule): PRIOR catalog versions
+      // carry pre-purge min/max — order statistics of the purged rows
+      // — so they are vacuumed, not merely superseded
+      Snapshots.vacuum(spark, catDir, keepLast = 1); ()
     }
   }
 

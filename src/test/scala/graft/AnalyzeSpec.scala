@@ -373,6 +373,13 @@ class AnalyzeSpec extends SparkSpec {
     assert(AutoAnalyze.isFresh(spark, dir))
     assert(st.cols("k").nRows == 2 && st.cols("v").maxNum.contains(20.0),
       "post-purge stats must describe the purged state, not the pre-purge one")
+    // erasure reaches the catalog's own history: prior versions held
+    // min/max order statistics of the purged rows
+    val catDir = AutoAnalyze.catalogDirFor(dir)
+    assert(Snapshots.versions(spark, catDir).size == 1,
+      "pre-purge catalog versions must be vacuumed, not merely superseded")
+    assert(graft.ops.Purge.exposureCount(spark, catDir,
+      Seq(Tuple1(7L)).toDF("k"), Seq("min_num", "max_num")) == 0L)
     AutoAnalyze.dropState(spark, dir)
   }
 
