@@ -262,6 +262,9 @@ object ScaleSmoke {
     // x80 is deliberately absent: its data-sized work IS x79's (the
     // same hooked commit + fold, measured above); the auto_stats
     // binding reads the driver-side summary — zero jobs at any F
+    // x81 is deliberately absent: its data-sized work IS x61's (the
+    // same two balance commits); restore is one metadata entry,
+    // vacuum a log-sized delete decision, both zero data jobs at any F
     // x56 is deliberately absent: its data-sized work IS x33's
     // (measured above) — the table_changes binding adds only a
     // per-reference metadata rewrite, so a second row would time the

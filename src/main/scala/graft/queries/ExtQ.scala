@@ -1258,6 +1258,33 @@ object ExtQ {
         .orderBy(col("col_name"))
     }),
 
+    // x81 — MAINTENANCE VERBS ON THE SQL SURFACE (RESTORE + VACUUM
+    // as statements — the retention lifecycle x61/x29 serve from
+    // Scala, reachable from pure SQL text like Delta's): `RESTORE
+    // TABLE '<dir>' TO VERSION 1` lands the metadata-only rollback
+    // (v3, zero data files), `VACUUM '<dir>' KEEP 1` then physically
+    // drops v2 while the chain closure PROTECTS v1 (the restored
+    // head's base — retention can never break what latest serves).
+    // The read-back script pins all of it: v1's balances served via
+    // the restore, the surviving version count, and the head's kind.
+    // Statements run in their own script because table references
+    // bind BEFORE statements execute (the x78 two-script pattern).
+    "x81_sql_maintenance" -> ((s, d) => {
+      val dir = s"target/x81_bal_${math.abs(d.hashCode)}"
+      commitBalanceVersions(s, d, dir) // v1 pre-1997, v2 refresh
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""RESTORE TABLE '$dir' TO VERSION 1;
+           |VACUUM '$dir' KEEP 1""".stripMargin)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT b.o_custkey, b.balance, b.n_orders,
+           |  (SELECT CAST(COUNT(*) AS INT) FROM table_history('$dir'))
+           |    AS n_versions,
+           |  (SELECT kind FROM table_history('$dir') WHERE version = 3)
+           |    AS latest_kind
+           |FROM snapshot_at('$dir', 3) b
+           |ORDER BY o_custkey""".stripMargin).last
+    }),
+
     // x80 — AUTO-STATS ON THE SQL SURFACE (the x54/x71/x74/x78
     // symmetry rule applied to x79: every engine artifact reachable
     // from pure SQL text): `auto_stats('<dir>')` binds the commit
@@ -4935,6 +4962,18 @@ SELECT * FROM (
   $arms)
 ORDER BY col_name"""
     },
+
+    // x81: v1's balances restated from orders; n_versions = 2 pins
+    // that VACUUM dropped exactly the unprotected v2 (chain closure
+    // kept v1 under the restored head), latest_kind pins the verb.
+    "x81_sql_maintenance" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |  COUNT(*) AS n_orders,
+        |  CAST(2 AS INT) AS n_versions,
+        |  'restore' AS latest_kind
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     // x80: x79's exact-field replay, read back through the pure-SQL
     // auto_stats binding — a binding serving stale or wrong fields

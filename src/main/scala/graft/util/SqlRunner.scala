@@ -112,6 +112,12 @@ object SqlRunner {
       case DropMv(name) =>
         val existed = graft.plans.MatView.drop(spark, name)
         spark.sql(s"SELECT $existed AS mv_dropped")
+      case RestoreTable(dir, v) =>
+        val nv = graft.sources.Snapshots.commitRestore(spark, dir, v.toInt)
+        spark.sql(s"SELECT $nv AS restored_as_version")
+      case VacuumTable(dir, n) =>
+        val dropped = graft.sources.Snapshots.vacuum(spark, dir, n.toInt)
+        spark.sql(s"SELECT ${dropped.size} AS n_vacuumed")
       case st => spark.sql(st)
     }
   }
@@ -133,6 +139,16 @@ object SqlRunner {
     * (one row per profiled column + the freshness verdict). */
   private val AutoStats =
     """(?i)auto_stats\(\s*'([^']+)'\s*\)""".r
+
+  /** `RESTORE TABLE '<dir>' TO VERSION <v>` — x61's metadata-only
+    * rollback as a statement (a new latest that serves version v). */
+  private val RestoreTable =
+    """(?is)^\s*RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*$""".r
+
+  /** `VACUUM '<dir>' KEEP <n>` — physically drop versions outside
+    * the last n heads' chain closure (x29's retention verb). */
+  private val VacuumTable =
+    """(?is)^\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*$""".r
 
   /** `table_history('<dir>')` binds the manifest-sized commit log
     * (version, kind, ts, base, published) for pure-SQL audits. */

@@ -109,6 +109,24 @@ class SqlRunnerSpec extends SparkSpec {
     }
   }
 
+  test("x81: RESTORE/VACUUM statements — rollback is metadata-only, retention honors the chain") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlmx").toString + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), dir)
+    val restored = SqlRunner.runScriptWithSnapshots(spark,
+      s"RESTORE TABLE '$dir' TO VERSION 1").last.collect().head.getInt(0)
+    assert(restored == 3)
+    assert(Snapshots.fileSignature(spark, dir, 3).isEmpty,
+      "a restore lands zero data files")
+    val n = SqlRunner.runScriptWithSnapshots(spark,
+      s"VACUUM '$dir' KEEP 1").last.collect().head.getInt(0)
+    assert(n == 1, "v2 is outside the restored head's chain — dropped")
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "latest must still serve v1's content through the restore chain")
+  }
+
   test("x80: auto_stats binds the hook's summary; staleness rides the view") {
     import spark.implicits._
     import graft.sources.Snapshots
