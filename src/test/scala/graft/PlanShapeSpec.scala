@@ -517,6 +517,43 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("x79's served stats are pure metadata: stats/isFresh/frame run zero Spark jobs") {
+    import spark.implicits._
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("psauto").toString + "/t"
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v"), dir) // hook jobs here
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet()
+        seen.add(j.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val st = AutoAnalyze.stats(spark, dir).get // summary file read
+      assert(st.cols("k").nRows == 2)
+      assert(AutoAnalyze.isFresh(spark, dir)) // local log read
+      AutoAnalyze.frame(spark, dir) // driver rows — no action taken
+      spark.range(1).count() // canary: FIFO listener delivery
+      val deadline = System.currentTimeMillis + 30000
+      while (counter.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(counter.get() >= 1, "canary job never arrived")
+      val compute = seen.toArray(Array.empty[String])
+        .filter(s => s.contains("AutoAnalyze") || s.contains("StatsCatalog"))
+      assert(compute.isEmpty,
+        s"the planner read path must run zero compute jobs, saw: ${compute.mkString("; ")}")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      AutoAnalyze.dropState(spark, dir)
+    }
+  }
+
   test("x59's shuffle sizing is pure metadata: no compute job, decisions applied and exact") {
     // warm the catalog first — the one-time ANALYZE is x59's declared
     // dependency, not part of its own cost
