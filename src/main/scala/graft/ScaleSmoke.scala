@@ -251,6 +251,10 @@ object ScaleSmoke {
     // v25 is deliberately absent: its data-sized work IS v20's
     // append assignment (measured above, shared Derived index);
     // the drift math after it is two model-sized aggregates
+    // v29 is deliberately absent: its data-sized work is k probes of
+    // v8's shape over the same session-shared index (each nprobe/k of
+    // the corpus, measured above via v7/v8) against a validation-
+    // sized truth set — run once per retrain generation, never per query
     // v28 is deliberately absent: its data-sized work IS v12's
     // (same two trained indexes + ADC scan, measured above); the
     // refine stage joins R=10 rows per query against the corpus by

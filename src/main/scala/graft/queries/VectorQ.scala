@@ -891,6 +891,40 @@ object VectorQ {
     // centroids — training on the history split, assigning history ∪
     // batch, probing nprobe=2 — so the hash match IS the proof that
     // append ≡ rebuild.
+    // v29 — NPROBE AUTO-TUNING (v17's recall eval composed into the
+    // knob it exists to set): an IVF fleet trades recall for probe
+    // cost through ONE number, nprobe — and production systems pick
+    // it empirically on a validation sample (FAISS's
+    // autotune/OperatingPoints shape), not by guessing. The tuner
+    // measures exact recall@3 against the brute-force truth for
+    // EVERY candidate nprobe (k probes over the same session-shared
+    // index — each probe scans nprobe/k of the corpus, the sample
+    // stays validation-sized) and serves the SMALLEST setting whose
+    // micro-averaged recall clears 90%. nprobe = k is exact, so the
+    // threshold is always reachable and the tuner total. Hit counts
+    // are exact integers; the verdict is hash-pinned per candidate
+    // next to them — at 100 TB this runs once per retrain
+    // generation, never per query.
+    "v29_nprobe_tuning" -> ((s, d) => {
+      import s.implicits._
+      val idx = learnedIndex(s, d)
+      val q = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = defs("v4_knn_bruteforce")(s, d).select(col("qid"), col("nb_id"))
+      val nTruth = truth.count()
+      val evals = (1 to IvfClusters).map { np =>
+        val ann = graft.ops.Ivf.probe(idx, q, nprobe = np, topK = 3)
+          .select(col("qid"), col("nb_id"))
+        (np, truth.join(ann, Seq("qid", "nb_id")).count(), nTruth)
+      }
+      val chosen = evals.find(e => e._2 * 10 >= e._3 * 9)
+        .map(_._1).getOrElse(IvfClusters)
+      evals.toDF("nprobe", "n_hits", "n_truth")
+        .select(col("nprobe"), col("n_hits"), col("n_truth"),
+          (col("nprobe") === lit(chosen)).as("chosen"))
+        .orderBy(col("nprobe"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1347,6 +1381,51 @@ object VectorQ {
     "v10_knn_lsh" -> lshOracle,
     "v9_knn_pq" -> pqOracle,
     "v8_knn_ivf_probe2" -> ivfProbe2Oracle,
+
+    // v29: the full tuning sweep replayed — brute-force truth, one
+    // bucket-rank pass, per-nprobe top-3 slices, exact hit counts,
+    // and the smallest-clearing-90% verdict as a window MIN.
+    "v29_nprobe_tuning" -> {
+      val anns = (1 to IvfClusters).map { np =>
+        s"""ann$np AS (
+  SELECT qid, nb_id FROM (
+    SELECT b.qid, a.vec_id AS nb_id,
+      row_number() OVER (PARTITION BY b.qid ORDER BY
+        list_dot_product(b.qe, e.embedding::DOUBLE[]) DESC, a.vec_id) AS rn
+    FROM bscore b
+    JOIN asg$IvfIters a ON a.cluster_id = b.cluster_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE b.brn <= $np AND a.vec_id <> b.qid) t
+  WHERE rn <= 3)""" }.mkString(",\n")
+      val evals = (1 to IvfClusters).map { np =>
+        s"""SELECT CAST($np AS INT) AS nprobe,
+  (SELECT COUNT(*) FROM bf JOIN ann$np USING (qid, nb_id)) AS n_hits,
+  (SELECT COUNT(*) FROM bf) AS n_truth""" }.mkString("\nUNION ALL\n")
+      s"""WITH ${ivfTrainCtes("")},
+bf AS (
+  SELECT qid, nb_id FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS nb_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        e.vec_id) AS rn
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+  WHERE rn <= 3),
+bscore AS (
+  SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qe, c.cluster_id,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      list_dot_product(c.cvec, c.cvec)
+        - 2 * list_dot_product(q.embedding::DOUBLE[], c.cvec),
+      c.cluster_id) AS brn
+  FROM embeddings q CROSS JOIN cent${IvfIters - 1} c
+  WHERE q.vec_id < 5),
+$anns
+SELECT nprobe, n_hits, n_truth,
+  nprobe = MIN(CASE WHEN n_hits * 10 >= n_truth * 9 THEN nprobe END)
+    OVER () AS chosen
+FROM ($evals)
+ORDER BY nprobe"""
+    },
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.

@@ -178,6 +178,23 @@ class IvfSpec extends SparkSpec {
     assert(resumed.assigned.count() == corpus.count() + 1)
   }
 
+  test("v29: recall is non-decreasing in nprobe; the tuner picks the smallest clearing the bar") {
+    val rows = SparkEntry.queries("v29_nprobe_tuning")(spark, Sf0001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "widening the probe can only add candidates — recall is monotone")
+    val nTruth = rows.head.getAs[Long]("n_truth")
+    assert(hits.last == nTruth, "nprobe = k is the exact probe — recall 1.0")
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1, "exactly one setting is served")
+    val cnp = chosen.head.getAs[Int]("nprobe")
+    assert(chosen.head.getAs[Long]("n_hits") * 10 >= nTruth * 9)
+    assert(rows.filter(_.getAs[Int]("nprobe") < cnp)
+      .forall(_.getAs[Long]("n_hits") * 10 < nTruth * 9),
+      "every cheaper setting must genuinely miss the bar")
+  }
+
   test("v27: filtered search ranks among ELIGIBLE vectors only — " +
     "post-filtering a finished top-k is the wrong answer") {
     import spark.implicits._
