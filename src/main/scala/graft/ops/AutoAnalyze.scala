@@ -108,8 +108,14 @@ object AutoAnalyze {
       }
       val state = base match {
         case Some(b) if stored.contains(b) =>
+          // materialize the delta's state ONCE (columns-sized rows,
+          // sketches included) so the merge never re-runs the O(Δ)
+          // scan, then fold against the committed previous state
+          val deltaState = stateFrame(Snapshots.readVersionOwn(spark, dir, version))
+          val rows = deltaState.collect()
           mergeStates(Snapshots.read(spark, catDir),
-            stateFrame(Snapshots.readVersionOwn(spark, dir, version)))
+            spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+              deltaState.schema))
         case None =>
           stateFrame(Snapshots.readVersionOwn(spark, dir, version))
         case Some(_) => // enabled mid-history: one full profile, then O(Δ)
@@ -172,13 +178,30 @@ object AutoAnalyze {
   }
 
   /** x41's merge identity: sums add, min/max combine, sketch union
-    * is register-wise max — stats(base ⊕ Δ) == stats(base ∪ Δ). */
-  private def mergeStates(prev: DataFrame, delta: DataFrame): DataFrame =
+    * is register-wise max — stats(base ⊕ Δ) == stats(base ∪ Δ).
+    * SCHEMA EVOLUTION (x31's appends): a column present on only one
+    * side reads as NULL in the other side's rows, so n_rows is the
+    * TABLE-wide total for every column and the missing side's whole
+    * contribution is nulls — without this a newly-added column would
+    * report delta-only counts and a dropped one would stop growing.
+    * Totals come from any one column per side (every column of a
+    * side carries the same count(*)); min/max/len/sketch are
+    * null-skipping, so they need no adjustment. */
+  private def mergeStates(prev: DataFrame, delta: DataFrame): DataFrame = {
+    def totalOf(df: DataFrame): Long = {
+      val r = df.agg(max(col("n_rows"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val total = totalOf(prev) + totalOf(delta)
     prev.unionByName(delta).groupBy(col("col_name"))
-      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+      .agg(sum(col("n_rows")).as("seen"), sum(col("n_nulls")).as("nn"),
         min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
         sum(col("sum_len")).as("sum_len"),
         hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select(col("col_name"), lit(total).as("n_rows"),
+        (col("nn") + (lit(total) - col("seen"))).as("n_nulls"),
+        col("min_num"), col("max_num"), col("sum_len"), col("sk"))
+  }
 
   private def writeSummary(spark: SparkSession, dir: String,
                            state: DataFrame, version: Int): Unit = {

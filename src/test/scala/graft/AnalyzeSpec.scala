@@ -402,6 +402,29 @@ class AnalyzeSpec extends SparkSpec {
     AutoAnalyze.dropState(spark, dir)
   }
 
+  test("x79: schema-evolved appends fold right — new columns owe nulls for old rows, " +
+    "dropped columns keep growing n_rows") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("se")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir)
+    // the evolved nightly batch: column v dropped, column w added
+    Snapshots.commitAppend(
+      Seq((3L, "x"), (4L, "y"), (5L, "z")).toDF("k", "w"), dir, base = 1)
+    val st = AutoAnalyze.stats(spark, dir).get
+    assert(st.cols.keySet == Set("k", "v", "w"))
+    assert(st.cols.values.forall(_.nRows == 5),
+      "n_rows is table-wide for every column, evolved or not")
+    assert(st.cols("v").nNulls == 3 && st.cols("v").maxNum.contains(20.0),
+      "the delta's rows read NULL for the dropped column")
+    assert(st.cols("w").nNulls == 2 && st.cols("w").avgLen.contains(1.0),
+      "the base's rows read NULL for the new column")
+    assert(st.cols("k").nNulls == 0 && st.cols("k").nDistinct == 5)
+    AutoAnalyze.dropState(spark, dir)
+  }
+
   test("x79: enabling mid-history falls back to ONE full profile, then folds") {
     import graft.ops.AutoAnalyze
     import graft.sources.Snapshots
