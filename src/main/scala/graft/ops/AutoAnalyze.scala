@@ -70,9 +70,18 @@ object AutoAnalyze {
   private def norm(dir: String): String =
     java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
 
-  /** Catalog table for one source dir (state versions + sketches). */
-  def catalogDirFor(dir: String): String =
-    s"target/auto_stats_${math.abs(norm(dir).hashCode)}"
+  /** Catalog table for one source dir (state versions + sketches).
+    * Keyed on the SANITIZED full normalized path, not a hash — two
+    * distinct source dirs must never collide into one catalog (a
+    * 32-bit hashCode collision would silently merge two tables' fold
+    * states; the summary's dir guard protects serving but not the
+    * state). A short hash suffix keeps distinct paths that sanitize
+    * identically (e.g. `a/b` vs `a_b`) apart. */
+  def catalogDirFor(dir: String): String = {
+    val n = norm(dir)
+    val safe = n.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120)
+    s"target/auto_stats_${safe}_${java.lang.Integer.toHexString(n.hashCode)}"
+  }
 
   /** Opt a Snapshots table in: every later commit/append maintains
     * its stats. Enable at table birth for pure-O(Δ) maintenance. */
@@ -97,6 +106,25 @@ object AutoAnalyze {
                   base: Option[Int], dataChange: Boolean = true): Unit = {
     val key = norm(dir)
     if (!registry.contains(key)) return
+    // ISOLATED: the hook runs after the data version has durably
+    // landed — a stats-maintenance failure (unprofilable schema, a
+    // transient catalog-commit error) must not fail the already-
+    // successful commit call. A caller that retried would land a
+    // DUPLICATE data version. On failure the summary simply stays at
+    // the previous version, so isFresh() reports stale — detected,
+    // never silently served.
+    try afterCommitUnsafe(spark, dir, version, base, dataChange)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] auto-analyze hook failed for $dir v$version " +
+            s"(stats left stale): ${e.getMessage}")
+    }
+  }
+
+  private def afterCommitUnsafe(spark: SparkSession, dir: String, version: Int,
+                                base: Option[Int], dataChange: Boolean): Unit = {
+    val key = norm(dir)
     locks.computeIfAbsent(key, _ => new Object).synchronized {
       import graft.sources.Snapshots
       val catDir = catalogDirFor(dir)
@@ -134,6 +162,9 @@ object AutoAnalyze {
   def afterPurge(spark: SparkSession, dir: String): Unit = {
     val key = norm(dir)
     if (!registry.contains(key) || stats(spark, dir).isEmpty) return
+    // NOT isolated like afterCommit: a purge's re-profile is part of
+    // the erasure obligation (stale pre-purge min/max ARE the leak),
+    // so a failure here must surface to the purge caller.
     locks.computeIfAbsent(key, _ => new Object).synchronized {
       import graft.sources.Snapshots
       val latest = Snapshots.versions(spark, dir).lastOption.getOrElse(return)
@@ -223,7 +254,15 @@ object AutoAnalyze {
       s""""version":$version,"cols":{$colsJson}}"""
     val p = summaryPath(dir)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, json); ()
+    // temp-write + ATOMIC_MOVE: a concurrent/cross-process stats()
+    // read must never observe a torn file (an in-place writeString is
+    // not atomic and would crash the zero-job planner read path)
+    val tmp = p.resolveSibling(
+      s"${p.getFileName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
   }
 
   /** Planner read — summary file, zero Spark jobs. None until the
@@ -233,9 +272,15 @@ object AutoAnalyze {
   def stats(spark: SparkSession, dir: String): Option[Served] = {
     val p = summaryPath(dir)
     if (!java.nio.file.Files.exists(p)) return None
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(p))
-    if (root.get("fmt").asInt() != 1 || root.get("dir").asText() != norm(dir))
+    // the write is atomic (temp + move), so a parse failure means a
+    // damaged/foreign file, not an in-flight writer — serve None (the
+    // planner treats it as "no stats"), never crash the read path
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (root == null || root.get("fmt") == null ||
+        root.get("fmt").asInt() != 1 || root.get("dir").asText() != norm(dir))
       return None
     def optD(n: com.fasterxml.jackson.databind.JsonNode, f: String) =
       Option(n.get(f)).filterNot(_.isNull).map(_.asDouble())

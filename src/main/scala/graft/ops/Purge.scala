@@ -136,13 +136,20 @@ object Purge {
         // a relative-vs-absolute registration mismatch would MISS
         // entries (an erasure hole, not just a perf loss)
         val want = normDir(sourceDir)
+        // split on the FIRST '|' only (ResultCache.fingerprint's
+        // separator — its format guard forbids '|' in queryId and
+        // '|'/',' in dirs, but an entry written by anything else must
+        // not silently survive an erasure): an unparseable
+        // fingerprint is dropped CONSERVATIVELY — cache entries are
+        // recomputable by definition, a kept entry could be a GDPR
+        // exposure hole.
         val vs = Snapshots.dropKeyedVersions(spark, cacheDir, fp =>
-          fp.split('|') match {
+          fp.split("\\|", 2) match {
             case Array(_, inputs) => inputs.split(',').exists { tok =>
               val i = tok.lastIndexOf("@v")
               i > 0 && normDir(tok.substring(0, i)) == want
             }
-            case _ => false
+            case _ => true // no separator at all: not ours — drop, don't keep
           })
         Action("result_cache", cacheDir, "entries_dropped", vs.mkString(","))
       case KeyedTable(dir, ren) =>

@@ -27,10 +27,21 @@ import graft.sources.Snapshots
 object ResultCache {
 
   /** Canonical fingerprint: query id + every input pinned to an exact
-    * version, order-independent. */
-  def fingerprint(queryId: String, inputs: Seq[(String, Int)]): String =
+    * version, order-independent. The separators are load-bearing for
+    * the PURGE path (Purge's CacheEntries arm parses `qid|dir@vN,…`
+    * to find entries derived from an erased table), so the format is
+    * enforced here: a '|' in the query id or a '|'/',' in a dir would
+    * make the parse ambiguous and could hide an entry from erasure. */
+  def fingerprint(queryId: String, inputs: Seq[(String, Int)]): String = {
+    require(!queryId.contains('|'),
+      s"result-cache queryId must not contain '|': $queryId")
+    inputs.foreach { case (d, _) =>
+      require(!d.contains('|') && !d.contains(','),
+        s"result-cache input dir must not contain '|' or ',': $d")
+    }
     queryId + "|" +
       inputs.sortBy(_._1).map { case (d, v) => s"$d@v$v" }.mkString(",")
+  }
 
   /** Serve a committed result for the same fingerprint if one exists
     * (metadata-only decision); otherwise run `compute`, commit it

@@ -69,7 +69,14 @@ object HiddenPartitioning {
     * The bucket COUNT is encoded in the column name: a same-source
     * table written under a different modulus carries a different
     * partition column, so a mismatched spec can never inject its own
-    * n against that table's layout. */
+    * n against a SUFFIXED layout. The pre-suffix legacy column
+    * (`_p_<src>_b`) does not encode n, so for it the guarantee is
+    * weaker and provenance-based: the rule translates against a
+    * legacy column ONLY when the registered spec was loaded from that
+    * table's own `_hidden_spec.json` sidecar (written by the same
+    * writer as the layout, so its n is the layout's n). A spec
+    * registered any other way never touches a legacy column — a
+    * missed translation costs a wider scan, never a dropped row. */
   final case class Bucket(source: String, n: Int) extends Transform {
     val partCol = s"_p_${source}_b$n"
     // pre-suffix layout (before n was encoded in the name)
@@ -82,8 +89,15 @@ object HiddenPartitioning {
     val partCol = s"_p_${source}_d"
   }
 
+  /** A registered table's transforms plus PROVENANCE: `legacyTrusted`
+    * is true only when the spec came from the table's own sidecar, the
+    * one source whose bucket modulus is known to be the legacy
+    * layout's own (see [[Bucket]]'s soundness note). */
+  private[plans] final case class Spec(transforms: Seq[Transform],
+                                       legacyTrusted: Boolean)
+
   private val registry =
-    new scala.collection.concurrent.TrieMap[String, Seq[Transform]]
+    new scala.collection.concurrent.TrieMap[String, Spec]
 
   /** Exact-root-or-descendant containment on NORMALIZED paths: the
     * scan root (a URI, `file:/…`) must BE the registered dir or live
@@ -115,7 +129,7 @@ object HiddenPartitioning {
       else normalize(new java.io.File(nd0).getAbsolutePath)
     np == nd || np.startsWith(nd + "/")
   }
-  private[plans] def specFor(paths: Seq[String]): Option[Seq[Transform]] =
+  private[plans] def specFor(paths: Seq[String]): Option[Spec] =
     registry.toSeq
       .filter { case (dir, _) => paths.exists(covers(_, dir)) }
       .sortBy { case (dir, _) => -dir.length }
@@ -158,7 +172,9 @@ object HiddenPartitioning {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_hidden_spec.json"),
       spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    registry.put(dir, transforms)
+    // a fresh write lands suffixed partition columns; any legacy
+    // column in older files predates THIS spec — untrusted
+    registry.put(dir, Spec(transforms, legacyTrusted = false))
     HiddenPartitionRule.ensureInstalled(spark)
     v
   }
@@ -181,11 +197,14 @@ object HiddenPartitioning {
           case "bucket" => Bucket(o.get("source").asText(), o.get("n").asInt())
         }
       }
-      registry.put(dir, ts)
+      // the sidecar is the layout writer's own record, so its bucket
+      // modulus IS the legacy column's modulus — trusted
+      registry.put(dir, Spec(ts, legacyTrusted = true))
     }
     HiddenPartitionRule.ensureInstalled(spark)
     val ts = registry.getOrElse(dir,
       throw new IllegalArgumentException(s"no hidden-partition spec under $dir"))
+      .transforms
     Snapshots.read(spark, dir)
       .drop(ts.flatMap(t => t.partCol +: t.legacyCols): _*)
   }
@@ -223,11 +242,12 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
           case _ => Nil
         }
         specFor(paths) match {
-          case Some(ts)
-            if !cond.references.exists(r => ts.exists(t =>
+          case Some(spec)
+            if !cond.references.exists(r => spec.transforms.exists(t =>
               (t.partCol +: t.legacyCols).contains(r.name))) =>
             val derived = splitConjunctivePredicates(cond).flatMap(p =>
-              ts.flatMap(t => translate(t, p, rel)))
+              spec.transforms.flatMap(t =>
+                translate(t, p, rel, spec.legacyTrusted)))
             if (derived.isEmpty) f
             else Filter(derived.foldLeft(cond)(And), rel)
           case _ => f
@@ -267,10 +287,17 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The implied partition predicate for one conjunct, or None.
     * Only implications are emitted — the raw conjunct remains as the
-    * residual, so None is always safe. */
+    * residual, so None is always safe. A LEGACY column (whose name
+    * does not encode the bucket modulus) is only eligible when the
+    * spec's provenance is the table's own sidecar (`legacyTrusted`) —
+    * any other spec could carry a different n than the layout was
+    * written with and would under-select (see [[Bucket]]). */
   private def translate(t: Transform, p: Expression,
-                        rel: LogicalRelation): Option[Expression] = {
-    val pAttr = (t.partCol +: t.legacyCols).view
+                        rel: LogicalRelation,
+                        legacyTrusted: Boolean): Option[Expression] = {
+    val eligible =
+      if (legacyTrusted) t.partCol +: t.legacyCols else Seq(t.partCol)
+    val pAttr = eligible.view
       .flatMap(n => rel.output.find(_.name == n))
       .headOption.getOrElse(return None)
     def src(e: Expression): Boolean = e match {

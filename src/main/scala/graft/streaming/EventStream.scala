@@ -324,8 +324,14 @@ object EventStream {
     val target =
       if (Snapshots.versions(s, stateDir).isEmpty) latest.limit(0)
       else Snapshots.read(s, stateDir)
+    // checkUniqueSource = false: the row_number reduce above already
+    // guarantees at-most-one row per key, and the eager uniqueness
+    // groupBy would add a blocking source-sized job to EVERY
+    // micro-batch epoch for no safety gain — exactly the
+    // pre-deduplicated hot path the check's opt-out exists for.
     val merged = graft.ops.Merge.mergeInto(target, latest, key,
-      matchedDelete = matchedDelete, notMatchedInsert = notMatchedInsert)
+      matchedDelete = matchedDelete, notMatchedInsert = notMatchedInsert,
+      checkUniqueSource = false)
     Snapshots.commitEpoch(merged, stateDir, epochId)
   }
 

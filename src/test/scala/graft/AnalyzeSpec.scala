@@ -441,4 +441,50 @@ class AnalyzeSpec extends SparkSpec {
     assert(AutoAnalyze.stats(spark, dir).get.cols("k").nRows == 3)
     AutoAnalyze.dropState(spark, dir)
   }
+
+  test("x79: a failing stats hook never fails the landed commit — stale, not thrown") {
+    import graft.ops.AutoAnalyze
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("e")
+    AutoAnalyze.enable(dir)
+    // no numeric or string column → stateFrame's require raises
+    // inside the hook; the commit ITSELF must still succeed (the
+    // version has durably landed before the hook runs — a thrown
+    // hook would make a retrying caller land a duplicate version)
+    val v = Snapshots.commit(
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("payload"), dir)
+    assert(v == 1, "the data commit must land despite the hook failure")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(AutoAnalyze.stats(spark, dir).isEmpty,
+      "a failed hook leaves no stats — detected (stale), never served")
+    assert(!AutoAnalyze.isFresh(spark, dir))
+    // a later profilable commit recovers: the hook is self-healing
+    Snapshots.commit(Seq((1L, 10.0)).toDF("k", "v"), dir)
+    assert(AutoAnalyze.isFresh(spark, dir))
+    AutoAnalyze.dropState(spark, dir)
+  }
+
+  test("x79: two distinct source dirs never share a catalog; torn summary serves None") {
+    import graft.ops.AutoAnalyze
+    // catalog keying: distinct paths → distinct catalogs, even when a
+    // weak hash would collide (the fold state would silently merge)
+    val a = AutoAnalyze.catalogDirFor("target/x_tbl/a")
+    val b = AutoAnalyze.catalogDirFor("target/x_tbl/b")
+    assert(a != b)
+    assert(AutoAnalyze.catalogDirFor("target/x_tbl/a") == a, "deterministic")
+    // a damaged summary file must serve None, not crash the planner
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = autoFixture("f")
+    AutoAnalyze.enable(dir)
+    Snapshots.commit(Seq((1L, 10.0)).toDF("k", "v"), dir)
+    assert(AutoAnalyze.stats(spark, dir).isDefined)
+    val p = java.nio.file.Paths.get(
+      AutoAnalyze.catalogDirFor(dir), "_auto_summary.json")
+    java.nio.file.Files.writeString(p, "{\"fmt\":1,\"dir\":\"x") // torn
+    assert(AutoAnalyze.stats(spark, dir).isEmpty,
+      "an unparseable summary is 'no stats', never an exception")
+    AutoAnalyze.dropState(spark, dir)
+  }
 }

@@ -211,4 +211,34 @@ class HiddenPartitioningSpec extends SparkSpec {
       (0 until 64).filter(_ % 16 == 7).map(_.toLong).toSet)
     HP.remove(dir)
   }
+
+  test("an untrusted spec never translates against a legacy bucket column") {
+    // The legacy column name does not encode the bucket modulus, so a
+    // spec that did NOT come from the table's own sidecar could carry
+    // a different n than the layout was written with — injecting its
+    // pmod(hash(lit), n) would then select the wrong directory and
+    // silently DROP matching rows. Scenario: a legacy table (written
+    // with n=4) lives under a directory whose spec was registered by
+    // a fresh write() with n=8; path coverage offers the parent's
+    // spec to the child's scan. The guard must refuse the legacy
+    // column (residual-only, full listing) instead of under-selecting.
+    val base = java.nio.file.Files.createTempDirectory("hpmix").toString
+    val legacyDir = s"$base/t"
+    val rows = (0 until 64).map(i => (i.toLong, (i % 16).toLong)).toDF("id", "k")
+      .withColumn("_p_k_b", pmod(hash($"k"), lit(4)))
+    Snapshots.commit(rows.repartition($"_p_k_b"), legacyDir,
+      partitionBy = Seq("_p_k_b"))
+    // registers Spec(Bucket(k, 8), legacyTrusted = false) covering base/
+    HP.write(spark, Seq((999L, 999L)).toDF("id", "k"), base,
+      Seq(HP.Bucket("k", 8)))
+    try {
+      val t = Snapshots.read(spark, legacyDir).drop("_p_k_b8")
+      val q = t.filter($"k" === 7L)
+      assert(q.select($"id").as[Long].collect().toSet ==
+        (0 until 64).filter(_ % 16 == 7).map(_.toLong).toSet,
+        "a mismatched-n spec must never drop rows via the legacy column")
+      assert(HP.partitionsScanned(q) == HP.partitionsScanned(t),
+        "the untrusted spec must not prune the legacy layout at all")
+    } finally HP.remove(base)
+  }
 }
