@@ -269,6 +269,18 @@ object ScaleSmoke {
     // x81 is deliberately absent: its data-sized work IS x61's (the
     // same two balance commits); restore is one metadata entry,
     // vacuum a log-sized delete decision, both zero data jobs at any F
+    // x82 is deliberately absent: its data-sized work IS x51's (the
+    // same changeset derivation + four-arm merge + OCC commit,
+    // measured above via x51); the MERGE statement route adds only
+    // driver-side parsing and the snapshot_at read-back
+    // x83 is deliberately absent: its data-sized work IS x27's (the
+    // same corpus commit + churn-sized DV write + anti-join resolved
+    // reads); the DELETE statement route adds only driver-side
+    // parsing — the predicate runs inside the same one-pass filter
+    // x84 is deliberately absent: it reads the verbatim customer
+    // dimension this generator keeps unscaled (the x30/x37/x39
+    // contract — a 10× row would measure nothing); its physics are
+    // x58's staged-DV + append pair over churn-sized images
     // x56 is deliberately absent: its data-sized work IS x33's
     // (measured above) — the table_changes binding adds only a
     // per-reference metadata rewrite, so a second row would time the

@@ -83,6 +83,10 @@ import graft.queries._
   *    correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)
+  *  - SqlDmlQ (x82–x84): SQL DML statements — MERGE INTO / DELETE /
+  *    UPDATE routed through ops.Merge and deletion vectors, with
+  *    snapshot_resolved read-backs (the mutation lifecycle with no
+  *    Scala in sight; x82 hash-matches x51's oracle, x83 x27's)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four
@@ -101,11 +105,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQ.defs ++ VectorQ.defs ++ DedupQ.defs ++ TextQ.defs ++ KgQ.defs ++ ExtQ.defs
+    RelationalQ.defs ++ VectorQ.defs ++ DedupQ.defs ++ TextQ.defs ++
+      KgQ.defs ++ ExtQ.defs ++ SqlDmlQ.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQ.oracles ++ VectorQ.oracles ++ DedupQ.oracles ++ TextQ.oracles ++
-      KgQ.oracles ++ ExtQ.oracles
+      KgQ.oracles ++ ExtQ.oracles ++ SqlDmlQ.oracles
 }

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SQL DML SURFACE (x82–x84) — the statement verbs every lakehouse
+  * user hits daily (Delta/Iceberg's MERGE INTO, DELETE, UPDATE),
+  * reachable from pure SQL text through [[graft.util.SqlRunner]] and
+  * routed through the SAME operators the Scala API uses:
+  *
+  *  - x82 `MERGE INTO` → [[graft.ops.Merge.mergeInto]] four-arm
+  *    evaluation + one optimistic-concurrency commit. The resolved
+  *    state hash-matches x51's oracle VERBATIM — same merge, same
+  *    physics, different surface.
+  *  - x83 `DELETE FROM … WHERE` → deletion vectors
+  *    ([[graft.sources.Snapshots.commitDeletes]], x27's physics):
+  *    the base's files are never touched (listing-checked), reads
+  *    resolve as base anti-join keys. Output hash-matches x27's
+  *    oracle verbatim.
+  *  - x84 `UPDATE … SET … WHERE` → x58's merge-on-read two-step:
+  *    staged DV + one append whose publish is the atomic commit
+  *    point — no reader ever sees rows vanish without their
+  *    replacements.
+  *
+  * The read-backs are pure SQL too (`snapshot_resolved('<dir>', v)`
+  * binds [[graft.sources.Snapshots.readResolved]]), so the whole
+  * write→read lifecycle works with no Scala in sight — the x54/x78/
+  * x81 symmetry rule (every engine artifact reachable from SQL text)
+  * extended to mutation. Reference scripts/run_sql_file.py:19-54 is
+  * the statement-runner seam these verbs extend.
+  */
+object SqlDmlQ {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // x82 — MERGE INTO ON THE SQL SURFACE: x51's four-arm changeset
+    // stated entirely as SQL text — the changeset view (latest 1997+
+    // order restates the balance; key%31 customers open a shifted
+    // branch account) is a CREATE TEMPORARY VIEW statement, the merge
+    // one MERGE INTO statement, the read-back a snapshot_at + history
+    // script (x78's two-script pattern: table references bind before
+    // statements run). The hash must equal x51's oracle verbatim:
+    // same arms, same OCC commit, zero Scala in the mutation path.
+    "x82_sql_merge" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x82_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      Snapshots.commit(
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")), dir)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_x82")
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer_x82")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE OR REPLACE TEMPORARY VIEW x82_src AS
+           |WITH latest AS (
+           |  SELECT o_custkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |  FROM orders_x82
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+           |restated AS (
+           |  SELECT c.c_custkey, c.c_name, l.o_totalprice AS c_acctbal
+           |  FROM latest l JOIN customer_x82 c ON l.o_custkey = c.c_custkey
+           |  WHERE l.rn = 1)
+           |SELECT c_custkey, c_name, c_acctbal FROM restated
+           |UNION ALL
+           |SELECT c_custkey + ${ExtQ.X51KeyShift}, 'branch of ' || c_name,
+           |  c_acctbal
+           |FROM restated WHERE c_custkey % 31 = 0;
+           |MERGE INTO '$dir' USING x82_src ON c_custkey
+           |WHEN MATCHED AND s.c_acctbal < ${ExtQ.X51CloseBelow} THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.c_acctbal >= ${ExtQ.X51CloseBelow}
+           |  THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE"""
+          .stripMargin)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT b.c_custkey, b.c_name, round(b.c_acctbal, 2) AS c_acctbal,
+           |  (SELECT CAST(COUNT(*) AS INT) FROM table_history('$dir'))
+           |    AS n_versions
+           |FROM snapshot_at('$dir', 2) b
+           |ORDER BY c_custkey""".stripMargin).last
+    }),
+
+    // x83 — DELETE ON THE SQL SURFACE: x27's GDPR takedown (the
+    // hash-derived ~5% of doc_ids) as one DELETE statement; the route
+    // is merge-on-read deletion vectors, so `base_files_untouched`
+    // (the v1 listing captured before/after, interpolated into the
+    // read-back as a literal the oracle pins true) states the commit
+    // never rewrote the corpus. The read-back resolves both versions
+    // through snapshot_resolved — pure SQL end to end, one hash match
+    // proving statement routing + DV physics + resolved-read
+    // semantics at once.
+    "x83_sql_delete" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x83_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      Snapshots.commit(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")), dir)
+      val sigBefore = Snapshots.fileSignature(s, dir, 1)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""DELETE FROM '$dir'
+           |WHERE CAST(conv(substring(md5('gdpr|' || CAST(doc_id AS STRING)),
+           |  1, 15), 16, 10) AS BIGINT) % 20 = 0""".stripMargin)
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sigBefore
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT v1.source, v1.n_v1, v1.idsum_v1, v2.n_v2, v2.idsum_v2,
+           |  $untouched AS base_files_untouched
+           |FROM (SELECT source, COUNT(*) AS n_v1,
+           |        SUM(doc_id) AS idsum_v1
+           |      FROM snapshot_resolved('$dir', 1) GROUP BY source) v1
+           |JOIN (SELECT source, COUNT(*) AS n_v2,
+           |        SUM(doc_id) AS idsum_v2
+           |      FROM snapshot_resolved('$dir', 2) GROUP BY source) v2
+           |  USING (source)
+           |ORDER BY source""".stripMargin).last
+    }),
+
+    // x84 — UPDATE ON THE SQL SURFACE: a credit adjustment re-states
+    // every negative balance (two SET assignments — the balance and
+    // an audit suffix on the name) as ONE statement landing as x58's
+    // merge-on-read pair: staged DV (old images, invisible) + append
+    // (new images) whose publish is the atomic commit point. The
+    // listing flag states v1 was never rewritten; published count is
+    // 2 (the staged DV owns v2 but never publishes). Arithmetic is
+    // one IEEE addition, replayed exactly by the oracle's CASE.
+    "x84_sql_update" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = s"target/x84_snap_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, dir) // deterministic version numbers per run
+      Snapshots.commit(
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")), dir)
+      val sigBefore = Snapshots.fileSignature(s, dir, 1)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""UPDATE '$dir'
+           |SET c_acctbal = c_acctbal + 100.0,
+           |    c_name = c_name || ' (credited)'
+           |WHERE c_acctbal < 0""".stripMargin)
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sigBefore
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT b.c_custkey, b.c_name, b.c_acctbal,
+           |  (SELECT CAST(COUNT(*) AS INT) FROM table_history('$dir')
+           |   WHERE published) AS n_versions,
+           |  $untouched AS base_files_untouched
+           |FROM snapshot_resolved('$dir', 3) b
+           |ORDER BY c_custkey""".stripMargin).last
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // x82: x51's oracle verbatim — the SQL-surface merge must equal
+    // the Scala API's row for row (same CTE string on purpose).
+    "x82_sql_merge" ->
+      s"""WITH ${ExtQ.x51MergedCte("TRUE")}
+         |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         |  CAST(2 AS INT) AS n_versions
+         |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    // x83: x27's oracle restated — v1 the corpus, v2 the corpus minus
+    // the replayed takedown hash predicate; literal true pins the
+    // listing-checked base-immutability flag.
+    "x83_sql_delete" ->
+      """WITH del AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(('0x' || substr(md5('gdpr|' || doc_id::VARCHAR), 1, 15))
+        |    AS BIGINT) % 20 = 0),
+        |v1 AS (SELECT source, COUNT(*) AS n_v1,
+        |         CAST(SUM(doc_id) AS BIGINT) AS idsum_v1
+        |       FROM documents GROUP BY source),
+        |v2 AS (SELECT source, COUNT(*) AS n_v2,
+        |         CAST(SUM(doc_id) AS BIGINT) AS idsum_v2
+        |       FROM documents d
+        |       WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)
+        |       GROUP BY source)
+        |SELECT source, n_v1, idsum_v1, n_v2, idsum_v2,
+        |  true AS base_files_untouched
+        |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x84: the update replayed as a CASE over the source; published
+    // count 2 (the staged DV never publishes); literal true pins the
+    // base listing check.
+    "x84_sql_update" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN c_name || ' (credited)'
+        |       ELSE c_name END AS c_name,
+        |  CASE WHEN c_acctbal < 0 THEN c_acctbal + 100.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CAST(2 AS INT) AS n_versions,
+        |  true AS base_files_untouched
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

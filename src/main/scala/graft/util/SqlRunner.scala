@@ -52,11 +52,25 @@ object SqlRunner {
     // — same textual mechanism, resolution via versionAsOf so the
     // timed-throughout and predates-first-commit guards fire at bind
     // time, before any SQL runs.
-    val boundT = SnapshotAtTime.replaceAllIn(bound, m => {
+    val boundT0 = SnapshotAtTime.replaceAllIn(bound, m => {
       val (dir, ts) = (m.group(1), m.group(2).toLong)
       val v = graft.sources.Snapshots.versionAsOf(spark, dir, ts)
       val view = s"snapshot_${Integer.toHexString(dir.hashCode)}_t${ts}_v$v"
       graft.sources.Snapshots.read(spark, dir, Some(v))
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    // RESOLVED reads (x83/x84's read-back): `snapshot_resolved('<dir>',
+    // <v>)` binds [[graft.sources.Snapshots.readResolved]] — logical
+    // versions (deletion vectors, appends, replaces) served as the
+    // STATE they denote, so a pure-SQL consumer of a merge-on-read
+    // table never has to know the version's physics. `snapshot_at`
+    // stays the pinned own-rows read (a DV version's own rows are the
+    // deleted keys — the audit view; this is the state view).
+    val boundT = SnapshotResolved.replaceAllIn(boundT0, m => {
+      val (dir, v) = (m.group(1), m.group(2).toInt)
+      val view = s"resolved_${Integer.toHexString(dir.hashCode)}_v$v"
+      graft.sources.Snapshots.readResolved(spark, dir, Some(v))
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
@@ -118,8 +132,132 @@ object SqlRunner {
       case VacuumTable(dir, n) =>
         val dropped = graft.sources.Snapshots.vacuum(spark, dir, n.toInt)
         spark.sql(s"SELECT ${dropped.size} AS n_vacuumed")
+      case MergeStmt(dir, src, key, arms) =>
+        val v = runMerge(spark, dir, src, key, arms)
+        spark.sql(s"SELECT $v AS merged_version")
+      case DeleteStmt(dir, cond) =>
+        val v = runDelete(spark, dir, cond)
+        spark.sql(s"SELECT $v AS delete_version")
+      case UpdateStmt(dir, sets, cond) =>
+        val v = runUpdate(spark, dir, sets, cond)
+        spark.sql(s"SELECT $v AS update_version")
       case st => spark.sql(st)
     }
+  }
+
+  // ---------------------------------------------------------------
+  // DML statements (x82/x83/x84) — the lakehouse's daily write verbs
+  // on the pure-SQL surface, routed through the SAME operators the
+  // Scala API uses (ops.Merge four-arm evaluation; Snapshots deletion
+  // vectors / staged-DV + append publish), so a SQL-only consumer
+  // mutates tables with identical semantics and identical physics.
+  // ---------------------------------------------------------------
+
+  /** Arm/WHERE conditions reference the two sides as `t.<col>` /
+    * `s.<col>` (SQL MERGE's conventional aliases); ops.Merge exposes
+    * the matched rows as struct columns `_t`/`_s`, so the rewrite is
+    * a prefix substitution. Contract: no string literal in a
+    * condition contains `t.`/`s.` tokens (the conditions are
+    * predicates over the table's columns). */
+  private def armColumn(cond: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      cond.replaceAll("(?i)\\bt\\.", "_t.").replaceAll("(?i)\\bs\\.", "_s."))
+
+  /** `MERGE INTO '<dir>' USING <view> ON <key> WHEN …` — parse the
+    * WHEN clauses into [[graft.ops.Merge.mergeInto]]'s four arms
+    * (absent arm = never fires, matching SQL MERGE: unstated rows
+    * keep/skip), run the merge against the latest RESOLVED state,
+    * land it as ONE optimistic-concurrency commit planned against
+    * that state's version. Clause precedence is mergeInto's (delete
+    * outranks update within MATCHED — SQL's first-matching-clause
+    * rule when delete is stated first, the conventional order). */
+  private def runMerge(spark: SparkSession, dir: String, srcView: String,
+                       key: String, arms: String): Int = {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.lit
+    type Arm2 = (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column
+    type Arm1 = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+    var matchedDelete: Arm2 = (_, _) => lit(false)
+    var matchedUpdate: Arm2 = (_, _) => lit(false)
+    var notMatchedInsert: Arm1 = _ => lit(false)
+    var bySourceDelete: Arm1 = _ => lit(false)
+    val found = WhenClause.findAllMatchIn(arms).toSeq
+    require(found.nonEmpty, s"MERGE INTO '$dir': no parseable WHEN clause in: $arms")
+    found.foreach { m =>
+      val kind = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+      val cond = Option(m.group(2))
+      val action = m.group(3).toUpperCase.replaceAll("\\s+", " ")
+      def c2: Arm2 = cond match {
+        case Some(x) => (_, _) => armColumn(x); case None => (_, _) => lit(true)
+      }
+      def c1: Arm1 = cond match {
+        case Some(x) => _ => armColumn(x); case None => _ => lit(true)
+      }
+      (kind, action) match {
+        case ("MATCHED", "DELETE") => matchedDelete = c2
+        case ("MATCHED", "UPDATE SET *") => matchedUpdate = c2
+        case ("NOT MATCHED", "INSERT *") => notMatchedInsert = c1
+        case ("NOT MATCHED BY SOURCE", "DELETE") => bySourceDelete = c1
+        case other => sys.error(s"unsupported MERGE clause: $other")
+      }
+    }
+    val expected = Snapshots.versions(spark, dir).last
+    val merged = graft.ops.Merge.mergeInto(
+      Snapshots.readResolved(spark, dir), spark.table(srcView), key,
+      matchedDelete = matchedDelete, matchedUpdate = matchedUpdate,
+      notMatchedInsert = notMatchedInsert, bySourceDelete = bySourceDelete)
+    Snapshots.commit(merged, dir, expectedVersion = expected)
+  }
+
+  /** `DELETE FROM '<dir>' WHERE <cond>` — merge-on-read: the matching
+    * rows of the latest resolved state commit as a DELETION VECTOR
+    * against it (x27's physics — the base's files are never touched;
+    * at 100 TB a delete costs a churn-sized write + a broadcast-able
+    * anti-join at read, not a rewrite). Reads resolve through
+    * `snapshot_resolved` / [[graft.sources.Snapshots.readResolved]]. */
+  private def runDelete(spark: SparkSession, dir: String, cond: String): Int = {
+    import graft.sources.Snapshots
+    val base = Snapshots.versions(spark, dir).last
+    val hit = Snapshots.readResolved(spark, dir)
+      .filter(org.apache.spark.sql.functions.expr(cond))
+    Snapshots.commitDeletes(hit, dir, base = base)
+  }
+
+  /** `UPDATE '<dir>' SET col = expr[, …] WHERE <cond>` — merge-on-read
+    * UPDATE as x58's two-step: the old images commit as a STAGED
+    * deletion vector (invisible to latest), the new images as ONE
+    * append whose base chain runs through it — the append's log entry
+    * is the atomic commit point, so no reader ever sees rows vanish
+    * without their replacements. SET expressions are plain Spark SQL
+    * over the row's own columns; top-level commas separate
+    * assignments (parenthesized/function-call commas are fine). */
+  private def runUpdate(spark: SparkSession, dir: String, sets: String,
+                        cond: String): Int = {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.expr
+    val base = Snapshots.versions(spark, dir).last
+    val hit = Snapshots.readResolved(spark, dir).filter(expr(cond))
+    val images = splitTopLevel(sets).foldLeft(hit) { (df, a) =>
+      val Array(c, e) = a.split("=", 2).map(_.trim)
+      df.withColumn(c, expr(e))
+    }
+    val dv = Snapshots.commitDeletes(hit, dir, base = base, staged = true)
+    Snapshots.commitAppend(images, dir, base = dv)
+  }
+
+  /** Split on commas at paren depth 0 (SET-list separator). */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
+      case _ =>
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
   }
 
   /** `CREATE MATERIALIZED VIEW <name> AT '<dir>' AS <select…>` —
@@ -170,4 +308,33 @@ object SqlRunner {
     * can be written in pure SQL. */
   private val TableChanges =
     """(?i)table_changes\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)""".r
+
+  /** `snapshot_resolved('<dir>', <v>)` — [[SnapshotAt]]'s resolved
+    * twin: logical versions (DVs, appends, replaces) served as the
+    * state they denote ([[graft.sources.Snapshots.readResolved]]). */
+  private val SnapshotResolved =
+    """(?i)snapshot_resolved\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
+
+  /** `MERGE INTO '<dir>' USING <view> ON <key> WHEN …` — the source
+    * is a (temp) view name; register it with a preceding
+    * `CREATE OR REPLACE TEMPORARY VIEW … AS …;` statement in the same
+    * script (statements run in order). */
+  private val MergeStmt =
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+(\w+)\s+ON\s+(\w+)\s+(WHEN\s+.+)$""".r
+
+  /** One MERGE WHEN clause: kind + optional AND-condition + action.
+    * Alternation order matters (`NOT MATCHED BY SOURCE` before
+    * `NOT MATCHED`); conditions never contain the token ` THEN `. */
+  private val WhenClause =
+    ("""(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)""" +
+      """(?:\s+AND\s+(.+?))?\s+THEN\s+(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)""").r
+
+  /** `DELETE FROM '<dir>' WHERE <cond>` — deletion-vector route. */
+  private val DeleteStmt =
+    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)$""".r
+
+  /** `UPDATE '<dir>' SET <assignments> WHERE <cond>` — staged-DV +
+    * append publish (merge-on-read). */
+  private val UpdateStmt =
+    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
 }

@@ -153,4 +153,104 @@ class SqlRunnerSpec extends SparkSpec {
     assert(!stale.head.getBoolean(0), "the view must serve the stale verdict")
     AutoAnalyze.dropState(spark, dir)
   }
+
+  test("x82: MERGE INTO statement — four arms, OCC commit, equals the Scala API") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+    val target = Seq((1L, "keep", 50.0), (2L, "close", 10.0),
+      (3L, "update", 40.0), (4L, "purge", -5.0)).toDF("k", "name", "bal")
+    Snapshots.commit(target, dir)
+    // source: k=2 restates low (matched delete), k=3 restates high
+    // (matched update), k=5 new high (insert), k=6 new low (insert
+    // condition rejects); k=1/k=4 unmatched-by-source (4 negative →
+    // by-source delete)
+    Seq((2L, "close", 15.0), (3L, "update", 99.0),
+      (5L, "new", 80.0), (6L, "reject", 1.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("dml_src")
+    val v = SqlRunner.runScriptWithSnapshots(spark,
+      s"""MERGE INTO '$dir' USING dml_src ON k
+         |WHEN MATCHED AND s.bal < 30.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.bal >= 30.0 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.bal < 0 THEN DELETE""".stripMargin)
+      .last.collect().head.getInt(0)
+    assert(v == 2, "the merge lands as one new version")
+    val got = Snapshots.read(spark, dir, Some(2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "keep", 50.0), (3L, "update", 99.0),
+      (5L, "new", 80.0)))
+    // the statement route must equal ops.Merge.mergeInto verbatim
+    val api = graft.ops.Merge.mergeInto(target,
+      spark.table("dml_src"), "k",
+      matchedDelete = (_, sr) => sr("bal") < 30.0,
+      notMatchedInsert = sr => sr("bal") >= 30.0,
+      bySourceDelete = t => t("bal") < 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == api)
+  }
+
+  test("x82: a MERGE with no parseable WHEN clause fails loudly") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+    Snapshots.commit(Seq((1L, 1.0)).toDF("k", "bal"), dir)
+    Seq((1L, 2.0)).toDF("k", "bal").createOrReplaceTempView("dml_src2")
+    intercept[RuntimeException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"MERGE INTO '$dir' USING dml_src2 ON k WHEN SOMETHING ELSE")
+    }
+  }
+
+  test("x83: DELETE statement routes through deletion vectors — base files untouched") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+    Snapshots.commit((1L to 20L).map(i => (i, i % 3 == 0L)).toDF("k", "flag"), dir)
+    val sig = Snapshots.fileSignature(spark, dir, 1)
+    val v = SqlRunner.runScriptWithSnapshots(spark,
+      s"DELETE FROM '$dir' WHERE k % 3 = 0").last.collect().head.getInt(0)
+    assert(v == 2)
+    assert(Snapshots.fileSignature(spark, dir, 1) == sig,
+      "a DELETE must never rewrite the base's files (merge-on-read)")
+    // snapshot_resolved serves the post-delete state from SQL text
+    val kept = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT k FROM snapshot_resolved('$dir', 2) ORDER BY k").last
+      .as[Long].collect().toSeq
+    assert(kept == (1L to 20L).filterNot(_ % 3 == 0))
+    // snapshot_at stays the audit view: the DV version's OWN rows
+    // are the deleted keys
+    val dvRows = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT k FROM snapshot_at('$dir', 2) ORDER BY k").last
+      .as[Long].collect().toSeq
+    assert(dvRows == (1L to 20L).filter(_ % 3 == 0))
+  }
+
+  test("x84: UPDATE statement is atomic — staged DV + append publish, multi-SET") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+    Snapshots.commit(Seq((1L, "a", 10.0), (2L, "b", -3.0), (3L, "c", -1.0))
+      .toDF("k", "name", "bal"), dir)
+    val sig = Snapshots.fileSignature(spark, dir, 1)
+    val v = SqlRunner.runScriptWithSnapshots(spark,
+      s"""UPDATE '$dir' SET bal = bal + 100.0, name = concat(name, '!')
+         |WHERE bal < 0""".stripMargin).last.collect().head.getInt(0)
+    assert(v == 3, "staged DV owns v2; the published append is v3")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 3),
+      "the staged DV never publishes — the append is the commit point")
+    assert(Snapshots.fileSignature(spark, dir, 1) == sig)
+    val got = Snapshots.readResolved(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b!", 97.0), (3L, "c!", 99.0)))
+  }
+
+  test("splitTopLevel honors parenthesized commas in SET lists") {
+    assert(SqlRunner.splitTopLevel("a = f(x, y), b = c + 1") ==
+      Seq("a = f(x, y)", "b = c + 1"))
+    assert(SqlRunner.splitTopLevel("a = 1") == Seq("a = 1"))
+  }
 }
