@@ -58,8 +58,11 @@ object DedupCluster {
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "DedupCluster.clusters(reliable = true) needs " +
           "spark.sparkContext.setCheckpointDir(...) to be set first")
+    // explicit param OR the session-wide policy (Lineage.ConfKey) —
+    // the cluster setting flips this operator with the rest of the
+    // iterative family, no call-site change needed
     def cut(df: DataFrame, eager: Boolean): DataFrame =
-      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (reliable) df.checkpoint(eager) else Lineage.cut(df, eager)
     val edges = cut(pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
       .union(pairs.select(col("b_id").cast("long"), col("a_id").cast("long")))
       .toDF("src", "dst"),

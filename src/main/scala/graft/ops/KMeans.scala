@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorAgg
+import graft.ops.Lineage.CutOps
 
 /** Deterministic Lloyd's k-means over an `Array[Float]` embedding
   * column — the coarse-quantizer trainer behind a real IVF index
@@ -248,7 +249,7 @@ object KMeans {
         .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dc"))
         .select(col("cluster_id"),
           transform(col("dc"), x => x.getField("cv")).as("cvec"))
-        .localCheckpoint(true) // cut lineage per pass (iterative loop)
+        .cutLineage(true) // cut lineage per pass (iterative loop)
     }
     (cent, assign(cent))
   }

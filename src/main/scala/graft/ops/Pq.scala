@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Lineage.CutOps
 
 /** Product quantization (PQ) — the embedding-COMPRESSION leg of the
   * ANN suite ([[Ivf]] is the bucketing leg; real systems compose
@@ -54,13 +55,13 @@ object Pq {
       KMeans.fitGrouped(subRows, "sub_id", idCol, "_s", k, iters)
     val codebooks = cents
       .select(col("sub_id"), col("cluster_id").as("cid"), col("cvec"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val encoded = assign
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("sub_id"), col("cluster_id")))),
         s => s("cluster_id")).as("code"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     Index(m, subDim, codebooks, encoded, idCol)
   }
 
@@ -129,7 +130,7 @@ object Pq {
       cent = cent.as("p").join(means, Seq("sub_id", "cid"), "left")
         .select(col("sub_id"), col("cid"),
           coalesce(col("mvec"), col("p.cvec")).as("cvec"))
-        .localCheckpoint(true) // cut lineage per pass (iterative loop)
+        .cutLineage(true) // cut lineage per pass (iterative loop)
     }
     val codebooks = cent
     val encoded = assign(codebooks)
@@ -137,7 +138,7 @@ object Pq {
       .agg(transform(
         array_sort(collect_list(struct(col("sub_id"), col("cid")))),
         s => s("cid")).as("code"))
-      .localCheckpoint(true)
+      .cutLineage(true)
     Index(m, subDim, codebooks, encoded, idCol)
   }
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Lineage.CutOps
 import graft.Tables
 import graft.functions.VectorAgg
 import graft.ops.VectorOps
@@ -2983,7 +2984,7 @@ object ExtQ {
       // the feed is computed once and reused twice (delete keys, new
       // images) — cut it eagerly so the diff join runs once
       val cdc = graft.ops.Diff.snapshot(old, neu, Seq("c_custkey"))
-        .localCheckpoint(true)
+        .cutLineage(true)
       val delKeys = cdc.filter(col("op").isin("D", "U"))
         .select(col("c_custkey"))
       val newImgs = cdc.filter(col("op").isin("I", "U"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Lineage.CutOps
 import graft.ops.{Chunker, Entities, GlobalIndex, TextFns, VectorOps}
 import graft.pipeline.Ingest
 
@@ -480,8 +481,8 @@ object KgQ {
       val edges = ed.select(col("a").as("src"), col("b").as("dst"))
         .union(ed.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      val ew = edges.join(deg, "src").localCheckpoint(true)
-      val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
+      val ew = edges.join(deg, "src").cutLineage(true)
+      val nodes = deg.select(col("src").as("node")).cutLineage(true)
       val n = nodes.count()
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
       for (i <- 1 to PrIters) {
@@ -500,7 +501,7 @@ object KgQ {
         // still small — halves the materialization count vs cutting
         // every round (measured ~7s → ~5s at sf0.1) while keeping
         // plan growth bounded.
-        if (i % 2 == 0 || i == PrIters) ranks = ranks.localCheckpoint(true)
+        if (i % 2 == 0 || i == PrIters) ranks = ranks.cutLineage(true)
       }
       // normalized rank (mean 1.0) so round(4) carries real precision
       ranks.select(col("node"), round(col("rank") * n, 4).as("rank_norm"))
@@ -525,10 +526,10 @@ object KgQ {
       val edges = ed.select(col("a").as("src"), col("b").as("dst"))
         .union(ed.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      val ew = edges.join(deg, "src").localCheckpoint(true)
+      val ew = edges.join(deg, "src").cutLineage(true)
       val nodes = deg.select(col("src").as("node"),
           (col("src") < 1000000L && col("src") % PprSeedMod === 0).as("is_seed"))
-        .localCheckpoint(true)
+        .cutLineage(true)
       val n = nodes.count()
       val nSeeds = nodes.filter(col("is_seed")).count()
       require(nSeeds > 0, s"no PPR seeds at mod $PprSeedMod")
@@ -547,7 +548,7 @@ object KgQ {
           .select(col("node"),
             (when(col("is_seed"), lit((1 - damp) / nSeeds)).otherwise(lit(0.0)) +
               lit(damp) * col("inflow")).as("rank"))
-        if (i % 2 == 0 || i == PrIters) ranks = ranks.localCheckpoint(true)
+        if (i % 2 == 0 || i == PrIters) ranks = ranks.cutLineage(true)
       }
       ranks.select(col("node"), round(col("rank") * n, 4).as("ppr_norm"))
         .orderBy(col("node"))
@@ -667,7 +668,7 @@ object KgQ {
         cl = vote(ed.join(sl.withColumnRenamed("node", "b"), "b")
           .select(col("a").as("node"), col("lbl")))
         if (i % 2 == 0 || i == LpIters) {
-          sl = sl.localCheckpoint(true); cl = cl.localCheckpoint(true)
+          sl = sl.cutLineage(true); cl = cl.cutLineage(true)
         }
       }
       val labels = cl.unionAll(sl)
@@ -730,7 +731,7 @@ object KgQ {
       val ed = orderGraph(s, d)
       var e = ed.select(col("a").as("s"), col("b").as("t"))
         .unionAll(ed.select(col("b").as("s"), col("a").as("t")))
-        .localCheckpoint(true)
+        .cutLineage(true)
       val thresh = when(col("s") >= 1000000L, lit(KcoreQ)).otherwise(lit(KcoreP))
       for (_ <- 1 to KcoreRounds) {
         val keep = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -739,7 +740,7 @@ object KgQ {
         e = e.join(keep.withColumnRenamed("n", "s"), "s")
           .join(keep.withColumnRenamed("n", "t"), "t")
           .select(col("s"), col("t"))
-          .localCheckpoint(true)
+          .cutLineage(true)
       }
       e.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
         .orderBy(col("node"))
@@ -766,7 +767,7 @@ object KgQ {
         .distinct()
       val small = ed.groupBy(col("a")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") <= WedgeCap).select(col("a"))
-      val capped = ed.join(small, "a").localCheckpoint(true)
+      val capped = ed.join(small, "a").cutLineage(true)
       val deg = capped.groupBy(col("b")).agg(count(lit(1)).as("dg"))
       val inter = capped.select(col("a"), col("b").as("b1"))
         .join(capped.select(col("a"), col("b").as("b2")), "a")
@@ -953,7 +954,7 @@ object KgQ {
       .distinct()
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .cutLineage(true)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") < 1000000L && col("node") % 3 === 0)
     (edges, seeds)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TextFns
+import graft.ops.Lineage.CutOps
 
 /** Text-analysis + multimodal-plumbing + windowed-event queries for
   * the training-data-pipeline extension: language ID (marker-word
@@ -927,7 +928,7 @@ object TextQ {
       // df-cap chain runs once, not three times
       val kept = frames.join(
         dfc.filter(col("nfig") <= FrameDfCap).select(col("fh")), "fh")
-        .localCheckpoint(true)
+        .cutLineage(true)
       val sizes = kept.groupBy(col("figure_id")).agg(count(lit(1)).as("sz"))
       val a = kept.select(col("figure_id").as("a_fig"), col("fh"))
       val b = kept.select(col("figure_id").as("b_fig"), col("fh"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.VectorOps
+import graft.ops.Lineage.CutOps
 
 /** Vector / similarity-search operators (SURVEY.md §2.9 V2–V4 + the
   * ANN extensions): cosine top-k, norms, JSON round-trip parity,
@@ -963,13 +964,13 @@ object VectorQ {
         .orderBy(col("rel_micro").desc, col("vec_id"))
         .limit(MmrM)
         .select(col("vec_id"), col("embedding"), col("rel_micro"))
-        .localCheckpoint(true)
+        .cutLineage(true)
       val sim = cand.as("a").crossJoin(cand.as("b"))
         .filter(col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
           round(cos(col("a.embedding"), col("b.embedding")) * lit(1e6))
             .cast("long").as("sim_micro"))
-        .localCheckpoint(true)
+        .cutLineage(true)
       val rels = cand.select(col("vec_id"), col("rel_micro"))
       var selected = rels
         .orderBy(col("rel_micro").desc, col("vec_id")).limit(1)
