@@ -31,10 +31,22 @@ object Bench {
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     // A failing query must not bench as ~0s (a regression would read as a
     // speedup): record the error and exclude it from the total.
+    // First-touch ledger: which shared Derived keys were first built
+    // INSIDE this query's timing (Derived.buildsSince) — the charge
+    // moves between runs when retime-set membership moves (v24 read
+    // 1.3 s warm vs 2.9 s paying the learned-index training, round
+    // 13), so the detail JSON names the payer and a per-query move
+    // can be read as attribution vs drift without a repro run.
+    val firstTouch = scala.collection.mutable.Map[String, Seq[String]]()
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+      val c0 = graft.queries.Derived.buildCount
       val t0 = System.nanoTime()
-      try { materialize(fn); ((System.nanoTime() - t0) / 1e9, None) }
+      val r = try { materialize(fn); ((System.nanoTime() - t0) / 1e9, None) }
       catch { case e: Throwable => ((System.nanoTime() - t0) / 1e9, Some(e.toString.take(200))) }
+      val built = graft.queries.Derived.buildsSince(c0)
+      if (built.nonEmpty)
+        firstTouch(name) = (firstTouch.getOrElse(name, Seq.empty) ++ built).distinct
+      r
     }
     // Untimed warmup: absorb scheduler/codegen/JIT startup so the
     // first timed query isn't charged for session bring-up.
@@ -262,8 +274,12 @@ object Bench {
       f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"storage_mb_segments":$storageSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJsonShort}"""
+    val touchJson = firstTouch.toSeq.sortBy(_._1).map { case (q, ks) =>
+      graft.util.Jsons.quote(q) + ":" +
+        ks.map(graft.util.Jsons.quote).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJson,"queries":$qs,"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJson,"derived_first_touch":$touchJson,"queries":$qs,"errors":$errs}"""
     // Clean line on the REAL stdout (build.sbt: run/outputStrategy =
     // StdoutOutput, so no sbt "[info] " prefix) + a file copy so the
     // driver can recover the metrics even if its stdout parse fails.

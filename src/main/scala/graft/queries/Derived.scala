@@ -55,6 +55,7 @@ object Derived {
       val existing = perSession.get((dir, name))
       if (existing != null) existing
       else {
+        logBuild(name)
         val df = build.persist()
         perSession.put((dir, name), df)
         df
@@ -87,6 +88,7 @@ object Derived {
         // are only ever written through this call site, a loser of a
         // build race finds either the full winning set (branch above)
         // or nothing, and installs its own complete set here
+        logBuild(n)
         val p = df.persist()
         perSession.put((dir, n), p)
         p
@@ -114,5 +116,32 @@ object Derived {
         try df.unpersist() catch { case _: Throwable => }
       }
     }
+  }
+
+  // -------------------------------------------------------------
+  // First-touch accounting (Bench's attribution witness): a shared
+  // derivation's BUILD cost lands inside whichever timed query first
+  // forces it, so a per-query time can move between runs with zero
+  // code diff purely because retime-set membership moved the charge
+  // (measured round 13: v24 1.3 s warm vs 2.9 s when it pays the
+  // learned-index training). Every cache MISS is logged here;
+  // Bench slices the log per timed query and emits the map, so a
+  // "regression" whose first-touch keys differ between runs is
+  // attribution, not drift — readable from the JSON alone.
+  // -------------------------------------------------------------
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  private def logBuild(name: String): Unit = { buildLog.add(name); () }
+
+  /** Number of cache-miss build registrations so far (a cursor). */
+  def buildCount: Int = buildLog.size()
+
+  /** Build keys registered since cursor `from` (exclusive prefix). */
+  def buildsSince(from: Int): Seq[String] = {
+    val it = buildLog.iterator()
+    val all = Seq.newBuilder[String]
+    while (it.hasNext) all += it.next()
+    all.result().drop(from)
   }
 }

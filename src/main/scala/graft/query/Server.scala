@@ -111,8 +111,27 @@ object Server {
     server.createContext("/papers", (ex: HttpExchange) => handle(ex) {
       if (ex.getRequestMethod != "GET") (405, err("GET required"))
       else {
+        // the reference's SELECT * dump (backend/app.py:122-136) is
+        // corpus-bounded there; here the dump is LIMIT-guarded so the
+        // HTTP surface carries no unbounded driver-side collect at
+        // any corpus size — `?limit=` (default and cap 1000, the
+        // corpus contract) plus `?offset=` for pagination. The page
+        // is taken deterministically by paper_id so offset walks a
+        // stable order.
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val limit = math.min(
+          params.get("limit").flatMap(_.toIntOption).getOrElse(1000), 1000)
+          .max(0)
+        val offset = params.get("offset").flatMap(_.toIntOption)
+          .getOrElse(0).max(0)
         val arr = mapper.createArrayNode()
-        corpus.papers.toJSON.collect()
+        corpus.papers
+          .orderBy(org.apache.spark.sql.functions.col("paper_id"))
+          .limit(offset + limit)
+          .toJSON.collect().drop(offset)
           .foreach(s => arr.add(mapper.readTree(s)))
         (200, arr)
       }

@@ -95,6 +95,27 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("GET /papers is limit-guarded and paginates on a stable order") {
+    withServer() { port =>
+      val total = corpus.papers.count().toInt
+      assert(total >= 3, "fixture must have enough papers to paginate")
+      // limit caps the dump; a huge requested limit clamps to 1000
+      val p1 = mapper.readTree(get(port, "/papers?limit=2").body())
+      assert(p1.size == 2)
+      assert(mapper.readTree(
+        get(port, "/papers?limit=999999").body()).size == total,
+        "requested limits clamp to the 1k corpus contract")
+      // offset walks a deterministic paper_id order with no overlap
+      val p2 = mapper.readTree(get(port, "/papers?limit=2&offset=2").body())
+      val ids = (0 until p1.size).map(p1.get(_).get("paper_id").asText()) ++
+        (0 until p2.size).map(p2.get(_).get("paper_id").asText())
+      assert(ids == ids.sorted && ids.distinct.size == ids.size,
+        "pages must be disjoint slices of one stable order")
+      // garbage params fall back to defaults rather than erroring
+      assert(get(port, "/papers?limit=abc&offset=-5").statusCode() == 200)
+    }
+  }
+
   test("concurrent /query requests both land their history rows") {
     // the sink lock serializes appends to the shared directory
     // (concurrent Spark appends share _temporary staging); compute
