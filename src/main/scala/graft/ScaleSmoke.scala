@@ -259,6 +259,14 @@ object ScaleSmoke {
     // (same two trained indexes + ADC scan, measured above); the
     // refine stage joins R=10 rows per query against the corpus by
     // id — lookup-sized at any F
+    // v30 is deliberately absent from the TIMED rows: its data-sized
+    // work is the blocked build pair join, measured as DIAGNOSTICS
+    // instead (annCandidateDiagnostics: v30_pairs_k_fixed vs
+    // v30_pairs_k_scaled — the same linear-vs-quadratic contrast as
+    // v14/v21's columns; at 100 TB the build blocks at the
+    // knnJoinClusters scale rule, blocks ∝ n) plus v30_walk_touched
+    // (the beam walk's whole candidate set — beam·m·rounds per query,
+    // corpus-independent by construction, NswSpec pins the bound)
     // v27 is deliberately absent: its data-sized work IS v8's
     // (same learned index, measured above); the eligibility join is
     // assignment-partitioned and the probe scans nprobe/k of the

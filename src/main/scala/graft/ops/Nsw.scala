@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Lineage.CutOps
+
+/** GRAPH-BASED ANN (NSW/HNSW-class, v30) — the production index
+  * family FAISS/vector-DB deployments increasingly default to,
+  * re-expressed as bounded DataFrame joins:
+  *
+  *  - BUILD ([[build]]): a deterministic k-NN-descent. Candidate
+  *    generation is CLUSTER-BLOCKED (each vector is block-assigned to
+  *    its [[blocks]] nearest trained IVF centroids, pairs form only
+  *    inside shared blocks — v21's blocked self-join, never n²), the
+  *    initial graph keeps each node's `m` best block-mates, then each
+  *    descent round offers neighbors-of-neighbors as candidates and
+  *    re-keeps the best `m` (Dong et al., "Efficient K-Nearest
+  *    Neighbor Graph Construction" — the NN-descent idea with a fixed
+  *    round budget so the whole build unrolls into oracle SQL).
+  *    Rank order is (score DESC, id) everywhere, so the build is
+  *    bit-deterministic given deterministic centroids.
+  *  - SEARCH ([[search]]): a beam walk. Entry layer = one fixed node
+  *    per coarse cluster (min id — metadata-sized, broadcast); each
+  *    round expands the beam's out-edges, scores ONLY the touched
+  *    candidates, and keeps the best `beam`; after `walkRounds`
+  *    rounds the top-k of the final beam is served.
+  *
+  * 100 TB shape: the adjacency is m·N rows co-partitioned by source
+  * node; a search round is beam-sized-lookup ⋈ adjacency + candidate
+  * scoring bounded by beam·m per query per round — no corpus scan,
+  * no all-pairs, and the entry layer rides broadcast. Build cost is
+  * the blocked pair join (rel. block sizes) + `rounds` bounded-degree
+  * self-joins, each cut from lineage ([[Lineage]] policy, so the
+  * fault-tolerant variant is one conf away).
+  */
+object Nsw {
+
+  /** Each vector's `blocks` nearest centroids (rank by the
+    * within-vector rank-neutral |c|² − 2·v·c, cluster_id tie-break —
+    * Ivf.probe's expression). Output: (idCol, cluster_id), `blocks`
+    * rows per vector. */
+  def blockAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, blocks: Int): DataFrame = {
+    VectorOps.ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val scored = v.crossJoin(broadcast(centroids))
+      .withColumn("_cd",
+        VectorOps.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * VectorOps.dot(col("_v"), col("cvec")))
+    graft.plans.TopK.perKey(scored, Seq(idCol),
+        Seq(col("_cd"), col("cluster_id")), blocks)
+      .select(col(idCol), col("cluster_id"))
+  }
+
+  /** Deterministic NN-descent build. Returns the directed adjacency
+    * (a, b, score): `m` out-edges per node by dot-product score. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, blocks: Int, m: Int,
+            rounds: Int): DataFrame = {
+    VectorOps.ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_nvec"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("_nid").as("a"), col("_nvec").as("_va")), "a")
+      .join(v.select(col("_nid").as("b"), col("_nvec").as("_vb")), "b")
+      .withColumn("score", VectorOps.dot(col("_va"), col("_vb")))
+      .select(col("a"), col("b"), col("score"))
+    def topM(sc: DataFrame): DataFrame =
+      graft.plans.TopK.perKey(sc, Seq("a"),
+        Seq(col("score").desc, col("b")), m)
+    val asg = blockAssign(vectors, idCol, vecCol, centroids, blocks)
+    // block-mate pairs: only inside shared blocks, DISTINCT because
+    // two vectors can share both blocks
+    val pairs = asg.select(col(idCol).as("a"), col("cluster_id"))
+      .join(asg.select(col(idCol).as("b"), col("cluster_id")), "cluster_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    var edges = topM(scored(pairs)).cutLineage(true)
+    for (_ <- 1 to rounds) {
+      // candidates = current edges ∪ 2-hop reachability (dedup'd) —
+      // degree-bounded: ≤ m + m² rows per node before the re-keep
+      val twoHop = edges.select(col("a"), col("b").as("_mid"))
+        .join(edges.select(col("a").as("_mid"), col("b")), "_mid")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+      val cands = edges.select(col("a"), col("b"))
+        .unionByName(twoHop).distinct()
+      edges = topM(scored(cands)).cutLineage(true)
+    }
+    edges
+  }
+
+  /** Entry layer: one fixed node per coarse cluster (min id) from the
+    * index's rank-1 assignment — metadata-sized. */
+  def entries(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy(col("cluster_id"))
+      .agg(min(col(idCol)).as("node"))
+      .select(col("node"))
+
+  /** Beam-walk search over the adjacency. Queries: (qid, qvec).
+    * Output: (qid, nb_id, nb_rank, score) — top-k by dot product of
+    * the final beam, self excluded. Only touched candidates are ever
+    * scored (beam·m per query per round, never a corpus scan). */
+  def search(edges: DataFrame, vectors: DataFrame, idCol: String,
+             vecCol: String, entryNodes: DataFrame, queries: DataFrame,
+             beam: Int, walkRounds: Int, topK: Int): DataFrame = {
+    VectorOps.ensureRegistered(queries.sparkSession)
+    val v = vectors.select(col(idCol).as("node"),
+      col(vecCol).cast("array<double>").as("_nvec"))
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(v, "node").join(q, "qid")
+      .withColumn("score", VectorOps.dot(col("_q"), col("_nvec")))
+      .select(col("qid"), col("node"), col("score"))
+    def topB(sc: DataFrame, k: Int): DataFrame =
+      graft.plans.TopK.perKey(sc, Seq("qid"),
+        Seq(col("score").desc, col("node")), k)
+    var bm = topB(scored(q.select(col("qid"))
+      .crossJoin(broadcast(entryNodes))), beam)
+    for (_ <- 1 to walkRounds) {
+      val expand = bm.select(col("qid"), col("node").as("a"))
+        .join(edges.select(col("a"), col("b")), "a")
+        .select(col("qid"), col("b").as("node"))
+      val cands = bm.select(col("qid"), col("node"))
+        .unionByName(expand).distinct()
+      bm = topB(scored(cands), beam)
+    }
+    val res = topB(bm.filter(col("node") =!= col("qid")), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    res.withColumn("nb_rank", row_number().over(w))
+      .select(col("qid"), col("node").as("nb_id"), col("nb_rank"), col("score"))
+  }
+
+  /** The DISTINCT (qid, node) candidates a whole walk scores — the
+    * search's data-path cost, exposed for the scale diagnostics
+    * (SCALE.md: candidates must track beam·m·rounds per query, never
+    * the corpus). Mirrors [[Ivf.probeCandidateCount]]. */
+  def searchCandidateCount(edges: DataFrame, vectors: DataFrame,
+                           idCol: String, vecCol: String,
+                           entryNodes: DataFrame, queries: DataFrame,
+                           beam: Int, walkRounds: Int): Long = {
+    VectorOps.ensureRegistered(queries.sparkSession)
+    val v = vectors.select(col(idCol).as("node"),
+      col(vecCol).cast("array<double>").as("_nvec"))
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(v, "node").join(q, "qid")
+      .withColumn("score", VectorOps.dot(col("_q"), col("_nvec")))
+      .select(col("qid"), col("node"), col("score"))
+    def topB(sc: DataFrame): DataFrame =
+      graft.plans.TopK.perKey(sc, Seq("qid"),
+        Seq(col("score").desc, col("node")), beam)
+    var touched = q.select(col("qid")).crossJoin(broadcast(entryNodes))
+      .select(col("qid"), col("node"))
+    var bm = topB(scored(touched))
+    for (_ <- 1 to walkRounds) {
+      val expand = bm.select(col("qid"), col("node").as("a"))
+        .join(edges.select(col("a"), col("b")), "a")
+        .select(col("qid"), col("b").as("node"))
+      val cands = bm.select(col("qid"), col("node"))
+        .unionByName(expand).distinct()
+      touched = touched.unionByName(cands).distinct()
+      bm = topB(scored(cands))
+    }
+    touched.distinct().count()
+  }
+}

@@ -55,6 +55,16 @@ object VectorQ {
   val RrfLegDepth = 20
   val RrfMicro = 1000000L
 
+  /** v30 graph-ANN parameters: candidate blocks per vector (nearest
+    * centroids), graph out-degree, NN-descent rounds, search beam
+    * width, beam-walk rounds. Small fixed budgets keep the whole
+    * build+search chain unrollable into oracle SQL. */
+  val NswBlocks = 2
+  val NswM = 4
+  val NswRounds = 2
+  val NswBeam = 4
+  val NswWalk = 3
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
@@ -208,13 +218,44 @@ object VectorQ {
     // — pairs should track ~n·KnnBlockRows (linear), while the fixed-k
     // column shows the n²/k curve the scale-aware plan avoids
     val kScaled = graft.queries.ExtQ.knnJoinClusters(n)
+    // v30's build pair join, measured at the fixture's fixed block
+    // count AND at the v21 scale rule (blocks ∝ n): same linear-vs-
+    // quadratic contrast as v14's columns — at 100 TB the graph build
+    // blocks at knnJoinClusters-scale counts, and the walk's touched
+    // set stays beam·m·rounds per query regardless of corpus size.
+    def nswPairs(k: Int): Long = {
+      val (cents, _) = graft.ops.KMeans.fit(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = k, maxIters = 3)
+      val asgB = graft.ops.Nsw.blockAssign(
+        emb(s, d), "vec_id", "embedding", cents, NswBlocks)
+      asgB.select(col("vec_id").as("a"), col("cluster_id"))
+        .join(asgB.select(col("vec_id").as("b"), col("cluster_id")), "cluster_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b")).distinct().count()
+    }
+    val e2 = emb(s, d)
+    val idx = learnedIndex(s, d)
+    val walkTouched = graft.ops.Nsw.searchCandidateCount(
+      Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e2, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      },
+      e2, "vec_id", "embedding",
+      graft.ops.Nsw.entries(idx.assigned, "vec_id"),
+      e2.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      NswBeam, NswWalk)
     Map(
       "corpus_vectors" -> n,
       "knn_join_k" -> kScaled.toLong,
       "v10_candidates" -> v10,
       "v8_candidates" -> v8,
       "v14_pairs_k_fixed" -> semPairs(kFixed),
-      "v14_pairs_k_scaled" -> semPairs(kScaled))
+      "v14_pairs_k_scaled" -> semPairs(kScaled),
+      "v30_pairs_k_fixed" -> nswPairs(IvfClusters),
+      "v30_pairs_k_scaled" -> nswPairs(kScaled),
+      "v30_walk_touched" -> walkTouched)
   }
 
   /** The cosine expression shared by v1/d5: dot/(|a||b|). */
@@ -926,6 +967,50 @@ object VectorQ {
         .orderBy(col("nprobe"))
     }),
 
+    // v30 — GRAPH-BASED ANN (NSW/HNSW-class, ops.Nsw): the one
+    // production index family IVF/PQ/SQ/LSH don't cover — FAISS /
+    // vector-DB deployments increasingly default to graph indexes.
+    // BUILD: deterministic k-NN-descent — candidates cluster-blocked
+    // (each vector pairs only inside its NswBlocks nearest trained
+    // centroids' blocks, v21's blocked self-join, never n²), keep
+    // the best NswM out-edges, then NswRounds rounds of
+    // neighbors-of-neighbors refinement (k14's fixed-round cadence,
+    // so the whole build unrolls into oracle CTEs). SEARCH: a beam
+    // walk from one fixed entry node per coarse cluster — each round
+    // expands the beam's out-edges and scores ONLY touched
+    // candidates (beam·m per query per round, no corpus scan).
+    // EVAL rides in the output (v17's harness idea): hits_at_3
+    // counts the overlap with the exact brute-force top-3, so the
+    // hash pins build, walk, AND achieved recall at once. Exact
+    // training + (score DESC, id) ranking everywhere make the chain
+    // bit-deterministic; the oracle replays block assignment →
+    // descent rounds → entry layer → beam rounds → top-k → recall
+    // from the embeddings table alone. The adjacency is Derived-
+    // shared (built once per session — the production shape).
+    "v30_graph_ann" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val idx = learnedIndex(s, d)
+      val e = emb(s, d)
+      val edges = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val res = graft.ops.Nsw.search(edges, e, "vec_id", "embedding",
+        graft.ops.Nsw.entries(idx.assigned, "vec_id"), q,
+        NswBeam, NswWalk, topK = 3)
+      val brute = defs("v4_knn_bruteforce")(s, d)
+        .select(col("qid"), col("nb_id"))
+      val hits = res.join(brute, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      res.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1265,6 +1350,115 @@ object VectorQ {
        |${candsCte("probed", s"asg$IvfIters", "embeddings")}
        |${topkTail("cands")}""".stripMargin
 
+  /** v30's full replay: unrolled IVF training → rank-≤NswBlocks block
+    * assignment → blocked init pairs → NswRounds NN-descent rounds →
+    * per-cluster entry layer → NswWalk beam rounds → top-3 + recall
+    * hits vs brute force. Every stage ranks by (score DESC, id), so
+    * the chain is deterministic and the numbers bit-match Spark's. */
+  private def nswOracle: String = {
+    def scoredCte(name: String, pairsSrc: String): String =
+      s"""$name AS (
+         |  SELECT p.a, p.b,
+         |    list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS score
+         |  FROM $pairsSrc p
+         |  JOIN embeddings ea ON ea.vec_id = p.a
+         |  JOIN embeddings eb ON eb.vec_id = p.b)""".stripMargin
+    def topMCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT a, b, score FROM (
+         |    SELECT a, b, score,
+         |      row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
+         |    FROM $src) t
+         |  WHERE rn <= $NswM)""".stripMargin
+    def beamCte(name: String, candSrc: String): String =
+      s"""$name AS (
+         |  SELECT qid, node, score FROM (
+         |    SELECT c.qid, c.node,
+         |      list_dot_product(q.qe, e.embedding::DOUBLE[]) AS score,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        c.node) AS rn
+         |    FROM $candSrc c
+         |    JOIN nq q ON q.qid = c.qid
+         |    JOIN embeddings e ON e.vec_id = c.node) t
+         |  WHERE rn <= $NswBeam)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(s"WITH ${ivfTrainCtes("")},\n")
+    sb.append(
+      s"""nswasg AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent${IvfIters - 1} c) t
+         |  WHERE rn <= $NswBlocks),
+         |npairs0 AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM nswasg x JOIN nswasg y USING (cluster_id)
+         |  WHERE x.vec_id <> y.vec_id),
+         |""".stripMargin)
+    sb.append(scoredCte("nsc0", "npairs0") + ",\n")
+    sb.append(topMCte("edges0", "nsc0") + ",\n")
+    for (r <- 1 to NswRounds) {
+      sb.append(
+        s"""npairs$r AS (
+           |  SELECT a, b FROM edges${r - 1}
+           |  UNION
+           |  SELECT e1.a, e2.b
+           |  FROM edges${r - 1} e1 JOIN edges${r - 1} e2 ON e1.b = e2.a
+           |  WHERE e2.b <> e1.a),
+           |""".stripMargin)
+      sb.append(scoredCte(s"nsc$r", s"npairs$r") + ",\n")
+      sb.append(topMCte(s"edges$r", s"nsc$r") + ",\n")
+    }
+    sb.append(
+      s"""nentry AS (
+         |  SELECT MIN(vec_id) AS node FROM asg$IvfIters GROUP BY cluster_id),
+         |nq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |       FROM embeddings WHERE vec_id < 5),
+         |wc0 AS (SELECT q.qid, e.node FROM nq q CROSS JOIN nentry e),
+         |""".stripMargin)
+    sb.append(beamCte("wb0", "wc0") + ",\n")
+    for (w <- 1 to NswWalk) {
+      sb.append(
+        s"""wc$w AS (
+           |  SELECT qid, node FROM wb${w - 1}
+           |  UNION
+           |  SELECT b.qid, e.b AS node
+           |  FROM wb${w - 1} b JOIN edges$NswRounds e ON e.a = b.node),
+           |""".stripMargin)
+      sb.append(beamCte(s"wb$w", s"wc$w") + ",\n")
+    }
+    sb.append(
+      s"""nres AS (
+         |  SELECT qid, node AS nb_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+         |  FROM wb$NswWalk WHERE node <> qid),
+         |nbrute AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        e.vec_id) AS rn
+         |    FROM nq q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |nhits AS (
+         |  SELECT r.qid, CAST(COUNT(b.nb_id) AS INT) AS hits_at_3
+         |  FROM nres r LEFT JOIN nbrute b
+         |    ON b.qid = r.qid AND b.nb_id = r.nb_id
+         |  WHERE r.rn <= 3
+         |  GROUP BY r.qid)
+         |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
+         |  round(r.score, 4) AS score, h.hits_at_3
+         |FROM nres r JOIN nhits h USING (qid)
+         |WHERE r.rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
   /** The v20 oracle: the FULL REBUILD at fixed centroids — train on
     * the history split (the same unrolled chain as v8's, restricted
     * by WHERE), then assign EVERY vector (history ∪ batch) against
@@ -1427,6 +1621,12 @@ SELECT nprobe, n_hits, n_truth,
 FROM ($evals)
 ORDER BY nprobe"""
     },
+
+    // v30: the graph index's whole life replayed — unrolled training,
+    // block assignment, blocked init pairs, NN-descent rounds, entry
+    // layer, beam-walk rounds, top-3, and the recall hits vs brute
+    // force; one hash pins build, walk, and achieved recall.
+    "v30_graph_ann" -> nswOracle,
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.

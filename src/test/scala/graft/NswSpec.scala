@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Nsw
+
+/** Graph-ANN (v30) contracts: the build is deterministic and
+  * degree-bounded, descent rounds only improve neighbor quality, the
+  * beam walk never scans the corpus, and search quality is measured
+  * against brute force. */
+class NswSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a deterministic 2-ring corpus: two well-separated shells so the
+  // true neighbors of any point live on its own shell
+  private def corpus(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val shell = i % 2
+      val angle = 2 * math.Pi * i / n
+      val base = if (shell == 0) 1.0 else 10.0
+      (i.toLong, Array(base * math.cos(angle), base * math.sin(angle),
+        base * 0.5, base * 0.25))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def centroidsOf(df: org.apache.spark.sql.DataFrame) =
+    graft.ops.Ivf.buildExact(df, "vec_id", "embedding",
+      k = 4, assignPasses = 2)
+
+  test("build is deterministic, degree-bounded, and self-loop-free") {
+    val v = corpus(80)
+    val idx = centroidsOf(v)
+    def edgesOf() = Nsw.build(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val e1 = edgesOf()
+    assert(e1 == edgesOf(), "two builds over the same input must be identical")
+    assert(!e1.exists { case (a, b) => a == b }, "no self loops")
+    val deg = e1.groupBy(_._1).view.mapValues(_.size)
+    assert(deg.values.forall(_ <= 3), "out-degree bounded by m")
+    assert(deg.size == 80, "every node keeps out-edges")
+  }
+
+  test("descent rounds only improve kept neighbor quality (monotone per node)") {
+    val v = corpus(80)
+    val idx = centroidsOf(v)
+    def qualityAt(rounds: Int): Map[Long, Double] =
+      Nsw.build(v, "vec_id", "embedding", idx.centroids,
+        blocks = 2, m = 3, rounds = rounds)
+        .groupBy(col("a")).agg(sum(col("score")).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q0 = qualityAt(0)
+    val q2 = qualityAt(2)
+    assert(q0.keySet == q2.keySet)
+    assert(q0.forall { case (n, q) => q2(n) >= q - 1e-12 },
+      "NN-descent keeps the best-of union — per-node quality never drops")
+  }
+
+  test("beam search finds the exact neighbors on a separable corpus") {
+    val v = corpus(120)
+    val idx = centroidsOf(v)
+    val edges = Nsw.build(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = 4, rounds = 2)
+    val q = v.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Nsw.search(edges, v, "vec_id", "embedding",
+      Nsw.entries(idx.assigned, "vec_id"), q,
+      beam = 4, walkRounds = 3, topK = 3)
+      .select(col("qid"), col("nb_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth by the same (score desc, id) rule
+    val brute = v.crossJoin(broadcast(
+        q.select(col("qid"), col("qvec").cast("array<double>").as("_q"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("s", graft.ops.VectorOps.dotHof(col("embedding"), col("_q")))
+    val truth = graft.plans.TopK.perKey(brute, Seq("qid"),
+        Seq(col("s").desc, col("vec_id")), 3)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"beam walk must recover the separable truth, got $recall")
+  }
+
+  test("the walk scores only touched candidates, never the corpus") {
+    val v = corpus(200)
+    val idx = centroidsOf(v)
+    val m = 3; val beam = 4; val rounds = 2
+    val edges = Nsw.build(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = m, rounds = 1)
+    val q = v.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val touched = Nsw.searchCandidateCount(edges, v, "vec_id", "embedding",
+      Nsw.entries(idx.assigned, "vec_id"), q, beam, rounds)
+    // entries + per round at most beam·(m+1) new candidates
+    val bound = 4 + rounds * beam * (m + 1)
+    assert(touched <= bound, s"walk touched $touched > bound $bound")
+    assert(touched < 200, "a walk must never degenerate into a corpus scan")
+  }
+}
