@@ -403,6 +403,88 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** STREAMING INDEX MAINTENANCE — v26's twin, the index fleet's
+    * real deployment: the drift monitor's verdict fires from the
+    * INGEST path, not a nightly job. Per micro-batch of vectors
+    * (vec_id, embedding):
+    *
+    *  1. admit by v20's append — assignment at the CURRENT committed
+    *     centroids, a narrow map against the model-sized broadcast
+    *     (zero stored-side IO);
+    *  2. read v25's verdict from assignment METADATA only (batch
+    *     cluster shares vs stored shares, exact integer 256ths —
+    *     [[graft.ops.Ivf.shareDrift]]);
+    *  3. a quiet verdict lands the appended assignment state
+    *     EPOCH-TAGGED ([[graft.sources.Snapshots.commitEpoch]] —
+    *     replays fold nothing); a fired verdict retrains EXACTLY
+    *     over stored ∪ batch and lands gen-(n+1) centroids +
+    *     assignments in ONE x45 transaction (v24's torn-index
+    *     discipline), the epoch tag riding the txn stage so a
+    *     replayed rebuild epoch also folds nothing.
+    *
+    * Returns (rebuildFired, landed); (false, false) on a replay
+    * skip. Folds COMPOSE to v26's one-shot loop: when the final
+    * drifted epoch fires, the committed generation is the exact
+    * retrain over the whole corpus — bit-equal to the batch query's
+    * gen-2 (StreamingSpec pins the parity). */
+  def indexFold(batch: DataFrame, centDir: String, asgDir: String,
+                txnDir: String, k: Int, passes: Int, driftMax256: Int,
+                epochId: Long): (Boolean, Boolean) = {
+    import graft.sources.{Snapshots, TxnDecidedException}
+    val s = batch.sparkSession
+    if (Snapshots.epochCommitted(s, asgDir, epochId)) return (false, false)
+    val cents = Snapshots.read(s, centDir)
+    val stored = Snapshots.read(s, asgDir)
+      .select(col("vec_id"), col("_vec"), col("cluster_id"))
+    val batchAsg = graft.ops.Ivf.append(
+      graft.ops.Ivf.Index(cents, stored.limit(0), "vec_id"),
+      batch, "embedding").assigned
+    val tagged = stored.withColumn("_hist", lit(true))
+      .unionByName(batchAsg.withColumn("_hist", lit(false)))
+    val rebuild = graft.ops.Ivf.shareDrift(tagged, col("_hist"), driftMax256)
+      .select(col("rebuild")).limit(1).collect().head.getBoolean(0)
+    if (!rebuild) {
+      (false, Snapshots.commitEpoch(
+        stored.unionByName(batchAsg), asgDir, epochId).isDefined)
+    } else {
+      val corpus = stored.select(col("vec_id"), col("_vec").as("embedding"))
+        .unionByName(batch.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")))
+      val gen2 = graft.ops.Ivf.buildExact(corpus, "vec_id", "embedding",
+        k = k, assignPasses = passes)
+      val txnId = s"epoch-$epochId-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      Snapshots.txnStageEpoch(gen2.centroids, centDir, txnDir, txnId, epochId)
+      Snapshots.txnStageEpoch(gen2.assigned, asgDir, txnDir, txnId, epochId)
+      try {
+        Snapshots.txnCommit(s, txnDir, txnId, Seq(centDir, asgDir))
+        (true, true)
+      } catch { case _: TxnDecidedException => (true, false) }
+    }
+  }
+
+  def indexSink(stream: DataFrame, centDir: String, asgDir: String,
+                txnDir: String, k: Int, passes: Int, driftMax256: Int,
+                checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        indexFold(batch, centDir, asgDir, txnDir, k, passes,
+          driftMax256, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  def readVectorStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(vectorSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
+
   /** One micro-batch's fold of [[ivmSink]], exposed so the replay
     * contract is directly testable: the delta-join state merges into
     * the stored state and commits EPOCH-TAGGED

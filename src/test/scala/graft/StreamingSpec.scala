@@ -560,4 +560,79 @@ class StreamingSpec extends SparkSpec {
       assert(lateRows.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming index maintenance: drift fires the retrain from the ingest path (v26 twin)") {
+    import graft.sources.Snapshots
+    import graft.ops.Ivf
+    val k = queries.VectorQ.IvfClusters
+    val passes = queries.VectorQ.IvfIters
+    val driftMax = queries.VectorQ.DriftMax256
+    val mod = queries.VectorQ.AppendSplitMod
+    val histMax = queries.VectorQ.AppendHistMax
+    val e = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val hist = e.filter(col("vec_id") % mod < histMax)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val drifted = e.filter(col("vec_id") % mod >= histMax)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.1) + lit(3.0)).as("embedding"))
+    // seed generation 1 on the history split (v26's stored state)
+    val base = java.nio.file.Files.createTempDirectory("st_idx").toString
+    val (centDir, asgDir, txnDir) =
+      (s"$base/cents", s"$base/asg", s"$base/txn")
+    val gen1 = Ivf.buildExact(hist, "vec_id", "embedding",
+      k = k, assignPasses = passes)
+    Snapshots.commit(gen1.centroids, centDir)
+    Snapshots.commit(gen1.assigned, asgDir)
+    // the drifted nightly batch arrives as THREE micro-batches
+    val src = s"$base/src"
+    drifted.repartition(3).write.mode("overwrite").parquet(src)
+    val ckpt = s"$base/ckpt"
+    val q = graft.streaming.EventStream.indexSink(
+      graft.streaming.EventStream.readVectorStream(spark, src,
+        maxFilesPerTrigger = Some(1)),
+      centDir, asgDir, txnDir, k, passes, driftMax, ckpt).start()
+    try q.awaitTermination() finally q.stop()
+    // the blob batches must have fired at least one retrain, landed
+    // atomically (both tables advanced through the txn)
+    assert(Snapshots.versions(spark, centDir).size > 1,
+      "drifted micro-batches must fire the monitor's retrain verdict")
+    // final state parity with v26's one-shot batch loop: when the
+    // last drifted epoch fires, the committed generation is the
+    // exact retrain over the WHOLE corpus — decimal-exact training
+    // makes it bit-equal to the batch query's gen-2
+    val batchGen2 = Ivf.buildExact(hist.unionByName(drifted),
+      "vec_id", "embedding", k = k, assignPasses = passes)
+    val streamedCents = Snapshots.read(spark, centDir)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    val batchCents = batchGen2.centroids
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    assert(streamedCents == batchCents,
+      "streamed folds must compose to the one-shot retrain bit-exactly")
+    val servedN = Snapshots.read(spark, asgDir).count()
+    assert(servedN == hist.count() + drifted.count(),
+      "the served assignment must cover the whole corpus")
+    // replay safety: re-folding a committed epoch lands nothing
+    val before = (Snapshots.versions(spark, centDir),
+      Snapshots.versions(spark, asgDir))
+    val (reFired, reLanded) = graft.streaming.EventStream.indexFold(
+      drifted, centDir, asgDir, txnDir, k, passes, driftMax, epochId = 0)
+    assert(!reFired && !reLanded)
+    assert((Snapshots.versions(spark, centDir),
+      Snapshots.versions(spark, asgDir)) == before)
+    // probe parity: a searcher over the committed tables serves the
+    // same neighbors as one over the batch-loop index
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val served = Ivf.probe(Ivf.Index(Snapshots.read(spark, centDir),
+        Snapshots.read(spark, asgDir), "vec_id"), probes, 2, 3)
+      .select(col("qid"), col("nb_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ivf.probe(batchGen2, probes, 2, 3)
+      .select(col("qid"), col("nb_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == want)
+  }
 }
