@@ -1555,4 +1555,32 @@ object Snapshots {
     val (fs, p) = fsOf(spark, dir)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
+
+  /** Remove every version STRICTLY ABOVE `keep` — log entry plus its
+    * data directory. The inverse of [[vacuum]]'s keep-newest: the
+    * fixture cache ([[graft.queries.Fixtures]]) uses it to reset a
+    * reused table to its as-built state, so a query's own mutation
+    * commits from a previous run can never leak into this one.
+    * Dropping from the top is always chain-safe (only HIGHER versions
+    * reference lower bases), but a CHECKPOINT above `keep` is refused:
+    * a checkpoint compacts lower entries into itself, so deleting it
+    * could orphan versions the caller means to keep. Returns the
+    * version numbers removed. */
+  def dropVersionsAbove(spark: SparkSession, dir: String, keep: Int): Seq[Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    val ckptAbove = fs.listStatus(p).toSeq.filter(_.isFile)
+      .flatMap(f => CkptName.findFirstMatchIn(f.getPath.getName).map(_.group(1).toInt))
+      .filter(_ > keep)
+    require(ckptAbove.isEmpty,
+      s"dropVersionsAbove($keep) under $dir: checkpoint at v${ckptAbove.maxOption.getOrElse(0)} compacts entries below it; refusing")
+    val doomed = logEntries(spark, dir).filter(_.get("version").asInt() > keep)
+    doomed.map { n =>
+      val v = n.get("version").asInt()
+      val dd = new org.apache.hadoop.fs.Path(p, entryDataDir(n))
+      if (fs.exists(dd)) fs.delete(dd, true)
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"_entry_v$v.json"), false)
+      v
+    }
+  }
 }
