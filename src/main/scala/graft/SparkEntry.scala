@@ -106,11 +106,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQ.defs ++ VectorQ.defs ++ DedupQ.defs ++ TextQ.defs ++
-      KgQ.defs ++ ExtQ.defs ++ SqlDmlQ.defs
+      KgQ.defs ++ ExtQ.defs ++ LakehouseQ.defs ++ StatsQ.defs ++
+      MvQ.defs ++ SqlDmlQ.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQ.oracles ++ VectorQ.oracles ++ DedupQ.oracles ++ TextQ.oracles ++
-      KgQ.oracles ++ ExtQ.oracles ++ SqlDmlQ.oracles
+      KgQ.oracles ++ ExtQ.oracles ++ LakehouseQ.oracles ++ StatsQ.oracles ++
+      MvQ.oracles ++ SqlDmlQ.oracles
 }

@@ -44,8 +44,7 @@ object SqlDmlQ {
     // same arms, same OCC commit, zero Scala in the mutation path.
     "x82_sql_merge" -> ((s, d) => {
       import graft.sources.Snapshots
-      val dir = s"target/x82_snap_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val dir = freshSnapDir(s, d, "x82_snap")
       Snapshots.commit(
         Tables.load(s, d, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal")), dir)
@@ -94,8 +93,7 @@ object SqlDmlQ {
     // semantics at once.
     "x83_sql_delete" -> ((s, d) => {
       import graft.sources.Snapshots
-      val dir = s"target/x83_snap_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val dir = freshSnapDir(s, d, "x83_snap")
       Snapshots.commit(
         Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars")), dir)
@@ -128,8 +126,7 @@ object SqlDmlQ {
     // one IEEE addition, replayed exactly by the oracle's CASE.
     "x84_sql_update" -> ((s, d) => {
       import graft.sources.Snapshots
-      val dir = s"target/x84_snap_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, dir) // deterministic version numbers per run
+      val dir = freshSnapDir(s, d, "x84_snap")
       Snapshots.commit(
         Tables.load(s, d, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal")), dir)

@@ -600,10 +600,9 @@ object VectorQ {
     // bucket scan prunes to nprobe/k of the corpus table.
     "v24_index_persist" -> ((s, d) => {
       import graft.sources.Snapshots
-      val centDir = s"target/v24_cents_${math.abs(d.hashCode)}"
-      val asgDir = s"target/v24_asg_${math.abs(d.hashCode)}"
-      val txnDir = s"target/v24_txn_${math.abs(d.hashCode)}"
-      Seq(centDir, asgDir, txnDir).foreach(Snapshots.drop(s, _))
+      val centDir = freshSnapDir(s, d, "v24_cents")
+      val asgDir = freshSnapDir(s, d, "v24_asg")
+      val txnDir = freshSnapDir(s, d, "v24_txn")
       val idx = learnedIndex(s, d)
       val t = java.util.UUID.randomUUID().toString
       Snapshots.txnStage(idx.centroids, centDir, txnDir, t)
@@ -689,10 +688,9 @@ object VectorQ {
           "vec_id", "embedding", k = IvfClusters, assignPasses = IvfIters)
         else appended
       // 4. the new generation lands atomically (v24's txn shape)
-      val centDir = s"target/v26_cents_${math.abs(d.hashCode)}"
-      val asgDir = s"target/v26_asg_${math.abs(d.hashCode)}"
-      val txnDir = s"target/v26_txn_${math.abs(d.hashCode)}"
-      Seq(centDir, asgDir, txnDir).foreach(Snapshots.drop(s, _))
+      val centDir = freshSnapDir(s, d, "v26_cents")
+      val asgDir = freshSnapDir(s, d, "v26_asg")
+      val txnDir = freshSnapDir(s, d, "v26_txn")
       val t = java.util.UUID.randomUUID().toString
       Snapshots.txnStage(gen2.centroids, centDir, txnDir, t)
       Snapshots.txnStage(gen2.assigned, asgDir, txnDir, t)

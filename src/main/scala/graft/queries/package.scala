@@ -21,4 +21,14 @@ package object queries {
     * DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE)`.
     */
   def dsum6(c: Column): Column = sum(c.cast("decimal(24,6)")).cast("double")
+
+  /** The snapshot-fixture prologue ~30 lakehouse queries share: one
+    * deterministic per-(query, sf-dir) table directory, dropped first
+    * so every run lands the same version numbers — the property the
+    * oracles' pinned `n_versions` columns depend on. */
+  def freshSnapDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"target/${tag}_${math.abs(d.hashCode)}"
+    graft.sources.Snapshots.drop(s, dir)
+    dir
+  }
 }
