@@ -127,19 +127,22 @@ object KgQ {
 
   /** k15/k24's shared frame: min-label components of the one-week
     * date-windowed bipartite graph, (node, component). */
-  private def windowComponents(s: SparkSession, d: String): DataFrame = {
-    val eo = Tables.load(s, d, "orders")
-      .filter(col("o_orderdate").between("1995-03-01", "1995-03-07"))
-      .select(col("o_orderkey"), col("o_custkey"))
-    val edges = eo.join(
-        Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("a_id"),
-        (col("l_suppkey") + 1000000L).as("b_id"))
-      .distinct()
-    graft.ops.DedupCluster.clusters(edges)
-      .select(col("doc_id").as("node"), col("rep_id").as("component"))
-  }
+  private def windowComponents(s: SparkSession, d: String): DataFrame =
+    // shared by k15 (membership) and k24 (size distribution): the
+    // propagation loop runs once per session, not once per consumer
+    Derived.of(s, d, "window_components") {
+      val eo = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate").between("1995-03-01", "1995-03-07"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = eo.join(
+          Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a_id"),
+          (col("l_suppkey") + 1000000L).as("b_id"))
+        .distinct()
+      graft.ops.DedupCluster.clusters(edges)
+        .select(col("doc_id").as("node"), col("rep_id").as("component"))
+    }
 
   /** Full bipartite customer–supplier co-purchase graph: distinct
     * (o_custkey, l_suppkey + 1e6) pairs over ALL orders — the shared

@@ -44,10 +44,14 @@ object SqlDmlQ {
     // same arms, same OCC commit, zero Scala in the mutation path.
     "x82_sql_merge" -> ((s, d) => {
       import graft.sources.Snapshots
-      val dir = freshSnapDir(s, d, "x82_snap")
-      Snapshots.commit(
-        Tables.load(s, d, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal")), dir)
+      // base v1 is a pure projection fixture: build once, reuse across
+      // sweeps; the MERGE's v2 is truncated away at reuse (Fixtures)
+      val dir = Fixtures.ensure(s, d, "x82_snap",
+          "customer v1 c_custkey,c_name,c_acctbal") { fdir =>
+        Snapshots.commit(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal")), fdir)
+      }
       Tables.load(s, d, "orders").createOrReplaceTempView("orders_x82")
       Tables.load(s, d, "customer").createOrReplaceTempView("customer_x82")
       graft.util.SqlRunner.runScriptWithSnapshots(s,
@@ -93,10 +97,12 @@ object SqlDmlQ {
     // semantics at once.
     "x83_sql_delete" -> ((s, d) => {
       import graft.sources.Snapshots
-      val dir = freshSnapDir(s, d, "x83_snap")
-      Snapshots.commit(
-        Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars")), dir)
+      val dir = Fixtures.ensure(s, d, "x83_snap",
+          "documents v1 doc_id,source,n_chars") { fdir =>
+        Snapshots.commit(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")), fdir)
+      }
       val sigBefore = Snapshots.fileSignature(s, dir, 1)
       graft.util.SqlRunner.runScriptWithSnapshots(s,
         s"""DELETE FROM '$dir'
@@ -126,10 +132,12 @@ object SqlDmlQ {
     // one IEEE addition, replayed exactly by the oracle's CASE.
     "x84_sql_update" -> ((s, d) => {
       import graft.sources.Snapshots
-      val dir = freshSnapDir(s, d, "x84_snap")
-      Snapshots.commit(
-        Tables.load(s, d, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal")), dir)
+      val dir = Fixtures.ensure(s, d, "x84_snap",
+          "customer v1 c_custkey,c_name,c_acctbal") { fdir =>
+        Snapshots.commit(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal")), fdir)
+      }
       val sigBefore = Snapshots.fileSignature(s, dir, 1)
       graft.util.SqlRunner.runScriptWithSnapshots(s,
         s"""UPDATE '$dir'
