@@ -165,6 +165,15 @@ object ScaleSmoke {
     // the CHURN); zone maps stay 32 rows and the box reads scan
     // ~p·files at any F
     "x55_incremental_zorder",
+    // x85 pays the F×-scaled fragmented commit + ONE round-robin
+    // exchange into the target file count (the whole-table rewrite
+    // price — linear by construction); the change-feed probe is an
+    // empty-by-metadata read
+    "x85_sql_optimize",
+    // x86 is x52's curve behind the statement surface: one stats
+    // aggregate (min/max+count in one row) + one global z-rank range
+    // exchange + the 16-slice colocated commit over F× rows
+    "x86_sql_zorder",
     // x57 probes each F×-scaled order against the 15 committed
     // boundaries (narrow codegen HOF — no range exchange, no
     // sampling pass) + one hash colocation shuffle for the write;

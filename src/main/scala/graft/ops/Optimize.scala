@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** OPTIMIZE — whole-table layout rewrites as engine verbs (Delta's
+  * `OPTIMIZE [ZORDER BY]`, x26/x52's physics generalized from their
+  * fixture queries to any committed table + any numeric columns).
+  *
+  * Both verbs land through [[Snapshots.commitLayout]]: a FULL version
+  * holding the same logical rows as the resolved state they rewrote,
+  * marked `dataChange:false` — readers of `latest` see identical
+  * rows, the change feed sees NOTHING (a layout commit must never
+  * feed downstream consumers as new data), and an enabled auto-stats
+  * catalog re-stamps freshness instead of re-profiling (the stats
+  * still describe the same rows).
+  *
+  * Scale shapes (the reason these are single-purpose verbs, not
+  * `df.repartition` left to callers):
+  *  - [[compact]]: ONE round-robin exchange into the target file
+  *    count — the x26 bin-pack collapsed to its essential move. At
+  *    100 TB the target count comes from bytes/targetFileSize; the
+  *    rewrite cost is one pass over the table, never a sort.
+  *  - [[zorder]]: per-column 8-bit EQUI-WIDTH buckets from the
+  *    table's own min/max (one aggregate row — value-deterministic,
+  *    no sampling, no sketch nondeterminism; an equi-DEPTH variant
+  *    would take boundaries from the x57 catalog histogram instead),
+  *    bit-interleaved into a z value, then ONE global z-rank range
+  *    exchange (GlobalIndexExec — no single reducer) sliced into
+  *    equal-row files. Rank ties break on the full row, so file
+  *    membership is deterministic up to identical-row identity.
+  *    The file id lands as the `_zfile` column + hive partition
+  *    (x52's layout contract), so zone-map pruning and the
+  *    one-file-per-slice witness work off the committed listing.
+  */
+object Optimize {
+
+  /** Bin-pack the resolved latest state into exactly `nFiles`
+    * round-robin files (empty inputs may produce fewer). Returns the
+    * committed layout version. */
+  def compact(spark: SparkSession, dir: String, nFiles: Int): Int = {
+    require(nFiles > 0, s"OPTIMIZE INTO $nFiles FILES: need a positive count")
+    val base = Snapshots.versions(spark, dir).last
+    Snapshots.commitLayout(
+      Snapshots.readResolved(spark, dir).repartition(nFiles), dir, base)
+  }
+
+  private val ZBits = 8
+
+  /** Z-order the resolved latest state on `cols` (numeric/date
+    * columns; nulls sort first as bucket 0) into `nFiles` equal-row
+    * slices, one file per slice. Returns the committed version. */
+  def zorder(spark: SparkSession, dir: String, cols: Seq[String],
+             nFiles: Int): Int = {
+    require(cols.nonEmpty && nFiles > 0,
+      s"OPTIMIZE ZORDER BY needs columns and a positive file count")
+    val base = Snapshots.versions(spark, dir).last
+    val cur = Snapshots.readResolved(spark, dir)
+    cols.foreach { c =>
+      val t = cur.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        t == org.apache.spark.sql.types.DateType ||
+        t == org.apache.spark.sql.types.TimestampType,
+        s"ZORDER BY $c: need a numeric/date column, got $t")
+    }
+    def num(c: String): Column = cur.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType =>
+        unix_timestamp(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    // min/max + count for every column in ONE aggregate row
+    val aggs = cols.flatMap(c =>
+      Seq(min(num(c)).as(s"mn_$c"), max(num(c)).as(s"mx_$c"))) :+
+      count(lit(1)).as("_n")
+    val mm = cur.agg(aggs.head, aggs.tail: _*).head()
+    val buckets: Seq[Column] = cols.map { c =>
+      val mn = mm.getAs[Double](s"mn_$c")
+      val mx = mm.getAs[Double](s"mx_$c")
+      val span = math.max(mx - mn, java.lang.Double.MIN_VALUE)
+      // equi-width 8-bit bucket; nulls → 0 (sort-first, Spark's rule)
+      least(greatest(
+          coalesce(floor((num(c) - lit(mn)) / lit(span) * (1 << ZBits)), lit(0L)),
+          lit(0L)), lit((1 << ZBits) - 1))
+    }
+    // interleave: z bit (i*k + j) = bucket_j bit i — the classic
+    // Morton order (x19's integer interleave generalized to k columns)
+    val k = cols.length
+    val z = (0 until ZBits).flatMap(i => (0 until k).map(j =>
+      shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * k + j)))
+      .reduce(_ + _)
+    val withZ = cur.withColumn("_z", z)
+    // dense global rank in z order, full-row tiebreak (determinism up
+    // to identical-row identity), cut into nFiles equal-row slices;
+    // the row count rides in the same aggregate as min/max — one
+    // stats pass total, no separate count job
+    val nEst = math.max(1L, mm.getAs[Long]("_n"))
+    val ranked = GlobalIndex.withGlobalIndex(withZ,
+      col("_z") +: cur.columns.map(col).toSeq, "_zrank")
+    val laid = ranked
+      .withColumn("_zfile",
+        least(expr(s"(_zrank * $nFiles) div $nEst"), lit(nFiles - 1)).cast("int"))
+      .drop("_z", "_zrank")
+    Snapshots.commitLayout(laid.repartition(col("_zfile")), dir, base,
+      partitionBy = Seq("_zfile"))
+  }
+}

@@ -122,6 +122,81 @@ object SqlDmlQ {
            |ORDER BY source""".stripMargin).last
     }),
 
+    // x85 — OPTIMIZE ON THE SQL SURFACE (bin-pack): x26's compaction
+    // generalized to a one-statement verb over ANY committed table
+    // (ops.Optimize.compact — one round-robin exchange into the
+    // target file count) and landed as a dataChange=false layout
+    // version. The hashed flags pin the three-way contract: the file
+    // count actually collapsed (listing-checked), the resolved rows
+    // are untouched (per-source aggregates vs the oracle's source
+    // replay), and the change feed saw NOTHING (cdc_quiet — a layout
+    // commit must never reach downstream consumers as data).
+    "x85_sql_optimize" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = Fixtures.ensure(s, d, "x85_snap",
+          "docs fragmented v1 by doc_id%16") { fdir =>
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("g", (col("doc_id") % 16).cast("int"))
+        Snapshots.commit(docs.repartition(col("g")), fdir,
+          partitionBy = Seq("g"))
+      }
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"OPTIMIZE '$dir' INTO 4 FILES")
+      val before = Snapshots.filesPerDir(s, dir, 1).values.sum
+      val after = Snapshots.filesPerDir(s, dir, 2).values.sum
+      val compacted = after <= 4 && after < before
+      val cdcQuiet =
+        Snapshots.stepChanges(s, dir, 2, Seq("doc_id")).count() == 0L
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS idsum,
+           |  SUM(n_chars) AS charsum,
+           |  $compacted AS compacted, $cdcQuiet AS cdc_quiet
+           |FROM snapshot_resolved('$dir', 2)
+           |GROUP BY source ORDER BY source""".stripMargin).last
+    }),
+
+    // x86 — OPTIMIZE ZORDER ON THE SQL SURFACE: x52's z-order layout
+    // generalized to a one-statement verb over any numeric columns
+    // (ops.Optimize.zorder — equi-width 8-bit buckets from the
+    // table's own min/max, Morton interleave, ONE global z-rank
+    // range exchange sliced into equal-row files). The read-back
+    // proves the layout WORKS: per-file zone maps on the raw (ub,tb)
+    // columns prune the 2-D box query to a fraction of the 16 files
+    // (`pruned`), each slice landed as exactly one file, and the box
+    // rows themselves hash against the oracle's plain filter replay.
+    "x86_sql_zorder" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = Fixtures.ensure(s, d, "x86_snap",
+          "events slim v1 event_id,ub,tb") { fdir =>
+        Snapshots.commit(
+          ExtQ.zEvents(s, d).select(col("event_id"), col("ub"), col("tb")),
+          fdir)
+      }
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"OPTIMIZE '$dir' ZORDER BY (ub, tb) INTO 16 FILES")
+      val oneFile = Snapshots.filesPerDir(s, dir, 2).values.forall(_ == 1)
+      // zone maps over the committed layout (manifest-sized: 16 rows)
+      val zones = Snapshots.read(s, dir, Some(2))
+        .groupBy(col("_zfile"))
+        .agg(min(col("ub")).as("ub_lo"), max(col("ub")).as("ub_hi"),
+          min(col("tb")).as("tb_lo"), max(col("tb")).as("tb_hi"))
+        .collect()
+      val (lo, hi) = (ExtQ.ZBoxLo, ExtQ.ZBoxHi)
+      val scan = zones.collect {
+        case r if r.getAs[Int]("ub_hi") >= lo && r.getAs[Int]("ub_lo") <= hi &&
+          r.getAs[Int]("tb_hi") >= lo && r.getAs[Int]("tb_lo") <= hi =>
+          r.getAs[Int]("_zfile")
+      }.toIndexedSeq
+      Snapshots.read(s, dir, Some(2))
+        .filter(col("_zfile").isin(scan: _*)) // pruned dirs never listed
+        .filter(col("ub").between(lo, hi) && col("tb").between(lo, hi))
+        .select(col("event_id"), col("ub"), col("tb"),
+          lit(scan.length < zones.length).as("pruned"),
+          lit(oneFile).as("one_file_per_slice"))
+        .orderBy(col("event_id"))
+    }),
+
     // x84 — UPDATE ON THE SQL SURFACE: a credit adjustment re-states
     // every negative balance (two SET assignments — the balance and
     // an audit suffix on the name) as ONE statement landing as x58's
@@ -185,6 +260,30 @@ object SqlDmlQ {
         |  true AS base_files_untouched
         |FROM v1 JOIN v2 USING (source)
         |ORDER BY source""".stripMargin,
+
+    // x85: the resolved state after a layout rewrite must equal the
+    // source replay exactly; literal true pins the listing-checked
+    // collapse and the empty change feed.
+    "x85_sql_optimize" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS idsum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |  true AS compacted, true AS cdc_quiet
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // x86: x52's box replay (same ub/tb integer math); literal true
+    // pins the zone-map prune and the one-file-per-slice listing.
+    "x86_sql_zorder" ->
+      s"""WITH e AS (SELECT event_id,
+         |  CAST(user_id % 16 AS INT) AS ub,
+         |  CAST((hour(ts) * 60 + minute(ts)) // 90 AS INT) AS tb
+         |  FROM events)
+         |SELECT event_id, ub, tb, true AS pruned,
+         |  true AS one_file_per_slice
+         |FROM e
+         |WHERE ub BETWEEN ${ExtQ.ZBoxLo} AND ${ExtQ.ZBoxHi}
+         |  AND tb BETWEEN ${ExtQ.ZBoxLo} AND ${ExtQ.ZBoxHi}
+         |ORDER BY event_id""".stripMargin,
 
     // x84: the update replayed as a CASE over the source; published
     // count 2 (the staged DV never publishes); literal true pins the

@@ -555,6 +555,24 @@ object Snapshots {
       extraMeta = s""","kind":"replace","base":$base,"pcol":${jstr(pcol)},"pval":${jstr(pval)}""")
   }
 
+  /** Commit a LAYOUT rewrite (ops.Optimize): a FULL version holding
+    * the same logical rows as resolved version `base`, re-laid —
+    * Delta's dataChange=false OPTIMIZE commit. Readers of `latest`
+    * see identical rows; [[stepChanges]] feeds NOTHING for it (a
+    * layout commit must never reach change-feed consumers as data);
+    * an enabled auto-stats catalog re-stamps freshness instead of
+    * re-profiling. `base` is the version whose rows were re-laid —
+    * the preflight guards the read-rewrite-commit race the same way
+    * an expectedVersion commit does. */
+  def commitLayout(df: DataFrame, dir: String, base: Int,
+                   partitionBy: Seq[String] = Nil): Int = {
+    val v = writeVersion(df, dir, partitionBy,
+      extraMeta = ""","dataChange":false""", expected = Some(base))
+    graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
+      base = Some(base), dataChange = false)
+    v
+  }
+
   /** Stage a version for WRITE-AUDIT-PUBLISH: the data is fully
     * written and owns its version number, but the log entry carries
     * `staged: true`, so no reader resolving `latest` can see it —
@@ -944,6 +962,12 @@ object Snapshots {
           .filter(col(pcol) === pval)
         graft.ops.Diff.snapshot(oldPart, vdf, keys)
           .select(col("op") +: keys.map(col): _*)
+      // a dataChange=false FULL version (commitLayout — OPTIMIZE's
+      // whole-table rewrite) holds the same logical rows as its base:
+      // the feed is empty by definition, no diff job needed
+      case "data" | "clone" | "restore"
+          if !Option(n.get("dataChange")).forall(_.asBoolean(true)) =>
+        sel(lit("I"), vdf).limit(0)
       case "data" | "clone" | "restore" =>
         // the diff baseline is the latest PUBLISHED prior version: a
         // staged (unpublished) prior was never visible to any reader,

@@ -135,6 +135,13 @@ object SqlRunner {
       case MergeStmt(dir, src, key, arms) =>
         val v = runMerge(spark, dir, src, key, arms)
         spark.sql(s"SELECT $v AS merged_version")
+      case OptimizeStmt(dir, zcols, n) =>
+        val v = Option(zcols) match {
+          case Some(cs) => graft.ops.Optimize.zorder(spark, dir,
+            cs.split(",").map(_.trim).toSeq, n.toInt)
+          case None => graft.ops.Optimize.compact(spark, dir, n.toInt)
+        }
+        spark.sql(s"SELECT $v AS optimized_version")
       case DeleteStmt(dir, cond) =>
         val v = runDelete(spark, dir, cond)
         spark.sql(s"SELECT $v AS delete_version")
@@ -328,6 +335,13 @@ object SqlRunner {
   private val WhenClause =
     ("""(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)""" +
       """(?:\s+AND\s+(.+?))?\s+THEN\s+(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)""").r
+
+  /** `OPTIMIZE '<dir>' [ZORDER BY (c1[, …])] INTO <n> FILES` —
+    * whole-table layout rewrite ([[graft.ops.Optimize]]): bin-pack
+    * without ZORDER, Morton-order clustering with it. Lands as a
+    * dataChange=false layout version the change feed skips. */
+  private val OptimizeStmt =
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?INTO\s+(\d+)\s+FILES\s*$""".r
 
   /** `DELETE FROM '<dir>' WHERE <cond>` — deletion-vector route. */
   private val DeleteStmt =
