@@ -174,6 +174,10 @@ object ScaleSmoke {
     // aggregate (min/max+count in one row) + one global z-rank range
     // exchange + the 16-slice colocated commit over F× rows
     "x86_sql_zorder",
+    // x87 pays one F×-scaled projection commit (CTAS v1) + one
+    // F×-scaled append (the O(Δ) insert — delta-sized write, base
+    // untouched) + the resolved-union aggregate
+    "x87_sql_ctas_insert",
     // x57 probes each F×-scaled order against the 15 committed
     // boundaries (narrow codegen HOF — no range exchange, no
     // sampling pass) + one hash colocation shuffle for the write;

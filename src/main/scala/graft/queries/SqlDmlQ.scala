@@ -122,6 +122,39 @@ object SqlDmlQ {
            |ORDER BY source""".stripMargin).last
     }),
 
+    // x87 — CTAS + INSERT INTO ON THE SQL SURFACE: the statement set's
+    // remaining daily verbs — a table CREATED from a SELECT (rows land
+    // as version 1 on the snapshot log) and grown by INSERT INTO (an
+    // O(Δ) APPEND version: base files untouched, readers resolve
+    // base ∪ delta). The read-back aggregates the resolved union and
+    // pins the version count + the head's kind='append' from
+    // table_history, so the hash proves CTAS content, append physics,
+    // and log classification at once. Plain CREATE of an existing
+    // table fails loudly (SqlRunnerSpec); the fixture drops first so
+    // version numbers are deterministic per run.
+    "x87_sql_ctas_insert" -> ((s, d) => {
+      val dir = freshSnapDir(s, d, "x87_snap")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_x87")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_x87
+           |WHERE o_orderdate < TIMESTAMP '1997-01-01';
+           |INSERT INTO '$dir'
+           |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_x87
+           |WHERE o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT o_custkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS balance,
+           |  COUNT(*) AS n_orders,
+           |  (SELECT CAST(COUNT(*) AS INT) FROM table_history('$dir'))
+           |    AS n_versions,
+           |  (SELECT kind FROM table_history('$dir') WHERE version = 2)
+           |    AS head_kind
+           |FROM snapshot_resolved('$dir', 2)
+           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin).last
+    }),
+
     // x85 — OPTIMIZE ON THE SQL SURFACE (bin-pack): x26's compaction
     // generalized to a one-statement verb over ANY committed table
     // (ops.Optimize.compact — one round-robin exchange into the
@@ -260,6 +293,18 @@ object SqlDmlQ {
         |  true AS base_files_untouched
         |FROM v1 JOIN v2 USING (source)
         |ORDER BY source""".stripMargin,
+
+    // x87: CTAS ∪ INSERT must equal the plain source aggregate; the
+    // version count and the head's append classification are literal.
+    "x87_sql_ctas_insert" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS balance,
+        |  COUNT(*) AS n_orders,
+        |  CAST(2 AS INT) AS n_versions,
+        |  'append' AS head_kind
+        |FROM orders
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // x85: the resolved state after a layout rewrite must equal the
     // source replay exactly; literal true pins the listing-checked

@@ -135,6 +135,17 @@ object SqlRunner {
       case MergeStmt(dir, src, key, arms) =>
         val v = runMerge(spark, dir, src, key, arms)
         spark.sql(s"SELECT $v AS merged_version")
+      case CreateTableAs(orReplace, dir, select) =>
+        if (orReplace != null) graft.sources.Snapshots.drop(spark, dir)
+        else require(graft.sources.Snapshots.versions(spark, dir).isEmpty,
+          s"CREATE TABLE '$dir': table exists (use CREATE OR REPLACE)")
+        val v = graft.sources.Snapshots.commit(spark.sql(select), dir)
+        spark.sql(s"SELECT $v AS created_version")
+      case InsertInto(dir, select) =>
+        val base = graft.sources.Snapshots.versions(spark, dir).last
+        val v = graft.sources.Snapshots.commitAppend(
+          spark.sql(select), dir, base)
+        spark.sql(s"SELECT $v AS inserted_version")
       case OptimizeStmt(dir, zcols, n) =>
         val v = Option(zcols) match {
           case Some(cs) => graft.ops.Optimize.zorder(spark, dir,
@@ -335,6 +346,19 @@ object SqlRunner {
   private val WhenClause =
     ("""(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)""" +
       """(?:\s+AND\s+(.+?))?\s+THEN\s+(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)""").r
+
+  /** `CREATE [OR REPLACE] TABLE '<dir>' AS <select>` — CTAS onto the
+    * snapshot log: the select's rows land as version 1. Plain CREATE
+    * of an existing table fails loudly (SQL's rule); OR REPLACE
+    * drops first. */
+  private val CreateTableAs =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+'([^']+)'\s+AS\s+(.+)$""".r
+
+  /** `INSERT INTO '<dir>' <select>` — an APPEND version against the
+    * latest (O(Δ) write, base files untouched; readers resolve
+    * base ∪ delta). */
+  private val InsertInto =
+    """(?is)^\s*INSERT\s+INTO\s+'([^']+)'\s+(SELECT\s+.+|WITH\s+.+)$""".r
 
   /** `OPTIMIZE '<dir>' [ZORDER BY (c1[, …])] INTO <n> FILES` —
     * whole-table layout rewrite ([[graft.ops.Optimize]]): bin-pack

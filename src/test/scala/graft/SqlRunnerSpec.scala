@@ -253,4 +253,46 @@ class SqlRunnerSpec extends SparkSpec {
       Seq("a = f(x, y)", "b = c + 1"))
     assert(SqlRunner.splitTopLevel("a = 1") == Seq("a = 1"))
   }
+
+  test("x87: CTAS commits v1; INSERT INTO appends; plain CREATE of an existing table refuses") {
+    import graft.sources.Snapshots
+    val dir = s"target/sqlrunner_ctas_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    spark.range(1, 6).toDF("id").createOrReplaceTempView("ctas_src")
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""CREATE TABLE '$dir' AS SELECT id FROM ctas_src WHERE id <= 3;
+         |INSERT INTO '$dir' SELECT id FROM ctas_src WHERE id > 3""".stripMargin)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    // the append is an O(Δ) version: v2's own rows are just the delta
+    assert(Snapshots.readVersionOwn(spark, dir, 2).count() == 2)
+    assert(Snapshots.readResolved(spark, dir).count() == 5)
+    // SQL's rule: plain CREATE of an existing table fails loudly
+    assertThrows[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"CREATE TABLE '$dir' AS SELECT id FROM ctas_src")
+    }
+    // OR REPLACE starts the log over
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"CREATE OR REPLACE TABLE '$dir' AS SELECT id FROM ctas_src WHERE id = 1")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.readResolved(spark, dir).count() == 1)
+    Snapshots.drop(spark, dir)
+  }
+
+  test("x85/x86: OPTIMIZE statement parses with and without ZORDER BY") {
+    import graft.sources.Snapshots
+    val dir = s"target/sqlrunner_opt_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    import spark.implicits._
+    Snapshots.commit((1 to 100).map(i => (i.toLong, i % 10))
+      .toDF("id", "b").repartition($"b"), dir, partitionBy = Seq("b"))
+    val v = SqlRunner.runScriptWithSnapshots(spark,
+      s"OPTIMIZE '$dir' INTO 2 FILES").last.head.getInt(0)
+    assert(v == 2 && Snapshots.filesPerDir(spark, dir, 2).values.sum <= 2)
+    val v2 = SqlRunner.runScriptWithSnapshots(spark,
+      s"OPTIMIZE '$dir' ZORDER BY (id, b) INTO 4 FILES").last.head.getInt(0)
+    assert(v2 == 3)
+    assert(Snapshots.readResolved(spark, dir).count() == 100)
+    Snapshots.drop(spark, dir)
+  }
 }
