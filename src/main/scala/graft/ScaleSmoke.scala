@@ -174,6 +174,10 @@ object ScaleSmoke {
     // aggregate (min/max+count in one row) + one global z-rank range
     // exchange + the 16-slice colocated commit over F× rows
     "x86_sql_zorder",
+    // x88 is deliberately absent: its data-sized work IS x85's (the
+    // same fragmented fixture commit + one grouped scan, measured
+    // above); the table_files binding itself is a manifest-sized
+    // listing — zero data jobs at any F
     // x87 pays one F×-scaled projection commit (CTAS v1) + one
     // F×-scaled append (the O(Δ) insert — delta-sized write, base
     // untouched) + the resolved-union aggregate

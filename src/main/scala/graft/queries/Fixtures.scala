@@ -32,6 +32,13 @@ import graft.sources.Snapshots
   * the ceiling (purge/vacuum/restore rewrite history without adding
   * versions): truncation cannot undo those. Such queries [[checkout]]
   * a private filesystem copy of a pristine template instead.
+  *
+  * Concurrency: per-dir locks serialize ensure() WITHIN a JVM (test
+  * suites run in parallel). Across processes the driver runs Verify
+  * and Bench sequentially, so cross-JVM builds never race; two
+  * concurrent processes sweeping the same repo checkout would — like
+  * every freshSnapDir query before this cache — and are not a
+  * supported mode.
   */
 object Fixtures {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()

@@ -122,6 +122,36 @@ object SqlDmlQ {
            |ORDER BY source""".stripMargin).last
     }),
 
+    // x88 — LAYOUT AUDIT ON THE SQL SURFACE: the file-listing witness
+    // every compaction/z-order proof reads from Scala (filesPerDir /
+    // fileSignature), bound as `table_files('<dir>', v)` — one row
+    // per partition directory with its file count, manifest-sized at
+    // any corpus. The hashed frame joins the listing against the
+    // version's own per-directory row aggregates: n_files = 1 per
+    // directory is the colocated-write contract stated BY THE ORACLE
+    // (a layout that fragmented breaks the hash), and the row
+    // aggregates replay from source. bytes ride in the view but stay
+    // out of the hash (parquet encoding is not engine-portable).
+    "x88_sql_table_files" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = Fixtures.ensure(s, d, "x88_snap",
+          "docs 16-dir layout v1 by doc_id%16") { fdir =>
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("g", (col("doc_id") % 16).cast("int"))
+        Snapshots.commit(docs.repartition(col("g")), fdir,
+          partitionBy = Seq("g"))
+      }
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT CAST(regexp_extract(f.dir, 'g=(\\\\d+)', 1) AS INT) AS g,
+           |  f.n_files, a.n_docs, a.idsum
+           |FROM table_files('$dir', 1) f
+           |JOIN (SELECT g, COUNT(*) AS n_docs, SUM(doc_id) AS idsum
+           |      FROM snapshot_at('$dir', 1) GROUP BY g) a
+           |  ON CAST(regexp_extract(f.dir, 'g=(\\\\d+)', 1) AS INT) = a.g
+           |ORDER BY g""".stripMargin).last
+    }),
+
     // x87 — CTAS + INSERT INTO ON THE SQL SURFACE: the statement set's
     // remaining daily verbs — a table CREATED from a SELECT (rows land
     // as version 1 on the snapshot log) and grown by INSERT INTO (an
@@ -293,6 +323,15 @@ object SqlDmlQ {
         |  true AS base_files_untouched
         |FROM v1 JOIN v2 USING (source)
         |ORDER BY source""".stripMargin,
+
+    // x88: the listing join replays as the plain per-g aggregate; the
+    // literal n_files = 1 IS the colocated-layout pin.
+    "x88_sql_table_files" ->
+      """SELECT CAST(doc_id % 16 AS INT) AS g,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS idsum
+        |FROM documents GROUP BY 1 ORDER BY g""".stripMargin,
 
     // x87: CTAS ∪ INSERT must equal the plain source aggregate; the
     // version count and the head's append classification are literal.

@@ -92,8 +92,27 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
+    // layout audit (x88): a version's FILE LISTING as a queryable
+    // view — (dir, n_files, bytes) per partition directory, built
+    // from the same manifest-sized listing the Scala witnesses
+    // (filesPerDir / fileSignature) read, zero data-sized jobs
+    val bound3f = TableFiles.replaceAllIn(bound3, m => {
+      val (dir, v) = (m.group(1), m.group(2).toInt)
+      val view = s"files_${Integer.toHexString(dir.hashCode)}_v$v"
+      val rows = graft.sources.Snapshots.fileSignature(spark, dir, v)
+        .groupBy { case (rel, _) =>
+          rel.lastIndexOf('/') match {
+            case -1 => ""; case i => rel.substring(0, i)
+          }
+        }
+        .map { case (d0, fs) => (d0, fs.size.toLong, fs.map(_._2).sum) }
+        .toSeq.sortBy(_._1)
+      import spark.implicits._
+      rows.toDF("dir", "n_files", "bytes").createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
     // DESCRIBE HISTORY (x74): the commit log as a queryable view
-    val bound4a = TableHistory.replaceAllIn(bound3, m => {
+    val bound4a = TableHistory.replaceAllIn(bound3f, m => {
       val dir = m.group(1)
       val view = s"history_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Snapshots.history(spark, dir)
@@ -305,6 +324,12 @@ object SqlRunner {
     * the last n heads' chain closure (x29's retention verb). */
   private val VacuumTable =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*$""".r
+
+  /** `table_files('<dir>', <v>)` binds a version's file listing
+    * grouped per partition directory — the layout-audit view
+    * (compaction/z-order witnesses in pure SQL). */
+  private val TableFiles =
+    """(?i)table_files\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
 
   /** `table_history('<dir>')` binds the manifest-sized commit log
     * (version, kind, ts, base, published) for pure-SQL audits. */

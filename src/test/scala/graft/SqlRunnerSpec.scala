@@ -279,6 +279,25 @@ class SqlRunnerSpec extends SparkSpec {
     Snapshots.drop(spark, dir)
   }
 
+  test("x88: table_files binds the manifest listing; counts match filesPerDir") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = s"target/sqlrunner_files_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    Snapshots.commit((1 to 60).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .repartition($"p"), dir, partitionBy = Seq("p"))
+    val rows = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT dir, n_files FROM table_files('$dir', 1) ORDER BY dir")
+      .last.collect()
+    val expect = Snapshots.filesPerDir(spark, dir, 1)
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val hit = expect.find(_._1.endsWith(r.getString(0))).map(_._2.toLong)
+      assert(hit.contains(r.getLong(1)), s"mismatch for ${r.getString(0)}")
+    }
+    Snapshots.drop(spark, dir)
+  }
+
   test("x85/x86: OPTIMIZE statement parses with and without ZORDER BY") {
     import graft.sources.Snapshots
     val dir = s"target/sqlrunner_opt_${System.nanoTime()}"
