@@ -174,6 +174,10 @@ object ScaleSmoke {
     // aggregate (min/max+count in one row) + one global z-rank range
     // exchange + the 16-slice colocated commit over F× rows
     "x86_sql_zorder",
+    // x89 is deliberately absent: its data-sized work IS x50's purge
+    // physics (history-sized rewrite, measured under the governance
+    // family); the statement route adds driver-side parsing and the
+    // checkout is a file copy, zero Spark jobs
     // x88 is deliberately absent: its data-sized work IS x85's (the
     // same fragmented fixture commit + one grouped scan, measured
     // above); the table_files binding itself is a manifest-sized

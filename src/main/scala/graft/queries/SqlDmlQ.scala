@@ -122,6 +122,44 @@ object SqlDmlQ {
            |ORDER BY source""".stripMargin).last
     }),
 
+    // x89 — PURGE ON THE SQL SURFACE: RTBF physical erasure as one
+    // statement — `PURGE '<dir>' KEYS <select>` rewrites EVERY
+    // version of the table's history without the selected keys
+    // (x50's purgeKeys physics: the verb DELETE cannot be, because
+    // DELETE leaves the old rows time-travelable). The fixture is a
+    // pristine TEMPLATE checked out per run (Fixtures.checkout —
+    // purge mutates history in place, so ensure()'s ceiling
+    // truncation can never reset it); the read-back scans BOTH
+    // rewritten versions in pure SQL and pins the purged key's
+    // absence from each next to per-source survivor counts.
+    "x89_sql_purge" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val tmpl = Fixtures.ensure(s, d, "x89_tmpl",
+          "docs v1=even v2=all doc_id,source,n_chars") { fdir =>
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), fdir)
+        Snapshots.commit(docs, fdir)
+      }
+      val dir = Fixtures.checkout(s, tmpl,
+        s"target/x89_work_${math.abs(d.hashCode)}")
+      Tables.load(s, d, "documents").createOrReplaceTempView("docs_x89")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"PURGE '$dir' KEYS SELECT doc_id FROM docs_x89 WHERE doc_id % 97 = 0")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT v2.source, v1.n_v1, v2.n_v2,
+           |  ((SELECT COUNT(*) FROM snapshot_at('$dir', 1)
+           |     WHERE doc_id % 97 = 0) +
+           |   (SELECT COUNT(*) FROM snapshot_at('$dir', 2)
+           |     WHERE doc_id % 97 = 0)) = 0 AS gone_everywhere
+           |FROM (SELECT source, COUNT(*) AS n_v2
+           |      FROM snapshot_at('$dir', 2) GROUP BY source) v2
+           |LEFT JOIN (SELECT source, COUNT(*) AS n_v1
+           |           FROM snapshot_at('$dir', 1) GROUP BY source) v1
+           |  USING (source)
+           |ORDER BY source""".stripMargin).last
+    }),
+
     // x88 — LAYOUT AUDIT ON THE SQL SURFACE: the file-listing witness
     // every compaction/z-order proof reads from Scala (filesPerDir /
     // fileSignature), bound as `table_files('<dir>', v)` — one row
@@ -322,6 +360,18 @@ object SqlDmlQ {
         |SELECT source, n_v1, idsum_v1, n_v2, idsum_v2,
         |  true AS base_files_untouched
         |FROM v1 JOIN v2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // x89: both rewritten versions replay from source minus the
+    // purge set; literal true pins history-wide physical erasure.
+    "x89_sql_purge" ->
+      """WITH kept AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0),
+        |v1 AS (SELECT source, COUNT(*) AS n_v1 FROM kept
+        |       WHERE doc_id % 2 = 0 GROUP BY source),
+        |v2 AS (SELECT source, COUNT(*) AS n_v2 FROM kept GROUP BY source)
+        |SELECT source, n_v1, n_v2, true AS gone_everywhere
+        |FROM v2 LEFT JOIN v1 USING (source)
         |ORDER BY source""".stripMargin,
 
     // x88: the listing join replays as the plain per-g aggregate; the

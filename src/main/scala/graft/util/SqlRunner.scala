@@ -154,6 +154,10 @@ object SqlRunner {
       case MergeStmt(dir, src, key, arms) =>
         val v = runMerge(spark, dir, src, key, arms)
         spark.sql(s"SELECT $v AS merged_version")
+      case PurgeStmt(dir, select) =>
+        val rewritten = graft.sources.Snapshots.purgeKeys(
+          spark, dir, spark.sql(select))
+        spark.sql(s"SELECT ${rewritten.size} AS n_versions_rewritten")
       case CreateTableAs(orReplace, dir, select) =>
         if (orReplace != null) graft.sources.Snapshots.drop(spark, dir)
         else require(graft.sources.Snapshots.versions(spark, dir).isEmpty,
@@ -371,6 +375,15 @@ object SqlRunner {
   private val WhenClause =
     ("""(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)""" +
       """(?:\s+AND\s+(.+?))?\s+THEN\s+(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)""").r
+
+  /** `PURGE '<dir>' KEYS <select>` — RTBF physical erasure
+    * ([[graft.sources.Snapshots.purgeKeys]]): every version of the
+    * table's HISTORY is rewritten without the selected keys, versions
+    * and schema preserved. This is the statement DELETE cannot be:
+    * DELETE adds a version (the old rows remain time-travelable);
+    * PURGE is the GDPR verb that erases them from the past too. */
+  private val PurgeStmt =
+    """(?is)^\s*PURGE\s+'([^']+)'\s+KEYS\s+(SELECT\s+.+|WITH\s+.+)$""".r
 
   /** `CREATE [OR REPLACE] TABLE '<dir>' AS <select>` — CTAS onto the
     * snapshot log: the select's rows land as version 1. Plain CREATE

@@ -279,6 +279,26 @@ class SqlRunnerSpec extends SparkSpec {
     Snapshots.drop(spark, dir)
   }
 
+  test("x89: PURGE statement erases keys from every version's history") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = s"target/sqlrunner_purge_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    Snapshots.commit((1 to 20).map(i => (i.toLong, s"s$i")).toDF("id", "v"), dir)
+    Snapshots.commit((1 to 30).map(i => (i.toLong, s"s$i")).toDF("id", "v"), dir)
+    spark.range(1, 4).toDF("id").createOrReplaceTempView("purge_keys_spec")
+    val n = SqlRunner.runScriptWithSnapshots(spark,
+      s"PURGE '$dir' KEYS SELECT id FROM purge_keys_spec")
+      .last.head.getInt(0)
+    assert(n == 2) // both history versions rewritten
+    // erased from the PAST, not just latest — the verb DELETE isn't
+    assert(Snapshots.read(spark, dir, Some(1)).filter($"id" <= 3).count() == 0)
+    assert(Snapshots.read(spark, dir, Some(2)).filter($"id" <= 3).count() == 0)
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 17)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2)) // numbers preserved
+    Snapshots.drop(spark, dir)
+  }
+
   test("x88: table_files binds the manifest listing; counts match filesPerDir") {
     import graft.sources.Snapshots
     import spark.implicits._
