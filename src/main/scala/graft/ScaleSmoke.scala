@@ -174,6 +174,9 @@ object ScaleSmoke {
     // aggregate (min/max+count in one row) + one global z-rank range
     // exchange + the 16-slice colocated commit over F× rows
     "x86_sql_zorder",
+    // x90 is deliberately absent: its data-sized work IS x45's (two
+    // staged table writes + marker decide, measured there); the
+    // statement route adds only driver-side parsing
     // x89 is deliberately absent: its data-sized work IS x50's purge
     // physics (history-sized rewrite, measured under the governance
     // family); the statement route adds driver-side parsing and the

@@ -122,6 +122,69 @@ object SqlDmlQ {
            |ORDER BY source""".stripMargin).last
     }),
 
+    // x90 — MULTI-TABLE TRANSACTIONS ON THE SQL SURFACE: the one
+    // engine capability Delta doesn't have (and Iceberg only just
+    // grew) — x45's Percolator-style decision marker — as statements.
+    // A BEGIN opens the transaction, the two CREATE OR REPLACEs
+    // STAGE their refreshes (durable, invisible), and the script ends
+    // UNDECIDED; the Scala probes pin that neither table's latest
+    // moved (invisibility = the whole point), then a SEPARATE script
+    // commits by explicit (txnDir, id, tables) — the crash-recovery
+    // form, proving the decision needs no in-process context. The
+    // hash pins both tables' post-commit states next to the
+    // atomic-flip witness.
+    "x90_sql_transaction" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val aDir = freshSnapDir(s, d, "x90_a")
+      val bDir = freshSnapDir(s, d, "x90_b")
+      val txnDir = freshSnapDir(s, d, "x90_txn")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_x90")
+      // per-run txn id: the process-wide decision-marker cache means a
+      // REUSED id whose marker was decided in an earlier run of this
+      // JVM would make the fresh stages instantly visible (the cache
+      // is correct — markers are immutable — so the id must be new);
+      // the id never appears in the hashed output
+      val txnId = s"x90_refresh_${System.nanoTime()}"
+      def balSql(side: String, cut: String) =
+        s"""SELECT o_custkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS balance,
+           |  COUNT(*) AS n_orders
+           |FROM orders_x90
+           |WHERE o_custkey % 2 = $side $cut
+           |GROUP BY o_custkey""".stripMargin
+      // seed: v1 of both tables is the pre-1997 state
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$aDir' AS
+           |${balSql("0", "AND o_orderdate < TIMESTAMP '1997-01-01'")};
+           |CREATE TABLE '$bDir' AS
+           |${balSql("1", "AND o_orderdate < TIMESTAMP '1997-01-01'")}"""
+          .stripMargin)
+      // stage the coordinated refresh; the script ends UNDECIDED
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""BEGIN TRANSACTION '$txnDir' AS '$txnId';
+           |CREATE OR REPLACE TABLE '$aDir' AS ${balSql("0", "")};
+           |CREATE OR REPLACE TABLE '$bDir' AS ${balSql("1", "")}"""
+          .stripMargin)
+      val invisible = Snapshots.versions(s, aDir) == Seq(1) &&
+        Snapshots.versions(s, bDir) == Seq(1)
+      // decide from a separate script: the explicit crash-recovery form
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"COMMIT TRANSACTION '$txnDir' AS '$txnId' " +
+          s"TABLES '$aDir','$bDir'")
+      val visible = Snapshots.versions(s, aDir) == Seq(1, 2) &&
+        Snapshots.versions(s, bDir) == Seq(1, 2)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT 'a' AS side, o_custkey, balance, n_orders,
+           |  ${invisible && visible} AS atomic_flip
+           |FROM snapshot_at('$aDir', 2)
+           |UNION ALL
+           |SELECT 'b', o_custkey, balance, n_orders,
+           |  ${invisible && visible}
+           |FROM snapshot_at('$bDir', 2)
+           |ORDER BY side, o_custkey""".stripMargin).last
+    }),
+
     // x89 — PURGE ON THE SQL SURFACE: RTBF physical erasure as one
     // statement — `PURGE '<dir>' KEYS <select>` rewrites EVERY
     // version of the table's history without the selected keys
@@ -361,6 +424,20 @@ object SqlDmlQ {
         |  true AS base_files_untouched
         |FROM v1 JOIN v2 USING (source)
         |ORDER BY source""".stripMargin,
+
+    // x90: both committed states replay from source split by key
+    // parity; literal true pins the invisible-then-atomically-visible
+    // flip the Scala probes witnessed.
+    "x90_sql_transaction" ->
+      """WITH bal AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS balance,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CASE WHEN o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+        |  o_custkey, balance, n_orders, true AS atomic_flip
+        |FROM bal ORDER BY side, o_custkey""".stripMargin,
 
     // x89: both rewritten versions replay from source minus the
     // purge set; literal true pins history-wide physical erasure.

@@ -136,7 +136,40 @@ object SqlRunner {
     // the injected rule with no Scala in sight. Table-reference
     // bindings above run FIRST, so the defining/delta SQL may itself
     // use snapshot_at(...) etc.
+    // script-scoped transaction context (x90): statements run in
+    // order, so a mutable Option is the honest representation
+    var txn: Option[(String, String,
+      scala.collection.mutable.ListBuffer[String])] = None
     splitStatements(bound4).map {
+      case BeginTxn(txnDir, id) =>
+        require(txn.isEmpty, s"BEGIN TRANSACTION '$id': one already open")
+        txn = Some((txnDir, id, scala.collection.mutable.ListBuffer[String]()))
+        spark.sql("SELECT true AS txn_begun")
+      case CommitTxnCtx() =>
+        val (td, id, parts) = txn.getOrElse(
+          sys.error("COMMIT TRANSACTION outside BEGIN TRANSACTION"))
+        graft.sources.Snapshots.txnCommit(spark, td, id, parts.toSeq)
+        txn = None
+        spark.sql(s"SELECT ${parts.size} AS n_tables_committed")
+      case CommitTxnExplicit(td, id, tables) =>
+        val dirs = """'([^']+)'""".r.findAllMatchIn(tables).map(_.group(1)).toSeq
+        require(dirs.nonEmpty, s"COMMIT TRANSACTION '$id': no TABLES listed")
+        graft.sources.Snapshots.txnCommit(spark, td, id, dirs)
+        spark.sql(s"SELECT ${dirs.size} AS n_tables_committed")
+      case RollbackTxn(td, id) =>
+        graft.sources.Snapshots.txnAbort(spark, td, id)
+        spark.sql("SELECT true AS txn_aborted")
+      // transactional DDL: inside an open transaction the replacement
+      // version STAGES (durable, invisible) — visible only when the
+      // decision marker commits; an abort leaves it inert for vacuum
+      case CreateTableAs(orReplace, dir, select) if txn.isDefined =>
+        if (orReplace == null)
+          require(graft.sources.Snapshots.versions(spark, dir).isEmpty,
+            s"CREATE TABLE '$dir': table exists (use CREATE OR REPLACE)")
+        val (td, id, parts) = txn.get
+        val v = graft.sources.Snapshots.txnStage(spark.sql(select), dir, td, id)
+        parts += dir
+        spark.sql(s"SELECT $v AS staged_version")
       case CreateMv(name, dir, sql) =>
         graft.plans.MatView.createFromSql(spark, name, dir, sql)
       case RefreshMv(name, sql) =>
@@ -375,6 +408,25 @@ object SqlRunner {
   private val WhenClause =
     ("""(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)""" +
       """(?:\s+AND\s+(.+?))?\s+THEN\s+(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)""").r
+
+  /** Multi-table transactions (x90, x45's Percolator-style machinery
+    * as statements): `BEGIN TRANSACTION '<txnDir>' AS '<id>'` opens a
+    * script-scoped transaction — subsequent CREATE [OR REPLACE]
+    * TABLE AS statements in the SAME script STAGE their versions
+    * (durable, invisible) instead of committing; `COMMIT TRANSACTION`
+    * publishes every participant atomically via the decision marker.
+    * The explicit forms (`COMMIT TRANSACTION '<txnDir>' AS '<id>'
+    * TABLES '<d1>'[, …]`, `ROLLBACK TRANSACTION '<txnDir>' AS
+    * '<id>'`) work from ANY script/process — the crash-recovery and
+    * fencing verbs. A transaction left open at script end stays
+    * pending: its stages are invisible until someone decides it. */
+  private val BeginTxn =
+    """(?is)^\s*BEGIN\s+TRANSACTION\s+'([^']+)'\s+AS\s+'([^']+)'\s*$""".r
+  private val CommitTxnCtx = """(?is)^\s*COMMIT\s+TRANSACTION\s*$""".r
+  private val CommitTxnExplicit =
+    """(?is)^\s*COMMIT\s+TRANSACTION\s+'([^']+)'\s+AS\s+'([^']+)'\s+TABLES\s+(.+)$""".r
+  private val RollbackTxn =
+    """(?is)^\s*ROLLBACK\s+TRANSACTION\s+'([^']+)'\s+AS\s+'([^']+)'\s*$""".r
 
   /** `PURGE '<dir>' KEYS <select>` — RTBF physical erasure
     * ([[graft.sources.Snapshots.purgeKeys]]): every version of the

@@ -279,6 +279,50 @@ class SqlRunnerSpec extends SparkSpec {
     Snapshots.drop(spark, dir)
   }
 
+  test("x90: transactional CTAS stages invisibly; explicit COMMIT decides cross-script; ROLLBACK inert") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val t = System.nanoTime()
+    val (a, b, td) = (s"target/sqlr_txn_a_$t", s"target/sqlr_txn_b_$t",
+      s"target/sqlr_txn_d_$t")
+    Seq(a, b, td).foreach(Snapshots.drop(spark, _))
+    (1 to 5).toDF("id").createOrReplaceTempView("txn_src_spec")
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""CREATE TABLE '$a' AS SELECT id FROM txn_src_spec WHERE id <= 2;
+         |CREATE TABLE '$b' AS SELECT id FROM txn_src_spec WHERE id <= 2"""
+        .stripMargin)
+    // stage a refresh, leave the script undecided
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""BEGIN TRANSACTION '$td' AS 'spec_txn_$t';
+         |CREATE OR REPLACE TABLE '$a' AS SELECT id FROM txn_src_spec;
+         |CREATE OR REPLACE TABLE '$b' AS SELECT id FROM txn_src_spec"""
+        .stripMargin)
+    assert(Snapshots.versions(spark, a) == Seq(1), "stage must be invisible")
+    assert(Snapshots.read(spark, a).count() == 2)
+    // the explicit form decides with no in-process context
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"COMMIT TRANSACTION '$td' AS 'spec_txn_$t' TABLES '$a','$b'")
+    assert(Snapshots.versions(spark, a) == Seq(1, 2))
+    assert(Snapshots.read(spark, a).count() == 5)
+    assert(Snapshots.read(spark, b).count() == 5)
+    // a rolled-back stage stays inert garbage
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""BEGIN TRANSACTION '$td' AS 'spec_txn2_$t';
+         |CREATE OR REPLACE TABLE '$a' AS SELECT id FROM txn_src_spec
+         |WHERE id = 1""".stripMargin)
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"ROLLBACK TRANSACTION '$td' AS 'spec_txn2_$t'")
+    assert(Snapshots.versions(spark, a) == Seq(1, 2))
+    assert(Snapshots.read(spark, a).count() == 5)
+    // nested BEGIN refuses
+    assertThrows[RuntimeException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"""BEGIN TRANSACTION '$td' AS 'n1_$t';
+           |BEGIN TRANSACTION '$td' AS 'n2_$t'""".stripMargin)
+    }
+    Seq(a, b, td).foreach(Snapshots.drop(spark, _))
+  }
+
   test("x89: PURGE statement erases keys from every version's history") {
     import graft.sources.Snapshots
     import spark.implicits._
