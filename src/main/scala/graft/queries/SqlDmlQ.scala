@@ -4,31 +4,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** SQL DML SURFACE (x82–x84) — the statement verbs every lakehouse
-  * user hits daily (Delta/Iceberg's MERGE INTO, DELETE, UPDATE),
-  * reachable from pure SQL text through [[graft.util.SqlRunner]] and
-  * routed through the SAME operators the Scala API uses:
+/** SQL STATEMENT SURFACE (x82–x90) — the full daily lakehouse verb
+  * set, reachable from pure SQL text through [[graft.util.SqlRunner]]
+  * and routed through the SAME operators the Scala API uses:
   *
   *  - x82 `MERGE INTO` → [[graft.ops.Merge.mergeInto]] four-arm
-  *    evaluation + one optimistic-concurrency commit. The resolved
-  *    state hash-matches x51's oracle VERBATIM — same merge, same
-  *    physics, different surface.
-  *  - x83 `DELETE FROM … WHERE` → deletion vectors
-  *    ([[graft.sources.Snapshots.commitDeletes]], x27's physics):
-  *    the base's files are never touched (listing-checked), reads
-  *    resolve as base anti-join keys. Output hash-matches x27's
-  *    oracle verbatim.
-  *  - x84 `UPDATE … SET … WHERE` → x58's merge-on-read two-step:
-  *    staged DV + one append whose publish is the atomic commit
-  *    point — no reader ever sees rows vanish without their
-  *    replacements.
+  *    evaluation + one optimistic-concurrency commit (hash-matches
+  *    x51's oracle verbatim — same merge, same physics).
+  *  - x83 `DELETE FROM … WHERE` → deletion vectors (x27's physics:
+  *    base files never touched, listing-checked).
+  *  - x84 `UPDATE … SET … WHERE` → x58's merge-on-read two-step
+  *    (staged DV + atomic append publish).
+  *  - x85/x86 `OPTIMIZE [ZORDER BY]` → [[graft.ops.Optimize]]
+  *    whole-table layout rewrites as dataChange=false versions the
+  *    change feed skips.
+  *  - x87 `CREATE TABLE AS` / `INSERT INTO` → v1 commit / O(Δ) append.
+  *  - x88 `table_files(dir, v)` → the manifest-listing layout audit.
+  *  - x89 `PURGE … KEYS` → history-wide RTBF erasure (what DELETE
+  *    cannot be: the past is rewritten too).
+  *  - x90 `BEGIN/COMMIT/ROLLBACK TRANSACTION` → multi-table atomic
+  *    publish through x45's decision-marker machinery; transactional
+  *    CTAS stages invisibly until the marker commits.
   *
   * The read-backs are pure SQL too (`snapshot_resolved('<dir>', v)`
   * binds [[graft.sources.Snapshots.readResolved]]), so the whole
   * write→read lifecycle works with no Scala in sight — the x54/x78/
   * x81 symmetry rule (every engine artifact reachable from SQL text)
-  * extended to mutation. Reference scripts/run_sql_file.py:19-54 is
-  * the statement-runner seam these verbs extend.
+  * extended to mutation, maintenance, governance, and transactions.
+  * Reference scripts/run_sql_file.py:19-54 is the statement-runner
+  * seam these verbs extend.
   */
 object SqlDmlQ {
 
