@@ -170,6 +170,14 @@ object SqlRunner {
         val v = graft.sources.Snapshots.txnStage(spark.sql(select), dir, td, id)
         parts += dir
         spark.sql(s"SELECT $v AS staged_version")
+      // inside an open transaction every OTHER mutating statement
+      // refuses loudly: these verbs commit immediately, so letting
+      // one run would silently break the atomicity the BEGIN promised
+      case st if txn.isDefined &&
+          Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt,
+            OptimizeStmt, PurgeStmt).exists(_.findFirstIn(st).isDefined) =>
+        sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
+          s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
       case CreateMv(name, dir, sql) =>
         graft.plans.MatView.createFromSql(spark, name, dir, sql)
       case RefreshMv(name, sql) =>

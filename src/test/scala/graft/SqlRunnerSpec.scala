@@ -320,6 +320,14 @@ class SqlRunnerSpec extends SparkSpec {
         s"""BEGIN TRANSACTION '$td' AS 'n1_$t';
            |BEGIN TRANSACTION '$td' AS 'n2_$t'""".stripMargin)
     }
+    // a non-stageable mutation inside an open transaction refuses
+    // loudly (it would commit immediately and break atomicity)
+    assertThrows[RuntimeException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"""BEGIN TRANSACTION '$td' AS 'n3_$t';
+           |INSERT INTO '$a' SELECT id FROM txn_src_spec""".stripMargin)
+    }
+    assert(Snapshots.versions(spark, a) == Seq(1, 2), "refused insert left no version")
     Seq(a, b, td).foreach(Snapshots.drop(spark, _))
   }
 
