@@ -1593,7 +1593,7 @@ object ExtQ {
     // reuse HiddenPartitioning.table() recovers the spec from the
     // layout's own `_hidden_spec.json` sidecar)
     Fixtures.ensureAt(s, s"target/x69_hidden_${tag}_${math.abs(d.hashCode)}",
-        s"orders 1996 month x bucket$buckets|$d") { fdir =>
+        Fixtures.fp(d, s"orders 1996 month x bucket$buckets")) { fdir =>
       HiddenPartitioning.write(s,
         Tables.load(s, d, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1615,7 +1615,7 @@ object ExtQ {
     // them truncated at reuse; x81's vacuum removes v1 in place,
     // which fails the reuse check and rebuilds — correct either way.
     Fixtures.ensureAt(s, dir,
-        s"balances v1<1997 v2=all ts=${ts.getOrElse("none")}|$d") { fdir =>
+        Fixtures.fp(d, s"balances v1<1997 v2=all ts=${ts.getOrElse("none")}")) { fdir =>
       val orders = Tables.load(s, d, "orders")
       val cut = lit("1997-01-01").cast("timestamp")
       def balances(o: DataFrame) = o.groupBy(col("o_custkey"))

@@ -45,6 +45,33 @@ object Fixtures {
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Signature of the sf dir's parquet inputs (name:size per file,
+    * hashed): folded into every fixture fingerprint so a REGENERATED
+    * test corpus — same path, different content — rebuilds instead of
+    * serving a stale fixture the oracle would fail en masse. One
+    * directory listing, no data read. */
+  def dirSig(d: String): String = {
+    val p = java.nio.file.Paths.get(d)
+    if (!java.nio.file.Files.isDirectory(p)) return "nodir"
+    val stream = java.nio.file.Files.list(p)
+    try {
+      val it = stream.iterator()
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getFileName.toString
+        if (n.endsWith(".parquet"))
+          parts += s"$n:${java.nio.file.Files.size(f)}"
+      }
+      parts.sorted.mkString(",").hashCode.toString
+    } finally stream.close()
+  }
+
+  /** The canonical fingerprint for a (sf dir, build code) fixture:
+    * the caller's knob string + the dir path + its content
+    * signature. */
+  def fp(d: String, base: String): String = s"$base|$d|${dirSig(d)}"
+
   /** Build-once committed fixture. Returns the table dir (the same
     * deterministic `target/<tag>_<hash(d)>` path [[freshSnapDir]]
     * yields). `build` receives the dir and must leave a committed
@@ -52,7 +79,7 @@ object Fixtures {
   def ensure(s: SparkSession, d: String, tag: String, fingerprint: String)
             (build: String => Unit): String =
     ensureAt(s, s"target/${tag}_${math.abs(d.hashCode)}",
-      s"$fingerprint|$d")(build)
+      fp(d, fingerprint))(build)
 
   /** [[ensure]] with an explicit dir (shared-helper callers that
     * already own their dir naming). The fingerprint must still

@@ -84,6 +84,18 @@ class FixturesSpec extends SparkSpec {
     assert(Snapshots.read(spark, tmpl).count() == 6) // template pristine
   }
 
+  test("a regenerated source corpus changes the fingerprint (dirSig)") {
+    val dir = freshDir("dirsig")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val f = java.nio.file.Paths.get(dir, "t.parquet")
+    java.nio.file.Files.writeString(f, "aaaa")
+    val sig1 = Fixtures.dirSig(dir)
+    java.nio.file.Files.writeString(f, "aaaabbbb") // regenerated: new size
+    assert(Fixtures.dirSig(dir) != sig1)
+    assert(Fixtures.fp(dir, "x") != Fixtures.fp(dir + "_other", "x"))
+    Snapshots.drop(spark, dir)
+  }
+
   test("dropVersionsAbove refuses a checkpoint above the ceiling") {
     val dir = freshDir("ckpt")
     Snapshots.commit(frame(1), dir); Snapshots.commit(frame(2), dir)
