@@ -48,6 +48,13 @@ object Optimize {
 
   private val ZBits = 8
 
+  /** Bits per column: 8 for ≤7 columns, scaled down so the interleave
+    * never reaches the long's sign bit (bit 62 ceiling) — at k=8 the
+    * unscaled shift would hit bit 63 and make z negative, inverting
+    * the sort for the top bucket; beyond 64 Java shifts wrap mod 64
+    * and columns would collide. */
+  private def bitsFor(k: Int): Int = math.max(1, math.min(ZBits, 62 / k))
+
   /** Z-order the resolved latest state on `cols` (numeric/date
     * columns; nulls sort first as bucket 0) into `nFiles` equal-row
     * slices, one file per slice. Returns the committed version. */
@@ -75,19 +82,20 @@ object Optimize {
       Seq(min(num(c)).as(s"mn_$c"), max(num(c)).as(s"mx_$c"))) :+
       count(lit(1)).as("_n")
     val mm = cur.agg(aggs.head, aggs.tail: _*).head()
+    val k = cols.length
+    val bits = bitsFor(k)
     val buckets: Seq[Column] = cols.map { c =>
       val mn = mm.getAs[Double](s"mn_$c")
       val mx = mm.getAs[Double](s"mx_$c")
       val span = math.max(mx - mn, java.lang.Double.MIN_VALUE)
-      // equi-width 8-bit bucket; nulls → 0 (sort-first, Spark's rule)
+      // equi-width bucket; nulls → 0 (sort-first, Spark's rule)
       least(greatest(
-          coalesce(floor((num(c) - lit(mn)) / lit(span) * (1 << ZBits)), lit(0L)),
-          lit(0L)), lit((1 << ZBits) - 1))
+          coalesce(floor((num(c) - lit(mn)) / lit(span) * (1 << bits)), lit(0L)),
+          lit(0L)), lit((1 << bits) - 1))
     }
     // interleave: z bit (i*k + j) = bucket_j bit i — the classic
     // Morton order (x19's integer interleave generalized to k columns)
-    val k = cols.length
-    val z = (0 until ZBits).flatMap(i => (0 until k).map(j =>
+    val z = (0 until bits).flatMap(i => (0 until k).map(j =>
       shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * k + j)))
       .reduce(_ + _)
     val withZ = cur.withColumn("_z", z)

@@ -42,8 +42,10 @@ import graft.sources.Snapshots
   */
 object Fixtures {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // the shared escaper handles control characters too — a newline in a
+  // caller-composed fingerprint must not produce a sidecar Jackson
+  // rejects (which would silently rebuild the fixture every run)
+  private def jstr(s: String): String = graft.util.Jsons.quote(s)
 
   /** Signature of the sf dir's parquet inputs (name:size per file,
     * hashed): folded into every fixture fingerprint so a REGENERATED

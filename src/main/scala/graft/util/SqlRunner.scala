@@ -155,9 +155,14 @@ object SqlRunner {
         val dirs = """'([^']+)'""".r.findAllMatchIn(tables).map(_.group(1)).toSeq
         require(dirs.nonEmpty, s"COMMIT TRANSACTION '$id': no TABLES listed")
         graft.sources.Snapshots.txnCommit(spark, td, id, dirs)
+        // deciding the OPEN transaction closes the script context too —
+        // a later stage into a decided txn would be instantly visible
+        // (committed) or a permanent ghost (aborted)
+        if (txn.exists(t => t._1 == td && t._2 == id)) txn = None
         spark.sql(s"SELECT ${dirs.size} AS n_tables_committed")
       case RollbackTxn(td, id) =>
         graft.sources.Snapshots.txnAbort(spark, td, id)
+        if (txn.exists(t => t._1 == td && t._2 == id)) txn = None
         spark.sql("SELECT true AS txn_aborted")
       // transactional DDL: inside an open transaction the replacement
       // version STAGES (durable, invisible) — visible only when the
@@ -174,8 +179,9 @@ object SqlRunner {
       // refuses loudly: these verbs commit immediately, so letting
       // one run would silently break the atomicity the BEGIN promised
       case st if txn.isDefined &&
-          Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt,
-            OptimizeStmt, PurgeStmt).exists(_.findFirstIn(st).isDefined) =>
+          Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
+            PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
+            DropMv).exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
           s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
       case CreateMv(name, dir, sql) =>
