@@ -121,6 +121,45 @@ object Fixtures {
     }
   }
 
+  /** Multi-store template for a prologue whose artifacts must
+    * reference each other's WORK paths (e.g. a result cache whose
+    * fingerprint embeds its input dir): the first run executes
+    * `build` against the work dirs themselves, then snapshots each
+    * into `templateDir/<i>`; later runs check the pristine copies
+    * back out. Used by queries that mutate the stores in place
+    * (purge), where [[ensure]]'s ceiling truncation cannot reset. */
+  def ensureVia(s: SparkSession, templateDir: String, fingerprint: String,
+                workDirs: Seq[String])(build: => Unit): Unit = {
+    val lock = locks.computeIfAbsent(templateDir, _ => new Object)
+    lock.synchronized {
+      val side = java.nio.file.Paths.get(templateDir, "_fixture.json")
+      val hit = java.nio.file.Files.exists(side) && (try {
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(side))
+          .get("fp").asText() == fingerprint
+      } catch { case _: Exception => false })
+      if (hit) {
+        workDirs.zipWithIndex.foreach { case (w, i) =>
+          checkout(s, s"$templateDir/$i", w)
+        }
+        return
+      }
+      workDirs.foreach(Snapshots.drop(s, _))
+      build
+      Snapshots.drop(s, templateDir)
+      workDirs.zipWithIndex.foreach { case (w, i) =>
+        checkout(s, w, s"$templateDir/$i")
+      }
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(templateDir), "_fixture", ".tmp")
+      java.nio.file.Files.writeString(tmp,
+        s"""{"fp":${jstr(fingerprint)}}""")
+      java.nio.file.Files.move(tmp, side,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Clone a pristine template fixture into a private working dir by
     * FILESYSTEM copy — no Spark job. For queries that mutate history
     * in place (purge, vacuum, restore) and so can never share a

@@ -743,27 +743,37 @@ object LakehouseQ {
       val asgDir = s"target/x76_asg_$tag"
       val statsDir = s"target/x76_stats_$tag"
       val mvName = s"x76_mv_$tag"
-      Seq(srcDir, mvDir, cacheDir, asgDir, statsDir).foreach(Snapshots.drop(s, _))
       Purge.deregister(srcDir); graft.plans.MvCatalog.remove(mvName)
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), srcDir) // v1
-      Snapshots.commit(docs, srcDir) // v2: the refresh
-      val src = Snapshots.read(s, srcDir)
-      // the four derived-artifact classes, all naming doc_id values
-      graft.plans.MatView.create(s, mvName, src, mvDir,
-        groupCols = Seq("doc_id"), sumCols = Seq("n_chars" -> col("n_chars")))
-      ResultCache.getOrComputeLatest(s, cacheDir, "x76_q", Seq(srcDir))(fs =>
-        fs.head.select(col("doc_id"), col("n_chars")))
-      Snapshots.commit(src.select(col("doc_id").as("id"),
-        pmod(hash(col("doc_id")), lit(8)).as("bucket")), asgDir)
       def profile(sp: SparkSession): Unit = {
         val cur = Snapshots.read(sp, srcDir)
         Snapshots.commit(Analyze.numLeg(cur, "doc_id", col("doc_id"))
           .unionByName(Analyze.numLeg(cur, "n_chars", col("n_chars"))), statsDir)
         ()
       }
-      profile(s)
+      // four of the five stores are pure functions of the corpus and
+      // each other's WORK paths (the cache fingerprint embeds srcDir):
+      // built once AGAINST the work dirs, snapshotted, checked back
+      // out per run — the purge below rewrites all of them in place,
+      // so ensure()'s ceiling truncation could never reset them
+      Fixtures.ensureVia(s, s"target/x76_tmpl_$tag",
+          Fixtures.fp(d, "x76 src v1+v2, cache@v2, asg, stats"),
+          Seq(srcDir, cacheDir, asgDir, statsDir)) {
+        Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), srcDir) // v1
+        Snapshots.commit(docs, srcDir) // v2: the refresh
+        ResultCache.getOrComputeLatest(s, cacheDir, "x76_q", Seq(srcDir))(fs =>
+          fs.head.select(col("doc_id"), col("n_chars")))
+        Snapshots.commit(Snapshots.read(s, srcDir).select(col("doc_id").as("id"),
+          pmod(hash(col("doc_id")), lit(8)).as("bucket")), asgDir)
+        profile(s)
+      }
+      // the MV rebuilds per run: its catalog registration is in-JVM
+      // and the query de-registers it on exit
+      Snapshots.drop(s, mvDir)
+      val src = Snapshots.read(s, srcDir)
+      graft.plans.MatView.create(s, mvName, src, mvDir,
+        groupCols = Seq("doc_id"), sumCols = Seq("n_chars" -> col("n_chars")))
       Purge.register(srcDir, Purge.MvPartials(mvName))
       Purge.register(srcDir, Purge.CacheEntries(cacheDir))
       Purge.register(srcDir, Purge.KeyedTable(asgDir, Map("doc_id" -> "id")))

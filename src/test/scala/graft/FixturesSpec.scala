@@ -84,6 +84,30 @@ class FixturesSpec extends SparkSpec {
     assert(Snapshots.read(spark, tmpl).count() == 6) // template pristine
   }
 
+  test("ensureVia builds against the work dirs once, then restores pristine copies") {
+    val t = System.nanoTime()
+    val (w1, w2, tmpl) = (s"target/fixspec_via_a_$t", s"target/fixspec_via_b_$t",
+      s"target/fixspec_via_t_$t")
+    var builds = 0
+    def go() = Fixtures.ensureVia(spark, tmpl, "fp-via", Seq(w1, w2)) {
+      builds += 1
+      Snapshots.commit(frame(4), w1)
+      Snapshots.commit(frame(7), w2)
+    }
+    go()
+    assert(builds == 1)
+    // the "query" mutates both stores in place
+    Snapshots.purgeKeys(spark, w1, frame(2))
+    Snapshots.commit(frame(1), w2)
+    assert(Snapshots.read(spark, w1).count() == 2)
+    go() // checkout restores the pristine copies without rebuilding
+    assert(builds == 1)
+    assert(Snapshots.read(spark, w1).count() == 4)
+    assert(Snapshots.versions(spark, w2) == Seq(1))
+    assert(Snapshots.read(spark, w2).count() == 7)
+    Seq(w1, w2, tmpl).foreach(Snapshots.drop(spark, _))
+  }
+
   test("a regenerated source corpus changes the fingerprint (dirSig)") {
     val dir = freshDir("dirsig")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
