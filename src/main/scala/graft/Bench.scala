@@ -67,8 +67,48 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // IO probe — the CPU probe's blind spot (r13: the driver sweep ran
+    // 1.30× the same-code builder sweep with every CPU probe quiet;
+    // the inflation tracked the ~333 MB of fixture-state writes, i.e.
+    // IO/page-cache pressure, which a pure-compute probe cannot see).
+    // Fixed work: write a fresh 32 MB file (new name per call — never
+    // served from cache), fsync it through to the device, read it
+    // back, delete it. Its cost drifts only if the host's IO path
+    // drifted, so it carries the same segment-median contention rule
+    // as the CPU probe.
+    val ioProbeDir = java.nio.file.Paths.get("target/bench_ioprobe")
+    java.nio.file.Files.createDirectories(ioProbeDir)
+    val ioBuf = new Array[Byte](1 << 20)
+    new java.util.Random(42).nextBytes(ioBuf)
+    var ioSeq = 0
+    def ioProbe(): Double = {
+      ioSeq += 1
+      val f = ioProbeDir.resolve(s"probe_$ioSeq.bin")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var i = 0
+        while (i < 32) { ch.write(java.nio.ByteBuffer.wrap(ioBuf)); i += 1 }
+        ch.force(true) // through the page cache — the contended path
+      } finally ch.close()
+      val in = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val rb = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 0L
+        var r = in.read(rb)
+        while (r >= 0) { n += r; rb.clear(); r = in.read(rb) }
+        require(n == 32L << 20, s"io probe short read: $n")
+      } finally in.close()
+      java.nio.file.Files.deleteIfExists(f)
+      (System.nanoTime() - t0) / 1e9
+    }
     probe() // untimed: absorb the probe plan's own codegen
+    ioProbe() // untimed: absorb allocator/dir warmup
     val probeBefore = math.min(probe(), probe())
+    val ioProbeBefore = math.min(ioProbe(), ioProbe())
     // Mid-sweep probe log: the endpoint-only probe missed r5's
     // mid-run host drift (k14 read 27.7 s driver vs 7.4 s clean while
     // both endpoints were quiet). Probing every ProbeEvery queries
@@ -78,6 +118,7 @@ object Bench {
     // to the contention window that inflated it.
     val ProbeEvery = 20
     val probeLog = scala.collection.mutable.ArrayBuffer[Double](probeBefore)
+    val ioProbeLog = scala.collection.mutable.ArrayBuffer[Double](ioProbeBefore)
     // Storage-memory occupancy at each probe checkpoint (MB of cached
     // blocks): the r10 q-cluster regression ran right after the
     // k-family filled the shared Derived persist cache, and the
@@ -100,6 +141,7 @@ object Bench {
       // back-to-back probes is the steady-state cost
       if (i > 0 && i % ProbeEvery == 0) {
         probeLog += math.min(probe(), probe())
+        ioProbeLog += math.min(ioProbe(), ioProbe())
         storageLog += storageMb()
       }
       val (sec, err) = timeOne(name, fn)
@@ -157,6 +199,8 @@ object Bench {
     else None
     val probeAfter = math.min(probe(), probe())
     probeLog += probeAfter
+    val ioProbeAfter = math.min(ioProbe(), ioProbe())
+    ioProbeLog += ioProbeAfter
     storageLog += storageMb()
     // First-pass contention verdict (rule below): decided NOW so a
     // contended sweep can SELF-HEAL by re-timing the inflated
@@ -165,12 +209,20 @@ object Bench {
     // run and had to be graded from the snapshot).
     val endSpread0 = probeAfter / math.max(probeBefore, 1e-9)
     val mids0 = probeLog.slice(1, probeLog.length - 1)
+    val ioMids0 = ioProbeLog.slice(1, ioProbeLog.length - 1)
     def midSpreadOf(ms: scala.collection.Seq[Double]): Double =
       if (ms.size < 3) 1.0 else {
         val med = ms.sorted.apply(ms.size / 2)
         ms.max / math.max(med, 1e-9)
       }
-    val firstPassContended = endSpread0 > 2.0 || midSpreadOf(mids0) > 2.0
+    // the IO probe rides its own endpoint + segment-median tests: a
+    // run whose compute probes are quiet but whose IO path drifted
+    // (r13's failure mode) is now first_pass_contended too. IO is
+    // noisier than compute, so its thresholds sit higher (3× ends,
+    // 2.5× mids — calibrated against quiet-host spreads of ~1.3×).
+    val ioEndSpread0 = ioProbeAfter / math.max(ioProbeBefore, 1e-9)
+    val firstPassContended = endSpread0 > 2.0 || midSpreadOf(mids0) > 2.0 ||
+      ioEndSpread0 > 3.0 || midSpreadOf(ioMids0) > 2.5
     // AUTO-RETIME: when the first pass self-reports contended, re-time
     // the suspect queries — every query in a segment whose mid probe
     // drifted >2× off the mid median, plus the slowest
@@ -184,9 +236,16 @@ object Bench {
       else {
         val midMed =
           if (mids0.isEmpty) 0.0 else mids0.sorted.apply(mids0.size / 2)
-        val driftedSegs = mids0.zipWithIndex.collect {
+        val ioMidMed =
+          if (ioMids0.isEmpty) 0.0 else ioMids0.sorted.apply(ioMids0.size / 2)
+        // a segment is suspect if EITHER its compute probe or its IO
+        // probe jumped off the segment median — r13's inflation was
+        // IO-only and the compute-only rule missed every segment
+        val driftedSegs = (mids0.zipWithIndex.collect {
           case (p, j) if midMed > 0 && p > 2.0 * midMed => j
-        }
+        } ++ ioMids0.zipWithIndex.collect {
+          case (p, j) if ioMidMed > 0 && p > 2.5 * ioMidMed => j
+        }).distinct
         // mid j sits after query (j+1)·ProbeEvery: suspect both
         // adjacent segments
         val segSuspects = driftedSegs.flatMap { j =>
@@ -200,6 +259,7 @@ object Bench {
         graft.queries.Derived.invalidate(spark)
         spark.catalog.clearCache()
         val rb = math.min(probe(), probe())
+        val iorb = math.min(ioProbe(), ioProbe())
         val healed = results.map {
           case (name, sec, None) if suspects(name) =>
             val (s2, e2) = timeOne(name, SparkEntry.queries(name))
@@ -207,7 +267,8 @@ object Bench {
           case r => r
         }
         val ra = math.min(probe(), probe())
-        (healed, suspects.toSeq.sorted, Some((rb, ra)))
+        val iora = math.min(ioProbe(), ioProbe())
+        (healed, suspects.toSeq.sorted, Some((rb, ra, iorb, iora)))
       }
     // Two comparisons, never mixed: endpoints against each other, and
     // each mid-sweep probe against the mid-sweep MEDIAN. Mid-sweep
@@ -230,10 +291,12 @@ object Bench {
     // healed numbers were measured there; without a heal pass the
     // first-pass verdict stands.
     val contended = retimeProbes match {
-      case Some((rb, ra)) => ra / math.max(rb, 1e-9) > 2.0
+      case Some((rb, ra, iorb, iora)) =>
+        ra / math.max(rb, 1e-9) > 2.0 || iora / math.max(iorb, 1e-9) > 3.0
       case None => firstPassContended
     }
     val probeSegs = probeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val ioProbeSegs = ioProbeLog.map(p => f"$p%.3f").mkString("[", ",", "]")
     val storageSegs = storageLog.mkString("[", ",", "]")
     // the decision rule rides IN the JSON so a driver run and a
     // builder run can never disagree about what `contended` means on
@@ -244,22 +307,27 @@ object Bench {
       "JIT warm-up makes the after probe faster on a healthy host and " +
       "only a slowdown is drift) OR (>=3 mids AND " +
       "max(mid)/median(mid) > 2.0); mids sit ~3x above endpoints by " +
-      "design (warm JVM) and are never compared against them. A " +
-      "first-pass-contended full sweep auto-retimes drifted-segment + " +
-      "slowest queries (auto_retimed, min-of-passes) under bracketing " +
-      "warm probes (retime_probe_*), and `contended` is then that " +
-      "retime phase's slowdown verdict — the healed numbers were " +
-      "measured there"
+      "design (warm JVM) and are never compared against them. The IO " +
+      "probe (32MB fresh-file write+fsync+readback, min-of-2, " +
+      "io_probe_segments_sec) rides the same two tests at wider bands " +
+      "(ends > 3.0, mids > 2.5 of mid median) — it sees the IO/page-" +
+      "cache pressure the CPU probe is blind to (r13: 1.30x sweep " +
+      "inflation, every CPU probe quiet). A first-pass-contended full " +
+      "sweep auto-retimes drifted-segment (either probe) + slowest " +
+      "queries (auto_retimed, min-of-passes) under bracketing warm " +
+      "probes (retime_probe_*, retime_io_probe_*), and `contended` is " +
+      "then that retime phase's slowdown verdict — the healed numbers " +
+      "were measured there"
     val v6Json = v6FastOnly.map(t => f""","v6_fast_only_sec":$t%.3f""").getOrElse("") +
       x36ProdOnly.map(t => f""","x36_prod_only_sec":$t%.3f""").getOrElse("")
     // The full auto_retimed name list (102 names in r8 ≈ 2.5 KB) goes in
     // the DETAIL file only: it blew the driver's tail-capture buffer and
     // left BENCH_r08.json with parsed:null. Headline carries the count.
-    val retimeJsonShort = retimeProbes.map { case (rb, ra) =>
-      f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f"""
+    val retimeJsonShort = retimeProbes.map { case (rb, ra, iorb, iora) =>
+      f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f,"retime_io_probe_before_sec":$iorb%.3f,"retime_io_probe_after_sec":$iora%.3f"""
     }.getOrElse(f""","first_pass_contended":$firstPassContended""")
-    val retimeJson = retimeProbes.map { case (rb, ra) =>
-      f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"auto_retimed":${autoRetimed.map(graft.util.Jsons.quote).mkString("[", ",", "]")},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f"""
+    val retimeJson = retimeProbes.map { case (rb, ra, iorb, iora) =>
+      f""","first_pass_contended":$firstPassContended,"auto_retimed_n":${autoRetimed.size},"auto_retimed":${autoRetimed.map(graft.util.Jsons.quote).mkString("[", ",", "]")},"retime_probe_before_sec":$rb%.3f,"retime_probe_after_sec":$ra%.3f,"retime_io_probe_before_sec":$iorb%.3f,"retime_io_probe_after_sec":$iora%.3f"""
     }.getOrElse(f""","first_pass_contended":$firstPassContended""")
     val qs = finalResults.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -269,9 +337,9 @@ object Bench {
     val total = finalResults.collect { case (_, v, None) => v }.sum
     val nErr = finalResults.count(_._3.isDefined)
     val probeJsonShort =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"contended":$contended$retimeJsonShort$v6Json"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"io_probe_segments_sec":$ioProbeSegs,"contended":$contended$retimeJsonShort$v6Json"""
     val probeJson =
-      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"storage_mb_segments":$storageSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
+      f""""probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"probe_segments_sec":$probeSegs,"io_probe_before_sec":$ioProbeBefore%.3f,"io_probe_after_sec":$ioProbeAfter%.3f,"io_probe_segments_sec":$ioProbeSegs,"storage_mb_segments":$storageSegs,"contended":$contended,"contended_rule":${graft.util.Jsons.quote(contendedRule)}$retimeJson$v6Json"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${finalResults.size},"n_err":$nErr,$probeJsonShort}"""
     val touchJson = firstTouch.toSeq.sortBy(_._1).map { case (q, ks) =>

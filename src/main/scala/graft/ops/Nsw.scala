@@ -99,11 +99,19 @@ object Nsw {
 
   /** Beam-walk search over the adjacency. Queries: (qid, qvec).
     * Output: (qid, nb_id, nb_rank, score) — top-k by dot product of
-    * the final beam, self excluded. Only touched candidates are ever
-    * scored (beam·m per query per round, never a corpus scan). */
+    * the final beam. Only touched candidates are ever scored (beam·m
+    * per query per round, never a corpus scan).
+    *
+    * `excludeSelf` (default true) drops the node whose id EQUALS the
+    * query's qid — correct only when qids live in the corpus vec_id
+    * space (the self-recall shape: querying the index with its own
+    * members). For EXTERNAL queries it must be false: qids are then
+    * an unrelated id space, and a numeric collision with a corpus
+    * node id would silently drop that node from the top-k. */
   def search(edges: DataFrame, vectors: DataFrame, idCol: String,
              vecCol: String, entryNodes: DataFrame, queries: DataFrame,
-             beam: Int, walkRounds: Int, topK: Int): DataFrame = {
+             beam: Int, walkRounds: Int, topK: Int,
+             excludeSelf: Boolean = true): DataFrame = {
     VectorOps.ensureRegistered(queries.sparkSession)
     val v = vectors.select(col(idCol).as("node"),
       col(vecCol).cast("array<double>").as("_nvec"))
@@ -125,7 +133,8 @@ object Nsw {
         .unionByName(expand).distinct()
       bm = topB(scored(cands), beam)
     }
-    val res = topB(bm.filter(col("node") =!= col("qid")), topK)
+    val res = topB(
+      if (excludeSelf) bm.filter(col("node") =!= col("qid")) else bm, topK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     res.withColumn("nb_rank", row_number().over(w))

@@ -30,9 +30,12 @@ import graft.sources.Snapshots
   *    exchange (GlobalIndexExec — no single reducer) sliced into
   *    equal-row files. Rank ties break on the full row, so file
   *    membership is deterministic up to identical-row identity.
-  *    The file id lands as the `_zfile` column + hive partition
-  *    (x52's layout contract), so zone-map pruning and the
-  *    one-file-per-slice witness work off the committed listing.
+  *    The file id lands as a WRITE-ONLY hive partition `_zfile`
+  *    (x52's layout contract): zone-map pruning and the
+  *    one-file-per-slice witness read it via [[Snapshots.readLayout]]
+  *    / the committed listing, while the table's LOGICAL schema is
+  *    unchanged — so INSERT INTO / MERGE with the original schema
+  *    compose after a ZORDER, exactly like Delta's OPTIMIZE.
   */
 object Optimize {
 
@@ -110,7 +113,12 @@ object Optimize {
       .withColumn("_zfile",
         least(expr(s"(_zrank * $nFiles) div $nEst"), lit(nFiles - 1)).cast("int"))
       .drop("_z", "_zrank")
+    // `_zfile` is WRITE-ONLY: it shapes the hive layout (one dir per
+    // slice — the filesPerDir witness and zone-map reads key off it
+    // via readLayout) but never joins the logical schema, so a later
+    // INSERT INTO / MERGE with the original schema still composes
+    // (Delta's OPTIMIZE ZORDER never alters schema).
     Snapshots.commitLayout(laid.repartition(col("_zfile")), dir, base,
-      partitionBy = Seq("_zfile"))
+      partitionBy = Seq("_zfile"), dropFromSchema = Seq("_zfile"))
   }
 }

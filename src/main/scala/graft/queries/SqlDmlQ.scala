@@ -344,8 +344,10 @@ object SqlDmlQ {
       graft.util.SqlRunner.runScriptWithSnapshots(s,
         s"OPTIMIZE '$dir' ZORDER BY (ub, tb) INTO 16 FILES")
       val oneFile = Snapshots.filesPerDir(s, dir, 2).values.forall(_ == 1)
-      // zone maps over the committed layout (manifest-sized: 16 rows)
-      val zones = Snapshots.read(s, dir, Some(2))
+      // zone maps over the committed layout (manifest-sized: 16 rows).
+      // `_zfile` is WRITE-ONLY (never in the logical schema — a later
+      // INSERT INTO must compose), so the layout-audit read serves it
+      val zones = Snapshots.readLayout(s, dir, 2)
         .groupBy(col("_zfile"))
         .agg(min(col("ub")).as("ub_lo"), max(col("ub")).as("ub_hi"),
           min(col("tb")).as("tb_lo"), max(col("tb")).as("tb_hi"))
@@ -356,7 +358,7 @@ object SqlDmlQ {
           r.getAs[Int]("tb_hi") >= lo && r.getAs[Int]("tb_lo") <= hi =>
           r.getAs[Int]("_zfile")
       }.toIndexedSeq
-      Snapshots.read(s, dir, Some(2))
+      Snapshots.readLayout(s, dir, 2)
         .filter(col("_zfile").isin(scan: _*)) // pruned dirs never listed
         .filter(col("ub").between(lo, hi) && col("tb").between(lo, hi))
         .select(col("event_id"), col("ub"), col("tb"),

@@ -115,9 +115,15 @@ object Server {
         // corpus-bounded there; here the dump is LIMIT-guarded so the
         // HTTP surface carries no unbounded driver-side collect at
         // any corpus size — `?limit=` (default and cap 1000, the
-        // corpus contract) plus `?offset=` for pagination. The page
-        // is taken deterministically by paper_id so offset walks a
-        // stable order.
+        // corpus contract). Two pagination modes, both bounded:
+        //  - KEYSET (`?after=<paper_id>`): the scale path — one
+        //    pushed-down range filter + limit, collect is always
+        //    ≤ limit rows no matter how deep the walk goes;
+        //  - `?offset=` for small skips, CAPPED (offset+limit ≤ 10k)
+        //    so a deep offset can neither collect toward the whole
+        //    corpus nor overflow Int — past the cap, clients must
+        //    switch to keyset (the response order is paper_id, so
+        //    the last row's id is the next `after`).
         val params = Option(ex.getRequestURI.getQuery).getOrElse("")
           .split("&").filter(_.contains("=")).map { kv =>
             val Array(k, v) = kv.split("=", 2); k -> v
@@ -125,14 +131,20 @@ object Server {
         val limit = math.min(
           params.get("limit").flatMap(_.toIntOption).getOrElse(1000), 1000)
           .max(0)
-        val offset = params.get("offset").flatMap(_.toIntOption)
-          .getOrElse(0).max(0)
+        val offset = math.min(params.get("offset").flatMap(_.toIntOption)
+          .getOrElse(0).max(0), 10000 - limit)
+        val after = params.get("after")
+        val pidCol = org.apache.spark.sql.functions.col("paper_id")
         val arr = mapper.createArrayNode()
-        corpus.papers
-          .orderBy(org.apache.spark.sql.functions.col("paper_id"))
-          .limit(offset + limit)
-          .toJSON.collect().drop(offset)
-          .foreach(s => arr.add(mapper.readTree(s)))
+        val page = after match {
+          case Some(a) =>
+            corpus.papers.filter(pidCol > a).orderBy(pidCol).limit(limit)
+              .toJSON.collect()
+          case None =>
+            corpus.papers.orderBy(pidCol).limit(offset + limit)
+              .toJSON.collect().drop(offset)
+        }
+        page.foreach(s => arr.add(mapper.readTree(s)))
         (200, arr)
       }
     })

@@ -565,9 +565,11 @@ object Snapshots {
     * the preflight guards the read-rewrite-commit race the same way
     * an expectedVersion commit does. */
   def commitLayout(df: DataFrame, dir: String, base: Int,
-                   partitionBy: Seq[String] = Nil): Int = {
+                   partitionBy: Seq[String] = Nil,
+                   dropFromSchema: Seq[String] = Nil): Int = {
     val v = writeVersion(df, dir, partitionBy,
-      extraMeta = ""","dataChange":false""", expected = Some(base))
+      extraMeta = ""","dataChange":false""", expected = Some(base),
+      dropFromSchema = dropFromSchema)
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
       base = Some(base), dataChange = false)
     v
@@ -1078,7 +1080,8 @@ object Snapshots {
 
   private def writeVersion(df: DataFrame, dir: String,
                            partitionBy: Seq[String], extraMeta: String,
-                           expected: Option[Int] = None): Int = {
+                           expected: Option[Int] = None,
+                           dropFromSchema: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
     expected.foreach { e =>
@@ -1106,7 +1109,16 @@ object Snapshots {
     // partition-value re-inference (a numeric-looking pval coming
     // back int) can never diverge a version from what was committed.
     val files = dataFiles(fs, stage)
-    val meta = s""""n_files":${files.length},"bytes":${files.map(_.getLen).sum},"schema":${jstr(df.schema.json)}$extraMeta"""
+    // WRITE-ONLY layout columns (dropFromSchema): a physical partition
+    // column like OPTIMIZE ZORDER's `_zfile` shapes the directory
+    // layout but must never join the table's LOGICAL schema — Delta's
+    // OPTIMIZE never alters schema, and a later plain-schema append
+    // would otherwise make readResolved's unionByName fail. The
+    // committed schema drops it; reads project to that schema, and
+    // layout witnesses read the hive dirs via [[readLayout]].
+    val logical = StructType(
+      df.schema.fields.filterNot(f => dropFromSchema.contains(f.name)))
+    val meta = s""""n_files":${files.length},"bytes":${files.map(_.getLen).sum},"schema":${jstr(logical.json)}$extraMeta"""
     // COMMIT LOOP — version N belongs to whoever CREATES
     // `_entry_v<N>.json` ([[tryPublishEntry]]'s conditional put):
     //  1. rename the staged data to `v<N>-<writer>` (unique name —
@@ -1174,9 +1186,27 @@ object Snapshots {
       case Some(sj) =>
         val st = org.apache.spark.sql.types.DataType.fromJson(sj)
           .asInstanceOf[StructType]
+        // project to the COMMITTED schema: a write-only layout column
+        // (commitLayout's dropFromSchema, e.g. `_zfile`) exists as a
+        // hive partition dir but is not part of the logical table —
+        // partition discovery would otherwise append it to the read
+        import org.apache.spark.sql.functions.col
         spark.read.schema(st).parquet(vdir)
+          .select(st.fieldNames.toSeq.map(col): _*)
       case None => spark.read.parquet(vdir)
     }
+  }
+
+  /** A version's files read WITH full partition discovery and no
+    * schema pin — the LAYOUT-AUDIT read: write-only layout columns
+    * ([[commitLayout]]'s dropFromSchema, e.g. OPTIMIZE ZORDER's
+    * `_zfile`) come back as inferred partition columns here, while
+    * the logical reads ([[read]]/[[readResolved]]) never see them.
+    * For zone-map witnesses and layout diagnostics only. */
+  def readLayout(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
+    require(n.isDefined, s"version $version not in log under $dir")
+    spark.read.parquet(s"$dir/${entryDataDir(n.get)}")
   }
 
   /** A version's OWN landed rows with the committed schema — never a

@@ -181,7 +181,7 @@ object SqlRunner {
       case st if txn.isDefined &&
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
-            DropMv).exists(_.findFirstIn(st).isDefined) =>
+            DropMv, DropTable).exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
           s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
       case CreateMv(name, dir, sql) =>
@@ -206,11 +206,21 @@ object SqlRunner {
           spark, dir, spark.sql(select))
         spark.sql(s"SELECT ${rewritten.size} AS n_versions_rewritten")
       case CreateTableAs(orReplace, dir, select) =>
-        if (orReplace != null) graft.sources.Snapshots.drop(spark, dir)
-        else require(graft.sources.Snapshots.versions(spark, dir).isEmpty,
+        // OR REPLACE is HISTORY-PRESERVING: the replacement lands as a
+        // full version ON TOP of the existing log (the same shape the
+        // txn path stages, minus staging), so time travel /
+        // table_history / table_changes keep serving prior states and
+        // a crash can never lose the table — drop-first was both
+        // destructive and non-atomic. Destroying history is an
+        // explicit DROP TABLE, never a side effect of REPLACE.
+        require(orReplace != null ||
+          graft.sources.Snapshots.versions(spark, dir).isEmpty,
           s"CREATE TABLE '$dir': table exists (use CREATE OR REPLACE)")
         val v = graft.sources.Snapshots.commit(spark.sql(select), dir)
         spark.sql(s"SELECT $v AS created_version")
+      case DropTable(dir) =>
+        graft.sources.Snapshots.drop(spark, dir)
+        spark.sql("SELECT true AS table_dropped")
       case InsertInto(dir, select) =>
         val base = graft.sources.Snapshots.versions(spark, dir).last
         val v = graft.sources.Snapshots.commitAppend(
@@ -244,12 +254,21 @@ object SqlRunner {
   /** Arm/WHERE conditions reference the two sides as `t.<col>` /
     * `s.<col>` (SQL MERGE's conventional aliases); ops.Merge exposes
     * the matched rows as struct columns `_t`/`_s`, so the rewrite is
-    * a prefix substitution. Contract: no string literal in a
-    * condition contains `t.`/`s.` tokens (the conditions are
-    * predicates over the table's columns). */
-  private def armColumn(cond: String): org.apache.spark.sql.Column =
+    * a prefix substitution. Contract — ENFORCED, not prose: no
+    * single-quoted string literal in a condition may contain a
+    * `t.`/`s.` token (the substitution is textual and would corrupt
+    * it into `_t.`/`_s.` silently otherwise; a violating condition
+    * fails loudly here instead of producing wrong merge results). */
+  private def armColumn(cond: String): org.apache.spark.sql.Column = {
+    val violating = "'[^']*'".r.findAllIn(cond)
+      .filter(l => "(?i)\\b[ts]\\.".r.findFirstIn(l).isDefined).toSeq
+    require(violating.isEmpty,
+      s"MERGE arm condition contains a quoted literal with a 't.'/'s.' " +
+        s"token (${violating.mkString(", ")}) — the alias rewrite would " +
+        s"corrupt it; restate the predicate without such literals: $cond")
     org.apache.spark.sql.functions.expr(
       cond.replaceAll("(?i)\\bt\\.", "_t.").replaceAll("(?i)\\bs\\.", "_s."))
+  }
 
   /** `MERGE INTO '<dir>' USING <view> ON <key> WHEN …` — parse the
     * WHEN clauses into [[graft.ops.Merge.mergeInto]]'s four arms
@@ -453,10 +472,16 @@ object SqlRunner {
 
   /** `CREATE [OR REPLACE] TABLE '<dir>' AS <select>` — CTAS onto the
     * snapshot log: the select's rows land as version 1. Plain CREATE
-    * of an existing table fails loudly (SQL's rule); OR REPLACE
-    * drops first. */
+    * of an existing table fails loudly (SQL's rule); OR REPLACE lands
+    * the replacement as a FULL version over the intact log (history-
+    * preserving — prior states stay time-travelable). */
   private val CreateTableAs =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+'([^']+)'\s+AS\s+(.+)$""".r
+
+  /** `DROP TABLE '<dir>'` — the one verb that destroys history (all
+    * versions + log). REPLACE never does this implicitly. */
+  private val DropTable =
+    """(?is)^\s*DROP\s+TABLE\s+'([^']+)'\s*$""".r
 
   /** `INSERT INTO '<dir>' <select>` — an APPEND version against the
     * latest (O(Δ) write, base files untouched; readers resolve

@@ -81,6 +81,31 @@ class NswSpec extends SparkSpec {
     assert(recall >= 0.9, s"beam walk must recover the separable truth, got $recall")
   }
 
+  test("external queries with excludeSelf=false keep id-colliding nodes") {
+    val v = corpus(80)
+    val idx = centroidsOf(v)
+    val edges = Nsw.build(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = 4, rounds = 2)
+    // an EXTERNAL query whose qid numerically collides with corpus
+    // node 1 (outer shell — under dot-product scoring its self-dot
+    // strictly dominates every cross-dot) and whose vector IS node
+    // 1's vector: the true top-1 is node 1 itself — self-exclusion
+    // would silently drop it
+    val q = v.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val withSelf = Nsw.search(edges, v, "vec_id", "embedding",
+      Nsw.entries(idx.assigned, "vec_id"), q,
+      beam = 4, walkRounds = 3, topK = 3, excludeSelf = false)
+      .collect().map(r => r.getAs[Long]("nb_id"))
+    assert(withSelf.contains(1L),
+      "external-query mode must keep the colliding node in the top-k")
+    val without = Nsw.search(edges, v, "vec_id", "embedding",
+      Nsw.entries(idx.assigned, "vec_id"), q,
+      beam = 4, walkRounds = 3, topK = 3)
+      .collect().map(r => r.getAs[Long]("nb_id"))
+    assert(!without.contains(1L), "default self-recall mode excludes qid")
+  }
+
   test("the walk scores only touched candidates, never the corpus") {
     val v = corpus(200)
     val idx = centroidsOf(v)

@@ -53,9 +53,13 @@ class OptimizeSpec extends SparkSpec {
     val files = Snapshots.filesPerDir(spark, dir, 2)
     assert(files.size == 16 && files.values.forall(_ == 1),
       s"want 16 one-file slices, got $files")
-    // zone maps on the raw columns: a 16x16 corner box must NOT touch
-    // every slice (the whole point of the clustering)
-    val zones = Snapshots.read(spark, dir, Some(2))
+    // `_zfile` is write-only: the logical read never sees it…
+    assert(!Snapshots.read(spark, dir, Some(2)).columns.contains("_zfile"))
+    assert(Snapshots.readResolved(spark, dir).columns.toSeq ==
+      Seq("id", "x", "y"))
+    // …and the layout-audit read serves it for zone maps: a 16x16
+    // corner box must NOT touch every slice (the point of clustering)
+    val zones = Snapshots.readLayout(spark, dir, 2)
       .groupBy($"_zfile")
       .agg(min($"x").as("xl"), max($"x").as("xh"),
         min($"y").as("yl"), max($"y").as("yh"))
@@ -76,12 +80,40 @@ class OptimizeSpec extends SparkSpec {
         (1 to 500).map(i => (i.toLong, i % 37, (i * 7) % 23)).toDF("id", "a", "b"),
         dir)
       Optimize.zorder(spark, dir, Seq("a", "b"), 8)
-      Snapshots.read(spark, dir, Some(2))
+      Snapshots.readLayout(spark, dir, 2)
         .groupBy($"_zfile").agg(sum($"id").as("s"))
         .collect().map(r => (r.getAs[Int]("_zfile"), r.getAs[Long]("s")))
         .sortBy(_._1).toSeq
     }
     assert(layout() == layout())
+  }
+
+  test("DML composes after OPTIMIZE ZORDER: INSERT INTO / MERGE still read") {
+    val dir = freshDir("compose")
+    Snapshots.commit(
+      (1 to 100).map(i => (i.toLong, i % 7, (i * 3) % 11)).toDF("id", "a", "b"),
+      dir)
+    Optimize.zorder(spark, dir, Seq("a", "b"), 4)
+    // an append written with the ORIGINAL schema (no _zfile) must
+    // resolve — the regression the write-only contract exists for
+    val v3 = Snapshots.commitAppend(
+      Seq((101L, 1, 1)).toDF("id", "a", "b"), dir,
+      base = Snapshots.versions(spark, dir).last)
+    assert(v3 == 3)
+    val resolved = Snapshots.readResolved(spark, dir)
+    assert(resolved.columns.toSeq == Seq("id", "a", "b"))
+    assert(resolved.count() == 101)
+    // a MERGE over the zordered table works too (reads resolved state)
+    val merged = graft.ops.Merge.mergeInto(
+      Snapshots.readResolved(spark, dir),
+      Seq((101L, 9, 9), (102L, 2, 2)).toDF("id", "a", "b"), "id",
+      matchedUpdate = (_, _) => lit(true),
+      notMatchedInsert = _ => lit(true))
+    Snapshots.commit(merged, dir,
+      expectedVersion = Snapshots.versions(spark, dir).last)
+    assert(Snapshots.readResolved(spark, dir).count() == 102)
+    assert(Snapshots.readResolved(spark, dir)
+      .filter($"id" === 101L).head.getAs[Int]("a") == 9)
   }
 
   test("zorder refuses non-numeric columns loudly") {

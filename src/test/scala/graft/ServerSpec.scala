@@ -113,6 +113,19 @@ class ServerSpec extends SparkSpec {
         "pages must be disjoint slices of one stable order")
       // garbage params fall back to defaults rather than erroring
       assert(get(port, "/papers?limit=abc&offset=-5").statusCode() == 200)
+      // KEYSET pagination (the scale path — bounded collect at any
+      // depth): ?after=<last paper_id> resumes past that id with no
+      // overlap, same stable order
+      val last1 = p1.get(p1.size - 1).get("paper_id").asText()
+      val k2 = mapper.readTree(
+        get(port, s"/papers?limit=2&after=$last1").body())
+      val kids = (0 until k2.size).map(k2.get(_).get("paper_id").asText())
+      assert(kids.forall(_ > last1) && kids == kids.sorted,
+        "keyset page must start strictly after the cursor, in order")
+      // a deep offset clamps (offset+limit ≤ 10k) instead of
+      // collecting toward the corpus or overflowing Int
+      assert(get(port,
+        s"/papers?limit=2&offset=${Int.MaxValue - 1}").statusCode() == 200)
     }
   }
 

@@ -271,11 +271,36 @@ class SqlRunnerSpec extends SparkSpec {
       SqlRunner.runScriptWithSnapshots(spark,
         s"CREATE TABLE '$dir' AS SELECT id FROM ctas_src")
     }
-    // OR REPLACE starts the log over
+    // OR REPLACE is history-preserving: the replacement is a full
+    // version ON TOP of the log — prior states stay time-travelable
     SqlRunner.runScriptWithSnapshots(spark,
       s"CREATE OR REPLACE TABLE '$dir' AS SELECT id FROM ctas_src WHERE id = 1")
-    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3))
     assert(Snapshots.readResolved(spark, dir).count() == 1)
+    assert(Snapshots.readResolved(spark, dir, Some(2)).count() == 5,
+      "REPLACE must not destroy the replaced state's history")
+    // destroying history is the explicit DROP TABLE verb only
+    SqlRunner.runScriptWithSnapshots(spark, s"DROP TABLE '$dir'")
+    assert(Snapshots.versions(spark, dir).isEmpty)
+    Snapshots.drop(spark, dir)
+  }
+
+  test("MERGE arm conditions refuse quoted literals carrying t./s. tokens") {
+    import graft.sources.Snapshots
+    val dir = s"target/sqlrunner_armguard_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    import spark.implicits._
+    Snapshots.commit(Seq((1L, "x")).toDF("k", "c_name"), dir)
+    Seq((1L, "t.co")).toDF("k", "c_name")
+      .createOrReplaceTempView("armguard_src")
+    val e = intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"""MERGE INTO '$dir' USING armguard_src ON k
+           |WHEN MATCHED AND s.c_name = 't.co' THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("quoted literal"))
+    // no partial commit happened
+    assert(Snapshots.versions(spark, dir) == Seq(1))
     Snapshots.drop(spark, dir)
   }
 
