@@ -367,6 +367,51 @@ object SqlDmlQ {
         .orderBy(col("event_id"))
     }),
 
+    // x92 — ALTER TABLE ON THE SQL SURFACE: schema evolution existed
+    // only as API (x31 — wider commits + readAligned); a pure-SQL
+    // consumer could not evolve a schema. `ALTER TABLE ADD COLUMN`
+    // lands a METADATA-ONLY log entry (Snapshots.alterAddColumn —
+    // zero data files, require()d below from the listing): readers
+    // resolve the altered version as its base's rows with the new
+    // column as typed nulls, and the follow-up CREATE OR REPLACE
+    // backfills it as a full version over the INTACT log (the
+    // history-preserving REPLACE). The two legs read post-alter
+    // (lang all null — the typed-null contract) and post-backfill
+    // states through snapshot_resolved, and the oracle is x31's
+    // VERBATIM — the statement route must serve exactly what the
+    // Scala evolution route serves. Drops/type changes have no verb
+    // (they'd need a policy for historic data) and adding an
+    // existing column raises — SqlRunnerSpec.
+    "x92_sql_alter_table" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = Fixtures.ensure(s, d, "x92_snap",
+          "docs v1 doc_id,source") { fdir =>
+        Snapshots.commit(
+          Tables.load(s, d, "documents").select(col("doc_id"), col("source")),
+          fdir)
+      }
+      Tables.load(s, d, "documents").createOrReplaceTempView("docs_x92")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""ALTER TABLE '$dir' ADD COLUMN lang string;
+           |CREATE OR REPLACE TABLE '$dir' AS
+           |SELECT doc_id, source, lang FROM docs_x92""".stripMargin)
+      // the alter is metadata-only BY CONTRACT: zero data files landed
+      // (a violated contract must fail the query, not pass unnoticed)
+      require(Snapshots.fileSignature(s, dir, 2).isEmpty,
+        "ALTER TABLE must land zero data files")
+      def leg(v: Int) =
+        s"""SELECT CAST(${v - 1} AS INT) AS version, source, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_lang_null,
+           |  CAST(SUM(doc_id) AS BIGINT) AS idsum
+           |FROM snapshot_resolved('$dir', $v) GROUP BY source""".stripMargin
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""${leg(2)}
+           |UNION ALL
+           |${leg(3)}
+           |ORDER BY version, source""".stripMargin).last
+    }),
+
     // x84 — UPDATE ON THE SQL SURFACE: a credit adjustment re-states
     // every negative balance (two SET assignments — the balance and
     // an audit suffix on the name) as ONE statement landing as x58's
@@ -501,6 +546,11 @@ object SqlDmlQ {
          |WHERE ub BETWEEN ${ExtQ.ZBoxLo} AND ${ExtQ.ZBoxHi}
          |  AND tb BETWEEN ${ExtQ.ZBoxLo} AND ${ExtQ.ZBoxHi}
          |ORDER BY event_id""".stripMargin,
+
+    // x92: x31's oracle VERBATIM (the map lookup IS the reuse) — the
+    // SQL-surface evolution must serve exactly what the Scala
+    // evolution route serves, leg for leg.
+    "x92_sql_alter_table" -> LakehouseQ.oracles("x31_schema_evolution"),
 
     // x84: the update replayed as a CASE over the source; published
     // count 2 (the staged DV never publishes); literal true pins the

@@ -540,6 +540,95 @@ object Snapshots {
     v
   }
 
+  /** OCC APPEND WITH CONFLICT COMMUTATION (x91) — the Delta/Iceberg
+    * conflict-matrix semantics the plain `expectedVersion` commit is
+    * stricter than: two independent writers appending rows both land,
+    * in some order, with the final state the UNION of both deltas —
+    * no production lakehouse makes disjoint appends mutually
+    * exclusive. The commit is planned against `base`; when the log
+    * has advanced past it, the interleaved chain from the current
+    * head down to `base` is audited: if every step COMMUTES with an
+    * append — another `append`, or a dataChange=false layout re-land
+    * (same logical rows, better files) — the append REBASES onto the
+    * head and retries its entry claim; any non-commuting step (full
+    * data rewrite, delete, replace, restore, schema change) raises
+    * [[ConcurrentCommitException]], because the state this append was
+    * planned against no longer exists. The claim itself stays the
+    * create-exclusive entry put, so the audit-then-claim loop is safe
+    * across threads AND processes (losing a new race re-audits the
+    * newly landed step). At 100 TB this is the retry loop every
+    * concurrent ingest runs: N writers' appends serialize by claim
+    * order, each paying one manifest-sized log re-read per lost race,
+    * never a data rewrite. */
+  def commitAppendCommuting(df: DataFrame, dir: String, base: Int,
+                            partitionBy: Seq[String] = Nil,
+                            dataChange: Boolean = true,
+                            maxAttempts: Int = 50): Int = {
+    val spark = df.sparkSession
+    require(versions(spark, dir).contains(base),
+      s"append base v$base not published under $dir")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= maxAttempts,
+        s"commutation retry budget exhausted under $dir")
+      val head = versions(spark, dir).last
+      if (head != base) requireCommutesDownTo(spark, dir, head, base)
+      try {
+        val v = writeVersion(df, dir, partitionBy,
+          extraMeta = s""","kind":"append","base":$head,"dataChange":$dataChange""",
+          expected = Some(head))
+        graft.ops.AutoAnalyze.afterCommit(spark, dir, v,
+          base = Some(head), dataChange = dataChange)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          // lost a new race: re-audit against the new head — unless
+          // the blocker is an UNPUBLISHED staged ghost squatting the
+          // next entry number (a pending txn/WAP stage): it is not a
+          // commit to rebase onto and it will not go away by
+          // retrying, so raise instead of spinning the budget out
+          if (versions(spark, dir).last == head &&
+              allVersions(spark, dir).last > head) throw
+            new ConcurrentCommitException(
+              s"append onto v$head blocked by an unpublished staged " +
+                s"version at v${allVersions(spark, dir).last} under " +
+                s"$dir — decide its transaction or vacuum it first: " +
+                e.getMessage)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** The x91 commutation audit: walk the base chain from `head` down
+    * to `base`; every step must be an `append` or a dataChange=false
+    * layout re-land (entries carrying the same logical rows). Raises
+    * [[ConcurrentCommitException]] naming the first non-commuting
+    * version otherwise. */
+  private def requireCommutesDownTo(spark: SparkSession, dir: String,
+                                    head: Int, base: Int): Unit = {
+    val byV = logEntries(spark, dir)
+      .map(n => n.get("version").asInt() -> n).toMap
+    var v = head
+    while (v > base) {
+      val n = byV.getOrElse(v, throw new ConcurrentCommitException(
+        s"commutation audit: v$v missing from the log under $dir"))
+      val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
+      val dc = Option(n.get("dataChange")).forall(_.asBoolean(true))
+      val commutes = kind == "append" || (kind == "data" && !dc)
+      if (!commutes) throw new ConcurrentCommitException(
+        s"append planned against v$base cannot commute past v$v " +
+          s"(kind=$kind, dataChange=$dc) under $dir — the planned-" +
+          "against state was rewritten; re-read and re-plan")
+      v = Option(n.get("base")).map(_.asInt()).getOrElse(
+        throw new ConcurrentCommitException(
+          s"append planned against v$base cannot commute past v$v " +
+            s"(no base chain) under $dir"))
+    }
+    if (v != base) throw new ConcurrentCommitException(
+      s"commutation audit: chain from v$head skipped v$base (reached v$v)")
+  }
+
   /** Commit a PARTITION OVERWRITE: `df` holds ONLY the rows of the
     * partition `pcol = pval`; every other partition of version `base`
     * rides along logically (INSERT OVERWRITE ... PARTITION /
@@ -567,8 +656,12 @@ object Snapshots {
   def commitLayout(df: DataFrame, dir: String, base: Int,
                    partitionBy: Seq[String] = Nil,
                    dropFromSchema: Seq[String] = Nil): Int = {
+    // `base` rides in the entry as PROVENANCE (which version's rows
+    // were re-laid): readers never follow it (a layout version is a
+    // full state), but the x91 commutation chain-walk does — an
+    // append planned below a layout re-land can rebase through it.
     val v = writeVersion(df, dir, partitionBy,
-      extraMeta = ""","dataChange":false""", expected = Some(base),
+      extraMeta = s""","dataChange":false,"base":$base""", expected = Some(base),
       dropFromSchema = dropFromSchema)
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
       base = Some(base), dataChange = false)
@@ -655,6 +748,47 @@ object Snapshots {
       require(attempts <= 10000, s"commit livelock under $dir")
       // never-created sentinel dir name: zero data files by contract
       val entry = s"""{"version":$next,"dir":${jstr(s"v$next-restore")},"n_files":0,"bytes":0,"kind":"restore","base":$toVersion}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+      next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
+    }
+    -1 // unreachable
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION as a METADATA-ONLY commit (x92 — the
+    * log-level form of x31's widened-commit evolution): land a new
+    * version whose entry carries the WIDENED schema and ZERO data
+    * files. Readers resolve it as its base's rows with the new
+    * column as typed nulls (the aligned-read contract applied at the
+    * log), later appends carry the new schema and chain through it,
+    * and historic pinned reads still serve their own committed
+    * schema. Only ADD COLUMN exists: drops and type changes need a
+    * policy decision (what happens to historic data?) and fail
+    * loudly by construction — there is no API for them, and adding
+    * an existing column raises. At 100 TB this is the whole point:
+    * evolution costs one small JSON entry — zero files rewritten,
+    * zero backfill. The new column is nullable by definition (every
+    * pre-alter row lacks it). Alter versions do NOT commute with
+    * stale-base appends ([[commitAppendCommuting]] raises past one):
+    * a pre-alter writer's schema no longer matches the head's. */
+  def alterAddColumn(spark: SparkSession, dir: String, colName: String,
+                     dataType: org.apache.spark.sql.types.DataType): Int = {
+    val head = versions(spark, dir).lastOption.getOrElse(
+      sys.error(s"ALTER TABLE: no committed versions under $dir"))
+    val cur = readResolved(spark, dir).schema
+    require(!cur.fieldNames.contains(colName),
+      s"ALTER TABLE '$dir' ADD COLUMN $colName: column exists " +
+        "(drops/type changes are not supported — they would need a " +
+        "policy for historic data)")
+    val widened = StructType(cur.fields :+
+      org.apache.spark.sql.types.StructField(colName, dataType, nullable = true))
+    val (fs, p) = fsOf(spark, dir)
+    var next = allVersions(spark, dir).last + 1
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      // never-created sentinel dir name: zero data files by contract
+      val entry = s"""{"version":$next,"dir":${jstr(s"v$next-alter")},"n_files":0,"bytes":0,"kind":"alter","base":$head,"schema":${jstr(widened.json)}}"""
       if (tryPublishEntry(fs, p, next, entry)) return next
       next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }
@@ -970,6 +1104,10 @@ object Snapshots {
       case "data" | "clone" | "restore"
           if !Option(n.get("dataChange")).forall(_.asBoolean(true)) =>
         sel(lit("I"), vdf).limit(0)
+      // an alter is metadata-only (same rows, wider schema): feeds
+      // nothing — a schema change must never reach CDC consumers as
+      // row churn
+      case "alter" => sel(lit("I"), vdf).limit(0)
       case "data" | "clone" | "restore" =>
         // the diff baseline is the latest PUBLISHED prior version: a
         // staged (unpublished) prior was never visible to any reader,
@@ -1181,6 +1319,20 @@ object Snapshots {
     // resolved recursively (the base may itself be logical)
     if (Option(n.get("kind")).map(_.asText()).contains("restore"))
       return readResolved(spark, dir, Some(n.get("base").asInt()))
+    // an alter is metadata-only schema widening: content = its base's
+    // rows served through the WIDENED schema (new columns as typed
+    // nulls — the aligned-read contract applied at the log)
+    if (Option(n.get("kind")).map(_.asText()).contains("alter")) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val widened = org.apache.spark.sql.types.DataType
+        .fromJson(n.get("schema").asText()).asInstanceOf[StructType]
+      val base = readResolved(spark, dir, Some(n.get("base").asInt()))
+      val have = base.columns.toSet
+      return base.select(widened.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
     val vdir = s"$dir/${entryDataDir(n)}"
     Option(n.get("schema")).map(_.asText()) match {
       case Some(sj) =>
@@ -1218,7 +1370,7 @@ object Snapshots {
     val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
     require(n.isDefined, s"version $version not in log under $dir")
     val kind = Option(n.get.get("kind")).map(_.asText())
-    require(!kind.exists(k => k == "clone" || k == "restore"),
+    require(!kind.exists(k => k == "clone" || k == "restore" || k == "alter"),
       s"version $version under $dir is metadata-only ($kind) — no own files")
     readVersionDf(spark, dir, n.get)
   }
@@ -1295,6 +1447,7 @@ object Snapshots {
         case "data" => vdf
         case "clone" => vdf // readVersionDf already resolved the source
         case "restore" => vdf // readVersionDf already resolved the base
+        case "alter" => vdf // readVersionDf already widened the base
         case "deletes" =>
           resolve(n.get("base").asInt()).join(vdf, vdf.columns.toSeq, "left_anti")
         case "replace" =>
@@ -1386,10 +1539,11 @@ object Snapshots {
     logEntries(spark, dir).foreach { n =>
       val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
       val v = n.get("version").asInt()
-      // clone/restore versions hold no data of their own: a clone's
-      // content lives in its (separately purged) source table, a
-      // restore's in its same-log base — which this loop rewrites
-      if (kind != "clone" && kind != "restore") {
+      // clone/restore/alter versions hold no data of their own: a
+      // clone's content lives in its (separately purged) source
+      // table, a restore's/alter's in its same-log base — which this
+      // loop rewrites
+      if (kind != "clone" && kind != "restore" && kind != "alter") {
         val df = readVersionDf(spark, dir, n)
         if (keyCols.forall(df.columns.contains)) {
           // partition layout re-derived from the version's directory

@@ -181,7 +181,8 @@ object SqlRunner {
       case st if txn.isDefined &&
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
-            DropMv, DropTable).exists(_.findFirstIn(st).isDefined) =>
+            DropMv, DropTable, AlterAddColumn)
+            .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
           s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
       case CreateMv(name, dir, sql) =>
@@ -221,6 +222,10 @@ object SqlRunner {
       case DropTable(dir) =>
         graft.sources.Snapshots.drop(spark, dir)
         spark.sql("SELECT true AS table_dropped")
+      case AlterAddColumn(dir, cname, ctype) =>
+        val v = graft.sources.Snapshots.alterAddColumn(spark, dir, cname,
+          org.apache.spark.sql.types.DataType.fromDDL(ctype))
+        spark.sql(s"SELECT $v AS altered_version")
       case InsertInto(dir, select) =>
         val base = graft.sources.Snapshots.versions(spark, dir).last
         val v = graft.sources.Snapshots.commitAppend(
@@ -482,6 +487,14 @@ object SqlRunner {
     * versions + log). REPLACE never does this implicitly. */
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+'([^']+)'\s*$""".r
+
+  /** `ALTER TABLE '<dir>' ADD COLUMN <name> <type>` — x31's schema
+    * evolution as a METADATA-ONLY statement
+    * ([[graft.sources.Snapshots.alterAddColumn]]): one small log
+    * entry, zero files rewritten; historic rows serve the new column
+    * as typed nulls. Drops/type changes fail loudly (no such verb). */
+  private val AlterAddColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$""".r
 
   /** `INSERT INTO '<dir>' <select>` — an APPEND version against the
     * latest (O(Δ) write, base files untouched; readers resolve

@@ -447,6 +447,56 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 1)
   }
 
+  test("x91: two racing appends planned against one base both land; final state is the union") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "base")).toDF("id", "v"), dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val threads = Seq("left", "right").map { tag =>
+      new Thread(() =>
+        try results.add(Snapshots.commitAppendCommuting(
+          Seq((if (tag == "left") 2L else 3L, tag)).toDF("id", "v"),
+          dir, base = 1))
+        catch { case e: Throwable => results.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.toArray.toSet == Set(2, 3),
+      s"both appends must land (one rebases): $results")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3))
+    assert(Snapshots.readResolved(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "base"), (2L, "left"), (3L, "right")),
+      "the union of both deltas — neither append may be lost")
+  }
+
+  test("x91: an append commutes through a layout re-land but NOT past a delete/replace") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // a dataChange=false layout rewrite lands between plan and commit
+    Snapshots.commitLayout(
+      Snapshots.readResolved(spark, dir).repartition(1), dir, base = 1)
+    val v3 = Snapshots.commitAppendCommuting(
+      Seq((3L, "c")).toDF("id", "v"), dir, base = 1)
+    assert(v3 == 3 && Snapshots.readResolved(spark, dir).count() == 3,
+      "same logical rows re-laid — the append rebases through")
+    // a DELETE is not commutable: the planned-against state is gone
+    Snapshots.commitDeletes(Seq(1L).toDF("id"), dir, base = 3)
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitAppendCommuting(Seq((4L, "d")).toDF("id", "v"),
+        dir, base = 3)
+    }
+  }
+
+  test("x91: an unpublished staged ghost blocks the commuting append loudly, not by spinning") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commitStaged(Seq((9L, "ghost")).toDF("id", "v"), dir)
+    val e = intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitAppendCommuting(Seq((2L, "b")).toDF("id", "v"),
+        dir, base = 1)
+    }
+    assert(e.getMessage.contains("staged"))
+  }
+
   test("append commits: base rides by reference, feed is O(Δ), layout re-lands feed nothing") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)

@@ -285,6 +285,42 @@ class SqlRunnerSpec extends SparkSpec {
     Snapshots.drop(spark, dir)
   }
 
+  test("x92: ALTER TABLE ADD COLUMN is metadata-only; old schema stays pinned; dup add refuses") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = s"target/sqlrunner_alter_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"ALTER TABLE '$dir' ADD COLUMN score double")
+    // metadata-only: zero data files, resolved rows carry typed nulls
+    assert(Snapshots.fileSignature(spark, dir, 2).isEmpty)
+    val resolved = Snapshots.readResolved(spark, dir)
+    assert(resolved.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(resolved.filter($"score".isNull).count() == 2)
+    // the historic pinned read serves its OWN committed schema
+    assert(Snapshots.read(spark, dir, Some(1)).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // a post-alter append with the new schema chains through
+    Snapshots.commitAppend(Seq((3L, "c", 0.5)).toDF("id", "v", "score"),
+      dir, base = 2)
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    // the alter feeds NOTHING to CDC consumers
+    assert(Snapshots.stepChanges(spark, dir, 2, Seq("id")).count() == 0)
+    // adding an existing column refuses loudly
+    assertThrows[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"ALTER TABLE '$dir' ADD COLUMN score double")
+    }
+    // ALTER inside an open transaction refuses (commits immediately)
+    assertThrows[RuntimeException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"""BEGIN TRANSACTION '$dir-txn' AS 'alter_t';
+           |ALTER TABLE '$dir' ADD COLUMN x int""".stripMargin)
+    }
+    Snapshots.drop(spark, dir)
+  }
+
   test("MERGE arm conditions refuse quoted literals carrying t./s. tokens") {
     import graft.sources.Snapshots
     val dir = s"target/sqlrunner_armguard_${System.nanoTime()}"
