@@ -209,6 +209,29 @@ object HiddenPartitioning {
       .drop(ts.flatMap(t => t.partCol +: t.legacyCols): _*)
   }
 
+  /** DYNAMIC PARTITION PRUNING (x94) — directory-level runtime
+    * pruning from a DIM-SIDE FILTER, Spark DPP's shape applied to the
+    * hidden layout (native DPP can't fire here: the partition column
+    * is hidden from the logical plan, and the join is on the SOURCE
+    * column). The dim side is evaluated FIRST — exactly what DPP's
+    * subquery broadcast does — and its keys land as an IN predicate
+    * on the fact's source column, which [[HiddenPartitionRule]]
+    * translates into a foldable bucket IN-list above the scan:
+    * directory pruning at listing time, residual pushed into the
+    * surviving files. The key set must be dim-sized (`maxKeys` guards
+    * the collect — the same broadcast-sized constraint native DPP
+    * has; a bigger dim side means pruning can't pay anyway). At
+    * 100 TB: "orders of these 50 flagged customers" lists
+    * months×≤50 directories instead of the whole fact. */
+  def pruneByDim(fact: DataFrame, srcCol: String, dimKeys: DataFrame,
+                 maxKeys: Int = 100000): DataFrame = {
+    val keys = dimKeys.distinct().limit(maxKeys + 1).collect().map(_.get(0))
+    require(keys.length <= maxKeys,
+      s"pruneByDim: dim side exceeds $maxKeys keys — runtime pruning " +
+        "needs a dim-sized filter (a bigger side can't pay for pruning)")
+    fact.filter(col(srcCol).isin(keys.toIndexedSeq: _*))
+  }
+
   /** Partition directories the plan will actually list — the
     * pruning witness declared queries and specs pin. */
   def partitionsScanned(df: DataFrame): Int = {
@@ -345,6 +368,14 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
         case EqualTo(l: Literal, a) if src(a) => Some(EqualTo(pAttr, bucketOf(l, n)))
         case In(a, vs) if src(a) && vs.forall(_.isInstanceOf[Literal]) =>
           Some(In(pAttr, vs.map(v => bucketOf(v.asInstanceOf[Literal], n))))
+        // OptimizeIn rewrites long literal IN-lists (>10) to InSet
+        // before this rule necessarily sees them — the x94 runtime
+        // dim-key predicate is exactly that shape. The set holds
+        // INTERNAL values; re-wrap with the attribute's type and emit
+        // the foldable bucket list (constant folding collapses it).
+        case InSet(a, hset) if src(a) =>
+          Some(In(pAttr, hset.toSeq.map(v =>
+            bucketOf(Literal(v, a.asInstanceOf[AttributeReference].dataType), n))))
         case _ => None
       }
     }

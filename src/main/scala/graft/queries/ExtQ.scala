@@ -1586,7 +1586,7 @@ object ExtQ {
     * per directory either way; dirs, not rows, set its cost).
     * Per-query dirs (`tag`) keep the declared queries
     * order-independent. */
-  private[queries] def x69Layout(s: SparkSession, d: String, tag: String,
+  private[graft] def x69Layout(s: SparkSession, d: String, tag: String,
                         buckets: Int = 8): String = {
     import graft.plans.HiddenPartitioning
     // read-only layout fixture: built once, reused across sweeps (on

@@ -574,6 +574,46 @@ object LakehouseQ {
     }),
 
 
+    // x94 — DYNAMIC PARTITION PRUNING from a dim-side filter (x69's
+    // missing runtime half): the static rule translates LITERAL
+    // predicates; here the keys exist only at RUN time — the top-2
+    // customers by account balance, a result of a dim query. The DPP
+    // shape (what Spark's DynamicPruningSubquery does for visible
+    // partition columns, applied to the hidden layout where native
+    // DPP cannot fire): evaluate the dim side FIRST, land its keys as
+    // an IN predicate on the fact's source column, and let the
+    // injected rule translate them into a foldable bucket IN-list
+    // above the scan — directory pruning at listing time. With 2 keys
+    // the listing touches ≤ 12 months × 2 buckets of the 96
+    // directories; `pruned` pins that witness (and the ≤24 bound) in
+    // the hash. The oracle replays the dim selection with a window
+    // and joins it back — a lost fact row (under-pruning) or a
+    // missed prune (flag flip) both break the hash. At 100 TB this
+    // is "orders of these N flagged customers" listing months×N
+    // directories instead of the fact.
+    "x94_dynamic_partition_pruning" -> ((s, d) => {
+      import graft.plans.HiddenPartitioning
+      val dir = x69Layout(s, d, "a") // x69's shared 12×8 layout fixture
+      val t = HiddenPartitioning.table(s, dir)
+      val dim = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_name"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(2)
+      val fact = HiddenPartitioning.pruneByDim(t, "o_custkey",
+        dim.select(col("c_custkey")))
+      val q = fact.join(broadcast(dim),
+          fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum2(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      // the witness counts the FACT scan alone (the dim is an
+      // unpartitioned side scan)
+      val scanned = HiddenPartitioning.partitionsScanned(fact)
+      val total = HiddenPartitioning.partitionsScanned(t)
+      q.withColumn("pruned", lit(scanned < total && scanned <= 24))
+        .orderBy(col("c_custkey"))
+    }),
+
     // x56 — CHANGE FEED ON THE SQL SURFACE (x33's log-native feed ×
     // x54's binding pattern): the same three-kind history (data / DV
     // / partition replace), but every per-version feed is read from
@@ -1800,6 +1840,27 @@ object LakehouseQ {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 
+
+    // x94: the runtime dim selection replayed with a window (top-2
+    // by balance, custkey tie-break — deterministic at every SF);
+    // the fact side is the layout fixture's 1996 slice; literal TRUE
+    // pins the ≤24-of-96 listing witness.
+    "x94_dynamic_partition_pruning" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name,
+        |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT d.c_custkey, d.c_name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  true AS pruned
+        |FROM dim d JOIN orders o ON o.o_custkey = d.c_custkey
+        |WHERE d.rn <= 2
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY d.c_custkey, d.c_name
+        |ORDER BY d.c_custkey""".stripMargin,
 
     // x91: the final resolved state replays from source — BOTH
     // writers' halves present (a lost append would drop a date range

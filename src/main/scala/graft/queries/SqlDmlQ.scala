@@ -412,6 +412,43 @@ object SqlDmlQ {
            |ORDER BY version, source""".stripMargin).last
     }),
 
+    // x95 — MASKING POLICIES ON THE SQL SURFACE (read-path
+    // governance — x39 audits and x50/x76/x89 erase, but nothing
+    // shaped what a READER sees): a policy table (itself a versioned
+    // Snapshots table — governance artifacts carry their own
+    // provenance) binds column masks + a row filter, and
+    // `policy_table('<data>', '<policy>')` serves the data table
+    // THROUGH the policy as a view rewrite — masks evaluate in the
+    // scan's projection, the row filter sits on the scan
+    // (pushdown-eligible), zero added jobs at any corpus size. The
+    // policy here: customer names keep a 4-char prefix, balances
+    // coarsen to their 100-bucket, and a hash-derived segment of
+    // customers is row-filtered out entirely. The oracle states the
+    // SAME masking explicitly over the source — a policy that leaked
+    // a name suffix, served a fine-grained balance, or let a
+    // filtered row through breaks the hash.
+    "x95_sql_masking_policy" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dataDir = Fixtures.ensure(s, d, "x95_snap",
+          "customer v1 c_custkey,c_name,c_acctbal") { fdir =>
+        Snapshots.commit(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal")), fdir)
+      }
+      val polDir = Fixtures.ensure(s, d, "x95_policy",
+          "mask name4+bal100, filter key%7") { fdir =>
+        Snapshots.commit(graft.ops.Policy.frame(s, Seq(
+          ("mask", "c_name", "concat(substring(c_name, 1, 4), '***')"),
+          ("mask", "c_acctbal",
+            "cast(floor(c_acctbal / 100) * 100 as double)"),
+          ("filter", null, "c_custkey % 7 <> 0"))), fdir)
+      }
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT c_custkey, c_name, c_acctbal
+           |FROM policy_table('$dataDir', '$polDir')
+           |ORDER BY c_custkey""".stripMargin).last
+    }),
+
     // x84 — UPDATE ON THE SQL SURFACE: a credit adjustment re-states
     // every negative balance (two SET assignments — the balance and
     // an audit suffix on the name) as ONE statement landing as x58's
@@ -551,6 +588,17 @@ object SqlDmlQ {
     // SQL-surface evolution must serve exactly what the Scala
     // evolution route serves, leg for leg.
     "x92_sql_alter_table" -> LakehouseQ.oracles("x31_schema_evolution"),
+
+    // x95: the policy stated explicitly — prefix mask, 100-bucket
+    // coarsening (identical IEEE double ops both engines), row
+    // filter in the WHERE.
+    "x95_sql_masking_policy" ->
+      """SELECT c_custkey,
+        |  substring(c_name, 1, 4) || '***' AS c_name,
+        |  CAST(FLOOR(c_acctbal / 100) * 100 AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // x84: the update replayed as a CASE over the source; published
     // count 2 (the staged DV never publishes); literal true pins the

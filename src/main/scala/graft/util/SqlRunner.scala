@@ -111,8 +111,21 @@ object SqlRunner {
       rows.toDF("dir", "n_files", "bytes").createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
+    // masking policies (x95): `policy_table('<data dir>', '<policy
+    // dir>')` binds the data table's resolved latest WITH the policy
+    // applied — column masks rewrite in the scan's projection, row
+    // filters sit on the scan (pushdown-eligible). The policy is
+    // itself a Snapshots table: versioned, auditable, atomically
+    // switchable.
+    val bound3p = PolicyTable.replaceAllIn(bound3f, m => {
+      val (dataDir, polDir) = (m.group(1), m.group(2))
+      val view = s"policy_${Integer.toHexString((dataDir + "|" + polDir).hashCode)}"
+      graft.ops.Policy.bind(spark, dataDir, polDir)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
     // DESCRIBE HISTORY (x74): the commit log as a queryable view
-    val bound4a = TableHistory.replaceAllIn(bound3f, m => {
+    val bound4a = TableHistory.replaceAllIn(bound3p, m => {
       val dir = m.group(1)
       val view = s"history_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Snapshots.history(spark, dir)
@@ -410,6 +423,12 @@ object SqlRunner {
     * (version, kind, ts, base, published) for pure-SQL audits. */
   private val TableHistory =
     """(?i)table_history\(\s*'([^']+)'\s*\)""".r
+
+  /** `policy_table('<data dir>', '<policy dir>')` binds the data
+    * table's resolved latest with the policy table's masks + row
+    * filters applied ([[graft.ops.Policy.bind]]). */
+  private val PolicyTable =
+    """(?i)policy_table\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""".r
 
   /** Hidden-partitioning twin: `hidden_table('<dir>')` binds the
     * layout-hiding read ([[graft.plans.HiddenPartitioning.table]] —

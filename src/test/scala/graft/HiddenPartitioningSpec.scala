@@ -57,6 +57,38 @@ class HiddenPartitioningSpec extends SparkSpec {
     HP.remove(dir)
   }
 
+  test("x94: runtime dim keys prune directories, including the InSet spelling (>10 keys)") {
+    val dir = fixture("dpp")
+    val t = HP.table(spark, dir)
+    val total = HP.partitionsScanned(t)
+    // a dim-sized key frame known only at run time — 2 keys stay `In`
+    val dim2 = Seq(3L, 5L).toDF("k")
+    val q2 = HP.pruneByDim(t, "k", dim2)
+    assert(HP.partitionsScanned(q2) < total, "2 runtime keys must prune")
+    // >10 keys: OptimizeIn rewrites the predicate to InSet before the
+    // rule sees it — the InSet arm must still translate. 12 keys all
+    // ≡ 1 (mod 4 buckets is not guaranteed — use keys hashing into a
+    // strict bucket subset is data-dependent, so assert on fewer-
+    // than-total rather than an exact count)
+    val dim12 = (0 until 12).map(i => (i * 37 + 3).toLong).toDF("k")
+    val q12 = HP.pruneByDim(t, "k", dim12)
+    val rows12 = q12.select($"id").as[Long].collect().toSet
+    HP.remove(dir)
+    val want12 = Snapshots.read(spark, dir)
+      .filter($"k".isin((0 until 12).map(i => (i * 37 + 3).toLong): _*))
+      .select($"id").as[Long].collect().toSet
+    assert(rows12 == want12, "pruning must never drop a row (InSet arm)")
+  }
+
+  test("x94: pruneByDim refuses a key side beyond the dim-sized cap") {
+    val dir = fixture("dppcap")
+    val t = HP.table(spark, dir)
+    intercept[IllegalArgumentException] {
+      HP.pruneByDim(t, "k", (0 until 50).map(_.toLong).toDF("k"), maxKeys = 10)
+    }
+    HP.remove(dir)
+  }
+
   test("a fresh registry recovers the spec from the table's sidecar metadata") {
     val dir = fixture("c")
     HP.remove(dir) // simulate a new session/process

@@ -168,6 +168,25 @@ class PlanShapeSpec extends SparkSpec {
       "the Bloom-pruned join must reduce to the dim's match set")
   }
 
+  test("x94's runtime dim keys prune the hidden-partitioned fact's listing") {
+    import graft.plans.HiddenPartitioning
+    // the declared query runs on sf0.001; re-derive its fact frame
+    // and pin the listing witness: the 2 runtime keys must list fewer
+    // directories than the layout holds (months × 2 buckets max)
+    val dir = graft.queries.ExtQ.x69Layout(spark, Sf0001, "a")
+    val t = HiddenPartitioning.table(spark, dir)
+    val dim = Tables.load(spark, Sf0001, "customer")
+      .orderBy(org.apache.spark.sql.functions.col("c_acctbal").desc,
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .limit(2).select("c_custkey")
+    val fact = HiddenPartitioning.pruneByDim(t, "o_custkey", dim)
+    val scanned = HiddenPartitioning.partitionsScanned(fact)
+    val total = HiddenPartitioning.partitionsScanned(t)
+    assert(scanned < total && scanned <= 24,
+      s"x94 runtime pruning must bound the listing: $scanned of $total")
+    assert(!plan("x94_dynamic_partition_pruning").contains("CartesianProduct"))
+  }
+
   test("k12's skew caps are in the plan: partitioned cap window, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = SparkEntry.queries("k12_kg_edges_capped")(spark, Sf0001)

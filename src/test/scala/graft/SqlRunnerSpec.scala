@@ -321,6 +321,39 @@ class SqlRunnerSpec extends SparkSpec {
     Snapshots.drop(spark, dir)
   }
 
+  test("x95: policy_table masks columns in place, filters rows, and refuses unknown columns") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val t = System.nanoTime()
+    val (dataDir, polDir) = (s"target/sqlr_pol_d_$t", s"target/sqlr_pol_p_$t")
+    Seq(dataDir, polDir).foreach(Snapshots.drop(spark, _))
+    Snapshots.commit(Seq((1L, "Alice Smith", 123.45), (7L, "Bob Jones", -50.0),
+      (8L, "Carol Wu", 250.0)).toDF("id", "name", "bal"), dataDir)
+    Snapshots.commit(graft.ops.Policy.frame(spark, Seq(
+      ("mask", "name", "concat(substring(name, 1, 2), '***')"),
+      ("filter", null, "id % 7 <> 0"))), polDir)
+    val rows = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT id, name, bal FROM policy_table('$dataDir', '$polDir') ORDER BY id")
+      .last.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "Al***", 123.45), (8L, "Ca***", 250.0)),
+      "mask in place (schema preserved), filtered row gone, unmasked column intact")
+    // a policy naming a column the table lacks fails at bind time
+    Snapshots.commit(graft.ops.Policy.frame(spark, Seq(
+      ("mask", "ghost", "1"))), polDir)
+    assertThrows[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"SELECT * FROM policy_table('$dataDir', '$polDir')")
+    }
+    // switching the policy is one atomic commit: v3 restores sanity
+    Snapshots.commit(graft.ops.Policy.frame(spark, Seq(
+      ("mask", "bal", "cast(0.0 as double)"))), polDir)
+    val masked = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT bal FROM policy_table('$dataDir', '$polDir')")
+      .last.collect().map(_.getDouble(0))
+    assert(masked.forall(_ == 0.0))
+    Seq(dataDir, polDir).foreach(Snapshots.drop(spark, _))
+  }
+
   test("MERGE arm conditions refuse quoted literals carrying t./s. tokens") {
     import graft.sources.Snapshots
     val dir = s"target/sqlrunner_armguard_${System.nanoTime()}"
