@@ -574,6 +574,54 @@ object LakehouseQ {
     }),
 
 
+    // x93 — AUTO-OPTIMIZE ON COMMIT (x79's self-maintenance pattern
+    // applied to LAYOUT): append-heavy tables fragment a file per
+    // commit until a human runs OPTIMIZE. The opt-in hook counts the
+    // resolved chain's files from LOG METADATA alone after every
+    // commit verb and, past the threshold, lands x85's bin-pack as a
+    // dataChange=false layout version — OCC-guarded (a concurrent
+    // append wins the race and the hook stands down until the next
+    // commit), CDC-quiet, auto-stats re-stamped. Here three commits
+    // fragment the table to 10 files (4+3+3); the third crosses the
+    // maxFiles=8 threshold and the hook compacts to 2 WITHIN the
+    // append call — no manual verb anywhere. The hash pins the
+    // resolved rows (maintenance must never change them), the fired
+    // version count, the post-compaction listing, and the empty
+    // change feed. At 100 TB this is how streaming sinks stay
+    // scannable: maintenance converges commit by commit instead of
+    // waiting for an operator to notice.
+    "x93_auto_optimize" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import graft.ops.AutoOptimize
+      val dir = freshSnapDir(s, d, "x93_snap")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      AutoOptimize.enable(dir, maxFiles = 8, targetFiles = 2)
+      try {
+        Snapshots.commit(docs.filter(col("doc_id") % 3 === 0)
+          .repartition(4), dir)
+        Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 1)
+          .repartition(3), dir, base = 1)
+        // 7 files ≤ 8: the hook must NOT have fired yet
+        val quietBelow = Snapshots.versions(s, dir) == Seq(1, 2)
+        Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 2)
+          .repartition(3), dir, base = 2)
+        // 10 > 8: the hook landed v4 inside the append call
+        val fired = Snapshots.versions(s, dir) == Seq(1, 2, 3, 4)
+        val compacted = AutoOptimize.chainFileCount(s, dir) <= 2
+        val cdcQuiet =
+          Snapshots.stepChanges(s, dir, 4, Seq("doc_id")).count() == 0L
+        Snapshots.readResolved(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("idsum"),
+            sum(col("n_chars")).as("charsum"))
+          .select(col("source"), col("n_docs"), col("idsum"), col("charsum"),
+            lit(quietBelow && fired).as("auto_fired"),
+            lit(compacted).as("compacted"), lit(cdcQuiet).as("cdc_quiet"))
+          .orderBy(col("source"))
+      } finally AutoOptimize.disable(dir)
+    }),
+
     // x94 — DYNAMIC PARTITION PRUNING from a dim-side filter (x69's
     // missing runtime half): the static rule translates LITERAL
     // predicates; here the keys exist only at RUN time — the top-2
@@ -1840,6 +1888,17 @@ object LakehouseQ {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 
+
+    // x93: maintenance must never change the rows — the resolved
+    // state replays as the plain source aggregate; the literal flags
+    // pin the threshold discipline (quiet below, fired above), the
+    // post-compaction listing, and the empty feed.
+    "x93_auto_optimize" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS idsum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |  true AS auto_fired, true AS compacted, true AS cdc_quiet
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // x94: the runtime dim selection replayed with a window (top-2
     // by balance, custkey tie-break — deterministic at every SF);

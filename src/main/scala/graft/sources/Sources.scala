@@ -463,6 +463,7 @@ object Snapshots {
     // state from the version's own landed files — no-op unless the
     // dir is registered
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v, base = None)
+    graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -484,6 +485,7 @@ object Snapshots {
     val v = writeVersion(df, dir, Nil, extraMeta = "",
       expected = Some(expectedVersion))
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v, base = None)
+    graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -537,6 +539,7 @@ object Snapshots {
     // mergeable state — O(|Δ|), the base is never re-read
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
       base = Some(base), dataChange = dataChange)
+    graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -580,6 +583,7 @@ object Snapshots {
           expected = Some(head))
         graft.ops.AutoAnalyze.afterCommit(spark, dir, v,
           base = Some(head), dataChange = dataChange)
+        graft.ops.AutoOptimize.afterCommit(spark, dir)
         return v
       } catch {
         case e: ConcurrentCommitException =>
@@ -793,6 +797,31 @@ object Snapshots {
       next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }
     -1 // unreachable
+  }
+
+  /** The (version, n_files) pairs on the RESOLVED latest chain, from
+    * log-entry metadata alone — no listing, no job. Logical kinds
+    * (append/deletes/replace/alter/restore) descend their base
+    * pointer; a full version ends the chain. The x93 auto-OPTIMIZE
+    * hook sums this to decide maintenance; it is the manifest-sized
+    * answer to "how many files does a scan of latest touch". */
+  def chainEntries(spark: SparkSession, dir: String): Seq[(Int, Long)] = {
+    val byV = logEntries(spark, dir)
+      .map(n => n.get("version").asInt() -> n).toMap
+    val head = versions(spark, dir).lastOption.getOrElse(return Nil)
+    val out = Seq.newBuilder[(Int, Long)]
+    var v = head
+    var descending = true
+    while (descending) {
+      val n = byV(v)
+      out += v -> Option(n.get("n_files")).map(_.asLong()).getOrElse(0L)
+      val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
+      val base = Option(n.get("base")).map(_.asInt())
+      val logical =
+        Set("append", "deletes", "replace", "alter", "restore").contains(kind)
+      if (logical && base.isDefined) v = base.get else descending = false
+    }
+    out.result()
   }
 
   /** Stored bytes of the latest published version — the x75 view-
@@ -1210,7 +1239,13 @@ object Snapshots {
     val already = logEntries(spark, dir)
       .exists(n => Option(n.get("epoch")).exists(_.asLong() == epochId))
     if (already) None
-    else Some(writeVersion(df, dir, Nil, extraMeta = s""","epoch":$epochId"""))
+    else {
+      val v = writeVersion(df, dir, Nil, extraMeta = s""","epoch":$epochId""")
+      // opt-in auto-OPTIMIZE (x93): streaming epoch sinks are the
+      // small-file factory the hook exists for
+      graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
+      Some(v)
+    }
   }
 
   private def jstr(s: String): String =
