@@ -90,6 +90,68 @@ object Nsw {
     edges
   }
 
+  /** INCREMENTAL INSERT BY BLOCKED LOCAL REPAIR (v31 — v20's analogue
+    * for the graph index): admit `newIds`' vectors WITHOUT a rebuild.
+    * All vectors are block-assigned at the FROZEN centroids (the
+    * batch's assignment is the only new model work — narrow, like
+    * Ivf.append); candidate pairs form ONLY where a batch vector
+    * shares a block ((new × block-mates) both directions — never
+    * old × old, so untouched neighborhoods are never recomputed);
+    * the TOUCHED nodes (every pair endpoint `a`) re-keep their best
+    * `m` over old-edges ∪ new-pair scores, every other node's edges
+    * pass through UNCHANGED. Equivalent HNSW move: insert = local
+    * search + neighborhood re-link; here the "local" is the coarse
+    * block, which keeps the whole repair one bounded join. Cost:
+    * |batch| · block-mates scored pairs + one per-touched-node
+    * re-keep — corpus-independent for a fixed batch and block size.
+    * Returns the repair in storage-commit shape: `delta` (the
+    * re-kept edges of touched ∪ new nodes — the append's rows),
+    * `touched` (exactly the deletion-vector key set of a
+    * merge-on-read commit), and `adjacency` (untouched ∪ delta — the
+    * full repaired graph, equal to what DV+append resolution
+    * serves). */
+  final case class Repair(delta: DataFrame, touched: DataFrame,
+                          adjacency: DataFrame)
+
+  def insert(edges: DataFrame, vectors: DataFrame, idCol: String,
+             vecCol: String, centroids: DataFrame, blocks: Int, m: Int,
+             newIds: DataFrame): Repair = {
+    VectorOps.ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_nvec"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("_nid").as("a"), col("_nvec").as("_va")), "a")
+      .join(v.select(col("_nid").as("b"), col("_nvec").as("_vb")), "b")
+      .withColumn("score", VectorOps.dot(col("_va"), col("_vb")))
+      .select(col("a"), col("b"), col("score"))
+    val asg = blockAssign(vectors, idCol, vecCol, centroids, blocks)
+    val nid = newIds.select(col(idCol).as("_bid")).distinct()
+    val newAsg = asg.join(nid, asg(idCol) === nid("_bid"), "left_semi")
+    val x = asg.select(col(idCol).as("a"), col("cluster_id"))
+    val y = asg.select(col(idCol).as("b"), col("cluster_id"))
+    val nx = newAsg.select(col(idCol).as("a"), col("cluster_id"))
+    val ny = newAsg.select(col(idCol).as("b"), col("cluster_id"))
+    // pairs with a batch endpoint only — the locality guarantee
+    val bpairs = nx.join(y, "cluster_id").select(col("a"), col("b"))
+      .unionByName(x.join(ny, "cluster_id").select(col("a"), col("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    // cut: touched and the repaired edges each feed several consumers
+    // (DV keys, the append delta, the in-memory adjacency, witnesses)
+    // — without a cut every consumer re-runs the blocked pair scoring
+    val touched = bpairs.select(col("a")).distinct().cutLineage(true)
+    val oldTouched = edges.join(touched, Seq("a"), "left_semi")
+      .select(col("a"), col("b"), col("score"))
+    // distinct: an old edge re-offered as a new pair scores to the
+    // same IEEE dot, so the union dedups exactly
+    val repaired = graft.plans.TopK.perKey(
+      scored(bpairs).unionByName(oldTouched).distinct(),
+      Seq("a"), Seq(col("score").desc, col("b")), m).cutLineage(true)
+    val untouched = edges.join(touched, Seq("a"), "left_anti")
+      .select(col("a"), col("b"), col("score"))
+    val delta = repaired.select(col("a"), col("b"), col("score"))
+    Repair(delta, touched, untouched.unionByName(delta))
+  }
+
   /** Entry layer: one fixed node per coarse cluster (min id) from the
     * index's rank-1 assignment — metadata-sized. */
   def entries(assigned: DataFrame, idCol: String): DataFrame =

@@ -1009,6 +1009,94 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v31 — GRAPH-INDEX LIFECYCLE (v30 gains what IVF already had:
+    // v24's persistence, v20's incremental insert, a cold searcher).
+    // BUILD: the NSW adjacency over the STORED corpus (v20's history
+    // split) + the entry layer land as two tables in ONE x45
+    // transaction — a torn graph index (adjacency without entries)
+    // can never be observed. INSERT: the nightly batch is admitted by
+    // BLOCKED LOCAL REPAIR (ops.Nsw.insert — batch vectors
+    // block-assigned at the FROZEN centroids, candidate pairs only
+    // where a batch vector shares a block, touched nodes re-keep
+    // their best m over old ∪ new, untouched neighborhoods never
+    // recomputed) and lands as x58's merge-on-read pair: a staged
+    // DELETION VECTOR on the touched node ids + one atomic append of
+    // the repaired edges — v1's files untouched (listing-checked).
+    // SERVE: a COLD searcher (adjacency = readResolved, entries =
+    // the committed v2) must reproduce the in-session walk ROW FOR
+    // ROW (cold_equal), and recall@3 vs the full-corpus brute force
+    // rides in the hash (v17's acceptance harness). The oracle
+    // replays the whole lifecycle: h-train → hist build → blocked
+    // repair → entry refresh → beam walk → recall. At 100 TB this is
+    // a production graph index: build once, admit batches at
+    // |batch|·block-mates cost, serve from committed state anywhere.
+    "v31_graph_index_lifecycle" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val idx = historyIndex(s, d)
+      val e = emb(s, d)
+      val hist = e.filter(col("vec_id") % AppendSplitMod < AppendHistMax)
+      val batch = e.filter(col("vec_id") % AppendSplitMod >= AppendHistMax)
+      val edges1 = Derived.of(s, d, "nsw_hist_edges") {
+        graft.ops.Nsw.build(hist, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      // 1. adjacency + entry layer commit in ONE txn (v24's discipline)
+      val adjDir = freshSnapDir(s, d, "v31_adj")
+      val entDir = freshSnapDir(s, d, "v31_ent")
+      val txnDir = freshSnapDir(s, d, "v31_txn")
+      val t = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(edges1, adjDir, txnDir, t)
+      Snapshots.txnStage(graft.ops.Nsw.entries(idx.assigned, "vec_id"),
+        entDir, txnDir, t)
+      val invisible = Snapshots.versions(s, adjDir).isEmpty &&
+        Snapshots.versions(s, entDir).isEmpty
+      Snapshots.txnCommit(s, txnDir, t, Seq(adjDir, entDir))
+      val atomic = Snapshots.versions(s, adjDir) == Seq(1) &&
+        Snapshots.versions(s, entDir) == Seq(1)
+      // 2. the batch lands by blocked local repair against the COLD v1
+      val sigBefore = Snapshots.fileSignature(s, adjDir, 1)
+      val rep = graft.ops.Nsw.insert(Snapshots.read(s, adjDir), e,
+        "vec_id", "embedding", idx.centroids, NswBlocks, NswM,
+        batch.select(col("vec_id")))
+      val dv = Snapshots.commitDeletes(rep.touched, adjDir, base = 1,
+        staged = true)
+      Snapshots.commitAppend(rep.delta, adjDir, base = dv)
+      val untouchedFiles = Snapshots.fileSignature(s, adjDir, 1) == sigBefore
+      // entry layer refresh: full-corpus rank-1 at the frozen
+      // centroids (the appended index's assignment — v20's narrow move)
+      val entries2 = graft.ops.Nsw.entries(
+        x25AppendedIndex(s, d).assigned, "vec_id")
+      Snapshots.commit(entries2, entDir)
+      // 3. cold searcher vs the in-session twin, row for row
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def rows(edges: DataFrame, ent: DataFrame) =
+        graft.ops.Nsw.search(edges, e, "vec_id", "embedding", ent, q,
+          NswBeam, NswWalk, topK = 3)
+      val cold = rows(Snapshots.readResolved(s, adjDir),
+        Snapshots.read(s, entDir))
+      val warmSet = rows(rep.adjacency, entries2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val coldRows = cold.cache()
+      val coldEqual = coldRows
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet == warmSet
+      // 4. recall acceptance vs the full-corpus brute force (v17)
+      val brute = defs("v4_knn_bruteforce")(s, d)
+        .select(col("qid"), col("nb_id"))
+      val hits = coldRows.join(brute, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      coldRows.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
+          lit(invisible && atomic).as("index_atomic"),
+          lit(coldEqual).as("cold_equal"),
+          lit(untouchedFiles).as("base_files_untouched"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1457,6 +1545,151 @@ object VectorQ {
     sb.toString
   }
 
+  /** v31's full lifecycle replay: h-prefixed training on the history
+    * split → hist-only NSW build (v30's chain restricted) → blocked
+    * local repair (pairs only where a batch vector shares a block;
+    * touched nodes re-keep best-m over old ∪ new; untouched edges
+    * pass through) → entry refresh from the all-corpus rank-1
+    * assignment → beam walk over the REPAIRED graph → recall@3 vs
+    * the full-corpus brute force. The three storage flags
+    * (atomicity, cold-serve equality, base immutability) are
+    * Spark-side witnesses pinned literal-true. */
+  private def nswLifecycleOracle: String = {
+    val histW = s"vec_id % $AppendSplitMod < $AppendHistMax"
+    val cent = s"hcent${IvfIters - 1}"
+    def blockAsgCte(name: String, where: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM embeddings e CROSS JOIN $cent c
+         |    $where) t
+         |  WHERE rn <= $NswBlocks)""".stripMargin
+    def scoredCte(name: String, pairsSrc: String): String =
+      s"""$name AS (
+         |  SELECT p.a, p.b,
+         |    list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS score
+         |  FROM $pairsSrc p
+         |  JOIN embeddings ea ON ea.vec_id = p.a
+         |  JOIN embeddings eb ON eb.vec_id = p.b)""".stripMargin
+    def topMCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT a, b, score FROM (
+         |    SELECT a, b, score,
+         |      row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
+         |    FROM $src) t
+         |  WHERE rn <= $NswM)""".stripMargin
+    def beamCte(name: String, candSrc: String): String =
+      s"""$name AS (
+         |  SELECT qid, node, score FROM (
+         |    SELECT c.qid, c.node,
+         |      list_dot_product(q.qe, e.embedding::DOUBLE[]) AS score,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        c.node) AS rn
+         |    FROM $candSrc c
+         |    JOIN gq q ON q.qid = c.qid
+         |    JOIN embeddings e ON e.vec_id = c.node) t
+         |  WHERE rn <= $NswBeam)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(s"WITH $appendAssignCtes,\n")
+    // hist-only build (v30's chain at the history-trained centroids)
+    sb.append(blockAsgCte("gasgh", s"WHERE e.$histW") + ",\n")
+    sb.append(
+      s"""gpairs0 AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM gasgh x JOIN gasgh y USING (cluster_id)
+         |  WHERE x.vec_id <> y.vec_id),
+         |""".stripMargin)
+    sb.append(scoredCte("gsc0", "gpairs0") + ",\n")
+    sb.append(topMCte("gedges0", "gsc0") + ",\n")
+    for (r <- 1 to NswRounds) {
+      sb.append(
+        s"""gpairs$r AS (
+           |  SELECT a, b FROM gedges${r - 1}
+           |  UNION
+           |  SELECT e1.a, e2.b
+           |  FROM gedges${r - 1} e1 JOIN gedges${r - 1} e2 ON e1.b = e2.a
+           |  WHERE e2.b <> e1.a),
+           |""".stripMargin)
+      sb.append(scoredCte(s"gsc$r", s"gpairs$r") + ",\n")
+      sb.append(topMCte(s"gedges$r", s"gsc$r") + ",\n")
+    }
+    // blocked local repair: pairs with a batch endpoint only
+    sb.append(blockAsgCte("gvasg", "") + ",\n")
+    sb.append(
+      s"""gbp AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM gvasg x JOIN gvasg y USING (cluster_id)
+         |  WHERE x.vec_id <> y.vec_id
+         |    AND (x.vec_id % $AppendSplitMod >= $AppendHistMax
+         |      OR y.vec_id % $AppendSplitMod >= $AppendHistMax)),
+         |gtouched AS (SELECT DISTINCT a FROM gbp),
+         |""".stripMargin)
+    sb.append(scoredCte("gbsc", "gbp") + ",\n")
+    sb.append(
+      s"""grin AS (
+         |  SELECT a, b, score FROM gbsc
+         |  UNION
+         |  SELECT e.a, e.b, e.score FROM gedges$NswRounds e
+         |  JOIN gtouched t ON t.a = e.a),
+         |""".stripMargin)
+    sb.append(topMCte("gredges", "grin") + ",\n")
+    sb.append(
+      s"""gfedges AS (
+         |  SELECT e.a, e.b, e.score FROM gedges$NswRounds e
+         |  WHERE NOT EXISTS (SELECT 1 FROM gtouched t WHERE t.a = e.a)
+         |  UNION ALL
+         |  SELECT a, b, score FROM gredges),
+         |gent AS (SELECT MIN(vec_id) AS node FROM allasg GROUP BY cluster_id),
+         |gq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |       FROM embeddings WHERE vec_id < 5),
+         |gwc0 AS (SELECT q.qid, e.node FROM gq q CROSS JOIN gent e),
+         |""".stripMargin)
+    sb.append(beamCte("gwb0", "gwc0") + ",\n")
+    for (w <- 1 to NswWalk) {
+      sb.append(
+        s"""gwc$w AS (
+           |  SELECT qid, node FROM gwb${w - 1}
+           |  UNION
+           |  SELECT b.qid, e.b AS node
+           |  FROM gwb${w - 1} b JOIN gfedges e ON e.a = b.node),
+           |""".stripMargin)
+      sb.append(beamCte(s"gwb$w", s"gwc$w") + ",\n")
+    }
+    sb.append(
+      s"""gres AS (
+         |  SELECT qid, node AS nb_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+         |  FROM gwb$NswWalk WHERE node <> qid),
+         |gbrute AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        e.vec_id) AS rn
+         |    FROM gq q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |ghits AS (
+         |  SELECT r.qid, CAST(COUNT(b.nb_id) AS INT) AS hits_at_3
+         |  FROM gres r LEFT JOIN gbrute b
+         |    ON b.qid = r.qid AND b.nb_id = r.nb_id
+         |  WHERE r.rn <= 3
+         |  GROUP BY r.qid)
+         |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
+         |  round(r.score, 4) AS score, h.hits_at_3,
+         |  true AS index_atomic, true AS cold_equal,
+         |  true AS base_files_untouched
+         |FROM gres r JOIN ghits h USING (qid)
+         |WHERE r.rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
   /** The v20 oracle: the FULL REBUILD at fixed centroids — train on
     * the history split (the same unrolled chain as v8's, restricted
     * by WHERE), then assign EVERY vector (history ∪ batch) against
@@ -1625,6 +1858,7 @@ ORDER BY nprobe"""
     // layer, beam-walk rounds, top-3, and the recall hits vs brute
     // force; one hash pins build, walk, and achieved recall.
     "v30_graph_ann" -> nswOracle,
+    "v31_graph_index_lifecycle" -> nswLifecycleOracle,
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.

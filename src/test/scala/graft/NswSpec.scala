@@ -106,6 +106,41 @@ class NswSpec extends SparkSpec {
     assert(!without.contains(1L), "default self-recall mode excludes qid")
   }
 
+  test("v31: blocked local repair touches only batch-adjacent neighborhoods") {
+    val v = corpus(100)
+    val idx = centroidsOf(v)
+    val hist = v.filter(col("vec_id") < 80)
+    val batch = v.filter(col("vec_id") >= 80)
+    val edges = Nsw.build(hist, "vec_id", "embedding", idx.centroids,
+      blocks = 1, m = 3, rounds = 1)
+    val rep = Nsw.insert(edges, v, "vec_id", "embedding", idx.centroids,
+      blocks = 1, m = 3, newIds = batch.select(col("vec_id")))
+    val touched = rep.touched.collect().map(_.getLong(0)).toSet
+    // every batch node is touched (it needs out-edges)
+    assert((80L until 100L).forall(touched), "new nodes must be touched")
+    // untouched nodes' edges pass through IDENTICALLY
+    val before = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = rep.adjacency.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val untouchedBefore = before.filterNot { case (a, _) => touched(a) }
+    val untouchedAfter = after.filterNot { case (a, _) => touched(a) }
+    assert(untouchedBefore == untouchedAfter,
+      "repair must never rewrite an untouched neighborhood")
+    // degree bound holds everywhere after the repair
+    val deg = after.groupBy(_._1).view.mapValues(_.size)
+    assert(deg.values.forall(_ <= 3), "out-degree bounded by m after repair")
+    // the delta is exactly the touched nodes' edge sets
+    val deltaAs = rep.delta.select(col("a")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaAs.subsetOf(touched))
+    // repaired quality never drops: a touched node keeps at least its
+    // old best score (the union re-keep can only improve)
+    val oldBest = edges.groupBy(col("a")).agg(max(col("score")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val newBest = rep.adjacency.groupBy(col("a")).agg(max(col("score")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(oldBest.forall { case (a, s) => newBest(a) >= s - 1e-12 })
+  }
+
   test("the walk scores only touched candidates, never the corpus") {
     val v = corpus(200)
     val idx = centroidsOf(v)
