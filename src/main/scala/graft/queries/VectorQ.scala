@@ -1097,6 +1097,60 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v32 — PQ-PRICED GRAPH WALK + EXACT RE-RANK (the DiskANN
+    // memory/disk split, Subramanya et al. 2019, composed from two
+    // existing indexes): the beam walk traverses v30's NSW adjacency
+    // but prices every touched candidate with its PQ-RECONSTRUCTED
+    // vector — dot(q, decode(code)) IS the asymmetric-distance LUT
+    // sum, so the walk needs only the codes (32× smaller than the
+    // corpus: RAM at 100 TB) — then re-ranks ONLY the final beam
+    // with exact full-precision vectors (beam-sized random reads —
+    // the "disk" tier). Recall@3 vs the exact brute force rides in
+    // the hashed output, quantifying what compression costs after
+    // the exact re-rank repairs the beam's order. Both indexes are
+    // Derived-shared with v30/v9 (built once per session); the
+    // oracle replays graph build → PQ training → decode → PQ-priced
+    // walk → exact re-rank → recall from the embeddings table alone.
+    "v32_pq_graph_walk" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val idx = learnedIndex(s, d)
+      val e = emb(s, d)
+      val edges = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val recon = graft.ops.Pq.reconstruct(pqIndex(s, d))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // the walk sees only codes: scoring joins the reconstructed
+      // (code-derived) vectors, never the full-precision corpus
+      val beam = graft.ops.Nsw.search(edges, recon, "vec_id", "vec_hat",
+        graft.ops.Nsw.entries(idx.assigned, "vec_id"), q,
+        NswBeam, NswWalk, topK = NswBeam)
+      // exact re-rank: full-precision reads for the final beam only
+      val rer = beam.select(col("qid"), col("nb_id"))
+        .join(e.select(col("vec_id").as("nb_id"),
+          col("embedding").cast("array<double>").as("_nv")), "nb_id")
+        .join(q.select(col("qid"),
+          col("qvec").cast("array<double>").as("_q")), "qid")
+        .withColumn("score", VectorOps.dot(col("_q"), col("_nv")))
+        .select(col("qid"), col("nb_id"), col("score"))
+      val top = graft.plans.TopK.perKey(rer, Seq("qid"),
+        Seq(col("score").desc, col("nb_id")), 3)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("nb_id"))
+      val res = top.withColumn("nb_rank", row_number().over(w))
+      val brute = defs("v4_knn_bruteforce")(s, d)
+        .select(col("qid"), col("nb_id"))
+      val hits = res.join(brute, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      res.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1436,12 +1490,14 @@ object VectorQ {
        |${candsCte("probed", s"asg$IvfIters", "embeddings")}
        |${topkTail("cands")}""".stripMargin
 
-  /** v30's full replay: unrolled IVF training → rank-≤NswBlocks block
-    * assignment → blocked init pairs → NswRounds NN-descent rounds →
-    * per-cluster entry layer → NswWalk beam rounds → top-3 + recall
-    * hits vs brute force. Every stage ranks by (score DESC, id), so
-    * the chain is deterministic and the numbers bit-match Spark's. */
-  private def nswOracle: String = {
+  /** The v30 build + query-set CTE chain (unrolled IVF training →
+    * rank-≤NswBlocks block assignment → blocked init pairs →
+    * NswRounds NN-descent rounds → per-cluster entry layer → the
+    * qid<5 query set), shared VERBATIM by [[nswOracle]] (v30) and
+    * [[pqWalkOracle]] (v32). Exposes `edges$NswRounds`, `nentry`,
+    * `nq`. Every stage ranks by (score DESC, id), so the chain is
+    * deterministic and the numbers bit-match Spark's. */
+  private def nswBuildCtes: String = {
     def scoredCte(name: String, pairsSrc: String): String =
       s"""$name AS (
          |  SELECT p.a, p.b,
@@ -1456,18 +1512,6 @@ object VectorQ {
          |      row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
          |    FROM $src) t
          |  WHERE rn <= $NswM)""".stripMargin
-    def beamCte(name: String, candSrc: String): String =
-      s"""$name AS (
-         |  SELECT qid, node, score FROM (
-         |    SELECT c.qid, c.node,
-         |      list_dot_product(q.qe, e.embedding::DOUBLE[]) AS score,
-         |      row_number() OVER (PARTITION BY c.qid ORDER BY
-         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
-         |        c.node) AS rn
-         |    FROM $candSrc c
-         |    JOIN nq q ON q.qid = c.qid
-         |    JOIN embeddings e ON e.vec_id = c.node) t
-         |  WHERE rn <= $NswBeam)""".stripMargin
     val sb = new StringBuilder
     sb.append(s"WITH ${ivfTrainCtes("")},\n")
     sb.append(
@@ -1504,17 +1548,48 @@ object VectorQ {
          |  SELECT MIN(vec_id) AS node FROM asg$IvfIters GROUP BY cluster_id),
          |nq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
          |       FROM embeddings WHERE vec_id < 5),
-         |wc0 AS (SELECT q.qid, e.node FROM nq q CROSS JOIN nentry e),
          |""".stripMargin)
+    sb.toString
+  }
+
+  /** One beam-walk (re-)ranking CTE: the round's candidates scored
+    * by dot(q, `vecExpr`) read from `vecSrc`, kept to the beam. v30
+    * prices the walk with the exact corpus vectors; v32 prices it
+    * with the PQ-RECONSTRUCTED ones (a dot product against a decoded
+    * vector IS the asymmetric-distance LUT sum, term for term). */
+  private def nswBeamCte(name: String, candSrc: String,
+                         vecSrc: String, vecExpr: String): String =
+    s"""$name AS (
+       |  SELECT qid, node, score FROM (
+       |    SELECT c.qid, c.node,
+       |      list_dot_product(q.qe, $vecExpr) AS score,
+       |      row_number() OVER (PARTITION BY c.qid ORDER BY
+       |        list_dot_product(q.qe, $vecExpr) DESC,
+       |        c.node) AS rn
+       |    FROM $candSrc c
+       |    JOIN nq q ON q.qid = c.qid
+       |    JOIN $vecSrc e ON e.vec_id = c.node) t
+       |  WHERE rn <= $NswBeam)""".stripMargin
+
+  /** A walk round's candidate CTE: the previous beam ∪ its
+    * out-edges in the shared adjacency (`edges$NswRounds`). */
+  private def nswWalkCandCte(p: String, w: Int): String =
+    s"""${p}wc$w AS (
+       |  SELECT qid, node FROM ${p}wb${w - 1}
+       |  UNION
+       |  SELECT b.qid, e.b AS node
+       |  FROM ${p}wb${w - 1} b JOIN edges$NswRounds e ON e.a = b.node),
+       |""".stripMargin
+
+  private def nswOracle: String = {
+    def beamCte(name: String, candSrc: String): String =
+      nswBeamCte(name, candSrc, "embeddings", "e.embedding::DOUBLE[]")
+    val sb = new StringBuilder
+    sb.append(nswBuildCtes)
+    sb.append("wc0 AS (SELECT q.qid, e.node FROM nq q CROSS JOIN nentry e),\n")
     sb.append(beamCte("wb0", "wc0") + ",\n")
     for (w <- 1 to NswWalk) {
-      sb.append(
-        s"""wc$w AS (
-           |  SELECT qid, node FROM wb${w - 1}
-           |  UNION
-           |  SELECT b.qid, e.b AS node
-           |  FROM wb${w - 1} b JOIN edges$NswRounds e ON e.a = b.node),
-           |""".stripMargin)
+      sb.append(nswWalkCandCte("", w))
       sb.append(beamCte(s"wb$w", s"wc$w") + ",\n")
     }
     sb.append(
@@ -1540,6 +1615,66 @@ object VectorQ {
          |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
          |  round(r.score, 4) AS score, h.hits_at_3
          |FROM nres r JOIN nhits h USING (qid)
+         |WHERE r.rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
+  /** v32's full replay: the SHARED v30 graph chain + the v9 PQ
+    * training chain ("p"-prefixed, no CTE collision). The beam walk
+    * is re-priced with PQ-RECONSTRUCTED vectors (per-subspace
+    * codebook centroids decoded and concatenated — a dot product
+    * against the decoded vector equals the asymmetric-distance LUT
+    * sum term for term); the FINAL BEAM ONLY is then re-ranked with
+    * exact full-precision scores, and recall@3 vs the exact brute
+    * force rides in the hash (v17's acceptance harness). */
+  private def pqWalkOracle: String = {
+    def beamCte(name: String, candSrc: String): String =
+      nswBeamCte(name, candSrc, "precon", "e.rvec")
+    val sb = new StringBuilder
+    sb.append(nswBuildCtes)
+    sb.append(pqTrainCtes("p") + ",\n")
+    sb.append(
+      s"""precon AS (
+         |  SELECT a.vec_id, flatten(array_agg(c.cvec ORDER BY a.sub_id)) AS rvec
+         |  FROM pasg$PqPasses a JOIN pcent${PqPasses - 1} c
+         |    ON c.sub_id = a.sub_id AND c.cid = a.cid
+         |  GROUP BY a.vec_id),
+         |pwc0 AS (SELECT q.qid, e.node FROM nq q CROSS JOIN nentry e),
+         |""".stripMargin)
+    sb.append(beamCte("pwb0", "pwc0") + ",\n")
+    for (w <- 1 to NswWalk) {
+      sb.append(nswWalkCandCte("p", w))
+      sb.append(beamCte(s"pwb$w", s"pwc$w") + ",\n")
+    }
+    sb.append(
+      s"""prr AS (
+         |  SELECT p.qid, p.node AS nb_id,
+         |    list_dot_product(q.qe, e.embedding::DOUBLE[]) AS score,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC, p.node) AS rn
+         |  FROM pwb$NswWalk p
+         |  JOIN nq q ON q.qid = p.qid
+         |  JOIN embeddings e ON e.vec_id = p.node
+         |  WHERE p.node <> p.qid),
+         |pbrute AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        e.vec_id) AS rn
+         |    FROM nq q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |phits AS (
+         |  SELECT r.qid, CAST(COUNT(b.nb_id) AS INT) AS hits_at_3
+         |  FROM prr r LEFT JOIN pbrute b
+         |    ON b.qid = r.qid AND b.nb_id = r.nb_id
+         |  WHERE r.rn <= 3
+         |  GROUP BY r.qid)
+         |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
+         |  round(r.score, 4) AS score, h.hits_at_3
+         |FROM prr r JOIN phits h USING (qid)
          |WHERE r.rn <= 3
          |ORDER BY qid, nb_rank""".stripMargin)
     sb.toString
@@ -1859,6 +1994,11 @@ ORDER BY nprobe"""
     // force; one hash pins build, walk, and achieved recall.
     "v30_graph_ann" -> nswOracle,
     "v31_graph_index_lifecycle" -> nswLifecycleOracle,
+
+    // v32: v30's shared graph chain + v9's PQ chain — the walk
+    // re-priced on decoded codes, the final beam re-ranked exactly,
+    // recall@3 in the hash.
+    "v32_pq_graph_walk" -> pqWalkOracle,
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.

@@ -156,4 +156,30 @@ class NswSpec extends SparkSpec {
     assert(touched <= bound, s"walk touched $touched > bound $bound")
     assert(touched < 200, "a walk must never degenerate into a corpus scan")
   }
+
+  test("v32 pricing identity: dot against a PQ-reconstructed vector IS the ADC LUT sum") {
+    val v = corpus(64)
+    val pq = graft.ops.Pq.buildExact(v, "vec_id", "embedding",
+      dim = 4, m = 2, k = 4, assignPasses = 2)
+    val q = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // LUT pricing over every (query, candidate) pair
+    val cands = q.select(col("qid"))
+      .crossJoin(v.select(col("vec_id")))
+    val lut = graft.ops.Pq.searchAmong(pq, q, cands, topK = 64)
+      .select(col("qid"), col("nb_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // decoded pricing: dot(q, reconstruct(code))
+    graft.ops.VectorOps.ensureRegistered(spark)
+    val recon = graft.ops.Pq.reconstruct(pq)
+    val dec = q.crossJoin(recon.withColumnRenamed("vec_id", "nb_id"))
+      .filter(col("nb_id") =!= col("qid"))
+      .withColumn("s", graft.ops.VectorOps.dot(
+        col("qvec").cast("array<double>"), col("vec_hat")))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nb_id")) ->
+        r.getAs[Double]("s")).toMap
+    assert(lut.keySet == dec.keySet)
+    assert(lut.forall { case (k, s) => math.abs(dec(k) - s) < 1e-9 },
+      "decoded-vector dot must equal the asymmetric-distance LUT sum")
+  }
 }
