@@ -1226,6 +1226,65 @@ object LakehouseQ {
         .orderBy(col("o_custkey"))
     }),
 
+    // x96 — BRANCHES AND TAGS (named refs, sources.Branches):
+    // Iceberg/Nessie's catalog refs generalizing x32's WAP from one
+    // anonymous staged version to a NAMED multi-commit line. An
+    // ingest branch forks at v1 and lands TWO staged appends (main
+    // readers still resolve v1 — isolation is the log's staged-entry
+    // rule, zero copies); an immutable tag pins v1 for audit
+    // (advancing it raises); fast-forward publishes the branch chain
+    // oldest-first — pure metadata flips, no data rewrite — and a
+    // SECOND branch still forked at v1 now refuses to fast-forward
+    // (divergence guard: main moved). All five lifecycle witnesses
+    // ride the hash next to the per-customer balances of the merged
+    // state, which the oracle replays from source. At 100 TB: a dev
+    // branch of a petabyte table costs one small JSON per advance
+    // (the CAS is the same conditional put as the log's entry
+    // claim), and merge day is a handful of entry-flip renames.
+    "x96_branch_lifecycle" -> ((s, d) => {
+      import graft.sources.{Branches, Snapshots}
+      val dir = freshSnapDir(s, d, "x96_snap")
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      def slice(lo: Option[String], hi: Option[String]) = {
+        val a = lo.fold(orders)(l =>
+          orders.filter(col("o_orderdate") >= lit(l).cast("timestamp")))
+        hi.fold(a)(h => a.filter(col("o_orderdate") < lit(h).cast("timestamp")))
+          .drop("o_orderdate")
+      }
+      Snapshots.commit(slice(None, Some("1997-01-01")), dir) // v1 = main
+      Branches.create(s, dir, "ingest", 1)
+      Branches.createTag(s, dir, "audit-v1", 1)
+      Branches.commitTo(slice(Some("1997-01-01"), Some("1997-07-01")),
+        dir, "ingest") // v2, staged
+      Branches.commitTo(slice(Some("1997-07-01"), None), dir, "ingest") // v3
+      val isolated = Snapshots.versions(s, dir) == Seq(1) &&
+        Branches.head(s, dir, "ingest") == 3
+      val tagImmutable = try {
+        Branches.commitTo(slice(None, Some("1997-01-01")).limit(1),
+          dir, "audit-v1"); false
+      } catch { case _: Branches.RefConflictException => true }
+      Branches.create(s, dir, "stale", 1)
+      val published = Branches.fastForward(s, dir, "ingest")
+      val ffOk = published == Seq(2, 3) &&
+        Snapshots.versions(s, dir) == Seq(1, 2, 3)
+      val divergedRaises = try {
+        Branches.fastForward(s, dir, "stale"); false
+      } catch { case _: Branches.RefConflictException => true }
+      val tagPinned = Branches.head(s, dir, "audit-v1") == 1
+      Snapshots.readResolved(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(dsum2(col("o_totalprice")).as("balance"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"), col("balance"), col("n_orders"),
+          lit(isolated).as("isolated"),
+          lit(tagImmutable && tagPinned).as("tag_pinned"),
+          lit(ffOk).as("fast_forwarded"),
+          lit(divergedRaises).as("diverged_raises"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // x31 — SCHEMA EVOLUTION (additive column, aligned reads):
     // version 1 commits the document table WITHOUT the lang column;
     // version 2 commits it widened. Snapshots.readAligned serves the
@@ -1934,6 +1993,21 @@ object LakehouseQ {
         |  true AS commuted, CAST(4 AS INT) AS n_versions
         |FROM orders
         |WHERE o_orderkey % 1009 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x96: the merged (fast-forwarded) state replays from source —
+    // the fork slice plus BOTH branch appends is the whole orders
+    // table; literal true pins isolation-before-merge, tag
+    // immutability + pinning, the fast-forward publication, and the
+    // divergence guard.
+    "x96_branch_lifecycle" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS balance,
+        |  COUNT(*) AS n_orders,
+        |  true AS isolated, true AS tag_pinned,
+        |  true AS fast_forwarded, true AS diverged_raises
+        |FROM orders
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // x51: the four merge arms stated as three UNION legs (matched

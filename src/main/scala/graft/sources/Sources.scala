@@ -543,6 +543,19 @@ object Snapshots {
     v
   }
 
+  /** BRANCH WRITE (x96, [[Branches.commitTo]]): stage an append
+    * chained on `base` that no `latest` reader can see — only the
+    * branch ref names it. Same durability as any staged version (a
+    * WAP ghost until published); the maintenance hooks stay silent
+    * because nothing reader-visible changed. */
+  def stageAppend(df: DataFrame, dir: String, base: Int,
+                  partitionBy: Seq[String] = Nil): Int = {
+    require(allVersions(df.sparkSession, dir).contains(base),
+      s"append base v$base not committed under $dir")
+    writeVersion(df, dir, partitionBy,
+      extraMeta = s""","kind":"append","base":$base,"staged":true""")
+  }
+
   /** OCC APPEND WITH CONFLICT COMMUTATION (x91) — the Delta/Iceberg
     * conflict-matrix semantics the plain `expectedVersion` commit is
     * stricter than: two independent writers appending rows both land,
