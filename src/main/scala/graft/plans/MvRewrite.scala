@@ -632,10 +632,23 @@ object MatView {
     * full-outer monoid merge on the group keys (sums/counts add,
     * min/max combine), types restored to the stored layout. */
   private def mergedFrame(spark: SparkSession, d: MvCatalog.MvDef,
-                          delta: DataFrame): DataFrame = {
-    import graft.sources.Snapshots
-    val cur = Snapshots.read(spark, d.mvDir)
-    val dp0 = partials(delta, d.groupCols, d.specs)
+                          delta: DataFrame): DataFrame =
+    mergedState(graft.sources.Snapshots.read(spark, d.mvDir), d, delta,
+      sign = 1)
+
+  /** The fold one step deeper (x97's shape): an EXPLICIT current
+    * state (so a multi-version maintenance run folds step after step
+    * before committing once) and a SIGN — sums and counts form a
+    * group, not just a monoid, so a deletion's pre-image partials
+    * fold in negated (retraction). sign = −1 requires a min/max-free
+    * view: those are not retractable, callers refuse before here. */
+  private def mergedState(cur: DataFrame, d: MvCatalog.MvDef,
+                          delta: DataFrame, sign: Int): DataFrame = {
+    val dpRaw = partials(delta, d.groupCols, d.specs)
+    val dp0 =
+      if (sign >= 0) dpRaw
+      else dpRaw.columns.filterNot(c => d.groupCols.contains(c.toLowerCase))
+        .foldLeft(dpRaw)((x, c) => x.withColumn(c, col(c) * -1))
     // suffix the delta's value columns so the merged frame states
     // each fold explicitly, then restore the stored layout and types
     // (group-column comparison case-insensitive — groupCols were
@@ -711,5 +724,68 @@ object MatView {
       if (v.isDefined) MvCatalog.register(d.copy(coverage = Nil))
       v
     }
+  }
+
+  /** x97 — SELF-MAINTENANCE FROM THE COMMIT LOG (CDC-driven IVM with
+    * RETRACTION): fold every published fact version in
+    * (sinceVersion, head] into the stored view, planned entirely
+    * from the log's metadata ([[graft.sources.Snapshots
+    * .versionMeta]] — one manifest-sized read per step, never a
+    * table diff):
+    *
+    *  - an `append` (dataChange) folds +partials of its OWN delta
+    *    files — O(|Δ|), the base never re-read (x70's fold);
+    *  - a `deletes` version folds −partials of its PRE-IMAGES (the
+    *    key-sized DV semi-joins the base state — the step's only
+    *    data read): sums and counts form a GROUP, not just a monoid,
+    *    so retraction is the signed fold. min/max are NOT
+    *    retractable — a delete against a view storing them refuses
+    *    loudly, demanding refresh() (Materialize's same rule);
+    *  - dataChange=false layout re-lands and `alter`s fold NOTHING
+    *    (maintenance must never look like churn — x56's CDC rule);
+    *  - any other kind (full rewrite, replace, restore) refuses: the
+    *    incremental identity does not hold across it.
+    *
+    * Groups retracted to zero rows are REMOVED (an empty group must
+    * not serve a 0-sum row). One MV version lands for the whole
+    * span; the view's rewrite stays armed with `isFresh` supplied by
+    * the caller (the synced-head fingerprint). Returns (mv version,
+    * folded fact head). At 100 TB this is the self-maintaining MV of
+    * a streaming lakehouse: maintenance cost follows the CHURN the
+    * log records, never the fact or history size. */
+  def maintainFromLog(spark: SparkSession, name: String, factDir: String,
+                      sinceVersion: Int,
+                      isFresh: () => Boolean): (Int, Int) = {
+    import graft.sources.Snapshots
+    val d = MvCatalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no registered MV named $name"))
+    val steps = Snapshots.versions(spark, factDir).filter(_ > sinceVersion)
+    require(steps.nonEmpty,
+      s"nothing to fold: no published version above v$sinceVersion under $factDir")
+    var cur = Snapshots.read(spark, d.mvDir)
+    steps.foreach { v =>
+      Snapshots.versionMeta(spark, factDir, v) match {
+        case ("append", _, true) =>
+          cur = mergedState(cur, d,
+            Snapshots.readVersionOwn(spark, factDir, v), sign = 1)
+        case ("append", _, false) | ("alter", _, _) => () // layout/metadata
+        case ("deletes", Some(base), _) =>
+          require(d.mins.isEmpty && d.maxs.isEmpty,
+            s"view '$name' stores min/max — deletes are not retractable, " +
+              "run refresh()")
+          val dv = Snapshots.readVersionOwn(spark, factDir, v)
+          val pre = Snapshots.readResolved(spark, factDir, Some(base))
+            .join(dv, dv.columns.toSeq, "left_semi")
+          cur = mergedState(cur, d, pre, sign = -1)
+        case (kind, _, false) if Set("data", "clone", "restore")(kind) => ()
+        case (kind, _, _) =>
+          sys.error(s"maintainFromLog cannot fold a '$kind' version " +
+            s"(v$v under $factDir) — the incremental identity does not " +
+            "hold, run refresh()")
+      }
+    }
+    val mvv = Snapshots.commit(cur.filter(col(d.rowCountCol) > 0), d.mvDir)
+    MvCatalog.register(d.copy(isFresh = isFresh))
+    (mvv, steps.last)
   }
 }

@@ -127,6 +127,69 @@ object MvQ {
     }),
 
 
+    // x97 — LOG-DRIVEN MV MAINTENANCE WITH RETRACTION (the CDC loop
+    // closed WITHOUT a caller-supplied delta): x70's refresh needs
+    // someone to hand it the delta frame; a production MV maintains
+    // ITSELF from the commit log. MatView.maintainFromLog plans each
+    // unsynced fact version from log metadata alone — the nightly
+    // append folds +partials of its own files (O(|Δ|)), the RTBF
+    // deletion vector folds −partials of its PRE-IMAGES (the
+    // key-sized DV semi-joins the base state; sums/counts form a
+    // GROUP, so retraction is the signed fold — min/max views refuse
+    // loudly, Materialize's rule), layout commits fold nothing, and
+    // groups retracted to zero rows are REMOVED. The witness is the
+    // IVM identity itself: the maintained view must equal the
+    // post-delete fact state RECOMPUTED from scratch, group for
+    // group (two exceptAll counts — x30's roundtrip discipline),
+    // and the oracle replays that state from source so the hash
+    // pins the folds' arithmetic exactly. At 100 TB: maintenance
+    // cost follows the CHURN the log records — never the fact,
+    // never its history, and no diff job anywhere.
+    "x97_mv_log_maintenance" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val factDir = s"target/x97_fact_${math.abs(d.hashCode)}"
+      val mvDir = s"target/x97_mv_${math.abs(d.hashCode)}"
+      Snapshots.drop(s, factDir)
+      Snapshots.commit(x66Fact(s, d, allRows = false), factDir) // v1
+      graft.plans.MatView.create(s, "x97", Snapshots.read(s, factDir), mvDir,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sumCols = Seq("price" -> col("o_totalprice").cast("decimal(18,2)")),
+        isFresh = () => false) // disarmed until maintenance re-arms
+      // v2: the nightly append (1997+ orders, delta-only files)
+      Snapshots.commitAppend(
+        x66Fact(s, d, allRows = true)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")),
+        factDir, base = 1)
+      // v3: an RTBF-class deletion vector over the resolved state
+      Snapshots.commitDeletes(
+        Snapshots.readResolved(s, factDir)
+          .filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey")), factDir, base = 2)
+      val head = Snapshots.versions(s, factDir)
+      val (_, synced) = graft.plans.MatView.maintainFromLog(s, "x97",
+        factDir, sinceVersion = 1,
+        isFresh = () => Snapshots.versions(s, factDir) == head)
+      // the IVM identity, checked: maintained view == recompute over
+      // the post-delete resolved state, group for group
+      def shape(df: DataFrame) = df.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("sum_price").cast("decimal(28,2)").as("p"), col("n_rows"))
+      val mv = shape(Snapshots.read(s, mvDir)).cache()
+      val recomputed = shape(Snapshots.readResolved(s, factDir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_rows")))
+      val exact = mv.exceptAll(recomputed).count() == 0 &&
+        recomputed.exceptAll(mv).count() == 0
+      mv.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("p").cast("double").as("revenue"),
+          col("n_rows").as("n_orders"),
+          lit(exact).as("retraction_exact"),
+          lit(synced).cast("int").as("synced_version"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+
     // x75 — COST-BASED VIEW CHOICE (the planner step that makes an
     // MV CATALOG, not just an MV, useful): two views over the same
     // fact both contain a priority-only rollup — the wide
@@ -379,6 +442,20 @@ object MvQ {
     "x70_mv_refresh" ->
       (mvConsumerSql("WHERE o_orderdate < TIMESTAMP '1997-07-01'",
         ",\n  TRUE AS used_mv") + "\nORDER BY 1, 2"),
+
+    // x97: append ∪ base minus the DV set, restated from source;
+    // literal true pins the checked IVM identity (maintained view ==
+    // recompute, both exceptAll counts zero), CAST(3) the synced
+    // head.
+    "x97_mv_log_maintenance" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  true AS retraction_exact, CAST(3 AS INT) AS synced_version
+        |FROM orders
+        |WHERE o_orderkey % 997 <> 0
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY 1, 2""".stripMargin,
 
 
     // x75: the rollup restated from orders; served_by='narrow' pins

@@ -867,6 +867,18 @@ object Snapshots {
     rows.toDF("version", "kind", "ts", "base", "published")
   }
 
+  /** One version's log metadata — (kind, base, dataChange) — the
+    * manifest-sized planning read behind log-driven maintenance
+    * (x97's MV fold plans each step from this, never from data). */
+  def versionMeta(spark: SparkSession, dir: String,
+                  version: Int): (String, Option[Int], Boolean) = {
+    val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
+      .getOrElse(sys.error(s"version $version not in log under $dir"))
+    (Option(n.get("kind")).map(_.asText()).getOrElse("data"),
+      Option(n.get("base")).map(_.asInt()),
+      Option(n.get("dataChange")).forall(_.asBoolean(true)))
+  }
+
   /** TIMED commit (x63): land `df` as the next version carrying an
     * EXPLICIT commit timestamp in the log entry — the second
     * time-travel axis (Delta's `TIMESTAMP AS OF` next to x54's

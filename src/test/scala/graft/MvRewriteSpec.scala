@@ -456,4 +456,60 @@ class MvRewriteSpec extends SparkSpec {
       "a refused definition must never register")
     spark.catalog.dropTempView("spec_ddl_fact")
   }
+
+  test("x97: maintainFromLog folds appends +, deletes −, removes empty groups, skips layout") {
+    val root = java.nio.file.Files.createTempDirectory("mvlog").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    // v1: two groups
+    Snapshots.commit(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+      .toDF("g1", "id", "qty"), factDir)
+    MatView.create(spark, "spec_log", Snapshots.read(spark, factDir), mvDir,
+      groupCols = Seq("g1"), sumCols = Seq("qty" -> col("qty")),
+      isFresh = () => false)
+    // v2: append a third group + more of 'a'
+    Snapshots.commitAppend(Seq(("a", 4L, 30L), ("c", 5L, 7L))
+      .toDF("g1", "id", "qty"), factDir, base = 1)
+    // v3: a layout re-land (dataChange=false) must fold NOTHING
+    Snapshots.commitAppend(spark.emptyDataset[(String, Long, Long)]
+      .toDF("g1", "id", "qty"), factDir, base = 2, dataChange = false)
+    // v4: delete ALL of group 'b' and one 'a' row
+    Snapshots.commitDeletes(Seq(3L, 2L).toDF("id"), factDir, base = 3)
+    val (mvv, synced) =
+      MatView.maintainFromLog(spark, "spec_log", factDir, sinceVersion = 1,
+        isFresh = () => true)
+    assert(synced == 4 && mvv == 2)
+    val rows = Snapshots.read(spark, mvDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 40L, 2L), ("c", 7L, 1L)),
+      "a: 10+20+30−20 over 2 rows; b retracted to empty must VANISH; c appended")
+  }
+
+  test("x97: a min/max view refuses delete retraction loudly") {
+    val root = java.nio.file.Files.createTempDirectory("mvlogmm").toString
+    val factDir = s"$root/fact"
+    Snapshots.commit(Seq(("a", 1L, 10L)).toDF("g1", "id", "qty"), factDir)
+    MatView.create(spark, "spec_log_mm", Snapshots.read(spark, factDir),
+      s"$root/mv", groupCols = Seq("g1"),
+      minMaxCols = Seq("qty" -> col("qty")), isFresh = () => false)
+    Snapshots.commitDeletes(Seq(1L).toDF("id"), factDir, base = 1)
+    intercept[IllegalArgumentException] {
+      MatView.maintainFromLog(spark, "spec_log_mm", factDir,
+        sinceVersion = 1, isFresh = () => true)
+    }
+  }
+
+  test("x97: a non-foldable version kind refuses maintenance") {
+    val root = java.nio.file.Files.createTempDirectory("mvlogrw").toString
+    val factDir = s"$root/fact"
+    Snapshots.commit(Seq(("a", 1L, 10L)).toDF("g1", "id", "qty"), factDir)
+    MatView.create(spark, "spec_log_rw", Snapshots.read(spark, factDir),
+      s"$root/mv", groupCols = Seq("g1"),
+      sumCols = Seq("qty" -> col("qty")), isFresh = () => false)
+    Snapshots.commit(Seq(("a", 9L, 99L)).toDF("g1", "id", "qty"), factDir)
+    intercept[RuntimeException] {
+      MatView.maintainFromLog(spark, "spec_log_rw", factDir,
+        sinceVersion = 1, isFresh = () => true)
+    }
+  }
 }
