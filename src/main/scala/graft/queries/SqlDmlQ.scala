@@ -449,6 +449,54 @@ object SqlDmlQ {
            |ORDER BY c_custkey""".stripMargin).last
     }),
 
+    // x98 — BRANCHES ON THE SQL SURFACE (x96's named-ref lifecycle as
+    // pure statements + bindings): CREATE BRANCH/TAG pin refs, two
+    // INSERT INTO BRANCH statements land staged appends + CAS ref
+    // advances (a `latest` reader still resolves the fork while the
+    // branch accumulates commits), FAST FORWARD publishes the chain
+    // iff main never moved, then the read leg aggregates the merged
+    // state through snapshot_resolved with the table_refs catalog
+    // joined in as scalar witnesses (ref count, tag pin, branch
+    // head). branch_at serves time travel BY NAME (SqlRunnerSpec).
+    // The oracle replays the merged balances from source with the
+    // refs catalog stated literally — the statement route must serve
+    // exactly what x96's API route serves. Branch statements inside
+    // an open TRANSACTION refuse (the txn guard).
+    "x98_sql_branches" -> ((s, d) => {
+      val dir = freshSnapDir(s, d, "x98_snap")
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .createOrReplaceTempView("orders_x98")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_x98
+           |WHERE o_orderdate < TIMESTAMP '1997-01-01';
+           |CREATE BRANCH '$dir' ingest AT VERSION 1;
+           |CREATE TAG '$dir' audit AT VERSION 1;
+           |INSERT INTO BRANCH '$dir' ingest
+           |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_x98
+           |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-07-01';
+           |INSERT INTO BRANCH '$dir' ingest
+           |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_x98
+           |WHERE o_orderdate >= TIMESTAMP '1997-07-01';
+           |FAST FORWARD '$dir' ingest""".stripMargin)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT o_custkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS balance,
+           |  COUNT(*) AS n_orders,
+           |  (SELECT CAST(COUNT(*) AS INT) FROM table_refs('$dir'))
+           |    AS n_refs,
+           |  (SELECT CAST(version AS INT) FROM table_refs('$dir')
+           |   WHERE name = 'audit') AS tag_at,
+           |  (SELECT CAST(version AS INT) FROM table_refs('$dir')
+           |   WHERE name = 'ingest') AS branch_at
+           |FROM snapshot_resolved('$dir', 3)
+           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin).last
+    }),
+
     // x84 — UPDATE ON THE SQL SURFACE: a credit adjustment re-states
     // every negative balance (two SET assignments — the balance and
     // an audit suffix on the name) as ONE statement landing as x58's
@@ -588,6 +636,20 @@ object SqlDmlQ {
     // SQL-surface evolution must serve exactly what the Scala
     // evolution route serves, leg for leg.
     "x92_sql_alter_table" -> LakehouseQ.oracles("x31_schema_evolution"),
+
+    // x98: the fast-forwarded state replays from source (fork slice
+    // ∪ both branch inserts = the whole orders table); the refs
+    // catalog stated literally — 2 refs, tag pinned at the fork,
+    // branch head at the published chain tip.
+    "x98_sql_branches" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS balance,
+        |  COUNT(*) AS n_orders,
+        |  CAST(2 AS INT) AS n_refs, CAST(1 AS INT) AS tag_at,
+        |  CAST(3 AS INT) AS branch_at
+        |FROM orders
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // x95: the policy stated explicitly — prefix mask, 100-bucket
     // coarsening (identical IEEE double ops both engines), row

@@ -124,8 +124,27 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
+    // named refs (x98): `branch_at('<dir>', '<name>')` serves a
+    // ref's resolved state (branch head or tag pin — time travel by
+    // NAME); `table_refs('<dir>')` serves the refs catalog. Both are
+    // metadata-bound at script start, like every other binding.
+    val bound3b = BranchAt.replaceAllIn(bound3p, m => {
+      val (dir, name) = (m.group(1), m.group(2))
+      val view = s"branch_${Integer.toHexString(dir.hashCode)}_$name"
+      graft.sources.Branches.read(spark, dir, name)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    val bound3r = TableRefs.replaceAllIn(bound3b, m => {
+      val dir = m.group(1)
+      val view = s"refs_${Integer.toHexString(dir.hashCode)}"
+      import spark.implicits._
+      graft.sources.Branches.list(spark, dir)
+        .toDF("name", "version", "is_tag").createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
     // DESCRIBE HISTORY (x74): the commit log as a queryable view
-    val bound4a = TableHistory.replaceAllIn(bound3p, m => {
+    val bound4a = TableHistory.replaceAllIn(bound3r, m => {
       val dir = m.group(1)
       val view = s"history_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Snapshots.history(spark, dir)
@@ -194,7 +213,8 @@ object SqlRunner {
       case st if txn.isDefined &&
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
-            DropMv, DropTable, AlterAddColumn)
+            DropMv, DropTable, AlterAddColumn, CreateBranch,
+            InsertIntoBranch, FastForward)
             .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
           s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
@@ -239,6 +259,17 @@ object SqlRunner {
         val v = graft.sources.Snapshots.alterAddColumn(spark, dir, cname,
           org.apache.spark.sql.types.DataType.fromDDL(ctype))
         spark.sql(s"SELECT $v AS altered_version")
+      case CreateBranch(kind, dir, name, v) =>
+        if (kind.equalsIgnoreCase("TAG"))
+          graft.sources.Branches.createTag(spark, dir, name, v.toInt)
+        else graft.sources.Branches.create(spark, dir, name, v.toInt)
+        spark.sql("SELECT true AS ref_created")
+      case InsertIntoBranch(dir, name, select) =>
+        val v = graft.sources.Branches.commitTo(spark.sql(select), dir, name)
+        spark.sql(s"SELECT $v AS staged_version")
+      case FastForward(dir, name) =>
+        val pub = graft.sources.Branches.fastForward(spark, dir, name)
+        spark.sql(s"SELECT ${pub.size} AS n_published")
       case InsertInto(dir, select) =>
         val base = graft.sources.Snapshots.versions(spark, dir).last
         val v = graft.sources.Snapshots.commitAppend(
@@ -407,6 +438,27 @@ object SqlRunner {
     * rollback as a statement (a new latest that serves version v). */
   private val RestoreTable =
     """(?is)^\s*RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*$""".r
+
+  /** Branch/tag DDL over named refs (x98 — [[graft.sources
+    * .Branches]]): `CREATE BRANCH|TAG '<dir>' <name> AT VERSION <n>`,
+    * `INSERT INTO BRANCH '<dir>' <name> <select>` (staged append +
+    * CAS ref advance, invisible to `latest` readers), and
+    * `FAST FORWARD '<dir>' <name>` (publish the branch chain iff
+    * main never moved). */
+  private val CreateBranch =
+    """(?is)^\s*CREATE\s+(BRANCH|TAG)\s+'([^']+)'\s+([A-Za-z0-9._-]+)\s+AT\s+VERSION\s+(\d+)\s*$""".r
+  private val InsertIntoBranch =
+    """(?is)^\s*INSERT\s+INTO\s+BRANCH\s+'([^']+)'\s+([A-Za-z0-9._-]+)\s+(.+)$""".r
+  private val FastForward =
+    """(?is)^\s*FAST\s+FORWARD\s+'([^']+)'\s+([A-Za-z0-9._-]+)\s*$""".r
+
+  /** `branch_at('<dir>', '<name>')` binds a ref's resolved state
+    * (branch head or tag pin — time travel by NAME); `table_refs(
+    * '<dir>')` binds the refs catalog (name, version, is_tag). */
+  private val BranchAt =
+    """(?i)branch_at\(\s*'([^']+)'\s*,\s*'([A-Za-z0-9._-]+)'\s*\)""".r
+  private val TableRefs =
+    """(?i)table_refs\(\s*'([^']+)'\s*\)""".r
 
   /** `VACUUM '<dir>' KEEP <n>` — physically drop versions outside
     * the last n heads' chain closure (x29's retention verb). */

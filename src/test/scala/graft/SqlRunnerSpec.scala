@@ -480,4 +480,45 @@ class SqlRunnerSpec extends SparkSpec {
     assert(Snapshots.readResolved(spark, dir).count() == 100)
     Snapshots.drop(spark, dir)
   }
+
+  test("x98: branch statements, branch_at/table_refs bindings, and the txn guard") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = s"target/sqlrunner_branch_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("branch_src")
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""CREATE TABLE '$dir' AS SELECT * FROM branch_src;
+         |CREATE BRANCH '$dir' dev AT VERSION 1;
+         |CREATE TAG '$dir' pin AT VERSION 1;
+         |INSERT INTO BRANCH '$dir' dev SELECT 3 AS id, 'c' AS v""".stripMargin)
+    // isolation: latest still v1; branch_at serves the staged head
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT COUNT(*) AS n FROM branch_at('$dir', 'dev')")
+      .last.head.getLong(0) == 3)
+    assert(SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT COUNT(*) AS n FROM branch_at('$dir', 'pin')")
+      .last.head.getLong(0) == 2)
+    // refs catalog
+    val refs = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT name, version, is_tag FROM table_refs('$dir') ORDER BY name")
+      .last.collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+    assert(refs.toSeq == Seq(("dev", 2, false), ("pin", 1, true)))
+    // fast-forward publishes; the merged read serves all rows
+    val n = SqlRunner.runScriptWithSnapshots(spark,
+      s"FAST FORWARD '$dir' dev").last.head.getInt(0)
+    assert(n == 1 && Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    // branch verbs refuse inside an open transaction
+    val txnDir = s"target/sqlrunner_branch_txn_${System.nanoTime()}"
+    val e = intercept[RuntimeException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"""BEGIN TRANSACTION '$txnDir' AS 'x98_t1';
+           |CREATE BRANCH '$dir' dev2 AT VERSION 1""".stripMargin)
+    }
+    assert(e.getMessage.contains("not transactional"))
+    Snapshots.drop(spark, dir)
+  }
 }
