@@ -9,7 +9,7 @@ import graft.queries._
   *  - RelationalQ (q1–q20, q30, q32, q34): SURVEY.md §2.1–2.8
   *    relational inventory + window analytics (lead/lag/ntile,
   *    distribution ranks, value-based RANGE frames)
-  *  - VectorQ (v1–v25): §2.9 vector ops + ANN (brute-force, IVF,
+  *  - VectorQ (v1–v32): §2.9 vector ops + ANN (brute-force, IVF,
   *    learned-centroid IVF, LSH, product + scalar quantization,
   *    composed IVF-PQ, class centroids, feature standardization,
   *    truncated-prefilter rerank, recall@k evaluation, MMR
@@ -30,7 +30,7 @@ import graft.queries._
   *    DSIR weights, Gopher rules, profiling, CCNet buckets, grouping
   *    sets, NFC normalization, multimodal (binary metadata, decode +
   *    frame sampling, frame-overlap dedup), windowed events
-  *  - KgQ (k1–k22): chunker / knowledge-graph pipeline + flagship
+  *  - KgQ (k1–k24): chunker / knowledge-graph pipeline + flagship
   *    search + graph analytics (2-hop, PageRank, personalized
   *    PageRank, triangles, clustering coefficients,
   *    label-propagation communities, connected components,
@@ -83,10 +83,19 @@ import graft.queries._
   *    correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)
-  *  - SqlDmlQ (x82–x84): SQL DML statements — MERGE INTO / DELETE /
-  *    UPDATE routed through ops.Merge and deletion vectors, with
-  *    snapshot_resolved read-backs (the mutation lifecycle with no
-  *    Scala in sight; x82 hash-matches x51's oracle, x83 x27's)
+  *  - SqlDmlQ (x82–x92, x95, x98): the SQL statement surface — MERGE
+  *    INTO / DELETE / UPDATE / OPTIMIZE [ZORDER] / CTAS+INSERT /
+  *    table_files / PURGE / transactions / ALTER TABLE / masking
+  *    policies / branch DDL, each verb routed through the existing
+  *    operators and hash-matching a Scala-API oracle (x82→x51,
+  *    x83→x27, x92→x31, x98→x96's shape)
+  *  - LakehouseQ adds x91 (OCC conflict commutation), x93
+  *    (auto-OPTIMIZE on commit), x94 (dynamic partition pruning),
+  *    x96 (branches/tags over the snapshot log); MvQ adds x97
+  *    (log-driven MV maintenance with delete retraction); VectorQ
+  *    adds v30–v32 (graph ANN: NN-descent build + beam walk, the
+  *    persisted/incremental lifecycle, and the DiskANN-style
+  *    PQ-priced walk with exact re-rank)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four
