@@ -549,12 +549,24 @@ object Snapshots {
     * WAP ghost until published); the maintenance hooks stay silent
     * because nothing reader-visible changed. */
   def stageAppend(df: DataFrame, dir: String, base: Int,
-                  partitionBy: Seq[String] = Nil): Int = {
+                  partitionBy: Seq[String] = Nil,
+                  epoch: Option[Long] = None): Int = {
     require(allVersions(df.sparkSession, dir).contains(base),
       s"append base v$base not committed under $dir")
+    // an epoch tag makes a branch-fed table's replay test possible
+    // ([[Branches.epochLanded]] — ref-chain-scoped, so a lost-CAS
+    // ghost can never suppress the retry that must land the epoch)
     writeVersion(df, dir, partitionBy,
-      extraMeta = s""","kind":"append","base":$base,"staged":true""")
+      extraMeta = s""","kind":"append","base":$base,"staged":true""" +
+        epoch.fold("")(e => s""","epoch":$e"""))
   }
+
+  /** The epoch tag a version's log entry carries, if any — the
+    * manifest-sized read behind [[Branches.epochLanded]]. */
+  def versionEpoch(spark: SparkSession, dir: String,
+                   version: Int): Option[Long] =
+    logEntries(spark, dir).find(_.get("version").asInt() == version)
+      .flatMap(n => Option(n.get("epoch")).map(_.asLong()))
 
   /** OCC APPEND WITH CONFLICT COMMUTATION (x91) — the Delta/Iceberg
     * conflict-matrix semantics the plain `expectedVersion` commit is

@@ -208,6 +208,35 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** STREAMING WRITE-AUDIT-PUBLISH onto a BRANCH (x96's refs as the
+    * continuous-ingest quality gate): each micro-batch lands as an
+    * epoch-tagged STAGED append on the ingest branch
+    * ([[graft.sources.Branches.commitTo]] — durable, version-
+    * numbered, invisible to every `latest` reader), replay-safe via
+    * the ref-chain epoch test (an at-least-once redelivery folds
+    * nothing; a lost-CAS ghost never joined the chain so it can
+    * never suppress the retry). Production readers see the stream
+    * only in AUDITED increments: an audit reads the branch head by
+    * name, and fast-forward publishes the whole accumulated chain as
+    * metadata flips — the streaming generalization of x32's
+    * one-version WAP. Returns the staged version, or None on a
+    * replay skip. */
+  def branchFold(batch: DataFrame, dir: String, branch: String,
+                 epochId: Long): Option[Int] = {
+    import graft.sources.Branches
+    if (Branches.epochLanded(batch.sparkSession, dir, branch, epochId)) None
+    else Some(Branches.commitTo(batch, dir, branch, epoch = Some(epochId)))
+  }
+
+  def branchSink(stream: DataFrame, dir: String, branch: String,
+                 checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        branchFold(batch, dir, branch, epochId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Schema of the lineitem slice the streaming IVM maintains its
     * join-view state over (x35's fact-side columns). */
   val lineitemSliceSchema: StructType = StructType(Seq(

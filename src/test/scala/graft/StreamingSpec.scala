@@ -635,4 +635,38 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(served == want)
   }
+
+  test("streaming WAP onto a branch: epochs stage invisibly, replay folds nothing, fast-forward publishes") {
+    import graft.sources.{Branches, Snapshots}
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("brsrc").toString
+    val dir = java.nio.file.Files.createTempDirectory("brtbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("brckpt").toString
+    val li = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    li.limit(300).repartition(3).write.mode("overwrite").parquet(src)
+    val total = spark.read.parquet(src).count()
+    // the production table: v1 seeds, the stream lands on a branch
+    Snapshots.commit(Seq((-1L, 0.0)).toDF("l_orderkey", "l_extendedprice"), dir)
+    Branches.create(spark, dir, "ingest", 1)
+    val q = EventStream.branchSink(
+      EventStream.readLineitemStream(spark, src, maxFilesPerTrigger = Some(1)),
+      dir, "ingest", ckpt).start()
+    try q.awaitTermination() finally q.stop()
+    // multiple epochs landed on the CHAIN; latest readers saw none
+    val chainLen = Snapshots.allVersions(spark, dir).size - 1
+    assert(chainLen > 1, "the WAP claim needs multiple micro-batches")
+    assert(Snapshots.versions(spark, dir) == Seq(1),
+      "staged epochs must be invisible to latest readers")
+    assert(Branches.read(spark, dir, "ingest").count() == total + 1)
+    // at-least-once redelivery: a replayed epoch folds nothing
+    val head = Branches.head(spark, dir, "ingest")
+    assert(EventStream.branchFold(
+      spark.read.parquet(src).limit(5), dir, "ingest", epochId = 0).isEmpty)
+    assert(Branches.head(spark, dir, "ingest") == head)
+    // the audit passes; fast-forward publishes the whole chain
+    val published = Branches.fastForward(spark, dir, "ingest")
+    assert(published.size == chainLen)
+    assert(Snapshots.readResolved(spark, dir).count() == total + 1)
+  }
 }
