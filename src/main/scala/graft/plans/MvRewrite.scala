@@ -759,17 +759,43 @@ object MatView {
     import graft.sources.Snapshots
     val d = MvCatalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"no registered MV named $name"))
+    // a FILTERED view cannot be maintained from raw version rows: the
+    // defining predicate would have to be re-applied to every delta
+    // and pre-image, and the registered conjuncts are resolved
+    // against the original defining plan — refuse loudly (refresh()
+    // takes a caller-filtered delta and checks it carries the
+    // predicate exactly)
+    require(d.filters.isEmpty,
+      s"view '$name' has a defining filter — maintainFromLog folds raw " +
+        "version rows and would inflate the partials; run refresh() " +
+        "with a delta carrying the defining predicate")
     val steps = Snapshots.versions(spark, factDir).filter(_ > sinceVersion)
     require(steps.nonEmpty,
       s"nothing to fold: no published version above v$sinceVersion under $factDir")
     var cur = Snapshots.read(spark, d.mvDir)
+    // contiguity guard: every folded step must chain on the PREVIOUS
+    // published version. A published append whose base is an
+    // unpublished stage (x58's merge-on-read MERGE: staged DV + one
+    // atomic append) carries masked deletions this fold cannot see —
+    // folding only its new images would double-count updated rows,
+    // so it must refuse, not corrupt.
+    var prev = sinceVersion
     steps.foreach { v =>
       Snapshots.versionMeta(spark, factDir, v) match {
-        case ("append", _, true) =>
-          cur = mergedState(cur, d,
-            Snapshots.readVersionOwn(spark, factDir, v), sign = 1)
-        case ("append", _, false) | ("alter", _, _) => () // layout/metadata
+        case ("append", Some(base), dataChange) =>
+          require(base == prev,
+            s"append v$v under $factDir chains through v$base ≠ the " +
+              s"folded head v$prev (a merge-on-read or out-of-band " +
+              "chain) — the incremental identity does not hold, run " +
+              "refresh()")
+          if (dataChange)
+            cur = mergedState(cur, d,
+              Snapshots.readVersionOwn(spark, factDir, v), sign = 1)
+        case ("alter", _, _) => () // metadata-only: same rows
         case ("deletes", Some(base), _) =>
+          require(base == prev,
+            s"deletion vector v$v under $factDir chains through " +
+              s"v$base ≠ the folded head v$prev — run refresh()")
           require(d.mins.isEmpty && d.maxs.isEmpty,
             s"view '$name' stores min/max — deletes are not retractable, " +
               "run refresh()")
@@ -783,6 +809,7 @@ object MatView {
             s"(v$v under $factDir) — the incremental identity does not " +
             "hold, run refresh()")
       }
+      prev = v
     }
     val mvv = Snapshots.commit(cur.filter(col(d.rowCountCol) > 0), d.mvDir)
     MvCatalog.register(d.copy(isFresh = isFresh))

@@ -147,9 +147,8 @@ object MvQ {
     // never its history, and no diff job anywhere.
     "x97_mv_log_maintenance" -> ((s, d) => {
       import graft.sources.Snapshots
-      val factDir = s"target/x97_fact_${math.abs(d.hashCode)}"
-      val mvDir = s"target/x97_mv_${math.abs(d.hashCode)}"
-      Snapshots.drop(s, factDir)
+      val factDir = freshSnapDir(s, d, "x97_fact")
+      val mvDir = freshSnapDir(s, d, "x97_mv")
       Snapshots.commit(x66Fact(s, d, allRows = false), factDir) // v1
       graft.plans.MatView.create(s, "x97", Snapshots.read(s, factDir), mvDir,
         groupCols = Seq("o_orderstatus", "o_orderpriority"),

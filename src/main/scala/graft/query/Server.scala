@@ -119,11 +119,11 @@ object Server {
         //  - KEYSET (`?after=<paper_id>`): the scale path — one
         //    pushed-down range filter + limit, collect is always
         //    ≤ limit rows no matter how deep the walk goes;
-        //  - `?offset=` for small skips, CAPPED (offset+limit ≤ 10k)
-        //    so a deep offset can neither collect toward the whole
-        //    corpus nor overflow Int — past the cap, clients must
-        //    switch to keyset (the response order is paper_id, so
-        //    the last row's id is the next `after`).
+        //  - `?offset=` for small skips, REFUSED past offset+limit
+        //    10k (a 400 naming the keyset cursor) so a deep offset
+        //    can neither collect toward the whole corpus nor silently
+        //    re-serve a clamped page — the response order is
+        //    paper_id, so the last row's id is the next `after`.
         val params = Option(ex.getRequestURI.getQuery).getOrElse("")
           .split("&").filter(_.contains("=")).map { kv =>
             val Array(k, v) = kv.split("=", 2); k -> v
@@ -131,21 +131,30 @@ object Server {
         val limit = math.min(
           params.get("limit").flatMap(_.toIntOption).getOrElse(1000), 1000)
           .max(0)
-        val offset = math.min(params.get("offset").flatMap(_.toIntOption)
-          .getOrElse(0).max(0), 10000 - limit)
-        val after = params.get("after")
-        val pidCol = org.apache.spark.sql.functions.col("paper_id")
-        val arr = mapper.createArrayNode()
-        val page = after match {
-          case Some(a) =>
-            corpus.papers.filter(pidCol > a).orderBy(pidCol).limit(limit)
-              .toJSON.collect()
-          case None =>
-            corpus.papers.orderBy(pidCol).limit(offset + limit)
-              .toJSON.collect().drop(offset)
+        val offset = params.get("offset").flatMap(_.toIntOption)
+          .getOrElse(0).max(0)
+        // REFUSE a deep offset instead of silently clamping it — a
+        // clamped response re-serves the cap page, which corrupts any
+        // offset-walking client with duplicates it cannot detect; the
+        // 400 names the keyset cursor as the deep-walk path
+        if (offset.toLong + limit > 10000L) // Long: offset near Int.Max must not overflow past the guard
+          (400, err(s"offset+limit ${offset.toLong + limit} exceeds " +
+            "10000 — use keyset pagination (?after=<last paper_id>)"))
+        else {
+          val after = params.get("after")
+          val pidCol = org.apache.spark.sql.functions.col("paper_id")
+          val arr = mapper.createArrayNode()
+          val page = after match {
+            case Some(a) =>
+              corpus.papers.filter(pidCol > a).orderBy(pidCol).limit(limit)
+                .toJSON.collect()
+            case None =>
+              corpus.papers.orderBy(pidCol).limit(offset + limit)
+                .toJSON.collect().drop(offset)
+          }
+          page.foreach(s => arr.add(mapper.readTree(s)))
+          (200, arr)
         }
-        page.foreach(s => arr.add(mapper.readTree(s)))
-        (200, arr)
       }
     })
 

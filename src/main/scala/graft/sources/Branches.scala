@@ -152,6 +152,21 @@ object Branches {
           "since the fork")
     val chain = es.tail.map(_._2)
     chain.foreach(v => Snapshots.publish(spark, dir, v))
+    // The guard-then-flip window is not atomic (publish is an entry
+    // replacement, not a claim): verify AFTER the flips that nothing
+    // interleaved — the published span above the fork must be exactly
+    // the branch chain, else readers of the new head would silently
+    // lose the interleaved commit. Detection converts that silent
+    // drop into a loud operator decision; prevention would need a
+    // single catalog pointer, which the log (max published version)
+    // deliberately does not have.
+    val published = Snapshots.versions(spark, dir).filter(_ > fork)
+    if (published != chain)
+      throw new RefConflictException(
+        s"fast-forward of '$name' raced a concurrent commit: the " +
+          s"published span above v$fork is ${published.mkString(",")} " +
+          s"but the branch chain is ${chain.mkString(",")} — RESTORE " +
+          s"TABLE '$dir' TO VERSION $fork and re-merge")
     chain
   }
 
@@ -163,9 +178,11 @@ object Branches {
     * epoch (the same discipline as the txn sink's visible-only
     * check). */
   def epochLanded(spark: SparkSession, dir: String, name: String,
-                  epochId: Long): Boolean =
-    entries(spark, dir, name).drop(1).exists(e =>
-      Snapshots.versionEpoch(spark, dir, e._2).contains(epochId))
+                  epochId: Long): Boolean = {
+    val chain = entries(spark, dir, name).drop(1).map(_._2).toSet
+    chain.nonEmpty && Snapshots.epochTags(spark, dir)
+      .exists { case (v, e) => e == epochId && chain(v) }
+  }
 
   /** Drop a ref: delete its files. A dropped branch's unmerged
     * staged versions become permanent ghosts for vacuum. */

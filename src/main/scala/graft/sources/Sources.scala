@@ -561,12 +561,14 @@ object Snapshots {
         epoch.fold("")(e => s""","epoch":$e"""))
   }
 
-  /** The epoch tag a version's log entry carries, if any — the
-    * manifest-sized read behind [[Branches.epochLanded]]. */
-  def versionEpoch(spark: SparkSession, dir: String,
-                   version: Int): Option[Long] =
-    logEntries(spark, dir).find(_.get("version").asInt() == version)
-      .flatMap(n => Option(n.get("epoch")).map(_.asLong()))
+  /** Every (version → epoch) tag in ONE log read — [[Branches
+    * .epochLanded]]'s bulk accessor (a per-version lookup would
+    * re-read the log once per ref advance, degrading a long-running
+    * branch sink quadratically in its own commit count). */
+  def epochTags(spark: SparkSession, dir: String): Map[Int, Long] =
+    logEntries(spark, dir).flatMap(n =>
+      Option(n.get("epoch"))
+        .map(e => n.get("version").asInt() -> e.asLong())).toMap
 
   /** OCC APPEND WITH CONFLICT COMMUTATION (x91) — the Delta/Iceberg
     * conflict-matrix semantics the plain `expectedVersion` commit is
@@ -611,19 +613,12 @@ object Snapshots {
         graft.ops.AutoOptimize.afterCommit(spark, dir)
         return v
       } catch {
-        case e: ConcurrentCommitException =>
-          // lost a new race: re-audit against the new head — unless
-          // the blocker is an UNPUBLISHED staged ghost squatting the
-          // next entry number (a pending txn/WAP stage): it is not a
-          // commit to rebase onto and it will not go away by
-          // retrying, so raise instead of spinning the budget out
-          if (versions(spark, dir).last == head &&
-              allVersions(spark, dir).last > head) throw
-            new ConcurrentCommitException(
-              s"append onto v$head blocked by an unpublished staged " +
-                s"version at v${allVersions(spark, dir).last} under " +
-                s"$dir — decide its transaction or vacuum it first: " +
-                e.getMessage)
+        case _: ConcurrentCommitException =>
+          // lost to a PUBLISHED interleaving: loop and re-audit
+          // against the new head. Unpublished stages (pending txn/WAP
+          // ghosts, open branch chains) are NOT conflicts — the claim
+          // loop steps past their entry numbers without raising, so
+          // an open branch never blocks main's concurrent ingest.
       }
     }
     -1 // unreachable
@@ -801,25 +796,30 @@ object Snapshots {
     * a pre-alter writer's schema no longer matches the head's. */
   def alterAddColumn(spark: SparkSession, dir: String, colName: String,
                      dataType: org.apache.spark.sql.types.DataType): Int = {
-    val head = versions(spark, dir).lastOption.getOrElse(
-      sys.error(s"ALTER TABLE: no committed versions under $dir"))
-    val cur = readResolved(spark, dir).schema
-    require(!cur.fieldNames.contains(colName),
-      s"ALTER TABLE '$dir' ADD COLUMN $colName: column exists " +
-        "(drops/type changes are not supported — they would need a " +
-        "policy for historic data)")
-    val widened = StructType(cur.fields :+
-      org.apache.spark.sql.types.StructField(colName, dataType, nullable = true))
     val (fs, p) = fsOf(spark, dir)
-    var next = allVersions(spark, dir).last + 1
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 10000, s"commit livelock under $dir")
+      // head, schema check, and the widened schema are recomputed on
+      // EVERY attempt: a lost claim means the log advanced, and an
+      // alter carrying a stale base would silently drop the
+      // interleaved commit's rows (or a concurrent alter's column)
+      // from every resolved latest read
+      val head = versions(spark, dir).lastOption.getOrElse(
+        sys.error(s"ALTER TABLE: no committed versions under $dir"))
+      val cur = readResolved(spark, dir).schema
+      require(!cur.fieldNames.contains(colName),
+        s"ALTER TABLE '$dir' ADD COLUMN $colName: column exists " +
+          "(drops/type changes are not supported — they would need a " +
+          "policy for historic data)")
+      val widened = StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField(colName, dataType,
+          nullable = true))
+      val next = allVersions(spark, dir).last + 1
       // never-created sentinel dir name: zero data files by contract
       val entry = s"""{"version":$next,"dir":${jstr(s"v$next-alter")},"n_files":0,"bytes":0,"kind":"alter","base":$head,"schema":${jstr(widened.json)}}"""
       if (tryPublishEntry(fs, p, next, entry)) return next
-      next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }
     -1 // unreachable
   }
@@ -1296,11 +1296,18 @@ object Snapshots {
     val (fs, p) = fsOf(spark, dir)
     expected.foreach { e =>
       // cheap preflight: abort before the data write if the race is
-      // already lost (the authoritative check is the entry claim
-      // itself at the commit point below)
-      val cur = allVersions(spark, dir).lastOption.getOrElse(0)
+      // already lost (the authoritative check is the entry claim +
+      // published re-read at the commit point below). Conflict
+      // semantics follow the PUBLISHED head: OCC is about
+      // reader-visible states, so an unpublished stage (a pending
+      // txn/WAP ghost, an open branch's chain) is NOT a conflict —
+      // it merely occupies entry numbers, and the claim loop steps
+      // past it. Without this, any open branch would permanently
+      // block every expected-version writer on main (x91 commuting
+      // appends, x93 auto-OPTIMIZE layout re-lands).
+      val cur = versions(spark, dir).lastOption.getOrElse(0)
       if (cur != e) throw new ConcurrentCommitException(
-        s"commit planned against v$e but log is at v$cur under $dir")
+        s"commit planned against v$e but published head is v$cur under $dir")
     }
     // Stage the data files under a writer-unique directory: the
     // expensive write happens entirely OUTSIDE the commit step, and
@@ -1344,7 +1351,9 @@ object Snapshots {
     //     to the next number and retries — concurrent plain writers
     //     all land, serialized by the claim order.
     var dataDir: org.apache.hadoop.fs.Path = stage
-    var next = expected.map(_ + 1).getOrElse(
+    // start above every existing entry (staged ghosts included — they
+    // own their numbers even though they are not conflicts)
+    var next = math.max(expected.map(_ + 1).getOrElse(0),
       allVersions(spark, dir).lastOption.getOrElse(0) + 1)
     var attempts = 0
     while (true) {
@@ -1354,11 +1363,42 @@ object Snapshots {
       require(fs.rename(dataDir, vdir), s"could not place $dataDir -> $vdir")
       dataDir = vdir
       val entry = s"""{"version":$next,"dir":${jstr(vdir.getName)},$meta}"""
-      if (tryPublishEntry(fs, p, next, entry)) return next
+      if (tryPublishEntry(fs, p, next, entry)) {
+        // AUTHORITATIVE conflict check, claim-then-clean (the
+        // tryCreateExclusive discipline): the claim may have landed
+        // ABOVE a concurrently published commit (the free number
+        // moved while the data was staged), which a number-bound
+        // check can't see. Any OTHER published version above
+        // `expected` is a real conflict — roll back our own entry +
+        // data and raise exactly as if the claim had been lost.
+        // Staged entries in the gap are not conflicts (reader-visible
+        // state unchanged).
+        expected.foreach { e =>
+          val interlopers = versions(spark, dir)
+            .filter(v => v > e && v != next)
+          if (interlopers.nonEmpty) {
+            fs.delete(new org.apache.hadoop.fs.Path(p,
+              s"_entry_v$next.json"), false)
+            fs.delete(dataDir, true)
+            throw new ConcurrentCommitException(
+              s"commit planned against v$e but v${interlopers.max} was " +
+                s"published concurrently under $dir")
+          }
+        }
+        return next
+      }
       if (expected.isDefined) {
-        fs.delete(dataDir, true)
-        throw new ConcurrentCommitException(
-          s"commit planned against v${expected.get} but v$next was committed concurrently under $dir")
+        // the claim lost this number to a concurrent writer: a
+        // PUBLISHED interleaving is a real conflict (the
+        // planned-against state moved — raise); losing to an
+        // unpublished stage is not (reader-visible state unchanged)
+        // — step past it and re-claim under the re-checked guard
+        val pubNow = versions(spark, dir).lastOption.getOrElse(0)
+        if (pubNow != expected.get) {
+          fs.delete(dataDir, true)
+          throw new ConcurrentCommitException(
+            s"commit planned against v${expected.get} but v$pubNow is the published head under $dir")
+        }
       }
       next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }

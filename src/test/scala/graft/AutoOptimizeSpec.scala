@@ -36,26 +36,31 @@ class AutoOptimizeSpec extends SparkSpec {
     } finally AutoOptimize.disable(dir)
   }
 
-  test("losing the OCC race stands down cleanly; the next commit re-converges") {
+  test("a staged ghost never stalls maintenance: the layout lands past it") {
     val dir = freshDir("occ")
     // fragment past the threshold with the hook OFF, then squat the
-    // next entry number with a staged ghost: the hook's layout claim
-    // must fail and be swallowed — the triggering commit survives
+    // next entry number with a staged ghost (a pending txn/WAP stage
+    // or an open branch's chain): OCC conflicts are about
+    // reader-visible states, so the hook's layout commit (planned
+    // against published head v2) must step past the ghost's number
+    // and land — an open branch must not disable auto-maintenance
     Snapshots.commit((1 to 30).toDF("id").repartition(3), dir)
     Snapshots.commitAppend((31 to 60).toDF("id").repartition(3), dir, base = 1)
-    // the ghost owns entry v3 — exactly where the hook's layout
-    // commit (planned against published head v2) must claim
-    Snapshots.commitStaged((999 to 999).toDF("id"), dir)
+    Snapshots.commitStaged((999 to 999).toDF("id"), dir) // ghost owns v3
     AutoOptimize.enable(dir, maxFiles = 5, targetFiles = 1)
     try {
-      // drive the hook directly (what any commit verb dispatches):
-      // 6 files > 5 fires the compact; its OCC claim of v3 fails and
-      // the hook must swallow that — never throw, never land
+      // drive the hook directly (what any commit verb dispatches)
       AutoOptimize.afterCommit(spark, dir)
-      assert(Snapshots.versions(spark, dir) == Seq(1, 2),
-        "the lost race means no layout version landed this pass")
+      assert(Snapshots.versions(spark, dir) == Seq(1, 2, 4),
+        "the layout lands at the next free number, past the ghost")
       assert(Snapshots.readResolved(spark, dir).count() == 60)
-      assert(AutoOptimize.chainFileCount(spark, dir) == 6)
+      assert(AutoOptimize.chainFileCount(spark, dir) <= 1,
+        "maintenance compacted despite the ghost")
+      assert(Snapshots.stepChanges(spark, dir, 4, Seq("id")).count() == 0,
+        "the layout commit stays CDC-quiet")
+      // the ghost is untouched: publishing its transaction later
+      // still works (it stays an ordinary staged version)
+      assert(Snapshots.allVersions(spark, dir) == Seq(1, 2, 3, 4))
     } finally AutoOptimize.disable(dir)
   }
 

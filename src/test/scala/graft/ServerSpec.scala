@@ -122,10 +122,11 @@ class ServerSpec extends SparkSpec {
       val kids = (0 until k2.size).map(k2.get(_).get("paper_id").asText())
       assert(kids.forall(_ > last1) && kids == kids.sorted,
         "keyset page must start strictly after the cursor, in order")
-      // a deep offset clamps (offset+limit ≤ 10k) instead of
-      // collecting toward the corpus or overflowing Int
-      assert(get(port,
-        s"/papers?limit=2&offset=${Int.MaxValue - 1}").statusCode() == 200)
+      // a deep offset REFUSES with a 400 naming the keyset cursor —
+      // silent clamping would re-serve the cap page and corrupt any
+      // offset-walking client with undetectable duplicates
+      val deep = get(port, s"/papers?limit=2&offset=${Int.MaxValue - 1}")
+      assert(deep.statusCode() == 400 && deep.body().contains("after"))
     }
   }
 

@@ -486,15 +486,25 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
-  test("x91: an unpublished staged ghost blocks the commuting append loudly, not by spinning") {
+  test("x91/x96: an unpublished staged ghost never blocks an expected-version writer") {
+    // OCC conflicts are about READER-VISIBLE states: a pending
+    // txn/WAP ghost or an open branch's staged chain occupies entry
+    // numbers but must not block main's concurrent ingest (x91
+    // commuting appends, x93 auto-OPTIMIZE layout re-lands).
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
-    Snapshots.commitStaged(Seq((9L, "ghost")).toDF("id", "v"), dir)
-    val e = intercept[graft.sources.ConcurrentCommitException] {
-      Snapshots.commitAppendCommuting(Seq((2L, "b")).toDF("id", "v"),
-        dir, base = 1)
+    Snapshots.commitStaged(Seq((9L, "ghost")).toDF("id", "v"), dir) // v2
+    val v = Snapshots.commitAppendCommuting(Seq((2L, "b")).toDF("id", "v"),
+      dir, base = 1)
+    assert(v == 3, "the append steps past the ghost's entry number")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 3))
+    assert(Snapshots.readResolved(spark, dir).count() == 2,
+      "latest = base + append; the ghost stays invisible")
+    // a PUBLISHED interleaving still raises for a plain expected commit
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commit(Seq((9L, "x")).toDF("id", "v"), dir,
+        expectedVersion = 1)
     }
-    assert(e.getMessage.contains("staged"))
   }
 
   test("append commits: base rides by reference, feed is O(Δ), layout re-lands feed nothing") {
