@@ -497,6 +497,45 @@ object SqlDmlQ {
            |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin).last
     }),
 
+    // x99 — CLONE ON THE SQL SURFACE (deep and shallow, Delta's two
+    // CLONE modes): SHALLOW routes through x44's zero-copy metadata
+    // clone (one JSON entry, reads resolve through the source);
+    // plain CLONE materializes the resolved source state as the new
+    // table's OWN v1 — full write cost, retention-INDEPENDENT. The
+    // query proves the physics from the listings (deep owns files,
+    // shallow owns none) and then DROPS the source: the deep clone
+    // must keep serving — its aggregate is the hashed output — while
+    // the shallow clone fails loudly at log resolution (x44's
+    // documented retention contract, here pinned as a flag). At
+    // 100 TB this is the dev-vs-archive decision: a shallow clone is
+    // free but retention-coupled; a deep clone pays one write and
+    // owns its fate.
+    "x99_sql_clone" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val srcDir = freshSnapDir(s, d, "x99_src")
+      val deepDir = freshSnapDir(s, d, "x99_deep")
+      val shallowDir = freshSnapDir(s, d, "x99_shallow")
+      Snapshots.commit(Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        srcDir)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$deepDir' AS CLONE '$srcDir';
+           |CREATE TABLE '$shallowDir' AS SHALLOW CLONE '$srcDir'""".stripMargin)
+      val physics = Snapshots.fileSignature(s, deepDir, 1).nonEmpty &&
+        Snapshots.fileSignature(s, shallowDir, 1).isEmpty
+      Snapshots.drop(s, srcDir)
+      val shallowPins =
+        try { Snapshots.readResolved(s, shallowDir).count(); false }
+        catch { case _: Throwable => true }
+      Snapshots.readResolved(s, deepDir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("bal"))
+        .select(col("c_mktsegment"), col("n"), col("bal"),
+          lit(physics).as("clone_physics"),
+          lit(shallowPins).as("shallow_pins_source"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // x84 — UPDATE ON THE SQL SURFACE: a credit adjustment re-states
     // every negative balance (two SET assignments — the balance and
     // an audit suffix on the name) as ONE statement landing as x58's
@@ -650,6 +689,18 @@ object SqlDmlQ {
         |  CAST(3 AS INT) AS branch_at
         |FROM orders
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x99: the deep clone's aggregate replays from source (the clone
+    // IS the source state, survived past the source's drop); literal
+    // true pins the file-ownership physics and the shallow clone's
+    // retention coupling.
+    "x99_sql_clone" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  true AS clone_physics, true AS shallow_pins_source
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // x95: the policy stated explicitly — prefix mask, 100-bucket
     // coarsening (identical IEEE double ops both engines), row

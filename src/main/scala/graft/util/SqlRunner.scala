@@ -130,7 +130,12 @@ object SqlRunner {
     // metadata-bound at script start, like every other binding.
     val bound3b = BranchAt.replaceAllIn(bound3p, m => {
       val (dir, name) = (m.group(1), m.group(2))
-      val view = s"branch_${Integer.toHexString(dir.hashCode)}_$name"
+      // ref names legally carry '.'/'-' (Branches.NamePat) — illegal
+      // in a view identifier, so the view name is sanitized and the
+      // RAW name rides in the hash for uniqueness ('rel-1.0' and
+      // 'rel_1_0' must not collide)
+      val view = s"branch_${Integer.toHexString((dir + "|" + name).hashCode)}_" +
+        name.replaceAll("[^A-Za-z0-9_]", "_")
       graft.sources.Branches.read(spark, dir, name)
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
@@ -199,6 +204,22 @@ object SqlRunner {
       // transactional DDL: inside an open transaction the replacement
       // version STAGES (durable, invisible) — visible only when the
       // decision marker commits; an abort leaves it inert for vacuum
+      // MUST precede both CreateTableAs arms: `AS [SHALLOW] CLONE`
+      // also matches the generic CTAS pattern, whose spark.sql(select)
+      // would choke on the CLONE keyword
+      case CreateTableClone(dst, shallow, src, ver) =>
+        require(txn.isEmpty, "only CREATE [OR REPLACE] TABLE AS stages " +
+          "inside BEGIN TRANSACTION — not transactional: CREATE TABLE AS CLONE")
+        require(graft.sources.Snapshots.versions(spark, dst).isEmpty,
+          s"CREATE TABLE '$dst': table exists")
+        val v = Option(ver).map(_.toInt).getOrElse(
+          graft.sources.Snapshots.versions(spark, src).last)
+        val nv =
+          if (shallow != null)
+            graft.sources.Snapshots.commitClone(spark, dst, src, v)
+          else graft.sources.Snapshots.commit(
+            graft.sources.Snapshots.readResolved(spark, src, Some(v)), dst)
+        spark.sql(s"SELECT $nv AS cloned_version")
       case CreateTableAs(orReplace, dir, select) if txn.isDefined =>
         if (orReplace == null)
           require(graft.sources.Snapshots.versions(spark, dir).isEmpty,
@@ -214,7 +235,7 @@ object SqlRunner {
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
             DropMv, DropTable, AlterAddColumn, CreateBranch,
-            InsertIntoBranch, FastForward)
+            InsertIntoBranch, FastForward, CreateTableClone)
             .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
           s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
@@ -438,6 +459,15 @@ object SqlRunner {
     * rollback as a statement (a new latest that serves version v). */
   private val RestoreTable =
     """(?is)^\s*RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*$""".r
+
+  /** `CREATE TABLE '<dst>' AS [SHALLOW] CLONE '<src>' [VERSION <n>]`
+    * (x99): SHALLOW routes through x44's zero-copy metadata clone
+    * (one JSON entry, reads resolve through the source — retention-
+    * coupled); the default DEEP clone materializes the resolved
+    * source state as the new table's own v1 (full write cost,
+    * retention-independent — Delta's deep CLONE). */
+  private val CreateTableClone =
+    """(?is)^\s*CREATE\s+TABLE\s+'([^']+)'\s+AS\s+(SHALLOW\s+)?CLONE\s+'([^']+)'(?:\s+VERSION\s+(\d+))?\s*$""".r
 
   /** Branch/tag DDL over named refs (x98 — [[graft.sources
     * .Branches]]): `CREATE BRANCH|TAG '<dir>' <name> AT VERSION <n>`,

@@ -521,4 +521,40 @@ class SqlRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("not transactional"))
     Snapshots.drop(spark, dir)
   }
+
+  test("x99: deep CLONE owns its files and survives the source; shallow pins it; VERSION selects") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = s"target/sqlrunner_clone_${System.nanoTime()}"
+    val (src, deep, deep1, shallow) =
+      (s"$root/src", s"$root/deep", s"$root/deep1", s"$root/shallow")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), src)
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""CREATE TABLE '$deep' AS CLONE '$src';
+         |CREATE TABLE '$deep1' AS CLONE '$src' VERSION 1;
+         |CREATE TABLE '$shallow' AS SHALLOW CLONE '$src'""".stripMargin)
+    assert(Snapshots.fileSignature(spark, deep, 1).nonEmpty,
+      "a deep clone owns its files")
+    assert(Snapshots.fileSignature(spark, shallow, 1).isEmpty,
+      "a shallow clone is pure metadata")
+    assert(Snapshots.readResolved(spark, deep1).count() == 2,
+      "VERSION pins the cloned source state")
+    assert(Snapshots.readResolved(spark, shallow).count() == 3)
+    Snapshots.drop(spark, src)
+    assert(Snapshots.readResolved(spark, deep).count() == 3,
+      "the deep clone survives the source's drop")
+    intercept[Throwable] { Snapshots.readResolved(spark, shallow).count() }
+    // refusals: existing destination, and inside an open transaction
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"CREATE TABLE '$deep' AS CLONE '$deep1'")
+    }
+    val e2 = intercept[RuntimeException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"""BEGIN TRANSACTION '$root/txn' AS 'x99_t1';
+           |CREATE TABLE '$root/other' AS CLONE '$deep'""".stripMargin)
+    }
+    assert(e2.getMessage.contains("not transactional"))
+  }
 }
