@@ -1151,6 +1151,43 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v33 — BEAM AUTO-TUNING (v29's autotune harness on the graph
+    // index): beam width is the graph walk's quality/cost knob
+    // (HNSW's efSearch) — each walk round scores beam·(m+1)
+    // candidates, so halving the beam halves search cost and risks
+    // recall. The tuner walks the SAME shared adjacency at each
+    // grid setting, counts exact recall@3 against the brute force,
+    // and serves the smallest beam clearing 90% (FAISS autotune's
+    // shape); if none clears, the largest serves. The hashed output
+    // carries every setting's hit count plus the verdict, so a walk
+    // regression OR a selection regression breaks the hash.
+    "v33_beam_tuning" -> ((s, d) => {
+      import s.implicits._
+      VectorOps.ensureRegistered(s)
+      val idx = learnedIndex(s, d)
+      val e = emb(s, d)
+      val edges = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = defs("v4_knn_bruteforce")(s, d).select(col("qid"), col("nb_id"))
+      val nTruth = truth.count()
+      val evals = BeamGrid.map { b =>
+        val ann = graft.ops.Nsw.search(edges, e, "vec_id", "embedding",
+          graft.ops.Nsw.entries(idx.assigned, "vec_id"), q, b, NswWalk,
+          topK = 3).select(col("qid"), col("nb_id"))
+        (b, truth.join(ann, Seq("qid", "nb_id")).count(), nTruth)
+      }
+      val chosen = evals.find(e2 => e2._2 * 10 >= e2._3 * 9)
+        .map(_._1).getOrElse(BeamGrid.last)
+      evals.toDF("beam", "n_hits", "n_truth")
+        .select(col("beam"), col("n_hits"), col("n_truth"),
+          (col("beam") === lit(chosen)).as("chosen"))
+        .orderBy(col("beam"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1558,7 +1595,8 @@ object VectorQ {
     * with the PQ-RECONSTRUCTED ones (a dot product against a decoded
     * vector IS the asymmetric-distance LUT sum, term for term). */
   private def nswBeamCte(name: String, candSrc: String,
-                         vecSrc: String, vecExpr: String): String =
+                         vecSrc: String, vecExpr: String,
+                         beam: Int = NswBeam): String =
     s"""$name AS (
        |  SELECT qid, node, score FROM (
        |    SELECT c.qid, c.node,
@@ -1569,7 +1607,7 @@ object VectorQ {
        |    FROM $candSrc c
        |    JOIN nq q ON q.qid = c.qid
        |    JOIN $vecSrc e ON e.vec_id = c.node) t
-       |  WHERE rn <= $NswBeam)""".stripMargin
+       |  WHERE rn <= $beam)""".stripMargin
 
   /** A walk round's candidate CTE: the previous beam ∪ its
     * out-edges in the shared adjacency (`edges$NswRounds`). */
@@ -1677,6 +1715,69 @@ object VectorQ {
          |FROM prr r JOIN phits h USING (qid)
          |WHERE r.rn <= 3
          |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
+  /** v33 beam settings under tuning: the quality/cost knob of a
+    * graph walk (HNSW's efSearch). The largest equals [[NswBeam]]
+    * (v30's serving beam). */
+  val BeamGrid = Seq(1, 2, 4)
+
+  /** v33's replay: the SHARED v30 graph chain walked once per beam
+    * setting (each chain just re-ranks with a different keep width),
+    * recall@3 counted per setting against the exact brute force, and
+    * v29's serve-the-cheapest-clearing-90% verdict replayed with a
+    * window MIN — with the Spark side's explicit fallback (no setting
+    * clears ⇒ the largest serves) stated in SQL. */
+  private def beamTuningOracle: String = {
+    val sb = new StringBuilder
+    sb.append(nswBuildCtes)
+    sb.append(
+      s"""bf AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        e.vec_id) AS rn
+         |    FROM nq q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |""".stripMargin)
+    BeamGrid.foreach { b =>
+      val p = s"b$b"
+      sb.append(s"${p}wc0 AS (SELECT q.qid, e.node FROM nq q CROSS JOIN nentry e),\n")
+      sb.append(nswBeamCte(s"${p}wb0", s"${p}wc0", "embeddings",
+        "e.embedding::DOUBLE[]", beam = b) + ",\n")
+      for (w <- 1 to NswWalk) {
+        sb.append(nswWalkCandCte(p, w))
+        sb.append(nswBeamCte(s"${p}wb$w", s"${p}wc$w", "embeddings",
+          "e.embedding::DOUBLE[]", beam = b) + ",\n")
+      }
+      sb.append(
+        s"""res$b AS (
+           |  SELECT qid, node AS nb_id FROM (
+           |    SELECT qid, node,
+           |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+           |    FROM ${p}wb$NswWalk WHERE node <> qid) t
+           |  WHERE rn <= 3),
+           |""".stripMargin)
+    }
+    val evals = BeamGrid.map { b =>
+      s"""SELECT CAST($b AS INT) AS beam,
+         |  (SELECT COUNT(*) FROM bf JOIN res$b USING (qid, nb_id)) AS n_hits,
+         |  (SELECT COUNT(*) FROM bf) AS n_truth""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append(
+      s"""evals AS (
+         |$evals)
+         |SELECT beam, n_hits, n_truth,
+         |  CASE WHEN MIN(CASE WHEN n_hits * 10 >= n_truth * 9 THEN beam END)
+         |         OVER () IS NULL
+         |       THEN beam = ${BeamGrid.last}
+         |       ELSE beam = MIN(CASE WHEN n_hits * 10 >= n_truth * 9 THEN beam END)
+         |         OVER () END AS chosen
+         |FROM evals
+         |ORDER BY beam""".stripMargin)
     sb.toString
   }
 
@@ -1999,6 +2100,11 @@ ORDER BY nprobe"""
     // re-priced on decoded codes, the final beam re-ranked exactly,
     // recall@3 in the hash.
     "v32_pq_graph_walk" -> pqWalkOracle,
+
+    // v33: the shared chain walked per beam setting; per-setting
+    // recall + the cheapest-clearing-90% verdict (explicit largest-
+    // serves fallback) replayed with a window MIN.
+    "v33_beam_tuning" -> beamTuningOracle,
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.

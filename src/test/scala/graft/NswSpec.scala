@@ -81,6 +81,35 @@ class NswSpec extends SparkSpec {
     assert(recall >= 0.9, s"beam walk must recover the separable truth, got $recall")
   }
 
+  test("v33: recall is monotone non-decreasing in beam width") {
+    val v = corpus(120)
+    val idx = centroidsOf(v)
+    val edges = Nsw.build(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = 4, rounds = 2)
+    val qd = v.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = v.crossJoin(broadcast(
+        qd.select(col("qid"), col("qvec").cast("array<double>").as("_q"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("s", graft.ops.VectorOps.dotHof(col("embedding"), col("_q")))
+    val truth = graft.plans.TopK.perKey(brute, Seq("qid"),
+        Seq(col("s").desc, col("vec_id")), 3)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = Seq(1, 2, 4, 8).map { b =>
+      Nsw.search(edges, v, "vec_id", "embedding",
+        Nsw.entries(idx.assigned, "vec_id"), qd,
+        beam = b, walkRounds = 3, topK = 3)
+        .select(col("qid"), col("nb_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth).size
+    }
+    assert(hits == hits.sorted,
+      s"widening the beam must never lose recall: $hits")
+    assert(hits.last == truth.size,
+      "a beam twice the serving width recovers the separable truth exactly")
+  }
+
   test("external queries with excludeSelf=false keep id-colliding nodes") {
     val v = corpus(80)
     val idx = centroidsOf(v)
