@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.Snapshots
+
+/** AUTO-VACUUM RETENTION POLICY (x100) — [[AutoOptimize]]'s
+  * self-maintenance pattern applied to HISTORY. Every commit grows
+  * the log and leaves the previous versions' data files on disk;
+  * without a policy a 100 TB table's storage is its churn history,
+  * and someone has to remember to VACUUM. `enable(dir, keepLast)`
+  * opts a table in; after every commit verb the hook counts
+  * PUBLISHED versions from the log (manifest-sized) and, past the
+  * window, lands [[Snapshots.vacuum]] — which keeps the last
+  * `keepLast` heads' transitive CHAIN CLOSURE (an old version a
+  * kept append/DV/restore still resolves through is never dropped,
+  * so latest reads can never break) and physically deletes the
+  * rest.
+  *
+  * The honest retention trade stays the operator's, stated at
+  * enable time: time travel below the window fails loudly after the
+  * hook fires (that is what retention MEANS), and the x44
+  * shallow-clone caveat applies — vacuuming a clone SOURCE below a
+  * clone's pin breaks the clone, exactly Delta's documented
+  * interplay. Failure is isolated like every maintenance hook:
+  * a vacuum error never fails the durable triggering commit.
+  */
+object Retention {
+
+  private val registry = new scala.collection.concurrent.TrieMap[String, Int]
+  private val inProgress =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def norm(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
+  /** Opt a table in: vacuum to the last `keepLast` published heads
+    * whenever the published count exceeds the window. */
+  def enable(dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"retention needs keepLast >= 1, got $keepLast")
+    registry.put(norm(dir), keepLast); ()
+  }
+
+  def disable(dir: String): Unit = { registry.remove(norm(dir)); () }
+
+  /** The commit hook (dispatched by Snapshots' commit verbs). */
+  def afterCommit(spark: SparkSession, dir: String): Unit = {
+    val key = norm(dir)
+    val keep = registry.getOrElse(key, return)
+    if (!inProgress.add(key)) return // re-entrancy: vacuum commits nothing,
+    // but the guard keeps the hook idempotent under nested dispatch
+    try {
+      if (Snapshots.versions(spark, dir).size > keep)
+        Snapshots.vacuum(spark, dir, keep)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // isolated: maintenance must never fail the durable commit
+        System.err.println(
+          s"[graft] retention hook failed for $dir (history left " +
+            s"unpruned): ${e.getMessage}")
+    } finally inProgress.remove(key)
+  }
+}

@@ -622,6 +622,47 @@ object LakehouseQ {
       } finally AutoOptimize.disable(dir)
     }),
 
+    // x100 — AUTO-VACUUM RETENTION POLICY (x93's self-maintenance
+    // pattern applied to HISTORY): without a policy a 100 TB table's
+    // storage is its churn history and someone must remember to
+    // VACUUM. ops.Retention registers a keepLast window; after every
+    // commit verb the hook counts PUBLISHED versions (one
+    // manifest-sized log read) and past the window lands
+    // Snapshots.vacuum — chain-closure-safe (a version a kept
+    // append/DV still resolves through is never dropped), isolated
+    // (a vacuum error never fails the durable commit). The query
+    // commits three full versions under keepLast=2: the window holds
+    // at two, the third commit prunes v1 INSIDE the commit call, the
+    // kept window still time-travels, and a read below the window
+    // fails loudly — the honest meaning of retention, pinned as
+    // flags next to the latest state the oracle replays from source.
+    "x100_auto_retention" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x100_snap")
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.ops.Retention.enable(dir, keepLast = 2)
+      try {
+        Snapshots.commit(cust.filter(col("c_custkey") % 4 === 0), dir) // v1
+        Snapshots.commit(cust.filter(col("c_custkey") % 2 === 0), dir) // v2
+        val windowHolds = Snapshots.versions(s, dir) == Seq(1, 2)
+        Snapshots.commit(cust, dir) // v3 — the hook vacuums v1 inside
+        val pruned = Snapshots.versions(s, dir) == Seq(2, 3)
+        val keptTravels = Snapshots.read(s, dir, Some(2)).count() ==
+          cust.filter(col("c_custkey") % 2 === 0).count()
+        val belowWindowGone =
+          try { Snapshots.read(s, dir, Some(1)).count(); false }
+          catch { case _: Throwable => true }
+        Snapshots.read(s, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("bal"))
+          .select(col("c_mktsegment"), col("n"), col("bal"),
+            lit(windowHolds && pruned).as("window_enforced"),
+            lit(keptTravels && belowWindowGone).as("below_window_gone"))
+          .orderBy(col("c_mktsegment"))
+      } finally graft.ops.Retention.disable(dir)
+    }),
+
     // x94 — DYNAMIC PARTITION PRUNING from a dim-side filter (x69's
     // missing runtime half): the static rule translates LITERAL
     // predicates; here the keys exist only at RUN time — the top-2
@@ -1994,6 +2035,17 @@ object LakehouseQ {
         |FROM orders
         |WHERE o_orderkey % 1009 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x100: the latest (kept) state replays from source; literal
+    // true pins the window enforcement inside the commit call and
+    // the loud failure below the window.
+    "x100_auto_retention" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  true AS window_enforced, true AS below_window_gone
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // x96: the merged (fast-forwarded) state replays from source —
     // the fork slice plus BOTH branch appends is the whole orders

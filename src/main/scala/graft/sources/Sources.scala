@@ -464,6 +464,7 @@ object Snapshots {
     // dir is registered
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v, base = None)
     graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -486,6 +487,7 @@ object Snapshots {
       expected = Some(expectedVersion))
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v, base = None)
     graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -540,6 +542,7 @@ object Snapshots {
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
       base = Some(base), dataChange = dataChange)
     graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -611,6 +614,7 @@ object Snapshots {
         graft.ops.AutoAnalyze.afterCommit(spark, dir, v,
           base = Some(head), dataChange = dataChange)
         graft.ops.AutoOptimize.afterCommit(spark, dir)
+        graft.ops.Retention.afterCommit(spark, dir)
         return v
       } catch {
         case _: ConcurrentCommitException =>
@@ -1281,6 +1285,7 @@ object Snapshots {
       // opt-in auto-OPTIMIZE (x93): streaming epoch sinks are the
       // small-file factory the hook exists for
       graft.ops.AutoOptimize.afterCommit(df.sparkSession, dir)
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
       Some(v)
     }
   }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Retention
+import graft.sources.Snapshots
+
+/** Auto-vacuum retention (x100): the window enforces itself inside
+  * the commit verbs, chain closure keeps every version the latest
+  * still resolves through, and disabling stops the hook. */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("retention").toString + "/t"
+
+  test("the window enforces itself on commit; below-window reads fail loudly") {
+    val dir = freshDir()
+    Retention.enable(dir, keepLast = 2)
+    try {
+      Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+      Snapshots.commit(Seq((1L, "b")).toDF("id", "v"), dir)
+      assert(Snapshots.versions(spark, dir) == Seq(1, 2), "window holds at 2")
+      Snapshots.commit(Seq((1L, "c")).toDF("id", "v"), dir)
+      assert(Snapshots.versions(spark, dir) == Seq(2, 3),
+        "the third commit prunes v1 inside the commit call")
+      intercept[Throwable] { Snapshots.read(spark, dir, Some(1)).count() }
+      assert(Snapshots.read(spark, dir, Some(2)).head.getString(1) == "b",
+        "the kept window still time-travels")
+    } finally Retention.disable(dir)
+  }
+
+  test("chain closure: an append chain pins its bases past the window") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), dir, base = 1)
+    Retention.enable(dir, keepLast = 1)
+    try {
+      Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), dir, base = 2)
+      // keepLast=1, but v3 resolves through v2 through v1: closure
+      // protects the whole chain — latest reads can never break
+      assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3))
+      assert(Snapshots.readResolved(spark, dir).count() == 3)
+      // a FULL commit ends the chain: everything below it now prunes
+      Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), dir)
+      assert(Snapshots.versions(spark, dir) == Seq(4))
+      assert(Snapshots.read(spark, dir).count() == 1)
+    } finally Retention.disable(dir)
+  }
+
+  test("disable stops the hook") {
+    val dir = freshDir()
+    Retention.enable(dir, keepLast = 1)
+    Retention.disable(dir)
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((1L, "b")).toDF("id", "v"), dir)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+  }
+}
