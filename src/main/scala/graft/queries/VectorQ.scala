@@ -1188,6 +1188,71 @@ object VectorQ {
         .orderBy(col("beam"))
     }),
 
+    // v34 — FILTERED GRAPH SEARCH (v22's pre-/post-filter recall
+    // trap on the graph index): a predicate-constrained ANN query
+    // ("nearest label-3 documents") cannot pre-filter a GRAPH — the
+    // walk must traverse ineligible nodes to reach eligible regions,
+    // so the production pattern is walk-then-filter. Filtering the
+    // SERVING beam (NswBeam) post-hoc loses recall exactly like
+    // v22's post-filter leg — few of 4 beam slots hold the right
+    // label; widening the walk to NswBeam·V34Overfetch before the
+    // filter repairs it at beam-proportional cost (the walk still
+    // touches beam·(m+1) candidates per round, corpus-independent).
+    // Both legs' hits vs the exact FILTERED brute force ride in the
+    // hashed output next to the over-fetched result itself, so the
+    // hash pins the trap's size AND the repair's recall at once.
+    "v34_filtered_graph_walk" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val idx = learnedIndex(s, d)
+      val el = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val e = emb(s, d)
+      val edges = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // the exact filtered truth (v22's pre-filter path)
+      val truth = {
+        val scored = el.filter(col("label") === V22Label)
+          .join(broadcast(q.select(col("qid"),
+            col("qvec").cast("array<double>").as("_q"))),
+            col("vec_id") =!= col("qid"))
+          .withColumn("s", VectorOps.dot(col("_q"),
+            col("embedding").cast("array<double>")))
+        graft.plans.TopK.perKey(scored, Seq("qid"),
+            Seq(col("s").desc, col("vec_id")), 3)
+          .select(col("qid"), col("vec_id").as("nb_id"))
+      }
+      def filteredWalk(beam: Int) = graft.ops.Nsw.search(edges, e,
+          "vec_id", "embedding", graft.ops.Nsw.entries(idx.assigned, "vec_id"),
+          q, beam, NswWalk, topK = beam)
+        .join(el.select(col("vec_id").as("nb_id"), col("label")), "nb_id")
+        .filter(col("label") === V22Label)
+        .select(col("qid"), col("nb_id"), col("score"))
+      def top3(df: DataFrame) = {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("nb_id"))
+        graft.plans.TopK.perKey(df, Seq("qid"),
+            Seq(col("score").desc, col("nb_id")), 3)
+          .withColumn("nb_rank", row_number().over(w))
+      }
+      def hits(df: DataFrame, as: String) = df
+        .join(truth, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).cast("int").as(as))
+      val naive = top3(filteredWalk(NswBeam))
+      val over = top3(filteredWalk(NswBeam * V34Overfetch))
+      over
+        .join(hits(over, "over_hits"), Seq("qid"), "left")
+        .join(hits(naive, "naive_hits"), Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("naive_hits"), lit(0)).as("naive_hits"),
+          coalesce(col("over_hits"), lit(0)).as("over_hits"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1723,6 +1788,10 @@ object VectorQ {
     * (v30's serving beam). */
   val BeamGrid = Seq(1, 2, 4)
 
+  /** v34: the over-fetch multiple that repairs filtered-walk recall
+    * (beam widens to NswBeam·this before the eligibility filter). */
+  val V34Overfetch = 4
+
   /** v33's replay: the SHARED v30 graph chain walked once per beam
     * setting (each chain just re-ranks with a different keep width),
     * recall@3 counted per setting against the exact brute force, and
@@ -1779,6 +1848,61 @@ object VectorQ {
          |FROM evals
          |ORDER BY beam""".stripMargin)
     sb.toString
+  }
+
+  /** v34's replay: the SHARED chain walked at the serving beam and at
+    * the over-fetched beam, each post-filtered to the eligible label
+    * and re-ranked; per-leg hits vs the exact FILTERED brute force
+    * ride beside the over-fetched result rows. */
+  private def filteredWalkOracle: String = {
+    def beamCte(name: String, candSrc: String, beam: Int): String =
+      nswBeamCte(name, candSrc, "embeddings", "e.embedding::DOUBLE[]", beam)
+    val sb = new StringBuilder
+    sb.append(nswBuildCtes)
+    sb.append(
+      s"""fbf AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        e.vec_id) AS rn
+         |    FROM nq q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.qid AND e.label = $V22Label) t
+         |  WHERE rn <= 3),
+         |""".stripMargin)
+    Seq(("f", NswBeam), ("o", NswBeam * V34Overfetch)).foreach { case (p, b) =>
+      sb.append(s"${p}wc0 AS (SELECT q.qid, e.node FROM nq q CROSS JOIN nentry e),\n")
+      sb.append(beamCte(s"${p}wb0", s"${p}wc0", b) + ",\n")
+      for (w <- 1 to NswWalk) {
+        sb.append(nswWalkCandCte(p, w))
+        sb.append(beamCte(s"${p}wb$w", s"${p}wc$w", b) + ",\n")
+      }
+      sb.append(
+        s"""${p}fil AS (
+           |  SELECT qid, node AS nb_id, score,
+           |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+           |  FROM ${p}wb$NswWalk w JOIN embeddings el ON el.vec_id = w.node
+           |  WHERE w.node <> w.qid AND el.label = $V22Label),
+           |${p}hits AS (
+           |  SELECT f.qid, CAST(COUNT(b.nb_id) AS INT) AS ${p}h
+           |  FROM ${p}fil f LEFT JOIN fbf b
+           |    ON b.qid = f.qid AND b.nb_id = f.nb_id
+           |  WHERE f.rn <= 3
+           |  GROUP BY f.qid),
+           |""".stripMargin)
+    }
+    // the leg blocks each end ",\n" — the last CTE must not carry a
+    // comma into the final SELECT
+    sb.toString.stripSuffix(",\n") + "\n" +
+      s"""SELECT o.qid, o.nb_id, CAST(o.rn AS INT) AS nb_rank,
+         |  round(o.score, 4) AS score,
+         |  COALESCE(fh.fh, 0) AS naive_hits,
+         |  COALESCE(oh.oh, 0) AS over_hits
+         |FROM ofil o
+         |LEFT JOIN ohits oh ON oh.qid = o.qid
+         |LEFT JOIN fhits fh ON fh.qid = o.qid
+         |WHERE o.rn <= 3
+         |ORDER BY o.qid, nb_rank""".stripMargin
   }
 
   /** v31's full lifecycle replay: h-prefixed training on the history
@@ -2105,6 +2229,11 @@ ORDER BY nprobe"""
     // recall + the cheapest-clearing-90% verdict (explicit largest-
     // serves fallback) replayed with a window MIN.
     "v33_beam_tuning" -> beamTuningOracle,
+
+    // v34: the shared chain at serving + over-fetched beams, post-
+    // filtered and re-ranked; both legs' hits vs the filtered brute
+    // force in the hash.
+    "v34_filtered_graph_walk" -> filteredWalkOracle,
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.
