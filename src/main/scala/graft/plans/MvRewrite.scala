@@ -791,7 +791,7 @@ object MatView {
           if (dataChange)
             cur = mergedState(cur, d,
               Snapshots.readVersionOwn(spark, factDir, v), sign = 1)
-        case ("alter", _, _) => () // metadata-only: same rows
+        case ("alter", _, _) | ("constraint", _, _) => () // metadata: same rows
         case ("deletes", Some(base), _) =>
           require(base == prev,
             s"deletion vector v$v under $factDir chains through " +

@@ -497,6 +497,83 @@ object SqlDmlQ {
            |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin).last
     }),
 
+    // x102 — CHECK CONSTRAINTS ON THE SQL SURFACE (Delta's ALTER
+    // TABLE ADD CONSTRAINT): x47's Expectations gate is a SESSION
+    // splitter — nothing stops tomorrow's writer from landing junk.
+    // Here the CHECK persists as a metadata-only LOG entry (zero
+    // data files; resolves as its base's rows; feeds no CDC;
+    // registration first validates the CURRENT state, Delta's rule),
+    // and every SQL mutation's NEW images are checked BEFORE their
+    // commit — a violating INSERT refuses leaving no version behind,
+    // a violating UPDATE refuses before its DV even stages, while
+    // compliant writes land normally. The final state replays from
+    // source; the two refusal witnesses ride the hash. At 100 TB the
+    // enforcement cost is one pushdown-eligible filter + limit(1)
+    // per constraint over the DELTA — never a table scan.
+    "x102_sql_check_constraint" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x102_snap")
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("cust_x102")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT c_custkey, c_name, c_acctbal FROM cust_x102
+           |WHERE c_acctbal >= 0;
+           |ALTER TABLE '$dir' ADD CONSTRAINT non_negative
+           |CHECK (c_acctbal >= 0);
+           |INSERT INTO '$dir'
+           |SELECT c_custkey + 1000000 AS c_custkey, c_name,
+           |  c_acctbal + 10000.0 AS c_acctbal
+           |FROM cust_x102 WHERE c_acctbal < 0""".stripMargin)
+      val insRefused = try {
+        graft.util.SqlRunner.runScriptWithSnapshots(s,
+          s"""INSERT INTO '$dir' SELECT CAST(-1 AS BIGINT) AS c_custkey,
+             |'bad' AS c_name, CAST(-5.0 AS DOUBLE) AS c_acctbal""".stripMargin)
+        false
+      } catch { case _: graft.sources.ConstraintViolationException => true }
+      // the refusal left NOTHING behind — not even a staged ghost
+      val noGhost = Snapshots.allVersions(s, dir) == Seq(1, 2, 3)
+      val updRefused = try {
+        graft.util.SqlRunner.runScriptWithSnapshots(s,
+          s"UPDATE '$dir' SET c_acctbal = c_acctbal - 100000.0 " +
+            "WHERE c_custkey <= 3")
+        false
+      } catch { case _: graft.sources.ConstraintViolationException => true }
+      Snapshots.readResolved(s, dir)
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("bal"),
+          min(col("c_acctbal")).as("mb"))
+        .select(col("n"), col("bal"), round(col("mb"), 2).as("min_bal"),
+          lit(insRefused && noGhost).as("violating_insert_refused"),
+          lit(updRefused).as("violating_update_refused"))
+    }),
+
+    // x101 — CATALOG LISTING ON THE SQL SURFACE (SHOW TABLES for a
+    // path-addressed lakehouse): tables_under('<root>') binds every
+    // snapshot table directly under a root as (name, head published
+    // version, published count) — one filesystem listing + one
+    // manifest-sized log read per table, zero data jobs at any
+    // corpus size. The fixture root carries a single-version table,
+    // a two-version table, and a table with a trailing STAGED ghost
+    // (whose head must stay the published version — a catalog that
+    // leaked staged heads would advertise states readers cannot
+    // see). The oracle states the catalog literally.
+    "x101_sql_catalog" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val root = freshSnapDir(s, d, "x101_root")
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      Snapshots.commit(cust.limit(100), s"$root/bronze")
+      Snapshots.commit(cust.limit(100), s"$root/silver")
+      Snapshots.commit(cust.limit(200), s"$root/silver") // v2
+      Snapshots.commit(cust.limit(50), s"$root/gold")
+      Snapshots.commitStaged(cust.limit(10), s"$root/gold") // ghost
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT name, head_version, n_published
+           |FROM tables_under('$root')
+           |ORDER BY name""".stripMargin).last
+    }),
+
     // x99 — CLONE ON THE SQL SURFACE (deep and shallow, Delta's two
     // CLONE modes): SHALLOW routes through x44's zero-copy metadata
     // clone (one JSON entry, reads resolve through the source);
@@ -689,6 +766,32 @@ object SqlDmlQ {
         |  CAST(3 AS INT) AS branch_at
         |FROM orders
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x102: the constrained table's final state replays from source
+    // (non-negative base ∪ the repaired negatives); literal true
+    // pins both refusals and the no-ghost discipline.
+    "x102_sql_check_constraint" ->
+      """WITH all_rows AS (
+        |  SELECT c_acctbal FROM customer WHERE c_acctbal >= 0
+        |  UNION ALL
+        |  SELECT c_acctbal + 10000.0 AS c_acctbal FROM customer
+        |  WHERE c_acctbal < 0)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  round(MIN(c_acctbal), 2) AS min_bal,
+        |  true AS violating_insert_refused,
+        |  true AS violating_update_refused
+        |FROM all_rows""".stripMargin,
+
+    // x101: the catalog stated literally — silver's head is its
+    // second published version; gold's staged ghost never surfaces.
+    "x101_sql_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('bronze', CAST(1 AS INT), CAST(1 AS INT)),
+        |  ('gold',   CAST(1 AS INT), CAST(1 AS INT)),
+        |  ('silver', CAST(2 AS INT), CAST(2 AS INT)))
+        |  t(name, head_version, n_published)
+        |ORDER BY name""".stripMargin,
 
     // x99: the deep clone's aggregate replays from source (the clone
     // IS the source state, survived past the source's drop); literal

@@ -284,6 +284,13 @@ final class ConcurrentCommitException(msg: String)
 final class TxnDecidedException(msg: String)
   extends IllegalStateException(msg)
 
+/** Raised when a SQL mutation's new images violate a CHECK constraint
+  * registered in the table's log ([[Snapshots.addCheckConstraint]]) —
+  * the write refuses BEFORE its commit, so a constrained table can
+  * never serve a violating row. */
+final class ConstraintViolationException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object Snapshots {
 
   private def fsOf(spark: SparkSession, dir: String) = {
@@ -562,6 +569,82 @@ object Snapshots {
     writeVersion(df, dir, partitionBy,
       extraMeta = s""","kind":"append","base":$base,"staged":true""" +
         epoch.fold("")(e => s""","epoch":$e"""))
+  }
+
+  /** TABLE CHECK CONSTRAINT (x102, Delta's ALTER TABLE ADD
+    * CONSTRAINT): persist a named CHECK expression as a
+    * METADATA-ONLY log entry (the alter discipline — zero data
+    * files), so enforcement rides the TABLE across sessions and
+    * engines, unlike x47's session-level Expectations splitter.
+    * Adding validates the CURRENT resolved state first (a constraint
+    * the table already violates must not register — Delta's rule);
+    * thereafter every SQL mutation verb's NEW images are checked
+    * ([[enforceConstraints]]) before their commit. The entry carries
+    * `base` as provenance, resolves as its base's rows (same schema),
+    * feeds no CDC, and commutes with nothing in the x91 audit (an
+    * append planned below a new constraint was never checked against
+    * it, so it must re-plan). */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+                         constraintExpr: String): Int = {
+    import org.apache.spark.sql.functions.{expr, not}
+    require(name.matches("[A-Za-z0-9_]+"), s"invalid constraint name '$name'")
+    require(!checkConstraints(spark, dir).exists(_._1 == name),
+      s"constraint '$name' already exists under $dir")
+    require(readResolved(spark, dir).filter(not(expr(constraintExpr)))
+        .limit(1).isEmpty,
+      s"cannot add CHECK '$name' ($constraintExpr) under $dir: " +
+        "existing rows violate it")
+    val (fs, p) = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      val head = versions(spark, dir).last
+      val next = allVersions(spark, dir).last + 1
+      // never-created sentinel dir name: zero data files by contract
+      val entry = s"""{"version":$next,"dir":${jstr(s"v$next-constraint")},"n_files":0,"bytes":0,"kind":"constraint","base":$head,"cname":${jstr(name)},"cexpr":${jstr(constraintExpr)}}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+    }
+    -1 // unreachable
+  }
+
+  /** The table's registered CHECK constraints, (name, expr), from
+    * the log alone — manifest-sized. */
+  def checkConstraints(spark: SparkSession, dir: String): Seq[(String, String)] =
+    logEntries(spark, dir)
+      .filter(n => Option(n.get("kind")).exists(_.asText() == "constraint"))
+      .filter(isPublishedEntry(spark, _))
+      .map(n => (n.get("cname").asText(), n.get("cexpr").asText()))
+
+  /** Raise iff any row of `df` (a mutation's NEW images) violates a
+    * registered constraint — one pushdown-eligible filter + limit(1)
+    * per constraint, O(|Δ|) total, never a table scan. */
+  def enforceConstraints(spark: SparkSession, dir: String,
+                         df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr, not}
+    checkConstraints(spark, dir).foreach { case (name, ce) =>
+      if (!df.filter(not(expr(ce))).limit(1).isEmpty)
+        throw new ConstraintViolationException(
+          s"CHECK constraint '$name' ($ce) violated by the write under $dir")
+    }
+  }
+
+  /** CATALOG LISTING (x101): every snapshot table directly under
+    * `root` — (name, head published version, published count), one
+    * filesystem listing + one log read per table, zero data jobs.
+    * A directory is a table iff its log has at least one entry; a
+    * staged-only (never-published) table lists with head 0. The
+    * SHOW TABLES of a path-addressed lakehouse. */
+  def tablesUnder(spark: SparkSession, root: String): Seq[(String, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val dir = st.getPath.toString
+      val pub = versions(spark, dir)
+      if (allVersions(spark, dir).isEmpty) None
+      else Some((st.getPath.getName, pub.lastOption.getOrElse(0), pub.size))
+    }.sortBy(_._1)
   }
 
   /** Every (version → epoch) tag in ONE log read — [[Branches
@@ -847,7 +930,8 @@ object Snapshots {
       val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
       val base = Option(n.get("base")).map(_.asInt())
       val logical =
-        Set("append", "deletes", "replace", "alter", "restore").contains(kind)
+        Set("append", "deletes", "replace", "alter", "restore",
+          "constraint").contains(kind)
       if (logical && base.isDefined) v = base.get else descending = false
     }
     out.result()
@@ -1177,7 +1261,7 @@ object Snapshots {
       // an alter is metadata-only (same rows, wider schema): feeds
       // nothing — a schema change must never reach CDC consumers as
       // row churn
-      case "alter" => sel(lit("I"), vdf).limit(0)
+      case "alter" | "constraint" => sel(lit("I"), vdf).limit(0)
       case "data" | "clone" | "restore" =>
         // the diff baseline is the latest PUBLISHED prior version: a
         // staged (unpublished) prior was never visible to any reader,
@@ -1436,6 +1520,10 @@ object Snapshots {
     // resolved recursively (the base may itself be logical)
     if (Option(n.get("kind")).map(_.asText()).contains("restore"))
       return readResolved(spark, dir, Some(n.get("base").asInt()))
+    // a constraint entry is metadata-only: content = its base's rows,
+    // schema unchanged (only the WRITE path changes behavior)
+    if (Option(n.get("kind")).map(_.asText()).contains("constraint"))
+      return readResolved(spark, dir, Some(n.get("base").asInt()))
     // an alter is metadata-only schema widening: content = its base's
     // rows served through the WIDENED schema (new columns as typed
     // nulls — the aligned-read contract applied at the log)
@@ -1487,7 +1575,8 @@ object Snapshots {
     val n = logEntries(spark, dir).find(_.get("version").asInt() == version)
     require(n.isDefined, s"version $version not in log under $dir")
     val kind = Option(n.get.get("kind")).map(_.asText())
-    require(!kind.exists(k => k == "clone" || k == "restore" || k == "alter"),
+    require(!kind.exists(k => k == "clone" || k == "restore" ||
+        k == "alter" || k == "constraint"),
       s"version $version under $dir is metadata-only ($kind) — no own files")
     readVersionDf(spark, dir, n.get)
   }
@@ -1565,6 +1654,7 @@ object Snapshots {
         case "clone" => vdf // readVersionDf already resolved the source
         case "restore" => vdf // readVersionDf already resolved the base
         case "alter" => vdf // readVersionDf already widened the base
+        case "constraint" => vdf // readVersionDf already resolved the base
         case "deletes" =>
           resolve(n.get("base").asInt()).join(vdf, vdf.columns.toSeq, "left_anti")
         case "replace" =>
@@ -1660,7 +1750,8 @@ object Snapshots {
       // clone's content lives in its (separately purged) source
       // table, a restore's/alter's in its same-log base — which this
       // loop rewrites
-      if (kind != "clone" && kind != "restore" && kind != "alter") {
+      if (kind != "clone" && kind != "restore" && kind != "alter" &&
+          kind != "constraint") {
         val df = readVersionDf(spark, dir, n)
         if (keyCols.forall(df.columns.contains)) {
           // partition layout re-derived from the version's directory

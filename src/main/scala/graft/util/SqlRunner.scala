@@ -140,12 +140,22 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    val bound3r = TableRefs.replaceAllIn(bound3b, m => {
+    val bound3r0 = TableRefs.replaceAllIn(bound3b, m => {
       val dir = m.group(1)
       val view = s"refs_${Integer.toHexString(dir.hashCode)}"
       import spark.implicits._
       graft.sources.Branches.list(spark, dir)
         .toDF("name", "version", "is_tag").createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    // catalog listing (x101): SHOW TABLES for a path-addressed root
+    val bound3r = TablesUnder.replaceAllIn(bound3r0, m => {
+      val root = m.group(1)
+      val view = s"tables_${Integer.toHexString(root.hashCode)}"
+      import spark.implicits._
+      graft.sources.Snapshots.tablesUnder(spark, root)
+        .toDF("name", "head_version", "n_published")
+        .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
     // DESCRIBE HISTORY (x74): the commit log as a queryable view
@@ -234,7 +244,7 @@ object SqlRunner {
       case st if txn.isDefined &&
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
-            DropMv, DropTable, AlterAddColumn, CreateBranch,
+            DropMv, DropTable, AlterAddColumn, AddConstraint, CreateBranch,
             InsertIntoBranch, FastForward, CreateTableClone)
             .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
@@ -271,11 +281,20 @@ object SqlRunner {
         require(orReplace != null ||
           graft.sources.Snapshots.versions(spark, dir).isEmpty,
           s"CREATE TABLE '$dir': table exists (use CREATE OR REPLACE)")
-        val v = graft.sources.Snapshots.commit(spark.sql(select), dir)
+        val frame = spark.sql(select)
+        // x102: constraints survive a history-preserving REPLACE, so
+        // the replacement state is checked like any other new image
+        if (orReplace != null)
+          graft.sources.Snapshots.enforceConstraints(spark, dir, frame)
+        val v = graft.sources.Snapshots.commit(frame, dir)
         spark.sql(s"SELECT $v AS created_version")
       case DropTable(dir) =>
         graft.sources.Snapshots.drop(spark, dir)
         spark.sql("SELECT true AS table_dropped")
+      case AddConstraint(dir, cname, cexpr) =>
+        val v = graft.sources.Snapshots.addCheckConstraint(
+          spark, dir, cname, cexpr)
+        spark.sql(s"SELECT $v AS constraint_version")
       case AlterAddColumn(dir, cname, ctype) =>
         val v = graft.sources.Snapshots.alterAddColumn(spark, dir, cname,
           org.apache.spark.sql.types.DataType.fromDDL(ctype))
@@ -293,8 +312,10 @@ object SqlRunner {
         spark.sql(s"SELECT ${pub.size} AS n_published")
       case InsertInto(dir, select) =>
         val base = graft.sources.Snapshots.versions(spark, dir).last
-        val v = graft.sources.Snapshots.commitAppend(
-          spark.sql(select), dir, base)
+        val delta = spark.sql(select)
+        // x102: a registered CHECK refuses the delta before the commit
+        graft.sources.Snapshots.enforceConstraints(spark, dir, delta)
+        val v = graft.sources.Snapshots.commitAppend(delta, dir, base)
         spark.sql(s"SELECT $v AS inserted_version")
       case OptimizeStmt(dir, zcols, n) =>
         val v = Option(zcols) match {
@@ -384,6 +405,9 @@ object SqlRunner {
       Snapshots.readResolved(spark, dir), spark.table(srcView), key,
       matchedDelete = matchedDelete, matchedUpdate = matchedUpdate,
       notMatchedInsert = notMatchedInsert, bySourceDelete = bySourceDelete)
+    // x102: the merged state is this verb's new images — a registered
+    // CHECK refuses BEFORE the commit
+    Snapshots.enforceConstraints(spark, dir, merged)
     Snapshots.commit(merged, dir, expectedVersion = expected)
   }
 
@@ -419,6 +443,8 @@ object SqlRunner {
       val Array(c, e) = a.split("=", 2).map(_.trim)
       df.withColumn(c, expr(e))
     }
+    // x102: new images checked before anything stages
+    Snapshots.enforceConstraints(spark, dir, images)
     val dv = Snapshots.commitDeletes(hit, dir, base = base, staged = true)
     Snapshots.commitAppend(images, dir, base = dv)
   }
@@ -489,6 +515,18 @@ object SqlRunner {
     """(?i)branch_at\(\s*'([^']+)'\s*,\s*'([A-Za-z0-9._-]+)'\s*\)""".r
   private val TableRefs =
     """(?i)table_refs\(\s*'([^']+)'\s*\)""".r
+
+  /** `ALTER TABLE '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)` —
+    * x102: the CHECK persists as a metadata-only log entry and every
+    * later SQL mutation's new images are checked against it. */
+  private val AddConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
+
+  /** `tables_under('<root>')` binds the catalog listing — every
+    * snapshot table directly under the root as (name, head_version,
+    * n_published), metadata-only (x101's SHOW TABLES). */
+  private val TablesUnder =
+    """(?i)tables_under\(\s*'([^']+)'\s*\)""".r
 
   /** `VACUUM '<dir>' KEEP <n>` — physically drop versions outside
     * the last n heads' chain closure (x29's retention verb). */

@@ -557,4 +557,50 @@ class SqlRunnerSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not transactional"))
   }
+
+  test("x102: constraints persist in the log, gate every mutation verb, and refuse bad registrations") {
+    import graft.sources.{ConstraintViolationException, Snapshots}
+    import spark.implicits._
+    val dir = s"target/sqlrunner_check_${System.nanoTime()}"
+    Snapshots.drop(spark, dir)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+      .createOrReplaceTempView("check_src")
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"""CREATE TABLE '$dir' AS SELECT * FROM check_src;
+         |ALTER TABLE '$dir' ADD CONSTRAINT pos CHECK (bal >= 0)""".stripMargin)
+    assert(Snapshots.checkConstraints(spark, dir) == Seq(("pos", "bal >= 0")))
+    // a constraint the table already violates must not register
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"ALTER TABLE '$dir' ADD CONSTRAINT big CHECK (bal > 15)")
+    }
+    // duplicate name refuses
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"ALTER TABLE '$dir' ADD CONSTRAINT pos CHECK (bal >= 0)")
+    }
+    // MERGE's new images are gated too
+    Seq((1L, -5.0)).toDF("id", "bal").createOrReplaceTempView("check_bad")
+    intercept[ConstraintViolationException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"MERGE INTO '$dir' USING check_bad ON id WHEN MATCHED THEN UPDATE SET *")
+    }
+    // a compliant write still lands, resolved through the constraint entry
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"INSERT INTO '$dir' SELECT CAST(3 AS BIGINT) AS id, CAST(5.0 AS DOUBLE) AS bal")
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    // the constraint version is metadata-only and time-travels as its base
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 2)
+  }
+
+  test("x101: tables_under lists published heads only; a missing root is empty") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = s"target/sqlrunner_cat_${System.nanoTime()}"
+    assert(Snapshots.tablesUnder(spark, root).isEmpty)
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), s"$root/t1")
+    Snapshots.commitStaged(Seq((2L, "b")).toDF("id", "v"), s"$root/t1")
+    assert(Snapshots.tablesUnder(spark, root) == Seq(("t1", 1, 1)),
+      "a staged ghost must never surface as the head")
+  }
 }
