@@ -49,6 +49,12 @@ object Retention {
     if (!inProgress.add(key)) return // re-entrancy: vacuum commits nothing,
     // but the guard keeps the hook idempotent under nested dispatch
     try {
+      // Steady-state cost note: when chain closure pins more than
+      // keepLast versions (append-heavy tables), this runs a no-op
+      // vacuum per commit — one log read + one closure walk, both
+      // manifest-sized, the same class of cost AutoAnalyze and
+      // AutoOptimize pay per commit. The walk never touches data and
+      // an empty droppable set attempts no filesystem deletes.
       if (Snapshots.versions(spark, dir).size > keep)
         Snapshots.vacuum(spark, dir, keep)
     } catch {

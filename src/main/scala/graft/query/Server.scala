@@ -137,11 +137,15 @@ object Server {
         // clamped response re-serves the cap page, which corrupts any
         // offset-walking client with duplicates it cannot detect; the
         // 400 names the keyset cursor as the deep-walk path
-        if (offset.toLong + limit > 10000L) // Long: offset near Int.Max must not overflow past the guard
+        val after = params.get("after")
+        // the guard applies to the OFFSET path only — a keyset
+        // request never uses offset, so refusing it would 400 a
+        // client already doing the right thing. Long arithmetic:
+        // offset near Int.Max must not overflow past the guard.
+        if (after.isEmpty && offset.toLong + limit > 10000L)
           (400, err(s"offset+limit ${offset.toLong + limit} exceeds " +
             "10000 — use keyset pagination (?after=<last paper_id>)"))
         else {
-          val after = params.get("after")
           val pidCol = org.apache.spark.sql.functions.col("paper_id")
           val arr = mapper.createArrayNode()
           val page = after match {

@@ -588,17 +588,22 @@ object Snapshots {
                          constraintExpr: String): Int = {
     import org.apache.spark.sql.functions.{expr, not}
     require(name.matches("[A-Za-z0-9_]+"), s"invalid constraint name '$name'")
-    require(!checkConstraints(spark, dir).exists(_._1 == name),
-      s"constraint '$name' already exists under $dir")
-    require(readResolved(spark, dir).filter(not(expr(constraintExpr)))
-        .limit(1).isEmpty,
-      s"cannot add CHECK '$name' ($constraintExpr) under $dir: " +
-        "existing rows violate it")
     val (fs, p) = fsOf(spark, dir)
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 10000, s"commit livelock under $dir")
+      // duplicate check AND current-state validation recomputed on
+      // EVERY attempt (the alter discipline): a lost claim means the
+      // log advanced — a concurrent commit may have landed rows the
+      // constraint must now be validated against, else a CHECK the
+      // served state already violates would register
+      require(!checkConstraints(spark, dir).exists(_._1 == name),
+        s"constraint '$name' already exists under $dir")
+      require(readResolved(spark, dir).filter(not(expr(constraintExpr)))
+          .limit(1).isEmpty,
+        s"cannot add CHECK '$name' ($constraintExpr) under $dir: " +
+          "existing rows violate it")
       val head = versions(spark, dir).last
       val next = allVersions(spark, dir).last + 1
       // never-created sentinel dir name: zero data files by contract
@@ -641,9 +646,13 @@ object Snapshots {
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
       val dir = st.getPath.toString
-      val pub = versions(spark, dir)
-      if (allVersions(spark, dir).isEmpty) None
-      else Some((st.getPath.getName, pub.lastOption.getOrElse(0), pub.size))
+      val entries = logEntries(spark, dir) // the ONE log read per dir
+      if (entries.isEmpty) None
+      else {
+        val pub = entries.filter(isPublishedEntry(spark, _))
+          .map(_.get("version").asInt()).sorted
+        Some((st.getPath.getName, pub.lastOption.getOrElse(0), pub.size))
+      }
     }.sortBy(_._1)
   }
 
@@ -1440,56 +1449,57 @@ object Snapshots {
     //     to the next number and retries — concurrent plain writers
     //     all land, serialized by the claim order.
     var dataDir: org.apache.hadoop.fs.Path = stage
-    // start above every existing entry (staged ghosts included — they
-    // own their numbers even though they are not conflicts)
-    var next = math.max(expected.map(_ + 1).getOrElse(0),
-      allVersions(spark, dir).lastOption.getOrElse(0) + 1)
+    var next = allVersions(spark, dir).lastOption.getOrElse(0) + 1
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 10000, s"commit livelock under $dir")
+      expected.foreach { e =>
+        // re-verified on EVERY attempt (the data write above takes
+        // real time — the race may be lost before the first claim):
+        // the PUBLISHED head must still be `expected`; unpublished
+        // stages are not conflicts, they merely occupy numbers.
+        val pubNow = versions(spark, dir).lastOption.getOrElse(0)
+        if (pubNow != e) {
+          fs.delete(dataDir, true)
+          throw new ConcurrentCommitException(
+            s"commit planned against v$e but v$pubNow is the published " +
+              s"head under $dir")
+        }
+        // claim the FIRST free number above `expected` (stepping past
+        // staged ghosts only): every concurrent publisher targets the
+        // same slot, so the entry-create collision IS the conflict
+        // detector — the loser's recheck sees the winner published
+        // above `expected` and raises. Starting at max+1 instead
+        // would let a racer land clean ABOVE an interleaved commit
+        // and miss the conflict entirely.
+        val all = allVersions(spark, dir).toSet
+        next = Iterator.from(e + 1).find(v => !all.contains(v)).get
+      }
       val vdir = new org.apache.hadoop.fs.Path(p, s"v$next-$writer")
       require(fs.rename(dataDir, vdir), s"could not place $dataDir -> $vdir")
       dataDir = vdir
       val entry = s"""{"version":$next,"dir":${jstr(vdir.getName)},$meta}"""
-      if (tryPublishEntry(fs, p, next, entry)) {
-        // AUTHORITATIVE conflict check, claim-then-clean (the
-        // tryCreateExclusive discipline): the claim may have landed
-        // ABOVE a concurrently published commit (the free number
-        // moved while the data was staged), which a number-bound
-        // check can't see. Any OTHER published version above
-        // `expected` is a real conflict — roll back our own entry +
-        // data and raise exactly as if the claim had been lost.
-        // Staged entries in the gap are not conflicts (reader-visible
-        // state unchanged).
-        expected.foreach { e =>
-          val interlopers = versions(spark, dir)
-            .filter(v => v > e && v != next)
-          if (interlopers.nonEmpty) {
-            fs.delete(new org.apache.hadoop.fs.Path(p,
-              s"_entry_v$next.json"), false)
-            fs.delete(dataDir, true)
-            throw new ConcurrentCommitException(
-              s"commit planned against v$e but v${interlopers.max} was " +
-                s"published concurrently under $dir")
-          }
-        }
-        return next
-      }
-      if (expected.isDefined) {
-        // the claim lost this number to a concurrent writer: a
-        // PUBLISHED interleaving is a real conflict (the
-        // planned-against state moved — raise); losing to an
-        // unpublished stage is not (reader-visible state unchanged)
-        // — step past it and re-claim under the re-checked guard
-        val pubNow = versions(spark, dir).lastOption.getOrElse(0)
-        if (pubNow != expected.get) {
-          fs.delete(dataDir, true)
-          throw new ConcurrentCommitException(
-            s"commit planned against v${expected.get} but v$pubNow is the published head under $dir")
-        }
-      }
-      next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
+      // The entry create IS publication, so a winning claim needs no
+      // post-check: any OTHER published commit claims max+1 at ITS
+      // read time — below our number it would have been visible to
+      // our preflight; at our number it wins or loses THIS claim; and
+      // after our create it reads our version as its base. The one
+      // event that can surface a published version between `expected`
+      // and our claim is a staged entry FLIPPING published (WAP
+      // publish / txn commit / branch fast-forward) in the window —
+      // which this log's documented contract treats as SHADOWED by
+      // later-numbered commits (stepChanges' re-basing rule), for
+      // expected and plain writers alike. Rolling our own published
+      // entry back here instead would be unsound: a concurrent append
+      // may already have based on it.
+      if (tryPublishEntry(fs, p, next, entry)) return next
+      // lost the claim: an expected commit loops back to the
+      // recheck-and-reslot above (a published winner at our slot
+      // raises there; a staged racer merely moves the slot); a plain
+      // commit takes the next number
+      if (expected.isEmpty)
+        next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }
     -1 // unreachable
   }

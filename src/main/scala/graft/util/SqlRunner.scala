@@ -258,6 +258,11 @@ object SqlRunner {
         val existed = graft.plans.MatView.drop(spark, name)
         spark.sql(s"SELECT $existed AS mv_dropped")
       case RestoreTable(dir, v) =>
+        // x102: a rollback republishes HISTORIC rows — they too must
+        // satisfy the constraints registered since (one restore-sized
+        // scan; restores are rare and explicit)
+        graft.sources.Snapshots.enforceConstraints(spark, dir,
+          graft.sources.Snapshots.readResolved(spark, dir, Some(v.toInt)))
         val nv = graft.sources.Snapshots.commitRestore(spark, dir, v.toInt)
         spark.sql(s"SELECT $nv AS restored_as_version")
       case VacuumTable(dir, n) =>
@@ -305,7 +310,11 @@ object SqlRunner {
         else graft.sources.Branches.create(spark, dir, name, v.toInt)
         spark.sql("SELECT true AS ref_created")
       case InsertIntoBranch(dir, name, select) =>
-        val v = graft.sources.Branches.commitTo(spark.sql(select), dir, name)
+        val delta = spark.sql(select)
+        // x102: branch writes are gated like main writes — else FAST
+        // FORWARD would publish rows the CHECK never saw
+        graft.sources.Snapshots.enforceConstraints(spark, dir, delta)
+        val v = graft.sources.Branches.commitTo(delta, dir, name)
         spark.sql(s"SELECT $v AS staged_version")
       case FastForward(dir, name) =>
         val pub = graft.sources.Branches.fastForward(spark, dir, name)
@@ -405,9 +414,13 @@ object SqlRunner {
       Snapshots.readResolved(spark, dir), spark.table(srcView), key,
       matchedDelete = matchedDelete, matchedUpdate = matchedUpdate,
       notMatchedInsert = notMatchedInsert, bySourceDelete = bySourceDelete)
-    // x102: the merged state is this verb's new images — a registered
-    // CHECK refuses BEFORE the commit
-    Snapshots.enforceConstraints(spark, dir, merged)
+    // x102: only rows the MERGE could have changed need checking —
+    // matched updates and inserts all carry a source key, and base
+    // rows were validated at their own write time. The semi join
+    // keeps the check delta-sized (never a table scan on a clean
+    // merge); deletions cannot violate a CHECK.
+    Snapshots.enforceConstraints(spark, dir,
+      merged.join(spark.table(srcView).select(key), Seq(key), "left_semi"))
     Snapshots.commit(merged, dir, expectedVersion = expected)
   }
 

@@ -591,6 +591,15 @@ class SqlRunnerSpec extends SparkSpec {
     assert(Snapshots.readResolved(spark, dir).count() == 3)
     // the constraint version is metadata-only and time-travels as its base
     assert(Snapshots.read(spark, dir, Some(2)).count() == 2)
+    // branch writes are gated too — else FAST FORWARD would publish
+    // rows the CHECK never saw
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"CREATE BRANCH '$dir' dev AT VERSION 3")
+    intercept[ConstraintViolationException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"INSERT INTO BRANCH '$dir' dev SELECT CAST(9 AS BIGINT) AS id, " +
+          "CAST(-1.0 AS DOUBLE) AS bal")
+    }
   }
 
   test("x101: tables_under lists published heads only; a missing root is empty") {
