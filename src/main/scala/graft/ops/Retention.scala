@@ -8,7 +8,10 @@ import graft.sources.Snapshots
   * the log and leaves the previous versions' data files on disk;
   * without a policy a 100 TB table's storage is its churn history,
   * and someone has to remember to VACUUM. `enable(dir, keepLast)`
-  * opts a table in; after every commit verb the hook counts
+  * opts a table in; after every reader-visible commit verb (full/OCC
+  * commits, appends, deletion vectors, partition replaces, restores,
+  * timed commits, layout re-lands, epoch commits, and WAP/branch
+  * publishes — invisible stages never dispatch) the hook counts
   * PUBLISHED versions from the log (manifest-sized) and, past the
   * window, lands [[Snapshots.vacuum]] — which keeps the last
   * `keepLast` heads' transitive CHAIN CLOSURE (an old version a

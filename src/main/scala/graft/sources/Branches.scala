@@ -151,6 +151,14 @@ object Branches {
         s"cannot fast-forward '$name': main moved v$fork → v$mainHead " +
           "since the fork")
     val chain = es.tail.map(_._2)
+    // x102 over the chain: the merge is the point branch rows become
+    // reader-visible, so every branch version's OWN rows are checked
+    // against the CURRENT constraint set before any flip — covering
+    // writes staged before a CHECK registered and commitTo callers
+    // that never gated. O(chain Δ), never a table scan; a violating
+    // chain refuses whole (no partial publication precedes the check).
+    chain.foreach(v => Snapshots.enforceConstraints(spark, dir,
+      Snapshots.readVersionOwn(spark, dir, v)))
     chain.foreach(v => Snapshots.publish(spark, dir, v))
     // The guard-then-flip window is not atomic (publish is an entry
     // replacement, not a claim): verify AFTER the flips that nothing

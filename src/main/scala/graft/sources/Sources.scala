@@ -519,9 +519,14 @@ object Snapshots {
                     staged: Boolean = false): Int = {
     require(allVersions(keys.sparkSession, dir).contains(base),
       s"delete base v$base not committed under $dir")
-    writeVersion(keys, dir, Nil, extraMeta =
+    val v = writeVersion(keys, dir, Nil, extraMeta =
       s""","kind":"deletes","base":$base""" +
         (if (staged) ""","staged":true""" else ""))
+    // retention hook only on a reader-visible commit: a staged DV is
+    // x58's invisible half — its publish point (the chained append)
+    // dispatches the hook itself
+    if (!staged) graft.ops.Retention.afterCommit(keys.sparkSession, dir)
+    v
   }
 
   /** Commit an APPEND: `df` holds ONLY the new rows; version `base`'s
@@ -537,13 +542,15 @@ object Snapshots {
     * never a base rewrite. */
   def commitAppend(df: DataFrame, dir: String, base: Int,
                    partitionBy: Seq[String] = Nil,
-                   dataChange: Boolean = true): Int = {
+                   dataChange: Boolean = true,
+                   expected: Option[Int] = None): Int = {
     // allVersions: an append may chain through a STAGED base (x58's
     // merge-on-read publish point rides a staged DV)
     require(allVersions(df.sparkSession, dir).contains(base),
       s"append base v$base not committed under $dir")
     val v = writeVersion(df, dir, partitionBy,
-      extraMeta = s""","kind":"append","base":$base,"dataChange":$dataChange""")
+      extraMeta = s""","kind":"append","base":$base,"dataChange":$dataChange""",
+      expected = expected)
     // opt-in auto-ANALYZE (x79): an append folds the delta's
     // mergeable state — O(|Δ|), the base is never re-read
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
@@ -600,11 +607,14 @@ object Snapshots {
       // served state already violates would register
       require(!checkConstraints(spark, dir).exists(_._1 == name),
         s"constraint '$name' already exists under $dir")
+      val head = versions(spark, dir).lastOption.getOrElse(sys.error(
+        s"ADD CONSTRAINT '$name' under $dir: no published versions — " +
+          "a CHECK validates against served state, so commit (or " +
+          "publish) the table first"))
       require(readResolved(spark, dir).filter(not(expr(constraintExpr)))
           .limit(1).isEmpty,
         s"cannot add CHECK '$name' ($constraintExpr) under $dir: " +
           "existing rows violate it")
-      val head = versions(spark, dir).last
       val next = allVersions(spark, dir).last + 1
       // never-created sentinel dir name: zero data files by contract
       val entry = s"""{"version":$next,"dir":${jstr(s"v$next-constraint")},"n_files":0,"bytes":0,"kind":"constraint","base":$head,"cname":${jstr(name)},"cexpr":${jstr(constraintExpr)}}"""
@@ -760,8 +770,10 @@ object Snapshots {
                     pcol: String, pval: String): Int = {
     require(versions(df.sparkSession, dir).contains(base),
       s"replace base v$base not committed under $dir")
-    writeVersion(df, dir, Seq(pcol),
+    val v = writeVersion(df, dir, Seq(pcol),
       extraMeta = s""","kind":"replace","base":$base,"pcol":${jstr(pcol)},"pval":${jstr(pval)}""")
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
+    v
   }
 
   /** Commit a LAYOUT rewrite (ops.Optimize): a FULL version holding
@@ -785,6 +797,7 @@ object Snapshots {
       dropFromSchema = dropFromSchema)
     graft.ops.AutoAnalyze.afterCommit(df.sparkSession, dir, v,
       base = Some(base), dataChange = false)
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
     v
   }
 
@@ -868,7 +881,11 @@ object Snapshots {
       require(attempts <= 10000, s"commit livelock under $dir")
       // never-created sentinel dir name: zero data files by contract
       val entry = s"""{"version":$next,"dir":${jstr(s"v$next-restore")},"n_files":0,"bytes":0,"kind":"restore","base":$toVersion}"""
-      if (tryPublishEntry(fs, p, next, entry)) return next
+      if (tryPublishEntry(fs, p, next, entry)) {
+        // chain closure keeps the restore target pinned through the hook
+        graft.ops.Retention.afterCommit(spark, dir)
+        return next
+      }
       next = math.max(next, allVersions(spark, dir).lastOption.getOrElse(0)) + 1
     }
     -1 // unreachable
@@ -915,6 +932,87 @@ object Snapshots {
       val next = allVersions(spark, dir).last + 1
       // never-created sentinel dir name: zero data files by contract
       val entry = s"""{"version":$next,"dir":${jstr(s"v$next-alter")},"n_files":0,"bytes":0,"kind":"alter","base":$head,"schema":${jstr(widened.json)}}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+    }
+    -1 // unreachable
+  }
+
+  /** COLUMN MAPPING: RENAME COLUMN as a METADATA-ONLY commit (x104 —
+    * x92's missing half, Delta's column-mapping mode reduced to its
+    * load-bearing part): the alter entry carries the NEW logical
+    * schema plus a `renames` map (new name → the base chain's name),
+    * so resolution serves the base's physical column under the new
+    * name — zero files rewritten, zero backfill. Historic pinned
+    * reads still serve their own committed names; aligned reads
+    * translate old names forward through the recorded maps
+    * ([[readAligned]]). Later appends carry the new schema and chain
+    * through. A column referenced by a registered CHECK refuses
+    * loudly (Delta's rule: drop the constraint first); rename does
+    * not commute with stale-base appends (the x91 audit raises past
+    * any alter). */
+  def alterRenameColumn(spark: SparkSession, dir: String,
+                        from: String, to: String): Int = {
+    require(from != to, s"RENAME COLUMN: '$from' to itself")
+    alterSchema(spark, dir, s"RENAME COLUMN $from TO $to", from) { cur =>
+      require(cur.fieldNames.contains(from),
+        s"RENAME COLUMN '$dir': no column '$from'")
+      require(!cur.fieldNames.contains(to),
+        s"RENAME COLUMN '$dir': column '$to' exists")
+      (StructType(cur.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+        s""","renames":{${jstr(to)}:${jstr(from)}}""")
+    }
+  }
+
+  /** COLUMN MAPPING: DROP COLUMN as a METADATA-ONLY commit (x104):
+    * the alter entry carries the narrowed schema — the column is
+    * excluded from every resolution at-or-above this version, while
+    * historic pinned reads still serve it (time travel keeps the
+    * data; the files are never touched). Aligned reads of old
+    * versions exclude it via the recorded `drops` list — the recorded
+    * entry IS the policy decision [[readAligned]] used to refuse
+    * without. Refuses while a registered CHECK references the
+    * column. */
+  def alterDropColumn(spark: SparkSession, dir: String,
+                      colName: String): Int =
+    alterSchema(spark, dir, s"DROP COLUMN $colName", colName) { cur =>
+      require(cur.fieldNames.contains(colName),
+        s"DROP COLUMN '$dir': no column '$colName'")
+      require(cur.fields.length > 1,
+        s"DROP COLUMN '$dir': cannot drop the only column")
+      (StructType(cur.fields.filterNot(_.name == colName)),
+        s""","drops":[${jstr(colName)}]""")
+    }
+
+  /** Shared alter-claim loop: recompute head/schema on every attempt
+    * (the alter discipline — a lost claim means the log advanced),
+    * refuse while a registered CHECK references `guardCol`, land a
+    * zero-file entry carrying the new schema + mapping metadata. */
+  private def alterSchema(spark: SparkSession, dir: String, verb: String,
+                          guardCol: String)(
+      reshape: StructType => (StructType, String)): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      // a CHECK referencing the column would silently break at every
+      // later write — refuse like Delta (drop the constraint first).
+      // References come from the parsed expression, not a text match.
+      checkConstraints(spark, dir).foreach { case (cname, ce) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(ce).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+        require(!refs.contains(guardCol),
+          s"$verb under $dir: CHECK constraint '$cname' ($ce) references " +
+            s"'$guardCol' — drop the constraint first")
+      }
+      val head = versions(spark, dir).lastOption.getOrElse(
+        sys.error(s"ALTER TABLE: no committed versions under $dir"))
+      val (newSchema, mapMeta) = reshape(readResolved(spark, dir).schema)
+      val next = allVersions(spark, dir).last + 1
+      val entry = s"""{"version":$next,"dir":${jstr(s"v$next-alter")},"n_files":0,"bytes":0,"kind":"alter","base":$head,"schema":${jstr(newSchema.json)}$mapMeta}"""
       if (tryPublishEntry(fs, p, next, entry)) return next
     }
     -1 // unreachable
@@ -1008,7 +1106,9 @@ object Snapshots {
     require(prior.forall(_ < tsMillis),
       s"commit ts $tsMillis must exceed every prior commit ts under $dir " +
         s"(max prior: ${prior.maxOption.getOrElse(0L)})")
-    writeVersion(df, dir, partitionBy, extraMeta = s""","ts":$tsMillis""")
+    val v = writeVersion(df, dir, partitionBy, extraMeta = s""","ts":$tsMillis""")
+    graft.ops.Retention.afterCommit(df.sparkSession, dir)
+    v
   }
 
   /** `TIMESTAMP AS OF` resolution: the LATEST published version whose
@@ -1060,6 +1160,9 @@ object Snapshots {
     // stay staleness-detected instead)
     if (Option(o.get("kind")).isEmpty)
       graft.ops.AutoAnalyze.afterCommit(spark, dir, version, base = None)
+    // publication is a stage's reader-visible moment — the retention
+    // window advances here, not at the invisible stage
+    graft.ops.Retention.afterCommit(spark, dir)
   }
 
   // ------------------------------------------------------------------
@@ -1534,18 +1637,24 @@ object Snapshots {
     // schema unchanged (only the WRITE path changes behavior)
     if (Option(n.get("kind")).map(_.asText()).contains("constraint"))
       return readResolved(spark, dir, Some(n.get("base").asInt()))
-    // an alter is metadata-only schema widening: content = its base's
-    // rows served through the WIDENED schema (new columns as typed
-    // nulls — the aligned-read contract applied at the log)
+    // an alter is metadata-only schema evolution: content = its
+    // base's rows served through the NEW schema — added columns as
+    // typed nulls, renamed columns as the base's physical column
+    // under the new name (the entry's `renames` map, x104), dropped
+    // columns simply unselected (absent from the new schema).
     if (Option(n.get("kind")).map(_.asText()).contains("alter")) {
       import org.apache.spark.sql.functions.{col, lit}
-      val widened = org.apache.spark.sql.types.DataType
+      val newSchema = org.apache.spark.sql.types.DataType
         .fromJson(n.get("schema").asText()).asInstanceOf[StructType]
+      val renames = entryRenames(n)
       val base = readResolved(spark, dir, Some(n.get("base").asInt()))
       val have = base.columns.toSet
-      return base.select(widened.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+      return base.select(newSchema.fields.toSeq.map { f =>
+        renames.get(f.name).filter(have) match {
+          case Some(old) => col(old).as(f.name)
+          case None if have(f.name) => col(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }
     val vdir = s"$dir/${entryDataDir(n)}"
@@ -1680,28 +1789,66 @@ object Snapshots {
     resolve(v0)
   }
 
+  /** An alter entry's `renames` map (new name → base name), empty
+    * for add-column alters and every other kind. */
+  private def entryRenames(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(n.get("renames")).map { r =>
+      val it = r.fields()
+      val out = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
+      out.result()
+    }.getOrElse(Map.empty)
+
   /** Read a (possibly logical) version ALIGNED to the latest schema:
     * columns the old version lacks come back as typed nulls, in the
     * latest version's column order — SCHEMA EVOLUTION's read contract
     * (a reader written against today's schema can scan every historic
-    * version without a migration rewrite). Columns present in both
-    * must agree on type; a column DROPPED by evolution would need a
-    * policy decision, so it fails loudly instead of guessing. */
+    * version without a migration rewrite). Old names are translated
+    * FORWARD through the column maps recorded by x104's rename
+    * entries above `asOf`, and a column an x104 drop entry removed is
+    * excluded (the recorded entry IS the policy decision this read
+    * used to refuse without). Columns present in both must agree on
+    * type; a column the latest schema lacks with NO recorded drop
+    * still fails loudly — an implicit narrowing carries no policy. */
   def readAligned(spark: SparkSession, dir: String,
                   asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val target = readResolved(spark, dir).schema
     val src = readResolved(spark, dir, asOf)
-    val have = src.schema.fields.map(f => f.name -> f.dataType).toMap
-    val extra = src.columns.filterNot(c => target.fieldNames.contains(c))
+    // published alter entries ABOVE the pinned version, ascending:
+    // each contributes a forward step (old → new on rename, → ∅ on
+    // drop) to the name-translation walk
+    val srcV = asOf.getOrElse(versions(spark, dir).last)
+    val alters = logEntries(spark, dir)
+      .filter(n => Option(n.get("kind")).exists(_.asText() == "alter"))
+      .filter(isPublishedEntry(spark, _))
+      .filter(_.get("version").asInt() > srcV)
+      .sortBy(_.get("version").asInt())
+    def forward(name: String): Option[String] =
+      alters.foldLeft(Option(name)) { (cur, e) =>
+        cur.flatMap { nm =>
+          val dropped = Option(e.get("drops")).exists(d =>
+            (0 until d.size).exists(i => d.get(i).asText() == nm))
+          if (dropped) None
+          else Some(entryRenames(e).collectFirst {
+            case (nw, old) if old == nm => nw
+          }.getOrElse(nm))
+        }
+      }
+    val have = src.schema.fields.flatMap(f =>
+      forward(f.name).map(nw => nw -> (f.name, f.dataType))).toMap
+    val extra = src.schema.fields
+      .filter(f => forward(f.name).exists(nw => !target.fieldNames.contains(nw)))
     require(extra.isEmpty,
-      s"version has columns the latest schema dropped: ${extra.mkString(",")}")
+      s"version has columns the latest schema dropped with no recorded " +
+        s"drop entry: ${extra.map(_.name).mkString(",")}")
     src.select(target.fields.toSeq.map { f =>
       have.get(f.name) match {
-        case Some(t) =>
+        case Some((old, t)) =>
           require(t == f.dataType,
             s"column ${f.name} changed type $t -> ${f.dataType}; aligned reads only add columns")
-          col(f.name)
+          col(old).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)

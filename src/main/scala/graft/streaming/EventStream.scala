@@ -223,9 +223,16 @@ object EventStream {
     * replay skip. */
   def branchFold(batch: DataFrame, dir: String, branch: String,
                  epochId: Long): Option[Int] = {
-    import graft.sources.Branches
+    import graft.sources.{Branches, Snapshots}
     if (Branches.epochLanded(batch.sparkSession, dir, branch, epochId)) None
-    else Some(Branches.commitTo(batch, dir, branch, epoch = Some(epochId)))
+    else {
+      // x102 gates the streaming branch path like every other write:
+      // a constrained table's CHECK refuses the batch before it even
+      // stages (fail-fast; fastForward re-checks the whole chain at
+      // merge time for constraints registered after staging)
+      Snapshots.enforceConstraints(batch.sparkSession, dir, batch)
+      Some(Branches.commitTo(batch, dir, branch, epoch = Some(epochId)))
+    }
   }
 
   def branchSink(stream: DataFrame, dir: String, branch: String,

@@ -244,7 +244,8 @@ object SqlRunner {
       case st if txn.isDefined &&
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
-            DropMv, DropTable, AlterAddColumn, AddConstraint, CreateBranch,
+            DropMv, DropTable, AlterAddColumn, AlterRenameColumn,
+            AlterDropColumn, AddConstraint, CreateBranch,
             InsertIntoBranch, FastForward, CreateTableClone)
             .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
@@ -304,6 +305,12 @@ object SqlRunner {
         val v = graft.sources.Snapshots.alterAddColumn(spark, dir, cname,
           org.apache.spark.sql.types.DataType.fromDDL(ctype))
         spark.sql(s"SELECT $v AS altered_version")
+      case AlterRenameColumn(dir, from, to) =>
+        val v = graft.sources.Snapshots.alterRenameColumn(spark, dir, from, to)
+        spark.sql(s"SELECT $v AS altered_version")
+      case AlterDropColumn(dir, cname) =>
+        val v = graft.sources.Snapshots.alterDropColumn(spark, dir, cname)
+        spark.sql(s"SELECT $v AS altered_version")
       case CreateBranch(kind, dir, name, v) =>
         if (kind.equalsIgnoreCase("TAG"))
           graft.sources.Branches.createTag(spark, dir, name, v.toInt)
@@ -320,11 +327,23 @@ object SqlRunner {
         val pub = graft.sources.Branches.fastForward(spark, dir, name)
         spark.sql(s"SELECT ${pub.size} AS n_published")
       case InsertInto(dir, select) =>
-        val base = graft.sources.Snapshots.versions(spark, dir).last
         val delta = spark.sql(select)
-        // x102: a registered CHECK refuses the delta before the commit
-        graft.sources.Snapshots.enforceConstraints(spark, dir, delta)
-        val v = graft.sources.Snapshots.commitAppend(delta, dir, base)
+        // x102 under OCC: the CHECK set is re-read against the head
+        // the commit actually claims — an expectedVersion commit
+        // raises if ANYTHING (including a new constraint) interleaves
+        // between the check and the entry claim, and the loop then
+        // re-checks at the new head instead of landing unchecked.
+        var v = -1
+        var attempts = 0
+        while (v < 0) {
+          attempts += 1
+          require(attempts <= 50, s"INSERT INTO '$dir': retry budget exhausted")
+          val base = graft.sources.Snapshots.versions(spark, dir).last
+          graft.sources.Snapshots.enforceConstraints(spark, dir, delta)
+          try v = graft.sources.Snapshots.commitAppend(delta, dir, base,
+            expected = Some(base))
+          catch { case _: graft.sources.ConcurrentCommitException => }
+        }
         spark.sql(s"SELECT $v AS inserted_version")
       case OptimizeStmt(dir, zcols, n) =>
         val v = Option(zcols) match {
@@ -647,6 +666,18 @@ object SqlRunner {
     * as typed nulls. Drops/type changes fail loudly (no such verb). */
   private val AlterAddColumn =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$""".r
+
+  /** x104 — column mapping as metadata-only statements: `ALTER TABLE
+    * '<dir>' RENAME COLUMN <a> TO <b>` (the log records new → old;
+    * resolution serves the base's column under the new name) and
+    * `ALTER TABLE '<dir>' DROP COLUMN <a>` (excluded from resolution
+    * at-or-above the entry, still time-travelable below it). Zero
+    * files rewritten by either; a CHECK referencing the column
+    * refuses. */
+  private val AlterRenameColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+  private val AlterDropColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
 
   /** `INSERT INTO '<dir>' <select>` — an APPEND version against the
     * latest (O(Δ) write, base files untouched; readers resolve

@@ -74,6 +74,42 @@ class BranchesSpec extends SparkSpec {
     assert(Snapshots.versions(spark, dir) == Seq(1))
   }
 
+  test("fast-forward re-checks CHECK constraints over the chain before any flip") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, 10.0)).toDF("id", "bal"), dir)
+    Snapshots.addCheckConstraint(spark, dir, "non_negative", "bal >= 0") // v2
+    Branches.create(spark, dir, "ingest", 2)
+    // a raw commitTo never gates — the stage lands a violating row
+    val staged = Branches.commitTo(Seq((3L, -5.0)).toDF("id", "bal"),
+      dir, "ingest")
+    intercept[graft.sources.ConstraintViolationException] {
+      Branches.fastForward(spark, dir, "ingest")
+    }
+    // nothing of the chain published: the gate runs before the first flip
+    assert(!Snapshots.versions(spark, dir).contains(staged))
+    assert(Snapshots.readResolved(spark, dir).count() == 1)
+    // a compliant branch still merges
+    Branches.create(spark, dir, "clean", 2)
+    Branches.commitTo(Seq((4L, 7.0)).toDF("id", "bal"), dir, "clean")
+    Branches.fastForward(spark, dir, "clean")
+    assert(Snapshots.readResolved(spark, dir).count() == 2)
+  }
+
+  test("branchFold gates the streaming batch against registered constraints") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, 10.0)).toDF("id", "bal"), dir)
+    Snapshots.addCheckConstraint(spark, dir, "non_negative", "bal >= 0")
+    Branches.create(spark, dir, "stream", 1)
+    intercept[graft.sources.ConstraintViolationException] {
+      graft.streaming.EventStream.branchFold(
+        Seq((2L, -1.0)).toDF("id", "bal"), dir, "stream", epochId = 0L)
+    }
+    // the refused batch never even staged onto the branch
+    assert(Branches.head(spark, dir, "stream") == 1)
+    assert(graft.streaming.EventStream.branchFold(
+      Seq((2L, 1.0)).toDF("id", "bal"), dir, "stream", epochId = 1L).isDefined)
+  }
+
   test("duplicate ref creation raises; list and drop round-trip") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
