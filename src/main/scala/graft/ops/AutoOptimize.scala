@@ -57,6 +57,9 @@ object AutoOptimize {
 
   def disable(dir: String): Unit = { registry.remove(norm(dir)); () }
 
+  /** Whether a policy is registered (x107's drop-cleanup witness). */
+  def isEnabled(dir: String): Boolean = registry.contains(norm(dir))
+
   /** Data files of the resolved latest chain, counted from log entry
     * metadata alone (manifest-sized — no listing, no job). Walks base
     * pointers of logical kinds; a full version ends the chain. */

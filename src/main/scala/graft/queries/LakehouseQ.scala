@@ -140,6 +140,71 @@ object LakehouseQ {
     // x18 computes a diff between two states it must scan; x33 reads
     // the changes the log already knows about. At 100 TB that is the
     // difference between scanning a table and reading a manifest.
+    // x103 — CHANGE-DATA-FEED STREAMING SOURCE (the subscription x33's
+    // batch pull and x56's SQL binding both lacked): production
+    // pipelines SUBSCRIBE to a table — Delta's CDF readStream — so
+    // ingest → dedup admit (x14) → index append (v20/v31) chain with
+    // no bespoke plumbing. Snapshots.readChangeStream serves the log
+    // as a micro-batch source: batch = ONE version step, epoch = the
+    // version, per-batch cost = that step's O(Δ) feed (the DV step
+    // reads only the key file, the replace step one pruned
+    // partition), and the consumer CURSOR persists as
+    // create-exclusive files so a RESTART resumes exactly where
+    // processing stopped. The query drives the full failure story:
+    // one instance processes a batch, sinks a second batch but
+    // CRASHES before its cursor commit; a fresh instance resumes at
+    // the cursor, REDELIVERS the un-committed batch (at-least-once),
+    // and the epoch-keyed sink folds the replay to nothing
+    // (exactly-once downstream); a third instance drains zero. The
+    // hash then pins the CONTRACT: the drained sink equals the batch
+    // table_changes replay row for row, stated next to the x33
+    // per-version feed aggregate the oracle replays from source. At
+    // 100 TB a subscriber pays exactly the churn it missed — one
+    // manifest-sized log read per poll, never a snapshot rescan.
+    "x103_change_stream" -> ((s, d) => {
+      import graft.sources.{ChangeFeed, Snapshots}
+      val dir = s"target/x103_snap_${math.abs(d.hashCode)}"
+      val cursorDir = freshSnapDir(s, d, "x103_cursor")
+      val sinkDir = freshSnapDir(s, d, "x103_sink")
+      x33CommitHistory(s, d, dir)
+      def sink(v: Int, changes: DataFrame): Unit = {
+        Snapshots.commitEpoch(
+          changes.select(lit(v).as("to_version"), col("op"), col("doc_id")),
+          sinkDir, epochId = v.toLong)
+        ()
+      }
+      val sub1 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
+      val (v1, b1) = sub1.poll().get
+      sink(v1, b1); sub1.commitCursor(v1)
+      // crash window: the next batch reaches the sink but the cursor
+      // commit never runs — the at-least-once redelivery every
+      // foreachBatch consumer must survive
+      val (v2, b2) = sub1.poll().get
+      sink(v2, b2)
+      // restart: a FRESH instance over the same cursor dir resumes at
+      // the persisted position, redelivers v2 (folded to nothing by
+      // the epoch-keyed sink), and finishes the feed
+      val sub2 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
+      val resumedAtCursor = sub2.position() == v1
+      val drainedAll = sub2.drain(sink) == 2 && sub2.poll().isEmpty
+      val replayZero = Snapshots
+        .readChangeStream(s, dir, Seq("doc_id"), cursorDir).drain(sink) == 0
+      // the contract: drained subscription ≡ batch table_changes replay
+      val sunk = Snapshots.versions(s, sinkDir)
+        .map(v => Snapshots.read(s, sinkDir, Some(v)))
+        .reduce(_ unionByName _)
+      val replay = ChangeFeed.changesSince(s, dir, Seq("doc_id"))
+      val parity = sunk.exceptAll(replay).isEmpty &&
+        replay.exceptAll(sunk).isEmpty
+      replay
+        .groupBy(col("to_version"), col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
+        .select(col("to_version"), col("op"), col("n"), col("keysum"),
+          lit(resumedAtCursor && drainedAll && replayZero).as("resume_exact"),
+          lit(parity).as("stream_equals_batch"))
+        .orderBy(col("to_version"), col("op"))
+    }),
+
     "x33_log_changes" -> ((s, d) => {
       import graft.sources.Snapshots
       val dir = s"target/x33_snap_${math.abs(d.hashCode)}"
@@ -659,6 +724,55 @@ object LakehouseQ {
           .select(col("c_mktsegment"), col("n"), col("bal"),
             lit(windowHolds && pruned).as("window_enforced"),
             lit(keptTravels && belowWindowGone).as("below_window_gone"))
+          .orderBy(col("c_mktsegment"))
+      } finally graft.ops.Retention.disable(dir)
+    }),
+
+    // x106 — AGE-BASED RETENTION (x100's missing axis): x100 keeps a
+    // version COUNT, but operators reason in TIME — "keep a week of
+    // history". The log already records explicit commit instants
+    // (x63), so `VACUUM ... OLDER THAN <ts>` and the standing
+    // Retention.enableAge policy both derive the horizon from the
+    // table's own recorded time — no wall clock, so the whole query
+    // replays deterministically. Three day-stamped commits; the SQL
+    // statement vacuums below day 2 (v1 drops, v2 at the horizon
+    // survives — at-or-after semantics); reads below the horizon then
+    // fail loudly while kept versions still time-travel; the standing
+    // age policy (1-day window) fires INSIDE the next timed commit
+    // and prunes v2 and v3 automatically. Untimed versions and
+    // chain-closure pins always survive (the restore-target spec pins
+    // it). The final state replays from source; the horizon
+    // enforcement flags ride the hash. At 100 TB: retention is one
+    // manifest-sized log read + closure walk per commit, and the
+    // dropped bytes are the churn history a time policy actually
+    // bounds.
+    "x106_age_retention" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val day = 86400000L
+      val dir = freshSnapDir(s, d, "x106_snap")
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      Snapshots.commitAt(cust.filter(col("c_custkey") % 4 === 0), dir, day) // v1
+      Snapshots.commitAt(cust.filter(col("c_custkey") % 2 === 0), dir, 2 * day) // v2
+      Snapshots.commitAt(cust.filter(col("c_custkey") % 3 === 0), dir, 3 * day) // v3
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"VACUUM '$dir' OLDER THAN ${2 * day}")
+      val stmtEnforced = Snapshots.versions(s, dir) == Seq(2, 3) &&
+        Snapshots.read(s, dir, Some(2)).count() ==
+          cust.filter(col("c_custkey") % 2 === 0).count() &&
+        (try { Snapshots.read(s, dir, Some(1)).count(); false }
+         catch { case _: Throwable => true })
+      // the standing policy: a 1-day window fires inside the commit
+      graft.ops.Retention.enableAge(dir, maxAgeMillis = day)
+      try {
+        Snapshots.commitAt(cust, dir, 5 * day) // v4 — hook prunes v2, v3
+        val autoFired = Snapshots.versions(s, dir) == Seq(4)
+        Snapshots.read(s, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("bal"))
+          .select(col("c_mktsegment"), col("n"), col("bal"),
+            lit(stmtEnforced).as("stmt_horizon_enforced"),
+            lit(autoFired).as("age_policy_fired"))
           .orderBy(col("c_mktsegment"))
       } finally graft.ops.Retention.disable(dir)
     }),
@@ -1267,6 +1381,66 @@ object LakehouseQ {
         .orderBy(col("o_custkey"))
     }),
 
+    // x105 — ROW-LEVEL OCC CONFLICT MATRIX (x91's missing half):
+    // x91 made appends commute, but two concurrent DELETEs (or a
+    // DELETE and an append) on DISJOINT keys still mutually aborted —
+    // which Delta permits when the touched files don't overlap. Here
+    // every commuting DELETE/append records its delta's [min, max] on
+    // a DECLARED conflict-key column in its log entry (one delta-
+    // sized agg at write time — the per-file-stats discipline), and
+    // the commutation audit decides disjointness FROM LOG METADATA
+    // ALONE, never a data scan: disjoint ranges ⇒ disjoint key sets ⇒
+    // anti-joins commute. The query: writer A deletes the lower-half
+    // key%7 rows; writer B — STALE, still planned at v1 — deletes the
+    // upper half and rebases through A's DV; writer C — also planned
+    // at v1 — appends re-keyed rows disjoint from both and rebases
+    // through TWO DVs; then an overlapping delete planned at v1
+    // raises, leaving no version behind. Final state = source minus
+    // all key%7 rows plus the re-keyed inserts, replayed by the
+    // oracle; the landed-version vector and the refusal ride the
+    // hash. At 100 TB this is N independent GDPR erasers and ingest
+    // writers all landing without coordination, each paying one
+    // manifest-sized log read per lost race.
+    "x105_occ_row_conflicts" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x105_snap")
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      Snapshots.commit(cust, dir) // v1
+      val mid = cust.agg(max(col("c_custkey"))).head.getLong(0) / 2
+      def delKeys(pred: Column) = cust.filter(pred).select(col("c_custkey"))
+      val a = Snapshots.commitDeletesCommuting(
+        delKeys(col("c_custkey") <= mid && col("c_custkey") % 7 === 0),
+        dir, base = 1, keyCol = "c_custkey")
+      val b = Snapshots.commitDeletesCommuting(
+        delKeys(col("c_custkey") > mid && col("c_custkey") % 7 === 0),
+        dir, base = 1, keyCol = "c_custkey")
+      val c = Snapshots.commitAppendCommuting(
+        cust.filter(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")),
+        dir, base = 1, keyCol = Some("c_custkey"))
+      val allLanded = Seq(a, b, c) == Seq(2, 3, 4)
+      // the overlapping arm: ranges intersect A's → raise, no version
+      val overlapRaises = try {
+        Snapshots.commitDeletesCommuting(
+          delKeys(col("c_custkey") <= mid && col("c_custkey") % 3 === 0),
+          dir, base = 1, keyCol = "c_custkey")
+        false
+      } catch {
+        case _: graft.sources.ConcurrentCommitException =>
+          Snapshots.versions(s, dir) == Seq(1, 2, 3, 4)
+      }
+      Snapshots.readResolved(s, dir)
+        .groupBy((col("c_custkey") % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"),
+          dsum2(col("c_acctbal")).as("bal"))
+        .select(col("bucket"), col("n"), col("keysum"), col("bal"),
+          lit(allLanded).as("all_landed"),
+          lit(overlapRaises).as("overlap_raises"))
+        .orderBy(col("bucket"))
+    }),
+
     // x96 — BRANCHES AND TAGS (named refs, sources.Branches):
     // Iceberg/Nessie's catalog refs generalizing x32's WAP from one
     // anonymous staged version to a NAMED multi-commit line. An
@@ -1826,6 +2000,16 @@ object LakehouseQ {
     // always differs)
     "x33_log_changes" -> X33OracleSql,
 
+    // x103: the per-version feed aggregate IS x33's oracle (the
+    // subscription serves the identical O(Δ) steps); the appended
+    // literal-true columns pin the cursor resume, the folded
+    // redelivery, and the drained-≡-batch-replay equality the Spark
+    // side checked with two exceptAll probes.
+    "x103_change_stream" -> X33OracleSql.replace(
+      "CAST(SUM(doc_id) AS BIGINT) AS keysum",
+      "CAST(SUM(doc_id) AS BIGINT) AS keysum,\n" +
+        "  true AS resume_exact, true AS stream_equals_batch"),
+
 
     // x56: x33's oracle VERBATIM (the x54 pattern) — the SQL-surface
     // feed must aggregate identically to the Scala API's.
@@ -2035,6 +2219,37 @@ object LakehouseQ {
         |FROM orders
         |WHERE o_orderkey % 1009 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x105: the final state replays from source — every key%7 row
+    // deleted (the two disjoint halves compose), the key%31 slice
+    // re-keyed +2e6 inserted; literal true pins the landed-version
+    // vector and the overlap refusal. 2000000 % 10 = 0 keeps the
+    // bucket of a re-keyed row unchanged; its keysum contribution
+    // shifts by 2e6 per row.
+    "x105_occ_row_conflicts" ->
+      """WITH fin AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_acctbal FROM customer
+        |  WHERE c_custkey % 31 = 0)
+        |SELECT CAST(c_custkey % 10 AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS keysum,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  true AS all_landed, true AS overlap_raises
+        |FROM fin GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // x106: the latest (kept) state is the whole source — the age
+    // policy pruned HISTORY, never the served rows; literal true pins
+    // the statement's at-or-after horizon semantics and the standing
+    // policy firing inside the commit.
+    "x106_age_retention" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  true AS stmt_horizon_enforced, true AS age_policy_fired
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // x100: the latest (kept) state replays from source; literal
     // true pins the window enforcement inside the commit call and

@@ -643,6 +643,127 @@ object SqlDmlQ {
            |  $untouched AS base_files_untouched
            |FROM snapshot_resolved('$dir', 3) b
            |ORDER BY c_custkey""".stripMargin).last
+    }),
+
+    // x104 — COLUMN MAPPING (x92's missing half, Delta's
+    // logical→physical name indirection reduced to its load-bearing
+    // part): RENAME and DROP COLUMN as METADATA-ONLY statements. The
+    // rename entry carries the new schema plus a new→old column map,
+    // so resolution serves the base's physical column under the new
+    // name; the drop entry narrows the schema, so the column leaves
+    // every resolution at-or-above it while time travel below still
+    // serves it — without this, any schema mistake forces a full
+    // rewrite. The query runs all THREE evolution verbs (add, rename,
+    // drop) plus an append carrying the evolved schema, then pins:
+    // zero data files landed by any verb (listing-checked), historic
+    // pinned reads serving their own committed names, the dropped
+    // column excluded from latest but present at its own versions,
+    // and ALIGNED reads of v1 (pre-everything), v2 (pre-rename,
+    // lang present) and the latest all serving today's (doc_id,
+    // source, chars) — old names translated FORWARD through the
+    // recorded maps. The oracle replays every leg from source. At
+    // 100 TB: three schema changes cost three small JSON entries —
+    // zero files rewritten, zero backfill, and the x91 audit refuses
+    // any append planned below them (a pre-alter writer's schema no
+    // longer matches).
+    "x104_sql_column_mapping" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x104_snap")
+      Tables.load(s, d, "documents").createOrReplaceTempView("docs_x104")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT doc_id, source, n_chars FROM docs_x104;
+           |ALTER TABLE '$dir' ADD COLUMN lang string;
+           |ALTER TABLE '$dir' RENAME COLUMN n_chars TO chars;
+           |ALTER TABLE '$dir' DROP COLUMN lang;
+           |INSERT INTO '$dir'
+           |SELECT doc_id + 1000000 AS doc_id, source, n_chars AS chars
+           |FROM docs_x104""".stripMargin)
+      // all three evolution verbs are metadata-only BY CONTRACT
+      require((2 to 4).forall(v => Snapshots.fileSignature(s, dir, v).isEmpty),
+        "ALTER TABLE evolution verbs must land zero data files")
+      val historicNames =
+        Snapshots.readResolved(s, dir, Some(1)).columns.toSeq ==
+          Seq("doc_id", "source", "n_chars") &&
+        Snapshots.readResolved(s, dir, Some(3)).columns.toSeq ==
+          Seq("doc_id", "source", "chars", "lang")
+      val dropExcluded =
+        Snapshots.readResolved(s, dir).columns.toSeq ==
+          Seq("doc_id", "source", "chars") &&
+        Snapshots.readResolved(s, dir, Some(4)).columns.toSeq ==
+          Seq("doc_id", "source", "chars")
+      def leg(v: Int) = Snapshots.readAligned(s, dir, Some(v))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("chars")).as("charsum"),
+          sum(col("doc_id")).as("idsum"))
+        .select(lit(v).cast("int").as("version"), col("source"),
+          col("n"), col("charsum"), col("idsum"))
+      leg(1).unionByName(leg(2)).unionByName(leg(5))
+        .select(col("version"), col("source"), col("n"), col("charsum"),
+          col("idsum"),
+          lit(historicNames).as("historic_names"),
+          lit(dropExcluded).as("drop_excluded"))
+        .orderBy(col("version"), col("source"))
+    }),
+
+    // x107 — DESCRIBE + DROP TABLE (the two catalog verbs x101's
+    // listing lacked): describe_table('<dir>') serves a table's
+    // current SCHEMA + layout spec to pure SQL — columns with SQL
+    // types and positions, hive partition columns of the head
+    // layout, registered CHECK constraints, the head version — one
+    // log read + one head listing, zero data jobs. And a table's
+    // life can now END from SQL: DROP TABLE routes through registry
+    // cleanup (x76's de-registration discipline — retention and
+    // auto-OPTIMIZE policies, stats state, hidden-partition spec,
+    // MVs storing or reading the table), so the next table created
+    // at the same path can never inherit a dead table's policies.
+    // The query describes a constrained partitioned table
+    // (hash-pinned against the literal catalog the oracle states),
+    // then drops a scratch table carrying live retention +
+    // auto-OPTIMIZE registrations and pins: gone from the x101
+    // listing, both registries clean, and a recommit at the same
+    // path starting fresh at v1. At 100 TB both verbs stay
+    // metadata-sized.
+    "x107_sql_describe_drop" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val root = freshSnapDir(s, d, "x107_root")
+      val dir = s"$root/people"
+      val scratch = s"$root/scratch"
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .createOrReplaceTempView("cust_x107")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM cust_x107;
+           |ALTER TABLE '$dir' ADD CONSTRAINT non_negative
+           |CHECK (c_acctbal >= -1000.0);
+           |CREATE TABLE '$scratch' AS SELECT c_custkey FROM cust_x107""".stripMargin)
+      // the head layout gains a hive partition column (partitioned
+      // append — describe surfaces it from the head's own listing)
+      Snapshots.commitAppend(
+        Tables.load(s, d, "customer")
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal"), col("c_mktsegment")),
+        dir, base = 2, partitionBy = Seq("c_mktsegment"))
+      graft.ops.Retention.enable(scratch, keepLast = 5)
+      graft.ops.AutoOptimize.enable(scratch, maxFiles = 64, targetFiles = 2)
+      graft.util.SqlRunner.runScriptWithSnapshots(s, s"DROP TABLE '$scratch'")
+      val droppedClean = Snapshots.versions(s, scratch).isEmpty &&
+        !graft.ops.Retention.isEnabled(scratch) &&
+        !graft.ops.AutoOptimize.isEnabled(scratch) &&
+        Snapshots.tablesUnder(s, root).map(_._1) == Seq("people")
+      // a recommit at the dropped path starts life fresh at v1, with
+      // no inherited policy pruning it
+      val rebornFresh =
+        Snapshots.commit(Tables.load(s, d, "region"), scratch) == 1 &&
+          !graft.ops.Retention.isEnabled(scratch)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT kind, name, detail, pos,
+           |  $droppedClean AS dropped_clean,
+           |  $rebornFresh AS reborn_fresh
+           |FROM describe_table('$dir')
+           |ORDER BY kind, name""".stripMargin).last
     })
   )
 
@@ -827,6 +948,50 @@ object SqlDmlQ {
         |       ELSE c_acctbal END AS c_acctbal,
         |  CAST(2 AS INT) AS n_versions,
         |  true AS base_files_untouched
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // x107: the described catalog stated literally — column names,
+    // SQL types and positions from the parquet schema, the partition
+    // column from the head layout, the constraint text verbatim, the
+    // head version; literal true pins the registry-clean drop and the
+    // fresh rebirth at the dropped path.
+    "x107_sql_describe_drop" ->
+      """SELECT * FROM (VALUES
+        |  ('column', 'c_acctbal', 'double', CAST(3 AS INT),
+        |   true, true),
+        |  ('column', 'c_custkey', 'bigint', CAST(1 AS INT), true, true),
+        |  ('column', 'c_mktsegment', 'string', CAST(4 AS INT), true, true),
+        |  ('column', 'c_name', 'string', CAST(2 AS INT), true, true),
+        |  ('constraint', 'non_negative', 'c_acctbal >= -1000.0',
+        |   CAST(NULL AS INT), true, true),
+        |  ('head', 'version', '3', CAST(NULL AS INT), true, true),
+        |  ('partition', 'c_mktsegment', 'hive', CAST(NULL AS INT),
+        |   true, true))
+        |  t(kind, name, detail, pos, dropped_clean, reborn_fresh)
+        |ORDER BY kind, name""".stripMargin,
+
+    // x104: every aligned leg replays from source — v1 and v2 are the
+    // plain corpus (chars = the renamed n_chars; added-then-dropped
+    // lang never reaches the aligned shape), the post-append latest is
+    // the corpus doubled with the re-keyed insert; literal true pins
+    // the zero-file listings, the historic own-name reads, and the
+    // drop's resolution exclusion.
+    "x104_sql_column_mapping" ->
+      """WITH leg AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |    CAST(SUM(doc_id) AS BIGINT) AS idsum
+        |  FROM documents GROUP BY source)
+        |SELECT CAST(1 AS INT) AS version, source, n, charsum, idsum,
+        |  true AS historic_names, true AS drop_excluded FROM leg
+        |UNION ALL
+        |SELECT CAST(2 AS INT), source, n, charsum, idsum, true, true
+        |FROM leg
+        |UNION ALL
+        |SELECT CAST(5 AS INT), source, 2 * n,
+        |  CAST(2 * charsum AS BIGINT),
+        |  CAST(2 * idsum + n * 1000000 AS BIGINT), true, true
+        |FROM leg
+        |ORDER BY version, source""".stripMargin
   )
 }

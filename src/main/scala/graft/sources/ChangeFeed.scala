@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** CHANGE-DATA-FEED SUBSCRIPTION (x103) — the streaming SOURCE over
+  * the snapshot log that closes the lakehouse loop: x33/x56 serve
+  * changes as batch pulls, and every streaming twin hand-wires its
+  * input; production pipelines instead SUBSCRIBE to a table (Delta's
+  * CDF `readStream`) so ingest → dedup admit → index append chain
+  * with no bespoke plumbing.
+  *
+  * Micro-batch = ONE VERSION STEP off the log, epoch = the version
+  * number, per-batch cost = that version's O(Δ) change feed
+  * ([[Snapshots.stepChanges]] — a DV step reads only the key-sized DV
+  * file, an append step its own delta, a replace step one pruned
+  * partition; never a table rescan). The consumer CURSOR — the last
+  * PROCESSED version — persists in its own directory as
+  * create-exclusive `_cursor_v<N>.json` files (the log's own claim
+  * primitive: a crashed half-write can never corrupt it, racing
+  * consumer instances collapse to idempotent advances), so a restart
+  * resumes exactly where processing stopped. Offsets-in-own-files is
+  * Structured Streaming's checkpoint contract expressed with the
+  * same machinery as the table log itself.
+  *
+  * Delivery is AT-LEAST-ONCE between `poll` and `commitCursor` —
+  * exactly the foreachBatch contract — so exactly-once downstream
+  * composes the usual way: land each batch with
+  * [[Snapshots.commitEpoch]] keyed by the batch's version, and a
+  * replayed step folds nothing (StreamingSpec pins restart parity;
+  * the x103 oracle pins drained ≡ batch `table_changes` replay).
+  *
+  * At 100 TB: a poll is one manifest-sized log listing + one cursor
+  * listing; the data cost follows the CHURN each version recorded,
+  * and a subscriber that falls behind pays exactly the feed it
+  * missed, never a snapshot rescan.
+  */
+object ChangeFeed {
+
+  private val CursorName = """^_cursor_v(\d+)\.json$""".r
+
+  final class Subscription private[sources] (
+      spark: SparkSession, dir: String, keys: Seq[String],
+      cursorDir: String) {
+
+    private def fsOf() = {
+      val p = new org.apache.hadoop.fs.Path(cursorDir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    /** The last PROCESSED version (0 before the first commit) — read
+      * from the cursor directory, so a fresh instance over the same
+      * directory resumes exactly here. */
+    def position(): Int = {
+      val (fs, p) = fsOf()
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).toSeq.flatMap(f =>
+        CursorName.findFirstMatchIn(f.getPath.getName).map(_.group(1).toInt))
+        .maxOption.getOrElse(0)
+    }
+
+    /** The next unprocessed PUBLISHED version's change rows, or None
+      * when the subscription is drained. Does NOT advance the cursor
+      * — process, then [[commitCursor]] (at-least-once in between). */
+    def poll(): Option[(Int, DataFrame)] =
+      Snapshots.versions(spark, dir).filter(_ > position()).minOption
+        .map(v => (v, Snapshots.stepChanges(spark, dir, v, keys)))
+
+    /** Advance the cursor past `version` — a create-exclusive claim;
+      * a racing twin instance's duplicate advance is an idempotent
+      * no-op (both recorded the same fact). */
+    def commitCursor(version: Int): Unit = {
+      val (fs, p) = fsOf()
+      fs.mkdirs(p)
+      Snapshots.tryCreateExclusive(fs, p, s"_cursor_v$version.json",
+        s"""{"version":$version}""")
+      ()
+    }
+
+    /** Poll-process-commit until drained; `f` receives (version,
+      * change rows). Returns the number of batches processed. */
+    def drain(f: (Int, DataFrame) => Unit): Int = {
+      var n = 0
+      var next = poll()
+      while (next.isDefined) {
+        val (v, changes) = next.get
+        f(v, changes)
+        commitCursor(v)
+        n += 1
+        next = poll()
+      }
+      n
+    }
+  }
+
+  def subscribe(spark: SparkSession, dir: String, keys: Seq[String],
+                cursorDir: String): Subscription =
+    new Subscription(spark, dir, keys, cursorDir)
+
+  /** The batch replay a drained subscription must equal: every
+    * published version's O(Δ) feed, tagged with its version — the
+    * `table_changes` union the x103 oracle compares against. */
+  def changesSince(spark: SparkSession, dir: String, keys: Seq[String],
+                   fromVersion: Int = 0): DataFrame =
+    Snapshots.versions(spark, dir).filter(_ > fromVersion)
+      .map(v => Snapshots.stepChanges(spark, dir, v, keys)
+        .select(lit(v).as("to_version") +: (col("op") +: keys.map(col)): _*))
+      .reduce(_ unionByName _)
+}

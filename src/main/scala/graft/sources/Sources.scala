@@ -698,20 +698,30 @@ object Snapshots {
   def commitAppendCommuting(df: DataFrame, dir: String, base: Int,
                             partitionBy: Seq[String] = Nil,
                             dataChange: Boolean = true,
-                            maxAttempts: Int = 50): Int = {
+                            maxAttempts: Int = 50,
+                            keyCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     require(versions(spark, dir).contains(base),
       s"append base v$base not published under $dir")
+    // x105: a DECLARED conflict key widens the commutation matrix —
+    // this append records its delta's key range (one delta-sized agg)
+    // and then commutes past interleaved DELETION VECTORS whose
+    // recorded ranges are disjoint, not just past other appends
+    val (range, meta) = keyCol match {
+      case Some(kc) => val (r, m) = keyRangeOf(df, kc); (Some(r), m)
+      case None => (None, "")
+    }
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= maxAttempts,
         s"commutation retry budget exhausted under $dir")
       val head = versions(spark, dir).last
-      if (head != base) requireCommutesDownTo(spark, dir, head, base)
+      if (head != base) requireCommutesDownTo(spark, dir, head, base,
+        myKind = "append", myRange = range)
       try {
         val v = writeVersion(df, dir, partitionBy,
-          extraMeta = s""","kind":"append","base":$head,"dataChange":$dataChange""",
+          extraMeta = s""","kind":"append","base":$head,"dataChange":$dataChange$meta""",
           expected = Some(head))
         graft.ops.AutoAnalyze.afterCommit(spark, dir, v,
           base = Some(head), dataChange = dataChange)
@@ -730,13 +740,74 @@ object Snapshots {
     -1 // unreachable
   }
 
-  /** The x91 commutation audit: walk the base chain from `head` down
-    * to `base`; every step must be an `append` or a dataChange=false
-    * layout re-land (entries carrying the same logical rows). Raises
+  /** ROW-LEVEL CONFLICT KEYS (x105 — x91's missing half, Delta's
+    * file-overlap conflict check expressed at the key level): a
+    * commuting DELETE/append records its delta's [min, max] on a
+    * declared conflict-key column IN THE LOG ENTRY, so a later
+    * writer's commutation audit decides disjointness from metadata
+    * alone — never a data scan. Disjoint RANGES imply disjoint key
+    * SETS (sound); overlapping ranges raise even when the sets might
+    * not intersect (conservative, like Delta's file-granularity
+    * check). Values normalize to decimal for numbers and to the
+    * string form otherwise — the manifest writer's two shapes. */
+  private final case class KeyRange(kcol: String, lo: Option[Any],
+                                    hi: Option[Any]) {
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case _ => String.valueOf(a).compareTo(String.valueOf(b))
+    }
+    def disjointFrom(other: KeyRange): Boolean =
+      kcol == other.kcol && (lo.isEmpty || other.lo.isEmpty ||
+        cmp(hi.get, other.lo.get) < 0 || cmp(other.hi.get, lo.get) < 0)
+  }
+
+  private def norm(v: Any): Any = v match {
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+    case other => String.valueOf(other)
+  }
+
+  /** One aggregation over the DELTA (the same class of cost as the
+    * per-file stats every production writer computes at write time):
+    * the declared key column's range, plus its log-entry encoding. */
+  private def keyRangeOf(df: DataFrame, keyCol: String): (KeyRange, String) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(df.columns.contains(keyCol),
+      s"conflict key '$keyCol' not in the delta's columns")
+    val r = df.agg(min(col(keyCol)), max(col(keyCol))).head
+    val range =
+      if (r.isNullAt(0)) KeyRange(keyCol, None, None)
+      else KeyRange(keyCol, Some(norm(r.get(0))), Some(norm(r.get(1))))
+    def enc(v: Any): String = v match {
+      case d: java.math.BigDecimal => d.toString
+      case other => jstr(String.valueOf(other))
+    }
+    val meta = s""","kcol":${jstr(keyCol)}""" +
+      range.lo.fold("")(l => s""","kmin":${enc(l)},"kmax":${enc(range.hi.get)}""")
+    (range, meta)
+  }
+
+  /** An entry's recorded conflict-key range, if any. */
+  private def entryKeyRange(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[KeyRange] =
+    Option(n.get("kcol")).map { kc =>
+      def dec(name: String): Option[Any] = Option(n.get(name)).map(x =>
+        if (x.isNumber) x.decimalValue() else norm(x.asText()))
+      KeyRange(kc.asText(), dec("kmin"), dec("kmax"))
+    }
+
+  /** The x91/x105 commutation audit: walk the base chain from `head`
+    * down to `base`; every step must commute with the pending commit —
+    * an `append` or a dataChange=false layout re-land always commutes
+    * with an append; a `deletes` step commutes with a key-ranged
+    * commit iff the recorded ranges are DISJOINT (x105 — decided from
+    * log metadata alone); and a key-ranged append commutes with a
+    * pending key-ranged DELETE under the same disjointness. Raises
     * [[ConcurrentCommitException]] naming the first non-commuting
     * version otherwise. */
   private def requireCommutesDownTo(spark: SparkSession, dir: String,
-                                    head: Int, base: Int): Unit = {
+                                    head: Int, base: Int,
+                                    myKind: String = "append",
+                                    myRange: Option[KeyRange] = None): Unit = {
     val byV = logEntries(spark, dir)
       .map(n => n.get("version").asInt() -> n).toMap
     var v = head
@@ -745,18 +816,72 @@ object Snapshots {
         s"commutation audit: v$v missing from the log under $dir"))
       val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
       val dc = Option(n.get("dataChange")).forall(_.asBoolean(true))
-      val commutes = kind == "append" || (kind == "data" && !dc)
+      def rangesDisjoint: Boolean = (for {
+        mine <- myRange; theirs <- entryKeyRange(n)
+      } yield mine.disjointFrom(theirs)).getOrElse(false)
+      val commutes = (myKind, kind) match {
+        // appends always commute with appends; layout re-lands carry
+        // the same logical rows under both verbs
+        case ("append", "append") => true
+        case (_, "data") if !dc => true
+        case (_, "append") if !dc => true
+        // x105: DV∥DV and DV∥append commute iff the recorded key
+        // ranges are disjoint — metadata-only; unrecorded ranges
+        // conservatively raise
+        case ("deletes", "append") | ("deletes", "deletes") |
+             ("append", "deletes") => rangesDisjoint
+        case _ => false
+      }
       if (!commutes) throw new ConcurrentCommitException(
-        s"append planned against v$base cannot commute past v$v " +
+        s"$myKind planned against v$base cannot commute past v$v " +
           s"(kind=$kind, dataChange=$dc) under $dir — the planned-" +
-          "against state was rewritten; re-read and re-plan")
+          "against state was rewritten (or key ranges overlap); " +
+          "re-read and re-plan")
       v = Option(n.get("base")).map(_.asInt()).getOrElse(
         throw new ConcurrentCommitException(
-          s"append planned against v$base cannot commute past v$v " +
+          s"$myKind planned against v$base cannot commute past v$v " +
             s"(no base chain) under $dir"))
     }
     if (v != base) throw new ConcurrentCommitException(
       s"commutation audit: chain from v$head skipped v$base (reached v$v)")
+  }
+
+  /** OCC DELETE WITH ROW-LEVEL CONFLICT COMMUTATION (x105): land a
+    * deletion vector planned against `base` even when other writers
+    * interleaved — provided every interleaved step COMMUTES with this
+    * delete: appends and DVs whose recorded key ranges are DISJOINT
+    * from this delta's (anti-joins on disjoint key sets commute with
+    * each other and with disjoint-key appends), and layout re-lands
+    * (same logical rows). The audit reads log metadata only; the
+    * delta's own range costs one delta-sized aggregation at write
+    * time, exactly the per-file stats discipline of a production
+    * writer. Overlapping ranges raise — Delta's conflict matrix at
+    * key granularity instead of file granularity. */
+  def commitDeletesCommuting(keys: DataFrame, dir: String, base: Int,
+                             keyCol: String, maxAttempts: Int = 50): Int = {
+    val spark = keys.sparkSession
+    require(versions(spark, dir).contains(base),
+      s"delete base v$base not published under $dir")
+    val (range, meta) = keyRangeOf(keys, keyCol)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= maxAttempts,
+        s"commutation retry budget exhausted under $dir")
+      val head = versions(spark, dir).last
+      if (head != base) requireCommutesDownTo(spark, dir, head, base,
+        myKind = "deletes", myRange = Some(range))
+      try {
+        val v = writeVersion(keys, dir, Nil,
+          extraMeta = s""","kind":"deletes","base":$head$meta""",
+          expected = Some(head))
+        graft.ops.Retention.afterCommit(spark, dir)
+        return v
+      } catch {
+        case _: ConcurrentCommitException => // re-audit at the new head
+      }
+    }
+    -1 // unreachable
   }
 
   /** Commit a PARTITION OVERWRITE: `df` holds ONLY the rows of the
@@ -1134,6 +1259,15 @@ object Snapshots {
     visible.maxBy(_._2)._1
   }
 
+  /** The latest PUBLISHED version's explicit commit instant (x63),
+    * if it carries one — the age-based retention hook's clock: the
+    * horizon derives from the table's own recorded time, never a
+    * wall-clock read, so the policy is reproducible. */
+  def latestPublishedTs(spark: SparkSession, dir: String): Option[Long] =
+    logEntries(spark, dir).filter(isPublishedEntry(spark, _))
+      .sortBy(_.get("version").asInt()).lastOption
+      .flatMap(n => Option(n.get("ts")).map(_.asLong()))
+
   /** Read the table as it stood at `tsMillis` ([[versionAsOf]] +
     * pinned [[read]]). */
   def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
@@ -1395,6 +1529,14 @@ object Snapshots {
       case other => sys.error(s"unknown version kind '$other' at v$version")
     }
   }
+
+  /** SUBSCRIBE to this table's change feed (x103): a cursor-backed
+    * micro-batch source — one version step per batch, O(Δ) each,
+    * restart resuming from the persisted cursor. See
+    * [[ChangeFeed]]. */
+  def readChangeStream(spark: SparkSession, dir: String, keys: Seq[String],
+                       cursorDir: String): ChangeFeed.Subscription =
+    ChangeFeed.subscribe(spark, dir, keys, cursorDir)
 
   /** Commit `df` tagged with an opaque cache/lookup KEY (x46's result
     * cache rides this): the key lands in the version's log entry, so
@@ -2043,14 +2185,7 @@ object Snapshots {
     * Returns the dropped version numbers. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
-    val (fs, p) = fsOf(spark, dir)
     val entries = logEntries(spark, dir).sortBy(_.get("version").asInt())
-    val byV = entries.map(n => n.get("version").asInt() -> n).toMap
-    // txn-aware: a committed-but-unrepaired txn version counts
-    // published (it holds a retention slot); an undecided or aborted
-    // txn version is a staged ghost like any failed-audit WAP stage
-    def isStaged(n: com.fasterxml.jackson.databind.JsonNode) =
-      !isPublishedEntry(spark, n)
     // The retention window counts PUBLISHED versions only: a staged
     // (reader-invisible) latest must never displace the published
     // version readers actually resolve — keepLast=1 with a staged
@@ -2060,8 +2195,57 @@ object Snapshots {
     // that aged PAST the window are the failed-audit garbage
     // commitStaged promises vacuum collects. With nothing published
     // yet, nothing has aged relative to a publication — keep all.
+    vacuumKeeping(spark, dir, entries, pub =>
+      pub.takeRight(keepLast).map(_.get("version").asInt()))
+  }
+
+  /** AGE-BASED VACUUM (x106, Delta's `RETAIN n HOURS` axis next to
+    * x29's version-count window): physically remove versions whose
+    * EXPLICIT commit instant (x63's `ts`) predates `horizonMillis`.
+    * Operators reason in time — "keep a week of history" — while the
+    * log counts versions; the recorded instants bridge the two with
+    * no wall-clock read, so the same call is reproducible in tests
+    * and oracles. Keeps every published version timed AT-or-after the
+    * horizon, every UNTIMED published version (no evidence it aged —
+    * restores/clones land untimed on a timed table and must never be
+    * silently collected), always the latest published, staged entries
+    * newer than the oldest kept, and — through the same transitive
+    * chain closure as [[vacuum]] — every version a kept logical
+    * commit (restore, DV, append, clone-in-log) still resolves
+    * through: a restore INSIDE the horizon pins its below-horizon
+    * target automatically. Returns the dropped versions. */
+  def vacuumOlderThan(spark: SparkSession, dir: String,
+                      horizonMillis: Long): Seq[Int] = {
+    val entries = logEntries(spark, dir).sortBy(_.get("version").asInt())
+    vacuumKeeping(spark, dir, entries, pub => {
+      val kept = pub.filter(n => Option(n.get("ts"))
+          .forall(_.asLong() >= horizonMillis))
+        .map(_.get("version").asInt())
+      // the latest published always survives — a horizon past the
+      // whole log must not empty the table
+      (kept ++ pub.lastOption.map(_.get("version").asInt())).distinct
+    })
+  }
+
+  /** Shared vacuum machinery: `seedOf` picks the kept PUBLISHED
+    * versions; staged entries newer than the oldest kept survive
+    * pending their audit; the transitive base closure then pins every
+    * version a kept logical commit resolves through; checkpoint
+    * rewrite + entry-then-data deletion follow commit's crash-safe
+    * ordering. */
+  private def vacuumKeeping(spark: SparkSession, dir: String,
+      entries: Seq[com.fasterxml.jackson.databind.JsonNode],
+      seedOf: Seq[com.fasterxml.jackson.databind.JsonNode] => Seq[Int])
+      : Seq[Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    val byV = entries.map(n => n.get("version").asInt() -> n).toMap
+    // txn-aware: a committed-but-unrepaired txn version counts
+    // published (it holds a retention slot); an undecided or aborted
+    // txn version is a staged ghost like any failed-audit WAP stage
+    def isStaged(n: com.fasterxml.jackson.databind.JsonNode) =
+      !isPublishedEntry(spark, n)
     val published = entries.filterNot(isStaged)
-    val keptPub = published.takeRight(keepLast).map(_.get("version").asInt())
+    val keptPub = seedOf(published)
     var keep =
       if (published.isEmpty) entries.map(_.get("version").asInt()).toSet
       else (keptPub ++ entries.filter(isStaged)
@@ -2127,6 +2311,67 @@ object Snapshots {
   def drop(spark: SparkSession, dir: String): Unit = {
     val (fs, p) = fsOf(spark, dir)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** DESCRIBE TABLE (x107): the table's current SCHEMA + layout spec
+    * as a queryable frame, metadata-only — one log read plus one
+    * head-version file listing, zero data jobs. Rows: each resolved
+    * column with its SQL type and 1-based position; each hive
+    * partition column of the head version's own layout; each
+    * registered CHECK constraint; the head published version. The
+    * pure-SQL half of the catalog x101's listing started. */
+  def describeTable(spark: SparkSession, dir: String): DataFrame = {
+    val head = versions(spark, dir).lastOption.getOrElse(
+      sys.error(s"DESCRIBE: no published versions under $dir"))
+    val schema = readResolved(spark, dir).schema
+    val cols = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      ("column", f.name, f.dataType.sql.toLowerCase, Option(i + 1))
+    }
+    val parts = fileSignature(spark, dir, head)
+      .flatMap { case (rel, _) =>
+        rel.split('/').filter(_.contains("=")).map(_.split("=", 2)(0))
+      }.distinct.sorted.map(pc => ("partition", pc, "hive", None))
+    val cons = checkConstraints(spark, dir)
+      .map { case (n, e) => ("constraint", n, e, None) }
+    val headRow = Seq(("head", "version", head.toString, None))
+    val s = spark
+    import s.implicits._
+    (cols ++ parts ++ cons ++ headRow).toDF("kind", "name", "detail", "pos")
+  }
+
+  /** DROP TABLE with REGISTRY CLEANUP (x107, x76's de-registration
+    * discipline): destroying a table's history must also end its
+    * life in every per-table registry, or the next table created at
+    * the same path inherits a dead table's policies — a stale
+    * retention window silently vacuuming a new table is the failure
+    * mode. De-registers the retention policy, the auto-OPTIMIZE and
+    * auto-ANALYZE hooks (dropping the stats catalog's state table),
+    * the hidden-partitioning spec, and every registered materialized
+    * view whose STORAGE is this table or whose COVERAGE reads it (an
+    * MV serving aggregates of a dropped source would serve ghosts —
+    * its stored partials drop with it); then drops the data. */
+  def dropTable(spark: SparkSession, dir: String): Unit = {
+    graft.ops.Retention.disable(dir)
+    graft.ops.AutoOptimize.disable(dir)
+    graft.ops.AutoAnalyze.dropState(spark, dir)
+    graft.plans.HiddenPartitioning.remove(dir)
+    val abs = new java.io.File(dir).getAbsolutePath
+    def under(p: String): Boolean = {
+      val np = p.indexOf(":/") match {
+        case -1 => p
+        case i =>
+          val rest = p.substring(i + 1)
+          if (rest.startsWith("//")) rest.substring(rest.indexOf('/', 2).max(2))
+          else rest
+      }
+      np == abs || np.startsWith(abs + "/")
+    }
+    graft.plans.MvCatalog.all
+      .filter(d => (d.mvDir.nonEmpty &&
+          under(new java.io.File(d.mvDir).getAbsolutePath)) ||
+        d.coverage.flatMap(_.split('|')).exists(under))
+      .foreach(d => graft.plans.MatView.drop(spark, d.name))
+    drop(spark, dir)
   }
 
   /** Remove every version STRICTLY ABOVE `keep` — log entry plus its

@@ -159,10 +159,19 @@ object SqlRunner {
       scala.util.matching.Regex.quoteReplacement(view)
     })
     // DESCRIBE HISTORY (x74): the commit log as a queryable view
-    val bound4a = TableHistory.replaceAllIn(bound3r, m => {
+    val bound4a0 = TableHistory.replaceAllIn(bound3r, m => {
       val dir = m.group(1)
       val view = s"history_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Snapshots.history(spark, dir)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    // DESCRIBE TABLE (x107): current schema + layout spec + head +
+    // constraints as a queryable view — metadata-only at bind time
+    val bound4a = DescribeTable.replaceAllIn(bound4a0, m => {
+      val dir = m.group(1)
+      val view = s"describe_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Snapshots.describeTable(spark, dir)
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
@@ -243,7 +252,8 @@ object SqlRunner {
       // one run would silently break the atomicity the BEGIN promised
       case st if txn.isDefined &&
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
-            PurgeStmt, RestoreTable, VacuumTable, CreateMv, RefreshMv,
+            PurgeStmt, RestoreTable, VacuumTable, VacuumOlder, CreateMv,
+            RefreshMv,
             DropMv, DropTable, AlterAddColumn, AlterRenameColumn,
             AlterDropColumn, AddConstraint, CreateBranch,
             InsertIntoBranch, FastForward, CreateTableClone)
@@ -268,6 +278,10 @@ object SqlRunner {
         spark.sql(s"SELECT $nv AS restored_as_version")
       case VacuumTable(dir, n) =>
         val dropped = graft.sources.Snapshots.vacuum(spark, dir, n.toInt)
+        spark.sql(s"SELECT ${dropped.size} AS n_vacuumed")
+      case VacuumOlder(dir, ts) =>
+        val dropped = graft.sources.Snapshots.vacuumOlderThan(
+          spark, dir, ts.toLong)
         spark.sql(s"SELECT ${dropped.size} AS n_vacuumed")
       case MergeStmt(dir, src, key, arms) =>
         val v = runMerge(spark, dir, src, key, arms)
@@ -295,7 +309,10 @@ object SqlRunner {
         val v = graft.sources.Snapshots.commit(frame, dir)
         spark.sql(s"SELECT $v AS created_version")
       case DropTable(dir) =>
-        graft.sources.Snapshots.drop(spark, dir)
+        // x107: the one verb that ends a table's life also ends it in
+        // every per-table registry (retention/auto-OPTIMIZE/ANALYZE
+        // policies, hidden-partition spec, MVs storing or reading it)
+        graft.sources.Snapshots.dropTable(spark, dir)
         spark.sql("SELECT true AS table_dropped")
       case AddConstraint(dir, cname, cexpr) =>
         val v = graft.sources.Snapshots.addCheckConstraint(
@@ -565,6 +582,12 @@ object SqlRunner {
   private val VacuumTable =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*$""".r
 
+  /** `VACUUM '<dir>' OLDER THAN <epoch millis>` — x106's age axis:
+    * drop versions whose x63 commit instant predates the horizon
+    * (untimed versions and chain-closure pins survive). */
+  private val VacuumOlder =
+    """(?is)^\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)\s*$""".r
+
   /** `table_files('<dir>', <v>)` binds a version's file listing
     * grouped per partition directory — the layout-audit view
     * (compaction/z-order witnesses in pure SQL). */
@@ -575,6 +598,14 @@ object SqlRunner {
     * (version, kind, ts, base, published) for pure-SQL audits. */
   private val TableHistory =
     """(?i)table_history\(\s*'([^']+)'\s*\)""".r
+
+  /** `describe_table('<dir>')` binds the table's current schema +
+    * layout spec (kind, name, detail, pos): columns with SQL types
+    * and positions, hive partition columns of the head layout,
+    * registered CHECK constraints, the head published version —
+    * x107's DESCRIBE, metadata-only. */
+  private val DescribeTable =
+    """(?i)describe_table\(\s*'([^']+)'\s*\)""".r
 
   /** `policy_table('<data dir>', '<policy dir>')` binds the data
     * table's resolved latest with the policy table's masks + row

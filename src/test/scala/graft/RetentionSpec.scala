@@ -46,6 +46,31 @@ class RetentionSpec extends SparkSpec {
     } finally Retention.disable(dir)
   }
 
+  test("x106: age vacuum keeps at-or-after the horizon; a restore inside the horizon pins its target") {
+    val day = 86400000L
+    val dir = freshDir()
+    Snapshots.commitAt(Seq((1L, "d1")).toDF("id", "v"), dir, day)
+    Snapshots.commitAt(Seq((2L, "d2")).toDF("id", "v"), dir, 2 * day)
+    Snapshots.commitAt(Seq((3L, "d3")).toDF("id", "v"), dir, 3 * day)
+    // a restore (untimed, inside the horizon by recency) pins v2
+    Snapshots.commitRestore(spark, dir, 2)
+    assert(Snapshots.vacuumOlderThan(spark, dir, 3 * day) == Seq(1),
+      "v1 ages out; v2 survives ONLY through the kept restore's closure")
+    assert(Snapshots.readResolved(spark, dir).head.getString(1) == "d2",
+      "the restored state still serves after the age vacuum")
+    assert(Snapshots.read(spark, dir, Some(2)).head.getString(1) == "d2")
+    intercept[Throwable] { Snapshots.read(spark, dir, Some(1)).count() }
+    // the standing age policy fires inside a timed commit
+    Retention.enableAge(dir, maxAgeMillis = day)
+    try {
+      Snapshots.commitAt(Seq((9L, "d9")).toDF("id", "v"), dir, 9 * day)
+      assert(!Snapshots.versions(spark, dir).contains(3),
+        "v3 aged past the standing window inside the commit")
+      // v2 still pinned by the untimed restore's chain closure
+      assert(Snapshots.read(spark, dir, Some(2)).count() == 1)
+    } finally Retention.disable(dir)
+  }
+
   test("disable stops the hook") {
     val dir = freshDir()
     Retention.enable(dir, keepLast = 1)

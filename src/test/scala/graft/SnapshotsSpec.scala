@@ -468,6 +468,38 @@ class SnapshotsSpec extends SparkSpec {
       "the union of both deltas — neither append may be lost")
   }
 
+  test("x105: two racing disjoint-key deletes both land; overlapping ranges raise") {
+    val dir = freshDir()
+    Snapshots.commit((1L to 20L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val threads = Seq(1L to 5L, 11L to 15L).map { range =>
+      new Thread(() =>
+        try results.add(Snapshots.commitDeletesCommuting(
+          range.map(Tuple1(_)).toDF("id"), dir, base = 1, keyCol = "id"))
+        catch { case e: Throwable => results.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.toArray.toSet == Set(2, 3),
+      s"both disjoint deletes must land (one rebases): $results")
+    assert(Snapshots.readResolved(spark, dir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == ((6L to 10L) ++ (16L to 20L)),
+      "both halves deleted — neither DV may be lost")
+    // overlap arm: a stale delete whose range intersects v2's raises
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitDeletesCommuting(
+        Seq(Tuple1(4L)).toDF("id"), dir, base = 1, keyCol = "id")
+    }
+    // DV∥append: a stale keyed append disjoint from both DVs lands …
+    assert(Snapshots.commitAppendCommuting(
+      Seq((100L, "new")).toDF("id", "v"), dir, base = 1,
+      keyCol = Some("id")) == 4)
+    // … an UNkeyed stale append cannot prove disjointness and raises
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitAppendCommuting(
+        Seq((200L, "x")).toDF("id", "v"), dir, base = 1)
+    }
+  }
+
   test("x91: an append commutes through a layout re-land but NOT past a delete/replace") {
     val dir = freshDir()
     Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
@@ -675,6 +707,62 @@ class SnapshotsSpec extends SparkSpec {
     // dst2 pinned v3, which retention kept — its branch still reads
     assert(Snapshots.readResolved(spark, dst2).collect()
       .map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("x104: rename/drop column are metadata-only; resolution, time travel and aligned reads agree") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "name", "n_chars"), dir)                     // v1
+    val v2 = Snapshots.alterRenameColumn(spark, dir, "n_chars", "chars")
+    val v3 = Snapshots.alterDropColumn(spark, dir, "name")
+    assert(Snapshots.fileSignature(spark, dir, v2).isEmpty &&
+      Snapshots.fileSignature(spark, dir, v3).isEmpty)
+    // latest: renamed + narrowed; values ride through
+    assert(Snapshots.readResolved(spark, dir).columns.toSeq == Seq("id", "chars"))
+    assert(Snapshots.readResolved(spark, dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // historic pinned reads serve their own names, dropped col included
+    assert(Snapshots.readResolved(spark, dir, Some(1)).columns.toSeq ==
+      Seq("id", "name", "n_chars"))
+    assert(Snapshots.readResolved(spark, dir, Some(v2)).columns.toSeq ==
+      Seq("id", "name", "chars"))
+    // aligned read of v1 translates n_chars forward and excludes the
+    // recorded drop
+    val aligned = Snapshots.readAligned(spark, dir, Some(1))
+    assert(aligned.columns.toSeq == Seq("id", "chars"))
+    assert(aligned.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // x91: an append planned below the alters must re-plan (a
+    // pre-alter writer's schema no longer matches the head's)
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitAppendCommuting(
+        Seq((9L, "x", 1L)).toDF("id", "name", "n_chars"), dir, base = 1)
+    }
+    // appends after the evolution carry the new schema and chain
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "chars"), dir, base = v3)
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    // guards: duplicate target, unknown column, last column, CHECK ref
+    intercept[IllegalArgumentException] {
+      Snapshots.alterRenameColumn(spark, dir, "id", "chars")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.alterDropColumn(spark, dir, "nope")
+    }
+    Snapshots.addCheckConstraint(spark, dir, "pos_chars", "chars >= 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.alterDropColumn(spark, dir, "chars")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.alterRenameColumn(spark, dir, "chars", "nchars")
+    }
+    // an implicit narrowing (full commit without a drop entry) still
+    // fails aligned reads loudly — no policy was recorded
+    Snapshots.commit(Seq(Tuple1(1L)).toDF("id"), dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAligned(spark, dir, Some(1)).collect()
+    }
   }
 
   test("reading an empty or unknown table fails loudly") {

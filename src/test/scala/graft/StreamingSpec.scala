@@ -669,4 +669,41 @@ class StreamingSpec extends SparkSpec {
     assert(published.size == chainLen)
     assert(Snapshots.readResolved(spark, dir).count() == total + 1)
   }
+
+  test("x103 change-feed subscription: restart resumes at the cursor; drained ≡ batch replay") {
+    import spark.implicits._
+    import graft.sources.{ChangeFeed, Snapshots}
+    val base = java.nio.file.Files.createTempDirectory("cdf").toString
+    val (dir, cursorDir, sinkDir) = (s"$base/t", s"$base/cursor", s"$base/sink")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), dir, base = 1)
+    Snapshots.commitDeletes(Seq(Tuple1(2L)).toDF("id"), dir, base = 2)
+    def sink(v: Int, changes: org.apache.spark.sql.DataFrame): Unit = {
+      Snapshots.commitEpoch(changes.select(lit(v).as("to_version"),
+        col("op"), col("id")), sinkDir, v.toLong); ()
+    }
+    val sub1 = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    assert(sub1.position() == 0)
+    val (v1, b1) = sub1.poll().get
+    assert(v1 == 1)
+    sink(v1, b1); sub1.commitCursor(v1)
+    // crash between sink and cursor commit → redelivery on restart
+    val (v2, b2) = sub1.poll().get
+    sink(v2, b2)
+    val sub2 = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    assert(sub2.position() == 1, "restart resumes at the persisted cursor")
+    assert(sub2.drain(sink) == 2, "redelivered v2 + fresh v3")
+    assert(Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+      .drain(sink) == 0, "a drained subscription stays drained")
+    // late subscription picks up ONLY the new commit (O(Δ) catch-up)
+    Snapshots.commitAppend(Seq((9L, "z")).toDF("id", "v"), dir, base = 3)
+    assert(sub2.drain(sink) == 1)
+    // drained sink ≡ batch table_changes replay, row for row
+    val sunk = Snapshots.versions(spark, sinkDir)
+      .map(v => Snapshots.read(spark, sinkDir, Some(v)))
+      .reduce(_ unionByName _)
+    val replay = ChangeFeed.changesSince(spark, dir, Seq("id"))
+    assert(sunk.exceptAll(replay).isEmpty && replay.exceptAll(sunk).isEmpty)
+    assert(replay.count() == 3 + 1 + 1 + 1)
+  }
 }
