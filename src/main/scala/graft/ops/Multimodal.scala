@@ -153,6 +153,139 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL PNG CODEC PATH (m4 — the imageio half of the codec seam):
+    * `javax.imageio` ships in the JDK, so for PNG the decode step
+    * stops being a stub. [[pngFigures]] ENCODES one deterministic
+    * grayscale image per document through ImageIO's real PNG writer —
+    * pixel(x, y) = (doc_id·31 + x·7 + y·13) mod 256, a formula the
+    * DuckDB oracle replays — and [[aHashPixels]] DECODES the actual
+    * PNG bytes back through `ImageIO.read` and computes the classic
+    * 8×8 average-hash on the REAL pixel raster (block-mean
+    * downscale, pure integer math, the same 4×16-bit banding as
+    * [[aHashBands]]). PNG is lossless and TYPE_BYTE_GRAY round-trips
+    * sample values exactly, so decoded raster == formula and the
+    * oracle hash-checks a REAL codec round-trip end to end. The fake
+    * codec ([[decodeBytes]]) stays for media types with no decoder in
+    * the container; both paths share the mapPartitions seam and the
+    * banding format (MultimodalSpec pins the seam contract). */
+  val PngW = 16
+  val PngH = 16
+
+  /** One real 16×16 grayscale PNG per document row — encoder state
+    * amortized per partition, payloads staying on their rows (no
+    * driver collection at any corpus size). */
+  def pngFigures(documents: DataFrame, suffix: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("figure_id", StringType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(PngW, PngH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < PngH) {
+          var x = 0
+          while (x < PngW) {
+            raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(f"fig_$id%06d_$suffix", bos.toByteArray, "image/png")
+      }
+    }(enc)
+  }
+
+  /** Pixel-level aHash over REAL decoded rasters: ImageIO decodes the
+    * payload (actual PNG parsing — not the byte-identity fake), then
+    * the 8×8 average-hash runs on the pixel grid: cell (jx, jy) =
+    * integer mean over the block {x : x·8 div w = jx} × {y : y·8 div
+    * h = jy} (order-preserving cells for any w, h ≥ 8 — the 2-D twin
+    * of [[aHashBands]]' stream cells), threshold against the integer
+    * grand mean, bits packed little-endian into four 16-bit bands.
+    * Emits (figure_id, width, height, b0..b3) — width/height come
+    * from the DECODER, so a codec regression breaks the hash twice. */
+  def aHashPixels(figures: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("figure_id", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("b0", IntegerType, nullable = false),
+      StructField("b1", IntegerType, nullable = false),
+      StructField("b2", IntegerType, nullable = false),
+      StructField("b3", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    figures.select("figure_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val sums = new Array[Long](64)
+        val counts = new Array[Int](64)
+        var y = 0
+        while (y < h) {
+          val jy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            sums(jy * 8 + x * 8 / w) += raster.getSample(x, y, 0)
+            counts(jy * 8 + x * 8 / w) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cv = new Array[Long](64)
+        var mSum = 0L
+        var j = 0
+        while (j < 64) { cv(j) = sums(j) / counts(j); mSum += cv(j); j += 1 }
+        val m = mSum / 64
+        val bands = new Array[Int](4)
+        j = 0
+        while (j < 64) {
+          if (cv(j) > m) bands(j / 16) |= 1 << (j % 16)
+          j += 1
+        }
+        Row(r.getString(0), w, h, bands(0), bands(1), bands(2), bands(3))
+      }
+    }(enc)
+  }
+
+  /** The real-codec twin of [[decode]]: same seam, same output
+    * schema, ImageIO doing the actual parsing — feature = the 8-bin
+    * histogram of DECODED gray samples (the fake path's histogram of
+    * raw payload bytes, now computed from real pixels). */
+  def decodeImage(figures: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    figures.select("figure_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        val raster = img.getRaster
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist(raster.getSample(x, y, 0) >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(img.getWidth * img.getHeight, 1).toFloat
+        Row(r.getString(0), r.getString(1), payload.length,
+          img.getWidth, img.getHeight, raster.getNumBands,
+          hist.map(_ / total))
+      }
+    }(enc)
+  }
+
   /** Frame sampling: every `stride`-th unit of a payload → one row
     * (the video analogue of the text chunker's Generator shape).
     */

@@ -945,6 +945,37 @@ object TextQ {
         .orderBy(col("a_fig"), col("b_fig"))
     }),
 
+    // m4 — REAL IMAGE CODEC (the one honest stub made real for PNG):
+    // the Multimodal seam's decode stops being a byte-identity fake —
+    // javax.imageio ships in the JDK, so the pipeline ENCODES one
+    // deterministic 16×16 grayscale PNG per document (pixel(x,y) =
+    // (doc_id·31 + x·7 + y·13) mod 256, through ImageIO's real PNG
+    // writer) twice (an 'a' and a 'b' twin per doc), DECODES the
+    // actual PNG bytes back (real parsing — width/height come from
+    // the decoder), and computes the classic 8×8 block-mean aHash on
+    // the REAL pixel raster. Twins have identical pixels, so exact
+    // band-match dedup (d14's join shape on real images) finds every
+    // pair: n_dups counts figures sharing all four bands. PNG is
+    // lossless and TYPE_BYTE_GRAY round-trips samples exactly, so the
+    // DuckDB oracle replays the pixel formula + integer aHash and the
+    // hash pins a REAL codec round-trip pixel for pixel. At 100 TB
+    // the plan is unchanged from the fake path: payloads stay on
+    // their rows, codec state amortizes per partition, the dedup is
+    // one groupBy on the band signature.
+    "m4_imageio_ahash" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val ids = docs(s, d).select(col("doc_id"))
+      val figs = Multimodal.pngFigures(ids, "a")
+        .unionByName(Multimodal.pngFigures(ids, "b"))
+      val hashed = Multimodal.aHashPixels(figs).cutLineage(true)
+      val dups = hashed.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+        .agg(count(lit(1)).as("n_dups"))
+      hashed.join(dups, Seq("b0", "b1", "b2", "b3"))
+        .select(col("figure_id"), col("width"), col("height"),
+          col("b0"), col("b1"), col("b2"), col("b3"), col("n_dups"))
+        .orderBy(col("figure_id"))
+    }),
+
     // s1 — §2.11: tumbling-window event aggregation, the batch twin
     // of graft.streaming.Events (same 5-minute windows + decimal-exact
     // sums). Partial agg + one shuffle on (window, type).
@@ -1615,6 +1646,52 @@ object TextQ {
 
     // m3: the m2 frame geometry (frame i = bytes [256·i+1, 256·i+64],
     // ASCII fixture ⇒ chars == bytes) hashed and joined in SQL —
+    // m4: the REAL codec round-trip replayed from the pixel formula —
+    // PNG is lossless, so the engine's ImageIO-decoded raster must
+    // equal (doc_id·31 + x·7 + y·13) mod 256 pixel for pixel; the
+    // 8×8 block means, the integer grand-mean threshold, and the
+    // little-endian 16-bit band packing are all integer math both
+    // engines state identically; twins share bands by construction,
+    // so n_dups ≥ 2 everywhere (exactly 2 absent accidental
+    // cross-document collisions, which both sides count the same
+    // way).
+    "m4_imageio_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id, xs.x, ys.y,
+        |    (doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0, 15)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |cells AS (
+        |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS j,
+        |    SUM(v) // COUNT(*) AS cv
+        |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
+        |gm AS (SELECT doc_id, SUM(cv) // 64 AS m FROM cells GROUP BY doc_id),
+        |bands AS (
+        |  SELECT c.doc_id, CAST(c.j // 16 AS INT) AS band,
+        |    CAST(SUM((CASE WHEN c.cv > g.m THEN 1 ELSE 0 END)
+        |      * (1 << (c.j % 16))) AS INT) AS bv
+        |  FROM cells c JOIN gm g USING (doc_id)
+        |  GROUP BY c.doc_id, c.j // 16),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+        |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+        |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+        |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+        |  FROM bands GROUP BY doc_id),
+        |dupfigs AS (
+        |  SELECT printf('fig_%06d_%s', doc_id, sfx.s) AS figure_id,
+        |    b0, b1, b2, b3
+        |  FROM sig, LATERAL (SELECT unnest(['a', 'b']) AS s) sfx),
+        |dups AS (
+        |  SELECT b0, b1, b2, b3, COUNT(*) AS n_dups
+        |  FROM dupfigs GROUP BY b0, b1, b2, b3)
+        |SELECT f.figure_id, CAST(16 AS INT) AS width,
+        |  CAST(16 AS INT) AS height, f.b0, f.b1, f.b2, f.b3, d.n_dups
+        |FROM dupfigs f JOIN dups d USING (b0, b1, b2, b3)
+        |ORDER BY f.figure_id""".stripMargin,
+
     // df-cap, pair counts, and the overlap denominator all replay
     // over the same capped universe.
     "m3_frame_dedup" ->

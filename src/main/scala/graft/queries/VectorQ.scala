@@ -1260,6 +1260,103 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v35 — GRAPH-INDEX DRIFT/RETRAIN (v25/v26's maintenance parity
+    // for the NSW family — the asymmetry round 14 left open): v31
+    // appends forever with no quality watchdog, and after enough
+    // drifted inserts the entry-per-cluster layout degrades — entries
+    // sit where yesterday's distribution lived, walks start far from
+    // the drifted mass. The cycle: (1) the gen-1 graph (hist
+    // adjacency Derived-shared with v31 + entry layer) lands in ONE
+    // x45 txn; (2) a DRIFTED nightly batch (v26's x·0.1+3.0 collapse)
+    // is assigned at the FROZEN gen-1 centroids and the drift monitor
+    // reads ONLY that assignment metadata — block-share integers in
+    // parts-per-256 (v25's shape), no walks, no probe jobs; (3) the
+    // fired verdict — and only it — retrains the coarse layout over
+    // the post-drift corpus and REBUILDS adjacency + entries at the
+    // new generation, landing both in ONE x45 txn (v24's torn-index
+    // discipline — gen-1 stays served until the marker flips); (4) a
+    // COLD searcher walks the committed gen-2 and its recall@3
+    // against the exact post-drift brute force rides in the hash
+    // (v33's acceptance harness). The oracle replays the whole loop:
+    // drifted corpus → unrolled gen-2 training → NSW build → beam
+    // walk → recall. At 100 TB this is how a graph-index fleet stays
+    // healthy: metadata-sized verdicts per append, one rebuild per
+    // fired generation, searchers never observing a torn index.
+    "v35_graph_drift_retrain" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val idx = historyIndex(s, d)
+      val e = emb(s, d)
+      val hist = e.filter(col("vec_id") % AppendSplitMod < AppendHistMax)
+      val drifted = e.filter(col("vec_id") % AppendSplitMod >= AppendHistMax)
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.1) + lit(3.0)).as("embedding"))
+      // 1. gen-1 graph index persisted (v31's discipline)
+      val edges1 = Derived.of(s, d, "nsw_hist_edges") {
+        graft.ops.Nsw.build(hist, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val adjDir = freshSnapDir(s, d, "v35_adj")
+      val entDir = freshSnapDir(s, d, "v35_ent")
+      val txnDir = freshSnapDir(s, d, "v35_txn")
+      val t0 = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(edges1, adjDir, txnDir, t0)
+      Snapshots.txnStage(graft.ops.Nsw.entries(idx.assigned, "vec_id"),
+        entDir, txnDir, t0)
+      Snapshots.txnCommit(s, txnDir, t0, Seq(adjDir, entDir))
+      // 2. the drift verdict, read from assignment METADATA only
+      val appended = graft.ops.Ivf.append(idx, drifted, "embedding")
+      val rebuild = graft.ops.Ivf.shareDrift(appended.assigned,
+          col("vec_id") % AppendSplitMod < AppendHistMax, DriftMax256)
+        .select(col("rebuild")).limit(1).collect().head.getBoolean(0)
+      // 3. verdict-gated gen-2: coarse retrain + graph rebuild, both
+      // landing atomically as version 2 of the SAME index tables
+      val corpus = hist
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(drifted)
+      val gen2 =
+        if (rebuild) graft.ops.Ivf.buildExact(corpus, "vec_id", "embedding",
+          k = IvfClusters, assignPasses = IvfIters)
+        else appended
+      val edges2 = graft.ops.Nsw.build(corpus, "vec_id", "embedding",
+        gen2.centroids, NswBlocks, NswM, NswRounds)
+      val ent2 = graft.ops.Nsw.entries(gen2.assigned, "vec_id")
+      val t1 = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(edges2, adjDir, txnDir, t1)
+      Snapshots.txnStage(ent2, entDir, txnDir, t1)
+      // gen-1 still serves while gen-2 is staged (no torn window)
+      val gen1Serves = Snapshots.versions(s, adjDir) == Seq(1) &&
+        Snapshots.versions(s, entDir) == Seq(1)
+      Snapshots.txnCommit(s, txnDir, t1, Seq(adjDir, entDir))
+      val atomic = Snapshots.versions(s, adjDir) == Seq(1, 2) &&
+        Snapshots.versions(s, entDir) == Seq(1, 2)
+      // 4. a cold searcher walks the COMMITTED generation
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cold = graft.ops.Nsw.search(Snapshots.read(s, adjDir), corpus,
+        "vec_id", "embedding", Snapshots.read(s, entDir), q,
+        NswBeam, NswWalk, topK = 3)
+      // 5. recall acceptance vs the exact post-drift brute force
+      val truth = {
+        val scored = corpus.join(broadcast(q.select(col("qid"),
+            col("qvec").cast("array<double>").as("_q"))),
+            col("vec_id") =!= col("qid"))
+          .withColumn("sc", VectorOps.dot(col("_q"), col("embedding")))
+        graft.plans.TopK.perKey(scored, Seq("qid"),
+            Seq(col("sc").desc, col("vec_id")), 3)
+          .select(col("qid"), col("vec_id").as("nb_id"))
+      }
+      val hits = cold.join(truth, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      cold.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
+          lit(rebuild).as("rebuild_fired"),
+          lit(gen1Serves && atomic).as("index_atomic"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -2057,6 +2154,124 @@ object VectorQ {
     sb.toString
   }
 
+  /** v35's full replay: the post-drift corpus CTE (v26's collapse),
+    * the gen-2 coarse training unrolled over it, the NSW build at the
+    * gen-2 centroids (block assignment → blocked init pairs →
+    * NN-descent rounds), the per-cluster entry layer, the beam walk
+    * from original query vectors over the drifted corpus, and
+    * recall@3 vs the exact post-drift brute force — rebuild_fired /
+    * index_atomic ride as pinned verdicts. */
+  private def graphRetrainOracle: String = {
+    def scoredCte(name: String, pairsSrc: String): String =
+      s"""$name AS (
+         |  SELECT p.a, p.b,
+         |    list_dot_product(ea.embedding, eb.embedding) AS score
+         |  FROM $pairsSrc p
+         |  JOIN dcorpus ea ON ea.vec_id = p.a
+         |  JOIN dcorpus eb ON eb.vec_id = p.b)""".stripMargin
+    def topMCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT a, b, score FROM (
+         |    SELECT a, b, score,
+         |      row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
+         |    FROM $src) t
+         |  WHERE rn <= $NswM)""".stripMargin
+    def beamCte(name: String, candSrc: String): String =
+      s"""$name AS (
+         |  SELECT qid, node, score FROM (
+         |    SELECT c.qid, c.node,
+         |      list_dot_product(q.qe, e.embedding) AS score,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding) DESC,
+         |        c.node) AS rn
+         |    FROM $candSrc c
+         |    JOIN zq q ON q.qid = c.qid
+         |    JOIN dcorpus e ON e.vec_id = c.node) t
+         |  WHERE rn <= $NswBeam)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH dcorpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+         |  WHERE vec_id % $AppendSplitMod < $AppendHistMax
+         |  UNION ALL
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x * 0.1 + 3.0)
+         |  FROM embeddings WHERE vec_id % $AppendSplitMod >= $AppendHistMax),
+         |${ivfTrainCtes("z", src = "dcorpus")},
+         |zblk AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.embedding, c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM dcorpus e CROSS JOIN zcent${IvfIters - 1} c) t
+         |  WHERE rn <= $NswBlocks),
+         |zpairs0 AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM zblk x JOIN zblk y USING (cluster_id)
+         |  WHERE x.vec_id <> y.vec_id),
+         |""".stripMargin)
+    sb.append(scoredCte("zsc0", "zpairs0") + ",\n")
+    sb.append(topMCte("zedges0", "zsc0") + ",\n")
+    for (r <- 1 to NswRounds) {
+      sb.append(
+        s"""zpairs$r AS (
+           |  SELECT a, b FROM zedges${r - 1}
+           |  UNION
+           |  SELECT e1.a, e2.b
+           |  FROM zedges${r - 1} e1 JOIN zedges${r - 1} e2 ON e1.b = e2.a
+           |  WHERE e2.b <> e1.a),
+           |""".stripMargin)
+      sb.append(scoredCte(s"zsc$r", s"zpairs$r") + ",\n")
+      sb.append(topMCte(s"zedges$r", s"zsc$r") + ",\n")
+    }
+    sb.append(
+      s"""zent AS (
+         |  SELECT MIN(vec_id) AS node FROM zasg$IvfIters GROUP BY cluster_id),
+         |zq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |       FROM embeddings WHERE vec_id < 5),
+         |zwc0 AS (SELECT q.qid, e.node FROM zq q CROSS JOIN zent e),
+         |""".stripMargin)
+    sb.append(beamCte("zwb0", "zwc0") + ",\n")
+    for (w <- 1 to NswWalk) {
+      sb.append(
+        s"""zwc$w AS (
+           |  SELECT qid, node FROM zwb${w - 1}
+           |  UNION
+           |  SELECT b.qid, e.b AS node
+           |  FROM zwb${w - 1} b JOIN zedges$NswRounds e ON e.a = b.node),
+           |""".stripMargin)
+      sb.append(beamCte(s"zwb$w", s"zwc$w") + ",\n")
+    }
+    sb.append(
+      s"""zres AS (
+         |  SELECT qid, node AS nb_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+         |  FROM zwb$NswWalk WHERE node <> qid),
+         |zbrute AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding) DESC,
+         |        e.vec_id) AS rn
+         |    FROM zq q CROSS JOIN dcorpus e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |zhits AS (
+         |  SELECT r.qid, CAST(COUNT(b.nb_id) AS INT) AS hits_at_3
+         |  FROM zres r LEFT JOIN zbrute b
+         |    ON b.qid = r.qid AND b.nb_id = r.nb_id
+         |  WHERE r.rn <= 3
+         |  GROUP BY r.qid)
+         |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
+         |  round(r.score, 4) AS score, h.hits_at_3,
+         |  true AS rebuild_fired, true AS index_atomic
+         |FROM zres r JOIN zhits h USING (qid)
+         |WHERE r.rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
   /** The v20 oracle: the FULL REBUILD at fixed centroids — train on
     * the history split (the same unrolled chain as v8's, restricted
     * by WHERE), then assign EVERY vector (history ∪ batch) against
@@ -2226,6 +2441,7 @@ ORDER BY nprobe"""
     // force; one hash pins build, walk, and achieved recall.
     "v30_graph_ann" -> nswOracle,
     "v31_graph_index_lifecycle" -> nswLifecycleOracle,
+    "v35_graph_drift_retrain" -> graphRetrainOracle,
 
     // v32: v30's shared graph chain + v9's PQ chain — the walk
     // re-priced on decoded codes, the final beam re-ranked exactly,

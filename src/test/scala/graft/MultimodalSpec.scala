@@ -60,6 +60,52 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(out("a"), out("d")) > 16, "different byte layout must land far")
   }
 
+  test("m4 real codec: ImageIO round-trips the formula pixels exactly; twins band-match") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 12345L).toDF("doc_id")
+    val figs = Multimodal.pngFigures(ids, "a")
+    // payloads are REAL PNGs (magic bytes), not raw pixel dumps
+    val payloads = figs.select("figure_id", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    payloads.values.foreach { p =>
+      assert((p.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47)),
+        "pngFigures must emit actual PNG containers")
+    }
+    // decoding gives back the formula pixels exactly (lossless)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads("fig_012345_a")))
+    assert(img.getWidth == Multimodal.PngW && img.getHeight == Multimodal.PngH)
+    for (y <- 0 until Multimodal.PngH; x <- 0 until Multimodal.PngW)
+      assert(img.getRaster.getSample(x, y, 0) ==
+        ((12345L * 31 + x * 7 + y * 13) % 256).toInt,
+        s"pixel ($x,$y) must survive the PNG round-trip")
+    // identical pixels → identical bands; different docs differ
+    val hashed = Multimodal.aHashPixels(
+        figs.unionByName(Multimodal.pngFigures(ids, "b")))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(hashed("fig_000007_a") == hashed("fig_000007_b"))
+    assert(hashed("fig_000007_a") != hashed("fig_012345_a"))
+  }
+
+  test("m4 seam contract: the real-codec decode serves the fake path's exact schema") {
+    import spark.implicits._
+    val ids = Seq(3L).toDF("doc_id")
+    val real = Multimodal.decodeImage(Multimodal.pngFigures(ids, "a")
+      .withColumn("paper_id", lit("p")).withColumn("page_number", lit(1))
+      .withColumn("caption", lit("c"))
+      .select("figure_id", "paper_id", "page_number", "caption",
+        "payload", "media_type"))
+    val fake = Multimodal.decode(Multimodal.figuresFromDocuments(
+      Seq((3L, "some text payload")).toDF("doc_id", "text")))
+    // one seam, one output contract: a consumer swaps codecs freely
+    assert(real.schema == fake.schema)
+    val r = real.head()
+    assert(r.getInt(3) == Multimodal.PngW && r.getInt(4) == Multimodal.PngH)
+    assert(r.getSeq[Float](6).sum > 0.99f && r.getSeq[Float](6).sum < 1.01f,
+      "the decoded-pixel histogram must normalize like the fake path's")
+  }
+
   test("m3 frame df-cap bounds a hot frame's join fan-in (cap under stress)") {
     // the generator never produces a frame shared by > FrameDfCap
     // figures, so the cap had never actually fired — synthesize the
