@@ -1357,6 +1357,69 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // x108 — SUBSCRIPTION-DRIVEN INDEX MAINTENANCE (the composition
+    // x103 exists for, now a declared pipeline instead of prose): a
+    // vector table takes two nightly appends AFTER its index was
+    // built; the index maintainer SUBSCRIBES to the table's change
+    // feed from the build point (cursor pre-positioned at the index's
+    // source version — production's "index is current through v1"),
+    // and each polled version step admits its delta by v20's append —
+    // assignment at the FROZEN committed centroids, a narrow map
+    // against a model-sized broadcast, zero stored-side IO — landing
+    // the grown assignment state EPOCH-TAGGED (epoch = source
+    // version), so the crash-redelivery every foreachBatch consumer
+    // faces folds to nothing and a drained re-subscription does zero
+    // work. No bespoke plumbing anywhere: the feed IS the input. The
+    // final probe of the subscription-maintained index must equal
+    // v20's full-rebuild-at-fixed-centroids oracle row for row — the
+    // hash proves subscribe→admit→commit ≡ rebuild. At 100 TB this is
+    // the index fleet's standing loop: per night, O(Δ) feed + O(Δ)
+    // assignment + one epoch commit, with the drift monitor (v25/v35)
+    // deciding when the loop escalates to a retrain.
+    "x108_cdf_index_pipeline" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val srcDir = freshSnapDir(s, d, "x108_src")
+      val curDir = freshSnapDir(s, d, "x108_cursor")
+      val asgDir = freshSnapDir(s, d, "x108_asg")
+      val hist = e.filter(col("vec_id") % AppendSplitMod < AppendHistMax)
+      Snapshots.commit(hist, srcDir) // v1 — the index's build source
+      Snapshots.commitAppend(
+        e.filter(col("vec_id") % AppendSplitMod === AppendHistMax),
+        srcDir, base = 1) // night 1
+      Snapshots.commitAppend(
+        e.filter(col("vec_id") % AppendSplitMod === AppendHistMax + 1),
+        srcDir, base = 2) // night 2
+      val idx = historyIndex(s, d)
+      Snapshots.commit(idx.assigned, asgDir) // index state, current @ v1
+      val sub = Snapshots.readChangeStream(s, srcDir,
+        Seq("vec_id", "embedding"), curDir)
+      sub.commitCursor(1) // the index already covers the build source
+      def admit(v: Int, changes: DataFrame): Unit = {
+        val batch = changes.filter(col("op") === "I")
+          .select(col("vec_id"), col("embedding"))
+        val stored = graft.ops.Ivf.Index(idx.centroids,
+          Snapshots.read(s, asgDir), "vec_id")
+        Snapshots.commitEpoch(
+          graft.ops.Ivf.append(stored, batch, "embedding").assigned,
+          asgDir, v.toLong)
+        ()
+      }
+      val chained = sub.drain(admit) == 2 &&
+        Snapshots.readChangeStream(s, srcDir,
+          Seq("vec_id", "embedding"), curDir).drain(admit) == 0
+      val loaded = graft.ops.Ivf.Index(idx.centroids,
+        Snapshots.read(s, asgDir), "vec_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Ivf.probe(loaded, q, nprobe = 2, topK = 3)
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          lit(chained).as("chained_o_delta"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -2488,6 +2551,15 @@ ORDER BY nprobe"""
          |WHERE rn <= 3
          |ORDER BY qid, nb_rank""".stripMargin,
     "v20_ivf_append" -> ivfAppendOracle,
+
+    // x108: subscribe→admit→commit must equal the full rebuild at
+    // fixed centroids — v20's oracle with the chaining witness
+    // (drained twice, replay folded nothing) as a pinned literal.
+    "x108_cdf_index_pipeline" ->
+      s"""WITH $appendAssignCtes,
+         |${ivfProbedCte("h")},
+         |${candsCte("hprobed", "allasg", "embeddings")}
+         |${topkTail("cands", ", true AS chained_o_delta")}""".stripMargin,
 
     // v25: the unrolled append-assignment chain (v20's CTEs) counted
     // per cluster and side; shares/drift/verdict are integer

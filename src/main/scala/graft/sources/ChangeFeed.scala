@@ -61,20 +61,34 @@ object ChangeFeed {
 
     /** The next unprocessed PUBLISHED version's change rows, or None
       * when the subscription is drained. Does NOT advance the cursor
-      * — process, then [[commitCursor]] (at-least-once in between). */
+      * — process, then [[commitCursor]] (at-least-once in between).
+      * WAP shadowing (the log's documented contract): a STAGED
+      * version that publishes only after the cursor passed its number
+      * is not redelivered — the feed describes what readers could see
+      * at consumption time, exactly [[Snapshots.stepChanges]]'s
+      * re-basing rule; audit such flips from `table_history`, not the
+      * feed. */
     def poll(): Option[(Int, DataFrame)] =
       Snapshots.versions(spark, dir).filter(_ > position()).minOption
         .map(v => (v, Snapshots.stepChanges(spark, dir, v, keys)))
 
     /** Advance the cursor past `version` — a create-exclusive claim;
       * a racing twin instance's duplicate advance is an idempotent
-      * no-op (both recorded the same fact). */
+      * no-op (both recorded the same fact). Older cursor files are
+      * compacted away afterwards (the position is the MAX, so
+      * deleting lower files never moves it and a crash mid-cleanup
+      * leaves harmless extras) — a year-long subscription's cursor
+      * listing stays O(1), not O(versions consumed). */
     def commitCursor(version: Int): Unit = {
       val (fs, p) = fsOf()
       fs.mkdirs(p)
       Snapshots.tryCreateExclusive(fs, p, s"_cursor_v$version.json",
         s"""{"version":$version}""")
-      ()
+      fs.listStatus(p).foreach { f =>
+        CursorName.findFirstMatchIn(f.getPath.getName)
+          .filter(_.group(1).toInt < version)
+          .foreach(_ => fs.delete(f.getPath, false))
+      }
     }
 
     /** Poll-process-commit until drained; `f` receives (version,
@@ -101,9 +115,12 @@ object ChangeFeed {
     * published version's O(Δ) feed, tagged with its version — the
     * `table_changes` union the x103 oracle compares against. */
   def changesSince(spark: SparkSession, dir: String, keys: Seq[String],
-                   fromVersion: Int = 0): DataFrame =
-    Snapshots.versions(spark, dir).filter(_ > fromVersion)
-      .map(v => Snapshots.stepChanges(spark, dir, v, keys)
+                   fromVersion: Int = 0): DataFrame = {
+    val vs = Snapshots.versions(spark, dir).filter(_ > fromVersion)
+    require(vs.nonEmpty,
+      s"changesSince($fromVersion): no published versions above it under $dir")
+    vs.map(v => Snapshots.stepChanges(spark, dir, v, keys)
         .select(lit(v).as("to_version") +: (col("op") +: keys.map(col)): _*))
       .reduce(_ unionByName _)
+  }
 }

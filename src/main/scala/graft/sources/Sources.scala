@@ -2041,6 +2041,22 @@ object Snapshots {
   def purgeKeys(spark: SparkSession, dir: String, keys: DataFrame): Seq[Int] = {
     val keyCols = keys.columns.toSeq
     val (fs, p) = fsOf(spark, dir)
+    // x104 interplay: the purge keys arrive named in the CURRENT
+    // schema, but versions below a rename hold the same logical
+    // column under its OLD name — translate each key column BACKWARD
+    // through the published rename maps above the version (latest
+    // first: new→old composition), else a purge by today's name
+    // would silently skip pre-rename history — a GDPR hole.
+    val renameSteps = logEntries(spark, dir)
+      .filter(n => Option(n.get("kind")).exists(_.asText() == "alter"))
+      .filter(isPublishedEntry(spark, _))
+      .sortBy(n => -n.get("version").asInt())
+      .map(n => n.get("version").asInt() -> entryRenames(n))
+      .filter(_._2.nonEmpty)
+    def nameAt(v: Int, current: String): String =
+      renameSteps.filter(_._1 > v).foldLeft(current) { (nm, step) =>
+        step._2.getOrElse(nm, nm)
+      }
     val rewritten = Seq.newBuilder[Int]
     logEntries(spark, dir).foreach { n =>
       val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
@@ -2051,8 +2067,12 @@ object Snapshots {
       // loop rewrites
       if (kind != "clone" && kind != "restore" && kind != "alter" &&
           kind != "constraint") {
+        val translated = keyCols.map(c => c -> nameAt(v, c))
+        val vKeys = keys.select(translated.map { case (c, t) =>
+          org.apache.spark.sql.functions.col(c).as(t) }: _*)
+        val vKeyCols = translated.map(_._2)
         val df = readVersionDf(spark, dir, n)
-        if (keyCols.forall(df.columns.contains)) {
+        if (vKeyCols.forall(df.columns.contains)) {
           // partition layout re-derived from the version's directory
           // names (one `pcol=val` level per partition column)
           val vdir = new org.apache.hadoop.fs.Path(p, entryDataDir(n))
@@ -2070,7 +2090,7 @@ object Snapshots {
           }
           val writer = java.util.UUID.randomUUID().toString.take(8)
           val stage = new org.apache.hadoop.fs.Path(p, s"v$v-purge$writer")
-          val w = df.join(keys, keyCols, "left_anti")
+          val w = df.join(vKeys, vKeyCols, "left_anti")
             .write.mode(SaveMode.Overwrite)
           val pb = parts.result()
           (if (pb.nonEmpty) w.partitionBy(pb: _*) else w).parquet(stage.toString)

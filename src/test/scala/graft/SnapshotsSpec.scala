@@ -765,6 +765,25 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("x104×x50: purge by TODAY'S column name erases pre-rename history too") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "keep"), (7L, "secret")).toDF("uid", "v"), dir)
+    Snapshots.alterRenameColumn(spark, dir, "uid", "user_id")
+    Snapshots.commitAppend(Seq((7L, "again"), (9L, "x"))
+      .toDF("user_id", "v"), dir, base = 2)
+    // the purge set names the CURRENT column; v1's files store `uid`
+    val purged = Snapshots.purgeKeys(spark, dir,
+      Seq(Tuple1(7L)).toDF("user_id"))
+    assert(purged == Seq(1, 3), "BOTH eras' data versions rewrite")
+    // key 7 is gone from every version — including pre-rename v1
+    assert(Snapshots.read(spark, dir, Some(1))
+      .filter(col("uid") === 7L).count() == 0,
+      "a rename must not shield old files from the purge")
+    assert(Snapshots.readResolved(spark, dir)
+      .filter(col("user_id") === 7L).count() == 0)
+    assert(Snapshots.readResolved(spark, dir).count() == 2)
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
