@@ -205,6 +205,69 @@ object LakehouseQ {
         .orderBy(col("to_version"), col("op"))
     }),
 
+    // x110 — CDC REPLICA VIA THE SUBSCRIPTION (x30's apply composed
+    // over x103's source — the OTHER half of the pipeline story:
+    // x108 chains the feed into an index, this chains it into a
+    // downstream TABLE): a replica subscribes to a source whose
+    // history spans all three change kinds — a full commit, a
+    // deletion vector carrying FULL ROWS (any key-column subset is a
+    // legal DV; full rows make the feed self-contained for
+    // replicas), and a partition replace — and maintains itself from
+    // the feed ALONE: per version step, anti-join out the D keys,
+    // union in the I images, land the state epoch-tagged (epoch =
+    // source version, so redeliveries fold to nothing). The replica
+    // never reads the source table — only its O(Δ) feeds — yet its
+    // final state must equal the source's resolved latest row for
+    // row (two exceptAll probes, hash-pinned) next to the per-source
+    // aggregate the oracle replays. At 100 TB this is warehouse
+    // replication: per night the replica pays the churn, never a
+    // snapshot copy, and falling behind costs exactly the missed
+    // feeds.
+    "x110_cdf_replica" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val srcDir = freshSnapDir(s, d, "x110_src")
+      val curDir = freshSnapDir(s, d, "x110_cursor")
+      val repDir = freshSnapDir(s, d, "x110_replica")
+      val cols = Seq("doc_id", "source", "n_chars")
+      val docs = Tables.load(s, d, "documents")
+        .select(cols.map(col): _*)
+      Snapshots.commit(docs, srcDir) // v1 — the initial load
+      val takedown = docs.filter(
+        graft.ops.TextFns.hash60(concat(lit("gdpr|"),
+          col("doc_id").cast("string"))) % 20 === 0)
+      Snapshots.commitDeletes(takedown, srcDir, base = 1) // v2 — full-row DV
+      val rescored = Snapshots.readResolved(s, srcDir, Some(2))
+        .filter(col("source") === X28Pval && col("n_chars") >= X32MinChars)
+        .withColumn("n_chars", col("n_chars") * 2)
+      Snapshots.commitReplace(rescored, srcDir, base = 2,
+        pcol = "source", pval = X28Pval) // v3 — partition replace
+      val sub = Snapshots.readChangeStream(s, srcDir, cols, curDir)
+      sub.drain { (v, changes) =>
+        val cur =
+          if (Snapshots.versions(s, repDir).isEmpty)
+            changes.select(cols.map(col): _*).limit(0)
+          else Snapshots.read(s, repDir)
+        val delKeys = changes.filter(col("op").isin("D", "U"))
+          .select(col("doc_id"))
+        val newImgs = changes.filter(col("op").isin("I", "U"))
+          .select(cols.map(col): _*)
+        val applied = cur.join(delKeys, Seq("doc_id"), "left_anti")
+          .unionByName(newImgs)
+        Snapshots.commitEpoch(applied, repDir, v.toLong)
+        ()
+      }
+      val replica = Snapshots.read(s, repDir)
+      val truth = Snapshots.readResolved(s, srcDir)
+      val parity = replica.exceptAll(truth).isEmpty &&
+        truth.exceptAll(replica).isEmpty
+      replica.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("charsum"),
+          sum(col("doc_id")).as("idsum"))
+        .select(col("source"), col("n"), col("charsum"), col("idsum"),
+          lit(parity).as("replica_equals_source"))
+        .orderBy(col("source"))
+    }),
+
     "x33_log_changes" -> ((s, d) => {
       import graft.sources.Snapshots
       val dir = s"target/x33_snap_${math.abs(d.hashCode)}"
@@ -2219,6 +2282,29 @@ object LakehouseQ {
         |FROM orders
         |WHERE o_orderkey % 1009 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x110: the replica's final state replays as the source's resolved
+    // latest — the corpus minus the takedown hash set, the rescored
+    // partition holding only its doubled survivors; literal true pins
+    // the feed-only maintenance equalling the source row for row.
+    "x110_cdf_replica" ->
+      s"""WITH del AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE CAST(('0x' || substr(md5('gdpr|' || doc_id::VARCHAR), 1, 15))
+         |    AS BIGINT) % 20 = 0),
+         |kept AS (
+         |  SELECT doc_id, source, n_chars FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = d.doc_id)),
+         |fin AS (
+         |  SELECT doc_id, source, n_chars FROM kept WHERE source <> '$X28Pval'
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars * 2 FROM kept
+         |  WHERE source = '$X28Pval' AND n_chars >= $X32MinChars)
+         |SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+         |  CAST(SUM(doc_id) AS BIGINT) AS idsum,
+         |  true AS replica_equals_source
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin,
 
     // x105: the final state replays from source — every key%7 row
     // deleted (the two disjoint halves compose), the key%31 slice

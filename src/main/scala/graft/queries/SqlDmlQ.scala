@@ -706,6 +706,62 @@ object SqlDmlQ {
         .orderBy(col("version"), col("source"))
     }),
 
+    // x109 — TYPE WIDENING as metadata (Delta 3.2's contract, the
+    // third evolution verb next to x104's rename/drop): a column
+    // sized too narrow at design time (INT character counts, a
+    // 32-bit id) normally forces a full-table rewrite the day a
+    // value overflows; here `ALTER TABLE … ALTER COLUMN … TYPE`
+    // lands one metadata entry — historic values upcast LOSSLESSLY
+    // at plan construction (a cast above the base plan, zero data
+    // movement), later appends carry the wide type natively (the
+    // inserted rows here NEED bigint — they exceed int by 3·10⁹),
+    // and historic pinned reads keep their own narrow type. Lossy
+    // changes (bigint→int, anything non-upcast) refuse loudly —
+    // historic values could not survive them. Witnesses: zero files
+    // landed, the narrow-refusal, and the pinned-vs-aligned type
+    // split; the aligned legs replay from source. At 100 TB this is
+    // the difference between a schema mistake costing one JSON entry
+    // and costing a corpus rewrite.
+    "x109_sql_type_widening" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val dir = freshSnapDir(s, d, "x109_snap")
+      Tables.load(s, d, "documents").createOrReplaceTempView("docs_x109")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT doc_id, source, CAST(n_chars AS INT) AS chars
+           |FROM docs_x109;
+           |ALTER TABLE '$dir' ALTER COLUMN chars TYPE bigint;
+           |INSERT INTO '$dir'
+           |SELECT doc_id + 1000000 AS doc_id, source,
+           |  CAST(n_chars + 3000000000 AS BIGINT) AS chars
+           |FROM docs_x109""".stripMargin)
+      require(Snapshots.fileSignature(s, dir, 2).isEmpty,
+        "type widening must land zero data files")
+      val narrowRefused = try {
+        Snapshots.alterWidenColumn(s, dir, "chars", IntegerType); false
+      } catch { case _: IllegalArgumentException => true }
+      val typeSplit =
+        Snapshots.readResolved(s, dir, Some(1)).schema("chars")
+          .dataType == IntegerType &&
+        Snapshots.readAligned(s, dir, Some(1)).schema("chars")
+          .dataType == LongType &&
+        Snapshots.readResolved(s, dir).schema("chars").dataType == LongType
+      def leg(v: Int, df: DataFrame) = df
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("chars")).as("charsum"),
+          sum(col("doc_id")).as("idsum"))
+        .select(lit(v).cast("int").as("version"), col("source"),
+          col("n"), col("charsum"), col("idsum"))
+      leg(1, Snapshots.readAligned(s, dir, Some(1)))
+        .unionByName(leg(3, Snapshots.readResolved(s, dir)))
+        .select(col("version"), col("source"), col("n"), col("charsum"),
+          col("idsum"),
+          lit(narrowRefused).as("lossy_refused"),
+          lit(typeSplit).as("pinned_narrow_aligned_wide"))
+        .orderBy(col("version"), col("source"))
+    }),
+
     // x107 — DESCRIBE + DROP TABLE (the two catalog verbs x101's
     // listing lacked): describe_table('<dir>') serves a table's
     // current SCHEMA + layout spec to pure SQL — columns with SQL
@@ -949,6 +1005,27 @@ object SqlDmlQ {
         |  CAST(2 AS INT) AS n_versions,
         |  true AS base_files_untouched
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // x109: both legs replay from source — the aligned v1 leg is the
+    // plain int-cast corpus (upcast changes no value by definition),
+    // the latest is the corpus doubled with the +3·10⁹ bigint
+    // inserts; literal true pins the zero-file entry, the lossy
+    // refusal, and the pinned-narrow/aligned-wide type split.
+    "x109_sql_type_widening" ->
+      """WITH leg AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS INT)) AS BIGINT) AS charsum,
+        |    CAST(SUM(doc_id) AS BIGINT) AS idsum
+        |  FROM documents GROUP BY source)
+        |SELECT CAST(1 AS INT) AS version, source, n, charsum, idsum,
+        |  true AS lossy_refused, true AS pinned_narrow_aligned_wide
+        |FROM leg
+        |UNION ALL
+        |SELECT CAST(3 AS INT), source, 2 * n,
+        |  CAST(2 * charsum + n * 3000000000 AS BIGINT),
+        |  CAST(2 * idsum + n * 1000000 AS BIGINT), true, true
+        |FROM leg
+        |ORDER BY version, source""".stripMargin,
 
     // x107: the described catalog stated literally — column names,
     // SQL types and positions from the parquet schema, the partition

@@ -1109,6 +1109,31 @@ object Snapshots {
         s""","drops":[${jstr(colName)}]""")
     }
 
+  /** TYPE WIDENING as a METADATA-ONLY commit (x109 — Delta 3.2's
+    * type-widening contract, the third evolution verb next to x104's
+    * rename/drop): the alter entry carries the schema with the
+    * column's WIDER type; resolution serves the base's values through
+    * a lossless upcast applied at plan construction (a `cast` above
+    * the base plan — no data movement), later appends carry the wide
+    * type natively, and historic pinned reads keep their own narrow
+    * type. Only Catalyst-upcast-safe widenings are accepted
+    * (int→long, float→double, widening decimals, …) — a lossy change
+    * refuses loudly, because historic values could not survive it. */
+  def alterWidenColumn(spark: SparkSession, dir: String, colName: String,
+                       newType: org.apache.spark.sql.types.DataType): Int =
+    alterSchema(spark, dir, s"ALTER COLUMN $colName TYPE", colName) { cur =>
+      val f = cur.fields.find(_.name == colName).getOrElse(
+        sys.error(s"ALTER COLUMN '$dir': no column '$colName'"))
+      require(f.dataType != newType,
+        s"ALTER COLUMN '$dir': $colName is already ${f.dataType.sql}")
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(f.dataType, newType),
+        s"ALTER COLUMN '$dir': ${f.dataType.sql} -> ${newType.sql} is not " +
+          "a lossless widening — historic values could not survive it")
+      (StructType(cur.fields.map(x =>
+        if (x.name == colName) x.copy(dataType = newType) else x)), "")
+    }
+
   /** Shared alter-claim loop: recompute head/schema on every attempt
     * (the alter discipline — a lost claim means the log advanced),
     * refuse while a registered CHECK references `guardCol`, land a
@@ -1496,7 +1521,19 @@ object Snapshots {
         val pval = n.get("pval").asText()
         val oldPart = readResolved(spark, dir, Some(n.get("base").asInt()))
           .filter(col(pcol) === pval)
-        graft.ops.Diff.snapshot(oldPart, vdf, keys)
+        if (vdf.columns.forall(keys.contains)) {
+          // FULL-ROW feed (the x110 replica shape — every column a
+          // key): the per-partition diff degenerates to a multiset
+          // difference — old images exceptAll new feed as D, new
+          // exceptAll old as I (a changed row is its old image's D
+          // plus its new image's I, exactly what a key-anti-join
+          // apply consumes); U needs a non-key column to compare, so
+          // it never occurs here. Still O(partition Δ): both sides
+          // are the ONE pruned partition.
+          val o = oldPart.select(keys.map(col): _*)
+          val w = vdf.select(keys.map(col): _*)
+          sel(lit("D"), o.exceptAll(w)).unionByName(sel(lit("I"), w.exceptAll(o)))
+        } else graft.ops.Diff.snapshot(oldPart, vdf, keys)
           .select(col("op") +: keys.map(col): _*)
       // a dataChange=false FULL version (commitLayout — OPTIMIZE's
       // whole-table rewrite) holds the same logical rows as its base:
@@ -1791,10 +1828,13 @@ object Snapshots {
       val renames = entryRenames(n)
       val base = readResolved(spark, dir, Some(n.get("base").asInt()))
       val have = base.columns.toSet
+      // the cast is x109's widening applied at plan construction (a
+      // lossless upcast above the base plan — SimplifyCasts removes
+      // it when types already agree, so rename/add pay nothing)
       return base.select(newSchema.fields.toSeq.map { f =>
         renames.get(f.name).filter(have) match {
-          case Some(old) => col(old).as(f.name)
-          case None if have(f.name) => col(f.name)
+          case Some(old) => col(old).cast(f.dataType).as(f.name)
+          case None if have(f.name) => col(f.name).cast(f.dataType).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
@@ -1988,9 +2028,14 @@ object Snapshots {
     src.select(target.fields.toSeq.map { f =>
       have.get(f.name) match {
         case Some((old, t)) =>
-          require(t == f.dataType,
-            s"column ${f.name} changed type $t -> ${f.dataType}; aligned reads only add columns")
-          col(old).as(f.name)
+          // x109: a recorded lossless widening aligns through an
+          // upcast; anything lossy still fails loudly
+          require(t == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(t, f.dataType),
+            s"column ${f.name} changed type $t -> ${f.dataType} (not a " +
+              "lossless widening); aligned reads only add or widen columns")
+          col(old).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)

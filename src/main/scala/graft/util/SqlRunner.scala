@@ -255,7 +255,7 @@ object SqlRunner {
             PurgeStmt, RestoreTable, VacuumTable, VacuumOlder, CreateMv,
             RefreshMv,
             DropMv, DropTable, AlterAddColumn, AlterRenameColumn,
-            AlterDropColumn, AddConstraint, CreateBranch,
+            AlterDropColumn, AlterColumnType, AddConstraint, CreateBranch,
             InsertIntoBranch, FastForward, CreateTableClone)
             .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
@@ -327,6 +327,10 @@ object SqlRunner {
         spark.sql(s"SELECT $v AS altered_version")
       case AlterDropColumn(dir, cname) =>
         val v = graft.sources.Snapshots.alterDropColumn(spark, dir, cname)
+        spark.sql(s"SELECT $v AS altered_version")
+      case AlterColumnType(dir, cname, ctype) =>
+        val v = graft.sources.Snapshots.alterWidenColumn(spark, dir, cname,
+          org.apache.spark.sql.types.DataType.fromDDL(ctype))
         spark.sql(s"SELECT $v AS altered_version")
       case CreateBranch(kind, dir, name, v) =>
         if (kind.equalsIgnoreCase("TAG"))
@@ -709,6 +713,12 @@ object SqlRunner {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val AlterDropColumn =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
+
+  /** `ALTER TABLE '<dir>' ALTER COLUMN <name> TYPE <type>` — x109's
+    * lossless type widening as metadata (Delta 3.2's contract):
+    * historic values upcast at resolution, lossy changes refuse. */
+  private val AlterColumnType =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()<>, ]+?)\s*$""".r
 
   /** `INSERT INTO '<dir>' <select>` — an APPEND version against the
     * latest (O(Δ) write, base files untouched; readers resolve
