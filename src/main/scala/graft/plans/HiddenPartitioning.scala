@@ -179,6 +179,34 @@ object HiddenPartitioning {
     v
   }
 
+  /** The table's hidden-layout spec for catalog surfaces (x107's
+    * describe_table): (source column, transform description) per
+    * transform, from the registry or the table's own sidecar — one
+    * small JSON read, empty when the table has no hidden layout. */
+  def describeSpec(dir: String): Seq[(String, String)] = {
+    val spec = registry.get(dir).map(_.transforms).orElse {
+      val p = java.nio.file.Paths.get(dir, "_hidden_spec.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8))
+        Some((0 until node.size()).map(node.get).map { o =>
+          o.get("kind").asText() match {
+            case "month" => Month(o.get("source").asText())
+            case "day" => Day(o.get("source").asText())
+            case "bucket" => Bucket(o.get("source").asText(), o.get("n").asInt())
+          }
+        })
+      }
+    }
+    spec.getOrElse(Nil).map {
+      case Month(s) => (s, "month")
+      case Day(s) => (s, "day")
+      case Bucket(s, n) => (s, s"bucket($n)")
+    }
+  }
+
   /** The user-facing read: partition columns HIDDEN (that's the
     * feature), spec re-registered from the sidecar so a fresh
     * session prunes without the writer's help. */

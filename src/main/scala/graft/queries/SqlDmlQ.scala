@@ -814,11 +814,18 @@ object SqlDmlQ {
       val rebornFresh =
         Snapshots.commit(Tables.load(s, d, "region"), scratch) == 1 &&
           !graft.ops.Retention.isEnabled(scratch)
+      // a hidden-partitioned table's describe also surfaces the
+      // TRANSFORM spec (source column → month/day/bucket(n)) — the
+      // layout fact the raw hive column names deliberately hide
+      val hiddenDir = ExtQ.x69Layout(s, d, "a")
       graft.util.SqlRunner.runScriptWithSnapshots(s,
         s"""SELECT kind, name, detail, pos,
            |  $droppedClean AS dropped_clean,
            |  $rebornFresh AS reborn_fresh
            |FROM describe_table('$dir')
+           |UNION ALL
+           |SELECT 'hidden', name, detail, pos, $droppedClean, $rebornFresh
+           |FROM describe_table('$hiddenDir') WHERE kind = 'hidden'
            |ORDER BY kind, name""".stripMargin).last
     })
   )
@@ -1042,6 +1049,10 @@ object SqlDmlQ {
         |  ('constraint', 'non_negative', 'c_acctbal >= -1000.0',
         |   CAST(NULL AS INT), true, true),
         |  ('head', 'version', '3', CAST(NULL AS INT), true, true),
+        |  ('hidden', 'o_custkey', 'bucket(8)', CAST(NULL AS INT),
+        |   true, true),
+        |  ('hidden', 'o_orderdate', 'month', CAST(NULL AS INT),
+        |   true, true),
         |  ('partition', 'c_mktsegment', 'hive', CAST(NULL AS INT),
         |   true, true))
         |  t(kind, name, detail, pos, dropped_clean, reborn_fresh)

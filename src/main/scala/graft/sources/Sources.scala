@@ -2396,12 +2396,19 @@ object Snapshots {
       .flatMap { case (rel, _) =>
         rel.split('/').filter(_.contains("=")).map(_.split("=", 2)(0))
       }.distinct.sorted.map(pc => ("partition", pc, "hive", None))
+    // x69's hidden layout, when the table carries one: the TRANSFORM
+    // spec (source column → month/day/bucket(n)) — what a planner or
+    // operator actually needs to reason about the layout, which the
+    // raw hive column names above deliberately hide
+    val hidden = graft.plans.HiddenPartitioning.describeSpec(dir)
+      .map { case (src, tf) => ("hidden", src, tf, None) }
     val cons = checkConstraints(spark, dir)
       .map { case (n, e) => ("constraint", n, e, None) }
     val headRow = Seq(("head", "version", head.toString, None))
     val s = spark
     import s.implicits._
-    (cols ++ parts ++ cons ++ headRow).toDF("kind", "name", "detail", "pos")
+    (cols ++ parts ++ hidden ++ cons ++ headRow)
+      .toDF("kind", "name", "detail", "pos")
   }
 
   /** DROP TABLE with REGISTRY CLEANUP (x107, x76's de-registration
