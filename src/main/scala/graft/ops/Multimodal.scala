@@ -286,6 +286,83 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL WAV CODEC PATH (m5 — the audio half of the seam, after
+    * m4's image half): `javax.sound.sampled` also ships in the JDK,
+    * so WAV decode stops being a stub too. [[wavFigures]] ENCODES one
+    * deterministic 16-bit mono PCM clip per document through
+    * AudioSystem's real WAV writer — sample(i) = ((doc_id·131 +
+    * i·7919) mod 65536) − 32768, a formula the oracle replays — and
+    * [[decodeWav]] DECODES the actual WAV container back
+    * (sample rate, channels and frame count from the REAL header;
+    * samples from the PCM body) and computes an integer 8-bin
+    * amplitude histogram. PCM is lossless, so decoded samples equal
+    * the formula and the oracle hash-checks the audio round-trip end
+    * to end. Only video now keeps the fake codec (no decoder ships
+    * in the JDK). */
+  val WavRate = 16000f
+  val WavSamples = 256
+
+  def wavFigures(documents: DataFrame, suffix: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("figure_id", StringType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select("doc_id").mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavRate, 16, 1, true, false) // 16-bit signed mono little-endian
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pcm = new Array[Byte](WavSamples * 2)
+        var i = 0
+        while (i < WavSamples) {
+          val s = (((id * 131 + i.toLong * 7919) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(f"fig_$id%06d_$suffix", bos.toByteArray, "audio/wav")
+      }
+    }(enc)
+  }
+
+  /** Decode REAL WAV containers: header fields from the actual
+    * parser, samples from the PCM body, and an integer amplitude
+    * histogram — bin = (sample + 32768) div 8192, eight bins, exact
+    * on both engines. */
+  def decodeWav(figures: DataFrame): DataFrame = {
+    val schema = StructType(
+      Seq(StructField("figure_id", StringType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false),
+        StructField("n_frames", LongType, nullable = false)) ++
+        (0 until 8).map(i => StructField(s"h$i", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    figures.select("figure_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val body = ais.readAllBytes()
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i + 1 < body.length) {
+          val s = ((body(i) & 0xff) | (body(i + 1) << 8)).toShort.toInt
+          hist((s + 32768) / 8192) += 1L
+          i += 2
+        }
+        Row(Seq(r.getString(0), fmt.getSampleRate.toInt, fmt.getChannels, n)
+          ++ hist.toSeq: _*)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: every `stride`-th unit of a payload → one row
     * (the video analogue of the text chunker's Generator shape).
     */

@@ -976,6 +976,26 @@ object TextQ {
         .orderBy(col("figure_id"))
     }),
 
+    // m5 — REAL AUDIO CODEC (the seam's second real half, after m4's
+    // PNG): javax.sound.sampled also ships in the JDK, so the
+    // pipeline ENCODES one deterministic 16-bit mono PCM clip per
+    // document through AudioSystem's real WAV writer (sample(i) =
+    // ((doc_id·131 + i·7919) mod 65536) − 32768), DECODES the actual
+    // WAV container back — sample rate, channel count and frame
+    // count come from the REAL header parser, so a container
+    // regression breaks the hash three times over — and computes an
+    // integer 8-bin amplitude histogram over the decoded PCM. PCM is
+    // lossless, so the oracle replays the sample formula exactly.
+    // Only video now keeps the documented fake codec (the JDK ships
+    // no decoder for it). Plan shape identical to m4: payloads on
+    // their rows, codec state per partition, narrow map out.
+    "m5_wav_audio" -> ((s, d) => {
+      import graft.ops.Multimodal
+      Multimodal.decodeWav(
+          Multimodal.wavFigures(docs(s, d).select(col("doc_id")), "a"))
+        .orderBy(col("figure_id"))
+    }),
+
     // s1 — §2.11: tumbling-window event aggregation, the batch twin
     // of graft.streaming.Events (same 5-minute windows + decimal-exact
     // sums). Partial agg + one shuffle on (window, type).
@@ -1646,6 +1666,29 @@ object TextQ {
 
     // m3: the m2 frame geometry (frame i = bytes [256·i+1, 256·i+64],
     // ASCII fixture ⇒ chars == bytes) hashed and joined in SQL —
+    // m5: the audio round-trip replayed from the sample formula — the
+    // WAV header must parse back to the written rate/channels/frames
+    // and the PCM body to the exact samples; the amplitude histogram
+    // is integer math both engines state identically.
+    "m5_wav_audio" -> {
+      val bins = (0 until 8).map(i =>
+        s"  CAST(COALESCE(MAX(CASE WHEN b = $i THEN c END), 0) AS BIGINT) AS h$i")
+        .mkString(",\n")
+      s"""WITH smp AS (
+         |  SELECT doc_id, i.i,
+         |    ((doc_id * 131 + i.i * 7919) % 65536) - 32768 AS s
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(0, 255)) AS i) i),
+         |hist AS (
+         |  SELECT doc_id, (s + 32768) // 8192 AS b, COUNT(*) AS c
+         |  FROM smp GROUP BY doc_id, (s + 32768) // 8192)
+         |SELECT printf('fig_%06d_a', doc_id) AS figure_id,
+         |  CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+         |  CAST(256 AS BIGINT) AS n_frames,
+         |$bins
+         |FROM hist GROUP BY doc_id ORDER BY figure_id""".stripMargin
+    },
+
     // m4: the REAL codec round-trip replayed from the pixel formula —
     // PNG is lossless, so the engine's ImageIO-decoded raster must
     // equal (doc_id·31 + x·7 + y·13) mod 256 pixel for pixel; the

@@ -106,6 +106,26 @@ class MultimodalSpec extends SparkSpec {
       "the decoded-pixel histogram must normalize like the fake path's")
   }
 
+  test("m5 real audio codec: the WAV container round-trips header and PCM samples exactly") {
+    import spark.implicits._
+    val figs = Multimodal.wavFigures(Seq(42L).toDF("doc_id"), "a")
+    val payload = figs.select("payload").head().getAs[Array[Byte]](0)
+    // a real RIFF/WAVE container, not a raw PCM dump
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF" &&
+      new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    assert(ais.getFormat.getSampleRate == Multimodal.WavRate &&
+      ais.getFormat.getChannels == 1 &&
+      ais.getFrameLength == Multimodal.WavSamples)
+    val body = ais.readAllBytes()
+    for (i <- 0 until Multimodal.WavSamples) {
+      val got = ((body(2 * i) & 0xff) | (body(2 * i + 1) << 8)).toShort.toInt
+      assert(got == (((42L * 131 + i.toLong * 7919) % 65536) - 32768).toInt,
+        s"sample $i must survive the WAV round-trip")
+    }
+  }
+
   test("m3 frame df-cap bounds a hot frame's join fan-in (cap under stress)") {
     // the generator never produces a frame shared by > FrameDfCap
     // figures, so the cap had never actually fired — synthesize the
