@@ -1126,13 +1126,23 @@ object Snapshots {
         sys.error(s"ALTER COLUMN '$dir': no column '$colName'"))
       require(f.dataType != newType,
         s"ALTER COLUMN '$dir': $colName is already ${f.dataType.sql}")
-      require(org.apache.spark.sql.catalyst.expressions.Cast
-          .canUpCast(f.dataType, newType),
+      require(losslessWiden(f.dataType, newType),
         s"ALTER COLUMN '$dir': ${f.dataType.sql} -> ${newType.sql} is not " +
           "a lossless widening — historic values could not survive it")
       (StructType(cur.fields.map(x =>
         if (x.name == colName) x.copy(dataType = newType) else x)), "")
     }
+
+  /** x109's widening test: Catalyst's up-cast lattice MINUS the
+    * to-string edge — `canUpCast(long, string)` is true (no precision
+    * loss), but re-typing a column to string is a REPRESENTATION
+    * change no table format calls widening (Delta's matrix is
+    * numeric/decimal/date→timestamp only), and admitting it would let
+    * an accidental stringly recommit silently align as if recorded. */
+  private def losslessWiden(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean =
+    to != org.apache.spark.sql.types.StringType &&
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
 
   /** Shared alter-claim loop: recompute head/schema on every attempt
     * (the alter discipline — a lost claim means the log advanced),
@@ -2028,11 +2038,10 @@ object Snapshots {
     src.select(target.fields.toSeq.map { f =>
       have.get(f.name) match {
         case Some((old, t)) =>
-          // x109: a recorded lossless widening aligns through an
-          // upcast; anything lossy still fails loudly
-          require(t == f.dataType ||
-            org.apache.spark.sql.catalyst.expressions.Cast
-              .canUpCast(t, f.dataType),
+          // x109: a lossless widening aligns through an upcast (the
+          // values survive by construction, recorded or not); any
+          // other type change still fails loudly
+          require(t == f.dataType || losslessWiden(t, f.dataType),
             s"column ${f.name} changed type $t -> ${f.dataType} (not a " +
               "lossless widening); aligned reads only add or widen columns")
           col(old).cast(f.dataType).as(f.name)

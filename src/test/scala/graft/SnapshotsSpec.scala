@@ -342,13 +342,24 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.readAligned(spark, dir, Some(2)).collect()
     }
-    // a type change is not additive evolution — loud failure
+    // a REPRESENTATION change (long→string) is not widening — loud
+    // failure (canUpCast alone would admit it; losslessWiden refuses)
     val dir2 = freshDir()
     Snapshots.commit(Seq((1L, 5L)).toDF("id", "score"), dir2)
     Snapshots.commit(Seq((1L, "five")).toDF("id", "score"), dir2)
     intercept[IllegalArgumentException] {
       Snapshots.readAligned(spark, dir2, Some(1)).collect()
     }
+    // x109: a LOSSLESS widening aligns through an upcast — the values
+    // survive by construction, recorded or not
+    val dir3 = freshDir()
+    Snapshots.commit(Seq((1, 5)).toDF("id", "score"), dir3)
+    Snapshots.commit(Seq((1L, 5L)).toDF("id", "score")
+      .selectExpr("cast(id as bigint) id", "cast(score as bigint) score"), dir3)
+    assert(Snapshots.readAligned(spark, dir3, Some(1))
+      .schema("score").dataType.typeName == "long")
+    assert(Snapshots.readAligned(spark, dir3, Some(1))
+      .collect().head.getLong(1) == 5L)
   }
 
   test("write-audit-publish: staged versions are invisible until published, publication is metadata-only") {
