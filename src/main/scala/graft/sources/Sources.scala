@@ -1751,7 +1751,19 @@ object Snapshots {
         // real time — the race may be lost before the first claim):
         // the PUBLISHED head must still be `expected`; unpublished
         // stages are not conflicts, they merely occupy numbers.
-        val pubNow = versions(spark, dir).lastOption.getOrElse(0)
+        // ONE log read decides BOTH the head check and the slot
+        // computation: deriving them from two separate listings
+        // opened a TOCTOU — a commit publishing in between was
+        // stepped past as if it were a staged ghost, and its rows
+        // silently dropped from the base chain (caught by the
+        // eight-writer fleet spec; two writers rarely hit the
+        // window). From one snapshot the race narrows to
+        // read→claim, which the entry-create collision itself
+        // detects: both writers target the same slot, the loser
+        // re-reads and raises.
+        val snapshot = logEntries(spark, dir)
+        val pubNow = snapshot.filter(isPublishedEntry(spark, _))
+          .map(_.get("version").asInt()).maxOption.getOrElse(0)
         if (pubNow != e) {
           fs.delete(dataDir, true)
           throw new ConcurrentCommitException(
@@ -1765,7 +1777,7 @@ object Snapshots {
         // above `expected` and raises. Starting at max+1 instead
         // would let a racer land clean ABOVE an interleaved commit
         // and miss the conflict entirely.
-        val all = allVersions(spark, dir).toSet
+        val all = snapshot.map(_.get("version").asInt()).toSet
         next = Iterator.from(e + 1).find(v => !all.contains(v)).get
       }
       val vdir = new org.apache.hadoop.fs.Path(p, s"v$next-$writer")

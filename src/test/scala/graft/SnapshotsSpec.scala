@@ -479,6 +479,23 @@ class SnapshotsSpec extends SparkSpec {
       "the union of both deltas — neither append may be lost")
   }
 
+  test("x91 at fleet width: EIGHT racing appends planned at one base all land") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((0L, "base")).toDF("id", "v"), dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() =>
+        try results.add(Snapshots.commitAppendCommuting(
+          Seq((i.toLong, s"w$i")).toDF("id", "v"), dir, base = 1))
+        catch { case e: Throwable => results.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.toArray.toSet == (2 to 9).map(identity[Any]).toSet,
+      s"all eight writers must land, serialized by claim order: $results")
+    assert(Snapshots.readResolved(spark, dir).count() == 9,
+      "the final state is the union of every writer's delta")
+  }
+
   test("x105: two racing disjoint-key deletes both land; overlapping ranges raise") {
     val dir = freshDir()
     Snapshots.commit((1L to 20L).map(i => (i, s"r$i")).toDF("id", "v"), dir)

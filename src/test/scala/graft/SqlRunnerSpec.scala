@@ -612,4 +612,24 @@ class SqlRunnerSpec extends SparkSpec {
     assert(Snapshots.tablesUnder(spark, root) == Seq(("t1", 1, 1)),
       "a staged ghost must never surface as the head")
   }
+
+  test("x104: the DML verbs keep working against a renamed column") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+    Snapshots.commit(Seq((1L, 10.0), (2L, -5.0), (3L, 7.0))
+      .toDF("uid", "bal"), dir)
+    graft.util.SqlRunner.runScriptWithSnapshots(spark,
+      s"""ALTER TABLE '$dir' RENAME COLUMN uid TO user_id;
+         |UPDATE '$dir' SET bal = bal + 100.0 WHERE user_id = 2;
+         |DELETE FROM '$dir' WHERE user_id = 3;
+         |INSERT INTO '$dir'
+         |SELECT CAST(4 AS BIGINT) AS user_id, CAST(1.0 AS DOUBLE) AS bal""".stripMargin)
+    val got = Snapshots.readResolved(spark, dir).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 95.0), (4L, 1.0)),
+      "update/delete/insert must all resolve through the rename")
+    // and the pre-rename version still serves its own name untouched
+    assert(Snapshots.readResolved(spark, dir, Some(1)).columns.head == "uid")
+  }
 }
