@@ -496,6 +496,30 @@ class SnapshotsSpec extends SparkSpec {
       "the final state is the union of every writer's delta")
   }
 
+  test("x105 mixed fleet: disjoint deletes and keyed appends race at one base; all land, state exact") {
+    val dir = freshDir()
+    Snapshots.commit((1L to 40L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val work: Seq[() => Any] = Seq(
+      () => Snapshots.commitDeletesCommuting(
+        (1L to 10L).map(Tuple1(_)).toDF("id"), dir, base = 1, keyCol = "id"),
+      () => Snapshots.commitDeletesCommuting(
+        (21L to 30L).map(Tuple1(_)).toDF("id"), dir, base = 1, keyCol = "id"),
+      () => Snapshots.commitAppendCommuting(
+        Seq((50L, "a50")).toDF("id", "v"), dir, base = 1, keyCol = Some("id")),
+      () => Snapshots.commitAppendCommuting(
+        Seq((60L, "a60")).toDF("id", "v"), dir, base = 1, keyCol = Some("id")))
+    val threads = work.map(w => new Thread(() =>
+      try results.add(w()) catch { case e: Throwable => results.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.toArray.toSet == (2 to 5).map(identity[Any]).toSet,
+      s"all four mixed writers must land: $results")
+    assert(Snapshots.readResolved(spark, dir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      ((11L to 20L) ++ (31L to 40L) ++ Seq(50L, 60L)),
+      "final state = base minus both disjoint deletes plus both appends")
+  }
+
   test("x105: two racing disjoint-key deletes both land; overlapping ranges raise") {
     val dir = freshDir()
     Snapshots.commit((1L to 20L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
