@@ -68,9 +68,35 @@ object ChangeFeed {
       * at consumption time, exactly [[Snapshots.stepChanges]]'s
       * re-basing rule; audit such flips from `table_history`, not the
       * feed. */
-    def poll(): Option[(Int, DataFrame)] =
-      Snapshots.versions(spark, dir).filter(_ > position()).minOption
-        .map(v => (v, Snapshots.stepChanges(spark, dir, v, keys)))
+    def poll(): Option[(Int, DataFrame)] = {
+      val pos = position()
+      Snapshots.versions(spark, dir).filter(_ > pos).minOption.map { v =>
+        // TRUNCATION DETECTION: version numbers are dense by
+        // construction (each commit's create-exclusive claim takes
+        // max+1), so a number between the cursor and the next
+        // available version that is absent from the WHOLE log
+        // (staged entries included) can only mean a retention vacuum
+        // physically removed it while this subscriber lagged. Serving
+        // v anyway would silently drop change rows from the feed —
+        // raise instead, exactly Delta CDF's behavior when a
+        // requested version range has been vacuumed. (A number held
+        // by a still-staged entry is NOT a gap: WAP shadowing skips
+        // it by contract.)
+        // (A FRESH subscription — cursor 0 — starts at the earliest
+        // AVAILABLE version by contract: it never observed a feed to
+        // lose. Only a cursor that already consumed can be truncated.)
+        val known = Snapshots.allVersions(spark, dir).toSet
+        val missing =
+          if (pos == 0) Seq.empty else ((pos + 1) until v).filterNot(known)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"change feed truncated under $dir: version(s) " +
+            s"${missing.mkString(", ")} between cursor $pos and next " +
+            s"available $v were removed by retention while this " +
+            "subscriber lagged; re-seed the subscriber from a snapshot " +
+            "or widen the table's retention window")
+        (v, Snapshots.stepChanges(spark, dir, v, keys))
+      }
+    }
 
     /** Advance the cursor past `version` — a create-exclusive claim;
       * a racing twin instance's duplicate advance is an idempotent

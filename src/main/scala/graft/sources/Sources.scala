@@ -754,7 +754,17 @@ object Snapshots {
                                     hi: Option[Any]) {
     private def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
-      case _ => String.valueOf(a).compareTo(String.valueOf(b))
+      // strings must compare in the SAME order that produced the
+      // recorded kmin/kmax — Spark min/max on StringType is binary
+      // UTF-8 order, while Java String.compareTo is UTF-16 code-unit
+      // order; the two disagree on supplementary-plane chars (emoji),
+      // and a comparator mismatch could judge overlapping key sets
+      // disjoint, letting a stale delete commute past an append it
+      // conflicts with. UTF8String.compareTo IS Spark's ordering.
+      case _ =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(a))
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(b)))
     }
     def disjointFrom(other: KeyRange): Boolean =
       kcol == other.kcol && (lo.isEmpty || other.lo.isEmpty ||
@@ -762,6 +772,17 @@ object Snapshots {
   }
 
   private def norm(v: Any): Any = v match {
+    // NaN/Infinity have no decimal form and no place in a [min,max]
+    // range audit — refuse loudly at write time with the real reason
+    // instead of a NumberFormatException from BigDecimal's parser
+    case d: java.lang.Double if d.isNaN || d.isInfinite =>
+      throw new IllegalArgumentException(
+        s"conflict key value $d is not orderable: declare a conflict key " +
+          "column whose values are finite (no NaN/Infinity)")
+    case f: java.lang.Float if f.isNaN || f.isInfinite =>
+      throw new IllegalArgumentException(
+        s"conflict key value $f is not orderable: declare a conflict key " +
+          "column whose values are finite (no NaN/Infinity)")
     case n: java.lang.Number => new java.math.BigDecimal(n.toString)
     case other => String.valueOf(other)
   }
@@ -1294,14 +1315,18 @@ object Snapshots {
     visible.maxBy(_._2)._1
   }
 
-  /** The latest PUBLISHED version's explicit commit instant (x63),
-    * if it carries one — the age-based retention hook's clock: the
-    * horizon derives from the table's own recorded time, never a
-    * wall-clock read, so the policy is reproducible. */
+  /** The MAX explicit commit instant (x63) across ALL published
+    * versions — the age-based retention hook's clock: the horizon
+    * derives from the table's own recorded time, never a wall-clock
+    * read, so the policy is reproducible. Max-over-all rather than
+    * the head entry's ts: an untimed commit at head (plain append,
+    * DV, replace) must not silently stop the clock and no-op MaxAge
+    * retention until the next timed commit — the latest recorded
+    * instant is the latest RECORDED instant, wherever it sits in the
+    * log. */
   def latestPublishedTs(spark: SparkSession, dir: String): Option[Long] =
     logEntries(spark, dir).filter(isPublishedEntry(spark, _))
-      .sortBy(_.get("version").asInt()).lastOption
-      .flatMap(n => Option(n.get("ts")).map(_.asLong()))
+      .flatMap(n => Option(n.get("ts")).map(_.asLong())).maxOption
 
   /** Read the table as it stood at `tsMillis` ([[versionAsOf]] +
     * pinned [[read]]). */

@@ -71,6 +71,28 @@ class RetentionSpec extends SparkSpec {
     } finally Retention.disable(dir)
   }
 
+  test("x106: the age clock is the MAX recorded instant — an untimed head never stalls it") {
+    val day = 86400000L
+    val dir = freshDir()
+    Snapshots.commitAt(Seq((1L, "d1")).toDF("id", "v"), dir, day)
+    Snapshots.commitAt(Seq((2L, "d2")).toDF("id", "v"), dir, 5 * day)
+    assert(Snapshots.latestPublishedTs(spark, dir).contains(5 * day))
+    Retention.enableAge(dir, maxAgeMillis = day)
+    try {
+      // an UNTIMED append lands at head: the clock must stay the max
+      // across ALL published instants (5*day), so the hook still
+      // ages v1 out — a head-only clock would return None here and
+      // silently no-op MaxAge retention until the next timed commit
+      Snapshots.commitAppend(Seq((3L, "d3")).toDF("id", "v"), dir, base = 2)
+      assert(Snapshots.latestPublishedTs(spark, dir).contains(5 * day),
+        "the untimed head does not move (or erase) the recorded clock")
+      assert(!Snapshots.versions(spark, dir).contains(1),
+        "v1 aged out inside the untimed commit's hook")
+      assert(Snapshots.readResolved(spark, dir).count() == 2,
+        "latest = v2's row + the appended row")
+    } finally Retention.disable(dir)
+  }
+
   test("disable stops the hook") {
     val dir = freshDir()
     Retention.enable(dir, keepLast = 1)

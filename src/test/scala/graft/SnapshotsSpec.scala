@@ -836,6 +836,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readResolved(spark, dir).count() == 2)
   }
 
+  test("x105: string conflict-key ranges compare in UTF-8 binary order (supplementary-plane safe)") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(("�", "base")).toDF("k", "v"), dir)
+    // The append's Spark-recorded range is [U+FFFD, U+1F600]: Spark's
+    // min/max on strings is binary UTF-8 order, where the emoji
+    // (4-byte, 0xF0…) sorts ABOVE every BMP char. Under Java's UTF-16
+    // code-unit order the same hi endpoint (surrogate 0xD83D…) sorts
+    // BELOW the lo endpoint — a UTF-16 comparator would see an
+    // inverted range and judge a delete of U+FFFD "disjoint",
+    // commuting it past an append that re-adds the very key.
+    Snapshots.commitAppendCommuting(
+      Seq(("�", "dup"), ("😀", "emoji")).toDF("k", "v"),
+      dir, base = 1, keyCol = Some("k"))
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitDeletesCommuting(
+        Seq(Tuple1("�")).toDF("k"), dir, base = 1, keyCol = "k")
+    }
+    // a key genuinely above the range still commutes: U+1F601 > U+1F600
+    assert(Snapshots.commitDeletesCommuting(
+      Seq(Tuple1("😁")).toDF("k"), dir, base = 1, keyCol = "k") == 3)
+    assert(Snapshots.readResolved(spark, dir).count() == 3,
+      "base + both appended rows; the overlapping delete never landed")
+  }
+
+  test("x105: a NaN conflict-key value is refused loudly, not a parser crash") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1.0, "a")).toDF("k", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitAppendCommuting(
+        Seq((Double.NaN, "bad")).toDF("k", "v"), dir, base = 1,
+        keyCol = Some("k"))
+    }
+    assert(e.getMessage.contains("not orderable"),
+      s"the refusal must name the real reason: ${e.getMessage}")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

@@ -706,4 +706,34 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.exceptAll(replay).isEmpty && replay.exceptAll(sunk).isEmpty)
     assert(replay.count() == 3 + 1 + 1 + 1)
   }
+
+  test("x103: retention truncating a lagging subscriber's feed raises instead of skipping") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("cdfgap").toString
+    val (dir, cursorDir) = (s"$base/t", s"$base/cursor")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir)
+    val sub = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    val (v1, _) = sub.poll().get
+    sub.commitCursor(v1)
+    // the subscriber lags; a vacuum physically removes v2 (v3 is a
+    // full commit, so no chain closure pins it)
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(1, 2))
+    val e = intercept[IllegalStateException] { sub.poll() }
+    assert(e.getMessage.contains("truncated") && e.getMessage.contains("2"),
+      s"the gap must be named: ${e.getMessage}")
+    // a STAGED ghost's skipped number is NOT a gap (WAP shadowing):
+    // the cursor steps past it without raising
+    Snapshots.commitStaged(Seq((8L, "ghost")).toDF("id", "v"), dir) // v4
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), dir)           // v5
+    val sub2 = Snapshots.readChangeStream(spark, dir, Seq("id"),
+      s"$base/cursor2")
+    val (w1, _) = sub2.poll().get
+    assert(w1 == 3)
+    sub2.commitCursor(w1)
+    val (w2, _) = sub2.poll().get
+    assert(w2 == 5, "the staged v4 is shadow-skipped, not a truncation")
+  }
 }
