@@ -152,6 +152,65 @@ object Nsw {
     Repair(delta, touched, untouched.unionByName(delta))
   }
 
+  /** RTBF LOCAL REPAIR (v36 — [[insert]]'s inverse): erase `purged`
+    * ids from the adjacency WITHOUT a rebuild. Purged nodes lose
+    * their rows outright; surviving nodes that held a purged id in
+    * their neighbor list (the TOUCHED set — erasure must reach
+    * neighbor lists, not just source rows, or the purged id survives
+    * as an edge endpoint on other rows) re-keep their best `m` over
+    * (their remaining old edges ∪ fresh block-mate candidates from
+    * the POST-purge corpus at the frozen centroids); every other
+    * node's edges pass through untouched. The re-link candidates
+    * restore degree where block-mates suffice, so recall survives
+    * the erasure (the v36 query pins recall@3 after repair).
+    *
+    * Deterministic given centroids (rank by score DESC, id — the
+    * build's order), so the whole repair unrolls into oracle SQL.
+    * Cost: |touched| · block-mates scored pairs + one per-touched
+    * re-keep — corpus-independent for a fixed purge batch, exactly
+    * [[insert]]'s bound. Returns [[Repair]] in storage-commit shape:
+    * `touched` here is touched ∪ purged (the full DV key set — both
+    * replaced and erased rows must leave the resolved head). */
+  def purgeRepair(edges: DataFrame, vectors: DataFrame, idCol: String,
+                  vecCol: String, centroids: DataFrame, blocks: Int,
+                  m: Int, purged: DataFrame): Repair = {
+    VectorOps.ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_nvec"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("_nid").as("a"), col("_nvec").as("_va")), "a")
+      .join(v.select(col("_nid").as("b"), col("_nvec").as("_vb")), "b")
+      .withColumn("score", VectorOps.dot(col("_va"), col("_vb")))
+      .select(col("a"), col("b"), col("score"))
+    val p = purged.select(col(idCol).as("_pid")).distinct().cutLineage(true)
+    // survivors' rows, split on whether a purged id sits in the list
+    val alive = edges.join(p, edges("a") === p("_pid"), "left_anti")
+      .select(col("a"), col("b"), col("score"))
+    val touched = alive.join(p, alive("b") === p("_pid"), "left_semi")
+      .select(col("a")).distinct().cutLineage(true)
+    val kept = alive.join(p, alive("b") === p("_pid"), "left_anti")
+      .select(col("a"), col("b"), col("score"))
+    val keptTouched = kept.join(touched, Seq("a"), "left_semi")
+    // re-link: touched × their post-purge block-mates (frozen
+    // centroids — no retrain), never old × old
+    val asg = blockAssign(vectors, idCol, vecCol, centroids, blocks)
+    val ta = asg.join(touched, asg(idCol) === touched("a"), "left_semi")
+      .select(col(idCol).as("a"), col("cluster_id"))
+    val mates = asg.select(col(idCol).as("b"), col("cluster_id"))
+    val tpairs = ta.join(mates, "cluster_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    // distinct: a kept edge re-offered as a block pair rescores to
+    // the same IEEE dot, so the union dedups exactly (insert's rule)
+    val repaired = graft.plans.TopK.perKey(
+      scored(tpairs).unionByName(keptTouched).distinct(),
+      Seq("a"), Seq(col("score").desc, col("b")), m).cutLineage(true)
+    val untouched = kept.join(touched, Seq("a"), "left_anti")
+    val delta = repaired.select(col("a"), col("b"), col("score"))
+    val dvKeys = touched.unionByName(p.select(col("_pid").as("a"))).distinct()
+    Repair(delta, dvKeys, untouched.unionByName(delta))
+  }
+
   /** Entry layer: one fixed node per coarse cluster (min id) from the
     * index's rank-1 assignment — metadata-sized. */
   def entries(assigned: DataFrame, idCol: String): DataFrame =

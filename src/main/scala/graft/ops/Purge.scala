@@ -77,6 +77,24 @@ object Purge {
     * versions are then vacuumed away. */
   final case class Reland(dir: String, rebuild: SparkSession => Unit)
     extends Artifact
+  /** A persisted GRAPH ANN index (v31's adjacency + entry pair) —
+    * the artifact class where row-keyed purging is NOT enough: a
+    * purged document's id survives as a NEIGHBOR on other rows'
+    * edge lists, and possibly as an elected entry node. Erasure is
+    * [[graft.ops.Nsw.purgeRepair]]'s LOCAL REPAIR (drop the purged
+    * rows, splice the purged ids out of surviving neighbor lists,
+    * re-link the touched nodes from post-purge block-mates at the
+    * frozen centroids), landed as v31's merge-on-read pair, then a
+    * full-history [[Snapshots.purgeKeys]] scrub over BOTH edge
+    * endpoints, and entry re-election from the (already purged)
+    * assignment table — so register the assignment's [[KeyedTable]]
+    * BEFORE this artifact; the registry applies artifacts in
+    * registration order. Purge keys must be the single id column. */
+  final case class GraphIndex(adjDir: String, entDir: String,
+                              corpusDir: String, centroidsDir: String,
+                              assignDir: String, idCol: String,
+                              vecCol: String, blocks: Int, m: Int)
+    extends Artifact
 
   /** One propagation step's receipt. */
   final case class Action(artifact: String, dir: String, action: String,
@@ -161,6 +179,39 @@ object Purge {
         rebuild(spark)
         val dropped = Snapshots.vacuum(spark, dir, keepLast = 1)
         Action("stats", dir, "relanded", s"vacuumed:${dropped.mkString(",")}")
+      case gi: GraphIndex =>
+        require(keys.columns.length == 1,
+          s"GraphIndex purge needs a single-column id key set, " +
+            s"got ${keys.columns.mkString(",")}")
+        val kid = keys.select(col(s"`${keys.columns.head}`").as(gi.idCol))
+        val corpus = Snapshots.readResolved(spark, gi.corpusDir)
+        val cents = Snapshots.readResolved(spark, gi.centroidsDir)
+        val edges = Snapshots.readResolved(spark, gi.adjDir)
+        val rep = graft.ops.Nsw.purgeRepair(edges, corpus, gi.idCol,
+          gi.vecCol, cents, gi.blocks, gi.m, kid)
+        // the repaired HEAD lands as v31's merge-on-read pair first …
+        val head = Snapshots.versions(spark, gi.adjDir).last
+        val dv = Snapshots.commitDeletes(rep.touched, gi.adjDir,
+          base = head, staged = true)
+        Snapshots.commitAppend(rep.delta, gi.adjDir, base = dv)
+        // … then the purged ids leave EVERY version's bytes — both as
+        // edge sources (a) and as neighbor-list entries (b); the "a"
+        // pass also scrubs them from the just-landed DV's key file
+        val asA = Snapshots.purgeKeys(spark, gi.adjDir,
+          kid.select(col(gi.idCol).as("a")))
+        val asB = Snapshots.purgeKeys(spark, gi.adjDir,
+          kid.select(col(gi.idCol).as("b")))
+        // entry re-election from the already-purged assignment (the
+        // registry applies artifacts in registration order); the old
+        // entry version — which may NAME a purged node — is then
+        // physically vacuumed, not merely superseded
+        val ent2 = graft.ops.Nsw.entries(
+          Snapshots.readResolved(spark, gi.assignDir), gi.idCol)
+        Snapshots.commit(ent2, gi.entDir)
+        Snapshots.vacuum(spark, gi.entDir, keepLast = 1)
+        Action("graph_index", gi.adjDir, "locally_repaired",
+          s"adj_scrubbed:${(asA ++ asB).distinct.sorted.mkString(",")};" +
+            s"entries_reelected:${gi.entDir}")
     }
   }
 
@@ -181,18 +232,30 @@ object Purge {
     * raises instead of vacuously reporting 0. */
   def exposureCount(spark: SparkSession, dir: String, keys: DataFrame,
                     cols: Seq[String] = Nil): Long = {
-    val keyVals = keys.distinct().collect()
-      .flatMap(r => (0 until r.length).filterNot(r.isNullAt)
-        .map(i => String.valueOf(r.get(i)))).distinct.toSeq
-    if (keyVals.isEmpty) return 0L
-    val wanted = cols.map(_.toLowerCase).toSet
+    // The key set rides as DATA (one broadcast row carrying the
+    // string-normalized values, cast per leaf at compare time), never
+    // as plan literals — the earlier isin form embedded every key as
+    // an expression, so a million-key purge batch would blow the plan
+    // before the first scan. Compare semantics are unchanged: each
+    // value casts to the leaf's own type (`97` matches a DOUBLE 97.0
+    // boundary; an uncastable value becomes a null element, which —
+    // like a null isin literal — can never assert a match).
+    val asStr = keys.columns.map(c => col(s"`$c`").cast("string"))
+    val keyValsDf = keys
+      .select(explode(array(asStr: _*)).as("_v"))
+      .filter(col("_v").isNotNull).distinct()
+    if (keyValsDf.isEmpty) return 0L
+    val kvRow = broadcast(
+      keyValsDf.agg(sort_array(collect_set(col("_v"))).as("_kva")))
     // every scannable-leaf condition under one top-level column
     def leafConds(path: org.apache.spark.sql.Column,
                   dt: DataType): Seq[org.apache.spark.sql.Column] = dt match {
       case _: NumericType | StringType =>
-        Seq(path.isin(keyVals.map(k => lit(k).cast(dt)): _*))
+        Seq(coalesce(
+          array_contains(col("_kva").cast(ArrayType(dt)), path), lit(false)))
       case ArrayType(et, _) if et.isInstanceOf[NumericType] || et == StringType =>
-        Seq(arrays_overlap(path, array(keyVals.map(k => lit(k).cast(et)): _*)))
+        Seq(coalesce(
+          arrays_overlap(path, col("_kva").cast(ArrayType(et))), lit(false)))
       case st: StructType =>
         st.fields.toSeq.flatMap(f => leafConds(path.getField(f.name), f.dataType))
       case MapType(kt, vt, _) =>
@@ -201,6 +264,7 @@ object Purge {
       case _ => Nil
     }
     val matchedNames = scala.collection.mutable.Set[String]()
+    val wanted = cols.map(_.toLowerCase).toSet
     val total = Snapshots.allVersions(spark, dir).map { v =>
       val df = Snapshots.read(spark, dir, Some(v))
       val conds = df.schema.fields.toSeq
@@ -210,7 +274,8 @@ object Purge {
           if (cs.nonEmpty) matchedNames += f.name.toLowerCase
           cs
         }
-      if (conds.isEmpty) 0L else df.filter(conds.reduce(_ || _)).count()
+      if (conds.isEmpty) 0L
+      else df.crossJoin(kvRow).filter(conds.reduce(_ || _)).count()
     }.sum
     val unscanned = wanted -- matchedNames
     require(unscanned.isEmpty,

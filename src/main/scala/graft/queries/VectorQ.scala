@@ -1420,6 +1420,108 @@ object VectorQ {
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
+    // v36 — RIGHT-TO-BE-FORGOTTEN ACROSS THE VECTOR INDEXES (the
+    // erasure hole x50/x76 left: purge reached tables, MVs, caches,
+    // and stats, but a purged document's embedding survived in the
+    // IVF assignment table, in the PQ code table, in the NSW
+    // adjacency — including as a NEIGHBOR on other rows' edge lists —
+    // and possibly as an elected entry node). The full persisted
+    // index estate (corpus, centroids, assignments, PQ codes,
+    // adjacency, entries) is committed as lakehouse tables, the
+    // assignment/code tables register as Purge.KeyedTable, and the
+    // graph pair as the new Purge.GraphIndex artifact: LOCAL REPAIR
+    // (ops.Nsw.purgeRepair — purged rows dropped, purged ids spliced
+    // out of surviving neighbor lists, touched nodes re-linked from
+    // post-purge block-mates at the frozen centroids), v31's
+    // merge-on-read landing, a both-endpoint full-history purgeKeys
+    // scrub, and entry re-election from the purged assignment with
+    // the old entry version physically vacuumed. The x76 exposure
+    // witness runs over ALL SIX dirs — positive before, zero after —
+    // and rides the hash next to a recall@3 acceptance of the
+    // repaired index (queried at qid 5–9 over the post-purge
+    // corpus). entry_reelected is a REAL cross-check, not a pinned
+    // literal: both engines derive it from their own replay (vec_id
+    // 0 is the global min, hence an entry before the purge, and must
+    // not be one after). At 100 TB: the repair is |touched| ·
+    // block-mates scored pairs (insert's bound), the scrub is the
+    // same per-version rewrite purgeKeys already costs for the
+    // source, and the witness is one broadcast key-array scan per
+    // version — GDPR erasure at index scale without a rebuild.
+    "v36_index_rtbf" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val e = emb(s, d)
+      val idx = learnedIndex(s, d)
+      val edges = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val pq = pqIndex(s, d)
+      val srcDir = freshSnapDir(s, d, "v36_src")
+      val centDir = freshSnapDir(s, d, "v36_cents")
+      val asgDir = freshSnapDir(s, d, "v36_asg")
+      val pqDir = freshSnapDir(s, d, "v36_pq")
+      val adjDir = freshSnapDir(s, d, "v36_adj")
+      val entDir = freshSnapDir(s, d, "v36_ent")
+      Snapshots.commit(e, srcDir)
+      Snapshots.commit(idx.centroids, centDir)
+      Snapshots.commit(idx.assigned, asgDir)
+      Snapshots.commit(pq.encoded, pqDir)
+      Snapshots.commit(edges, adjDir)
+      Snapshots.commit(graft.ops.Nsw.entries(idx.assigned, "vec_id"), entDir)
+      val keys = e.filter(col("vec_id") < 3).select(col("vec_id"))
+      // the witness names where the identifier lives per artifact
+      // (a cluster/code/score coincidentally equal to a small key
+      // NUMBER is not the purged identifier — exposureCount's cols
+      // contract)
+      val witnessed = Seq(
+        srcDir -> Seq("vec_id"), asgDir -> Seq("vec_id"),
+        pqDir -> Seq("vec_id"), adjDir -> Seq("a", "b"),
+        entDir -> Seq("node"))
+      def expo() = witnessed.map { case (dir, cs) =>
+        graft.ops.Purge.exposureCount(s, dir, keys, cs) }
+      val before = expo()
+      val entHadPurged =
+        Snapshots.read(s, entDir).filter(col("node") < 3).count() > 0
+      graft.ops.Purge.register(srcDir, graft.ops.Purge.KeyedTable(asgDir))
+      graft.ops.Purge.register(srcDir, graft.ops.Purge.KeyedTable(pqDir))
+      graft.ops.Purge.register(srcDir, graft.ops.Purge.GraphIndex(
+        adjDir, entDir, srcDir, centDir, asgDir,
+        "vec_id", "embedding", NswBlocks, NswM))
+      try {
+        graft.ops.Purge.purge(s, srcDir, keys)
+        val after = expo()
+        val entClean =
+          Snapshots.read(s, entDir).filter(col("node") < 3).count() == 0
+        val corpus = Snapshots.readResolved(s, srcDir)
+        val q = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cold = graft.ops.Nsw.search(Snapshots.readResolved(s, adjDir),
+          corpus, "vec_id", "embedding", Snapshots.read(s, entDir), q,
+          NswBeam, NswWalk, topK = 3)
+        val truth = {
+          val scored = corpus.join(broadcast(q.select(col("qid"),
+              col("qvec").cast("array<double>").as("_q"))),
+              col("vec_id") =!= col("qid"))
+            .withColumn("sc", VectorOps.dot(col("_q"),
+              col("embedding").cast("array<double>")))
+          graft.plans.TopK.perKey(scored, Seq("qid"),
+              Seq(col("sc").desc, col("vec_id")), 3)
+            .select(col("qid"), col("vec_id").as("nb_id"))
+        }
+        val hits = cold.join(truth, Seq("qid", "nb_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        cold.join(hits, Seq("qid"), "left")
+          .select(col("qid"), col("nb_id"), col("nb_rank"),
+            round(col("score"), 4).as("score"),
+            coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
+            lit(entHadPurged && entClean).as("entry_reelected"),
+            lit(before.forall(_ > 0)).as("exposure_before_pos"),
+            lit(after.forall(_ == 0)).as("exposure_after_zero"))
+          .orderBy(col("qid"), col("nb_rank"))
+      } finally graft.ops.Purge.deregister(srcDir)
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -1885,6 +1987,135 @@ object VectorQ {
          |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
          |  round(r.score, 4) AS score, h.hits_at_3
          |FROM nres r JOIN nhits h USING (qid)
+         |WHERE r.rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
+  /** v36's replay: the SHARED v30 build chain, then the erasure —
+    * purged ids {0,1,2} filtered out of corpus and adjacency, the
+    * TOUCHED survivors (rows that held a purged id in their neighbor
+    * list) re-linked from post-purge block-mates at the frozen
+    * centroids ([[graft.ops.Nsw.purgeRepair]] term for term: same
+    * rank expression, same tie-breaks, same union-dedup), entries
+    * re-elected from the purged assignment, and the beam walk re-run
+    * at qid 5–9 over the post-purge corpus with recall@3 vs the
+    * post-purge brute force. `entry_reelected` is derived on BOTH
+    * sides from their own replay (node 0 is an entry before, none of
+    * {0,1,2} after); the two exposure flags pin the engine-side x76
+    * witness (literal TRUE — v31's index_atomic pattern). */
+  private def rtbfOracle: String = {
+    def beamCte(name: String, candSrc: String): String =
+      s"""$name AS (
+         |  SELECT qid, node, score FROM (
+         |    SELECT c.qid, c.node,
+         |      list_dot_product(q.qe, e.v) AS score,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY
+         |        list_dot_product(q.qe, e.v) DESC,
+         |        c.node) AS rn
+         |    FROM $candSrc c
+         |    JOIN vq q ON q.qid = c.qid
+         |    JOIN vcorpus e ON e.vec_id = c.node) t
+         |  WHERE rn <= $NswBeam)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(nswBuildCtes)
+    sb.append(
+      s"""vpurged AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 3),
+         |vcorpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT id FROM vpurged)),
+         |valive AS (
+         |  SELECT a, b, score FROM edges$NswRounds
+         |  WHERE a NOT IN (SELECT id FROM vpurged)),
+         |vtouched AS (
+         |  SELECT DISTINCT a FROM valive
+         |  WHERE b IN (SELECT id FROM vpurged)),
+         |vkept AS (
+         |  SELECT a, b, score FROM valive
+         |  WHERE b NOT IN (SELECT id FROM vpurged)),
+         |vasg AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(c.cvec, c.cvec)
+         |          - 2 * list_dot_product(e.v, c.cvec),
+         |        c.cluster_id) AS rn
+         |    FROM vcorpus e CROSS JOIN cent${IvfIters - 1} c) t
+         |  WHERE rn <= $NswBlocks),
+         |vtpairs AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM vasg x JOIN vasg y USING (cluster_id)
+         |  WHERE x.vec_id IN (SELECT a FROM vtouched)
+         |    AND y.vec_id <> x.vec_id),
+         |vsc AS (
+         |  SELECT p.a, p.b, list_dot_product(ea.v, eb.v) AS score
+         |  FROM vtpairs p
+         |  JOIN vcorpus ea ON ea.vec_id = p.a
+         |  JOIN vcorpus eb ON eb.vec_id = p.b),
+         |vcand AS (
+         |  SELECT a, b, score FROM vsc
+         |  UNION
+         |  SELECT a, b, score FROM vkept
+         |  WHERE a IN (SELECT a FROM vtouched)),
+         |vdelta AS (
+         |  SELECT a, b, score FROM (
+         |    SELECT a, b, score,
+         |      row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
+         |    FROM vcand) t
+         |  WHERE rn <= $NswM),
+         |vadj AS (
+         |  SELECT a, b, score FROM vkept
+         |  WHERE a NOT IN (SELECT a FROM vtouched)
+         |  UNION ALL
+         |  SELECT a, b, score FROM vdelta),
+         |vpentry AS (
+         |  SELECT MIN(vec_id) AS node FROM asg$IvfIters
+         |  WHERE vec_id NOT IN (SELECT id FROM vpurged)
+         |  GROUP BY cluster_id),
+         |vq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |       FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+         |vwc0 AS (SELECT q.qid, e.node FROM vq q CROSS JOIN vpentry e),
+         |""".stripMargin)
+    sb.append(beamCte("vwb0", "vwc0") + ",\n")
+    for (w <- 1 to NswWalk) {
+      sb.append(
+        s"""vwc$w AS (
+           |  SELECT qid, node FROM vwb${w - 1}
+           |  UNION
+           |  SELECT b.qid, e.b AS node
+           |  FROM vwb${w - 1} b JOIN vadj e ON e.a = b.node),
+           |""".stripMargin)
+      sb.append(beamCte(s"vwb$w", s"vwc$w") + ",\n")
+    }
+    sb.append(
+      s"""vres AS (
+         |  SELECT qid, node AS nb_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+         |  FROM vwb$NswWalk WHERE node <> qid),
+         |vbrute AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.v) DESC,
+         |        e.vec_id) AS rn
+         |    FROM vq q CROSS JOIN vcorpus e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |vhits AS (
+         |  SELECT r.qid, CAST(COUNT(b.nb_id) AS INT) AS hits_at_3
+         |  FROM vres r LEFT JOIN vbrute b
+         |    ON b.qid = r.qid AND b.nb_id = r.nb_id
+         |  WHERE r.rn <= 3
+         |  GROUP BY r.qid)
+         |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
+         |  round(r.score, 4) AS score, h.hits_at_3,
+         |  ((SELECT COUNT(*) FROM nentry
+         |    WHERE node IN (SELECT id FROM vpurged)) > 0
+         |   AND (SELECT COUNT(*) FROM vpentry
+         |    WHERE node IN (SELECT id FROM vpurged)) = 0) AS entry_reelected,
+         |  TRUE AS exposure_before_pos,
+         |  TRUE AS exposure_after_zero
+         |FROM vres r JOIN vhits h USING (qid)
          |WHERE r.rn <= 3
          |ORDER BY qid, nb_rank""".stripMargin)
     sb.toString
@@ -2502,24 +2733,29 @@ ORDER BY nprobe"""
     // block assignment, blocked init pairs, NN-descent rounds, entry
     // layer, beam-walk rounds, top-3, and the recall hits vs brute
     // force; one hash pins build, walk, and achieved recall.
-    "v30_graph_ann" -> nswOracle,
-    "v31_graph_index_lifecycle" -> nswLifecycleOracle,
-    "v35_graph_drift_retrain" -> graphRetrainOracle,
+    "v30_graph_ann" -> materializeCtes(nswOracle),
+    "v31_graph_index_lifecycle" -> materializeCtes(nswLifecycleOracle),
+    "v35_graph_drift_retrain" -> materializeCtes(graphRetrainOracle),
+
+    // v36: the shared chain + the erasure — purge filter, blocked
+    // local repair, entry re-election, post-purge walk at qid 5–9,
+    // recall@3; entry_reelected derived on both sides.
+    "v36_index_rtbf" -> materializeCtes(rtbfOracle),
 
     // v32: v30's shared graph chain + v9's PQ chain — the walk
     // re-priced on decoded codes, the final beam re-ranked exactly,
     // recall@3 in the hash.
-    "v32_pq_graph_walk" -> pqWalkOracle,
+    "v32_pq_graph_walk" -> materializeCtes(pqWalkOracle),
 
     // v33: the shared chain walked per beam setting; per-setting
     // recall + the cheapest-clearing-90% verdict (explicit largest-
     // serves fallback) replayed with a window MIN.
-    "v33_beam_tuning" -> beamTuningOracle,
+    "v33_beam_tuning" -> materializeCtes(beamTuningOracle),
 
     // v34: the shared chain at serving + over-fetched beams, post-
     // filtered and re-ranked; both legs' hits vs the filtered brute
     // force in the hash.
-    "v34_filtered_graph_walk" -> filteredWalkOracle,
+    "v34_filtered_graph_walk" -> materializeCtes(filteredWalkOracle),
 
     // v27: v8's chain with the label predicate in the candidate
     // stage — eligibility applies BEFORE ranking, both engines.

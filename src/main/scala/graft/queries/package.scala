@@ -15,6 +15,19 @@ package object queries {
     */
   def dsum2(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** DuckDB CTE-materialization hint (an oracle-side execution fix,
+    * zero semantics): DuckDB 1.0 INLINES a plain CTE per reference,
+    * so an unrolled multi-round chain (graph build+walk, BPE merge
+    * rounds) re-derives its whole prefix per mention — measured at
+    * 500 vectors, v31's replay took 250 s plain vs 1.2 s
+    * materialized, byte-identical frames. `AS MATERIALIZED`
+    * evaluates each chain stage once. Applied as a text pass over
+    * SQL these modules generate, where every CTE header sits at
+    * line start. */
+  def materializeCtes(sql: String): String =
+    sql.replaceAll("(?m)^(WITH )?([A-Za-z_][A-Za-z0-9_]*) AS \\(",
+      "$1$2 AS MATERIALIZED (")
+
   /** Same for derived per-row doubles (e.g. price*(1-disc)): the
     * per-row product is IEEE-identical in Spark and DuckDB; summing at
     * scale 6 keeps the result exact and order-independent.

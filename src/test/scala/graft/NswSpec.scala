@@ -170,6 +170,45 @@ class NswSpec extends SparkSpec {
     assert(oldBest.forall { case (a, s) => newBest(a) >= s - 1e-12 })
   }
 
+  test("v36: purgeRepair erases purged ids from rows AND neighbor lists, re-links touched nodes") {
+    val v = corpus(80)
+    val idx = centroidsOf(v)
+    val edges = Nsw.build(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = 3, rounds = 2)
+    // purge BIG-shell nodes (odd ids, norm 10): dot-product neighbor
+    // lists are dominated by big-norm vectors, so these ids sit in
+    // many survivors' lists — the splice path must actually fire
+    val pSet = Set(1L, 3L, 5L)
+    val purged = pSet.toSeq.sorted.toDF("vec_id")
+    val survivors = v.filter(!col("vec_id").isin(pSet.toSeq: _*))
+    val rep = Nsw.purgeRepair(edges, survivors, "vec_id", "embedding",
+      idx.centroids, blocks = 2, m = 3, purged)
+    val before = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = rep.adjacency.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!adj.exists { case (a, b) => pSet(a) || pSet(b) },
+      "no purged id survives — not as a row, not inside a neighbor list")
+    val touched = before.collect { case (a, b) if pSet(b) && !pSet(a) => a }
+    assert(touched.nonEmpty, "the fixture must exercise neighbor-list splicing")
+    // untouched neighborhoods pass through bit-identically
+    val untouchedBefore = before.filter { case (a, _) =>
+      !touched(a) && !pSet(a) }
+    assert(untouchedBefore.subsetOf(adj.toSet),
+      "untouched nodes' edges are never recomputed")
+    // touched nodes re-link (never vanish) and stay degree-bounded
+    val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(touched.forall(t => deg.getOrElse(t, 0) > 0),
+      "every touched survivor re-links from block-mates")
+    assert(deg.values.forall(_ <= 3), "out-degree stays bounded by m")
+    // the storage-commit key set = touched ∪ purged
+    assert(rep.touched.collect().map(_.getLong(0)).toSet == touched ++ pSet,
+      "DV keys must cover both replaced and erased rows")
+    // deterministic: a second repair is bit-identical
+    val again = Nsw.purgeRepair(edges, survivors, "vec_id", "embedding",
+      idx.centroids, blocks = 2, m = 3, purged)
+      .adjacency.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adj.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("the walk scores only touched candidates, never the corpus") {
     val v = corpus(200)
     val idx = centroidsOf(v)

@@ -294,4 +294,54 @@ class PurgeSpec extends SparkSpec {
       "an entry keyed to a path that merely ends with the source dir must survive")
     Purge.deregister(src)
   }
+
+  test("GraphIndex: erasure reaches adjacency endpoints and entry nodes; head serves the repaired graph") {
+    val root = freshRoot("gindex")
+    // a deterministic 2-shell corpus (NswSpec's fixture)
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 1.0 else 10.0
+      val ang = 2 * math.Pi * i / 60
+      (i.toLong, Array(base * math.cos(ang), base * math.sin(ang),
+        base * 0.5, base * 0.25))
+    }.toDF("vec_id", "embedding")
+    val idx = graft.ops.Ivf.buildExact(vecs, "vec_id", "embedding",
+      k = 4, assignPasses = 2)
+    val edges = graft.ops.Nsw.build(vecs, "vec_id", "embedding",
+      idx.centroids, blocks = 2, m = 3, rounds = 1)
+    val (src, cent, asg, adj, ent) = (s"$root/src", s"$root/cent",
+      s"$root/asg", s"$root/adj", s"$root/ent")
+    Snapshots.commit(vecs, src)
+    Snapshots.commit(idx.centroids, cent)
+    Snapshots.commit(idx.assigned, asg)
+    Snapshots.commit(edges, adj)
+    Snapshots.commit(graft.ops.Nsw.entries(idx.assigned, "vec_id"), ent)
+    val keys = Seq(0L).toDF("vec_id") // the global min id IS an entry node
+    assert(Purge.exposureCount(spark, adj, keys, Seq("a", "b")) > 0L)
+    assert(Purge.exposureCount(spark, ent, keys, Seq("node")) > 0L,
+      "node 0 must be an elected entry before the purge")
+    Purge.register(src, Purge.KeyedTable(asg))
+    Purge.register(src, Purge.GraphIndex(adj, ent, src, cent, asg,
+      "vec_id", "embedding", blocks = 2, m = 3))
+    val actions = Purge.purge(spark, src, keys)
+    assert(actions.exists(a =>
+      a.artifact == "graph_index" && a.action == "locally_repaired"))
+    // the witness over the FULL history of every index dir
+    for ((dir, cs) <- Seq(src -> Seq("vec_id"), asg -> Seq("vec_id"),
+        adj -> Seq("a", "b"), ent -> Seq("node")))
+      assert(Purge.exposureCount(spark, dir, keys, cs) == 0L,
+        s"purged id still exposed under $dir")
+    // the resolved head is exactly purgeRepair's adjacency
+    val expect = graft.ops.Nsw.purgeRepair(edges,
+        vecs.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        idx.centroids, blocks = 2, m = 3, keys)
+      .adjacency.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val served = Snapshots.readResolved(spark, adj)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(served == expect, "DV+append+scrub must serve the repaired graph")
+    // entries re-elected: a surviving node now fronts node 0's cluster
+    val newEntries = Snapshots.read(spark, ent)
+      .collect().map(_.getLong(0)).toSet
+    assert(!newEntries.contains(0L) && newEntries.nonEmpty)
+    Purge.deregister(src)
+  }
 }
