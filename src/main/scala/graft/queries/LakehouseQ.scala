@@ -205,6 +205,67 @@ object LakehouseQ {
         .orderBy(col("to_version"), col("op"))
     }),
 
+    // x112 — CHANGE-FEED CATCH-UP BATCHING (x103's missing throughput
+    // knob — Delta's maxFilesPerTrigger / Kafka's maxOffsetsPerTrigger
+    // for the version axis): x103 serves ONE version per micro-batch
+    // by design (epoch = version), so a subscriber N versions behind
+    // pays N epochs of end-to-end latency. pollRange folds up to
+    // maxVersions contiguous published versions into ONE batch —
+    // each change row tagged to_version, epoch = the range's END,
+    // cursor advances past the whole span — so the same 3-version
+    // history drains in TWO batches ([v1,v2] then [v3]) instead of
+    // three. The crash story is the same at range granularity: the
+    // first instance sinks the [v1,v2] batch but dies before its
+    // cursor commit; a fresh instance REDELIVERS the identical range
+    // (restart mid-range, at-least-once) and the epoch-keyed sink
+    // folds the replay to nothing. The hash pins the x103 contract
+    // unchanged: drained sink ≡ batch table_changes replay, stated
+    // over the same per-version aggregate — batching the transport
+    // must not change one delivered row. At 100 TB: catch-up cost
+    // becomes ⌈lag/maxVersions⌉ commits while each version's feed
+    // still reads its own O(Δ).
+    "x112_cdf_catchup" -> ((s, d) => {
+      import graft.sources.{ChangeFeed, Snapshots}
+      val dir = s"target/x112_snap_${math.abs(d.hashCode)}"
+      val cursorDir = freshSnapDir(s, d, "x112_cursor")
+      val sinkDir = freshSnapDir(s, d, "x112_sink")
+      x33CommitHistory(s, d, dir)
+      def sink(hi: Int, changes: DataFrame): Unit = {
+        Snapshots.commitEpoch(changes, sinkDir, epochId = hi.toLong)
+        ()
+      }
+      val sub1 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
+      // crash window: the [v1,v2] range reaches the sink, the cursor
+      // commit never runs
+      val (lo1, hi1, b1) = sub1.pollRange(maxVersions = 2).get
+      sink(hi1, b1)
+      // restart MID-RANGE: a fresh instance redelivers the same span
+      val sub2 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
+      val (lo2, hi2, b2) = sub2.pollRange(maxVersions = 2).get
+      val sameRange = (lo1, hi1) == (1, 2) && (lo2, hi2) == (1, 2)
+      sink(hi2, b2) // epoch-keyed: folds to nothing
+      sub2.commitCursor(hi2)
+      // the remainder drains in ONE more batch; then the sub is dry
+      val batches = sub2.drainRange(maxVersions = 2)(
+        (_, hi, ch) => sink(hi, ch))
+      val foldedToTwo = batches == 1 && sub2.pollRange(2).isEmpty
+      // contract: drained sink ≡ batch replay, row for row
+      val sunk = Snapshots.versions(s, sinkDir)
+        .map(v => Snapshots.read(s, sinkDir, Some(v)))
+        .reduce(_ unionByName _)
+      val replay = ChangeFeed.changesSince(s, dir, Seq("doc_id"))
+      val parity = sunk.exceptAll(replay).isEmpty &&
+        replay.exceptAll(sunk).isEmpty
+      replay
+        .groupBy(col("to_version"), col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
+        .select(col("to_version"), col("op"), col("n"), col("keysum"),
+          lit(sameRange).as("range_redelivered"),
+          lit(foldedToTwo).as("folded_to_two_epochs"),
+          lit(parity).as("stream_equals_batch"))
+        .orderBy(col("to_version"), col("op"))
+    }),
+
     // x110 — CDC REPLICA VIA THE SUBSCRIPTION (x30's apply composed
     // over x103's source — the OTHER half of the pipeline story:
     // x108 chains the feed into an index, this chains it into a
@@ -2003,6 +2064,72 @@ object LakehouseQ {
           lit(untouched).as("base_files_untouched"),
           lit(onlyReplaced).as("only_replaced_partition"))
         .orderBy(col("source"))
+    }),
+
+    // x111 — POSITION DELETES (Iceberg v2's second delete format —
+    // the one x27/x58's equality DVs cannot express: a KEYLESS table
+    // has no columns that name a row, so deletes address rows by
+    // (data file, row position) instead). The table here is
+    // deliberately keyless — (flag, qty) projections of lineitem,
+    // heavily duplicated — landed as two append batches. DELETE
+    // WHERE qty<10 compiles to positions via the positioned scan
+    // (`_metadata.row_index` — Spark's native per-file numbering)
+    // and lands merge-on-read: both base versions' files untouched
+    // (listing-checked, hash-pinned). The OCC matrix extends x105 at
+    // Iceberg's FILE granularity: two stale position deletes planned
+    // at the same base land iff their recorded file sets are
+    // disjoint (writer A scrubs v1's files, writer B v2's — B
+    // commutes past A from log metadata alone), while a third
+    // touching A's files raises. n_pos_deleted is a REAL cross-check
+    // — the oracle counts the predicate's rows, the engine counts
+    // the compiled positions; a missed or doubled position breaks
+    // the hash. At 100 TB: the delete writes only its own positions,
+    // readers pay one (file,pos) anti-join, and the conflict check
+    // reads two manifest-sized file lists.
+    "x111_position_deletes" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x111_tbl")
+      def li = Tables.load(s, d, "lineitem")
+      def proj(df: DataFrame) = df.select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      Snapshots.commit(proj(li.filter(col("l_orderkey") % 10 < 5)), dir)
+      Snapshots.commitAppend(
+        proj(li.filter(col("l_orderkey") % 10 >= 5)), dir, base = 1)
+      val sig1 = Snapshots.fileSignature(s, dir, 1)
+      val sig2 = Snapshots.fileSignature(s, dir, 2)
+      // writer A: DELETE WHERE qty<10 over v1's files, planned at 2
+      val posA = Snapshots.positionsOf(s, dir, 2, col("qty") < 10 &&
+        col(Snapshots.PosFileCol).startsWith("v1-"))
+      val v3 = Snapshots.commitPositionDeletes(posA, dir, base = 2)
+      // stale writer B: same predicate over v2's files, ALSO planned
+      // at 2 — disjoint file sets, commutes past A
+      val posB = Snapshots.positionsOf(s, dir, 2, col("qty") < 10 &&
+        col(Snapshots.PosFileCol).startsWith("v2-"))
+      val v4 = Snapshots.commitPositionDeletesCommuting(posB, dir, base = 2)
+      // a third stale delete touching A's files must raise
+      val overlapRaised =
+        try {
+          Snapshots.commitPositionDeletesCommuting(
+            Snapshots.positionsOf(s, dir, 2,
+              col("qty") >= 10 && col("qty") <= 15 &&
+                col(Snapshots.PosFileCol).startsWith("v1-")), dir, base = 2)
+          false
+        } catch {
+          case _: graft.sources.ConcurrentCommitException => true
+        }
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sig1 &&
+        Snapshots.fileSignature(s, dir, 2) == sig2
+      val nDeleted = posA.count() + posB.count()
+      Snapshots.readResolved(s, dir)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .select(col("flag"), col("n_rows"), col("sum_qty"),
+          lit(nDeleted).as("n_pos_deleted"),
+          lit(untouched).as("base_files_untouched"),
+          lit(v3 == 3 && v4 == 4).as("occ_commuted"),
+          lit(overlapRaised).as("occ_overlap_raised"))
+        .orderBy(col("flag"))
     })
   )
 
@@ -2072,6 +2199,16 @@ object LakehouseQ {
       "CAST(SUM(doc_id) AS BIGINT) AS keysum",
       "CAST(SUM(doc_id) AS BIGINT) AS keysum,\n" +
         "  true AS resume_exact, true AS stream_equals_batch"),
+
+    // x112: batching the transport changes NOTHING about the feed —
+    // x33's per-version aggregate verbatim; the literals pin the
+    // mid-range redelivery, the ⌈3/2⌉ = 2 epoch count, and the
+    // drained-≡-replay equality
+    "x112_cdf_catchup" -> X33OracleSql.replace(
+      "CAST(SUM(doc_id) AS BIGINT) AS keysum",
+      "CAST(SUM(doc_id) AS BIGINT) AS keysum,\n" +
+        "  true AS range_redelivered, true AS folded_to_two_epochs,\n" +
+        "  true AS stream_equals_batch"),
 
 
     // x56: x33's oracle VERBATIM (the x54 pattern) — the SQL-surface
@@ -2779,6 +2916,26 @@ object LakehouseQ {
          |SELECT source, n_v1, scoresum_v1, n_v2, scoresum_v2,
          |  true AS base_files_untouched, true AS only_replaced_partition
          |FROM v1 JOIN v2 USING (source)
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    // x111: positions are file-layout addresses, but the COMPILED
+    // predicate defines the deleted row multiset exactly — writer A
+    // covers batch 1's files, writer B batch 2's, so together they
+    // delete precisely the qty<10 rows; the resolved head and the
+    // position count both replay from lineitem alone
+    "x111_position_deletes" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |kept AS (SELECT flag, qty FROM t WHERE qty >= 10),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE qty < 10)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  (SELECT n FROM nd) AS n_pos_deleted,
+        |  true AS base_files_untouched,
+        |  true AS occ_commuted,
+        |  true AS occ_overlap_raised
+        |FROM kept GROUP BY flag
+        |ORDER BY flag""".stripMargin
   )
 }

@@ -71,31 +71,76 @@ object ChangeFeed {
     def poll(): Option[(Int, DataFrame)] = {
       val pos = position()
       Snapshots.versions(spark, dir).filter(_ > pos).minOption.map { v =>
-        // TRUNCATION DETECTION: version numbers are dense by
-        // construction (each commit's create-exclusive claim takes
-        // max+1), so a number between the cursor and the next
-        // available version that is absent from the WHOLE log
-        // (staged entries included) can only mean a retention vacuum
-        // physically removed it while this subscriber lagged. Serving
-        // v anyway would silently drop change rows from the feed —
-        // raise instead, exactly Delta CDF's behavior when a
-        // requested version range has been vacuumed. (A number held
-        // by a still-staged entry is NOT a gap: WAP shadowing skips
-        // it by contract.)
-        // (A FRESH subscription — cursor 0 — starts at the earliest
-        // AVAILABLE version by contract: it never observed a feed to
-        // lose. Only a cursor that already consumed can be truncated.)
-        val known = Snapshots.allVersions(spark, dir).toSet
-        val missing =
-          if (pos == 0) Seq.empty else ((pos + 1) until v).filterNot(known)
-        if (missing.nonEmpty) throw new IllegalStateException(
-          s"change feed truncated under $dir: version(s) " +
-            s"${missing.mkString(", ")} between cursor $pos and next " +
-            s"available $v were removed by retention while this " +
-            "subscriber lagged; re-seed the subscriber from a snapshot " +
-            "or widen the table's retention window")
+        requireNoTruncation(pos, v)
         (v, Snapshots.stepChanges(spark, dir, v, keys))
       }
+    }
+
+    /** TRUNCATION DETECTION: version numbers are dense by
+      * construction (each commit's create-exclusive claim takes
+      * max+1), so a number between the cursor and a served version
+      * that is absent from the WHOLE log (staged entries included)
+      * can only mean a retention vacuum physically removed it while
+      * this subscriber lagged. Serving past it would silently drop
+      * change rows from the feed — raise instead, exactly Delta
+      * CDF's behavior when a requested version range was vacuumed.
+      * (A number held by a still-staged entry is NOT a gap: WAP
+      * shadowing skips it by contract. A FRESH subscription —
+      * cursor 0 — starts at the earliest AVAILABLE version: it never
+      * observed a feed to lose.) */
+    private def requireNoTruncation(pos: Int, upTo: Int): Unit = {
+      if (pos == 0) return
+      val known = Snapshots.allVersions(spark, dir).toSet
+      val missing = ((pos + 1) until upTo).filterNot(known)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"change feed truncated under $dir: version(s) " +
+          s"${missing.mkString(", ")} between cursor $pos and served " +
+          s"version $upTo were removed by retention while this " +
+          "subscriber lagged; re-seed the subscriber from a snapshot " +
+          "or widen the table's retention window")
+    }
+
+    /** RANGE POLL (x112 — `maxVersionsPerTrigger` catch-up): up to
+      * `maxVersions` unprocessed published versions folded into ONE
+      * micro-batch, each change row tagged `to_version` (a folded
+      * batch spans versions, so the tag rides the rows — the
+      * changesSince shape). Returns (from, to, changes); the epoch
+      * for exactly-once landing is `to`, and [[commitCursor]]`(to)`
+      * advances past the whole span — a crash in between redelivers
+      * the SAME range on restart (at-least-once, mid-range). A
+      * subscriber N versions behind pays ⌈N/maxVersions⌉ epochs
+      * instead of N; each version's feed still costs its own O(Δ). */
+    def pollRange(maxVersions: Int): Option[(Int, Int, DataFrame)] = {
+      require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+      val pos = position()
+      val avail = Snapshots.versions(spark, dir).filter(_ > pos).sorted
+      avail.headOption.map { _ =>
+        val span = avail.take(maxVersions)
+        requireNoTruncation(pos, span.last)
+        val changes = span.map(v =>
+          Snapshots.stepChanges(spark, dir, v, keys)
+            .select(lit(v).as("to_version") +:
+              (col("op") +: keys.map(col)): _*))
+          .reduce(_ unionByName _)
+        (span.head, span.last, changes)
+      }
+    }
+
+    /** Range-poll-process-commit until drained; `f` receives
+      * (fromVersion, toVersion, tagged change rows). Returns the
+      * number of BATCHES processed (≤ versions consumed). */
+    def drainRange(maxVersions: Int)(
+        f: (Int, Int, DataFrame) => Unit): Int = {
+      var n = 0
+      var next = pollRange(maxVersions)
+      while (next.isDefined) {
+        val (lo, hi, changes) = next.get
+        f(lo, hi, changes)
+        commitCursor(hi)
+        n += 1
+        next = pollRange(maxVersions)
+      }
+      n
     }
 
     /** Advance the cursor past `version` — a create-exclusive claim;

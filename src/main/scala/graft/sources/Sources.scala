@@ -529,6 +529,155 @@ object Snapshots {
     v
   }
 
+  /** Position-delete addressing columns (x111). */
+  val PosFileCol = "_file"
+  val PosIdxCol = "_pos"
+
+  /** POSITION DELETES (x111 — Iceberg v2's SECOND delete format, for
+    * KEYLESS tables where an equality delete cannot name rows): the
+    * delete is a set of (table-relative file, within-file row
+    * position) pairs against the base chain's physical files, landed
+    * merge-on-read — base files untouched, resolution is a
+    * (file,pos) anti-join over the row index the parquet scan
+    * already maintains (`_metadata.row_index` — Spark's native
+    * per-file numbering, the same dense global-index idea
+    * GlobalIndexExec implements for query output). The entry records
+    * the TOUCHED FILE SET, so the x105 commutation audit can decide
+    * posdelete∥posdelete conflicts at Iceberg's file granularity
+    * from log metadata alone.
+    *
+    * [[readResolvedPos]] serves a data/append/posdeletes chain with
+    * `_file`/`_pos` attached — the addressing space deletes live in;
+    * [[positionsOf]] compiles a predicate to positions (DELETE WHERE
+    * for keyless tables); plain [[readResolved]] serves the resolved
+    * rows. At 100 TB: a position delete costs its own (delete-sized)
+    * write; readers pay one hash anti-join keyed (file,pos) — and
+    * the file component prunes to the touched files. */
+  def commitPositionDeletes(positions: DataFrame, dir: String, base: Int,
+                            staged: Boolean = false): Int = {
+    val spark = positions.sparkSession
+    require(allVersions(spark, dir).contains(base),
+      s"position-delete base v$base not committed under $dir")
+    require(positions.columns.sorted.toSeq == Seq(PosFileCol, PosIdxCol),
+      s"positions must be exactly ($PosFileCol, $PosIdxCol), " +
+        s"got ${positions.columns.mkString(",")}")
+    // the touched file list rides in the entry — manifest-sized (the
+    // files this delete addresses), Iceberg's conflict granularity
+    val files = positions.select(PosFileCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    val v = writeVersion(positions, dir, Nil, extraMeta =
+      s""","kind":"posdeletes","base":$base""" +
+        s""","pfiles":[${files.map(jstr).mkString(",")}]""" +
+        (if (staged) ""","staged":true""" else ""))
+    if (!staged) graft.ops.Retention.afterCommit(spark, dir)
+    v
+  }
+
+  /** The (file, pos) addresses of the rows matching `pred` at
+    * `version` — DELETE WHERE compiled to position deletes. */
+  def positionsOf(spark: SparkSession, dir: String, version: Int,
+                  pred: org.apache.spark.sql.Column): DataFrame =
+    readResolvedPos(spark, dir, Some(version)).filter(pred)
+      .select(org.apache.spark.sql.functions.col(PosFileCol),
+        org.apache.spark.sql.functions.col(PosIdxCol))
+
+  /** Resolve a data/append/posdeletes chain WITH the position-delete
+    * addressing attached: every row carries `_file` (table-relative
+    * data-file path) and `_pos` (its row index within that file).
+    * Kinds that rewrite or logically re-derive rows (replace,
+    * equality deletes, clone, restore, alter) have no stable file
+    * positions to serve — they raise; position deletes are the
+    * keyless APPEND-ONLY table's delete format, exactly Iceberg's
+    * primary use. */
+  def readResolvedPos(spark: SparkSession, dir: String,
+                      asOf: Option[Int] = None): DataFrame = {
+    val byV = logEntries(spark, dir)
+      .map(n => n.get("version").asInt() -> n).toMap
+    val published = versions(spark, dir)
+    val v0 = asOf.getOrElse {
+      require(published.nonEmpty, s"no committed versions under $dir")
+      published.last
+    }
+    require(byV.contains(v0), s"version $v0 not in log under $dir")
+    def resolve(v: Int): DataFrame = {
+      val n = byV(v)
+      Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
+        case "data" => physicalWithPos(spark, dir, n)
+        case "append" =>
+          resolve(n.get("base").asInt())
+            .unionByName(physicalWithPos(spark, dir, n))
+        case "posdeletes" =>
+          resolve(n.get("base").asInt()).join(
+            readVersionDf(spark, dir, n), Seq(PosFileCol, PosIdxCol),
+            "left_anti")
+        case other => sys.error(
+          s"position-delete resolution serves data/append/posdeletes " +
+            s"chains; v$v under $dir is '$other' (no stable file positions)")
+      }
+    }
+    resolve(v0)
+  }
+
+  /** One physical version's rows + (relative file, row index). */
+  private def physicalWithPos(spark: SparkSession, dir: String,
+      n: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val vdir = s"$dir/${entryDataDir(n)}"
+    val df = Option(n.get("schema")).map(_.asText()) match {
+      case Some(sj) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[StructType]
+        spark.read.schema(st).parquet(vdir)
+          .select((st.fieldNames.toSeq.map(col) :+ col("_metadata")): _*)
+      case None => spark.read.parquet(vdir)
+        .select(col("*"), col("_metadata"))
+    }
+    val dataCols = df.columns.filterNot(_ == "_metadata").toSeq
+    // table-relative path: strip everything above the version's data
+    // dir (the `v<N>[-writer]` component) — positions must survive a
+    // table relocation, like Iceberg's relative file paths
+    df.select(dataCols.map(col) ++ Seq(
+      regexp_extract(col("_metadata.file_path"),
+        "/(v[0-9]+[^/]*/.*)$", 1).as(PosFileCol),
+      col("_metadata.row_index").as(PosIdxCol)): _*)
+  }
+
+  /** OCC position delete (x111's x105 arm): land a position delete
+    * planned against `base` past interleaved commits that COMMUTE —
+    * appends (new files; these positions address existing ones),
+    * layout re-lands, and other position deletes whose recorded
+    * FILE SETS are disjoint (Iceberg's file-granularity conflict
+    * check, decided from log metadata alone). Equality deletes,
+    * replaces, and full commits rewrite the addressed state — raise
+    * and re-plan. */
+  def commitPositionDeletesCommuting(positions: DataFrame, dir: String,
+                                     base: Int,
+                                     maxAttempts: Int = 50): Int = {
+    val spark = positions.sparkSession
+    require(versions(spark, dir).contains(base),
+      s"position-delete base v$base not published under $dir")
+    val files = positions.select(PosFileCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= maxAttempts,
+        s"commutation retry budget exhausted under $dir")
+      val head = versions(spark, dir).last
+      if (head != base) requireCommutesDownTo(spark, dir, head, base,
+        myKind = "posdeletes", myFiles = Some(files.toSet))
+      try {
+        return writeVersion(positions, dir, Nil, extraMeta =
+          s""","kind":"posdeletes","base":$head""" +
+            s""","pfiles":[${files.map(jstr).mkString(",")}]""",
+          expected = Some(head))
+      } catch {
+        case _: ConcurrentCommitException => // re-audit at the new head
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Commit an APPEND: `df` holds ONLY the new rows; version `base`'s
     * whole state rides along logically — THE most common lakehouse
     * commit (a nightly ingest lands its batch without touching,
@@ -807,6 +956,12 @@ object Snapshots {
     (range, meta)
   }
 
+  /** An entry's recorded position-delete file set (x111), if any. */
+  private def entryPosFiles(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[Set[String]] =
+    Option(n.get("pfiles")).map(arr =>
+      (0 until arr.size).map(arr.get(_).asText()).toSet)
+
   /** An entry's recorded conflict-key range, if any. */
   private def entryKeyRange(
       n: com.fasterxml.jackson.databind.JsonNode): Option[KeyRange] =
@@ -828,7 +983,8 @@ object Snapshots {
   private def requireCommutesDownTo(spark: SparkSession, dir: String,
                                     head: Int, base: Int,
                                     myKind: String = "append",
-                                    myRange: Option[KeyRange] = None): Unit = {
+                                    myRange: Option[KeyRange] = None,
+                                    myFiles: Option[Set[String]] = None): Unit = {
     val byV = logEntries(spark, dir)
       .map(n => n.get("version").asInt() -> n).toMap
     var v = head
@@ -840,6 +996,9 @@ object Snapshots {
       def rangesDisjoint: Boolean = (for {
         mine <- myRange; theirs <- entryKeyRange(n)
       } yield mine.disjointFrom(theirs)).getOrElse(false)
+      def filesDisjoint: Boolean = (for {
+        mine <- myFiles; theirs <- entryPosFiles(n)
+      } yield (mine intersect theirs).isEmpty).getOrElse(false)
       val commutes = (myKind, kind) match {
         // appends always commute with appends; layout re-lands carry
         // the same logical rows under both verbs
@@ -851,6 +1010,13 @@ object Snapshots {
         // conservatively raise
         case ("deletes", "append") | ("deletes", "deletes") |
              ("append", "deletes") => rangesDisjoint
+        // x111: a position delete addresses EXISTING files, an append
+        // adds NEW ones — they always commute; two position deletes
+        // commute iff their recorded file sets are disjoint (Iceberg's
+        // file-granularity conflict matrix, metadata-only). Equality
+        // deletes and position deletes share no addressing — raise.
+        case ("posdeletes", "append") | ("append", "posdeletes") => true
+        case ("posdeletes", "posdeletes") => filesDisjoint
         case _ => false
       }
       if (!commutes) throw new ConcurrentCommitException(
@@ -1218,8 +1384,8 @@ object Snapshots {
       val kind = Option(n.get("kind")).map(_.asText()).getOrElse("data")
       val base = Option(n.get("base")).map(_.asInt())
       val logical =
-        Set("append", "deletes", "replace", "alter", "restore",
-          "constraint").contains(kind)
+        Set("append", "deletes", "posdeletes", "replace", "alter",
+          "restore", "constraint").contains(kind)
       if (logical && base.isDefined) v = base.get else descending = false
     }
     out.result()
@@ -1542,6 +1708,15 @@ object Snapshots {
       df.select(op.as("op") +: keys.map(col): _*)
     Option(n.get("kind")).map(_.asText()).getOrElse("data") match {
       case "deletes" => sel(lit("D"), vdf)
+      // x111: a position delete's feed is the DELETED rows, read by
+      // joining the base's positioned scan to the delete's own
+      // (file,pos) set — the data files ARE read for the deleted rows
+      // (position deletes carry no values), but only semi-join-pruned
+      case "posdeletes" =>
+        sel(lit("D"), readResolvedPos(spark, dir,
+            Some(n.get("base").asInt()))
+          .join(vdf, Seq(PosFileCol, PosIdxCol), "left_semi")
+          .drop(PosFileCol, PosIdxCol))
       // an append's feed is its own rows as inserts — by construction,
       // no diff job (the O(Δ) change feed ingest pipelines want). A
       // dataChange=false append (incremental OPTIMIZE re-landing
@@ -2005,6 +2180,10 @@ object Snapshots {
         case "constraint" => vdf // readVersionDf already resolved the base
         case "deletes" =>
           resolve(n.get("base").asInt()).join(vdf, vdf.columns.toSeq, "left_anti")
+        case "posdeletes" =>
+          // x111: (file, row-position) addressing — resolve the chain
+          // with positions attached, then drop the address columns
+          readResolvedPos(spark, dir, Some(v)).drop(PosFileCol, PosIdxCol)
         case "replace" =>
           val pcol = n.get("pcol").asText()
           val pval = n.get("pval").asText()

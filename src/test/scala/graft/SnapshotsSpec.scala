@@ -872,6 +872,75 @@ class SnapshotsSpec extends SparkSpec {
       s"the refusal must name the real reason: ${e.getMessage}")
   }
 
+  test("x111: position deletes target ONE of two identical rows; base files untouched; feed serves the deleted row") {
+    val dir = freshDir()
+    // a KEYLESS table: two bit-identical rows — the case equality
+    // deletes cannot express (any key set names both or neither)
+    Snapshots.commit(Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("k", "v"), dir)
+    val sig1 = Snapshots.fileSignature(spark, dir, 1)
+    val p0 = Snapshots.readResolvedPos(spark, dir)
+      .filter(col("k") === "a")
+      .orderBy(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol))
+      .limit(1)
+      .select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol))
+    val v2 = Snapshots.commitPositionDeletes(p0, dir, base = 1)
+    assert(v2 == 2)
+    val served = Snapshots.readResolved(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(served == Seq(("a", 1L), ("b", 2L)),
+      "exactly ONE of the two identical rows is gone — the duplicate survives")
+    assert(Snapshots.fileSignature(spark, dir, 1) == sig1,
+      "merge-on-read: the base's files are untouched")
+    // the change feed serves the DELETED row's values as a D row
+    val feed = Snapshots.stepChanges(spark, dir, 2, Seq("k", "v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(feed == Seq(("D", "a", 1L)))
+    // appends chain through position deletes
+    Snapshots.commitAppend(Seq(("c", 3L)).toDF("k", "v"), dir, base = 2)
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    // positioned resolution refuses chains without stable positions
+    val dir2 = freshDir()
+    Snapshots.commit(Seq(("x", 1L)).toDF("k", "v"), dir2)
+    Snapshots.commitDeletes(Seq(Tuple1("x")).toDF("k"), dir2, base = 1)
+    intercept[RuntimeException] {
+      Snapshots.readResolvedPos(spark, dir2).count()
+    }
+  }
+
+  test("x111: position-delete OCC commutes on disjoint FILE sets, raises on overlap and vs equality DVs") {
+    val dir = freshDir()
+    Snapshots.commit((1L to 10L).map(i => (i, "x")).toDF("n", "v"), dir) // v1
+    Snapshots.commitAppend((11L to 20L).map(i => (i, "y")).toDF("n", "v"),
+      dir, base = 1) // v2
+    val posV1 = Snapshots.positionsOf(spark, dir, 2,
+      col("n") <= 3 && col(Snapshots.PosFileCol).startsWith("v1-"))
+    val posV2 = Snapshots.positionsOf(spark, dir, 2,
+      col("n") >= 18 && col(Snapshots.PosFileCol).startsWith("v2-"))
+    assert(Snapshots.commitPositionDeletes(posV1, dir, base = 2) == 3)
+    // stale writer on v2's files only: disjoint file sets → commutes
+    assert(Snapshots.commitPositionDeletesCommuting(posV2, dir, base = 2) == 4)
+    assert(Snapshots.readResolved(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == ((4L to 17L)),
+      "both deletes landed — neither position set was lost")
+    // overlap: another stale delete on v1's files raises
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitPositionDeletesCommuting(
+        Snapshots.positionsOf(spark, dir, 2,
+          col("n") === 5 && col(Snapshots.PosFileCol).startsWith("v1-")),
+        dir, base = 2)
+    }
+    // an equality DV shares no addressing with position deletes:
+    // raise (audited here while the chain above base holds ONLY
+    // posdeletes, so the refusal is the ("deletes","posdeletes") arm)
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitDeletesCommuting(
+        Seq(Tuple1(9L)).toDF("n"), dir, base = 2, keyCol = "n")
+    }
+    // an append planned below the position deletes still commutes
+    assert(Snapshots.commitAppendCommuting(
+      Seq((100L, "z")).toDF("n", "v"), dir, base = 2) == 5)
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

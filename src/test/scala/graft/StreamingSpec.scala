@@ -707,6 +707,38 @@ class StreamingSpec extends SparkSpec {
     assert(replay.count() == 3 + 1 + 1 + 1)
   }
 
+  test("x112: range poll folds versions into one epoch; restart mid-range redelivers the span") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("cdfrange").toString
+    val (dir, cursorDir) = (s"$base/t", s"$base/cursor")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), dir, base = 1)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), dir, base = 2)
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), dir, base = 3)
+    Snapshots.commitAppend(Seq((5L, "e")).toDF("id", "v"), dir, base = 4)
+    val sub = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    // 5 versions at maxVersions=2 → spans [1,2] [3,4] [5]
+    val (lo1, hi1, b1) = sub.pollRange(2).get
+    assert((lo1, hi1) == (1, 2))
+    assert(b1.select("to_version").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2),
+      "the folded batch carries both versions' rows, tagged")
+    // crash before the cursor commit: a fresh instance redelivers
+    // the SAME range, not a shifted one
+    val sub2 = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    val (lo2, hi2, _) = sub2.pollRange(2).get
+    assert((lo2, hi2) == (1, 2), "restart mid-range replays the span")
+    sub2.commitCursor(hi2)
+    var spans = Seq.empty[(Int, Int)]
+    assert(sub2.drainRange(2)((lo, hi, _) => spans :+= (lo, hi)) == 2)
+    assert(spans == Seq((3, 4), (5, 5)))
+    assert(sub2.pollRange(2).isEmpty, "drained stays drained")
+    // and the single-version poll still works off the same cursor
+    Snapshots.commitAppend(Seq((6L, "f")).toDF("id", "v"), dir, base = 5)
+    assert(sub2.poll().get._1 == 6)
+  }
+
   test("x103: retention truncating a lagging subscriber's feed raises instead of skipping") {
     import spark.implicits._
     import graft.sources.Snapshots
