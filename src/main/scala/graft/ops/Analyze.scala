@@ -136,6 +136,54 @@ object Analyze {
       (Skew.saltedJoin(probe, build, key, shards, tieBreak), "salted")
     else (probe.join(build, Seq(key)), "shuffle")
 
+  /** x114's decision line in parts-per-256 (≈ [[SkewShareThreshold]]
+    * stated as the v25-style integer — no float threshold can flip
+    * engines): a reduce partition carrying ≥ 51/256 of the shuffle's
+    * rows marks the plan skewed. Far above hash-collision noise: a
+    * uniform key over 32 partitions sits at ~8/256. */
+  val RuntimeSkewThreshold256 = 51
+
+  /** RUNTIME SKEW PROBE (x114 — the AQE half x40's catalog path
+    * lacks): the per-reduce-partition weights of the PLANNED shuffle,
+    * measured from the probe side's key column alone — one
+    * column-pruned pass folding to `numPartitions` rows, then max
+    * share in parts-per-256. This is the information AQE reads for
+    * free from mapOutputStatistics after a map stage; stated as an
+    * explicit pre-join probe it also exists for aggregations,
+    * generators, and co-partitioned shapes AQE cannot re-plan, and
+    * for plans whose catalog stats are stale or absent. The
+    * partitioner model is the engine's REPRODUCIBLE hash
+    * ([[TextFns.hash60]] mod partitions) so the verdict replays in
+    * oracle SQL; at deployment the same decision reads the shuffle's
+    * own map-output sizes instead. */
+  def shuffleSkewProbe256(probe: DataFrame, key: String,
+                          numPartitions: Int = 32): Int = {
+    val r = probe
+      .select(pmod(graft.ops.TextFns.hash60(
+          concat(lit("skw|"), col(key).cast("string"))),
+        lit(numPartitions)).as("_p"))
+      .groupBy(col("_p")).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n")).as("_mx"), sum(col("_n")).as("_tot")).head
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(1) == 0L) 0
+    else ((r.getLong(0) * 256L) / r.getLong(1)).toInt
+  }
+
+  /** The runtime-stats twin of [[skewChosenJoin]] (x114): choose
+    * salted-vs-plain from the MEASURED shuffle distribution instead
+    * of the catalog's heavy-hitter share — the path that stays
+    * correct when the catalog is stale, lying, or absent. Returns
+    * (joined, "salted" | "shuffle", maxShare256). */
+  def runtimeSkewJoin(probe: DataFrame, build: DataFrame, key: String,
+                      shards: Int, tieBreak: String,
+                      numPartitions: Int = 32,
+                      threshold256: Int = RuntimeSkewThreshold256)
+      : (DataFrame, String, Int) = {
+    val share = shuffleSkewProbe256(probe, key, numPartitions)
+    if (share >= threshold256)
+      (Skew.saltedJoin(probe, build, key, shards, tieBreak), "salted", share)
+    else (probe.join(build, Seq(key)), "shuffle", share)
+  }
+
   /** BETWEEN selectivity estimated from a committed EQUI-DEPTH
     * histogram, in SIXTEENTHS — a pure integer both engines compute
     * identically (no float ratio ever reaches a decision):

@@ -41,6 +41,11 @@ import graft.sources.Snapshots
   *    re-lands a fresh version from the post-purge source, then
   *    `vacuum(keepLast = 1)` physically erases every prior version
   *    (whose boundaries could still name the purged values).
+  *  - [[GraphIndex]] (v36): a persisted graph-ANN index, where the
+  *    purged id also survives as a NEIGHBOR on other rows' edge
+  *    lists and possibly as an elected entry node — erased by
+  *    [[graft.ops.Nsw.purgeRepair]]'s local repair + both-endpoint
+  *    history scrub + entry re-election.
   *
   * `exposureCount` is the PROOF obligation: a value-level scan of a
   * table's FULL version history (staged included) counting rows in

@@ -2066,6 +2066,69 @@ object LakehouseQ {
         .orderBy(col("source"))
     }),
 
+    // x113 — CONSISTENT MULTI-TABLE SNAPSHOT READS (the read side of
+    // x45's atomicity): commitment was atomic, but a reader resolving
+    // each table's latest INDEPENDENTLY can still straddle someone
+    // else's transaction — read the fact pre-commit and its stats
+    // post-commit — observing a cross-table state no writer
+    // committed. Snapshots.snapshotAll pins one version per
+    // participant from two consecutive visibility passes that must
+    // AGREE (visible sets are monotone: entries append, markers
+    // decide once — equal passes prove no commit/publish/flip
+    // interleaved), the optimistic claim loop applied to reads. The
+    // query drives the full story: a fact table and its per-source
+    // stats land atomically (x45); a SECOND transaction restating
+    // both is left PENDING at snapshot time — the snapshot excludes
+    // it from BOTH tables and the fact-derived counts equal the
+    // stats table exactly (consistent_before); the txn then commits,
+    // the OLD pins still serve the OLD consistent pair
+    // (pinned_stable — snapshot isolation), and a NEW snapshot sees
+    // both halves of the new generation (consistent_after). At
+    // 100 TB: the snapshot costs two manifest-sized log listings per
+    // participant, no data, no locks — readers never block writers.
+    "x113_txn_snapshot" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val aDir = freshSnapDir(s, d, "x113_fact")
+      val bDir = freshSnapDir(s, d, "x113_stats")
+      val txnDir = freshSnapDir(s, d, "x113_txn")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def statsOf(df: DataFrame) = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("charsum"))
+      // generation 1: fact slice + its stats, atomically (x45)
+      val gen1 = docs.filter(col("doc_id") % 2 === 0)
+      val t0 = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(gen1, aDir, txnDir, t0)
+      Snapshots.txnStage(statsOf(gen1), bDir, txnDir, t0)
+      Snapshots.txnCommit(s, txnDir, t0, Seq(aDir, bDir))
+      // generation 2 staged by ANOTHER writer, still PENDING
+      val t1 = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(docs, aDir, txnDir, t1)
+      Snapshots.txnStage(statsOf(docs), bDir, txnDir, t1)
+      def parityAt(pins: Map[String, Int]): Boolean = {
+        val fact = Snapshots.readResolved(s, aDir, Some(pins(aDir)))
+        val stats = Snapshots.read(s, bDir, Some(pins(bDir)))
+        val derived = statsOf(fact)
+        derived.exceptAll(stats).isEmpty && stats.exceptAll(derived).isEmpty
+      }
+      val snap1 = Snapshots.snapshotAll(s, Seq(aDir, bDir))
+      val consistentBefore = snap1 == Map(aDir -> 1, bDir -> 1) &&
+        parityAt(snap1)
+      // the pending txn commits AFTER the snapshot was taken …
+      Snapshots.txnCommit(s, txnDir, t1, Seq(aDir, bDir))
+      // … the old pins still serve the old consistent pair
+      val pinnedStable = parityAt(snap1)
+      val snap2 = Snapshots.snapshotAll(s, Seq(aDir, bDir))
+      val consistentAfter = snap2 == Map(aDir -> 2, bDir -> 2) &&
+        parityAt(snap2)
+      Snapshots.read(s, bDir, Some(snap2(bDir)))
+        .select(col("source"), col("n_docs"), col("charsum"),
+          lit(consistentBefore).as("consistent_before"),
+          lit(pinnedStable).as("pinned_stable"),
+          lit(consistentAfter).as("consistent_after"))
+        .orderBy(col("source"))
+    }),
+
     // x111 — POSITION DELETES (Iceberg v2's second delete format —
     // the one x27/x58's equality DVs cannot express: a KEYLESS table
     // has no columns that name a row, so deletes address rows by
@@ -2917,6 +2980,18 @@ object LakehouseQ {
          |  true AS base_files_untouched, true AS only_replaced_partition
          |FROM v1 JOIN v2 USING (source)
          |ORDER BY source""".stripMargin,
+
+    // x113: the final stats generation replays from documents; the
+    // three literals pin the pending-excluded-from-both snapshot,
+    // snapshot isolation of the old pins, and the new generation's
+    // cross-table parity
+    "x113_txn_snapshot" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |  true AS consistent_before, true AS pinned_stable,
+        |  true AS consistent_after
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // x111: positions are file-layout addresses, but the COMPILED
     // predicate defines the deleted row multiset exactly — writer A

@@ -618,6 +618,56 @@ object StatsQ {
           lit(flagChoice).as("flag_choice"),
           lit(orderkeyChoice).as("orderkey_choice"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // x114 — RUNTIME (AQE-CLASS) SKEW HANDLING: x40 decides from the
+    // CATALOG's heavy-hitter share, which is only as good as the last
+    // ANALYZE — a stale profile (or a table never profiled) sends the
+    // hot key through one reducer with a clear conscience. Production
+    // engines also read the shuffle's RUNTIME map-output statistics;
+    // this query states that path declaratively: a deliberately
+    // LYING catalog claims l_returnflag is uniform (share 0.0 — the
+    // static rule says plain shuffle), the runtime probe measures the
+    // planned shuffle's per-partition weights from the key column
+    // alone (one pruned pass folding to 32 rows — the
+    // mapOutputStatistics stand-in, hashed with the engine's
+    // reproducible hash so the verdict replays in SQL) and OVERRIDES:
+    // the hot flag partition carries ≥ 51/256 of the rows → salted.
+    // The same probe on l_orderkey measures ~8/256 (uniform) → plain
+    // shuffle, so one hashed result shows the runtime verdict
+    // flipping on measured weight, with both shares data-derived and
+    // oracle-replayed (never pinned literals). At 100 TB this is the
+    // re-plan AQE performs for sort-merge joins, available to every
+    // shape the engine plans — and it costs one metadata-sized read
+    // where the real shuffle's statistics already exist.
+    "x114_runtime_skew_join" -> ((s, d) => {
+      import graft.ops.Analyze
+      val li = Tables.load(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(dsum2(col("l_extendedprice")).as("flag_total"))
+      // the stale catalog's claim: uniform key → static says shuffle
+      val staleShare = 0.0
+      val staticChoice =
+        if (staleShare >= Analyze.SkewShareThreshold) "salted" else "shuffle"
+      val (joined, runtimeChoice, flagShare256) = Analyze.runtimeSkewJoin(
+        li.select(col("l_orderkey"), col("l_returnflag")), dim,
+        "l_returnflag", shards = 8, tieBreak = "l_orderkey")
+      val okShare256 = Analyze.shuffleSkewProbe256(
+        li.select(col("l_orderkey")), "l_orderkey")
+      val okChoice =
+        if (okShare256 >= Analyze.RuntimeSkewThreshold256) "salted"
+        else "shuffle"
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), max(col("flag_total")).as("flag_total"))
+        .select(col("l_returnflag"), col("n_rows"), col("flag_total"),
+          lit(flagShare256).as("flag_share256"),
+          lit(runtimeChoice).as("flag_choice"),
+          lit(staticChoice).as("stale_catalog_choice"),
+          lit(runtimeChoice == "salted" && staticChoice == "shuffle")
+            .as("runtime_overrode"),
+          lit(okShare256).as("orderkey_share256"),
+          lit(okChoice).as("orderkey_choice"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -926,6 +976,42 @@ ORDER BY col_name"""
          |FROM flag f, s1, s2, thr
          |ORDER BY f.l_returnflag""".stripMargin,
 
+
+    // x114: both runtime shares replayed from the SAME reproducible
+    // hash partitioning (md5-hash60 mod 32, integer parts-per-256);
+    // the choices and the override derive from the replayed shares —
+    // nothing about the verdict is a pinned literal except the lying
+    // catalog's own claim
+    "x114_runtime_skew_join" ->
+      s"""WITH fp AS (
+         |  SELECT CAST(('0x' || substr(md5('skw|' || l_returnflag), 1, 15))
+         |    AS BIGINT) % 32 AS p
+         |  FROM lineitem),
+         |fs AS (SELECT CAST(MAX(n) * 256 // SUM(n) AS INT) AS s
+         |       FROM (SELECT COUNT(*) AS n FROM fp GROUP BY p) t),
+         |op AS (
+         |  SELECT CAST(('0x' || substr(md5('skw|' || l_orderkey::VARCHAR), 1, 15))
+         |    AS BIGINT) % 32 AS p
+         |  FROM lineitem),
+         |os AS (SELECT CAST(MAX(n) * 256 // SUM(n) AS INT) AS s
+         |       FROM (SELECT COUNT(*) AS n FROM op GROUP BY p) t),
+         |flag AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS flag_total
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT f.l_returnflag, f.n_rows, f.flag_total,
+         |  fs.s AS flag_share256,
+         |  CASE WHEN fs.s >= ${graft.ops.Analyze.RuntimeSkewThreshold256}
+         |       THEN 'salted' ELSE 'shuffle' END AS flag_choice,
+         |  'shuffle' AS stale_catalog_choice,
+         |  fs.s >= ${graft.ops.Analyze.RuntimeSkewThreshold256}
+         |    AS runtime_overrode,
+         |  os.s AS orderkey_share256,
+         |  CASE WHEN os.s >= ${graft.ops.Analyze.RuntimeSkewThreshold256}
+         |       THEN 'salted' ELSE 'shuffle' END AS orderkey_choice
+         |FROM flag f, fs, os
+         |ORDER BY f.l_returnflag""".stripMargin,
 
     // the Bloom prune is exact after the equi join: plain aggregate
     "x38_bloom_join" ->

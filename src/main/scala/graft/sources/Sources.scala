@@ -1645,6 +1645,42 @@ object Snapshots {
     }
   }
 
+  /** CONSISTENT MULTI-TABLE SNAPSHOT (x113 — the READ side of x45's
+    * atomicity): a reader resolving each participant's latest
+    * INDEPENDENTLY can straddle someone else's transaction — list A
+    * before its marker flips, B after — observing a cross-table
+    * state no writer ever committed, even though every single-table
+    * read was correct. This pins one version per table such that
+    * every cross-table transaction is either fully visible or fully
+    * invisible in the returned map: two consecutive visibility
+    * passes over ALL participants must agree (visible version sets
+    * are monotone — entries append, markers decide once — so equal
+    * passes prove no commit, publish, or marker flip interleaved,
+    * and the map reflects one real instant). Disagreement retries:
+    * the x91 claim loop's optimistic shape applied to reads. Reads
+    * against the returned pins are ordinary pinned reads — stable
+    * forever after. Cost: two manifest-sized log listings per
+    * participant per attempt; no data touched. */
+  def snapshotAll(spark: SparkSession, dirs: Seq[String],
+                  maxAttempts: Int = 50): Map[String, Int] = {
+    def pass(): Map[String, Seq[Int]] =
+      dirs.map(d => d -> versions(spark, d)).toMap
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val p1 = pass()
+      val p2 = pass()
+      if (p1 == p2)
+        return p1.map { case (d, vs) =>
+          require(vs.nonEmpty, s"no committed versions under $d")
+          d -> vs.max
+        }
+    }
+    throw new ConcurrentCommitException(
+      s"snapshotAll: no stable cross-table instant in $maxAttempts " +
+        s"attempts across ${dirs.mkString(", ")}")
+  }
+
   /** Lazy log repair after a committed transaction: flip each
     * participating table's txn-staged entries non-staged (keeping the
     * txn fields as provenance), so later reads resolve them without

@@ -96,6 +96,44 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x114: the runtime probe overrides a lying catalog; shares track the true distribution") {
+    // the catalog claims uniform (share 0.0 → static says shuffle),
+    // but 60% of the probe rows share one key: the runtime probe
+    // must measure the hot partition and take the salted rewrite
+    val probe = spark.range(1000).select(col("id"),
+      when(col("id") < 600, lit("hot")).otherwise(concat(lit("k"), col("id")))
+        .as("k"))
+    val build = probe.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // static path with the lying stats: plain shuffle
+      val (_, staticChoice) = Analyze.skewChosenJoin(probe, build, "k",
+        top1Share = 0.0, shards = 4, tieBreak = "id")
+      assert(staticChoice == "shuffle", "the lie steers the static path wrong")
+      // runtime path measures and overrides
+      val (j, runtimeChoice, share) = Analyze.runtimeSkewJoin(
+        probe, build, "k", shards = 4, tieBreak = "id")
+      assert(share >= Analyze.RuntimeSkewThreshold256 && share <= 256,
+        s"the hot partition must dominate the measured weights: $share/256")
+      assert(runtimeChoice == "salted" &&
+        j.queryExecution.executedPlan.toString.contains("_salt"),
+        "the runtime verdict must take the salted rewrite despite the catalog")
+      // a uniform key measures low and keeps the plain join
+      val uni = spark.range(1000).select(col("id"),
+        concat(lit("k"), col("id")).as("k"))
+      val ub = uni.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val (j2, c2, s2) = Analyze.runtimeSkewJoin(uni, ub, "k",
+        shards = 4, tieBreak = "id")
+      assert(c2 == "shuffle" && s2 < Analyze.RuntimeSkewThreshold256,
+        s"uniform keys must measure low: $s2/256")
+      assert(!j2.queryExecution.executedPlan.toString.contains("_salt"))
+      // and the salted result equals the plain join's rows
+      val plain = probe.join(build, Seq("k"))
+      assert(j.exceptAll(plain).isEmpty && plain.exceptAll(j).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("StatsCatalog serves exact profiles + heavy-hitter shares, memoized after one ANALYZE") {
     import graft.ops.StatsCatalog
     StatsCatalog.invalidate()
