@@ -941,6 +941,35 @@ class SnapshotsSpec extends SparkSpec {
       Seq((100L, "z")).toDF("n", "v"), dir, base = 2) == 5)
   }
 
+  test("x111 at fleet width: EIGHT racing disjoint-file position deletes all land; state exact") {
+    val dir = freshDir()
+    // eight appends → eight single-file version dirs, one per writer
+    Snapshots.commit((0L until 10L).map(i => (i, "v0")).toDF("n", "v"), dir)
+    for (b <- 1 until 8)
+      Snapshots.commitAppend(
+        (b * 10L until b * 10L + 10L).map(i => (i, s"v$b")).toDF("n", "v"),
+        dir, base = b)
+    val base = Snapshots.versions(spark, dir).last
+    // writer k deletes the first 3 rows of ITS version's files only —
+    // eight pairwise-disjoint file sets, all planned at one base
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val threads = (0 until 8).map { k =>
+      val pos = Snapshots.positionsOf(spark, dir, base,
+        col("n") % 10 < 3 &&
+          col(Snapshots.PosFileCol).startsWith(s"v${k + 1}-"))
+      new Thread(() =>
+        try results.add(Snapshots.commitPositionDeletesCommuting(pos, dir, base))
+        catch { case e: Throwable => results.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.toArray.toSet ==
+      (base + 1 to base + 8).map(identity[Any]).toSet,
+      s"all eight disjoint-file deletes must land: $results")
+    assert(Snapshots.readResolved(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == (0L until 80L).filter(_ % 10 >= 3),
+      "final state = union of all eight deletes — none lost, none doubled")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
