@@ -212,6 +212,16 @@ object Purge {
         // physically vacuumed, not merely superseded
         val ent2 = graft.ops.Nsw.entries(
           Snapshots.readResolved(spark, gi.assignDir), gi.idCol)
+        // ordering guard: if the assignment table was not purged
+        // first (its KeyedTable registered BEFORE this artifact), a
+        // purged id can win re-election and the erasure silently
+        // fails — refuse loudly instead (entries are model-sized, so
+        // this check is one broadcast semi-join)
+        require(ent2.join(kid.select(col(gi.idCol).as("node")),
+            Seq("node"), "left_semi").isEmpty,
+          s"GraphIndex purge: a purged id is still elected in " +
+            s"${gi.entDir} — register the assignment table's " +
+            "KeyedTable BEFORE the GraphIndex artifact")
         Snapshots.commit(ent2, gi.entDir)
         Snapshots.vacuum(spark, gi.entDir, keepLast = 1)
         Action("graph_index", gi.adjDir, "locally_repaired",

@@ -2066,6 +2066,135 @@ object LakehouseQ {
         .orderBy(col("source"))
     }),
 
+    // x116 — SNAPSHOT-CONSISTENT MULTI-TABLE BACKUP (x113 composed
+    // with x44's zero-copy clone — the operation x113's pins exist
+    // FOR): backing up a fact table and its derived stats by cloning
+    // each at its own "latest" can capture a torn pair (fact from
+    // one generation, stats from another) — a backup that was never
+    // a real state restores garbage. Here the pair of pins comes
+    // from ONE snapshotAll instant, each participant clones at its
+    // pin (metadata-only — zero data files, chainEntries-checked),
+    // and the SOURCE then advances a full generation: the backup
+    // pair must still be mutually consistent (stats derived from the
+    // backed-up fact equal the backed-up stats table, two exceptAll
+    // probes) and pinned at the snapshot generation even though the
+    // live tables serve the new one. At 100 TB this is how you
+    // back up a lakehouse namespace: manifest-sized pins + clone
+    // entries, zero copy, cross-table consistency by construction.
+    "x116_consistent_backup" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val aDir = freshSnapDir(s, d, "x116_fact")
+      val bDir = freshSnapDir(s, d, "x116_stats")
+      val baDir = freshSnapDir(s, d, "x116_bak_fact")
+      val bbDir = freshSnapDir(s, d, "x116_bak_stats")
+      val txnDir = freshSnapDir(s, d, "x116_txn")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def statsOf(df: DataFrame) = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("charsum"))
+      val gen1 = docs.filter(col("doc_id") % 2 === 0)
+      val t0 = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(gen1, aDir, txnDir, t0)
+      Snapshots.txnStage(statsOf(gen1), bDir, txnDir, t0)
+      Snapshots.txnCommit(s, txnDir, t0, Seq(aDir, bDir))
+      // ONE consistent instant pins both; each clones at its pin
+      val pins = Snapshots.snapshotAll(s, Seq(aDir, bDir))
+      Snapshots.commitClone(s, baDir, aDir, pins(aDir))
+      Snapshots.commitClone(s, bbDir, bDir, pins(bDir))
+      // the source advances a whole generation AFTER the backup
+      val t1 = java.util.UUID.randomUUID().toString
+      Snapshots.txnStage(docs, aDir, txnDir, t1)
+      Snapshots.txnStage(statsOf(docs), bDir, txnDir, t1)
+      Snapshots.txnCommit(s, txnDir, t1, Seq(aDir, bDir))
+      val bakFact = Snapshots.readResolved(s, baDir)
+      val bakStats = Snapshots.readResolved(s, bbDir)
+      val derived = statsOf(bakFact)
+      val pairConsistent = derived.exceptAll(bakStats).isEmpty &&
+        bakStats.exceptAll(derived).isEmpty
+      val pinnedAtSnapshot = bakFact.exceptAll(gen1).isEmpty &&
+        gen1.exceptAll(bakFact).isEmpty &&
+        Snapshots.readResolved(s, aDir).exceptAll(docs).isEmpty
+      val zeroCopy = Snapshots.chainEntries(s, baDir).forall(_._2 == 0L) &&
+        Snapshots.chainEntries(s, bbDir).forall(_._2 == 0L)
+      bakStats
+        .select(col("source"), col("n_docs"), col("charsum"),
+          lit(pairConsistent).as("pair_consistent"),
+          lit(pinnedAtSnapshot).as("pinned_at_snapshot"),
+          lit(zeroCopy).as("zero_copy"))
+        .orderBy(col("source"))
+    }),
+
+    // x115 — POSITION-DELETE COMPACTION (x111's maintenance verb —
+    // Iceberg's rewrite_position_delete_files plus major compaction):
+    // every x111 delete adds one anti-join to the reader's resolution
+    // chain; after a week of nightly deletes a keyless table's read
+    // is N anti-joins deep. MINOR compaction folds the head's run of
+    // three delete versions into ONE equivalent version chained
+    // directly below the run (anti-joins compose: (A∖P₁)∖P₂ =
+    // A∖(P₁∪P₂)) — the served state is hash-identical, the CDC feed
+    // of the compaction is EMPTY (dataChange=false — maintenance
+    // must never reach change consumers), and the folded head stays
+    // time-travelable. MAJOR compaction then re-lands the resolved
+    // state as one full layout version (x93's commitLayout —
+    // dataChange=false, zero feed), after which the positioned scan
+    // serves fresh (file,pos) addresses again — proven by landing
+    // ONE MORE position delete against the compacted files. The
+    // deleted-row count cross-checks all four delete rounds against
+    // the oracle's predicate count. At 100 TB this is the standing
+    // maintenance loop of any merge-on-read table: fold delete files
+    // at manifest cost, materialize at rewrite cost when the chain
+    // or the delete ratio crosses the line.
+    "x115_posdelete_compaction" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x115_tbl")
+      def li = Tables.load(s, d, "lineitem")
+      def proj(df: DataFrame) = df.select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      Snapshots.commit(proj(li.filter(col("l_orderkey") % 10 < 5)), dir)
+      Snapshots.commitAppend(
+        proj(li.filter(col("l_orderkey") % 10 >= 5)), dir, base = 1)
+      // three nightly position deletes chain on the head
+      val p1 = Snapshots.positionsOf(s, dir, 2, col("qty") < 5 &&
+        col(Snapshots.PosFileCol).startsWith("v1-"))
+      Snapshots.commitPositionDeletes(p1, dir, base = 2)
+      val p2 = Snapshots.positionsOf(s, dir, 3, col("qty") < 5)
+      Snapshots.commitPositionDeletes(p2, dir, base = 3)
+      val p3 = Snapshots.positionsOf(s, dir, 4,
+        col("qty") >= 5 && col("qty") <= 7)
+      Snapshots.commitPositionDeletes(p3, dir, base = 4)
+      val state0 = Snapshots.readResolved(s, dir).cache()
+      // MINOR: fold the three delete versions into one
+      val v6 = Snapshots.compactPositionDeletes(s, dir)
+      val afterMinor = Snapshots.readResolved(s, dir)
+      val minorUnchanged = afterMinor.exceptAll(state0).isEmpty &&
+        state0.exceptAll(afterMinor).isEmpty
+      val minorFeedEmpty =
+        Snapshots.stepChanges(s, dir, v6, Seq("flag", "qty")).isEmpty
+      val oldHeadTravelable = Snapshots.readResolved(s, dir, Some(5))
+        .exceptAll(state0).isEmpty
+      // MAJOR: materialize the resolved state as one layout version
+      val v7 = Snapshots.commitLayout(afterMinor, dir, base = v6)
+      val afterMajor = Snapshots.readResolved(s, dir)
+      val majorUnchanged = afterMajor.exceptAll(state0).isEmpty &&
+        state0.exceptAll(afterMajor).isEmpty
+      // the positioned scan serves fresh addresses on the new files —
+      // one more delete round lands against them
+      val p4 = Snapshots.positionsOf(s, dir, v7, col("qty") === 8)
+      Snapshots.commitPositionDeletes(p4, dir, base = v7)
+      val nDeleted = p1.count() + p2.count() + p3.count() + p4.count()
+      Snapshots.readResolved(s, dir)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .select(col("flag"), col("n_rows"), col("sum_qty"),
+          lit(nDeleted).as("n_pos_deleted"),
+          lit(minorUnchanged).as("minor_state_unchanged"),
+          lit(minorFeedEmpty).as("minor_feed_empty"),
+          lit(oldHeadTravelable).as("old_head_travelable"),
+          lit(majorUnchanged).as("major_state_unchanged"))
+        .orderBy(col("flag"))
+    }),
+
     // x113 — CONSISTENT MULTI-TABLE SNAPSHOT READS (the read side of
     // x45's atomicity): commitment was atomic, but a reader resolving
     // each table's latest INDEPENDENTLY can still straddle someone
@@ -2992,6 +3121,35 @@ object LakehouseQ {
         |  true AS consistent_after
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // x116: the backed-up stats are gen-1's (even docs) even though
+    // the source advanced; consistency/pinning/zero-copy literal
+    "x116_consistent_backup" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |  true AS pair_consistent, true AS pinned_at_snapshot,
+        |  true AS zero_copy
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // x115: four delete rounds cover qty ≤ 8 exactly (qty<5 over both
+    // batches' files, 5–7 resolved, then 8 against the compacted
+    // files), so the final state and the position count replay from
+    // lineitem; the compaction invariants ride as literals
+    "x115_posdelete_compaction" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |kept AS (SELECT flag, qty FROM t WHERE qty >= 9),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE qty <= 8)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  (SELECT n FROM nd) AS n_pos_deleted,
+        |  true AS minor_state_unchanged, true AS minor_feed_empty,
+        |  true AS old_head_travelable, true AS major_state_unchanged
+        |FROM kept GROUP BY flag
+        |ORDER BY flag""".stripMargin,
 
     // x111: positions are file-layout addresses, but the COMPILED
     // predicate defines the deleted row multiset exactly — writer A

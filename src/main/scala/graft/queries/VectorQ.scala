@@ -1522,6 +1522,76 @@ object VectorQ {
       } finally graft.ops.Purge.deregister(srcDir)
     }),
 
+    // v37 — GRAPH-INDEX COMPACTION (the maintenance verb v31's
+    // merge-on-read inserts accumulate toward): every blocked local
+    // repair lands as staged-DV + append, so after a week of nightly
+    // batches a cold searcher's resolution is N anti-joins + unions
+    // deep — correct, but every walk round pays the chain. The
+    // OPTIMIZE move is x93's commitLayout applied to the adjacency:
+    // re-land the RESOLVED graph as ONE full dataChange=false
+    // version. The walk over the compacted index must reproduce the
+    // pre-compaction walk ROW FOR ROW (the chain was semantics, not
+    // state), the compaction's CDC feed is EMPTY (maintenance never
+    // reaches change consumers — an index subscriber like x108 must
+    // not re-admit the whole graph), and the reader's chain length
+    // drops from three entries to one (chainEntries accounting,
+    // hash-pinned). The oracle replays v31's whole lifecycle — the
+    // compacted index serves the identical rows, so the SAME unrolled
+    // chain pins both. At 100 TB this is the index fleet's weekly
+    // OPTIMIZE: one adjacency-sized rewrite buys every subsequent
+    // search a single-scan plan.
+    "v37_graph_index_compaction" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val idx = historyIndex(s, d)
+      val e = emb(s, d)
+      val hist = e.filter(col("vec_id") % AppendSplitMod < AppendHistMax)
+      val batch = e.filter(col("vec_id") % AppendSplitMod >= AppendHistMax)
+      val edges1 = Derived.of(s, d, "nsw_hist_edges") {
+        graft.ops.Nsw.build(hist, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val adjDir = freshSnapDir(s, d, "v37_adj")
+      Snapshots.commit(edges1, adjDir)
+      // nightly batch admitted by blocked local repair (v31's chain)
+      val rep = graft.ops.Nsw.insert(Snapshots.read(s, adjDir), e,
+        "vec_id", "embedding", idx.centroids, NswBlocks, NswM,
+        batch.select(col("vec_id")))
+      val dv = Snapshots.commitDeletes(rep.touched, adjDir, base = 1,
+        staged = true)
+      Snapshots.commitAppend(rep.delta, adjDir, base = dv)
+      val chainBefore = Snapshots.chainEntries(s, adjDir).size
+      val ent = graft.ops.Nsw.entries(x25AppendedIndex(s, d).assigned,
+        "vec_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def walk(edges: DataFrame) = graft.ops.Nsw.search(edges, e,
+        "vec_id", "embedding", ent, q, NswBeam, NswWalk, topK = 3)
+      val pre = walk(Snapshots.readResolved(s, adjDir)).cache()
+      // OPTIMIZE: the resolved adjacency re-lands as ONE full version
+      val head = Snapshots.versions(s, adjDir).last
+      val v4 = Snapshots.commitLayout(
+        Snapshots.readResolved(s, adjDir), adjDir, base = head)
+      val post = walk(Snapshots.readResolved(s, adjDir))
+      val identical = post.exceptAll(pre).isEmpty &&
+        pre.exceptAll(post).isEmpty
+      val feedEmpty =
+        Snapshots.stepChanges(s, adjDir, v4, Seq("a", "b")).isEmpty
+      val chainAfter = Snapshots.chainEntries(s, adjDir).size
+      val shortened = chainBefore == 3 && chainAfter == 1
+      val brute = knnTruth(s, d)
+      val hits = post.join(brute, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      post.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
+          lit(identical).as("compaction_identical"),
+          lit(feedEmpty).as("compaction_feed_empty"),
+          lit(shortened).as("chain_shortened"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
     "v20_ivf_append" -> ((s, d) => {
       val idx = historyIndex(s, d)
       val batch = emb(s, d)
@@ -2741,6 +2811,14 @@ ORDER BY nprobe"""
     // local repair, entry re-election, post-purge walk at qid 5–9,
     // recall@3; entry_reelected derived on both sides.
     "v36_index_rtbf" -> materializeCtes(rtbfOracle),
+
+    // v37: compaction serves the IDENTICAL rows, so v31's unrolled
+    // lifecycle chain pins it verbatim — only the witness flags
+    // change (walk equality, empty maintenance feed, 3→1 chain)
+    "v37_graph_index_compaction" -> materializeCtes(nswLifecycleOracle
+      .replace("true AS index_atomic, true AS cold_equal,",
+        "true AS compaction_identical, true AS compaction_feed_empty,")
+      .replace("true AS base_files_untouched", "true AS chain_shortened")),
 
     // v32: v30's shared graph chain + v9's PQ chain — the walk
     // re-priced on decoded codes, the final beam re-ranked exactly,

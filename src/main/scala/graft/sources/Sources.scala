@@ -642,6 +642,40 @@ object Snapshots {
       col("_metadata.row_index").as(PosIdxCol)): _*)
   }
 
+  /** POSITION-DELETE COMPACTION (x115 — Iceberg's
+    * `rewrite_position_delete_files` maintenance): fold the head's
+    * contiguous run of position-delete versions into ONE equivalent
+    * delete version chained directly below the run. Anti-joins
+    * compose — (A∖P₁)∖P₂ = A∖(P₁∪P₂) — so the served state is
+    * unchanged; the entry lands dataChange=false (maintenance feeds
+    * no CDC), carries the UNION file list for the OCC audit, and a
+    * reader's resolution drops from N anti-joins to one. The folded
+    * versions stay time-travelable until retention collects them.
+    * Cost: the folded delete files' own rows — never the table. */
+  def compactPositionDeletes(spark: SparkSession, dir: String): Int = {
+    val byV = logEntries(spark, dir)
+      .map(n => n.get("version").asInt() -> n).toMap
+    val head = versions(spark, dir).last
+    var v = head
+    val run = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    while (Option(byV(v).get("kind")).exists(_.asText() == "posdeletes")) {
+      run += byV(v)
+      v = byV(v).get("base").asInt()
+    }
+    val folded = run.result()
+    require(folded.size >= 2,
+      s"nothing to compact under $dir: the head run holds " +
+        s"${folded.size} position-delete version(s)")
+    val union = folded.map(readVersionDf(spark, dir, _))
+      .reduce(_ unionByName _).distinct()
+    val files = union.select(PosFileCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    writeVersion(union, dir, Nil, extraMeta =
+      s""","kind":"posdeletes","base":$v,"dataChange":false""" +
+        s""","pfiles":[${files.map(jstr).mkString(",")}]""",
+      expected = Some(head))
+  }
+
   /** OCC position delete (x111's x105 arm): land a position delete
     * planned against `base` past interleaved commits that COMMUTE —
     * appends (new files; these positions address existing ones),
@@ -1747,9 +1781,15 @@ object Snapshots {
       // x111: a position delete's feed is the DELETED rows, read by
       // joining the base's positioned scan to the delete's own
       // (file,pos) set — the data files ARE read for the deleted rows
-      // (position deletes carry no values), but only semi-join-pruned
+      // (position deletes carry no values), but only semi-join-pruned.
+      // A dataChange=false posdeletes (x115's compaction — the SAME
+      // logical exclusions re-landed as one delete file) feeds
+      // NOTHING: maintenance must never reach CDC consumers.
       case "posdeletes" =>
-        sel(lit("D"), readResolvedPos(spark, dir,
+        if (!Option(n.get("dataChange")).forall(_.asBoolean(true)))
+          sel(lit("D"), readResolved(spark, dir,
+            Some(n.get("base").asInt()))).limit(0)
+        else sel(lit("D"), readResolvedPos(spark, dir,
             Some(n.get("base").asInt()))
           .join(vdf, Seq(PosFileCol, PosIdxCol), "left_semi")
           .drop(PosFileCol, PosIdxCol))

@@ -941,6 +941,39 @@ class SnapshotsSpec extends SparkSpec {
       Seq((100L, "z")).toDF("n", "v"), dir, base = 2) == 5)
   }
 
+  test("x115: compaction folds the delete run losslessly; feed empty; bare heads refuse") {
+    val dir = freshDir()
+    Snapshots.commit((1L to 10L).map(i => (i, "x")).toDF("n", "v"), dir)
+    Snapshots.commitPositionDeletes(
+      Snapshots.positionsOf(spark, dir, 1, col("n") <= 2), dir, base = 1)
+    Snapshots.commitPositionDeletes(
+      Snapshots.positionsOf(spark, dir, 2, col("n") === 3), dir, base = 2)
+    val state0 = Snapshots.readResolved(spark, dir).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(state0 == (4L to 10L))
+    val v4 = Snapshots.compactPositionDeletes(spark, dir)
+    assert(v4 == 4)
+    assert(Snapshots.readResolved(spark, dir).collect()
+      .map(_.getLong(0)).sorted.toSeq == state0,
+      "the folded delete serves the identical state")
+    assert(Snapshots.stepChanges(spark, dir, v4, Seq("n", "v")).isEmpty,
+      "compaction is maintenance — the CDC feed must be empty")
+    assert(Snapshots.readResolved(spark, dir, Some(3)).collect()
+      .map(_.getLong(0)).sorted.toSeq == state0,
+      "the folded head stays time-travelable")
+    // the compacted entry records the UNION file set: a stale delete
+    // addressing a file the run touched (n=2 shares pd1's file) sees
+    // the overlap and raises — the audit walks ONE folded entry now
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitPositionDeletesCommuting(
+        Snapshots.positionsOf(spark, dir, 1, col("n") === 2), dir, base = 1)
+    }
+    // a single-delete head has nothing to fold
+    intercept[IllegalArgumentException] {
+      Snapshots.compactPositionDeletes(spark, dir)
+    }
+  }
+
   test("x111 at fleet width: EIGHT racing disjoint-file position deletes all land; state exact") {
     val dir = freshDir()
     // eight appends → eight single-file version dirs, one per writer
