@@ -2066,6 +2066,57 @@ object LakehouseQ {
         .orderBy(col("source"))
     }),
 
+    // x117 — POSITIONAL UPDATE (x111's UPDATE verb — x58's
+    // merge-on-read MERGE expressed in position space, for the
+    // KEYLESS tables where equality MERGE cannot name a row): the
+    // matched rows' (file,pos) addresses pair with their new images
+    // as a STAGED position-delete + one atomic append — readers
+    // never observe the deleted-but-not-updated middle state, both
+    // base versions' files stay untouched (listing-checked), and —
+    // the part no equality verb can do — with duplicates in the
+    // table the update rewrites EXACTLY the addressed physical rows,
+    // one per position. n_updated cross-checks the compiled position
+    // count against the oracle's predicate count, and the final
+    // aggregate replays UPDATE semantics (qty ≤ 3 → qty + 100) from
+    // lineitem alone. At 100 TB: the update writes positions + new
+    // images only; the read path is x111's (file,pos) anti-join plus
+    // the appended delta.
+    "x117_positional_update" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x117_tbl")
+      def li = Tables.load(s, d, "lineitem")
+      def proj(df: DataFrame) = df.select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      Snapshots.commit(proj(li.filter(col("l_orderkey") % 10 < 5)), dir)
+      Snapshots.commitAppend(
+        proj(li.filter(col("l_orderkey") % 10 >= 5)), dir, base = 1)
+      val sig1 = Snapshots.fileSignature(s, dir, 1)
+      val sig2 = Snapshots.fileSignature(s, dir, 2)
+      // UPDATE ... SET qty = qty + 100 WHERE qty <= 3, positionally
+      val matched = Snapshots.readResolvedPos(s, dir, Some(2))
+        .filter(col("qty") <= 3)
+      val positions = matched.select(
+        col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol))
+      val images = matched.select(
+        col("flag"), (col("qty") + 100L).as("qty"))
+      val (dv, v) = Snapshots.commitPositionUpdate(s, dir,
+        positions, images, base = 2)
+      val untouched = Snapshots.fileSignature(s, dir, 1) == sig1 &&
+        Snapshots.fileSignature(s, dir, 2) == sig2
+      val morPair = dv == 3 && v == 4 &&
+        Snapshots.versions(s, dir) == Seq(1, 2, 4)
+      val nUpdated = positions.count()
+      Snapshots.readResolved(s, dir)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .select(col("flag"), col("n_rows"), col("sum_qty"),
+          lit(nUpdated).as("n_updated"),
+          lit(untouched).as("base_files_untouched"),
+          lit(morPair).as("mor_pair_atomic"))
+        .orderBy(col("flag"))
+    }),
+
     // x116 — SNAPSHOT-CONSISTENT MULTI-TABLE BACKUP (x113 composed
     // with x44's zero-copy clone — the operation x113's pins exist
     // FOR): backing up a fact table and its derived stats by cloning
@@ -3121,6 +3172,25 @@ object LakehouseQ {
         |  true AS consistent_after
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // x117: the predicate defines the updated multiset exactly —
+    // UPDATE semantics replay from lineitem; position count
+    // cross-checked; immutability/atomicity literal
+    "x117_positional_update" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |u AS (SELECT flag,
+        |        CASE WHEN qty <= 3 THEN qty + 100 ELSE qty END AS qty
+        |      FROM t),
+        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE qty <= 3)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  (SELECT n FROM nu) AS n_updated,
+        |  true AS base_files_untouched,
+        |  true AS mor_pair_atomic
+        |FROM u GROUP BY flag
+        |ORDER BY flag""".stripMargin,
 
     // x116: the backed-up stats are gen-1's (even docs) even though
     // the source advanced; consistency/pinning/zero-copy literal

@@ -676,6 +676,29 @@ object Snapshots {
       expected = Some(head))
   }
 
+  /** POSITIONAL UPDATE (x117 — merge-on-read UPDATE for KEYLESS
+    * tables, x58's MOR pair expressed in position space): the rows
+    * at `positions` are replaced by `images` as ONE atomic flip — a
+    * STAGED position-delete (invisible to every `latest` reader)
+    * chained under one atomic append of the new images; before the
+    * append lands readers serve the base untouched, after it they
+    * serve base ∖ positions ∪ images, and no reader can observe the
+    * deleted-but-not-yet-updated middle state. This is the UPDATE
+    * equality-MERGE cannot express: with two bit-identical rows, it
+    * updates exactly ONE. Feed caveat (x58's documented shape): the
+    * published append feeds the new images as I rows; the staged
+    * delete's D half is reachable only through the chain — keyless
+    * CDC consumers need position-aware apply, which is why keyed
+    * tables should keep using MERGE. Returns (dvVersion,
+    * appendVersion). */
+  def commitPositionUpdate(spark: SparkSession, dir: String,
+                           positions: DataFrame, images: DataFrame,
+                           base: Int): (Int, Int) = {
+    val dv = commitPositionDeletes(positions, dir, base, staged = true)
+    val v = commitAppend(images, dir, base = dv)
+    (dv, v)
+  }
+
   /** OCC position delete (x111's x105 arm): land a position delete
     * planned against `base` past interleaved commits that COMMUTE —
     * appends (new files; these positions address existing ones),

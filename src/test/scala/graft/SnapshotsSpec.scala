@@ -974,6 +974,31 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("x117: positional update flips atomically and updates ONE of two identical rows") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("k", "v"), dir)
+    val m = Snapshots.readResolvedPos(spark, dir).filter(col("k") === "a")
+      .orderBy(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)).limit(1)
+    val positions = m.select(
+      col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol))
+    val images = m.select(col("k"), lit(99L).as("v"))
+    // the two halves of commitPositionUpdate, probed mid-flight: the
+    // staged DV leaves readers on the untouched base — there is no
+    // deleted-but-not-updated middle state
+    val dv = Snapshots.commitPositionDeletes(positions, dir, base = 1,
+      staged = true)
+    assert(Snapshots.versions(spark, dir) == Seq(1),
+      "the staged position-DV is invisible to latest readers")
+    assert(Snapshots.readResolved(spark, dir).count() == 3)
+    Snapshots.commitAppend(images, dir, base = dv)
+    val served = Snapshots.readResolved(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(served == Seq(("a", 1L), ("a", 99L), ("b", 2L)),
+      "exactly ONE of the two identical rows carries the update")
+    // and the positioned scan serves the post-update addressing
+    assert(Snapshots.readResolvedPos(spark, dir).count() == 3)
+  }
+
   test("x111 at fleet width: EIGHT racing disjoint-file position deletes all land; state exact") {
     val dir = freshDir()
     // eight appends → eight single-file version dirs, one per writer
