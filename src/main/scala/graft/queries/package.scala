@@ -23,10 +23,27 @@ package object queries {
     * materialized, byte-identical frames. `AS MATERIALIZED`
     * evaluates each chain stage once. Applied as a text pass over
     * SQL these modules generate, where every CTE header sits at
-    * line start. */
-  def materializeCtes(sql: String): String =
-    sql.replaceAll("(?m)^(WITH )?([A-Za-z_][A-Za-z0-9_]*) AS \\(",
-      "$1$2 AS MATERIALIZED (")
+    * line start — and that invariant is CHECKED, not assumed: each
+    * line-leading `x AS (` must be preceded (ignoring whitespace) by
+    * `WITH`, a comma, or nothing, i.e. be a genuine CTE-list header.
+    * A future oracle with a line-leading `x AS (` in any other
+    * position (a WINDOW clause, some derived-table shape) fails
+    * LOUDLY here instead of being silently corrupted into invalid
+    * SQL. */
+  def materializeCtes(sql: String): String = {
+    val header = "(?m)^(WITH )?([A-Za-z_][A-Za-z0-9_]*) AS \\(".r
+    header.findAllMatchIn(sql).foreach { m =>
+      val before = sql.substring(0, m.start).reverse.dropWhile(_.isWhitespace)
+      val ok = m.group(1) != null || before.isEmpty ||
+        before.head == ',' ||
+        before.take(4).reverse.equalsIgnoreCase("WITH")
+      require(ok,
+        s"materializeCtes: line-leading '${m.group(2)} AS (' is not a " +
+          s"CTE-list header (preceded by '...${before.take(12).reverse}') — " +
+          "the MATERIALIZED rewrite would corrupt this SQL")
+    }
+    header.replaceAllIn(sql, "$1$2 AS MATERIALIZED (")
+  }
 
   /** Same for derived per-row doubles (e.g. price*(1-disc)): the
     * per-row product is IEEE-identical in Spark and DuckDB; summing at

@@ -514,14 +514,27 @@ object Snapshots {
     * publishes ONE append whose base chain runs through it — the
     * append's entry is the atomic commit point, so no reader ever
     * sees the deletes without the new images. A crash in between
-    * leaves an invisible staged ghost for [[vacuum]]. */
+    * leaves an invisible staged ghost for [[vacuum]].
+    *
+    * `expected` is the OCC CAS (same contract as the expectedVersion
+    * [[commit]]): the DV lands ONLY if the published head is still
+    * `expected`, else [[ConcurrentCommitException]]. Without it a
+    * writer that lands an append between this delete's base read and
+    * its publish is silently orphaned — the DV's entry becomes the
+    * new head and every subsequent `latest` resolution chains through
+    * it to the OLD base, dropping the interleaved commit's rows (the
+    * lost-update anomaly x51/x91/x105 exist to prevent). SQL DELETE
+    * passes `Some(base)` and retries; callers that audit commutation
+    * themselves ([[commitDeletesCommuting]]) pass their own head. */
   def commitDeletes(keys: DataFrame, dir: String, base: Int,
-                    staged: Boolean = false): Int = {
+                    staged: Boolean = false,
+                    expected: Option[Int] = None): Int = {
     require(allVersions(keys.sparkSession, dir).contains(base),
       s"delete base v$base not committed under $dir")
     val v = writeVersion(keys, dir, Nil, extraMeta =
       s""","kind":"deletes","base":$base""" +
-        (if (staged) ""","staged":true""" else ""))
+        (if (staged) ""","staged":true""" else ""),
+      expected = expected)
     // retention hook only on a reader-visible commit: a staged DV is
     // x58's invisible half — its publish point (the chained append)
     // dispatches the hook itself
@@ -621,7 +634,7 @@ object Snapshots {
   /** One physical version's rows + (relative file, row index). */
   private def physicalWithPos(spark: SparkSession, dir: String,
       n: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{col, expr}
     val vdir = s"$dir/${entryDataDir(n)}"
     val df = Option(n.get("schema")).map(_.asText()) match {
       case Some(sj) =>
@@ -634,11 +647,20 @@ object Snapshots {
     }
     val dataCols = df.columns.filterNot(_ == "_metadata").toSeq
     // table-relative path: strip everything above the version's data
-    // dir (the `v<N>[-writer]` component) — positions must survive a
-    // table relocation, like Iceberg's relative file paths
+    // dir — positions must survive a table relocation, like Iceberg's
+    // relative file paths. ANCHORED to this entry's recorded dir name
+    // (writer-suffixed, so effectively unique), not a first-match
+    // `v<digits>` regex: a table rooted under a parent directory that
+    // itself looks like a version component (/data/v2/warehouse/tbl)
+    // must not leak the parent prefix into `_file` — that would break
+    // relocation invariance and the `startsWith("v1-")` file
+    // conventions the pfiles conflict sets rely on.
+    val marker = s"/${entryDataDir(n)}/"
+    require(!marker.contains("'"),
+      s"version data dir ${entryDataDir(n)} contains a quote")
     df.select(dataCols.map(col) ++ Seq(
-      regexp_extract(col("_metadata.file_path"),
-        "/(v[0-9]+[^/]*/.*)$", 1).as(PosFileCol),
+      expr(s"substring(_metadata.file_path, " +
+        s"instr(_metadata.file_path, '$marker') + 1)").as(PosFileCol),
       col("_metadata.row_index").as(PosIdxCol)): _*)
   }
 
@@ -687,15 +709,25 @@ object Snapshots {
     * equality-MERGE cannot express: with two bit-identical rows, it
     * updates exactly ONE. Feed caveat (x58's documented shape): the
     * published append feeds the new images as I rows; the staged
-    * delete's D half is reachable only through the chain — keyless
-    * CDC consumers need position-aware apply, which is why keyed
-    * tables should keep using MERGE. Returns (dvVersion,
-    * appendVersion). */
+    * delete's D half is served position-aware by [[stepChangesPos]]
+    * (x118), so keyless CDC consumers replay it as a (file,pos)
+    * anti-join — keyed tables should keep using MERGE. Returns
+    * (dvVersion, appendVersion).
+    *
+    * The publish append carries an `expected = Some(base)` CAS: the
+    * update lands ONLY if the published head is still the version the
+    * positions were compiled against. This is not optional for
+    * position space — an interleaved commit both orphans the
+    * interleaved rows (the MOR lost-update anomaly) AND may have
+    * rewritten the very files the (file,pos) addresses name. On
+    * [[ConcurrentCommitException]] the staged DV is left as an
+    * invisible ghost (vacuum collects it, same as a crash) and the
+    * caller re-plans positions against the new head. */
   def commitPositionUpdate(spark: SparkSession, dir: String,
                            positions: DataFrame, images: DataFrame,
                            base: Int): (Int, Int) = {
     val dv = commitPositionDeletes(positions, dir, base, staged = true)
-    val v = commitAppend(images, dir, base = dv)
+    val v = commitAppend(images, dir, base = dv, expected = Some(base))
     (dv, v)
   }
 
@@ -1060,6 +1092,22 @@ object Snapshots {
         // appends always commute with appends; layout re-lands carry
         // the same logical rows under both verbs
         case ("append", "append") => true
+        // x111 — POSITION-DELETE arms come BEFORE the generic
+        // dataChange=false wildcards: a layout re-land ("data" with
+        // dc=false from commitLayout, or a dc=false OPTIMIZE append)
+        // REPLACES the physical files these (file,pos) addresses
+        // name. Rebasing a position delete past one would land a
+        // delete whose anti-join matches nothing — rows that must be
+        // deleted silently survive a successful commit. Iceberg
+        // conversely FAILS such commits (validateDataFilesExist);
+        // so do we: only true appends (genuinely NEW files — the
+        // positions address existing ones) and file-disjoint
+        // position deletes commute; anything that re-lands or
+        // rewrites existing rows raises so the writer re-plans its
+        // positions against the new files.
+        case ("posdeletes", "append") => dc
+        case ("posdeletes", "posdeletes") => filesDisjoint
+        case ("posdeletes", _) => false
         case (_, "data") if !dc => true
         case (_, "append") if !dc => true
         // x105: DV∥DV and DV∥append commute iff the recorded key
@@ -1068,12 +1116,10 @@ object Snapshots {
         case ("deletes", "append") | ("deletes", "deletes") |
              ("append", "deletes") => rangesDisjoint
         // x111: a position delete addresses EXISTING files, an append
-        // adds NEW ones — they always commute; two position deletes
-        // commute iff their recorded file sets are disjoint (Iceberg's
-        // file-granularity conflict matrix, metadata-only). Equality
-        // deletes and position deletes share no addressing — raise.
-        case ("posdeletes", "append") | ("append", "posdeletes") => true
-        case ("posdeletes", "posdeletes") => filesDisjoint
+        // adds NEW ones — an append pending against interleaved
+        // position deletes always commutes (its new files cannot be
+        // addressed by older position deletes).
+        case ("append", "posdeletes") => true
         case _ => false
       }
       if (!commutes) throw new ConcurrentCommitException(
@@ -1716,8 +1762,14 @@ object Snapshots {
     * and the map reflects one real instant). Disagreement retries:
     * the x91 claim loop's optimistic shape applied to reads. Reads
     * against the returned pins are ordinary pinned reads — stable
-    * forever after. Cost: two manifest-sized log listings per
-    * participant per attempt; no data touched. */
+    * for as long as RETENTION keeps the pinned versions: a standing
+    * age policy (x106) or an explicit [[vacuum]] that collects a
+    * pinned version between pin and read leaves the pin dangling —
+    * the same reader-vs-VACUUM race Delta documents. A long-lived
+    * pin holder should read through [[pinnedReadOrRaise]], which
+    * detects the collected version LOUDLY instead of failing deep in
+    * a scan (or serving a later state). Cost: two manifest-sized log
+    * listings per participant per attempt; no data touched. */
   def snapshotAll(spark: SparkSession, dirs: Seq[String],
                   maxAttempts: Int = 50): Map[String, Int] = {
     def pass(): Map[String, Seq[Int]] =
@@ -2410,6 +2462,26 @@ object Snapshots {
   def purgeKeys(spark: SparkSession, dir: String, keys: DataFrame): Seq[Int] = {
     val keyCols = keys.columns.toSeq
     val (fs, p) = fsOf(spark, dir)
+    // POSITION-DELETE GUARD: a purge rewrites every version's data
+    // into fresh `v<N>-purge<writer>` files — NEW file names and
+    // (where purged rows fall mid-file) SHIFTED row_index values. Any
+    // recorded posdeletes entry addresses the OLD (file,pos) space;
+    // after the rewrite its anti-join would match nothing and
+    // previously deleted rows would silently RESURFACE — an erasure
+    // regression the x76 witness cannot catch (the resurfaced rows
+    // are data, not the purged key). Position deletes are the KEYLESS
+    // table's format; a purge is BY KEY — the two don't belong on the
+    // same log. Refuse loudly: compact the deletes into the data
+    // (rewrite/re-land) before purging such a table.
+    val posdelVs = logEntries(spark, dir)
+      .filter(n => Option(n.get("kind")).exists(_.asText() == "posdeletes"))
+      .map(_.get("version").asInt()).sorted
+    require(posdelVs.isEmpty,
+      s"purgeKeys under $dir: log holds position-delete version(s) " +
+        s"${posdelVs.mkString(",")} whose (file,pos) addresses would be " +
+        "invalidated by the purge rewrite (deleted rows would silently " +
+        "resurface) — materialize the position deletes into a full " +
+        "rewrite first, then purge")
     // x104 interplay: the purge keys arrive named in the CURRENT
     // schema, but versions below a rename hold the same logical
     // column under its OLD name — translate each key column BACKWARD

@@ -469,13 +469,29 @@ object SqlRunner {
     * against it (x27's physics — the base's files are never touched;
     * at 100 TB a delete costs a churn-sized write + a broadcast-able
     * anti-join at read, not a rewrite). Reads resolve through
-    * `snapshot_resolved` / [[graft.sources.Snapshots.readResolved]]. */
+    * `snapshot_resolved` / [[graft.sources.Snapshots.readResolved]].
+    *
+    * OCC like INSERT INTO's loop: the DV commits with
+    * `expected = Some(base)` — a writer that lands anything between
+    * this verb's base read and its publish raises instead of being
+    * silently orphaned from `latest` (the DV would otherwise chain
+    * past the interleaved commit to the OLD base — a lost update
+    * reachable from plain SQL text), and the loop re-reads + re-plans
+    * the hit set at the new head. */
   private def runDelete(spark: SparkSession, dir: String, cond: String): Int = {
     import graft.sources.Snapshots
-    val base = Snapshots.versions(spark, dir).last
-    val hit = Snapshots.readResolved(spark, dir)
-      .filter(org.apache.spark.sql.functions.expr(cond))
-    Snapshots.commitDeletes(hit, dir, base = base)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"DELETE FROM '$dir': retry budget exhausted")
+      val base = Snapshots.versions(spark, dir).last
+      val hit = Snapshots.readResolved(spark, dir, asOf = Some(base))
+        .filter(org.apache.spark.sql.functions.expr(cond))
+      try return Snapshots.commitDeletes(hit, dir, base = base,
+        expected = Some(base))
+      catch { case _: graft.sources.ConcurrentCommitException => }
+    }
+    -1 // unreachable
   }
 
   /** `UPDATE '<dir>' SET col = expr[, …] WHERE <cond>` — merge-on-read
@@ -490,16 +506,34 @@ object SqlRunner {
                         cond: String): Int = {
     import graft.sources.Snapshots
     import org.apache.spark.sql.functions.expr
-    val base = Snapshots.versions(spark, dir).last
-    val hit = Snapshots.readResolved(spark, dir).filter(expr(cond))
-    val images = splitTopLevel(sets).foldLeft(hit) { (df, a) =>
-      val Array(c, e) = a.split("=", 2).map(_.trim)
-      df.withColumn(c, expr(e))
+    // OCC like INSERT INTO's loop: the publish append (the one entry
+    // readers can see) carries `expected = Some(base)` — if anything
+    // interleaved between the base read and the publish, the append
+    // raises instead of chaining `latest` through the staged DV to
+    // the OLD base (which would silently orphan the interleaved
+    // commit's rows), and the loop re-plans hit set + images at the
+    // new head. A lost round's staged DV stays an invisible ghost
+    // with the exact crash shape vacuum already collects.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"UPDATE '$dir': retry budget exhausted")
+      val base = Snapshots.versions(spark, dir).last
+      val hit = Snapshots.readResolved(spark, dir, asOf = Some(base))
+        .filter(expr(cond))
+      val images = splitTopLevel(sets).foldLeft(hit) { (df, a) =>
+        val Array(c, e) = a.split("=", 2).map(_.trim)
+        df.withColumn(c, expr(e))
+      }
+      // x102: new images checked before anything stages (re-checked
+      // per round — a constraint may have landed during the lost race)
+      Snapshots.enforceConstraints(spark, dir, images)
+      val dv = Snapshots.commitDeletes(hit, dir, base = base, staged = true)
+      try return Snapshots.commitAppend(images, dir, base = dv,
+        expected = Some(base))
+      catch { case _: graft.sources.ConcurrentCommitException => }
     }
-    // x102: new images checked before anything stages
-    Snapshots.enforceConstraints(spark, dir, images)
-    val dv = Snapshots.commitDeletes(hit, dir, base = base, staged = true)
-    Snapshots.commitAppend(images, dir, base = dv)
+    -1 // unreachable
   }
 
   /** Split on commas at paren depth 0 (SET-list separator). */

@@ -1028,6 +1028,94 @@ class SnapshotsSpec extends SparkSpec {
       "final state = union of all eight deletes — none lost, none doubled")
   }
 
+  test("x111 OCC: a position delete refuses to rebase past layout re-lands (files replaced)") {
+    val dir = freshDir()
+    Snapshots.commit((1L to 10L).map(i => (i, "x")).toDF("n", "v"), dir) // v1
+    // a TRUE append interleaves: it adds NEW files, the stale delete's
+    // positions address existing ones — commutes (unchanged behavior)
+    val pos1 = Snapshots.positionsOf(spark, dir, 1, col("n") <= 3)
+    Snapshots.commitAppend((11L to 12L).map(i => (i, "y")).toDF("n", "v"),
+      dir, base = 1) // v2
+    assert(Snapshots.commitPositionDeletesCommuting(pos1, dir, base = 1) == 3)
+    assert(Snapshots.readResolved(spark, dir).count() == 9)
+    // a LAYOUT re-land interleaves ("data" kind, dataChange=false —
+    // x93 auto-OPTIMIZE's commit): it REPLACES the physical files the
+    // stale delete's (file,pos) addresses name. Rebasing past it would
+    // land a delete whose anti-join matches nothing — rows that must
+    // die silently survive. It must raise instead (Iceberg's
+    // validateDataFilesExist), and the state must prove no row vanished.
+    val base2 = Snapshots.versions(spark, dir).last // 3
+    val pos2 = Snapshots.positionsOf(spark, dir, base2, col("n") === 7)
+    Snapshots.commitLayout(Snapshots.readResolved(spark, dir), dir,
+      base = base2) // v4
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitPositionDeletesCommuting(pos2, dir, base = base2)
+    }
+    assert(Snapshots.readResolved(spark, dir).filter(col("n") === 7).count() == 1,
+      "the refused delete landed nothing — no silent no-op either way")
+    // a dataChange=false APPEND re-land (x55 incremental OPTIMIZE):
+    // same physics — existing rows into new files — same refusal
+    val base3 = Snapshots.versions(spark, dir).last // 4
+    val pos3 = Snapshots.positionsOf(spark, dir, base3, col("n") === 8)
+    Snapshots.commitAppend(
+      Seq((12L, "y")).toDF("n", "v"), dir, base = base3,
+      dataChange = false) // v5: row 12 re-laid into a new file
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitPositionDeletesCommuting(pos3, dir, base = base3)
+    }
+  }
+
+  test("x117 OCC: a positional update CAS-refuses when anything interleaves; DELETE DV honors expected") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), dir) // v1
+    val m = Snapshots.readResolvedPos(spark, dir).filter(col("k") === "a")
+    val positions = m.select(
+      col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol))
+    val images = m.select(col("k"), lit(99L).as("v"))
+    // an append lands between the update's base read and its publish:
+    // without the CAS the update's append would chain `latest` through
+    // its staged DV to the OLD base and the interleaved rows would
+    // silently vanish — the lost-update anomaly. It must raise.
+    Snapshots.commitAppend(Seq(("c", 3L)).toDF("k", "v"), dir, base = 1)
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitPositionUpdate(spark, dir, positions, images, base = 1)
+    }
+    assert(Snapshots.readResolved(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+      "the interleaved append's rows survive; the refused update landed nothing")
+    // commitDeletes' expected CAS: same interleave, same refusal
+    intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.commitDeletes(Seq(Tuple1("b")).toDF("k"), dir, base = 1,
+        expected = Some(1))
+    }
+    // re-planned at the new head, both verbs land
+    val head = Snapshots.versions(spark, dir).last
+    val m2 = Snapshots.readResolvedPos(spark, dir).filter(col("k") === "a")
+    Snapshots.commitPositionUpdate(spark, dir,
+      m2.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+      m2.select(col("k"), lit(99L).as("v")), base = head)
+    assert(Snapshots.readResolved(spark, dir).filter(col("k") === "a")
+      .head().getLong(1) == 99L)
+  }
+
+  test("purgeKeys refuses a log holding position deletes (their addresses would dangle)") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"), dir)
+    Snapshots.commitPositionDeletes(
+      Snapshots.positionsOf(spark, dir, 1, col("k") === "b"), dir, base = 1)
+    // the purge rewrite renames every data file and shifts row_index
+    // values — the recorded (file,pos) delete would silently stop
+    // excluding row b (an erasure REGRESSION). Refuse loudly.
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.purgeKeys(spark, dir, Seq(Tuple1("c")).toDF("k"))
+    }
+    assert(e.getMessage.contains("position-delete"))
+    assert(Snapshots.readResolved(spark, dir).collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "c"),
+      "the refused purge changed nothing; the position delete still serves")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }

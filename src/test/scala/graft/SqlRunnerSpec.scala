@@ -248,6 +248,48 @@ class SqlRunnerSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10.0), (2L, "b!", 97.0), (3L, "c!", 99.0)))
   }
 
+  test("MOR DML at fleet width: 8 racing INSERT/DELETE/UPDATE writers, no lost update") {
+    // The round-16 gap: runDelete/runUpdate published against a base
+    // read with NO CAS, so an append interleaving between a verb's
+    // base read and its publish was silently orphaned from `latest`
+    // (the verb's entry chained through its DV to the OLD base).
+    // Eight writers race at one initial state — four INSERT INTO,
+    // two DELETE, two UPDATE, every hit set disjoint — and the final
+    // resolved state must equal the serial result exactly: any lost
+    // update surfaces as a vanished insert or a missed/doubled
+    // update. Per the round-15 lesson this runs at fleet width, not 2.
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+    Snapshots.commit((1L to 80L).map(k => (k, k.toDouble)).toDF("k", "bal"), dir)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stmts = Seq(
+      s"INSERT INTO '$dir' SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(1000, 1005)",
+      s"INSERT INTO '$dir' SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(1010, 1015)",
+      s"INSERT INTO '$dir' SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(1020, 1025)",
+      s"INSERT INTO '$dir' SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(1030, 1035)",
+      s"DELETE FROM '$dir' WHERE k >= 1 AND k <= 10",
+      s"DELETE FROM '$dir' WHERE k >= 11 AND k <= 20",
+      s"UPDATE '$dir' SET bal = bal + 1000.0 WHERE k >= 21 AND k <= 30",
+      s"UPDATE '$dir' SET bal = bal + 1000.0 WHERE k >= 31 AND k <= 40")
+    val threads = stmts.map { st =>
+      new Thread(() =>
+        try SqlRunner.runScriptWithSnapshots(spark, st)
+        catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"every writer must land: ${errors.toArray.toSeq}")
+    val got = Snapshots.readResolved(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val want = ((21L to 40L).map(k => (k, k + 1000.0)) ++
+      (41L to 80L).map(k => (k, k.toDouble)) ++
+      Seq(1000L, 1010L, 1020L, 1030L).flatMap(b =>
+        (b until b + 5).map(k => (k, k.toDouble)))).sorted
+    assert(got == want,
+      "serial-equivalent state: deletes gone, updates applied exactly " +
+        "once, every racing insert's rows present — no lost update")
+  }
+
   test("splitTopLevel honors parenthesized commas in SET lists") {
     assert(SqlRunner.splitTopLevel("a = f(x, y), b = c + 1") ==
       Seq("a = f(x, y)", "b = c + 1"))
