@@ -2117,6 +2117,83 @@ object LakehouseQ {
         .orderBy(col("flag"))
     }),
 
+    // x118 — POSITION-AWARE CDC REPLICA (closes x117's documented
+    // caveat): a keyless table maintained by positional updates feeds
+    // the keyed change stream only its I halves — the staged
+    // position-delete rides the base chain, so an x110-style replica
+    // silently keeps every replaced row and diverges. stepChangesPos
+    // serves each published step WITH (file,pos) addresses: appends
+    // carry their staged-chain D halves as pre-images, published
+    // position deletes feed theirs directly. The replica here replays
+    // a history holding BOTH positional-update publishes AND a plain
+    // position delete — including an update whose targets live in the
+    // PREVIOUS update's appended files (cross-file addressing) — from
+    // the feed alone, epoch-tagged, never reading the source; its
+    // final state must equal the source's resolved latest (two
+    // exceptAll probes in the hash), and the three D-half row counts
+    // pin that every delete actually rode the feed. At 100 TB each
+    // step costs the churn the log recorded: delete-sized address
+    // sets + append-sized image reads, never a table scan.
+    "x118_positional_cdc" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val srcDir = freshSnapDir(s, d, "x118_src")
+      val repDir = freshSnapDir(s, d, "x118_replica")
+      def li = Tables.load(s, d, "lineitem")
+      def proj(df: DataFrame) = df.select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      Snapshots.commit(proj(li.filter(col("l_orderkey") % 10 < 5)), srcDir)
+      Snapshots.commitAppend(
+        proj(li.filter(col("l_orderkey") % 10 >= 5)), srcDir, base = 1)
+      // positional UPDATE 1: qty <= 3 → qty+100 (staged DV v3 + publish v4)
+      val m1 = Snapshots.readResolvedPos(s, srcDir, Some(2))
+        .filter(col("qty") <= 3)
+      Snapshots.commitPositionUpdate(s, srcDir,
+        m1.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+        m1.select(col("flag"), (col("qty") + 100L).as("qty")), base = 2)
+      // published position DELETE: qty in [49,50] (v5)
+      Snapshots.commitPositionDeletes(
+        Snapshots.positionsOf(s, srcDir, 4, col("qty").between(49, 50)),
+        srcDir, base = 4)
+      // positional UPDATE 2 targets rows UPDATE 1 created — they live
+      // in v4's appended files (staged DV v6 + publish v7)
+      val m2 = Snapshots.readResolvedPos(s, srcDir, Some(5))
+        .filter(col("qty") > 100L)
+      Snapshots.commitPositionUpdate(s, srcDir,
+        m2.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+        m2.select(col("flag"), (col("qty") + 1000L).as("qty")), base = 5)
+      // REPLICA: replay the position-aware feed ALONE, epoch-tagged
+      // (epoch = source version, so redeliveries fold to nothing)
+      Snapshots.versions(s, srcDir).foreach { v =>
+        val step = Snapshots.stepChangesPos(s, srcDir, v)
+        val cur =
+          if (Snapshots.versions(s, repDir).isEmpty) step.drop("op").limit(0)
+          else Snapshots.read(s, repDir)
+        val applied = cur.join(
+            step.filter(col("op") === "D").select(
+              col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+            Seq(Snapshots.PosFileCol, Snapshots.PosIdxCol), "left_anti")
+          .unionByName(step.filter(col("op") === "I").drop("op"))
+        Snapshots.commitEpoch(applied, repDir, v.toLong)
+        ()
+      }
+      val replica = Snapshots.read(s, repDir)
+        .drop(Snapshots.PosFileCol, Snapshots.PosIdxCol)
+      val truth = Snapshots.readResolved(s, srcDir)
+      val parity = replica.exceptAll(truth).isEmpty &&
+        truth.exceptAll(replica).isEmpty
+      def dFed(v: Int): Long = Snapshots.stepChangesPos(s, srcDir, v)
+        .filter(col("op") === "D").count()
+      replica.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .select(col("flag"), col("n_rows"), col("sum_qty"),
+          lit(dFed(4)).as("n_d_update1"),
+          lit(dFed(5)).as("n_d_delete"),
+          lit(dFed(7)).as("n_d_update2"),
+          lit(parity).as("replica_equals_source"))
+        .orderBy(col("flag"))
+    }),
+
     // x116 — SNAPSHOT-CONSISTENT MULTI-TABLE BACKUP (x113 composed
     // with x44's zero-copy clone — the operation x113's pins exist
     // FOR): backing up a fact table and its derived stats by cloning
@@ -3190,6 +3267,35 @@ object LakehouseQ {
         |  true AS base_files_untouched,
         |  true AS mor_pair_atomic
         |FROM u GROUP BY flag
+        |ORDER BY flag""".stripMargin,
+
+    // x118: positional semantics replay logically from lineitem —
+    // each positional verb's compiled position set IS its predicate's
+    // row multiset, so update1 → delete → update2 compose as CASE
+    // rewrites; the three D-half counts are those sets' sizes; the
+    // replica↔source parity probes ride as the literal
+    "x118_positional_cdc" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |u1 AS (SELECT flag,
+        |        CASE WHEN qty <= 3 THEN qty + 100 ELSE qty END AS qty
+        |      FROM t),
+        |dl AS (SELECT flag, qty FROM u1 WHERE qty NOT BETWEEN 49 AND 50),
+        |u2 AS (SELECT flag,
+        |        CASE WHEN qty > 100 THEN qty + 1000 ELSE qty END AS qty
+        |      FROM dl),
+        |nd1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE qty <= 3),
+        |nd2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u1
+        |        WHERE qty BETWEEN 49 AND 50),
+        |nd3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dl WHERE qty > 100)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  (SELECT n FROM nd1) AS n_d_update1,
+        |  (SELECT n FROM nd2) AS n_d_delete,
+        |  (SELECT n FROM nd3) AS n_d_update2,
+        |  true AS replica_equals_source
+        |FROM u2 GROUP BY flag
         |ORDER BY flag""".stripMargin,
 
     // x116: the backed-up stats are gen-1's (even docs) even though

@@ -1790,6 +1790,27 @@ object Snapshots {
         s"attempts across ${dirs.mkString(", ")}")
   }
 
+  /** Pinned read with a LOUD retention guard (the [[snapshotAll]]
+    * contract's other half): resolve `version` only after checking
+    * its entry still exists — a standing age policy (x106) or a
+    * [[vacuum]] that ran between pin and read un-publishes the entry
+    * first (see vacuumKeeping), so a collected pin is detectable
+    * metadata-only, and the failure names the race instead of
+    * surfacing as a missing-file error deep in a scan. The check is
+    * advisory, not transactional — vacuum can still win a race with
+    * the scan itself, which is Delta's documented reader-vs-VACUUM
+    * shape; the guard turns the COMMON case (stale pin held across a
+    * retention cycle) into a clear, immediate refusal. */
+  def pinnedReadOrRaise(spark: SparkSession, dir: String,
+                        version: Int): DataFrame = {
+    val have = allVersions(spark, dir)
+    if (!have.contains(version)) throw new ConcurrentCommitException(
+      s"pinned version v$version under $dir is gone — retention/vacuum " +
+        s"collected it after the pin was taken (log now holds " +
+        s"${have.mkString(",")}); re-pin via snapshotAll and re-read")
+    readResolved(spark, dir, Some(version))
+  }
+
   /** Lazy log repair after a committed transaction: flip each
     * participating table's txn-staged entries non-staged (keeping the
     * txn fields as provenance), so later reads resolve them without
@@ -1925,6 +1946,95 @@ object Snapshots {
             readResolved(spark, dir, Some(prior.max)), vdf, keys)
           .select(col("op") +: keys.map(col): _*)
       case other => sys.error(s"unknown version kind '$other' at v$version")
+    }
+  }
+
+  /** POSITION-AWARE CHANGE FEED (x118 — closes x117's documented
+    * caveat): the change rows introduced by published `version` on a
+    * KEYLESS (data/append/posdeletes) chain, every row carrying its
+    * `_file`/`_pos` address so a consumer with no key column can
+    * still apply deletes exactly.
+    *
+    * [[stepChanges]] cannot serve a positional-update history: the
+    * published append feeds its new images as I rows, but the staged
+    * position-delete's D half is reachable only through the base
+    * chain — an x110-style replica replaying the keyed feed silently
+    * diverges (rows that were positionally replaced never leave it).
+    * Here each published append's step ALSO walks its staged-chain
+    * segment (everything between the append's base and the newest
+    * published version below it — exactly x117's publish shape) and
+    * serves each staged position-delete as D rows: the PRE-IMAGES,
+    * values + (file,pos), read by semi-joining the DV's base's
+    * positioned scan to the delete's own address set (the same
+    * semi-join-pruned read the keyed posdeletes feed pays).
+    * Published position deletes feed their D half directly;
+    * dataChange=false steps (x115 compaction, OPTIMIZE re-lands)
+    * feed nothing, as maintenance must. Kinds without stable
+    * positions (equality deletes, replace, clone, …) raise — keyed
+    * tables keep [[stepChanges]].
+    *
+    * Apply contract (proven by x118's replica replay): per published
+    * version ascending, anti-join the replica on the D rows'
+    * (`_file`,`_pos`), then union the I rows (values + addresses).
+    * After any prefix the replica equals the source's resolved state
+    * at that version. At 100 TB each step costs the CHURN the log
+    * recorded — delete-sized address sets and append-sized image
+    * reads — never a table scan. */
+  def stepChangesPos(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val entries = logEntries(spark, dir)
+    val byV = entries.map(n => n.get("version").asInt() -> n).toMap
+    require(byV.contains(version), s"version $version not in log under $dir")
+    val n = byV(version)
+    def kindOf(e: com.fasterxml.jackson.databind.JsonNode): String =
+      Option(e.get("kind")).map(_.asText()).getOrElse("data")
+    def dcOf(e: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      Option(e.get("dataChange")).forall(_.asBoolean(true))
+    // the table's logical column order, from the nearest entry on the
+    // chain that records data columns (posdeletes entries record only
+    // the address pair)
+    def dataColsAt(v: Int): Seq[String] = {
+      var b = v
+      while (kindOf(byV(b)) == "posdeletes") b = byV(b).get("base").asInt()
+      org.apache.spark.sql.types.DataType
+        .fromJson(byV(b).get("schema").asText())
+        .asInstanceOf[StructType].fieldNames.toSeq
+    }
+    val cols = dataColsAt(version)
+    def shape(op: String, df: DataFrame): DataFrame =
+      df.select(lit(op).as("op") +: col(PosFileCol) +: col(PosIdxCol) +:
+        cols.map(col): _*)
+    // a position delete's D half: pre-image values + addresses, the
+    // base's positioned scan semi-join-pruned to the delete's set
+    def dHalf(pd: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+      shape("D", readResolvedPos(spark, dir, Some(pd.get("base").asInt()))
+        .join(readVersionDf(spark, dir, pd), Seq(PosFileCol, PosIdxCol),
+          "left_semi"))
+    kindOf(n) match {
+      case _ if !dcOf(n) =>
+        // maintenance (x115 compaction, dc=false re-lands) feeds NOTHING
+        shape("I", readResolvedPos(spark, dir, Some(version))).limit(0)
+      case "posdeletes" => dHalf(n)
+      case "data" => shape("I", physicalWithPos(spark, dir, n))
+      case "append" =>
+        // I images + the staged-chain segment's D halves (x117's shape)
+        val published = versions(spark, dir).toSet
+        var out = shape("I", physicalWithPos(spark, dir, n))
+        var b = n.get("base").asInt()
+        while (!published.contains(b)) {
+          val bn = byV.getOrElse(b, sys.error(
+            s"position feed: staged base v$b missing from the log under $dir"))
+          require(kindOf(bn) == "posdeletes",
+            s"position feed at v$version: staged v$b is '${kindOf(bn)}' — " +
+              "only staged position-deletes ride a positional publish " +
+              "(keyed tables keep stepChanges)")
+          out = out.unionByName(dHalf(bn))
+          b = bn.get("base").asInt()
+        }
+        out
+      case other => sys.error(
+        s"position-aware feed serves data/append/posdeletes chains; " +
+          s"v$version under $dir is '$other' (no stable file positions)")
     }
   }
 

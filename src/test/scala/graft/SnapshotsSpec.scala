@@ -1116,6 +1116,73 @@ class SnapshotsSpec extends SparkSpec {
       "the refused purge changed nothing; the position delete still serves")
   }
 
+  test("x118: the position-aware feed serves staged D halves, pre-image values, and maintenance silence") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("k", "v"), dir) // v1
+    // positional update of ONE of the two identical 'a' rows
+    val m = Snapshots.readResolvedPos(spark, dir).filter(col("k") === "a")
+      .orderBy(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)).limit(1)
+    Snapshots.commitPositionUpdate(spark, dir,
+      m.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+      m.select(col("k"), lit(99L).as("v")), base = 1) // staged v2 + publish v3
+    // the KEYED feed's blind spot: v3 feeds only the I half
+    assert(Snapshots.stepChanges(spark, dir, 3, Seq("k", "v")).collect()
+      .map(_.getString(0)).toSeq == Seq("I"),
+      "stepChanges cannot see the staged D half — x117's documented caveat")
+    // the POSITION-AWARE feed serves both halves: the D row is the
+    // PRE-IMAGE (values + address), the I row the new image
+    val step = Snapshots.stepChangesPos(spark, dir, 3)
+      .collect().map(r => (r.getString(0), r.getString(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(step == Seq(("D", "a", 1L), ("I", "a", 99L)),
+      "one D pre-image + one I image — exactly the positional update")
+    // a published position delete feeds its D pre-images directly
+    val pd = Snapshots.positionsOf(spark, dir, 3, col("k") === "b")
+    val v4 = Snapshots.commitPositionDeletes(pd, dir, base = 3)
+    assert(Snapshots.stepChangesPos(spark, dir, v4).collect()
+      .map(r => (r.getString(0), r.getString(3), r.getLong(4))).toSeq ==
+      Seq(("D", "b", 2L)))
+    // maintenance feeds NOTHING: compact the head run... needs 2+
+    Snapshots.commitPositionDeletes(
+      Snapshots.positionsOf(spark, dir, v4, col("v") === 99L), dir, base = v4)
+    val v6 = Snapshots.compactPositionDeletes(spark, dir)
+    assert(Snapshots.stepChangesPos(spark, dir, v6).isEmpty,
+      "a dataChange=false compaction must never reach position-aware consumers")
+    // kinds without stable positions raise
+    val dir2 = freshDir()
+    Snapshots.commit(Seq(("x", 1L)).toDF("k", "v"), dir2)
+    Snapshots.commitDeletes(Seq(Tuple1("x")).toDF("k"), dir2, base = 1)
+    intercept[RuntimeException] {
+      Snapshots.stepChangesPos(spark, dir2, 2).count()
+    }
+    // replica prefix equality: replaying every published step equals
+    // the source's resolved state
+    val rep = Snapshots.versions(spark, dir).foldLeft(
+      Snapshots.stepChangesPos(spark, dir, 1).drop("op").limit(0)) { (cur, v) =>
+      val step = Snapshots.stepChangesPos(spark, dir, v)
+      cur.join(step.filter(col("op") === "D")
+          .select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+          Seq(Snapshots.PosFileCol, Snapshots.PosIdxCol), "left_anti")
+        .unionByName(step.filter(col("op") === "I").drop("op"))
+    }.drop(Snapshots.PosFileCol, Snapshots.PosIdxCol)
+    val truth = Snapshots.readResolved(spark, dir)
+    assert(rep.exceptAll(truth).isEmpty && truth.exceptAll(rep).isEmpty,
+      "the position-aware feed alone reconstructs the resolved state")
+  }
+
+  test("pinnedReadOrRaise: a vacuumed pin refuses loudly instead of failing in the scan") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(Snapshots.pinnedReadOrRaise(spark, dir, 1).head().getLong(0) == 1L)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    val e = intercept[graft.sources.ConcurrentCommitException] {
+      Snapshots.pinnedReadOrRaise(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("retention/vacuum"))
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
