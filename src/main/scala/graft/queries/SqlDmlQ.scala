@@ -762,6 +762,75 @@ object SqlDmlQ {
         .orderBy(col("version"), col("source"))
     }),
 
+    // x119 — COLUMN DEFAULTS / GENERATED COLUMNS as metadata (the
+    // fourth evolution verb: Iceberg's initial-default + Delta's
+    // column DEFAULT in one recorded expression). x92's ADD COLUMN
+    // serves historic rows typed nulls and forces INSERT INTO to
+    // supply every column; here `ADD COLUMN … DEFAULT (expr)` lands
+    // one log entry and the expression does both jobs: pre-evolution
+    // rows SERVE it at plan construction (constant 0.5 for `score`,
+    // the GENERATED `qty % 7` for `qty_bucket` — evaluated over the
+    // base's own columns, zero backfill), and an INSERT omitting the
+    // column gets it filled at write. Witnesses: both alters land
+    // zero files; a CHECK referencing the defaulted column blocks
+    // its drop (Delta's rule); an INSERT omitting a column with NO
+    // default still refuses (nothing silently turns into nulls); the
+    // pinned pre-evolution read stays bare while the aligned read
+    // serves the default VALUES — all next to the aggregate that
+    // replays the three segments' logical state from lineitem. At
+    // 100 TB: adding a scored/derived column to a petabyte table
+    // costs one JSON entry, never a rewrite.
+    "x119_column_defaults" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x119_snap")
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_orderkey") % 10).as("seg"))
+        .createOrReplaceTempView("li_x119")
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT k, flag, qty FROM li_x119 WHERE seg < 4;
+           |ALTER TABLE '$dir' ADD COLUMN score double DEFAULT (0.5);
+           |ALTER TABLE '$dir' ADD COLUMN qty_bucket bigint DEFAULT (qty % 7);
+           |INSERT INTO '$dir'
+           |SELECT k, flag, qty FROM li_x119 WHERE seg >= 4 AND seg < 7;
+           |INSERT INTO '$dir'
+           |SELECT k, flag, qty, CAST(1.5 AS DOUBLE) AS score,
+           |  qty % 7 AS qty_bucket
+           |FROM li_x119 WHERE seg >= 7""".stripMargin)
+      require(Snapshots.fileSignature(s, dir, 2).isEmpty &&
+        Snapshots.fileSignature(s, dir, 3).isEmpty,
+        "defaulted ADD COLUMN must land zero data files")
+      Snapshots.addCheckConstraint(s, dir, "score_nonneg", "score >= 0.0")
+      val dropRefused = try {
+        Snapshots.alterDropColumn(s, dir, "score"); false
+      } catch { case _: IllegalArgumentException => true }
+      val omittedRefused = try {
+        graft.util.SqlRunner.runScriptWithSnapshots(s,
+          s"INSERT INTO '$dir' SELECT flag FROM li_x119 WHERE seg = 0")
+        false
+      } catch { case _: IllegalArgumentException => true }
+      // pinned pre-evolution read stays bare; the ALIGNED read serves
+      // the default VALUES for the same rows (constant and generated)
+      val aligned1 = Snapshots.readAligned(s, dir, Some(1))
+      val alignSplit =
+        !Snapshots.readResolved(s, dir, Some(1)).columns.contains("score") &&
+        aligned1.filter(col("score") =!= 0.5).isEmpty &&
+        aligned1.filter(col("qty_bucket") =!= col("qty") % 7).isEmpty
+      Snapshots.readResolved(s, dir)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+          dsum2(col("score")).as("score_sum"),
+          sum(col("qty_bucket")).as("bucket_sum"))
+        .select(col("flag"), col("n_rows"), col("sum_qty"),
+          col("score_sum"), col("bucket_sum"),
+          lit(dropRefused).as("drop_refused"),
+          lit(omittedRefused).as("omitted_no_default_refused"),
+          lit(alignSplit).as("pinned_bare_aligned_defaulted"))
+        .orderBy(col("flag"))
+    }),
+
     // x107 — DESCRIBE + DROP TABLE (the two catalog verbs x101's
     // listing lacked): describe_table('<dir>') serves a table's
     // current SCHEMA + layout spec to pure SQL — columns with SQL
@@ -1033,6 +1102,30 @@ object SqlDmlQ {
         |  CAST(2 * idsum + n * 1000000 AS BIGINT), true, true
         |FROM leg
         |ORDER BY version, source""".stripMargin,
+
+    // x119: the three segments replay logically from lineitem — the
+    // pre-evolution segment serves the declared defaults (constant
+    // 0.5, generated qty % 7), the omitted-insert segment the
+    // write-filled values (same expressions), the explicit segment
+    // its supplied 1.5; the drop-refusal, no-default refusal, and
+    // pinned-bare/aligned-defaulted witnesses ride as literals.
+    "x119_column_defaults" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey % 10 AS seg
+        |  FROM lineitem),
+        |w AS (SELECT flag, qty,
+        |        CASE WHEN seg >= 7 THEN 1.5 ELSE 0.5 END AS score,
+        |        qty % 7 AS qty_bucket
+        |      FROM t)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS score_sum,
+        |  CAST(SUM(qty_bucket) AS BIGINT) AS bucket_sum,
+        |  true AS drop_refused, true AS omitted_no_default_refused,
+        |  true AS pinned_bare_aligned_defaulted
+        |FROM w GROUP BY flag
+        |ORDER BY flag""".stripMargin,
 
     // x107: the described catalog stated literally — column names,
     // SQL types and positions from the parquet schema, the partition

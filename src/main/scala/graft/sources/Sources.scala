@@ -1352,6 +1352,112 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** ADD COLUMN ... DEFAULT as a METADATA-ONLY commit (x119 —
+    * Iceberg's initial-default / Delta's column DEFAULT, the fourth
+    * evolution verb): the alter entry carries the widened schema PLUS
+    * a `defaults` map (column → SQL expression), and the default does
+    * BOTH jobs the formats split across initial- and write-defaults:
+    *
+    *  - READ (initial default): every row from a version below the
+    *    alter serves the default instead of a typed null — evaluated
+    *    at plan construction over the base resolution, zero backfill,
+    *    zero files touched. A default may reference the base's OTHER
+    *    columns (a generated/derived column: `qty / 10`); a constant
+    *    expression is the plain DEFAULT.
+    *  - WRITE (write default): an INSERT that omits the column gets
+    *    it filled by [[applyWriteDefaults]] — the SQL surface's
+    *    INSERT INTO no longer has to supply every column.
+    *
+    * The expression is validated at DECLARATION time: it must parse,
+    * and every column it references must exist in the pre-alter
+    * schema — a default referencing a missing column would fail at
+    * every future read, so it fails HERE instead. Dropping a column a
+    * CHECK references already refuses (alterSchema's guard); dropping
+    * a DEFAULTED column drops its default with it (columnDefaults
+    * walks the entries in order). At 100 TB this is the only sane
+    * shape: adding a scored/derived column to a petabyte table costs
+    * one log entry, never a rewrite. */
+  def alterAddColumnDefault(spark: SparkSession, dir: String,
+                            colName: String,
+                            dataType: org.apache.spark.sql.types.DataType,
+                            defaultSql: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"commit livelock under $dir")
+      val head = versions(spark, dir).lastOption.getOrElse(
+        sys.error(s"ALTER TABLE: no committed versions under $dir"))
+      val cur = readResolved(spark, dir).schema
+      require(!cur.fieldNames.contains(colName),
+        s"ALTER TABLE '$dir' ADD COLUMN $colName: column exists")
+      // the default must parse, and its column references must all
+      // exist pre-alter — else every later read of history would fail
+      val refs = spark.sessionState.sqlParser.parseExpression(defaultSql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      val missing = refs.filterNot(cur.fieldNames.contains)
+      require(missing.isEmpty,
+        s"ADD COLUMN $colName DEFAULT ($defaultSql) under $dir references " +
+          s"column(s) ${missing.mkString(",")} not in the table")
+      val widened = StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField(colName, dataType,
+          nullable = true))
+      val next = allVersions(spark, dir).last + 1
+      val entry = s"""{"version":$next,"dir":${jstr(s"v$next-alter")},"n_files":0,"bytes":0,"kind":"alter","base":$head,"schema":${jstr(widened.json)},"defaults":{${jstr(colName)}:${jstr(defaultSql)}}}"""
+      if (tryPublishEntry(fs, p, next, entry)) return next
+    }
+    -1 // unreachable
+  }
+
+  /** The CURRENT column defaults (x119), column → SQL expression:
+    * walk the published alter entries in version order — a recorded
+    * default follows its column through renames and dies with its
+    * drop, so a later re-added same-named column never inherits a
+    * stale expression. Metadata-only (one log listing). */
+  def columnDefaults(spark: SparkSession, dir: String): Map[String, String] = {
+    val alters = logEntries(spark, dir)
+      .filter(n => Option(n.get("kind")).exists(_.asText() == "alter"))
+      .filter(isPublishedEntry(spark, _))
+      .sortBy(_.get("version").asInt())
+    alters.foldLeft(Map.empty[String, String]) { (acc, e) =>
+      val dropped = Option(e.get("drops")).map(d =>
+        (0 until d.size).map(d.get(_).asText()).toSet).getOrElse(Set.empty)
+      val renamed = entryRenames(e) // new -> old
+      val migrated = (acc -- dropped).map { case (c, sql) =>
+        renamed.collectFirst { case (nw, old) if old == c => nw }
+          .getOrElse(c) -> sql
+      }
+      migrated ++ entryDefaults(e)
+    }
+  }
+
+  /** Fill a write's OMITTED defaulted columns (x119's write half):
+    * every column of the table's current schema that `delta` lacks
+    * gets its recorded default (evaluated over the delta's own rows —
+    * generated columns work), in the table's column order; an omitted
+    * column with NO default still refuses loudly (x92's contract —
+    * nothing silently turns into nulls). */
+  def applyWriteDefaults(spark: SparkSession, dir: String,
+                         delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val target = readResolved(spark, dir).schema
+    val defaults = columnDefaults(spark, dir)
+    val have = delta.columns.toSet
+    val missing = target.fields.filterNot(f => have(f.name))
+    val noDefault = missing.filterNot(f => defaults.contains(f.name))
+    require(noDefault.isEmpty,
+      s"INSERT into '$dir' omits column(s) " +
+        s"${noDefault.map(_.name).mkString(",")} with no DEFAULT")
+    if (missing.isEmpty) delta
+    else delta.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else expr(defaults(f.name)).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** COLUMN MAPPING: RENAME COLUMN as a METADATA-ONLY commit (x104 —
     * x92's missing half, Delta's column-mapping mode reduced to its
     * load-bearing part): the alter entry carries the NEW logical
@@ -2305,20 +2411,27 @@ object Snapshots {
     // under the new name (the entry's `renames` map, x104), dropped
     // columns simply unselected (absent from the new schema).
     if (Option(n.get("kind")).map(_.asText()).contains("alter")) {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{col, expr, lit}
       val newSchema = org.apache.spark.sql.types.DataType
         .fromJson(n.get("schema").asText()).asInstanceOf[StructType]
       val renames = entryRenames(n)
+      val defaults = entryDefaults(n)
       val base = readResolved(spark, dir, Some(n.get("base").asInt()))
       val have = base.columns.toSet
       // the cast is x109's widening applied at plan construction (a
       // lossless upcast above the base plan — SimplifyCasts removes
-      // it when types already agree, so rename/add pay nothing)
+      // it when types already agree, so rename/add pay nothing).
+      // x119: an added column with a recorded DEFAULT serves the
+      // expression (evaluated over the base rows — generated columns
+      // included) for every pre-evolution row; without one, the
+      // typed null as before.
       return base.select(newSchema.fields.toSeq.map { f =>
         renames.get(f.name).filter(have) match {
           case Some(old) => col(old).cast(f.dataType).as(f.name)
           case None if have(f.name) => col(f.name).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          case None => defaults.get(f.name)
+            .map(sql => expr(sql).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
         }
       }: _*)
     }
@@ -2458,6 +2571,17 @@ object Snapshots {
     resolve(v0)
   }
 
+  /** An alter entry's `defaults` map (column → SQL expression, x119),
+    * empty for every other alter and kind. */
+  private def entryDefaults(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(n.get("defaults")).map { r =>
+      val it = r.fields()
+      val out = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
+      out.result()
+    }.getOrElse(Map.empty)
+
   /** An alter entry's `renames` map (new name → base name), empty
     * for add-column alters and every other kind. */
   private def entryRenames(
@@ -2482,7 +2606,7 @@ object Snapshots {
     * still fails loudly — an implicit narrowing carries no policy. */
   def readAligned(spark: SparkSession, dir: String,
                   asOf: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val target = readResolved(spark, dir).schema
     val src = readResolved(spark, dir, asOf)
     // published alter entries ABOVE the pinned version, ascending:
@@ -2522,7 +2646,13 @@ object Snapshots {
             s"column ${f.name} changed type $t -> ${f.dataType} (not a " +
               "lossless widening); aligned reads only add or widen columns")
           col(old).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None =>
+          // x119: a column an alter ABOVE the pin added with a
+          // recorded DEFAULT aligns to the expression (over the
+          // pinned rows), not a typed null
+          alters.flatMap(entryDefaults(_).get(f.name)).lastOption
+            .map(sql => expr(sql).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
       }
     }: _*)
   }

@@ -254,7 +254,8 @@ object SqlRunner {
           Seq(InsertInto, MergeStmt, DeleteStmt, UpdateStmt, OptimizeStmt,
             PurgeStmt, RestoreTable, VacuumTable, VacuumOlder, CreateMv,
             RefreshMv,
-            DropMv, DropTable, AlterAddColumn, AlterRenameColumn,
+            DropMv, DropTable, AlterAddColumn, AlterAddColumnDefault,
+            AlterRenameColumn,
             AlterDropColumn, AlterColumnType, AddConstraint, CreateBranch,
             InsertIntoBranch, FastForward, CreateTableClone)
             .exists(_.findFirstIn(st).isDefined) =>
@@ -318,6 +319,10 @@ object SqlRunner {
         val v = graft.sources.Snapshots.addCheckConstraint(
           spark, dir, cname, cexpr)
         spark.sql(s"SELECT $v AS constraint_version")
+      case AlterAddColumnDefault(dir, cname, ctype, dexpr) =>
+        val v = graft.sources.Snapshots.alterAddColumnDefault(spark, dir,
+          cname, org.apache.spark.sql.types.DataType.fromDDL(ctype), dexpr)
+        spark.sql(s"SELECT $v AS altered_version")
       case AlterAddColumn(dir, cname, ctype) =>
         val v = graft.sources.Snapshots.alterAddColumn(spark, dir, cname,
           org.apache.spark.sql.types.DataType.fromDDL(ctype))
@@ -360,8 +365,13 @@ object SqlRunner {
           attempts += 1
           require(attempts <= 50, s"INSERT INTO '$dir': retry budget exhausted")
           val base = graft.sources.Snapshots.versions(spark, dir).last
-          graft.sources.Snapshots.enforceConstraints(spark, dir, delta)
-          try v = graft.sources.Snapshots.commitAppend(delta, dir, base,
+          // x119: omitted DEFAULTED columns fill from the recorded
+          // expressions (re-resolved per attempt — a concurrent alter
+          // may have changed the schema the CAS will then see)
+          val filled = graft.sources.Snapshots.applyWriteDefaults(
+            spark, dir, delta)
+          graft.sources.Snapshots.enforceConstraints(spark, dir, filled)
+          try v = graft.sources.Snapshots.commitAppend(filled, dir, base,
             expected = Some(base))
           catch { case _: graft.sources.ConcurrentCommitException => }
         }
@@ -735,6 +745,13 @@ object SqlRunner {
     * as typed nulls. Drops/type changes fail loudly (no such verb). */
   private val AlterAddColumn =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$""".r
+
+  /** `ALTER TABLE '<dir>' ADD COLUMN <name> <type> DEFAULT (<expr>)` —
+    * x119's defaulted evolution: pre-alter rows serve the expression
+    * (a constant, or a generated column over the base's columns) and
+    * INSERT INTO may omit the column. Metadata-only, like every alter. */
+  private val AlterAddColumnDefault =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s+DEFAULT\s+\((.+)\)\s*$""".r
 
   /** x104 — column mapping as metadata-only statements: `ALTER TABLE
     * '<dir>' RENAME COLUMN <a> TO <b>` (the log records new → old;

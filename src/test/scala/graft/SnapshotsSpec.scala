@@ -1183,6 +1183,44 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("retention/vacuum"))
   }
 
+  test("x119: defaults follow renames, die with drops, and refuse dangling references") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "qty"), dir)
+    // a default referencing a missing column refuses at DECLARATION
+    intercept[IllegalArgumentException] {
+      Snapshots.alterAddColumnDefault(spark, dir, "bad",
+        org.apache.spark.sql.types.LongType, "nope + 1")
+    }
+    Snapshots.alterAddColumnDefault(spark, dir, "bucket",
+      org.apache.spark.sql.types.LongType, "qty % 7")
+    assert(Snapshots.columnDefaults(spark, dir) == Map("bucket" -> "qty % 7"))
+    // historic rows SERVE the generated expression, not nulls
+    assert(Snapshots.readResolved(spark, dir).orderBy("id").collect()
+      .map(_.getLong(2)).toSeq == Seq(3L, 6L))
+    // the default follows its column through a rename
+    Snapshots.alterRenameColumn(spark, dir, "bucket", "b7")
+    assert(Snapshots.columnDefaults(spark, dir) == Map("b7" -> "qty % 7"))
+    // an insert omitting the defaulted column fills it at write
+    val filled = Snapshots.applyWriteDefaults(spark, dir,
+      Seq((3L, 14L)).toDF("id", "qty"))
+    assert(filled.columns.toSeq == Seq("id", "qty", "b7") &&
+      filled.head().getLong(2) == 0L)
+    // …and omitting a column with NO default still refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.applyWriteDefaults(spark, dir, Seq(Tuple1(4L)).toDF("id"))
+    }
+    // the default dies with its column's drop — a later re-added
+    // same-named column inherits nothing
+    Snapshots.alterDropColumn(spark, dir, "b7")
+    assert(Snapshots.columnDefaults(spark, dir).isEmpty)
+    Snapshots.alterAddColumn(spark, dir, "b7",
+      org.apache.spark.sql.types.LongType)
+    assert(Snapshots.columnDefaults(spark, dir).isEmpty,
+      "a re-added column must not inherit the dropped column's default")
+    assert(Snapshots.readResolved(spark, dir).filter(col("b7").isNull)
+      .count() == 2, "the plain re-add serves typed nulls again")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
