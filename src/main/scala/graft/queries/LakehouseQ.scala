@@ -266,6 +266,74 @@ object LakehouseQ {
         .orderBy(col("to_version"), col("op"))
     }),
 
+    // x120 — ROW-AXIS FEED THROTTLING (x112's missing half —
+    // maxRowsPerTrigger next to maxVersionsPerTrigger): x112 caps
+    // versions per epoch, but one GIANT version (a bulk restatement,
+    // a backfill) still lands as one epoch of unbounded rows.
+    // pollPage serves up to maxRows of the NEXT version's feed under
+    // a (version, offset) cursor — pages are numbered by row_number
+    // over a deterministic total order (all feed columns; ties are
+    // bit-identical rows, so pages are multiset-deterministic), the
+    // version's last page advances the full cursor, and a crash
+    // between sink and commitPage REDELIVERS the identical page
+    // (proved here by two exceptAll probes on a mid-page restart,
+    // folded to nothing by the (version,offset)-keyed epoch sink).
+    // The hash pins the x103 contract unchanged — drained page sink
+    // ≡ batch table_changes replay over the same per-version
+    // aggregate — and the page count equals Σ⌈rows_v/maxRows⌉
+    // computed from the replay itself. At 100 TB: a backfilled
+    // billion-row version drains in bounded-memory pages whose sort
+    // spans the version's churn, never the table.
+    "x120_cdf_row_throttle" -> ((s, d) => {
+      import graft.sources.{ChangeFeed, Snapshots}
+      val dir = s"target/x120_snap_${math.abs(d.hashCode)}"
+      val cursorDir = freshSnapDir(s, d, "x120_cursor")
+      val sinkDir = freshSnapDir(s, d, "x120_sink")
+      x33CommitHistory(s, d, dir)
+      val maxRows = 64
+      def sink(v: Int, off: Int, page: DataFrame): Unit = {
+        Snapshots.commitEpoch(
+          page.select(lit(v).as("to_version"), col("op"), col("doc_id")),
+          sinkDir, epochId = v.toLong * 1000000L + off)
+        ()
+      }
+      val sub1 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
+      // crash window: page 1 of v1 reaches the sink, commitPage never runs
+      val (v1, off1, p1) = sub1.pollPage(maxRows).get
+      sink(v1, off1, p1)
+      // restart MID-PAGE: a fresh instance redelivers the IDENTICAL page
+      val sub2 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
+      val (v2, off2, p2) = sub2.pollPage(maxRows).get
+      val redelivered = (v1, off1) == (v2, off2) &&
+        p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty
+      sink(v2, off2, p2) // (version,offset)-keyed: folds to nothing
+      sub2.commitPage(v2, off2, p2.count(), maxRows)
+      // drain the rest page by page
+      val morePages = sub2.drainPages(maxRows)(sink)
+      val drained = sub2.pollPage(maxRows).isEmpty
+      // page accounting from the replay itself: Σ⌈rows_v/maxRows⌉
+      val replay = ChangeFeed.changesSince(s, dir, Seq("doc_id"))
+      val perV = replay.groupBy(col("to_version"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(1)).toSeq
+      val expectPages = perV.map(n => (n + maxRows - 1) / maxRows).sum
+      val pagesMatch = (1 + morePages) == expectPages && drained
+      // contract: drained page sink ≡ batch replay, row for row
+      val sunk = Snapshots.versions(s, sinkDir)
+        .map(v => Snapshots.read(s, sinkDir, Some(v)))
+        .reduce(_ unionByName _)
+      val parity = sunk.exceptAll(replay).isEmpty &&
+        replay.exceptAll(sunk).isEmpty
+      replay
+        .groupBy(col("to_version"), col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
+        .select(col("to_version"), col("op"), col("n"), col("keysum"),
+          lit(redelivered).as("page_redelivered"),
+          lit(pagesMatch).as("page_count_exact"),
+          lit(parity).as("stream_equals_batch"))
+        .orderBy(col("to_version"), col("op"))
+    }),
+
     // x110 — CDC REPLICA VIA THE SUBSCRIPTION (x30's apply composed
     // over x103's source — the OTHER half of the pipeline story:
     // x108 chains the feed into an index, this chains it into a
@@ -2530,6 +2598,16 @@ object LakehouseQ {
         "  true AS range_redelivered, true AS folded_to_two_epochs,\n" +
         "  true AS stream_equals_batch"),
 
+
+    // x120: paging the transport changes NOTHING about the feed —
+    // x33's per-version aggregate verbatim; the literals pin the
+    // mid-page redelivery (multiset-identical page), the exact
+    // Σ⌈rows_v/maxRows⌉ page count, and drained ≡ replay
+    "x120_cdf_row_throttle" -> X33OracleSql.replace(
+      "CAST(SUM(doc_id) AS BIGINT) AS keysum",
+      "CAST(SUM(doc_id) AS BIGINT) AS keysum,\n" +
+        "  true AS page_redelivered, true AS page_count_exact,\n" +
+        "  true AS stream_equals_batch"),
 
     // x56: x33's oracle VERBATIM (the x54 pattern) — the SQL-surface
     // feed must aggregate identically to the Scala API's.

@@ -39,6 +39,12 @@ object ChangeFeed {
 
   private val CursorName = """^_cursor_v(\d+)\.json$""".r
 
+  /** Page-cursor file (x120): `_cursor_v<V>_o<K>.json` — the first K
+    * feed rows of version V are processed. Valid only while V is the
+    * next unprocessed version; the version's final page commits the
+    * FULL `_cursor_v<V>.json`, which supersedes and cleans these. */
+  private val PageCursorName = """^_cursor_v(\d+)_o(\d+)\.json$""".r
+
   final class Subscription private[sources] (
       spark: SparkSession, dir: String, keys: Seq[String],
       cursorDir: String) {
@@ -143,6 +149,94 @@ object ChangeFeed {
       n
     }
 
+    /** The row offset already processed within `nextVersion`'s feed
+      * (0 if none) — x120's sub-version cursor component. */
+    def pageOffset(nextVersion: Int): Int = {
+      val (fs, p) = fsOf()
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).toSeq.flatMap(f =>
+        PageCursorName.findFirstMatchIn(f.getPath.getName)
+          .filter(_.group(1).toInt == nextVersion)
+          .map(_.group(2).toInt)).maxOption.getOrElse(0)
+    }
+
+    /** ROW-AXIS PAGE POLL (x120 — `maxRowsPerTrigger`, the throughput
+      * knob x112's version axis cannot give: one GIANT version — a
+      * bulk restatement, a backfill — still lands as one epoch of
+      * unbounded rows). Serves the next unprocessed page of the next
+      * unprocessed version: up to `maxRows` of its change feed, under
+      * a (version, offset) cursor. Returns (version, fromOffset,
+      * page); land the page epoch-keyed, then [[commitPage]] — a
+      * crash in between REDELIVERS the identical page (at-least-once
+      * at page granularity).
+      *
+      * Pagination requires a DETERMINISTIC TOTAL ORDER over the
+      * version's feed — pages must mean the same rows on redelivery
+      * and across restarts — so the feed is numbered by row_number
+      * over every column (op first, then the keys; ties are
+      * bit-identical rows, so pages are multiset-deterministic no
+      * matter how ties land). That global sort spans the version's
+      * CHURN, never the table — the honest cost of exact pages;
+      * production systems that split by file get approximate pages
+      * and a weaker redelivery story. */
+    def pollPage(maxRows: Int): Option[(Int, Int, DataFrame)] = {
+      require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+      val pos = position()
+      Snapshots.versions(spark, dir).filter(_ > pos).minOption.map { v =>
+        requireNoTruncation(pos, v)
+        val off = pageOffset(v)
+        val feed = Snapshots.stepChanges(spark, dir, v, keys)
+        val order = feed.columns.map(col).toSeq
+        val rn = org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        val page = feed.withColumn("_rn", rn)
+          .filter(col("_rn") > off && col("_rn") <= off + maxRows)
+          .drop("_rn")
+        (v, off, page)
+      }
+    }
+
+    /** Commit a processed page: the version's LAST page (fewer than
+      * `maxRows` rows) advances the FULL cursor past the version and
+      * cleans its page files; a full page lands a page cursor at the
+      * new offset (create-exclusive — racing twins collapse, and the
+      * offset is the max so stale lower files never move it). */
+    def commitPage(version: Int, fromOffset: Int, nRows: Long,
+                   maxRows: Int): Unit = {
+      if (nRows < maxRows) commitCursor(version)
+      else {
+        val (fs, p) = fsOf()
+        fs.mkdirs(p)
+        val newOff = fromOffset + nRows
+        Snapshots.tryCreateExclusive(fs, p,
+          s"_cursor_v${version}_o$newOff.json",
+          s"""{"version":$version,"offset":$newOff}""")
+        fs.listStatus(p).foreach { f =>
+          PageCursorName.findFirstMatchIn(f.getPath.getName)
+            .filter(m => m.group(1).toInt == version &&
+              m.group(2).toInt < newOff)
+            .foreach(_ => fs.delete(f.getPath, false))
+        }
+      }
+    }
+
+    /** Page-poll-process-commit until drained; `f` receives (version,
+      * fromOffset, page rows). Returns the number of NON-EMPTY pages
+      * processed (an exact-multiple version costs one trailing empty
+      * poll to learn it ended — not delivered to `f`). */
+    def drainPages(maxRows: Int)(f: (Int, Int, DataFrame) => Unit): Int = {
+      var n = 0
+      var next = pollPage(maxRows)
+      while (next.isDefined) {
+        val (v, off, page) = next.get
+        val cnt = page.count()
+        if (cnt > 0) { f(v, off, page); n += 1 }
+        commitPage(v, off, cnt, maxRows)
+        next = pollPage(maxRows)
+      }
+      n
+    }
+
     /** Advance the cursor past `version` — a create-exclusive claim;
       * a racing twin instance's duplicate advance is an idempotent
       * no-op (both recorded the same fact). Older cursor files are
@@ -158,6 +252,10 @@ object ChangeFeed {
       fs.listStatus(p).foreach { f =>
         CursorName.findFirstMatchIn(f.getPath.getName)
           .filter(_.group(1).toInt < version)
+          .foreach(_ => fs.delete(f.getPath, false))
+        // x120: a completed version's page cursors are superseded
+        PageCursorName.findFirstMatchIn(f.getPath.getName)
+          .filter(_.group(1).toInt <= version)
           .foreach(_ => fs.delete(f.getPath, false))
       }
     }

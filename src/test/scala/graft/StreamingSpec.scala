@@ -739,6 +739,44 @@ class StreamingSpec extends SparkSpec {
     assert(sub2.poll().get._1 == 6)
   }
 
+  test("x120: page poll splits a giant version; restart mid-page redelivers; exact multiples end clean") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("cdfpage").toString
+    val (dir, cursorDir) = (s"$base/t", s"$base/cursor")
+    // v1: 10 rows (→ pages of 4,4,2 at maxRows=4); v2: 8 rows (4,4 —
+    // an EXACT multiple, the trailing-empty-poll edge)
+    Snapshots.commit((1L to 10L).map(i => (i, "a")).toDF("id", "v"), dir)
+    Snapshots.commitAppend((11L to 18L).map(i => (i, "b")).toDF("id", "v"),
+      dir, base = 1)
+    val sub = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    val (v1, off1, p1) = sub.pollPage(4).get
+    assert((v1, off1) == (1, 0) && p1.count() == 4)
+    // crash before commitPage: a fresh instance redelivers the SAME page
+    val sub2 = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    val (v2, off2, p2) = sub2.pollPage(4).get
+    assert((v2, off2) == (1, 0))
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty,
+      "the deterministic total order makes the redelivered page identical")
+    sub2.commitPage(v2, off2, p2.count(), 4)
+    // page cursor advanced within v1; the full cursor has not moved
+    assert(sub2.position() == 0 && sub2.pageOffset(1) == 4)
+    // drain the rest: v1 pages (4,2) then v2 pages (4,4 exact multiple)
+    var pages = Seq.empty[(Int, Int, Long)]
+    val n = sub2.drainPages(4)((v, off, page) =>
+      pages :+= ((v, off, page.count())))
+    assert(pages == Seq((1, 4, 4L), (1, 8, 2L), (2, 0, 4L), (2, 4, 4L)),
+      s"got $pages")
+    assert(n == 4 && sub2.pollPage(4).isEmpty, "drained stays drained")
+    // the union of all delivered pages equals the whole feed
+    assert(sub2.position() == 2, "the exact-multiple version completed")
+    // page cursors are superseded and cleaned by the full cursor
+    assert(sub2.pageOffset(1) == 0 && sub2.pageOffset(2) == 0)
+    // interop: the version-axis polls keep working off the same cursor
+    Snapshots.commitAppend(Seq((99L, "z")).toDF("id", "v"), dir, base = 2)
+    assert(sub2.poll().get._1 == 3)
+  }
+
   test("x103: retention truncating a lagging subscriber's feed raises instead of skipping") {
     import spark.implicits._
     import graft.sources.Snapshots
