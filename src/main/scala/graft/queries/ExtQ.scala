@@ -423,6 +423,22 @@ object ExtQ {
     }),
 
 
+    // s9 — the FULL-OUTER stream-stream interval join's batch twin:
+    // s8 emits every purchase (null views for the unmatched); this
+    // ALSO emits every unmatched view (no purchase by its user in
+    // the following hour) with null purchase columns — the other
+    // production question ("which exposures never converted?") from
+    // the SAME state. Streaming, both null directions are
+    // watermark-gated and the s8 quiet-side pitfall applies doubly
+    // (StreamingSpec proves both); the batch FULL JOIN is what the
+    // hash gate pins. Same user-keyed shuffle-partitionable shape.
+    "s9_full_outer_interval_join" -> ((s, d) => {
+      graft.streaming.EventStream.purchaseViewFullOuterJoin(
+          Tables.load(s, d, "events"))
+        .orderBy(col("p_id"), col("v_id"))
+    }),
+
+
     // q21 — exact interpolated percentiles per group (sort-based, so
     // engine-order independent; matches DuckDB quantile_cont) behind
     // the BOUNDED-MEMORY switchover (ops.Percentiles): a count-only
@@ -2179,6 +2195,22 @@ GROUP BY 1, 2"""
         |  ON v.user_id = p.user_id AND v.event_type = 'view'
         | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase'
+        |ORDER BY p_id, v_id""".stripMargin,
+
+
+    // s9: the same interval condition as a FULL JOIN — BOTH type
+    // predicates must live inside the sides (in the WHERE either one
+    // would silently drop the other side's unmatched rows), so each
+    // side is its own filtered derived table
+    "s9_full_outer_interval_join" ->
+      """SELECT p.p_id, p.user_id, p.ts, v.v_id, v.v_user, v.v_ts
+        |FROM (SELECT event_id AS p_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT event_id AS v_id, user_id AS v_user,
+        |             ts AS v_ts FROM events
+        |           WHERE event_type = 'view') v
+        |  ON v.v_user = p.user_id
+        | AND v.v_ts >= p.ts - INTERVAL 1 HOUR AND v.v_ts <= p.ts
         |ORDER BY p_id, v_id""".stripMargin,
 
 

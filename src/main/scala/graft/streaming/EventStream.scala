@@ -176,6 +176,46 @@ object EventStream {
       .select(col("p_id"), col("user_id"), col("ts"), col("v_id"), col("v_ts"))
   }
 
+  /** FULL-OUTER stream-stream interval join (s9 — s8's missing
+    * direction): every purchase AND every view emits exactly once —
+    * matched pairs within the hour window, an unmatched purchase
+    * with null view columns (s8's side), and an unmatched VIEW (no
+    * purchase by its user within the hour AFTER it) with null
+    * purchase columns. Both null directions are watermark-gated:
+    * a null row emits only once the watermark proves no future row
+    * on the OTHER side can still match — the purchase side's nulls
+    * wait for view-time to pass ts, the view side's nulls wait for
+    * purchase-time to pass v_ts + 1h; state eviction bounds are the
+    * inner join's on both sides. The output keeps BOTH user columns
+    * (either may be null, depending on which side is unmatched).
+    *
+    * The s8 heartbeat pitfall applies DOUBLY here: the global
+    * watermark is the MIN across both sides' watermark nodes and
+    * each side sees only its own event type, so a quiet side now
+    * stalls BOTH directions' null emissions (a view-quiet feed holds
+    * unmatched purchases AND every pending unmatched view) — feeds
+    * need per-side heartbeats exactly as
+    * [[purchaseViewOuterJoinHeartbeat]] ships them. Batch inputs
+    * decide the FULL JOIN immediately — the parity twin the s9
+    * oracle hashes and StreamingSpec drains against. */
+  def purchaseViewFullOuterJoin(events: DataFrame,
+                                watermark: String = "10 minutes"): DataFrame = {
+    val wm = (df: DataFrame, tsCol: String) =>
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts")), "ts")
+    val views = wm(events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts")), "v_ts")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("ts"),
+      "full_outer")
+      .select(col("p_id"), col("user_id"), col("ts"),
+        col("v_id"), col("v_user"), col("v_ts"))
+  }
+
   /** Stream-static ENRICHMENT join — the most common production
     * streaming shape after windowed aggregation: an unbounded event
     * stream joined to a bounded dimension (user profile, device

@@ -168,6 +168,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FULL-OUTER interval join drains both null directions to batch parity") {
+    // s9: an unmatched purchase's null-view row AND an unmatched
+    // view's null-purchase row both emit only after the watermark
+    // proves no future match — the flush batches carry BOTH event
+    // types because the global watermark is the MIN across the two
+    // sides' watermark nodes (s8's pitfall, applying DOUBLY here: a
+    // quiet side would hold BOTH directions' nulls)
+    val dir = java.nio.file.Files.createTempDirectory("fojoin").toString
+    val events = Tables.load(spark, Sf0001, "events")
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.purchaseViewFullOuterJoin(
+      EventStream.readStream(spark, dir))
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("fojoin_out").start()
+    try {
+      q.processAllAvailable()
+      val beforeFlush = spark.table("fojoin_out").count()
+      val maxTs = events.agg(org.apache.spark.sql.functions.max(col("ts")))
+        .collect().head.getTimestamp(0)
+      for (h <- Seq(3L, 4L); et <- Seq("view", "purchase")) {
+        events.limit(1)
+          .withColumn("ts", org.apache.spark.sql.functions.lit(
+            new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000)))
+          .withColumn("event_type", org.apache.spark.sql.functions.lit(et))
+          .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val got = spark.table("fojoin_out")
+        .filter(coalesce(col("user_id"), lit(0L)) =!= -1L &&
+          coalesce(col("v_user"), lit(0L)) =!= -1L)
+        .orderBy("p_id", "v_id").collect()
+      val batch = EventStream.purchaseViewFullOuterJoin(
+          spark.read.parquet(dir).filter(col("user_id") =!= -1L))
+        .orderBy("p_id", "v_id").collect()
+      assert(got.length == batch.length && got.length > 0)
+      assert(got.length > beforeFlush.toInt,
+        "the flush must have released watermark-held null rows")
+      assert(got.exists(_.isNullAt(3)),
+        "unmatched purchases must carry null view columns")
+      assert(got.exists(_.isNullAt(0)),
+        "unmatched views must carry null purchase columns — the s9 direction")
+      assert(got.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("heartbeats release the outer join's null rows when one side stalls") {
     // the shipped mitigation for the stall the previous test works
     // around by hand: after the base drain the view side goes QUIET
