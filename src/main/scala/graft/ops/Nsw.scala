@@ -218,6 +218,150 @@ object Nsw {
       .agg(min(col(idCol)).as("node"))
       .select(col("node"))
 
+  /** Deterministic HNSW LEVEL (v38): the count of trailing 4-adic
+    * zeros of hash60("nswlvl|" + id), capped at `maxLevel` — layer ℓ
+    * (every node with level ≥ ℓ) holds an EXPECTED 4^-ℓ of the
+    * corpus, HNSW's geometric layer sizes with the RNG replaced by a
+    * hash: the hierarchy is a pure function of the ids (stable
+    * across inserts — a batch lands at its own hash levels, no
+    * relabeling), and the whole assignment replays in oracle SQL
+    * (the md5-prefix hash60 twin). */
+  def levelOf(id: org.apache.spark.sql.Column,
+              maxLevel: Int): org.apache.spark.sql.Column = {
+    val h = TextFns.hash60(concat(lit("nswlvl|"), id.cast("string")))
+    var out = when(h % lit(math.pow(4, maxLevel).toLong) === 0, lit(maxLevel))
+    for (l <- maxLevel - 1 to 1 by -1)
+      out = out.when(h % lit(math.pow(4, l).toLong) === 0, lit(l))
+    out.otherwise(lit(0)).cast("int")
+  }
+
+  /** LAYERED BUILD (v38 — the HNSW hierarchy over [[build]]'s flat
+    * NSW): index ℓ of the returned Seq is layer ℓ's adjacency.
+    * Layer 0 is the full-corpus graph; each upper layer runs the
+    * SAME cluster-blocked NN-descent over only its level-≥ℓ members
+    * (expected 4^-ℓ of the corpus — the blocked pair join shrinks
+    * quadratically with the layer) at `upperRounds` descent rounds
+    * (small graphs converge in fewer). Still never n², still
+    * bit-deterministic, still unrollable into oracle SQL. */
+  def buildLayers(vectors: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, blocks: Int, m: Int, rounds: Int,
+                  maxLevel: Int, upperRounds: Int): Seq[DataFrame] =
+    build(vectors, idCol, vecCol, centroids, blocks, m, rounds) +:
+      (1 to maxLevel).map { l =>
+        build(vectors.filter(levelOf(col(idCol), maxLevel) >= l),
+          idCol, vecCol, centroids, blocks, m, upperRounds)
+      }
+
+  /** One beam walk from an explicit SEED set — the layered search's
+    * shared inner loop. Returns (final beam, touched candidates). */
+  private def walkBeam(edges: DataFrame, v: DataFrame, q: DataFrame,
+                       seed: DataFrame, beam: Int, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(v, "node").join(q, "qid")
+      .withColumn("score", VectorOps.dot(col("_q"), col("_nvec")))
+      .select(col("qid"), col("node"), col("score"))
+    def topB(sc: DataFrame, k: Int): DataFrame =
+      graft.plans.TopK.perKey(sc, Seq("qid"),
+        Seq(col("score").desc, col("node")), k)
+    var touched = seed.distinct()
+    var bm = topB(scored(touched), beam)
+    for (_ <- 1 to rounds) {
+      val expand = bm.select(col("qid"), col("node").as("a"))
+        .join(edges.select(col("a"), col("b")), "a")
+        .select(col("qid"), col("b").as("node"))
+      val cands = bm.select(col("qid"), col("node"))
+        .unionByName(expand).distinct()
+      touched = touched.unionByName(cands).distinct()
+      bm = topB(scored(cands), beam)
+    }
+    (bm, touched)
+  }
+
+  /** GREEDY-DESCENT SEARCH over the layer hierarchy (v38 — replaces
+    * [[entries]]' per-cluster entry table): the walk starts at the
+    * TOP layer's min-id node, runs a narrow walk (`upperBeam`,
+    * `upperWalk` rounds) over each upper layer in turn — each
+    * layer's final beam SEEDS the next layer down — and only layer 0
+    * runs the full (`beam`, `walkRounds`) walk. Each seed set also
+    * carries that layer's min-id guard node, so an upper layer the
+    * hash left empty degrades gracefully (the guard of the next
+    * layer takes over) instead of stranding the walk — determinism
+    * and totality at every corpus size.
+    *
+    * Why this beats the flat entry table at scale: per-cluster
+    * entries sit a corpus-dependent distance from a query's true
+    * neighborhood, and the flat walk pays that distance in rounds at
+    * FULL beam width over the FULL adjacency. The descent covers
+    * that distance on upper layers whose expected size shrinks 4×
+    * per level — long hops over tiny graphs at narrow beam — and
+    * hands layer 0 a seed already near the target, exactly HNSW's
+    * log-scaling argument. Touched-candidate bound: Σ per-layer
+    * (seed + rounds·beam·(m+1)) per query — NswSpec pins it. */
+  def searchLayered(layers: Seq[DataFrame], vectors: DataFrame,
+                    idCol: String, vecCol: String, queries: DataFrame,
+                    upperBeam: Int, upperWalk: Int, beam: Int,
+                    walkRounds: Int, topK: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val (bm, _) = descend(layers, vectors, idCol, vecCol, queries,
+      upperBeam, upperWalk, beam, walkRounds)
+    val res = graft.plans.TopK.perKey(
+      if (excludeSelf) bm.filter(col("node") =!= col("qid")) else bm,
+      Seq("qid"), Seq(col("score").desc, col("node")), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    res.withColumn("nb_rank", row_number().over(w))
+      .select(col("qid"), col("node").as("nb_id"), col("nb_rank"), col("score"))
+  }
+
+  /** The DISTINCT (qid, node) candidates a whole DESCENT scores
+    * across every layer — [[searchCandidateCount]]'s layered twin,
+    * the bound NswSpec pins. */
+  def searchLayeredCandidateCount(layers: Seq[DataFrame], vectors: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  queries: DataFrame, upperBeam: Int,
+                                  upperWalk: Int, beam: Int,
+                                  walkRounds: Int): Long = {
+    val (_, touched) = descend(layers, vectors, idCol, vecCol, queries,
+      upperBeam, upperWalk, beam, walkRounds)
+    touched.count()
+  }
+
+  /** The shared descent: upper layers top-down at (upperBeam,
+    * upperWalk), layer 0 at (beam, walkRounds). Returns (final layer-0
+    * beam, all touched (qid,node) pairs distinct). */
+  private def descend(layers: Seq[DataFrame], vectors: DataFrame,
+                      idCol: String, vecCol: String, queries: DataFrame,
+                      upperBeam: Int, upperWalk: Int, beam: Int,
+                      walkRounds: Int): (DataFrame, DataFrame) = {
+    VectorOps.ensureRegistered(queries.sparkSession)
+    val maxLevel = layers.size - 1
+    val v = vectors.select(col(idCol).as("node"),
+      col(vecCol).cast("array<double>").as("_nvec"))
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("_q"))
+    val lvl = vectors.select(col(idCol),
+      levelOf(col(idCol), maxLevel).as("_lvl"))
+    def guard(l: Int): DataFrame = {
+      val g =
+        if (l == 0) vectors.agg(min(col(idCol)).as("node"))
+        else lvl.filter(col("_lvl") >= l).agg(min(col(idCol)).as("node"))
+      q.select(col("qid"))
+        .crossJoin(broadcast(g.filter(col("node").isNotNull)))
+    }
+    var bm = q.select(col("qid"), lit(null).cast(
+      v.schema("node").dataType).as("node")).limit(0)
+    var touched = bm
+    for (l <- maxLevel to 1 by -1) {
+      val seed = bm.select(col("qid"), col("node")).unionByName(guard(l))
+      val (b2, t2) = walkBeam(layers(l), v, q, seed, upperBeam, upperWalk)
+      bm = b2.select(col("qid"), col("node"))
+      touched = touched.unionByName(t2.select(col("qid"), col("node")))
+    }
+    val seed0 = bm.unionByName(guard(0))
+    val (b0, t0) = walkBeam(layers(0), v, q, seed0, beam, walkRounds)
+    (b0, touched.unionByName(t0.select(col("qid"), col("node"))).distinct())
+  }
+
   /** Beam-walk search over the adjacency. Queries: (qid, qvec).
     * Output: (qid, nb_id, nb_rank, score) — top-k by dot product of
     * the final beam. Only touched candidates are ever scored (beam·m

@@ -64,6 +64,12 @@ object VectorQ {
   val NswRounds = 2
   val NswBeam = 4
   val NswWalk = 3
+  // v38 HNSW hierarchy: 2 upper layers (expected 1/4, 1/16 of the
+  // corpus), narrow upper walks, 1 descent round per upper build
+  val NswMaxLevel = 2
+  val NswUpperBeam = 2
+  val NswUpperWalk = 1
+  val NswUpperRounds = 1
 
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1015,6 +1021,58 @@ object VectorQ {
         .select(col("qid"), col("nb_id"), col("nb_rank"),
           round(col("score"), 4).as("score"),
           coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v38 — HNSW LAYER HIERARCHY (v30's flat NSW gains the piece
+    // that makes the family log-scale: the per-cluster entry table
+    // sits a corpus-dependent distance from a query's neighborhood,
+    // and the flat walk pays that distance in rounds at FULL beam
+    // over the FULL adjacency). Levels are HASH-DERIVED (trailing
+    // 4-adic zeros of hash60("nswlvl|"+id), capped at NswMaxLevel) —
+    // HNSW's geometric layer sizes with the RNG replaced by a pure
+    // function of the ids, so the hierarchy is stable across inserts
+    // and the whole assignment replays in oracle SQL. Each upper
+    // layer is the SAME cluster-blocked NN-descent over its level-≥ℓ
+    // members (expected 4^-ℓ of the corpus — the blocked pair join
+    // shrinks quadratically per level); search is GREEDY DESCENT:
+    // the top layer's min-id node seeds a narrow walk (NswUpperBeam,
+    // NswUpperWalk) whose beam seeds the next layer down, with each
+    // layer's min-id guard keeping hash-emptied layers total, and
+    // only layer 0 runs the full (NswBeam, NswWalk) walk — long hops
+    // over tiny graphs, then a short full-width finish. recall@3 vs
+    // brute force rides the hash (v17's acceptance), and the two
+    // layer populations are pinned so the assignment itself is
+    // checked. NswSpec pins the touched-candidate bound.
+    "v38_hnsw_descent" -> ((s, d) => {
+      VectorOps.ensureRegistered(s)
+      val idx = learnedIndex(s, d)
+      val e = emb(s, d)
+      val layer0 = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val layers = layer0 +: (1 to NswMaxLevel).map { l =>
+        graft.ops.Nsw.build(
+          e.filter(graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l),
+          "vec_id", "embedding", idx.centroids, NswBlocks, NswM,
+          NswUpperRounds)
+      }
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val res = graft.ops.Nsw.searchLayered(layers, e, "vec_id", "embedding",
+        q, NswUpperBeam, NswUpperWalk, NswBeam, NswWalk, topK = 3)
+      val brute = knnTruth(s, d)
+      val hits = res.join(brute, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      val nLayer = (1 to NswMaxLevel).map(l => e.filter(
+        graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l).count())
+      res.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
+          lit(nLayer(0)).cast("int").as("n_layer1"),
+          lit(nLayer(1)).cast("int").as("n_layer2"))
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
@@ -2062,6 +2120,142 @@ object VectorQ {
     sb.toString
   }
 
+  /** v38's replay: the SHARED v30 build chain (layer 0 + training +
+    * nq), then the hash-derived levels, each upper layer's
+    * member-restricted blocked build (+NswUpperRounds descent), and
+    * the greedy descent — top layer's min-id guard seeds a narrow
+    * walk whose beam seeds the next layer down, layer 0 finishing at
+    * full width — ending in v30's recall tail plus the two pinned
+    * layer populations. Every stage ranks (score DESC, id), so the
+    * chain bit-matches Spark's. */
+  private def hnswOracle: String = {
+    def scoredCte(name: String, pairsSrc: String): String =
+      s"""$name AS (
+         |  SELECT p.a, p.b,
+         |    list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS score
+         |  FROM $pairsSrc p
+         |  JOIN embeddings ea ON ea.vec_id = p.a
+         |  JOIN embeddings eb ON eb.vec_id = p.b)""".stripMargin
+    def topMCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT a, b, score FROM (
+         |    SELECT a, b, score,
+         |      row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
+         |    FROM $src) t
+         |  WHERE rn <= $NswM)""".stripMargin
+    def beamCte(name: String, candSrc: String, beam: Int): String =
+      nswBeamCte(name, candSrc, "embeddings", "e.embedding::DOUBLE[]", beam)
+    val sb = new StringBuilder
+    sb.append(nswBuildCtes)
+    // hash-derived levels: trailing 4-adic zeros of hash60, capped
+    sb.append(
+      s"""lvl AS (
+         |  SELECT vec_id,
+         |    CASE WHEN h % ${math.pow(4, NswMaxLevel).toLong} = 0 THEN $NswMaxLevel
+         |         WHEN h % 4 = 0 THEN 1 ELSE 0 END AS level
+         |  FROM (SELECT vec_id,
+         |          CAST(('0x' || substr(md5('nswlvl|' || vec_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+         |        FROM embeddings) t),
+         |""".stripMargin)
+    // upper-layer builds: member-restricted block assignment → pairs
+    // → top-M → NswUpperRounds descent rounds
+    for (l <- 1 to NswMaxLevel) {
+      sb.append(
+        s"""l${l}asg AS (
+           |  SELECT a.vec_id, a.cluster_id FROM nswasg a
+           |  JOIN lvl v ON v.vec_id = a.vec_id AND v.level >= $l),
+           |l${l}p0 AS (
+           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |  FROM l${l}asg x JOIN l${l}asg y USING (cluster_id)
+           |  WHERE x.vec_id <> y.vec_id),
+           |""".stripMargin)
+      sb.append(scoredCte(s"l${l}sc0", s"l${l}p0") + ",\n")
+      sb.append(topMCte(s"l${l}e0", s"l${l}sc0") + ",\n")
+      for (r <- 1 to NswUpperRounds) {
+        sb.append(
+          s"""l${l}p$r AS (
+             |  SELECT a, b FROM l${l}e${r - 1}
+             |  UNION
+             |  SELECT e1.a, e2.b
+             |  FROM l${l}e${r - 1} e1 JOIN l${l}e${r - 1} e2 ON e1.b = e2.a
+             |  WHERE e2.b <> e1.a),
+             |""".stripMargin)
+        sb.append(scoredCte(s"l${l}sc$r", s"l${l}p$r") + ",\n")
+        sb.append(topMCte(s"l${l}e$r", s"l${l}sc$r") + ",\n")
+      }
+    }
+    // greedy descent: per upper layer top-down, seed = previous beam
+    // ∪ the layer's min-id guard, one narrow walk round each
+    var prevBeam = ""
+    for (l <- NswMaxLevel to 1 by -1) {
+      val seedUnion =
+        if (prevBeam.isEmpty) ""
+        else s"SELECT qid, node FROM $prevBeam\n  UNION\n  "
+      sb.append(
+        s"""g$l AS (SELECT MIN(vec_id) AS node FROM lvl WHERE level >= $l),
+           |s$l AS (
+           |  ${seedUnion}SELECT q.qid, g.node FROM nq q CROSS JOIN g$l g
+           |  WHERE g.node IS NOT NULL),
+           |""".stripMargin)
+      sb.append(beamCte(s"hb${l}a", s"s$l", NswUpperBeam) + ",\n")
+      for (w <- 1 to NswUpperWalk) {
+        val prev = if (w == 1) s"hb${l}a" else s"hb${l}w${w - 1}"
+        val name = if (w == NswUpperWalk) s"hb$l" else s"hb${l}w$w"
+        sb.append(
+          s"""hc$l$w AS (
+             |  SELECT qid, node FROM $prev
+             |  UNION
+             |  SELECT b.qid, e.b AS node
+             |  FROM $prev b JOIN l${l}e$NswUpperRounds e ON e.a = b.node),
+             |""".stripMargin)
+        sb.append(beamCte(name, s"hc$l$w", NswUpperBeam) + ",\n")
+      }
+      prevBeam = s"hb$l"
+    }
+    // layer 0: seed = last upper beam ∪ the global min-id guard,
+    // full-width walk (v30's rounds), then the shared recall tail
+    sb.append(
+      s"""g0 AS (SELECT MIN(vec_id) AS node FROM embeddings),
+         |vwc0 AS (
+         |  SELECT qid, node FROM $prevBeam
+         |  UNION
+         |  SELECT q.qid, g.node FROM nq q CROSS JOIN g0 g),
+         |""".stripMargin)
+    sb.append(beamCte("vwb0", "vwc0", NswBeam) + ",\n")
+    for (w <- 1 to NswWalk) {
+      sb.append(nswWalkCandCte("v", w))
+      sb.append(beamCte(s"vwb$w", s"vwc$w", NswBeam) + ",\n")
+    }
+    sb.append(
+      s"""nres AS (
+         |  SELECT qid, node AS nb_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+         |  FROM vwb$NswWalk WHERE node <> qid),
+         |nbrute AS (
+         |  SELECT qid, nb_id FROM (
+         |    SELECT q.qid, e.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qe, e.embedding::DOUBLE[]) DESC,
+         |        e.vec_id) AS rn
+         |    FROM nq q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.qid) t
+         |  WHERE rn <= 3),
+         |nhits AS (
+         |  SELECT r.qid, CAST(COUNT(b.nb_id) AS INT) AS hits_at_3
+         |  FROM nres r LEFT JOIN nbrute b
+         |    ON b.qid = r.qid AND b.nb_id = r.nb_id
+         |  WHERE r.rn <= 3
+         |  GROUP BY r.qid)
+         |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
+         |  round(r.score, 4) AS score, h.hits_at_3,
+         |  (SELECT CAST(COUNT(*) AS INT) FROM lvl WHERE level >= 1) AS n_layer1,
+         |  (SELECT CAST(COUNT(*) AS INT) FROM lvl WHERE level >= $NswMaxLevel) AS n_layer2
+         |FROM nres r JOIN nhits h USING (qid)
+         |WHERE r.rn <= 3
+         |ORDER BY qid, nb_rank""".stripMargin)
+    sb.toString
+  }
+
   /** v36's replay: the SHARED v30 build chain, then the erasure —
     * purged ids {0,1,2} filtered out of corpus and adjacency, the
     * TOUCHED survivors (rows that held a purged id in their neighbor
@@ -2804,6 +2998,7 @@ ORDER BY nprobe"""
     // layer, beam-walk rounds, top-3, and the recall hits vs brute
     // force; one hash pins build, walk, and achieved recall.
     "v30_graph_ann" -> materializeCtes(nswOracle),
+    "v38_hnsw_descent" -> materializeCtes(hnswOracle),
     "v31_graph_index_lifecycle" -> materializeCtes(nswLifecycleOracle),
     "v35_graph_drift_retrain" -> materializeCtes(graphRetrainOracle),
 

@@ -225,6 +225,131 @@ class NswSpec extends SparkSpec {
     assert(touched < 200, "a walk must never degenerate into a corpus scan")
   }
 
+  test("v38: levels nest geometrically, the hierarchy is deterministic, empty layers degrade") {
+    val v = corpus(200)
+    graft.ops.VectorOps.ensureRegistered(spark)
+    val lvl = v.select(col("vec_id"), Nsw.levelOf(col("vec_id"), 2).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // deterministic: a pure function of the ids
+    val again = v.select(col("vec_id"), Nsw.levelOf(col("vec_id"), 2).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lvl == again)
+    // nesting: layer 2 members are layer 1 members by construction;
+    // sizes shrink roughly geometrically (expectation 1/4 per level)
+    val n1 = lvl.count(_._2 >= 1); val n2 = lvl.count(_._2 >= 2)
+    assert(n2 <= n1 && n1 < 200, s"sizes must nest and shrink: $n1, $n2")
+    assert(n1 > 0, "a 200-node corpus should populate layer 1")
+    // layered build: each layer degree-bounded over ITS members only
+    val idx = centroidsOf(v)
+    val layers = Nsw.buildLayers(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = 3, rounds = 1, maxLevel = 2, upperRounds = 1)
+    assert(layers.size == 3)
+    val mem1 = lvl.filter(_._2 >= 1).keySet
+    val l1nodes = layers(1).select(col("a")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(l1nodes.subsetOf(mem1), "layer-1 edges only among its members")
+    // descent with maxLevel layers EMPTY still serves (the guard):
+    // force it by searching a hierarchy whose upper layers come from
+    // an id range the hash gives level 0 everywhere — emptiness is
+    // simulated with explicitly empty adjacencies
+    val empty = layers(1).limit(0)
+    val q = v.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val resEmpty = Nsw.searchLayered(Seq(layers(0), empty, empty),
+      v, "vec_id", "embedding", q, upperBeam = 2, upperWalk = 1,
+      beam = 4, walkRounds = 2, topK = 3)
+    assert(resEmpty.count() == 3,
+      "empty upper layers degrade to the guarded layer-0 walk, not zero rows")
+  }
+
+  test("v38: the descent's touched set stays bounded, never a corpus scan") {
+    val v = corpus(200)
+    val idx = centroidsOf(v)
+    val (m, upperBeam, upperWalk, beam, rounds) = (3, 2, 1, 4, 2)
+    val layers = Nsw.buildLayers(v, "vec_id", "embedding", idx.centroids,
+      blocks = 2, m = m, rounds = 1, maxLevel = 2, upperRounds = 1)
+    val q = v.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val touched = Nsw.searchLayeredCandidateCount(layers, v, "vec_id",
+      "embedding", q, upperBeam, upperWalk, beam, rounds)
+    // per query: each upper layer seeds ≤ prevBeam+guard and adds
+    // ≤ upperWalk·upperBeam·(m+1) per walk round; layer 0 seeds
+    // ≤ upperBeam+1 and adds ≤ rounds·beam·(m+1)
+    val perLayer = (upperBeam + 1) + upperWalk * upperBeam * (m + 1)
+    val layer0 = (upperBeam + 1) + rounds * beam * (m + 1)
+    val bound = 2L * (2 * perLayer + layer0)
+    assert(touched <= bound, s"descent touched $touched > bound $bound")
+    assert(touched < 2 * 200, "the descent must never scan the corpus")
+  }
+
+  test("v38: the lifecycle verbs extend per layer — insert and purge repair each layer locally") {
+    // levels are a pure function of the ids, so a layered index's
+    // lifecycle is the FLAT verbs applied per layer: a batch vector
+    // with level ℓ inserts into layers 0..ℓ (Nsw.insert unchanged),
+    // a purged id repairs every layer it belonged to (Nsw.purgeRepair
+    // unchanged) — no new machinery, no relabeling
+    val all = corpus(160)
+    val hist = all.filter(col("vec_id") < 140)
+    val batch = all.filter(col("vec_id") >= 140)
+    val idx = centroidsOf(hist) // frozen centroids
+    val maxLevel = 2
+    val layersHist = Nsw.buildLayers(hist, "vec_id", "embedding",
+      idx.centroids, blocks = 2, m = 3, rounds = 1, maxLevel, upperRounds = 1)
+    // INSERT per layer: only the layers the batch's hash levels reach
+    val repaired = (0 to maxLevel).map { l =>
+      val members = all.filter(Nsw.levelOf(col("vec_id"), maxLevel) >= l ||
+        lit(l) === 0)
+      val newIds = batch.filter(Nsw.levelOf(col("vec_id"), maxLevel) >= l ||
+        lit(l) === 0).select(col("vec_id"))
+      if (newIds.isEmpty) layersHist(l)
+      else Nsw.insert(layersHist(l), members, "vec_id", "embedding",
+        idx.centroids, blocks = 2, m = 3, newIds).adjacency
+    }
+    // every layer stays degree-bounded and only holds its members
+    for (l <- 0 to maxLevel) {
+      val deg = repaired(l).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.size)
+      assert(deg.values.forall(_ <= 3), s"layer $l degree-bounded after insert")
+      val memIds = all.filter(Nsw.levelOf(col("vec_id"), maxLevel) >= l ||
+        lit(l) === 0).collect().map(_.getLong(0)).toSet
+      val nodes = repaired(l).select(col("a")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(nodes.subsetOf(memIds), s"layer $l holds only its members")
+    }
+    // every inserted node got out-edges in layer 0 (the flat insert's
+    // structural guarantee, per layer), and the descent over the
+    // repaired hierarchy still serves full top-k rows
+    val batchIds = batch.collect().map(_.getLong(0)).toSet
+    val l0as = repaired(0).select(col("a")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(l0as),
+      "every inserted node keeps out-edges in the repaired layer 0")
+    val q = batch.limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Nsw.searchLayered(repaired, all, "vec_id", "embedding", q,
+      upperBeam = 2, upperWalk = 1, beam = 4, walkRounds = 2, topK = 3,
+      excludeSelf = false)
+    assert(res.count() == 3,
+      "the descent over the repaired hierarchy serves a full top-k")
+    // PURGE per layer: erase one layer-1 member from every layer it
+    // touches; no layer serves it afterwards, degrees stay bounded
+    val victim = all.filter(Nsw.levelOf(col("vec_id"), maxLevel) >= 1)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(1)
+    val vid = victim.collect().head.getLong(0)
+    val purgedLayers = (0 to maxLevel).map { l =>
+      val members = all.filter((Nsw.levelOf(col("vec_id"), maxLevel) >= l ||
+        lit(l) === 0) && col("vec_id") =!= vid)
+      Nsw.purgeRepair(repaired(l), members, "vec_id", "embedding",
+        idx.centroids, blocks = 2, m = 3, victim).adjacency
+    }
+    purgedLayers.zipWithIndex.foreach { case (adj, l) =>
+      val rows = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!rows.exists(p => p._1 == vid || p._2 == vid),
+        s"layer $l must not serve the purged id on either endpoint")
+      assert(rows.groupBy(_._1).view.mapValues(_.size).values.forall(_ <= 3))
+    }
+  }
+
   test("v32 pricing identity: dot against a PQ-reconstructed vector IS the ADC LUT sum") {
     val v = corpus(64)
     val pq = graft.ops.Pq.buildExact(v, "vec_id", "embedding",
