@@ -91,11 +91,17 @@ import graft.queries._
   *    x83→x27, x92→x31, x98→x96's shape)
   *  - LakehouseQ adds x91 (OCC conflict commutation), x93
   *    (auto-OPTIMIZE on commit), x94 (dynamic partition pruning),
-  *    x96 (branches/tags over the snapshot log); MvQ adds x97
-  *    (log-driven MV maintenance with delete retraction); VectorQ
-  *    adds v30–v32 (graph ANN: NN-descent build + beam walk, the
-  *    persisted/incremental lifecycle, and the DiskANN-style
-  *    PQ-priced walk with exact re-rank)
+  *    x96 (branches/tags over the snapshot log), x118 (position-
+  *    aware CDC apply — the keyless feed's D halves), x120 (row-axis
+  *    feed throttling under a (version, offset) cursor); SqlDmlQ
+  *    adds x119 (column defaults / generated columns as metadata);
+  *    ExtQ adds s9 (stream-stream FULL OUTER interval join's batch
+  *    twin); MvQ adds x97 (log-driven MV maintenance with delete
+  *    retraction); VectorQ adds v30–v32 (graph ANN: NN-descent
+  *    build + beam walk, the persisted/incremental lifecycle, and
+  *    the DiskANN-style PQ-priced walk with exact re-rank) and v38
+  *    (the HNSW layer hierarchy with hash-derived levels and greedy
+  *    descent)
   *
   * Every entry has a DuckDB oracle twin in `oracleSql` with identical
   * column names/types and a deterministic total ORDER BY. The four
