@@ -290,7 +290,17 @@ object LakehouseQ {
       val cursorDir = freshSnapDir(s, d, "x120_cursor")
       val sinkDir = freshSnapDir(s, d, "x120_sink")
       x33CommitHistory(s, d, dir)
-      val maxRows = 64
+      // page size derived from the data so the page COUNT stays
+      // bounded at any SF: the largest version splits into ~3 pages
+      // (the mid-page crash/redelivery story needs ≥2; a fixed tiny
+      // maxRows would instead pay O(corpus/constant) epoch commits —
+      // the very unbounded-work shape this query exists to bound)
+      val maxRows = {
+        val perV0 = ChangeFeed.changesSince(s, dir, Seq("doc_id"))
+          .groupBy(col("to_version")).agg(count(lit(1)).as("n"))
+          .collect().map(_.getLong(1))
+        math.max(1L, (perV0.max + 2) / 3).toInt
+      }
       def sink(v: Int, off: Int, page: DataFrame): Unit = {
         Snapshots.commitEpoch(
           page.select(lit(v).as("to_version"), col("op"), col("doc_id")),
@@ -332,6 +342,53 @@ object LakehouseQ {
           lit(pagesMatch).as("page_count_exact"),
           lit(parity).as("stream_equals_batch"))
         .orderBy(col("to_version"), col("op"))
+    }),
+
+    // x121 — RETENTION HOLDS (the reader-vs-VACUUM race x113's pins
+    // documented, CLOSED instead of caveated): snapshotAll tells
+    // readers "pinned reads are stable", but a standing age policy
+    // (x106) or an explicit vacuum could collect a pinned version
+    // between pin and read — the same race Delta documents. A HOLD
+    // is the pin made visible to retention: a create-exclusive
+    // `_hold_<tag>` marker that every retention path (vacuum + age
+    // policies share one keep-set) skips, transitively through the
+    // held version's base chain. Here the backup generation (v1) is
+    // held, a keepLast=1 vacuum collects exactly the UNHELD middle
+    // versions (v2,v3 — pinned by the dropped-set equality), the
+    // held pin still serves its exact rows, and after release the
+    // next vacuum collects v1 — whereupon pinnedReadOrRaise refuses
+    // LOUDLY instead of failing in a scan. At 100 TB: a hold is one
+    // metadata marker; the alternative is a nightly backup silently
+    // racing the retention cron.
+    "x121_retention_holds" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x121_tbl")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.commit(docs.filter(col("doc_id") % 4 === 0), dir) // v1
+      Snapshots.commit(docs.filter(col("doc_id") % 4 <= 1), dir)  // v2
+      Snapshots.commit(docs.filter(col("doc_id") % 4 <= 2), dir)  // v3
+      Snapshots.commit(docs, dir)                                 // v4
+      Snapshots.holdVersion(s, dir, 1, "backup")
+      val dropped1 = Snapshots.vacuum(s, dir, keepLast = 1)
+      val heldSurvives = dropped1 == Seq(2, 3) &&
+        Snapshots.versions(s, dir) == Seq(1, 4) &&
+        Snapshots.pinnedReadOrRaise(s, dir, 1).count() ==
+          docs.filter(col("doc_id") % 4 === 0).count()
+      Snapshots.releaseHold(s, dir, "backup")
+      val releasedCollects =
+        Snapshots.vacuum(s, dir, keepLast = 1) == Seq(1)
+      val goneLoud =
+        try { Snapshots.pinnedReadOrRaise(s, dir, 1); false }
+        catch { case _: graft.sources.ConcurrentCommitException => true }
+      Snapshots.readResolved(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("charsum"))
+        .select(col("source"), col("n_docs"), col("charsum"),
+          lit(heldSurvives).as("held_survives_vacuum"),
+          lit(releasedCollects).as("released_collects"),
+          lit(goneLoud).as("collected_pin_raises"))
+        .orderBy(col("source"))
     }),
 
     // x110 — CDC REPLICA VIA THE SUBSCRIPTION (x30's apply composed
@@ -2206,7 +2263,12 @@ object LakehouseQ {
       import graft.sources.Snapshots
       val srcDir = freshSnapDir(s, d, "x118_src")
       val repDir = freshSnapDir(s, d, "x118_replica")
+      // a deterministic quarter of lineitem: the replay walks FIVE
+      // versions and each epoch re-lands replica state, so the
+      // fixture is churn-sized by construction — the mechanism under
+      // test is per-step O(Δ), not the corpus width
       def li = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
       def proj(df: DataFrame) = df.select(
         col("l_returnflag").as("flag"),
         col("l_quantity").cast("long").as("qty"))
@@ -2608,6 +2670,16 @@ object LakehouseQ {
       "CAST(SUM(doc_id) AS BIGINT) AS keysum,\n" +
         "  true AS page_redelivered, true AS page_count_exact,\n" +
         "  true AS stream_equals_batch"),
+
+    // x121: the final state is the full corpus (v4 survives both
+    // vacuums); the hold/collect/raise lifecycle rides as literals
+    "x121_retention_holds" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |  true AS held_survives_vacuum, true AS released_collects,
+        |  true AS collected_pin_raises
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // x56: x33's oracle VERBATIM (the x54 pattern) — the SQL-surface
     // feed must aggregate identically to the Scala API's.
@@ -3355,7 +3427,7 @@ object LakehouseQ {
     "x118_positional_cdc" ->
       """WITH t AS (
         |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey % 4 = 0),
         |u1 AS (SELECT flag,
         |        CASE WHEN qty <= 3 THEN qty + 100 ELSE qty END AS qty
         |      FROM t),

@@ -1053,10 +1053,12 @@ object VectorQ {
           NswBlocks, NswM, NswRounds)
       }
       val layers = layer0 +: (1 to NswMaxLevel).map { l =>
-        graft.ops.Nsw.build(
-          e.filter(graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l),
-          "vec_id", "embedding", idx.centroids, NswBlocks, NswM,
-          NswUpperRounds)
+        Derived.of(s, d, s"nsw_l${l}_edges") {
+          graft.ops.Nsw.build(
+            e.filter(graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l),
+            "vec_id", "embedding", idx.centroids, NswBlocks, NswM,
+            NswUpperRounds)
+        }
       }
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -1073,6 +1075,86 @@ object VectorQ {
           coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
           lit(nLayer(0)).cast("int").as("n_layer1"),
           lit(nLayer(1)).cast("int").as("n_layer2"))
+        .orderBy(col("qid"), col("nb_rank"))
+    }),
+
+    // v39 — PERSISTED LAYER HIERARCHY (v38 gains v24/v31's serving
+    // story): the whole hierarchy commits as ONE lakehouse table —
+    // (layer, a, b, score), every layer in one atomic commit, so a
+    // torn index (layer 0 without its upper layers) can never be
+    // observed — and a COLD searcher (a fresh process reading the
+    // committed table, splitting it back into layers by the column)
+    // must reproduce the in-session descent ROW FOR ROW (cold_equal
+    // in the hash). The part HNSW deployments get wrong is persisted
+    // ENTRY STATE: here there is none to persist — levels and every
+    // per-layer guard are pure functions of the ids
+    // (layers_pure_function pins that the committed layer
+    // populations equal the hash-derived levels), so a restored
+    // index can never disagree with its own entry metadata. Recall@3
+    // and the layer populations ride the hash exactly as v38. At
+    // 100 TB: the index is one (m·N + m·N/4 + …)-row table — serve
+    // it anywhere the log reaches, no sidecar state, no RNG seed to
+    // lose.
+    "v39_hnsw_persisted" -> ((s, d) => {
+      import graft.sources.Snapshots
+      VectorOps.ensureRegistered(s)
+      val idx = learnedIndex(s, d)
+      val e = emb(s, d)
+      val layer0 = Derived.of(s, d, "nsw_edges") {
+        graft.ops.Nsw.build(e, "vec_id", "embedding", idx.centroids,
+          NswBlocks, NswM, NswRounds)
+      }
+      val warmLayers = layer0 +: (1 to NswMaxLevel).map { l =>
+        Derived.of(s, d, s"nsw_l${l}_edges") {
+          graft.ops.Nsw.build(
+            e.filter(graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l),
+            "vec_id", "embedding", idx.centroids, NswBlocks, NswM,
+            NswUpperRounds)
+        }
+      }
+      // ONE table, one atomic commit — no torn hierarchy
+      val dir = freshSnapDir(s, d, "v39_adj")
+      Snapshots.commit(
+        warmLayers.zipWithIndex.map { case (df, l) =>
+          df.select(lit(l).as("layer"), col("a"), col("b"), col("score"))
+        }.reduce(_ unionByName _), dir)
+      // the committed layer node sets equal the hash-derived levels —
+      // the "no persisted entry state" claim, checked
+      val cold = Snapshots.read(s, dir)
+      val pure = (1 to NswMaxLevel).forall { l =>
+        val nodes = cold.filter(col("layer") === l).select(col("a"))
+          .distinct()
+        val members = e.filter(
+          graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l)
+          .select(col("vec_id"))
+        nodes.exceptAll(members).isEmpty
+      }
+      val coldLayers = (0 to NswMaxLevel).map(l =>
+        cold.filter(col("layer") === l)
+          .select(col("a"), col("b"), col("score")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def descent(layers: Seq[DataFrame]) =
+        graft.ops.Nsw.searchLayered(layers, e, "vec_id", "embedding", q,
+          NswUpperBeam, NswUpperWalk, NswBeam, NswWalk, topK = 3)
+      val coldRes = descent(coldLayers).cache()
+      val warmSet = descent(warmLayers)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val coldEqual = coldRes.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == warmSet
+      val brute = knnTruth(s, d)
+      val hits = coldRes.join(brute, Seq("qid", "nb_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      val nLayer = (1 to NswMaxLevel).map(l => e.filter(
+        graft.ops.Nsw.levelOf(col("vec_id"), NswMaxLevel) >= l).count())
+      coldRes.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("nb_id"), col("nb_rank"),
+          round(col("score"), 4).as("score"),
+          coalesce(col("h"), lit(0L)).cast("int").as("hits_at_3"),
+          lit(nLayer(0)).cast("int").as("n_layer1"),
+          lit(nLayer(1)).cast("int").as("n_layer2"),
+          lit(pure).as("layers_pure_function"),
+          lit(coldEqual).as("cold_equal"))
         .orderBy(col("qid"), col("nb_rank"))
     }),
 
@@ -2128,7 +2210,7 @@ object VectorQ {
     * full width — ending in v30's recall tail plus the two pinned
     * layer populations. Every stage ranks (score DESC, id), so the
     * chain bit-matches Spark's. */
-  private def hnswOracle: String = {
+  private def hnswOracle(extras: String = ""): String = {
     def scoredCte(name: String, pairsSrc: String): String =
       s"""$name AS (
          |  SELECT p.a, p.b,
@@ -2249,7 +2331,7 @@ object VectorQ {
          |SELECT r.qid, r.nb_id, CAST(r.rn AS INT) AS nb_rank,
          |  round(r.score, 4) AS score, h.hits_at_3,
          |  (SELECT CAST(COUNT(*) AS INT) FROM lvl WHERE level >= 1) AS n_layer1,
-         |  (SELECT CAST(COUNT(*) AS INT) FROM lvl WHERE level >= $NswMaxLevel) AS n_layer2
+         |  (SELECT CAST(COUNT(*) AS INT) FROM lvl WHERE level >= $NswMaxLevel) AS n_layer2$extras
          |FROM nres r JOIN nhits h USING (qid)
          |WHERE r.rn <= 3
          |ORDER BY qid, nb_rank""".stripMargin)
@@ -2998,7 +3080,9 @@ ORDER BY nprobe"""
     // layer, beam-walk rounds, top-3, and the recall hits vs brute
     // force; one hash pins build, walk, and achieved recall.
     "v30_graph_ann" -> materializeCtes(nswOracle),
-    "v38_hnsw_descent" -> materializeCtes(hnswOracle),
+    "v38_hnsw_descent" -> materializeCtes(hnswOracle()),
+    "v39_hnsw_persisted" -> materializeCtes(hnswOracle(
+      ",\n  true AS layers_pure_function, true AS cold_equal")),
     "v31_graph_index_lifecycle" -> materializeCtes(nswLifecycleOracle),
     "v35_graph_drift_retrain" -> materializeCtes(graphRetrainOracle),
 

@@ -1896,6 +1896,62 @@ object Snapshots {
         s"attempts across ${dirs.mkString(", ")}")
   }
 
+  /** RETENTION HOLD (x121 — the pin [[snapshotAll]]'s contract asks
+    * readers to take, made VISIBLE to retention): a create-exclusive
+    * `_hold_<tag>.json` marker pins `version` — [[vacuum]],
+    * [[vacuumOlderThan]], and every age policy routed through the
+    * shared keep-set computation skip held versions AND their base
+    * chains (the closure walk pins transitively, so holding an
+    * append head keeps everything it resolves through). Exactly
+    * Delta/Iceberg's named-reference retention semantics: a ref'd
+    * snapshot never expires. The claim is create-exclusive, so two
+    * holders of one tag collapse idempotently when they pin the SAME
+    * version and the second holder fails LOUDLY on a different one —
+    * a tag is a promise, not a counter. [[releaseHold]] frees it;
+    * the next retention cycle collects normally. */
+  def holdVersion(spark: SparkSession, dir: String, version: Int,
+                  tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"invalid hold tag '$tag'")
+    require(allVersions(spark, dir).contains(version),
+      s"hold '$tag': v$version not in the log under $dir")
+    val (fs, p) = fsOf(spark, dir)
+    val json = s"""{"tag":${jstr(tag)},"version":$version}"""
+    if (!tryCreateExclusive(fs, p, s"_hold_$tag.json", json)) {
+      val cur = holds(spark, dir).get(tag)
+      require(cur.contains(version),
+        s"hold tag '$tag' already pins v${cur.getOrElse(-1)} under $dir — " +
+          "release it first or use another tag")
+    }
+  }
+
+  /** Release a retention hold — the pinned version becomes collectable
+    * at the next retention cycle. Idempotent. */
+  def releaseHold(spark: SparkSession, dir: String, tag: String): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(p, s"_hold_$tag.json"), false)
+    ()
+  }
+
+  private val HoldName = """^_hold_(.+)\.json$""".r
+
+  /** The table's active retention holds, tag → pinned version —
+    * metadata-only (one listing). */
+  def holds(spark: SparkSession, dir: String): Map[String, Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      fs.listStatus(p).toSeq.filter(_.isFile).flatMap { f =>
+        HoldName.findFirstMatchIn(f.getPath.getName).map { mm =>
+          val in = fs.open(f.getPath)
+          val n = try m.readTree(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
+          mm.group(1) -> n.get("version").asInt()
+        }
+      }.toMap
+    }
+  }
+
   /** Pinned read with a LOUD retention guard (the [[snapshotAll]]
     * contract's other half): resolve `version` only after checking
     * its entry still exists — a standing age policy (x106) or a
@@ -2951,6 +3007,10 @@ object Snapshots {
       if (published.isEmpty) entries.map(_.get("version").asInt()).toSet
       else (keptPub ++ entries.filter(isStaged)
         .map(_.get("version").asInt()).filter(_ > keptPub.min)).toSet
+    // x121: active retention HOLDs pin their versions (and, via the
+    // closure below, the chains they resolve through) against every
+    // retention path sharing this keep-set — vacuum, age policies
+    keep ++= holds(spark, dir).values.filter(byV.contains)
     // transitive base closure: a kept logical version pins its chain
     var frontier = keep
     while (frontier.nonEmpty) {

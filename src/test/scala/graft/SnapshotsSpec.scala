@@ -1221,6 +1221,39 @@ class SnapshotsSpec extends SparkSpec {
       .count() == 2, "the plain re-add serves typed nulls again")
   }
 
+  test("x121: holds pin chains transitively, tags are promises, release frees") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)          // v1
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), dir, 1) // v2
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), dir)          // v3
+    // holding the append head pins its BASE CHAIN too (the closure):
+    // a held logical version must stay resolvable, not just listed
+    Snapshots.holdVersion(spark, dir, 2, "bak")
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).isEmpty,
+      "v2 held, v1 chained under it, v3 is the kept head — nothing drops")
+    assert(Snapshots.readResolved(spark, dir, Some(2)).count() == 2,
+      "the held chain still resolves")
+    // a tag is a promise: re-holding the SAME version is idempotent,
+    // a DIFFERENT version under the same tag refuses loudly
+    Snapshots.holdVersion(spark, dir, 2, "bak")
+    intercept[IllegalArgumentException] {
+      Snapshots.holdVersion(spark, dir, 3, "bak")
+    }
+    // holds survive the AGE path too (shared keep-set): a horizon in
+    // the far future would otherwise collect everything but the head
+    Snapshots.vacuumOlderThan(spark, dir,
+      horizonMillis = System.currentTimeMillis() + 3600 * 1000L)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3),
+      "an age sweep must not collect a held chain")
+    Snapshots.releaseHold(spark, dir, "bak")
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(1, 2),
+      "released, the chain collects normally")
+    // holding an unknown version refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.holdVersion(spark, dir, 99, "nope")
+    }
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
