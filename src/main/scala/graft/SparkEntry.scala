@@ -83,7 +83,8 @@ import graft.queries._
   *    correlated EXISTS, s7
   *    at-least-once delivery dedup, and v21 cluster-blocked kNN
   *    self-join at a corpus-derived cluster count)
-  *  - SqlDmlQ (x82–x92, x95, x98): the SQL statement surface — MERGE
+  *  - SqlDmlQ (x82–x92, x95, x98, x109, x119, x122, x123): the SQL
+  *    statement surface — MERGE
   *    INTO / DELETE / UPDATE / OPTIMIZE [ZORDER] / CTAS+INSERT /
   *    table_files / PURGE / transactions / ALTER TABLE / masking
   *    policies / branch DDL, each verb routed through the existing

@@ -831,6 +831,103 @@ object SqlDmlQ {
         .orderBy(col("flag"))
     }),
 
+    // x122 — RETENTION HOLDS ON THE SQL SURFACE (x121's verbs as
+    // statements, the x54/x56 pattern): HOLD TABLE … VERSION … AS
+    // tag / RELEASE HOLD route through the same hold machinery the
+    // Scala API uses, table_holds('<dir>') serves the active pins as
+    // a view, and the whole backup-vs-retention lifecycle runs from
+    // pure SQL text: four generations land via history-preserving
+    // CREATE OR REPLACE, the backup generation is held, VACUUM KEEP 1
+    // collects exactly the unheld middle (pinned by n_vacuumed and
+    // the surviving version list), the held pin still serves its
+    // exact rows through snapshot_at, and after RELEASE the next
+    // VACUUM collects it. Oracle: x121's replay with the SQL-surface
+    // witnesses as literals — the statement surface must not change
+    // one row of the semantics.
+    "x122_sql_retention_holds" -> ((s, d) => {
+      import graft.sources.Snapshots
+      import graft.util.SqlRunner
+      val dir = freshSnapDir(s, d, "x122_snap")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("docs_x122")
+      // bindings resolve at SCRIPT START, so the post-vacuum reads
+      // run as a second script over the then-current log
+      val r1 = SqlRunner.runScriptWithSnapshots(s,
+        s"""CREATE TABLE '$dir' AS
+           |SELECT * FROM docs_x122 WHERE doc_id % 4 = 0;
+           |CREATE OR REPLACE TABLE '$dir' AS
+           |SELECT * FROM docs_x122 WHERE doc_id % 4 <= 1;
+           |CREATE OR REPLACE TABLE '$dir' AS
+           |SELECT * FROM docs_x122 WHERE doc_id % 4 <= 2;
+           |CREATE OR REPLACE TABLE '$dir' AS SELECT * FROM docs_x122;
+           |HOLD TABLE '$dir' VERSION 1 AS backup;
+           |VACUUM '$dir' KEEP 1""".stripMargin)
+      val nVac1 = r1(5).collect().head.getInt(0)
+      val r1b = SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT tag, version FROM table_holds('$dir');
+           |SELECT COUNT(*) AS n FROM snapshot_at('$dir', 1)""".stripMargin)
+      val holdRow = r1b(0).collect().map(r => (r.getString(0), r.getInt(1)))
+      val heldN = r1b(1).collect().head.getLong(0)
+      val quarterN = s.table("docs_x122")
+        .filter(col("doc_id") % 4 === 0).count()
+      val heldSurvives = nVac1 == 2 &&
+        Snapshots.versions(s, dir) == Seq(1, 4) && heldN == quarterN
+      val holdsVisible = holdRow.toSeq == Seq(("backup", 1))
+      val r2 = SqlRunner.runScriptWithSnapshots(s,
+        s"""RELEASE HOLD '$dir' backup;
+           |VACUUM '$dir' KEEP 1""".stripMargin)
+      val releasedCollects = r2(1).collect().head.getInt(0) == 1 &&
+        Snapshots.versions(s, dir) == Seq(4)
+      SqlRunner.runScriptWithSnapshots(s,
+        s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS charsum
+           |FROM snapshot_resolved('$dir', 4)
+           |GROUP BY source ORDER BY source""".stripMargin).last
+        .select(col("source"), col("n_docs"), col("charsum"),
+          lit(heldSurvives).as("held_survives_vacuum"),
+          lit(holdsVisible).as("holds_visible"),
+          lit(releasedCollects).as("released_collects"))
+        .orderBy(col("source"))
+    }),
+
+    // x123 — THE POSITION-AWARE FEED ON THE SQL SURFACE (x118's
+    // stepChangesPos as table_changes_pos — the x56 pattern for the
+    // keyless feed): a positional-update history (data, append, a
+    // positional UPDATE's staged-DV + publish, a published position
+    // delete) is consumed from PURE SQL text, one aggregate per
+    // published version × op — the D half of the positional update
+    // arrives through the SQL binding exactly as through the Scala
+    // API, and the whole per-version accounting replays logically
+    // from lineitem (each positional verb's compiled position set IS
+    // its predicate's row multiset).
+    "x123_sql_positional_feed" -> ((s, d) => {
+      import graft.sources.Snapshots
+      val dir = freshSnapDir(s, d, "x123_src")
+      def li = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+      def proj(df: DataFrame) = df.select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      Snapshots.commit(proj(li.filter(col("l_orderkey") % 10 < 5)), dir)
+      Snapshots.commitAppend(
+        proj(li.filter(col("l_orderkey") % 10 >= 5)), dir, base = 1)
+      val m1 = Snapshots.readResolvedPos(s, dir, Some(2))
+        .filter(col("qty") <= 3)
+      Snapshots.commitPositionUpdate(s, dir,
+        m1.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+        m1.select(col("flag"), (col("qty") + 100L).as("qty")), base = 2)
+      Snapshots.commitPositionDeletes(
+        Snapshots.positionsOf(s, dir, 4, col("qty").between(49, 50)),
+        dir, base = 4)
+      graft.util.SqlRunner.runScriptWithSnapshots(s,
+        (Seq(1, 2, 4, 5).map(v =>
+          s"""SELECT $v AS v, op, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(qty) AS BIGINT) AS qtysum
+             |FROM table_changes_pos('$dir', $v) GROUP BY op""".stripMargin)
+          .mkString("\nUNION ALL\n") + "\nORDER BY v, op")).last
+    }),
+
     // x107 — DESCRIBE + DROP TABLE (the two catalog verbs x101's
     // listing lacked): describe_table('<dir>') serves a table's
     // current SCHEMA + layout spec to pure SQL — columns with SQL
@@ -1126,6 +1223,48 @@ object SqlDmlQ {
         |  true AS pinned_bare_aligned_defaulted
         |FROM w GROUP BY flag
         |ORDER BY flag""".stripMargin,
+
+    // x122: x121's replay — the final state is the full corpus; the
+    // SQL-surface hold/vacuum/release lifecycle rides as literals
+    "x122_sql_retention_holds" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS charsum,
+        |  true AS held_survives_vacuum, true AS holds_visible,
+        |  true AS released_collects
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // x123: the per-version × op accounting replays logically from
+    // the lineitem eighth — v1/v2 are the two loads' I rows, v4 is
+    // the positional update's D pre-images + I images, v5 the
+    // published delete's D pre-images at their post-update values
+    "x123_sql_positional_feed" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey % 10 AS seg
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |u1m AS (SELECT qty FROM t WHERE qty <= 3),
+        |u1 AS (SELECT CASE WHEN qty <= 3 THEN qty + 100 ELSE qty END AS qty
+        |       FROM t),
+        |dl AS (SELECT qty FROM u1 WHERE qty BETWEEN 49 AND 50)
+        |SELECT v, op, n, qtysum FROM (
+        |  SELECT CAST(1 AS INT) AS v, 'I' AS op,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qty) AS BIGINT) AS qtysum
+        |  FROM t WHERE seg < 5
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT), 'I', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(qty) AS BIGINT) FROM t WHERE seg >= 5
+        |  UNION ALL
+        |  SELECT CAST(4 AS INT), 'D', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(qty) AS BIGINT) FROM u1m
+        |  UNION ALL
+        |  SELECT CAST(4 AS INT), 'I', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(qty + 100) AS BIGINT) FROM u1m
+        |  UNION ALL
+        |  SELECT CAST(5 AS INT), 'D', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(qty) AS BIGINT) FROM dl
+        |) x
+        |ORDER BY v, op""".stripMargin,
 
     // x107: the described catalog stated literally — column names,
     // SQL types and positions from the parquet schema, the partition

@@ -82,10 +82,29 @@ object SqlRunner {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
+    // x123: the POSITION-AWARE feed (x118's stepChangesPos) on the
+    // pure-SQL surface — keyless tables' change rows with their
+    // (_file, _pos) addresses, staged D halves included
+    val bound2p = TableChangesPos.replaceAllIn(bound2, m => {
+      val (dir, v) = (m.group(1), m.group(2).toInt)
+      val view = s"poschanges_${Integer.toHexString(dir.hashCode)}_v$v"
+      graft.sources.Snapshots.stepChangesPos(spark, dir, v)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    // x122: the active retention holds as a queryable view
+    val bound2h = TableHolds.replaceAllIn(bound2p, m => {
+      val dir = m.group(1)
+      val view = s"holds_${Integer.toHexString(dir.hashCode)}"
+      import spark.implicits._
+      graft.sources.Snapshots.holds(spark, dir).toSeq.sorted
+        .toDF("tag", "version").createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
     // hidden-partitioned tables (x69/x71): the view hides the layout,
     // registration installs the translation rule, so a raw-column
     // WHERE in the pure-SQL script still prunes directories
-    val bound3 = HiddenTable.replaceAllIn(bound2, m => {
+    val bound3 = HiddenTable.replaceAllIn(bound2h, m => {
       val dir = m.group(1)
       val view = s"hidden_${Integer.toHexString(dir.hashCode)}"
       graft.plans.HiddenPartitioning.table(spark, dir)
@@ -257,7 +276,8 @@ object SqlRunner {
             DropMv, DropTable, AlterAddColumn, AlterAddColumnDefault,
             AlterRenameColumn,
             AlterDropColumn, AlterColumnType, AddConstraint, CreateBranch,
-            InsertIntoBranch, FastForward, CreateTableClone)
+            InsertIntoBranch, FastForward, CreateTableClone, HoldTable,
+            ReleaseHoldStmt)
             .exists(_.findFirstIn(st).isDefined) =>
         sys.error("only CREATE [OR REPLACE] TABLE AS stages inside " +
           s"BEGIN TRANSACTION — not transactional: ${st.trim.take(60)}")
@@ -277,6 +297,12 @@ object SqlRunner {
           graft.sources.Snapshots.readResolved(spark, dir, Some(v.toInt)))
         val nv = graft.sources.Snapshots.commitRestore(spark, dir, v.toInt)
         spark.sql(s"SELECT $nv AS restored_as_version")
+      case HoldTable(dir, v, tag) =>
+        graft.sources.Snapshots.holdVersion(spark, dir, v.toInt, tag)
+        spark.sql("SELECT true AS held")
+      case ReleaseHoldStmt(dir, tag) =>
+        graft.sources.Snapshots.releaseHold(spark, dir, tag)
+        spark.sql("SELECT true AS released")
       case VacuumTable(dir, n) =>
         val dropped = graft.sources.Snapshots.vacuum(spark, dir, n.toInt)
         spark.sql(s"SELECT ${dropped.size} AS n_vacuumed")
@@ -624,6 +650,23 @@ object SqlRunner {
     * n_published), metadata-only (x101's SHOW TABLES). */
   private val TablesUnder =
     """(?i)tables_under\(\s*'([^']+)'\s*\)""".r
+
+  /** x122 — retention holds on the SQL surface: `HOLD TABLE '<dir>'
+    * VERSION <n> AS <tag>` pins a version (and, transitively, its
+    * base chain) against VACUUM and age retention;
+    * `RELEASE HOLD '<dir>' <tag>` frees it; `table_holds('<dir>')`
+    * binds the active holds as a (tag, version) view. */
+  private val HoldTable =
+    """(?is)^\s*HOLD\s+TABLE\s+'([^']+)'\s+VERSION\s+(\d+)\s+AS\s+([A-Za-z0-9_-]+)\s*$""".r
+  private val ReleaseHoldStmt =
+    """(?is)^\s*RELEASE\s+HOLD\s+'([^']+)'\s+([A-Za-z0-9_-]+)\s*$""".r
+  private val TableHolds =
+    """(?i)table_holds\(\s*'([^']+)'\s*\)""".r
+
+  /** x123 — `table_changes_pos('<dir>', <v>)` binds the
+    * position-aware feed ([[graft.sources.Snapshots.stepChangesPos]]). */
+  private val TableChangesPos =
+    """(?i)table_changes_pos\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
 
   /** `VACUUM '<dir>' KEEP <n>` — physically drop versions outside
     * the last n heads' chain closure (x29's retention verb). */

@@ -290,6 +290,44 @@ class SqlRunnerSpec extends SparkSpec {
         "once, every racing insert's rows present — no lost update")
   }
 
+  test("x122/x123: HOLD/RELEASE statements and the position-feed binding route through the operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("sqlhold").toString + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), dir)
+    // HOLD pins against the VACUUM statement; table_holds serves it
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"HOLD TABLE '$dir' VERSION 1 AS bak; VACUUM '$dir' KEEP 1")
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    val held = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT tag, version FROM table_holds('$dir')").last
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(held == Seq(("bak", 1)))
+    // holding a missing version refuses from SQL too
+    intercept[IllegalArgumentException] {
+      SqlRunner.runScriptWithSnapshots(spark,
+        s"HOLD TABLE '$dir' VERSION 9 AS x")
+    }
+    SqlRunner.runScriptWithSnapshots(spark,
+      s"RELEASE HOLD '$dir' bak; VACUUM '$dir' KEEP 1")
+    assert(Snapshots.versions(spark, dir) == Seq(2))
+    // table_changes_pos serves the keyless feed from SQL text
+    val pdir = java.nio.file.Files.createTempDirectory("sqlpos").toString + "/t"
+    Snapshots.commit(Seq(("a", 1L), ("a", 1L)).toDF("k", "n"), pdir)
+    val m = Snapshots.readResolvedPos(spark, pdir)
+      .orderBy(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)).limit(1)
+    Snapshots.commitPositionUpdate(spark, pdir,
+      m.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
+      m.select(col("k"), lit(9L).as("n")), base = 1)
+    val feed = SqlRunner.runScriptWithSnapshots(spark,
+      s"SELECT op, n FROM table_changes_pos('$pdir', 3) ORDER BY op").last
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(feed == Seq(("D", 1L), ("I", 9L)),
+      "the staged D pre-image and the I image both arrive via pure SQL")
+  }
+
   test("splitTopLevel honors parenthesized commas in SET lists") {
     assert(SqlRunner.splitTopLevel("a = f(x, y), b = c + 1") ==
       Seq("a = f(x, y)", "b = c + 1"))
