@@ -1254,6 +1254,65 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("x111 OCC at fleet width: racing position deletes vs a layout re-land never silently no-op") {
+    // the round-17 commute fix under an ACTUAL race, not a sequenced
+    // one: seven disjoint-file position deletes and one OPTIMIZE
+    // layout re-land all race at one base. The invariant is the one
+    // the old matrix broke — a delete that RETURNS deleted its rows
+    // (rebasing past the layout would have landed a version whose
+    // anti-join matches nothing), and a delete that RAISES left its
+    // rows untouched. Whichever interleaving the scheduler picks,
+    // accounting must close exactly.
+    val dir = freshDir()
+    Snapshots.commit((0L until 10L).map(i => (i, "v0")).toDF("n", "v"), dir)
+    for (b <- 1 until 8)
+      Snapshots.commitAppend(
+        (b * 10L until b * 10L + 10L).map(i => (i, s"v$b")).toDF("n", "v"),
+        dir, base = b)
+    val base = Snapshots.versions(spark, dir).last
+    val landed = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    var layoutLanded = false
+    val deleters = (0 until 7).map { k =>
+      val pos = Snapshots.positionsOf(spark, dir, base,
+        col("n") % 10 < 3 &&
+          col(Snapshots.PosFileCol).startsWith(s"v${k + 1}-"))
+      new Thread(() =>
+        try {
+          Snapshots.commitPositionDeletesCommuting(pos, dir, base,
+            maxAttempts = 50)
+          landed.put(k, true); ()
+        } catch {
+          case _: graft.sources.ConcurrentCommitException =>
+            landed.put(k, false); ()
+        })
+    }
+    val optimizer = new Thread(() =>
+      try {
+        Snapshots.commitLayout(
+          Snapshots.readResolved(spark, dir, Some(base)), dir, base = base)
+        layoutLanded = true
+      } catch { case _: graft.sources.ConcurrentCommitException => () })
+    val threads = deleters :+ optimizer
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rows = Snapshots.readResolved(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    (0 until 7).foreach { k =>
+      val mine = ((k + 1) * 10L until (k + 1) * 10L + 3L).toSet
+      if (landed.get(k))
+        assert((rows intersect mine).isEmpty,
+          s"writer $k returned success — its rows must be GONE (no silent no-op)")
+      else
+        assert(mine.subsetOf(rows),
+          s"writer $k raised — its rows must be untouched")
+    }
+    val nLanded = (0 until 7).count(landed.get(_))
+    assert(rows.size == 80 - 3 * nLanded,
+      s"accounting must close exactly: $nLanded landed deletes, " +
+        s"layoutLanded=$layoutLanded, ${rows.size} rows")
+    assert(nLanded >= 1 || layoutLanded,
+      "some racer must make progress (no livelock)")
+  }
+
   test("reading an empty or unknown table fails loudly") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { Snapshots.read(spark, dir) }
