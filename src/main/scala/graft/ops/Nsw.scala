@@ -35,6 +35,17 @@ import graft.ops.Lineage.CutOps
   */
 object Nsw {
 
+  /** Dedup candidate pairs with ONE exchange instead of two: a plain
+    * `.distinct()` exchanges by (a, b) and the top-m re-keep that
+    * always follows exchanges again by (a). Repartitioning by `a`
+    * first satisfies BOTH requirements — hash(a) clusters (a, b) for
+    * the dedup aggregate and `a` for TopKPerKey — so EnsureRequirements
+    * inserts no further shuffle (guide rule: operations keyed the same
+    * way share one exchange). Output rows identical to
+    * `pairs.distinct()`. */
+  private def distinctPairsByA(pairs: DataFrame): DataFrame =
+    pairs.repartition(col("a")).dropDuplicates(Seq("a", "b"))
+
   /** Each vector's `blocks` nearest centroids (rank by the
     * within-vector rank-neutral |c|² − 2·v·c, cluster_id tie-break —
     * Ivf.probe's expression). Output: (idCol, cluster_id), `blocks`
@@ -71,10 +82,11 @@ object Nsw {
     val asg = blockAssign(vectors, idCol, vecCol, centroids, blocks)
     // block-mate pairs: only inside shared blocks, DISTINCT because
     // two vectors can share both blocks
-    val pairs = asg.select(col(idCol).as("a"), col("cluster_id"))
-      .join(asg.select(col(idCol).as("b"), col("cluster_id")), "cluster_id")
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b")).distinct()
+    val pairs = distinctPairsByA(
+      asg.select(col(idCol).as("a"), col("cluster_id"))
+        .join(asg.select(col(idCol).as("b"), col("cluster_id")), "cluster_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b")))
     var edges = topM(scored(pairs)).cutLineage(true)
     for (_ <- 1 to rounds) {
       // candidates = current edges ∪ 2-hop reachability (dedup'd) —
@@ -83,8 +95,8 @@ object Nsw {
         .join(edges.select(col("a").as("_mid"), col("b")), "_mid")
         .filter(col("a") =!= col("b"))
         .select(col("a"), col("b"))
-      val cands = edges.select(col("a"), col("b"))
-        .unionByName(twoHop).distinct()
+      val cands = distinctPairsByA(
+        edges.select(col("a"), col("b")).unionByName(twoHop))
       edges = topM(scored(cands)).cutLineage(true)
     }
     edges
@@ -132,9 +144,10 @@ object Nsw {
     val nx = newAsg.select(col(idCol).as("a"), col("cluster_id"))
     val ny = newAsg.select(col(idCol).as("b"), col("cluster_id"))
     // pairs with a batch endpoint only — the locality guarantee
-    val bpairs = nx.join(y, "cluster_id").select(col("a"), col("b"))
-      .unionByName(x.join(ny, "cluster_id").select(col("a"), col("b")))
-      .filter(col("a") =!= col("b")).distinct()
+    val bpairs = distinctPairsByA(
+      nx.join(y, "cluster_id").select(col("a"), col("b"))
+        .unionByName(x.join(ny, "cluster_id").select(col("a"), col("b")))
+        .filter(col("a") =!= col("b")))
     // cut: touched and the repaired edges each feed several consumers
     // (DV keys, the append delta, the in-memory adjacency, witnesses)
     // — without a cut every consumer re-runs the blocked pair scoring
@@ -197,9 +210,10 @@ object Nsw {
     val ta = asg.join(touched, asg(idCol) === touched("a"), "left_semi")
       .select(col(idCol).as("a"), col("cluster_id"))
     val mates = asg.select(col(idCol).as("b"), col("cluster_id"))
-    val tpairs = ta.join(mates, "cluster_id")
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b")).distinct()
+    val tpairs = distinctPairsByA(
+      ta.join(mates, "cluster_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b")))
     // distinct: a kept edge re-offered as a block pair rescores to
     // the same IEEE dot, so the union dedups exactly (insert's rule)
     val repaired = graft.plans.TopK.perKey(
@@ -253,7 +267,21 @@ object Nsw {
       }
 
   /** One beam walk from an explicit SEED set — the layered search's
-    * shared inner loop. Returns (final beam, touched candidates). */
+    * shared inner loop. Returns (final beam, touched candidates).
+    *
+    * The beam is lineage-CUT every round (the [[Lineage]] policy —
+    * k11's iterative discipline applied to the walk): without the
+    * cut, round r's plan nests every earlier round (the beam feeds
+    * both the expansion and the candidate union, so the tree doubles
+    * per round), and the driver pays re-optimization plus a FRESH
+    * whole-stage-codegen compile for every adaptive stage of every
+    * round — measured 9.2–11.9 s per v38 descent at sf0.1 vs
+    * 2.8–3.8 s with the cut, with task time unchanged (~2 s): the
+    * difference is pure driver/plan overhead. With the cut each
+    * round's plan is the SAME constant shape over a beam-sized
+    * materialization, so codegen caches hit and planning cost stays
+    * flat in the round count — at any corpus size the cut
+    * materializes only beam·queries rows. */
   private def walkBeam(edges: DataFrame, v: DataFrame, q: DataFrame,
                        seed: DataFrame, beam: Int, rounds: Int)
       : (DataFrame, DataFrame) = {
@@ -265,7 +293,7 @@ object Nsw {
       graft.plans.TopK.perKey(sc, Seq("qid"),
         Seq(col("score").desc, col("node")), k)
     var touched = seed.distinct()
-    var bm = topB(scored(touched), beam)
+    var bm = topB(scored(touched), beam).cutLineage(true)
     for (_ <- 1 to rounds) {
       val expand = bm.select(col("qid"), col("node").as("a"))
         .join(edges.select(col("a"), col("b")), "a")
@@ -273,7 +301,7 @@ object Nsw {
       val cands = bm.select(col("qid"), col("node"))
         .unionByName(expand).distinct()
       touched = touched.unionByName(cands).distinct()
-      bm = topB(scored(cands), beam)
+      bm = topB(scored(cands), beam).cutLineage(true)
     }
     (bm, touched)
   }
@@ -388,15 +416,17 @@ object Nsw {
     def topB(sc: DataFrame, k: Int): DataFrame =
       graft.plans.TopK.perKey(sc, Seq("qid"),
         Seq(col("score").desc, col("node")), k)
+    // per-round lineage cut: walkBeam's discipline (see its scaladoc)
+    // — constant plan shape per round, beam·queries rows materialized
     var bm = topB(scored(q.select(col("qid"))
-      .crossJoin(broadcast(entryNodes))), beam)
+      .crossJoin(broadcast(entryNodes))), beam).cutLineage(true)
     for (_ <- 1 to walkRounds) {
       val expand = bm.select(col("qid"), col("node").as("a"))
         .join(edges.select(col("a"), col("b")), "a")
         .select(col("qid"), col("b").as("node"))
       val cands = bm.select(col("qid"), col("node"))
         .unionByName(expand).distinct()
-      bm = topB(scored(cands), beam)
+      bm = topB(scored(cands), beam).cutLineage(true)
     }
     val res = topB(
       if (excludeSelf) bm.filter(col("node") =!= col("qid")) else bm, topK)
@@ -427,7 +457,7 @@ object Nsw {
         Seq(col("score").desc, col("node")), beam)
     var touched = q.select(col("qid")).crossJoin(broadcast(entryNodes))
       .select(col("qid"), col("node"))
-    var bm = topB(scored(touched))
+    var bm = topB(scored(touched)).cutLineage(true)
     for (_ <- 1 to walkRounds) {
       val expand = bm.select(col("qid"), col("node").as("a"))
         .join(edges.select(col("a"), col("b")), "a")
@@ -435,7 +465,7 @@ object Nsw {
       val cands = bm.select(col("qid"), col("node"))
         .unionByName(expand).distinct()
       touched = touched.unionByName(cands).distinct()
-      bm = topB(scored(cands))
+      bm = topB(scored(cands)).cutLineage(true)
     }
     touched.distinct().count()
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Lineage.CutOps
 import graft.queries.ExtQ._
+import graft.util.Parity.multisetEqual
 
 /** LAKEHOUSE-VERB FAMILY (x17–x76, split from ExtQ round 13): the
   * snapshot table's write verbs and their proofs — SCD-2, time
@@ -194,8 +195,7 @@ object LakehouseQ {
         .map(v => Snapshots.read(s, sinkDir, Some(v)))
         .reduce(_ unionByName _)
       val replay = ChangeFeed.changesSince(s, dir, Seq("doc_id"))
-      val parity = sunk.exceptAll(replay).isEmpty &&
-        replay.exceptAll(sunk).isEmpty
+      val parity = multisetEqual(sunk, replay)
       replay
         .groupBy(col("to_version"), col("op"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
@@ -254,8 +254,7 @@ object LakehouseQ {
         .map(v => Snapshots.read(s, sinkDir, Some(v)))
         .reduce(_ unionByName _)
       val replay = ChangeFeed.changesSince(s, dir, Seq("doc_id"))
-      val parity = sunk.exceptAll(replay).isEmpty &&
-        replay.exceptAll(sunk).isEmpty
+      val parity = multisetEqual(sunk, replay)
       replay
         .groupBy(col("to_version"), col("op"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
@@ -315,7 +314,7 @@ object LakehouseQ {
       val sub2 = Snapshots.readChangeStream(s, dir, Seq("doc_id"), cursorDir)
       val (v2, off2, p2) = sub2.pollPage(maxRows).get
       val redelivered = (v1, off1) == (v2, off2) &&
-        p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty
+        multisetEqual(p1, p2)
       sink(v2, off2, p2) // (version,offset)-keyed: folds to nothing
       sub2.commitPage(v2, off2, p2.count(), maxRows)
       // drain the rest page by page
@@ -332,8 +331,7 @@ object LakehouseQ {
       val sunk = Snapshots.versions(s, sinkDir)
         .map(v => Snapshots.read(s, sinkDir, Some(v)))
         .reduce(_ unionByName _)
-      val parity = sunk.exceptAll(replay).isEmpty &&
-        replay.exceptAll(sunk).isEmpty
+      val parity = multisetEqual(sunk, replay)
       replay
         .groupBy(col("to_version"), col("op"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("keysum"))
@@ -444,8 +442,7 @@ object LakehouseQ {
       }
       val replica = Snapshots.read(s, repDir)
       val truth = Snapshots.readResolved(s, srcDir)
-      val parity = replica.exceptAll(truth).isEmpty &&
-        truth.exceptAll(replica).isEmpty
+      val parity = multisetEqual(replica, truth)
       replica.groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("charsum"),
           sum(col("doc_id")).as("idsum"))
@@ -1817,14 +1814,13 @@ object LakehouseQ {
           col("new_c_acctbal").as("c_acctbal"))
       val applied = old.join(delKeys, Seq("c_custkey"), "left_anti")
         .unionByName(newImgs)
-      val mismatches = applied.exceptAll(neu).count() +
-        neu.exceptAll(applied).count()
+      val roundtripExact = multisetEqual(applied, neu)
       applied
         .groupBy((col("c_custkey") % 10).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           dsum2(col("c_acctbal")).as("balsum"),
           sum(col("c_custkey")).as("keysum"))
-        .withColumn("roundtrip_exact", lit(mismatches == 0L))
+        .withColumn("roundtrip_exact", lit(roundtripExact))
         .orderBy(col("bucket"))
     }),
 
@@ -2310,8 +2306,7 @@ object LakehouseQ {
       val replica = Snapshots.read(s, repDir)
         .drop(Snapshots.PosFileCol, Snapshots.PosIdxCol)
       val truth = Snapshots.readResolved(s, srcDir)
-      val parity = replica.exceptAll(truth).isEmpty &&
-        truth.exceptAll(replica).isEmpty
+      val parity = multisetEqual(replica, truth)
       def dFed(v: Int): Long = Snapshots.stepChangesPos(s, srcDir, v)
         .filter(col("op") === "D").count()
       replica.groupBy(col("flag"))
@@ -2367,10 +2362,8 @@ object LakehouseQ {
       val bakFact = Snapshots.readResolved(s, baDir)
       val bakStats = Snapshots.readResolved(s, bbDir)
       val derived = statsOf(bakFact)
-      val pairConsistent = derived.exceptAll(bakStats).isEmpty &&
-        bakStats.exceptAll(derived).isEmpty
-      val pinnedAtSnapshot = bakFact.exceptAll(gen1).isEmpty &&
-        gen1.exceptAll(bakFact).isEmpty &&
+      val pairConsistent = multisetEqual(derived, bakStats)
+      val pinnedAtSnapshot = multisetEqual(bakFact, gen1) &&
         Snapshots.readResolved(s, aDir).exceptAll(docs).isEmpty
       val zeroCopy = Snapshots.chainEntries(s, baDir).forall(_._2 == 0L) &&
         Snapshots.chainEntries(s, bbDir).forall(_._2 == 0L)
@@ -2412,21 +2405,23 @@ object LakehouseQ {
       Snapshots.commit(proj(li.filter(col("l_orderkey") % 10 < 5)), dir)
       Snapshots.commitAppend(
         proj(li.filter(col("l_orderkey") % 10 >= 5)), dir, base = 1)
-      // three nightly position deletes chain on the head
+      // three nightly position deletes chain on the head; each key set
+      // is cached — the commit writes it and the n_pos_deleted count
+      // re-reads it, so the positioned-scan derivation runs once, not
+      // twice, per delete round
       val p1 = Snapshots.positionsOf(s, dir, 2, col("qty") < 5 &&
-        col(Snapshots.PosFileCol).startsWith("v1-"))
+        col(Snapshots.PosFileCol).startsWith("v1-")).cache()
       Snapshots.commitPositionDeletes(p1, dir, base = 2)
-      val p2 = Snapshots.positionsOf(s, dir, 3, col("qty") < 5)
+      val p2 = Snapshots.positionsOf(s, dir, 3, col("qty") < 5).cache()
       Snapshots.commitPositionDeletes(p2, dir, base = 3)
       val p3 = Snapshots.positionsOf(s, dir, 4,
-        col("qty") >= 5 && col("qty") <= 7)
+        col("qty") >= 5 && col("qty") <= 7).cache()
       Snapshots.commitPositionDeletes(p3, dir, base = 4)
       val state0 = Snapshots.readResolved(s, dir).cache()
       // MINOR: fold the three delete versions into one
       val v6 = Snapshots.compactPositionDeletes(s, dir)
       val afterMinor = Snapshots.readResolved(s, dir)
-      val minorUnchanged = afterMinor.exceptAll(state0).isEmpty &&
-        state0.exceptAll(afterMinor).isEmpty
+      val minorUnchanged = multisetEqual(afterMinor, state0)
       val minorFeedEmpty =
         Snapshots.stepChanges(s, dir, v6, Seq("flag", "qty")).isEmpty
       val oldHeadTravelable = Snapshots.readResolved(s, dir, Some(5))
@@ -2434,11 +2429,10 @@ object LakehouseQ {
       // MAJOR: materialize the resolved state as one layout version
       val v7 = Snapshots.commitLayout(afterMinor, dir, base = v6)
       val afterMajor = Snapshots.readResolved(s, dir)
-      val majorUnchanged = afterMajor.exceptAll(state0).isEmpty &&
-        state0.exceptAll(afterMajor).isEmpty
+      val majorUnchanged = multisetEqual(afterMajor, state0)
       // the positioned scan serves fresh addresses on the new files —
       // one more delete round lands against them
-      val p4 = Snapshots.positionsOf(s, dir, v7, col("qty") === 8)
+      val p4 = Snapshots.positionsOf(s, dir, v7, col("qty") === 8).cache()
       Snapshots.commitPositionDeletes(p4, dir, base = v7)
       val nDeleted = p1.count() + p2.count() + p3.count() + p4.count()
       Snapshots.readResolved(s, dir)
@@ -2496,7 +2490,7 @@ object LakehouseQ {
         val fact = Snapshots.readResolved(s, aDir, Some(pins(aDir)))
         val stats = Snapshots.read(s, bDir, Some(pins(bDir)))
         val derived = statsOf(fact)
-        derived.exceptAll(stats).isEmpty && stats.exceptAll(derived).isEmpty
+        multisetEqual(derived, stats)
       }
       val snap1 = Snapshots.snapshotAll(s, Seq(aDir, bDir))
       val consistentBefore = snap1 == Map(aDir -> 1, bDir -> 1) &&

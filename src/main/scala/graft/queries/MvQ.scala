@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Lineage.CutOps
+import graft.util.Parity.multisetEqual
 import graft.queries.ExtQ._
 
 /** MATERIALIZED-VIEW FAMILY (x66–x78, split from ExtQ round 13):
@@ -178,8 +179,7 @@ object MvQ {
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
           count(lit(1)).as("n_rows")))
-      val exact = mv.exceptAll(recomputed).count() == 0 &&
-        recomputed.exceptAll(mv).count() == 0
+      val exact = multisetEqual(mv, recomputed)
       mv.select(col("o_orderstatus"), col("o_orderpriority"),
           col("p").cast("double").as("revenue"),
           col("n_rows").as("n_orders"),

@@ -1062,8 +1062,13 @@ object VectorQ {
       }
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val res = graft.ops.Nsw.searchLayered(layers, e, "vec_id", "embedding",
-        q, NswUpperBeam, NswUpperWalk, NswBeam, NswWalk, topK = 3)
+      // the in-session descent over the warm layers is Derived-shared
+      // with v39 (whose cold_equal witness replays the SAME warm
+      // descent): one walk per session, both queries read it
+      val res = Derived.of(s, d, "hnsw_warm_descent") {
+        graft.ops.Nsw.searchLayered(layers, e, "vec_id", "embedding",
+          q, NswUpperBeam, NswUpperWalk, NswBeam, NswWalk, topK = 3)
+      }
       val brute = knnTruth(s, d)
       val hits = res.join(brute, Seq("qid", "nb_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as("h"))
@@ -1138,7 +1143,9 @@ object VectorQ {
         graft.ops.Nsw.searchLayered(layers, e, "vec_id", "embedding", q,
           NswUpperBeam, NswUpperWalk, NswBeam, NswWalk, topK = 3)
       val coldRes = descent(coldLayers).cache()
-      val warmSet = descent(warmLayers)
+      // the warm-layer walk is the SAME descent v38 serves — Derived-
+      // shared, so the session pays for it once across both queries
+      val warmSet = Derived.of(s, d, "hnsw_warm_descent") { descent(warmLayers) }
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val coldEqual = coldRes.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == warmSet
@@ -1713,8 +1720,7 @@ object VectorQ {
       val v4 = Snapshots.commitLayout(
         Snapshots.readResolved(s, adjDir), adjDir, base = head)
       val post = walk(Snapshots.readResolved(s, adjDir))
-      val identical = post.exceptAll(pre).isEmpty &&
-        pre.exceptAll(post).isEmpty
+      val identical = graft.util.Parity.multisetEqual(post, pre)
       val feedEmpty =
         Snapshots.stepChanges(s, adjDir, v4, Seq("a", "b")).isEmpty
       val chainAfter = Snapshots.chainEntries(s, adjDir).size
@@ -2229,7 +2235,15 @@ object VectorQ {
       nswBeamCte(name, candSrc, "embeddings", "e.embedding::DOUBLE[]", beam)
     val sb = new StringBuilder
     sb.append(nswBuildCtes)
-    // hash-derived levels: trailing 4-adic zeros of hash60, capped
+    // hash-derived levels: trailing 4-adic zeros of hash60, capped.
+    // The CASE arms below hand-unroll Nsw.levelOf for exactly TWO
+    // upper levels (the top arm is parameterized, the middle is the
+    // literal `h % 4 = 0 THEN 1`); a bumped NswMaxLevel would
+    // silently desync the oracle's intermediate levels from levelOf —
+    // fail loudly here instead.
+    require(NswMaxLevel == 2,
+      "hnswOracle's lvl CTE unrolls levels for NswMaxLevel == 2 only — " +
+        "regenerate its CASE arms (mirroring Nsw.levelOf) before bumping")
     sb.append(
       s"""lvl AS (
          |  SELECT vec_id,

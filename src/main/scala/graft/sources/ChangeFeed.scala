@@ -45,6 +45,11 @@ object ChangeFeed {
     * FULL `_cursor_v<V>.json`, which supersedes and cleans these. */
   private val PageCursorName = """^_cursor_v(\d+)_o(\d+)\.json$""".r
 
+  /** Numbered-feed sidecar dir (x120): `_feed_v<V>` under the cursor
+    * dir holds version V's change feed numbered ONCE — cleaned with
+    * the page cursors when the version's full cursor lands. */
+  private val FeedDirName = """^_feed_v(\d+)$""".r
+
   final class Subscription private[sources] (
       spark: SparkSession, dir: String, keys: Seq[String],
       cursorDir: String) {
@@ -172,28 +177,57 @@ object ChangeFeed {
       *
       * Pagination requires a DETERMINISTIC TOTAL ORDER over the
       * version's feed — pages must mean the same rows on redelivery
-      * and across restarts — so the feed is numbered by row_number
-      * over every column (op first, then the keys; ties are
-      * bit-identical rows, so pages are multiset-deterministic no
-      * matter how ties land). That global sort spans the version's
-      * CHURN, never the table — the honest cost of exact pages;
-      * production systems that split by file get approximate pages
-      * and a weaker redelivery story. */
+      * and across restarts — so the feed is numbered ONCE per version
+      * by [[graft.ops.GlobalIndex]] (range exchange + per-partition
+      * offsets — fully parallel, never the single-reducer
+      * `row_number().over(Window.orderBy(...))` its scaladoc names as
+      * the anti-pattern) over every column (op first, then the keys)
+      * and COMMITTED as a numbered-feed sidecar snapshot under the
+      * cursor dir ([[numberedFeed]]). Every page is then a rank-range
+      * filter over that one materialization: draining N pages costs
+      * one parallel numbering of the churn plus N pushed-down range
+      * reads, not N single-task re-sorts of the whole churn. The
+      * freeze also upgrades redelivery: a redelivered page is the
+      * IDENTICAL rows, not merely a multiset-deterministic re-sort.
+      * The numbering spans the version's CHURN, never the table —
+      * the honest cost of exact pages; production systems that split
+      * by file get approximate pages and a weaker redelivery story. */
     def pollPage(maxRows: Int): Option[(Int, Int, DataFrame)] = {
       require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
       val pos = position()
       Snapshots.versions(spark, dir).filter(_ > pos).minOption.map { v =>
         requireNoTruncation(pos, v)
         val off = pageOffset(v)
-        val feed = Snapshots.stepChanges(spark, dir, v, keys)
-        val order = feed.columns.map(col).toSeq
-        val rn = org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(order: _*))
-        val page = feed.withColumn("_rn", rn)
-          .filter(col("_rn") > off && col("_rn") <= off + maxRows)
+        // _rn is 0-based: rows [off, off + maxRows) — a min/max-
+        // prunable range predicate on the sidecar's parquet scan
+        val page = numberedFeed(v)
+          .filter(col("_rn") >= off && col("_rn") < off + maxRows)
           .drop("_rn")
         (v, off, page)
       }
+    }
+
+    /** Version `v`'s change feed with a dense 0-based `_rn` rank in
+      * the total order of all feed columns, materialized ONCE as a
+      * snapshot sidecar (`_feed_v<v>` under the cursor dir) on first
+      * poll and range-served to every page after. The commit is the
+      * log's own create-exclusive claim (expectedVersion = 0), so
+      * racing subscriber twins collapse to exactly one sidecar — the
+      * loser reads the winner's numbering. Ties (bit-identical rows)
+      * may land in either order inside the numbering, but the freeze
+      * makes whatever landed THE order for every page and restart.
+      * Cleaned by [[commitCursor]] once the version completes. */
+    private def numberedFeed(v: Int): DataFrame = {
+      val fdir = s"$cursorDir/_feed_v$v"
+      if (Snapshots.versions(spark, fdir).isEmpty) {
+        val feed = Snapshots.stepChanges(spark, dir, v, keys)
+        val order = feed.columns.map(col).toSeq
+        try Snapshots.commit(
+          graft.ops.GlobalIndex.withGlobalIndex(feed, order, "_rn"),
+          fdir, expectedVersion = 0)
+        catch { case _: ConcurrentCommitException => () }
+      }
+      Snapshots.read(spark, fdir, Some(1))
     }
 
     /** Commit a processed page: the version's LAST page (fewer than
@@ -228,10 +262,16 @@ object ChangeFeed {
       var n = 0
       var next = pollPage(maxRows)
       while (next.isDefined) {
-        val (v, off, page) = next.get
-        val cnt = page.count()
-        if (cnt > 0) { f(v, off, page); n += 1 }
-        commitPage(v, off, cnt, maxRows)
+        val (v, off, page0) = next.get
+        // cache the page for the loop's own two consumers (the count
+        // that decides last-page vs full-page, and the sink's action)
+        // — without it each page evaluated twice per drain step
+        val page = page0.cache()
+        try {
+          val cnt = page.count()
+          if (cnt > 0) { f(v, off, page); n += 1 }
+          commitPage(v, off, cnt, maxRows)
+        } finally page.unpersist()
         next = pollPage(maxRows)
       }
       n
@@ -257,6 +297,12 @@ object ChangeFeed {
         PageCursorName.findFirstMatchIn(f.getPath.getName)
           .filter(_.group(1).toInt <= version)
           .foreach(_ => fs.delete(f.getPath, false))
+        // ... and so is its numbered-feed sidecar (recursive: a
+        // snapshot dir) — the cursor listing stays O(1), not
+        // O(versions paged)
+        FeedDirName.findFirstMatchIn(f.getPath.getName)
+          .filter(_.group(1).toInt <= version)
+          .foreach(_ => fs.delete(f.getPath, true))
       }
     }
 

@@ -1922,6 +1922,20 @@ object Snapshots {
         s"hold tag '$tag' already pins v${cur.getOrElse(-1)} under $dir — " +
           "release it first or use another tag")
     }
+    // Hold-vs-in-flight-vacuum window: a vacuum that computed its
+    // keep-set BEFORE this marker landed can still collect the
+    // version — the marker alone is check-then-create, not an
+    // interlock. Re-verify the version survived AFTER the marker is
+    // visible: if it vanished, the hold is a dangling claim over a
+    // collected version — delete it and raise here, instead of
+    // letting a later pinnedReadOrRaise discover the violation.
+    if (!allVersions(spark, dir).contains(version)) {
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"_hold_$tag.json"), false)
+      throw new IllegalStateException(
+        s"hold '$tag': v$version was collected by a concurrent vacuum " +
+          s"before the hold became visible under $dir — re-create the " +
+          "version (or hold an existing one) and retry")
+    }
   }
 
   /** Release a retention hold — the pinned version becomes collectable
@@ -2705,8 +2719,13 @@ object Snapshots {
         case None =>
           // x119: a column an alter ABOVE the pin added with a
           // recorded DEFAULT aligns to the expression (over the
-          // pinned rows), not a typed null
-          alters.flatMap(entryDefaults(_).get(f.name)).lastOption
+          // pinned rows), not a typed null. Resolved through
+          // columnDefaults — the rename-migration/drop-kill walk —
+          // so a defaulted column RENAMED above the pin serves the
+          // same default here as through readResolved (a raw
+          // entryDefaults lookup by today's name missed it and the
+          // two read paths disagreed for the same rows)
+          columnDefaults(spark, dir).get(f.name)
             .map(sql => expr(sql).cast(f.dataType).as(f.name))
             .getOrElse(lit(null).cast(f.dataType).as(f.name))
       }

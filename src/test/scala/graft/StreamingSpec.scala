@@ -823,6 +823,46 @@ class StreamingSpec extends SparkSpec {
     assert(sub2.poll().get._1 == 3)
   }
 
+  test("x120: page plan is a rank-range read of a once-numbered sidecar — no unpartitioned Window, no per-page re-sort") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("cdfpageplan").toString
+    val (dir, cursorDir) = (s"$base/t", s"$base/cursor")
+    Snapshots.commit((1L to 10L).map(i => (i, "a")).toDF("id", "v"), dir)
+    val sub = Snapshots.readChangeStream(spark, dir, Seq("id"), cursorDir)
+    val (_, _, p1) = sub.pollPage(4).get
+    // the served page must NOT carry the single-reducer numbering the
+    // old implementation used (ops/GlobalIndex.scala names it as the
+    // anti-pattern): the sort ran once, inside the sidecar commit
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = p1.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.isEmpty, "pollPage must serve pages without any Window")
+    // the numbering was materialized exactly once, as a snapshot
+    // sidecar the next polls reuse
+    assert(Snapshots.versions(spark, s"$cursorDir/_feed_v1") == Seq(1))
+    val feedFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$cursorDir/_feed_v1")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val (_, _, p2) = sub.pollPage(4).get // re-poll: same sidecar, no rewrite
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+    val feedFiles2 = {
+      val p = new org.apache.hadoop.fs.Path(s"$cursorDir/_feed_v1")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    assert(feedFiles == feedFiles2, "re-polls must reuse the sidecar, not rewrite it")
+    // draining the version supersedes and cleans its sidecar
+    sub.drainPages(4)((_, _, _) => ())
+    val fs = new org.apache.hadoop.fs.Path(cursorDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$cursorDir/_feed_v1")),
+      "the completed version's numbered-feed sidecar must be cleaned")
+  }
+
   test("x103: retention truncating a lagging subscriber's feed raises instead of skipping") {
     import spark.implicits._
     import graft.sources.Snapshots
