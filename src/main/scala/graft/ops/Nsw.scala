@@ -143,11 +143,16 @@ object Nsw {
     val y = asg.select(col(idCol).as("b"), col("cluster_id"))
     val nx = newAsg.select(col(idCol).as("a"), col("cluster_id"))
     val ny = newAsg.select(col(idCol).as("b"), col("cluster_id"))
-    // pairs with a batch endpoint only — the locality guarantee
+    // pairs with a batch endpoint only — the locality guarantee.
+    // Cut eagerly: BOTH the touched-key cut and the repaired-edge cut
+    // below consume this chain (which embeds the full-corpus block
+    // assignment), and without the cut each re-evaluates it — the
+    // materialization is |batch|·block-mates rows, the repair's own
+    // declared cost bound
     val bpairs = distinctPairsByA(
       nx.join(y, "cluster_id").select(col("a"), col("b"))
         .unionByName(x.join(ny, "cluster_id").select(col("a"), col("b")))
-        .filter(col("a") =!= col("b")))
+        .filter(col("a") =!= col("b"))).cutLineage(true)
     // cut: touched and the repaired edges each feed several consumers
     // (DV keys, the append delta, the in-memory adjacency, witnesses)
     // — without a cut every consumer re-runs the blocked pair scoring

@@ -2289,9 +2289,14 @@ object LakehouseQ {
         m2.select(col(Snapshots.PosFileCol), col(Snapshots.PosIdxCol)),
         m2.select(col("flag"), (col("qty") + 1000L).as("qty")), base = 5)
       // REPLICA: replay the position-aware feed ALONE, epoch-tagged
-      // (epoch = source version, so redeliveries fold to nothing)
+      // (epoch = source version, so redeliveries fold to nothing).
+      // Each step feed is cached across its two consumers in the loop
+      // body (the D anti-join + I union) and — for the three declared
+      // D-half counts — the dFed accounting, so a positioned step read
+      // is derived once per version, never re-derived post-replay.
+      val dFed = scala.collection.mutable.Map[Int, Long]()
       Snapshots.versions(s, srcDir).foreach { v =>
-        val step = Snapshots.stepChangesPos(s, srcDir, v)
+        val step = Snapshots.stepChangesPos(s, srcDir, v).cache()
         val cur =
           if (Snapshots.versions(s, repDir).isEmpty) step.drop("op").limit(0)
           else Snapshots.read(s, repDir)
@@ -2301,14 +2306,15 @@ object LakehouseQ {
             Seq(Snapshots.PosFileCol, Snapshots.PosIdxCol), "left_anti")
           .unionByName(step.filter(col("op") === "I").drop("op"))
         Snapshots.commitEpoch(applied, repDir, v.toLong)
+        if (Set(4, 5, 7)(v))
+          dFed(v) = step.filter(col("op") === "D").count()
+        step.unpersist()
         ()
       }
       val replica = Snapshots.read(s, repDir)
         .drop(Snapshots.PosFileCol, Snapshots.PosIdxCol)
       val truth = Snapshots.readResolved(s, srcDir)
       val parity = multisetEqual(replica, truth)
-      def dFed(v: Int): Long = Snapshots.stepChangesPos(s, srcDir, v)
-        .filter(col("op") === "D").count()
       replica.groupBy(col("flag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
         .select(col("flag"), col("n_rows"), col("sum_qty"),
